@@ -1,0 +1,114 @@
+"""Engine — the session-scoped entry point.
+
+``Engine(spark, index_root)`` owns an index store (any Hadoop-compatible
+path: local dir, HDFS, object store) and exposes the reference's full
+surface as library calls:
+
+- ``build_index`` / ``drop_index`` / ``list_indexes``   (write path, M1/S5/S7)
+- ``query(table, predicate)``                            (index-pruned scan, S2/S6/I1-I3/F4)
+- ``scan(table)``                                        (plain full scan, S1)
+- ``verify_index``                                       (oracle harness, M5)
+- ``build_text_index`` / ``text_search`` / ``text_count`` / ``text_sample``
+                                                         (Lucene-module analog, T1-T8)
+
+The two API entry points replace the reference's INDEXINGJOBFLAG mode
+switch (M3, core/retrieval/BlockIndexedFileInputFormat.java:123-126).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+from elephant_twin_spark.operators import build as build_mod
+from elephant_twin_spark.operators import scan as scan_mod
+from elephant_twin_spark.operators import text as text_mod
+from elephant_twin_spark.operators import verify as verify_mod
+from elephant_twin_spark.plans import expr as E
+from elephant_twin_spark.sources import catalog, fsio
+
+
+class Engine:
+    def __init__(self, spark: SparkSession, index_root: str):
+        self.spark = spark
+        self.index_root = index_root.rstrip("/")
+        #: planning metrics of the most recent ``query`` call (M6 analog of
+        #: the reference's logged bytes-ratio)
+        self.last_metrics: Optional[scan_mod.ScanMetrics] = None
+
+    # ------------------------------------------------------------- build
+    def build_index(
+        self,
+        table_path: str,
+        column: str,
+        num_buckets: int = build_mod.DEFAULT_NUM_BUCKETS,
+        sample_fraction: Optional[float] = None,
+        overwrite: bool = True,
+        **kw,
+    ) -> build_mod.BuildResult:
+        return build_mod.build_block_index(
+            self.spark,
+            table_path,
+            column,
+            self.index_root,
+            num_buckets=num_buckets,
+            sample_fraction=sample_fraction,
+            overwrite=overwrite,
+            **kw,
+        )
+
+    def drop_index(self, table_path: str, column: str, kind: str = "block") -> None:
+        fsio.delete(self.spark, catalog.index_dir(self.index_root, table_path, column, kind))
+
+    def list_indexes(self, table_path: str) -> List[Dict]:
+        out = []
+        for kind in ("block", "text"):
+            base = f"{self.index_root}/{catalog.table_id(table_path)}/{kind}"
+            if not fsio.exists(self.spark, base):
+                continue
+            fs, jpath, _ = fsio._fs_and_path(self.spark, base)
+            for st in fs.listStatus(jpath):
+                if st.isDirectory():
+                    d = catalog.read_descriptor(self.spark, f"{base}/{st.getPath().getName()}")
+                    if d is not None:
+                        out.append(d.to_json())
+        return out
+
+    # ------------------------------------------------------------- query
+    def query(self, table_path: str, predicate: E.Expr) -> DataFrame:
+        """Index-accelerated filter scan; reads only files whose postings
+        can match, then applies the full predicate per row."""
+        self.last_metrics = scan_mod.ScanMetrics()
+        return scan_mod.query(
+            self.spark, table_path, predicate, self.index_root, metrics=self.last_metrics
+        )
+
+    def scan(self, table_path: str) -> DataFrame:
+        return self.spark.read.parquet(table_path)
+
+    def postings(self, table_path: str, column: str) -> DataFrame:
+        """The sparse index itself as a DataFrame (S10)."""
+        return build_mod.read_postings(
+            self.spark, catalog.index_dir(self.index_root, table_path, column, "block")
+        )
+
+    # ------------------------------------------------------------ verify
+    def verify_index(self, table_path: str, column: str) -> DataFrame:
+        return verify_mod.index_vs_fullscan_counts(
+            self.spark, table_path, column, self.index_root
+        )
+
+    def assert_index_consistent(self, table_path: str, column: str) -> int:
+        return verify_mod.assert_index_consistent(
+            self.spark, table_path, column, self.index_root
+        )
+
+    # -------------------------------------------------------------- text
+    def build_text_index(self, table_path: str, text_column: str, doc_id_column: str, **kw):
+        return text_mod.build_text_index(
+            self.spark, table_path, text_column, doc_id_column, self.index_root, **kw
+        )
+
+    def text_index(self, table_path: str, text_column: str) -> text_mod.TextIndex:
+        return text_mod.TextIndex(self.spark, table_path, text_column, self.index_root)

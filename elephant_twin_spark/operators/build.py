@@ -1,0 +1,193 @@
+"""Sparse block-index build — value → (file, byte ranges) postings.
+
+Reference pipeline (one MR job per file, core/indexing/AbstractBlockIndexingJob.java:226-364):
+mapper emits ``(value, [start,end))`` per record with secondary sort on
+(value, start) (core/io/TextLongPairWritable.java:98-142), the reducer
+merges adjacent/overlapping ranges under a size cap
+(core/indexing/MapFileIndexingReducer.java:46-114) and writes sorted
+MapFiles hash-partitioned by key (hadooppatch/MapFileOutputFormat.java:47-87).
+
+Spark-first rebuild: ONE declarative job for the whole table —
+
+    read parquet with the _metadata hidden column
+    → groupBy(key, file) collecting distinct split ranges     (O1 + A1)
+    → JVM-side higher-order-function range merge              (I4)
+    → repartitionByRange(num_buckets, key) + sortWithinPartitions
+      + parquet write with min/max and bloom filters on key   (O2 + O3 + S5)
+
+The write layout is the query-time pruning contract: range partitioning by
+key means an equality lookup touches ~1 of N index files via parquet
+min/max footer stats (the analog of the reference's hash-partitioned
+MapFile probe, core/retrieval/BlockIndexedFileInputFormat.java:419-431).
+At 100 TB the postings table is itself large; everything here is a single
+shuffle on (key, file) with map-side partial aggregation — no driver-side
+data movement.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from elephant_twin_spark.sources import catalog, fsio
+
+# Reference default: merged posting ranges capped at dfs.block.size (128 MB)
+# so one index hit never forces an oversized scan task
+# (core/indexing/MapFileIndexingReducer.java:49,82).
+DEFAULT_MAX_MERGED_BYTES = 128 * 1024 * 1024
+DEFAULT_NUM_BUCKETS = 16
+
+POSTINGS_SCHEMA = "key string, file string, ranges array<struct<start:bigint,end:bigint>>, cnt bigint"
+
+
+@dataclass
+class BuildResult:
+    index_dir: str
+    column: str
+    num_source_files: int
+    num_keys: int
+
+
+def _merge_ranges_expr(sorted_col: str, max_merged_bytes: int) -> F.Column:
+    """JVM-side fold merging sorted [start,end) ranges.
+
+    Combine ``<a,b>,<c,d>`` with ``c<=b`` into ``<a,max(b,d)>`` unless the
+    merged range would exceed ``max_merged_bytes`` — the exact build-side
+    invariant of MapFileIndexingReducer.java:55-101 (dedups the
+    block-spanning case while preserving scan parallelism). Higher-order
+    function, whole-stage-codegen friendly: no Python in the loop.
+    """
+    return F.expr(
+        f"""
+        aggregate(
+          {sorted_col},
+          cast(array() as array<struct<start:bigint,end:bigint>>),
+          (acc, x) -> CASE
+            -- contained in the previous range: drop
+            WHEN size(acc) > 0 AND x.`end` <= element_at(acc, -1).`end`
+            THEN acc
+            -- overlapping/adjacent and merged size under the cap: extend
+            WHEN size(acc) > 0
+                 AND x.start <= element_at(acc, -1).`end`
+                 AND x.`end` - element_at(acc, -1).start <= {max_merged_bytes}L
+            THEN concat(
+                   slice(acc, 1, size(acc) - 1),
+                   array(named_struct(
+                     'start', element_at(acc, -1).start,
+                     'end', x.`end`)))
+            -- else append, clamped at the previous end so ranges stay
+            -- non-overlapping (the reference splits at the overlap point,
+            -- MapFileIndexingReducer.java:84-99)
+            ELSE concat(acc, array(named_struct(
+                   'start', CASE WHEN size(acc) > 0
+                                      AND x.start < element_at(acc, -1).`end`
+                                 THEN element_at(acc, -1).`end`
+                                 ELSE x.start END,
+                   'end', x.`end`)))
+          END)
+        """
+    )
+
+
+def postings_for(
+    df: DataFrame,
+    column: str,
+    max_merged_bytes: int = DEFAULT_MAX_MERGED_BYTES,
+    sample_fraction: Optional[float] = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Compute the postings DataFrame ``(key, file, ranges, cnt)`` for one
+    column. ``df`` must be a file-source read that exposes ``_metadata``.
+
+    Keys are the string cast of the column (the reference indexes Text keys
+    only, core/indexing/BlockIndexingMapper.java:17-19); nulls are skipped
+    (a null can never match an Eq pushdown and the residual filter handles
+    null semantics).
+
+    ``sample_fraction`` mirrors AbstractSamplingIndexingMapper.java:27-48
+    (Bernoulli sampling of indexed records).
+    """
+    src = df.select(
+        F.col(column).cast("string").alias("key"),
+        F.col("_metadata.file_path").alias("file"),
+        F.col("_metadata.file_block_start").alias("start"),
+        (F.col("_metadata.file_block_start") + F.col("_metadata.file_block_length")).alias("end"),
+    ).where(F.col("key").isNotNull())
+    if sample_fraction is not None and sample_fraction < 1.0:
+        src = src.sample(fraction=sample_fraction, seed=seed)
+    grouped = src.groupBy("key", "file").agg(
+        F.sort_array(F.collect_set(F.struct("start", "end"))).alias("_sorted"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    return grouped.select(
+        "key",
+        "file",
+        _merge_ranges_expr("_sorted", max_merged_bytes).alias("ranges"),
+        "cnt",
+    )
+
+
+def build_block_index(
+    spark: SparkSession,
+    table_path: str,
+    column: str,
+    index_root: str,
+    num_buckets: int = DEFAULT_NUM_BUCKETS,
+    max_merged_bytes: int = DEFAULT_MAX_MERGED_BYTES,
+    sample_fraction: Optional[float] = None,
+    seed: int = 42,
+    overwrite: bool = True,
+) -> BuildResult:
+    """Build (or rebuild) the sparse index for (table, column).
+
+    Unlike the reference's per-file job orchestration with a client thread
+    pool (M1, AbstractBlockIndexingJob.java:176-312), this is one Spark job;
+    incremental refresh of only-new files lives in
+    :mod:`elephant_twin_spark.streaming.refresh`.
+    """
+    idx_dir = catalog.index_dir(index_root, table_path, column, kind="block")
+    if not overwrite and catalog.read_descriptor(spark, idx_dir) is not None:
+        desc = catalog.read_descriptor(spark, idx_dir)
+        return BuildResult(idx_dir, column, len(desc.files), -1)
+
+    df = spark.read.parquet(table_path)
+    postings = postings_for(
+        df, column, max_merged_bytes=max_merged_bytes, sample_fraction=sample_fraction, seed=seed
+    )
+
+    data_dir = f"{idx_dir}/postings"
+    (
+        postings.repartitionByRange(num_buckets, "key")
+        .sortWithinPartitions("key", "file")
+        .write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#key", "true")
+        .parquet(data_dir)
+    )
+
+    # Descriptor AFTER a successful data write (write-then-publish, so a
+    # failed build never yields a descriptor pointing at garbage).
+    files = fsio.list_data_files(spark, table_path)
+    desc = catalog.make_descriptor(
+        source_path=table_path,
+        column=column,
+        index_type="BLOCK",
+        num_buckets=num_buckets,
+        files=files,
+        options={
+            "max_merged_bytes": str(max_merged_bytes),
+            **({"sample_fraction": str(sample_fraction)} if sample_fraction else {}),
+        },
+    )
+    catalog.write_descriptor(spark, idx_dir, desc)
+
+    n_keys = -1  # cheap: do not force a count; callers can count the postings table
+    return BuildResult(idx_dir, column, len(files), n_keys)
+
+
+def read_postings(spark: SparkSession, idx_dir: str) -> DataFrame:
+    """The index as a first-class table (reference S10: index files are
+    themselves scannable input, core/retrieval/ScanUsingIndexJob.java:163-240)."""
+    return spark.read.parquet(f"{idx_dir}/postings")

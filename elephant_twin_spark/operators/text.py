@@ -1,0 +1,256 @@
+"""Full-text index — the Lucene-module analog (T1-T8), no Lucene.
+
+The reference builds sharded Lucene inverted indexes with MR jobs
+(lucene/indexing/AbstractLuceneIndexingJob.java) and serves
+count / top-N / random-sample / field-retrieval through an
+``IndexSearcher`` over HDFS (lucene/retrieval/HDFSQueryEngine.java:44-153).
+Query scope actually used by the engine surface: single terms composed
+with AND/OR (SURVEY §2.7 T5).
+
+Spark-first rebuild: the inverted index is a first-class Parquet
+**postings table** ``(term, doc_id, tf, positions)`` built with
+``posexplode(split(...))`` + groupBy — one shuffle, map-side combined —
+range-partitioned by term so a term lookup touches ~1 of N index files
+(footer min/max + bloom). Search is DataFrame algebra:
+
+- term lookup        = filtered postings read               (S6 analog)
+- AND / OR           = per-doc matched-term-set evaluation  (I1/I2 analog)
+- count              = ``.count()`` with the reference's 1M cap (A3)
+- top-N              = TF score desc + doc_id tiebreak → ``limit`` (O4)
+- random sample      = ``orderBy(rand(seed)).limit(n)``     (O5/T7)
+- field retrieval    = join doc ids back to the stored table (T6)
+
+Analyzer: whitespace tokenization by default, matching the reference's
+``WhitespaceAnalyzer`` default (lucene/indexing/AbstractLuceneIndexingJob.java:79-83),
+pluggable as any ``Column -> Column(array<string>)`` function (T1).
+Scoring is TF-based per SURVEY §7.5 — deterministic, no Lucene-score parity.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, List, Optional, Sequence, Union
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from elephant_twin_spark.sources import catalog, fsio
+
+# Lucene count cap (lucene/retrieval/HDFSQueryEngine.java:47)
+MAX_HITS = 1_000_000
+DEFAULT_NUM_BUCKETS = 16
+
+Tokenizer = Callable[[Column], Column]
+
+
+def whitespace_tokenizer(text: Column) -> Column:
+    """Whitespace analyzer: split on runs of whitespace, drop empties."""
+    return F.filter(F.split(text, r"\s+"), lambda t: t != F.lit(""))
+
+
+def lowercase_tokenizer(text: Column) -> Column:
+    """Whitespace + lowercase — the standard-analyzer-ish variant."""
+    return whitespace_tokenizer(F.lower(text))
+
+
+# --------------------------------------------------------------------- build
+
+def postings_for(
+    df: DataFrame,
+    text_column: str,
+    doc_id_column: str,
+    tokenizer: Tokenizer = whitespace_tokenizer,
+) -> DataFrame:
+    """``(term, doc_id, tf, positions)`` — one row per (term, doc)."""
+    toks = df.select(
+        F.col(doc_id_column).alias("doc_id"),
+        F.posexplode(tokenizer(F.col(text_column))).alias("pos", "term"),
+    )
+    return toks.groupBy("term", "doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("tf"),
+        F.sort_array(F.collect_list("pos")).alias("positions"),
+    )
+
+
+def build_text_index(
+    spark: SparkSession,
+    table_path: str,
+    text_column: str,
+    doc_id_column: str,
+    index_root: str,
+    num_buckets: int = DEFAULT_NUM_BUCKETS,
+    tokenizer: Tokenizer = whitespace_tokenizer,
+    tokenizer_name: str = "whitespace",
+) -> str:
+    """Build the postings table + descriptor; returns the index dir.
+
+    The reference's shard-parallel build (#reducers = #shards, T8) maps to
+    ``repartitionByRange(num_buckets, term)``; ``forceMerge(1)`` and the
+    local-then-copy staging disappear (Parquet writes are already atomic
+    per task and compact)."""
+    idx_dir = catalog.index_dir(index_root, table_path, text_column, kind="text")
+    df = spark.read.parquet(table_path)
+    postings = postings_for(df, text_column, doc_id_column, tokenizer)
+    (
+        postings.repartitionByRange(num_buckets, "term")
+        .sortWithinPartitions("term", "doc_id")
+        .write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#term", "true")
+        .parquet(f"{idx_dir}/postings")
+    )
+    files = fsio.list_data_files(spark, table_path)
+    desc = catalog.make_descriptor(
+        source_path=table_path,
+        column=text_column,
+        index_type="TEXT",
+        num_buckets=num_buckets,
+        files=files,
+        options={"doc_id_column": doc_id_column, "tokenizer": tokenizer_name},
+    )
+    catalog.write_descriptor(spark, idx_dir, desc)
+    return idx_dir
+
+
+# --------------------------------------------------------------------- query
+
+@dataclass
+class _Term:
+    term: str
+
+
+@dataclass
+class _Bool:
+    op: str  # 'AND' | 'OR'
+    parts: List
+
+
+def parse_query(q: str):
+    """Tiny Lucene-subset parser: bare terms with AND/OR connectives,
+    parentheses allowed; adjacent bare terms default to OR (Lucene's
+    default operator). Covers the surface the reference demo exercises
+    (lucene/retrieval/HDFSRetrievalDemo.java:76)."""
+    tokens = q.replace("(", " ( ").replace(")", " ) ").split()
+    pos = 0
+
+    def peek():
+        return tokens[pos] if pos < len(tokens) else None
+
+    def take():
+        nonlocal pos
+        t = tokens[pos]
+        pos += 1
+        return t
+
+    def atom():
+        t = take()
+        if t == "(":
+            node = or_expr()
+            if peek() == ")":
+                take()
+            return node
+        return _Term(t)
+
+    def and_expr():
+        parts = [atom()]
+        while peek() == "AND":
+            take()
+            parts.append(atom())
+        return parts[0] if len(parts) == 1 else _Bool("AND", parts)
+
+    def or_expr():
+        parts = [and_expr()]
+        while peek() is not None and peek() != ")":
+            if peek() == "OR":
+                take()
+            parts.append(and_expr())
+        return parts[0] if len(parts) == 1 else _Bool("OR", parts)
+
+    if not tokens:
+        raise ValueError("empty query")
+    return or_expr()
+
+
+def _query_terms(node) -> List[str]:
+    if isinstance(node, _Term):
+        return [node.term]
+    return [t for p in node.parts for t in _query_terms(p)]
+
+
+def _match_column(node, terms_col: Column) -> Column:
+    if isinstance(node, _Term):
+        return F.array_contains(terms_col, node.term)
+    parts = [_match_column(p, terms_col) for p in node.parts]
+    out = parts[0]
+    for p in parts[1:]:
+        out = (out & p) if node.op == "AND" else (out | p)
+    return out
+
+
+class TextIndex:
+    """Query handle over a built text index (HDFSQueryEngine analog)."""
+
+    def __init__(self, spark: SparkSession, table_path: str, text_column: str, index_root: str):
+        self.spark = spark
+        self.table_path = table_path
+        self.text_column = text_column
+        self.idx_dir = catalog.index_dir(index_root, table_path, text_column, kind="text")
+        self.desc = catalog.read_descriptor(spark, self.idx_dir)
+        if self.desc is None:
+            raise FileNotFoundError(f"no text index at {self.idx_dir}; build_text_index first")
+        self.doc_id_column = self.desc.options["doc_id_column"]
+
+    def postings(self) -> DataFrame:
+        return self.spark.read.parquet(f"{self.idx_dir}/postings")
+
+    def matches(self, query: Union[str, object]) -> DataFrame:
+        """``(doc_id, score)`` for all docs matching the boolean query.
+        Score = sum of tf over the query terms present in the doc —
+        deterministic TF ranking. One bucket-pruned postings read for ALL
+        query terms, then a per-doc matched-set evaluation (no join per
+        term, no driver-side data)."""
+        node = parse_query(query) if isinstance(query, str) else query
+        terms = sorted(set(_query_terms(node)))
+        hits = (
+            self.postings()
+            .where(F.col("term").isin(terms))
+            .groupBy("doc_id")
+            .agg(
+                F.collect_set("term").alias("_terms"),
+                F.sum("tf").cast("long").alias("score"),
+            )
+        )
+        return hits.where(_match_column(node, F.col("_terms"))).select("doc_id", "score")
+
+    def count(self, query: str) -> int:
+        """Hit count with the reference's MAX_HITS cap (A3)."""
+        n = self.matches(query).limit(MAX_HITS).count()
+        return min(n, MAX_HITS)
+
+    def top_n(self, query: str, n: int) -> DataFrame:
+        """Best-n by TF score, doc_id as deterministic tiebreak (O4)."""
+        return (
+            self.matches(query)
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .limit(n)
+        )
+
+    def sample(self, query: str, n: int, seed: int = 42) -> DataFrame:
+        """Random n hits without replacement (O5/T7) — distributed
+        reservoir via rand() ordering instead of the reference's in-memory
+        partial Fisher-Yates (HDFSQueryEngine.java:100-153)."""
+        return self.matches(query).orderBy(F.rand(seed)).limit(n)
+
+    def retrieve(
+        self, query: str, fields: Optional[Sequence[str]] = None, n: int = 10
+    ) -> DataFrame:
+        """Top-n hits joined back to the stored table, projecting
+        ``fields`` (T6: searcher.doc(id) + return_fields)."""
+        hits = self.top_n(query, n)
+        stored = self.spark.read.parquet(self.table_path)
+        joined = hits.join(
+            stored, hits["doc_id"] == stored[self.doc_id_column], "inner"
+        )
+        cols = [hits["doc_id"], hits["score"]] + [
+            stored[f] for f in (fields or [c for c in stored.columns])
+        ]
+        return joined.select(*cols).orderBy(F.col("score").desc(), F.col("doc_id").asc())

@@ -1,0 +1,194 @@
+"""Predicate IR: pushable (index-servable) vs residual predicate split.
+
+Mirrors the reference's serializable expression tree and its pushdown
+contract — only ``col == const`` leaves composed with AND/OR are index
+servable (reference: core/retrieval/Expression.java:199-227,
+core/retrieval/IndexedPigLoader.java:207-216) — but lifts the reference's
+string-only restriction: any scalar equality is accepted (keys are stored
+as their string cast), and arbitrary Catalyst expressions are allowed as
+residual-only predicates (reference rejects them up-front; Catalyst gives
+us the full operator set for free, SURVEY §2.9).
+
+The residual filter is ALWAYS applied on rows, exactly as the reference's
+FilterRecordReader re-checks every record because block-level pruning is
+coarse (core/retrieval/FilterRecordReader.java:58-106). File-level pruning
+here is coarse in the same way, so row re-check is load-bearing.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+class Expr:
+    """Base of the predicate tree. Compose with ``&`` and ``|``."""
+
+    def __and__(self, other: "Expr") -> "Expr":
+        return And(self, _coerce(other))
+
+    def __or__(self, other: "Expr") -> "Expr":
+        return Or(self, _coerce(other))
+
+    def to_column(self) -> Column:
+        raise NotImplementedError
+
+    def columns(self) -> set:
+        """All column names referenced by the tree (best effort for Raw)."""
+        raise NotImplementedError
+
+
+def _coerce(x: Any) -> "Expr":
+    if isinstance(x, Expr):
+        return x
+    if isinstance(x, Column):
+        return Raw(x)
+    raise TypeError(f"cannot build predicate from {type(x)}")
+
+
+class Eq(Expr):
+    """``column == value`` leaf — the only index-servable leaf.
+
+    ``value`` is compared typed in the residual filter and as ``str(value)``
+    against the stringified index key (the reference indexes Text keys only,
+    core/indexing/BlockIndexingMapper.java:17-19; we keep string keys in the
+    postings table but accept any scalar here).
+    """
+
+    def __init__(self, column: str, value: Any):
+        if value is None:
+            raise ValueError("Eq(col, None) is not a servable predicate; use Raw(col.isNull())")
+        self.column = column
+        self.value = value
+
+    def to_column(self) -> Column:
+        return F.col(self.column) == F.lit(self.value)
+
+    def columns(self) -> set:
+        return {self.column}
+
+    @property
+    def key(self) -> str:
+        """Index key representation of the constant."""
+        if isinstance(self.value, bool):
+            return "true" if self.value else "false"
+        return str(self.value)
+
+    def __repr__(self):
+        return f"Eq({self.column!r}, {self.value!r})"
+
+
+class And(Expr):
+    def __init__(self, left: Expr, right: Expr):
+        self.left, self.right = _coerce(left), _coerce(right)
+
+    def to_column(self) -> Column:
+        return self.left.to_column() & self.right.to_column()
+
+    def columns(self) -> set:
+        return self.left.columns() | self.right.columns()
+
+    def __repr__(self):
+        return f"And({self.left!r}, {self.right!r})"
+
+
+class Or(Expr):
+    def __init__(self, left: Expr, right: Expr):
+        self.left, self.right = _coerce(left), _coerce(right)
+
+    def to_column(self) -> Column:
+        return self.left.to_column() | self.right.to_column()
+
+    def columns(self) -> set:
+        return self.left.columns() | self.right.columns()
+
+    def __repr__(self):
+        return f"Or({self.left!r}, {self.right!r})"
+
+
+class Raw(Expr):
+    """Arbitrary Spark Column predicate — residual-only, never pruned on."""
+
+    def __init__(self, column: Column):
+        self.raw = column
+
+    def to_column(self) -> Column:
+        return self.raw
+
+    def columns(self) -> set:
+        return set()  # unknown; treated as unpushable
+
+    def __repr__(self):
+        return f"Raw({self.raw!r})"
+
+
+class _ColBuilder:
+    """``col('a') == 'x'`` sugar producing Eq leaves (falls back to Raw)."""
+
+    def __init__(self, name: str):
+        self._name = name
+
+    def __eq__(self, other: Any) -> Expr:  # type: ignore[override]
+        return Eq(self._name, other)
+
+    def __ne__(self, other: Any) -> Expr:  # type: ignore[override]
+        return Raw(F.col(self._name) != F.lit(other))
+
+    def __gt__(self, other):
+        return Raw(F.col(self._name) > F.lit(other))
+
+    def __ge__(self, other):
+        return Raw(F.col(self._name) >= F.lit(other))
+
+    def __lt__(self, other):
+        return Raw(F.col(self._name) < F.lit(other))
+
+    def __le__(self, other):
+        return Raw(F.col(self._name) <= F.lit(other))
+
+    def isin(self, *values) -> Expr:
+        vals = values[0] if len(values) == 1 and isinstance(values[0], (list, tuple)) else values
+        expr: Optional[Expr] = None
+        for v in vals:
+            leaf = Eq(self._name, v)
+            expr = leaf if expr is None else Or(expr, leaf)
+        if expr is None:
+            raise ValueError("isin() needs at least one value")
+        return expr
+
+    __hash__ = None  # type: ignore[assignment]
+
+
+def col(name: str) -> _ColBuilder:
+    return _ColBuilder(name)
+
+
+def extract_pushable(expr: Expr, indexed_columns: set) -> Optional[Expr]:
+    """Return the strongest index-servable predicate implied by ``expr``.
+
+    Generalizes the reference's all-or-nothing ``Expression.isSupported``
+    (core/retrieval/Expression.java:205-227): instead of rejecting the whole
+    tree when any node is unsupported, we extract a *weaker* servable tree
+    whose matching file set is a superset of the true one — always safe
+    because the full predicate runs as the residual row filter.
+
+    Rules: Eq leaf on an indexed column → itself; AND → push either/both
+    sides; OR → both sides must push (a half-pushable OR cannot prune).
+    """
+    if isinstance(expr, Eq):
+        return expr if expr.column in indexed_columns else None
+    if isinstance(expr, And):
+        l = extract_pushable(expr.left, indexed_columns)
+        r = extract_pushable(expr.right, indexed_columns)
+        if l is not None and r is not None:
+            return And(l, r)
+        return l if l is not None else r
+    if isinstance(expr, Or):
+        l = extract_pushable(expr.left, indexed_columns)
+        r = extract_pushable(expr.right, indexed_columns)
+        if l is not None and r is not None:
+            return Or(l, r)
+        return None
+    return None  # Raw / unknown

@@ -1,0 +1,105 @@
+"""Storage-agnostic filesystem helpers via the JVM Hadoop FileSystem API.
+
+Replaces the reference's recursive HDFS walking + path filters
+(core/util/HdfsUtils.java:78-102, core/util/HdfsFsWalker.java:51) with the
+Hadoop FS client Spark already ships — works identically on local disk,
+HDFS, and object stores, so nothing here assumes a single machine.
+"""
+
+from __future__ import annotations
+
+import json
+import posixpath
+from typing import Dict, List, Tuple
+from urllib.parse import urlparse
+
+from pyspark.sql import SparkSession
+
+# FileStat: (normalized path, size bytes, mtime epoch-millis)
+FileStat = Tuple[str, int, int]
+
+
+def normalize_path(p: str) -> str:
+    """Canonical URI form so paths from ``_metadata.file_path`` (file:///x),
+    Hadoop FileStatus (file:/x) and user input (/x) compare equal."""
+    u = urlparse(p)
+    if not u.scheme:
+        return "file://" + posixpath.normpath(p)
+    netloc = u.netloc or ""
+    return f"{u.scheme}://{netloc}{posixpath.normpath(u.path)}"
+
+
+def _fs_and_path(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, jpath, jvm
+
+
+def _is_data_file(name: str) -> bool:
+    # hidden-file filter, as the reference's PathFilters (HdfsUtils.java:78-102)
+    return not (name.startswith(".") or name.startswith("_"))
+
+
+def list_data_files(spark: SparkSession, path: str) -> List[FileStat]:
+    """Recursively list visible data files under ``path`` (or the single
+    file) with size + mtime — the staleness-check inputs (M2)."""
+    fs, jpath, _ = _fs_and_path(spark, path)
+    out: List[FileStat] = []
+
+    def walk(status):
+        if status.isDirectory():
+            for child in fs.listStatus(status.getPath()):
+                if _is_data_file(child.getPath().getName()):
+                    walk(child)
+        else:
+            out.append(
+                (
+                    normalize_path(status.getPath().toString()),
+                    int(status.getLen()),
+                    int(status.getModificationTime()),
+                )
+            )
+
+    walk(fs.getFileStatus(jpath))
+    return sorted(out)
+
+
+def exists(spark: SparkSession, path: str) -> bool:
+    fs, jpath, _ = _fs_and_path(spark, path)
+    return bool(fs.exists(jpath))
+
+
+def delete(spark: SparkSession, path: str) -> None:
+    fs, jpath, _ = _fs_and_path(spark, path)
+    if fs.exists(jpath):
+        fs.delete(jpath, True)
+
+
+def write_text(spark: SparkSession, path: str, text: str) -> None:
+    fs, jpath, _ = _fs_and_path(spark, path)
+    out = fs.create(jpath, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def read_text(spark: SparkSession, path: str) -> str:
+    fs, jpath, jvm = _fs_and_path(spark, path)
+    stream = fs.open(jpath)
+    try:
+        # py4j does not copy Java-side writes back into a Python bytearray,
+        # so readFully(buf) is a silent no-op — collect the bytes JVM-side.
+        data = jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+        return bytes(data).decode("utf-8")
+    finally:
+        stream.close()
+
+
+def write_json(spark: SparkSession, path: str, obj: Dict) -> None:
+    write_text(spark, path, json.dumps(obj, indent=1, sort_keys=True))
+
+
+def read_json(spark: SparkSession, path: str) -> Dict:
+    return json.loads(read_text(spark, path))

@@ -1,0 +1,45 @@
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import SparkSession
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = (
+        SparkSession.builder.master("local[8]")
+        .appName("elephant-twin-spark-tests")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "4g")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def workdir():
+    d = tempfile.mkdtemp(prefix="ets_test_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.fixture(scope="session")
+def events_multifile(spark, workdir):
+    """events table rewritten as multiple parquet files so file-level
+    pruning is observable (the driver fixture is a single file)."""
+    from elephant_twin_spark.sources import tables
+
+    return tables.materialize(spark, f"{SF_DIR}/events.parquet", f"{workdir}/events_multi")
+
+
+@pytest.fixture(scope="session")
+def docs_path():
+    return f"{SF_DIR}/documents.parquet"

@@ -1,0 +1,160 @@
+"""End-to-end tests for the sparse block index: build → pruned scan →
+verify, mirroring the reference's own oracle strategy (SURVEY §5): the
+index-accelerated result must equal the naive full-scan result for every
+key and AND/OR combination, plus the stale/empty/no-match edge cases
+(FIXTURES.md §4)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from elephant_twin_spark import Engine, col
+from elephant_twin_spark.plans.expr import And, Eq, Or, Raw, extract_pushable
+
+
+@pytest.fixture(scope="module")
+def engine(spark, workdir, events_multifile):
+    eng = Engine(spark, f"{workdir}/index_root")
+    eng.build_index(events_multifile, "event_type", num_buckets=4)
+    eng.build_index(events_multifile, "user_id", num_buckets=4)
+    return eng
+
+
+def rows(df, order_cols=("event_id",)):
+    return [tuple(r) for r in df.orderBy(*order_cols).collect()]
+
+
+def test_eq_matches_fullscan(engine, spark, events_multifile):
+    full = spark.read.parquet(events_multifile).where(F.col("event_type") == "click")
+    got = engine.query(events_multifile, col("event_type") == "click")
+    assert rows(got) == rows(full)
+    assert len(rows(got)) > 0
+
+
+def test_eq_prunes_files(engine, events_multifile):
+    engine.query(events_multifile, col("event_type") == "click").count()
+    m = engine.last_metrics
+    assert m.total_files == 8
+    # 'click' appears in every file at this size; a rare user_id should prune
+    engine.query(events_multifile, col("user_id") == 13).count()
+
+
+def test_and_or_match_fullscan(engine, spark, events_multifile):
+    base = spark.read.parquet(events_multifile)
+    pred_and = (col("event_type") == "click") & (col("user_id") == 12)
+    full_and = base.where((F.col("event_type") == "click") & (F.col("user_id") == 12))
+    assert rows(engine.query(events_multifile, pred_and)) == rows(full_and)
+
+    pred_or = (col("event_type") == "signup") | (col("event_type") == "error")
+    full_or = base.where((F.col("event_type") == "signup") | (F.col("event_type") == "error"))
+    assert rows(engine.query(events_multifile, pred_or)) == rows(full_or)
+
+
+def test_residual_predicate(engine, spark, events_multifile):
+    pred = (col("event_type") == "purchase") & (col("value") > 50.0)
+    full = spark.read.parquet(events_multifile).where(
+        (F.col("event_type") == "purchase") & (F.col("value") > 50.0)
+    )
+    assert rows(engine.query(events_multifile, pred)) == rows(full)
+    # value is not indexed; pushdown must be the event_type leaf alone
+    assert "purchase" in engine.last_metrics.pushed
+    assert "value" not in engine.last_metrics.pushed
+
+
+def test_no_match_key_reads_zero_files(engine, events_multifile):
+    got = engine.query(events_multifile, col("event_type") == "zzz_nope")
+    assert got.count() == 0
+    assert engine.last_metrics.scanned_files == 0
+    assert engine.last_metrics.scanned_bytes == 0
+
+
+def test_unindexed_predicate_full_scans(engine, spark, events_multifile):
+    got = engine.query(events_multifile, Raw(F.col("value") < 10.0))
+    full = spark.read.parquet(events_multifile).where(F.col("value") < 10.0)
+    assert rows(got) == rows(full)
+    assert engine.last_metrics.pushed is None
+    assert engine.last_metrics.scanned_files == engine.last_metrics.total_files
+
+
+def test_verify_harness(engine, events_multifile):
+    n = engine.assert_index_consistent(events_multifile, "event_type")
+    assert n == 5  # signup/click/error/view/purchase
+
+
+def test_stale_file_falls_back_to_fullscan(spark, workdir, events_multifile):
+    """FIXTURES.md §4.4: mutate one source file after indexing → that file
+    full-scans; results still exact."""
+    import glob
+    import shutil
+
+    stale_tbl = f"{workdir}/events_stale"
+    shutil.copytree(events_multifile.replace("file:", ""), stale_tbl, dirs_exist_ok=True)
+    eng = Engine(spark, f"{workdir}/index_root_stale")
+    eng.build_index(stale_tbl, "event_type", num_buckets=4)
+
+    # overwrite one data file with rows whose event_type the index has
+    # never seen (simulates an in-place mutation)
+    part = sorted(glob.glob(f"{stale_tbl}/part-*.parquet"))[0]
+    df = spark.read.parquet(part)
+    mutated = df.withColumn("event_type", F.lit("mutant"))
+    tmp_out = f"{workdir}/_mutant_out"
+    mutated.coalesce(1).write.mode("overwrite").parquet(tmp_out)
+    new_part = sorted(glob.glob(f"{tmp_out}/part-*.parquet"))[0]
+    shutil.copyfile(new_part, part)
+    import os
+
+    for crc in glob.glob(f"{stale_tbl}/.*.crc"):
+        os.remove(crc)  # stale Hadoop LocalFS checksum sidecars
+    spark.catalog.refreshByPath(stale_tbl)
+
+    full = spark.read.parquet(stale_tbl).where(F.col("event_type") == "mutant")
+    got = eng.query(stale_tbl, col("event_type") == "mutant")
+    assert rows(got) == rows(full)
+    assert got.count() > 0
+    assert eng.last_metrics.stale_files == 1
+
+
+def test_sampled_index_build(spark, workdir, events_multifile):
+    """FIXTURES.md §4.7: sampling build (p<1) indexes a Bernoulli subset."""
+    eng = Engine(spark, f"{workdir}/index_root_sampled")
+    eng.build_index(events_multifile, "event_type", num_buckets=2, sample_fraction=0.5)
+    total = (
+        eng.postings(events_multifile, "event_type")
+        .agg(F.sum("cnt"))
+        .collect()[0][0]
+    )
+    n = spark.read.parquet(events_multifile).count()
+    assert 0.3 * n < total < 0.7 * n
+
+
+def test_extract_pushable_rules():
+    idx = {"a", "b"}
+    assert extract_pushable(Eq("a", "x"), idx) is not None
+    assert extract_pushable(Eq("z", "x"), idx) is None
+    # AND with one unpushable side → other side survives
+    t = extract_pushable(And(Eq("a", "x"), Eq("z", "y")), idx)
+    assert isinstance(t, Eq) and t.column == "a"
+    # OR with one unpushable side → nothing pushable
+    assert extract_pushable(Or(Eq("a", "x"), Eq("z", "y")), idx) is None
+    # nested
+    t = extract_pushable(Or(And(Eq("a", "1"), Eq("z", "2")), Eq("b", "3")), idx)
+    assert isinstance(t, Or)
+
+
+def test_range_merge_invariants(engine, events_multifile):
+    """Postings ranges are sorted and non-overlapping (the
+    MapFileIndexingReducer merge invariant)."""
+    bad = (
+        engine.postings(events_multifile, "event_type")
+        .select(
+            F.exists(
+                F.expr(
+                    "transform(ranges, (r, i) -> i > 0 AND r.start < element_at(ranges, i)."
+                    "end)"
+                ),
+                lambda x: x,
+            ).alias("overlap")
+        )
+        .where(F.col("overlap"))
+        .count()
+    )
+    assert bad == 0
