@@ -1,0 +1,261 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Beyond reference parity (the reference has no dedup; the north star
+requires it). Everything is declarative DataFrame algebra — one or two
+shuffles, no Python in the hot path — so the same plan holds at 100 TB:
+
+- exact dedup: hash-groupBy on content digest (1 shuffle)
+- MinHash + LSH near-dedup: shingle → K permuted min-hashes → band →
+  bucket join (candidate pairs only, never the full cross product)
+- SimHash: 64-bit signature via per-bit weighted sums (one groupBy)
+- n-gram Jaccard verification of candidate pairs (exact, on candidates)
+
+Hash choice: ``xxhash64`` (JVM, fast) by default; ``md5``-based variant
+kept for cross-engine (DuckDB-oracle) determinism.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from elephant_twin_spark.operators.text import whitespace_tokenizer
+
+
+# ------------------------------------------------------------------ exact
+
+def content_signature(text: Column) -> Column:
+    """md5 of the raw content — exact-duplicate key."""
+    return F.md5(text.cast("binary"))
+
+
+def exact_dup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """``(sig, n_dups, keep_id)`` per distinct content; keep_id = min id
+    (deterministic survivor). One hash-shuffle; at scale this is the
+    canonical map-side-combined groupBy."""
+    return (
+        df.select(content_signature(F.col(text_col)).alias("sig"), F.col(id_col).alias("id"))
+        .groupBy("sig")
+        .agg(F.count(F.lit(1)).alias("n_dups"), F.min("id").alias("keep_id"))
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep exactly one row (min id) per distinct content."""
+    keep = exact_dup_groups(df, text_col, id_col).select(F.col("keep_id").alias(id_col))
+    return df.join(F.broadcast(keep) if False else keep, id_col, "inner")
+
+
+# ---------------------------------------------------------------- shingles
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles as array<string> (JVM higher-order fns)."""
+    toks = whitespace_tokenizer(text)
+    n = F.size(toks)
+    return F.when(n < k, F.array(F.concat_ws(" ", toks))).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), n - k),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+            )
+        )
+    )
+
+
+# ----------------------------------------------------------------- minhash
+
+def minhash_signature(
+    shingles: Column, num_perm: int = 16, hash_fn: str = "xxhash64"
+) -> List[Column]:
+    """K permutation min-hashes of a shingle set.
+
+    Permutation i = hash(salt_i ++ shingle); the minimum over the set is
+    the signature component (classic MinHash). ``xxhash64`` stays numeric
+    and JVM-fast; ``md5`` yields lexicographic-min hex strings and is
+    reproducible in any engine (used by the DuckDB oracle gate).
+    """
+    out = []
+    for i in range(num_perm):
+        if hash_fn == "xxhash64":
+            h = F.array_min(F.transform(shingles, lambda s: F.xxhash64(F.lit(i), s)))
+        elif hash_fn == "md5":
+            h = F.array_min(
+                F.transform(shingles, lambda s: F.md5(F.concat(F.lit(str(i) + "|"), s).cast("binary")))
+            )
+        else:
+            raise ValueError(hash_fn)
+        out.append(h.alias(f"mh{i}"))
+    return out
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 16,
+    shingle_k: int = 3,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """``(id, mh0..mh{K-1})`` — narrow (no shuffle) signature computation."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        *minhash_signature(word_shingles(F.col(text_col), shingle_k), num_perm, hash_fn),
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, num_perm: int = 16, num_bands: int = 4
+) -> DataFrame:
+    """LSH banding: docs sharing any band of the signature become candidate
+    pairs ``(id_a, id_b)`` with ``id_a < id_b``.
+
+    Scale shape: explode to (band_hash, id) — one shuffle on band_hash —
+    then an equi self-join *within buckets only*. Never computes the
+    O(n²) cross product; skew-prone giant buckets are the classic risk,
+    mitigated upstream by signature width (more perms/bands → smaller
+    buckets) and AQE skew-join splitting at runtime.
+    """
+    rows_per_band = num_perm // num_bands
+    bands = signatures.select(
+        "id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.lit(b), *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+                    )
+                    for b in range(num_bands)
+                ]
+            )
+        ).alias("band", "band_hash"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_verify_pairs(
+    candidates: DataFrame,
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard on candidate pairs only → near-dup pairs
+    ``(id_a, id_b, jaccard)`` above threshold. The expensive exact measure
+    runs on LSH candidates, not on all pairs."""
+    sh = df.select(
+        F.col(id_col).alias("id"), word_shingles(F.col(text_col), shingle_k).alias("sh")
+    )
+    j = (
+        candidates.join(sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
+        .join(sh.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+    )
+    return j.where(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 16,
+    num_bands: int = 4,
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """End-to-end MinHash-LSH near-dedup: signature → bands → candidates →
+    exact Jaccard filter."""
+    sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_k)
+    cands = lsh_candidate_pairs(sigs, num_perm, num_bands)
+    return jaccard_verify_pairs(cands, df, text_col, id_col, shingle_k, threshold)
+
+
+# ----------------------------------------------------------------- simhash
+
+def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """64-bit SimHash per doc: per-bit weighted sums of token hashes.
+
+    ``(id, simhash)`` — explode to (id, token, tf), then ONE groupBy with a
+    64-lane bit-count vector built by JVM higher-order functions (no
+    Python, no 64 separate aggregates)."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(whitespace_tokenizer(F.col(text_col))).alias("tok"),
+    )
+    per_tok = toks.groupBy("id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    h = per_tok.withColumn("h", F.xxhash64("tok"))
+    # vector of +tf/-tf per bit, summed element-wise across tokens
+    lanes = h.withColumn(
+        "lanes",
+        F.expr(
+            "transform(sequence(0, 63), b -> CASE WHEN ((h >> b) & 1) = 1 THEN tf ELSE -tf END)"
+        ),
+    )
+    agg = lanes.groupBy("id").agg(
+        F.aggregate(
+            F.collect_list("lanes"),
+            F.expr("cast(array_repeat(0L, 64) as array<bigint>)"),
+            lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
+        ).alias("bitsums")
+    )
+    return agg.select(
+        "id",
+        F.expr(
+            "aggregate(transform(sequence(0, 63), b -> IF(bitsums[b] > 0, shiftleft(1L, b), 0L)),"
+            " 0L, (acc, x) -> acc | x)"
+        ).alias("simhash"),
+    )
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ k, using the 4-band
+    pigeonhole trick (distance ≤3 ⇒ at least one of 4 16-bit bands equal)
+    so candidates come from bucket joins, not a cross product."""
+    sh = simhash64(df, text_col, id_col)
+    bands = sh.select(
+        "id",
+        "simhash",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, 3), b -> cast((simhash >> (b * 16)) & 65535 as int))"
+            )
+        ).alias("band", "band_val"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return cands.withColumn("hamming", F.bit_count(F.expr("sh_a ^ sh_b"))).where(
+        F.col("hamming") <= max_hamming
+    ).select("id_a", "id_b", "hamming")

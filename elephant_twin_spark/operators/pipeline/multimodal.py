@@ -1,0 +1,134 @@
+"""Multimodal column handling: image/audio/video as opaque ``binary``
+columns with typed metadata, processed by Arrow-batched pandas functions.
+
+The Spark-side plumbing — schema contract, ``mapInPandas`` batch shape,
+partition sizing — is real and tested; the actual media decoding is
+STUBBED (the decode libs are not in this container): ``decode_image``
+raises ``NotImplementedError`` unless ``fake=True``, in which case a
+deterministic fake decoder (seeded by content hash) produces stable
+features so the distributed pipeline can be exercised end-to-end.
+
+At 100 TB: binary payloads ride in parquet alongside metadata; decoding
+is a narrow ``mapInPandas`` (no shuffle), so it scales with executors and
+is bounded by ``spark.sql.files.maxPartitionBytes`` per task. Frame
+sampling/resize happen inside the same Arrow batch pass.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),  # 'image' | 'audio' | 'video'
+        StructField("content", BinaryType()),
+        StructField("mime", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("duration_ms", LongType()),
+    ]
+)
+
+IMAGE_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("sha", StringType()),
+        StructField("features", ArrayType(FloatType())),
+    ]
+)
+
+
+def _fake_features(content: bytes, dim: int = 8):
+    """Deterministic pseudo-embedding from the content digest."""
+    digest = hashlib.sha256(content or b"").digest()
+    return [digest[i] / 255.0 for i in range(dim)]
+
+
+def decode_image_features(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "media_id",
+    fake: bool = False,
+    batch_limit: int = 1024,
+) -> DataFrame:
+    """Decode + feature-extract images via ``mapInPandas``.
+
+    Real decoding is stubbed: pass ``fake=True`` to run the deterministic
+    fake decoder (pipeline plumbing identical to a real PIL/torch decode).
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "image decode requires PIL/torchvision (not in this container); "
+                    "pass fake=True for the deterministic stub decoder"
+                )
+            # bound batch size so one Arrow batch never balloons executor memory
+            for start in range(0, len(pdf), batch_limit):
+                chunk = pdf.iloc[start : start + batch_limit]
+                contents = chunk[content_col]
+                yield pd.DataFrame(
+                    {
+                        "media_id": chunk[id_col].astype("int64"),
+                        "n_bytes": contents.map(lambda b: len(b or b"")).astype("int64"),
+                        "sha": contents.map(
+                            lambda b: hashlib.sha256(b or b"").hexdigest()
+                        ),
+                        "features": contents.map(_fake_features),
+                    }
+                )
+
+    return df.mapInPandas(run, schema=IMAGE_FEATURES_SCHEMA)
+
+
+def sample_frames(
+    df: DataFrame,
+    every_ms: int = 1000,
+    id_col: str = "media_id",
+    duration_col: str = "duration_ms",
+) -> DataFrame:
+    """Frame-sampling plan for video rows: explode one row per sampled
+    timestamp (decode of the actual frame is the stubbed step). Pure
+    Column algebra — the expensive part stays columnar."""
+    return df.select(
+        F.col(id_col),
+        F.explode(
+            F.sequence(F.lit(0), F.greatest(F.col(duration_col) - 1, F.lit(0)), F.lit(every_ms))
+        ).alias("frame_ts_ms"),
+    )
+
+
+def synthesize_media_table(spark, documents_path: str, kind: str = "image") -> DataFrame:
+    """Deterministic fake media table derived from the documents fixture
+    (binary payload = utf-8 text bytes) — exercises the binary-column
+    plumbing without container media libs."""
+    from elephant_twin_spark.sources import tables
+
+    docs = tables.load_raw(spark, documents_path)
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit(kind).alias("kind"),
+        F.encode("text", "utf-8").alias("content"),
+        F.lit("application/octet-stream").alias("mime"),
+        (F.col("n_chars") % 640 + 1).cast("int").alias("width"),
+        (F.col("n_chars") % 480 + 1).cast("int").alias("height"),
+        (F.col("n_chars") * 10).cast("long").alias("duration_ms"),
+    )

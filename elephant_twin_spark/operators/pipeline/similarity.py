@@ -1,0 +1,142 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+North-star operator set (no reference analog): brute-force cosine top-k
+as the exact baseline, plus an LSH-bucketed approximate variant as the
+scale path. All vector math is JVM higher-order functions
+(``zip_with`` + ``aggregate``) — no Python UDF in the hot path.
+
+Scale shape: brute force is a single narrow map + TakeOrderedAndProject
+(no shuffle — fine whenever k is small, even at 10^9 rows); the LSH
+variant prunes the scanned fraction to matching hyperplane-sign buckets,
+trading recall for a ~2^bits reduction in rows touched.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+from typing import List, Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda s, x: s + x * x))
+
+
+def with_cosine(df: DataFrame, vec_col: str, query_vec: Sequence[float], out_col: str = "cosine") -> DataFrame:
+    """Add cosine similarity to a constant query vector (double precision)."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    qn = math.sqrt(sum(float(x) * float(x) for x in query_vec))
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    return df.withColumn(out_col, _dot(v, q) / (_norm(v) * F.lit(qn)))
+
+
+def cosine_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_vec: Sequence[float],
+    k: int = 10,
+) -> DataFrame:
+    """Exact brute-force top-k by cosine: ``(id, cosine)``, deterministic
+    tiebreak on id. Plans to TakeOrderedAndProject (per-partition heap +
+    driver merge of k rows) — no shuffle, scales linearly in rows."""
+    scored = with_cosine(df, vec_col, query_vec).select(
+        F.col(id_col).alias("id"), F.col("cosine")
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col("id").asc()).limit(k)
+
+
+def random_hyperplanes(dim: int, bits: int, seed: int = 42) -> List[List[float]]:
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(bits)]
+
+
+def with_lsh_bucket(
+    df: DataFrame,
+    vec_col: str,
+    planes: List[List[float]],
+    out_col: str = "bucket",
+) -> DataFrame:
+    """Sign-random-projection LSH bucket id (0..2^bits-1) per row."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    bits = [
+        F.when(_dot(v, F.array(*[F.lit(float(x)) for x in p])) >= 0, F.lit(1 << i)).otherwise(
+            F.lit(0)
+        )
+        for i, p in enumerate(planes)
+    ]
+    acc = bits[0]
+    for b in bits[1:]:
+        acc = acc + b
+    return df.withColumn(out_col, acc.cast("int"))
+
+
+def lsh_cosine_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_vec: Sequence[float],
+    k: int = 10,
+    bits: int = 4,
+    seed: int = 42,
+    multiprobe_hamming: int = 1,
+) -> DataFrame:
+    """Approximate top-k: restrict the brute-force scan to rows whose LSH
+    bucket is within ``multiprobe_hamming`` bits of the query's bucket
+    (multi-probe recovers recall lost to boundary effects).
+
+    At scale the bucketed table would be *written* partitioned by bucket
+    so this becomes partition pruning; here it is a filter the parquet
+    reader can still push down when the bucket column is materialized.
+    """
+    dim = len(query_vec)
+    planes = random_hyperplanes(dim, bits, seed)
+    q_bucket = 0
+    for i, p in enumerate(planes):
+        if sum(a * b for a, b in zip(p, query_vec)) >= 0:
+            q_bucket |= 1 << i
+    probe = [b for b in range(1 << bits) if bin(b ^ q_bucket).count("1") <= multiprobe_hamming]
+    bucketed = with_lsh_bucket(df, vec_col, planes)
+    pruned = bucketed.where(F.col("bucket").isin(probe))
+    return cosine_topk(pruned, vec_col, id_col, query_vec, k)
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.95,
+    bits: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH bucketing: candidate
+    pairs share a bucket, then exact cosine filters ≥ threshold.
+    ``(id_a, id_b, cosine)``."""
+    dim = df.select(F.size(vec_col).alias("d")).first()["d"]
+    planes = random_hyperplanes(dim, bits, seed)
+    b = with_lsh_bucket(df, vec_col, planes).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "bucket"
+    )
+    x, y = b.alias("x"), b.alias("y")
+    cands = x.join(
+        y,
+        (F.col("x.bucket") == F.col("y.bucket")) & (F.col("x.id") < F.col("y.id")),
+    ).select(
+        F.col("x.id").alias("id_a"),
+        F.col("y.id").alias("id_b"),
+        F.col("x.v").alias("va"),
+        F.col("y.v").alias("vb"),
+    )
+    va = F.transform("va", lambda v: v.cast("double"))
+    vb = F.transform("vb", lambda v: v.cast("double"))
+    sim = _dot(va, vb) / (_norm(va) * _norm(vb))
+    return cands.withColumn("cosine", sim).where(F.col("cosine") >= threshold).select(
+        "id_a", "id_b", "cosine"
+    )

@@ -1,0 +1,141 @@
+"""Text analysis operators: token counting, quality scoring, language ID,
+document fingerprinting. North-star additions (no reference analog);
+every expression is a built-in Column function (codegen, no UDFs), and
+every formula is simple enough to restate in ANSI SQL for the oracle gate.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from elephant_twin_spark.operators.text import whitespace_tokenizer
+
+# tiny per-language stopword sets for the n-gram/stopword-hit heuristic
+STOPWORDS: Dict[str, List[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"],
+    "es": ["el", "la", "de", "y", "que", "en", "un", "es", "se", "no"],
+    "de": ["der", "die", "das", "und", "zu", "den", "ist", "von", "mit", "nicht"],
+    "fr": ["le", "la", "de", "et", "un", "il", "est", "que", "pour", "dans"],
+}
+
+
+def tokens(text: Column) -> Column:
+    return whitespace_tokenizer(text)
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (the baseline token counter)."""
+    return F.size(tokens(text))
+
+
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-ish regex token count: letter runs, single digits, single
+    punctuation — a deterministic proxy for subword tokenizer cost."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), 0))
+
+
+def quality_features(df: DataFrame, text_col: str) -> DataFrame:
+    """Append deterministic quality features:
+    n_tokens, n_chars, avg_token_len, punct_ratio, stopword_ratio,
+    uniq_token_ratio — the standard cheap quality filters."""
+    t = tokens(F.col(text_col))
+    n_tok = F.size(t)
+    n_chars = F.length(F.col(text_col))
+    punct = F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"[^\w\s]"), 0))
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    n_stop = F.size(F.filter(t, lambda x: F.array_contains(stop_arr, F.lower(x))))
+    return (
+        df.withColumn("n_tokens", n_tok)
+        .withColumn("n_chars_calc", n_chars)
+        .withColumn(
+            "avg_token_len",
+            F.when(n_tok > 0, (n_chars - (n_tok - 1)) / n_tok).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "punct_ratio", F.when(n_chars > 0, punct / n_chars).otherwise(F.lit(0.0))
+        )
+        .withColumn(
+            "stopword_ratio", F.when(n_tok > 0, n_stop / n_tok).otherwise(F.lit(0.0))
+        )
+        .withColumn(
+            "uniq_token_ratio",
+            F.when(n_tok > 0, F.size(F.array_distinct(t)) / n_tok).otherwise(F.lit(0.0)),
+        )
+    )
+
+
+def quality_score(df: DataFrame, text_col: str) -> DataFrame:
+    """Single scalar quality score in [0,1]: penalize extreme length,
+    high punctuation, low vocabulary diversity. Deterministic formula:
+
+        score = clamp(n_tokens/100, 0, 1) * (1 - punct_ratio) * uniq_token_ratio
+    """
+    feats = quality_features(df, text_col)
+    return feats.withColumn(
+        "quality_score",
+        F.least(F.col("n_tokens") / F.lit(100.0), F.lit(1.0))
+        * (F.lit(1.0) - F.col("punct_ratio"))
+        * F.col("uniq_token_ratio"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str, out_col: str = "lang_pred") -> DataFrame:
+    """Stopword-hit language ID: argmax over per-language stopword hit
+    counts, ties broken by language code order, 'und' when no hits."""
+    t = F.transform(tokens(F.col(text_col)), lambda x: F.lower(x))
+    scores = []
+    for lang in sorted(STOPWORDS):
+        arr = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+        scores.append(
+            F.struct(
+                F.size(F.filter(t, lambda x: F.array_contains(arr, x))).alias("hits"),
+                F.lit(lang).alias("lang"),
+            )
+        )
+    # max_by (hits, then lexicographically-smallest lang): sort desc by hits,
+    # asc by lang → take first
+    best = F.sort_array(F.array(*scores), asc=False)[0]
+    return df.withColumn(
+        out_col, F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Content fingerprint: md5 over the sorted distinct token set —
+    stable under token order and duplication (the cheap canonical-content
+    key; rolling-hash winnowing is the text-index variant)."""
+    t = tokens(F.col(text_col))
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(t))).cast("binary")).alias(
+            "fingerprint"
+        ),
+    )
+
+
+def winnowing_fingerprints(
+    df: DataFrame, text_col: str, id_col: str, k: int = 5, window: int = 4
+) -> DataFrame:
+    """Winnowing (rolling-hash) fingerprints: hash all k-grams of tokens,
+    keep the min hash of each sliding window, distinct per doc —
+    the standard local fingerprinting scheme for plagiarism/near-dup
+    detection, entirely in JVM higher-order functions.
+    Returns (id, fp) exploded, one row per selected fingerprint."""
+    toks = tokens(F.col(text_col))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0))),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, k))),
+    )
+    mins = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(grams) - window, F.lit(0))),
+            lambda i: F.array_min(F.slice(grams, i + 1, window)),
+        )
+    )
+    return df.select(F.col(id_col).alias("id"), F.explode(mins).alias("fp"))

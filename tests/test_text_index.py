@@ -1,0 +1,102 @@
+"""Text index tests — count/top-N/sample/boolean vs the naive oracle
+(FIXTURES.md §4.6): WHERE array_contains(split(text,'\\s+'), term)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from elephant_twin_spark import Engine
+from elephant_twin_spark.operators.text import parse_query, _Term, _Bool
+
+
+@pytest.fixture(scope="module")
+def eng(spark, workdir, docs_path):
+    e = Engine(spark, f"{workdir}/text_index_root")
+    e.build_text_index(docs_path, "text", "doc_id")
+    return e
+
+
+@pytest.fixture(scope="module")
+def docs(spark, docs_path):
+    from elephant_twin_spark.sources import tables
+
+    return tables.load_raw(spark, docs_path).cache()
+
+
+def naive_match(docs, term):
+    return docs.where(
+        F.array_contains(F.filter(F.split("text", r"\s+"), lambda t: t != F.lit("")), term)
+    )
+
+
+def test_count_matches_naive(eng, docs, docs_path):
+    ti = eng.text_index(docs_path, "text")
+    for term in ["spark", "join", "the", "zzz_absent"]:
+        assert ti.count(term) == naive_match(docs, term).count()
+
+
+def test_boolean_and_or(eng, docs, docs_path):
+    ti = eng.text_index(docs_path, "text")
+    got_and = ti.count("spark AND join")
+    want_and = naive_match(naive_match(docs, "spark"), "join").count()
+    assert got_and == want_and
+
+    got_or = ti.count("spark OR zzz_absent")
+    assert got_or == ti.count("spark")
+
+    # parenthesized mixed query
+    got = {r["doc_id"] for r in ti.matches("(spark OR join) AND window").collect()}
+    want = {
+        r["doc_id"]
+        for r in docs.where(
+            (
+                F.array_contains(F.split("text", r"\s+"), "spark")
+                | F.array_contains(F.split("text", r"\s+"), "join")
+            )
+            & F.array_contains(F.split("text", r"\s+"), "window")
+        ).collect()
+    }
+    assert got == want
+
+
+def test_topn_deterministic_and_scored(eng, docs, docs_path):
+    ti = eng.text_index(docs_path, "text")
+    top = ti.top_n("spark", 5).collect()
+    assert len(top) == 5
+    scores = [r["score"] for r in top]
+    assert scores == sorted(scores, reverse=True)
+    # score of a single-term query == tf == occurrences in the doc
+    doc0 = docs.where(F.col("doc_id") == top[0]["doc_id"]).first()
+    tf = len([t for t in doc0["text"].split() if t == "spark"])
+    assert top[0]["score"] == tf
+    # deterministic across invocations
+    again = ti.top_n("spark", 5).collect()
+    assert [tuple(r) for r in top] == [tuple(r) for r in again]
+
+
+def test_sample_without_replacement(eng, docs_path):
+    ti = eng.text_index(docs_path, "text")
+    s = ti.sample("spark", 7, seed=1).collect()
+    assert len(s) == 7
+    assert len({r["doc_id"] for r in s}) == 7
+    # seeded → reproducible
+    s2 = ti.sample("spark", 7, seed=1).collect()
+    assert {r["doc_id"] for r in s} == {r["doc_id"] for r in s2}
+
+
+def test_retrieve_fields(eng, docs_path):
+    ti = eng.text_index(docs_path, "text")
+    got = ti.retrieve("spark", ["lang", "source"], 3)
+    assert got.columns == ["doc_id", "score", "lang", "source"]
+    assert got.count() == 3
+
+
+def test_parser():
+    t = parse_query("a AND b OR c")
+    assert isinstance(t, _Bool) and t.op == "OR"
+    t2 = parse_query("a b")  # implicit OR (Lucene default operator)
+    assert isinstance(t2, _Bool) and t2.op == "OR"
+    t3 = parse_query("(a OR b) AND c")
+    assert isinstance(t3, _Bool) and t3.op == "AND"
+    assert isinstance(parse_query("solo"), _Term)
+    with pytest.raises(ValueError):
+        parse_query("   ")
