@@ -1,0 +1,150 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Covers the engine's surfaces: index build + index-pruned scans (the
+reference's core value), text-index build + search, relational aggs,
+join, dedup (minhash-LSH), ANN cosine top-k, quality stats.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1").rstrip("/")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def main():
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("elephant-twin-spark-bench")
+        .config("spark.sql.shuffle.partitions", str(CPUS))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from elephant_twin_spark import Engine, col
+    from elephant_twin_spark.operators.pipeline import dedup, similarity, textstats
+    from elephant_twin_spark.sources import tables
+
+    work = f"/tmp/ets_bench/{os.path.basename(SF_DIR)}"
+    os.makedirs(work, exist_ok=True)
+    eng = Engine(spark, f"{work}/index_root")
+
+    timings: dict[str, float] = {}
+
+    def timed(name):
+        def deco(fn):
+            t0 = time.perf_counter()
+            out = fn()
+            timings[name] = round(time.perf_counter() - t0, 4)
+            return out
+
+        return deco
+
+    # ---- setup (not timed): normalized multi-file copies
+    events = tables.materialize(spark, f"{SF_DIR}/events.parquet", f"{work}/events", 32)
+    lineitem = tables.materialize(spark, f"{SF_DIR}/lineitem.parquet", f"{work}/lineitem", 32)
+    docs_path = f"{SF_DIR}/documents.parquet"
+    docs = tables.load_raw(spark, docs_path)
+    emb = tables.load_raw(spark, f"{SF_DIR}/embeddings.parquet")
+    orders = tables.load_sf_table(spark, SF_DIR, "orders")
+    customer = tables.load_sf_table(spark, SF_DIR, "customer")
+
+    # ---- index build (the reference's write path)
+    timed("build_block_index_event_type")(
+        lambda: eng.build_index(events, "event_type", num_buckets=8)
+    )
+    timed("build_block_index_user_id")(lambda: eng.build_index(events, "user_id", num_buckets=8))
+    timed("build_text_index_docs")(lambda: eng.build_text_index(docs_path, "text", "doc_id"))
+
+    # ---- index-accelerated queries (the reference's read path)
+    timed("q_idx_point")(lambda: eng.query(events, col("event_type") == "click").count())
+    timed("q_idx_and")(
+        lambda: eng.query(events, (col("event_type") == "click") & (col("user_id") == 7)).count()
+    )
+    timed("q_idx_or")(
+        lambda: eng.query(
+            events, (col("event_type") == "signup") | (col("event_type") == "error")
+        ).count()
+    )
+    timed("q_verify_per_key")(lambda: eng.assert_index_consistent(events, "event_type"))
+
+    # ---- text search
+    ti = eng.text_index(docs_path, "text")
+    timed("q_text_count")(lambda: ti.count("spark"))
+    timed("q_text_bool")(lambda: ti.count("spark AND join"))
+    timed("q_text_topn")(lambda: ti.top_n("merge", 10).collect())
+
+    # ---- relational parity
+    timed("q_lineitem_agg")(
+        lambda: spark.read.parquet(lineitem)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity"),
+            F.sum("l_extendedprice"),
+            F.avg("l_discount"),
+            F.count(F.lit(1)),
+        )
+        .collect()
+    )
+    timed("q_join_orders_customer")(
+        lambda: orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("o_totalprice").alias("rev"))
+        .collect()
+    )
+
+    # ---- pipeline ops
+    timed("q_dedup_exact")(lambda: dedup.exact_dup_groups(docs, "text", "doc_id").count())
+    timed("q_minhash_lsh")(
+        lambda: dedup.minhash_near_dup_pairs(
+            docs, "text", "doc_id", num_perm=16, num_bands=4, threshold=0.7
+        ).count()
+    )
+    timed("q_simhash")(lambda: dedup.simhash64(docs, "text", "doc_id").count())
+    timed("q_quality_stats")(
+        lambda: textstats.quality_score(docs, "text").agg(F.avg("quality_score")).collect()
+    )
+
+    qvec = emb.where(F.col("vec_id") == 0).first()["embedding"]
+    timed("q_ann_bruteforce")(
+        lambda: similarity.cosine_topk(emb, "embedding", "vec_id", qvec, k=10).collect()
+    )
+    timed("q_ann_lsh")(
+        lambda: similarity.lsh_cosine_topk(
+            emb, "embedding", "vec_id", qvec, k=10, bits=4, multiprobe_hamming=1
+        ).collect()
+    )
+
+    sf = SF_DIR.rsplit("sf", 1)[-1]
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "ets_headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "cpus": CPUS,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -66,30 +66,6 @@ def word_shingles(text: Column, k: int = 3) -> Column:
 
 # ----------------------------------------------------------------- minhash
 
-def minhash_signature(
-    shingles: Column, num_perm: int = 16, hash_fn: str = "xxhash64"
-) -> List[Column]:
-    """K permutation min-hashes of a shingle set.
-
-    Permutation i = hash(salt_i ++ shingle); the minimum over the set is
-    the signature component (classic MinHash). ``xxhash64`` stays numeric
-    and JVM-fast; ``md5`` yields lexicographic-min hex strings and is
-    reproducible in any engine (used by the DuckDB oracle gate).
-    """
-    out = []
-    for i in range(num_perm):
-        if hash_fn == "xxhash64":
-            h = F.array_min(F.transform(shingles, lambda s: F.xxhash64(F.lit(i), s)))
-        elif hash_fn == "md5":
-            h = F.array_min(
-                F.transform(shingles, lambda s: F.md5(F.concat(F.lit(str(i) + "|"), s).cast("binary")))
-            )
-        else:
-            raise ValueError(hash_fn)
-        out.append(h.alias(f"mh{i}"))
-    return out
-
-
 def minhash_signatures(
     df: DataFrame,
     text_col: str,
@@ -98,11 +74,31 @@ def minhash_signatures(
     shingle_k: int = 3,
     hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """``(id, mh0..mh{K-1})`` — narrow (no shuffle) signature computation."""
-    return df.select(
+    """``(id, mh0..mh{K-1})`` signature table.
+
+    Shape: explode shingles → K hash columns → ``groupBy(id).agg(min...)``.
+    The explode+hash-aggregate form beats the tempting no-shuffle
+    "array_min(transform(...))×K" projection by >10×: each row then pays
+    K nested array traversals with per-element allocation in ONE task per
+    file, while the exploded form is vectorized row-at-a-time hashing with
+    map-side partial min()s — and the shuffle carries only K longs per doc.
+    (min over the shingle multiset equals min over the distinct set, so no
+    dedup pass is needed.)
+    """
+    sh = df.select(
         F.col(id_col).alias("id"),
-        *minhash_signature(word_shingles(F.col(text_col), shingle_k), num_perm, hash_fn),
+        F.explode(word_shingles(F.col(text_col), shingle_k)).alias("sh"),
     )
+    if hash_fn == "xxhash64":
+        aggs = [F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"mh{i}") for i in range(num_perm)]
+    elif hash_fn == "md5":
+        aggs = [
+            F.min(F.md5(F.concat(F.lit(str(i) + "|"), F.col("sh")).cast("binary"))).alias(f"mh{i}")
+            for i in range(num_perm)
+        ]
+    else:
+        raise ValueError(hash_fn)
+    return sh.groupBy("id").agg(*aggs)
 
 
 def lsh_candidate_pairs(

@@ -50,12 +50,17 @@ def load_raw(spark: SparkSession, path: str) -> DataFrame:
     spark.conf.set(_NANOS_CONF, "true")
     df = spark.read.parquet(path)
     for c in ns_cols:
-        df = df.withColumn(c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
+        # integer division: `/` would go through double and lose precision
+        # at epoch-nanos magnitude (2^60), shifting some values by 1us
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     return df
 
 
 def load_sf_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_raw(spark, f"{sf_dir.rstrip('/')}/{name}.parquet")
+
+
+LAYOUT_VERSION = "2"  # bump to invalidate previously-materialized copies
 
 
 def materialize(
@@ -71,11 +76,13 @@ def materialize(
     canonical on-disk layout for tests/bench."""
     marker = os.path.join(_local(dst_path), "_ETS_DONE")
     if not force and os.path.exists(marker):
-        return dst_path
+        with open(marker) as fh:
+            if fh.read().strip() == LAYOUT_VERSION:
+                return dst_path
     df = load_raw(spark, src_path)
     df.repartition(num_files).write.mode("overwrite").parquet(dst_path)
     with open(marker, "w") as fh:
-        fh.write("ok")
+        fh.write(LAYOUT_VERSION)
     return dst_path
 
 

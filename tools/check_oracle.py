@@ -1,0 +1,103 @@
+"""Local simulation of the driver's t2 correctness gate: run every
+``queries()`` entry and its ``oracle_sql()`` twin at a given sf, compare
+row count + column names + order-insensitive values.
+
+Usage: python tools/check_oracle.py [sf_dir]
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+import pandas as pd
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    out = {}
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            s = pd.to_datetime(s).dt.floor("us").astype("datetime64[us]")
+            s = s.map(lambda x: x.isoformat())
+        elif pd.api.types.is_float_dtype(s):
+            s = s.map(lambda x: f"{x:.9g}")
+        else:
+            s = s.astype(str)
+        out[c] = s
+    c2 = pd.DataFrame(out)
+    return c2.sort_values(by=list(c2.columns)).reset_index(drop=True)
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[16]")
+        .config("spark.sql.shuffle.partitions", "16")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    import __spark_entry__ as entrymod
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:
+            failures.append((name, f"SPARK ERROR {type(e).__name__}: {str(e)[:300]}"))
+            print(f"FAIL {name}: spark error")
+            continue
+        if name not in oracles:
+            print(f"ok   {name}: {len(sdf)} rows (no oracle — rows-only)")
+            continue
+        try:
+            odf = con.execute(oracles[name]).df()
+        except Exception as e:
+            failures.append((name, f"ORACLE ERROR: {str(e)[:300]}"))
+            print(f"FAIL {name}: oracle error: {str(e)[:160]}")
+            continue
+        problems = []
+        if len(sdf) != len(odf):
+            problems.append(f"rows {len(sdf)} vs {len(odf)}")
+        if sorted(sdf.columns) != sorted(odf.columns):
+            problems.append(f"cols {sorted(sdf.columns)} vs {sorted(odf.columns)}")
+        if not problems:
+            cs, co = canon(sdf), canon(odf)
+            if not cs.equals(co):
+                neq = (cs != co).any(axis=1)
+                diff = pd.concat(
+                    [cs[neq].head(3).add_suffix("_spark"), co[neq].head(3).add_suffix("_duck")],
+                    axis=1,
+                )
+                problems.append(f"values differ in {int(neq.sum())} rows:\n{diff}")
+        if problems:
+            failures.append((name, "; ".join(p.split(chr(10))[0] for p in problems)))
+            print(f"FAIL {name}: {problems}")
+        else:
+            print(f"ok   {name}: {len(sdf)} rows")
+    print()
+    if failures:
+        print(f"{len(failures)} FAILURES:", [n for n, _ in failures])
+        sys.exit(1)
+    print(f"all {len(qs)} queries match at {sf_dir}")
+
+
+if __name__ == "__main__":
+    main()
