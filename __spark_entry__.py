@@ -24,7 +24,8 @@ from pyspark.sql import functions as F
 
 from elephant_twin_spark import Engine, col
 from elephant_twin_spark.functions import scalar
-from elephant_twin_spark.operators.pipeline import dedup, similarity, textstats
+from elephant_twin_spark.operators import sessionize
+from elephant_twin_spark.operators.pipeline import dedup, multimodal, similarity, textstats
 from elephant_twin_spark.sources import catalog, fsio, tables
 
 # --------------------------------------------------------------------- state
@@ -84,6 +85,21 @@ class _SFState:
         p = f"{self.sf_dir}/documents.parquet"
         self.ensure_text_index(p, "text", "doc_id")
         return self.engine.text_index(p, "text")
+
+    @property
+    def events_partitioned(self) -> str:
+        """Hive-style date-partitioned events copy (S13: the reference's
+        YYYY/MM/DD directory convention as partition columns)."""
+        dst = f"{self.work}/events_by_date"
+        marker = f"{dst}/_ETS_DONE"
+        if not os.path.exists(marker):
+            df = self.raw("events").withColumn("event_date", F.to_date("ts"))
+            df.repartition("event_date").write.partitionBy("event_date").mode(
+                "overwrite"
+            ).parquet(dst)
+            with open(marker, "w") as fh:
+                fh.write(tables.LAYOUT_VERSION)
+        return dst
 
 
 _STATES: dict = {}
@@ -287,6 +303,123 @@ def _q_label_centroid_component(spark, sf_dir):
     )
 
 
+def _q_date_partition_range(spark, sf_dir):
+    """S13: partition-pruned date-range scan on the date-partitioned copy."""
+    st = _state(spark, sf_dir)
+    df = spark.read.parquet(st.events_partitioned)
+    return df.where(
+        (F.col("event_date") >= F.lit("2024-01-10")) & (F.col("event_date") <= F.lit("2024-01-20"))
+    ).select(*_EVENT_COLS)
+
+
+def _q_sessionize(spark, sf_dir):
+    ev = _state(spark, sf_dir).raw("events")
+    return sessionize.session_stats(ev, "user_id", "ts", gap_seconds=1800)
+
+
+def _q_user_event_types(spark, sf_dir):
+    """A4/T3 analog at user granularity: distinct value-set aggregation."""
+    ev = _state(spark, sf_dir).raw("events")
+    return ev.groupBy("user_id").agg(
+        F.concat_ws(",", F.array_sort(F.collect_set("event_type"))).alias("types")
+    )
+
+
+def _q_date_parse_roundtrip(spark, sf_dir):
+    """C1 parse path: format → parse round-trips to second precision."""
+    ev = _state(spark, sf_dir).raw("events")
+    return ev.select(
+        "event_id",
+        scalar.parse_datetime(
+            scalar.format_datetime(F.col("ts"), "compact"), "compact"
+        ).alias("rt_compact"),
+        scalar.parse_datetime(
+            scalar.format_datetime(F.col("ts"), "mysql"), "mysql"
+        ).alias("rt_mysql"),
+        scalar.parse_datetime(scalar.format_datetime(F.col("ts"), "date"), "date").alias(
+            "rt_date"
+        ),
+    )
+
+
+def _q_ngram_jaccard_pairs(spark, sf_dir):
+    """Exact 3-gram Jaccard for all doc pairs in a bounded id range."""
+    docs = _state(spark, sf_dir).raw("documents").where(F.col("doc_id") < 40)
+    sh = docs.select(
+        F.col("doc_id").alias("id"), dedup.word_shingles(F.col("text"), 3).alias("sh")
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = a.join(b, F.col("a.id") < F.col("b.id"))
+    return pairs.select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        F.round(
+            F.size(F.array_intersect("a.sh", "b.sh"))
+            / F.size(F.array_union("a.sh", "b.sh")),
+            6,
+        ).alias("jaccard"),
+    )
+
+
+def _q_cosine_pairs(spark, sf_dir):
+    """Exact pairwise cosine on a bounded id range (double precision)."""
+    emb = _state(spark, sf_dir).raw("embeddings").where(F.col("vec_id") < 30)
+    v = emb.select(
+        F.col("vec_id").alias("id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    a, b = v.alias("a"), v.alias("b")
+    pairs = a.join(b, F.col("a.id") < F.col("b.id"))
+    dot = F.aggregate(
+        F.zip_with("a.v", "b.v", lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
+    )
+    na = F.sqrt(F.aggregate("a.v", F.lit(0.0), lambda s, x: s + x * x))
+    nb = F.sqrt(F.aggregate("b.v", F.lit(0.0), lambda s, x: s + x * x))
+    return pairs.select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        # + 0.0 folds IEEE negative zero to +0.0 (oracle parity)
+        (F.round(dot / (na * nb), 4) + F.lit(0.0)).alias("cosine"),
+    )
+
+
+# ---- rows-only entries (no ANSI-SQL oracle: engine-specific hashing or
+# ---- approximate algorithms; driver records the weaker rows-only check)
+
+def _q_simhash_docs(spark, sf_dir):
+    docs = _state(spark, sf_dir).raw("documents")
+    return dedup.simhash64(docs, "text", "doc_id").withColumnRenamed("id", "doc_id")
+
+
+def _q_winnowing_fps(spark, sf_dir):
+    docs = _state(spark, sf_dir).raw("documents").where(F.col("doc_id") < 50)
+    return textstats.winnowing_fingerprints(docs, "text", "doc_id", k=5, window=4)
+
+
+def _q_ann_lsh_top10(spark, sf_dir):
+    st = _state(spark, sf_dir)
+    emb = st.raw("embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).first()["embedding"]
+    top = similarity.lsh_cosine_topk(
+        emb, "embedding", "vec_id", qvec, k=10, bits=4, multiprobe_hamming=2
+    )
+    return top.select(F.col("id").alias("vec_id"), F.round("cosine", 4).alias("cosine"))
+
+
+def _q_minhash_near_dup(spark, sf_dir):
+    docs = _state(spark, sf_dir).raw("documents")
+    return dedup.minhash_near_dup_pairs(
+        docs, "text", "doc_id", num_perm=16, num_bands=4, threshold=0.7
+    )
+
+
+def _q_media_features(spark, sf_dir):
+    media = multimodal.synthesize_media_table(spark, f"{sf_dir}/documents.parquet")
+    return multimodal.decode_image_features(media, fake=True).select(
+        "media_id", "n_bytes", "sha"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # sparse index surface (S2/S5/S6, F1-F5, I1-I3, M2/M5)
@@ -315,6 +448,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": _q_fingerprint,
         "ann_cosine_top10": _q_ann_cosine_top10,
         "label_centroid_component": _q_label_centroid_component,
+        # partition pruning / windows / set-aggs / pair similarity
+        "date_partition_range": _q_date_partition_range,
+        "sessionize": _q_sessionize,
+        "user_event_types": _q_user_event_types,
+        "date_parse_roundtrip": _q_date_parse_roundtrip,
+        "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
+        "cosine_pairs": _q_cosine_pairs,
+        # rows-only (no SQL oracle): engine-specific hashes / approximate ops
+        "simhash_docs": _q_simhash_docs,
+        "winnowing_fingerprints": _q_winnowing_fps,
+        "ann_lsh_top10": _q_ann_lsh_top10,
+        "minhash_near_dup_pairs": _q_minhash_near_dup,
+        "media_features": _q_media_features,
     }
 
 
@@ -449,5 +595,58 @@ def oracle_sql() -> dict[str, str]:
             SELECT label, count(*) AS n,
                    round(avg(CAST(embedding[1] AS DOUBLE)), 6) AS avg_c0
             FROM embeddings GROUP BY label
+        """,
+        "date_partition_range": f"""
+            {ev} WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-20'
+        """,
+        "sessionize": """
+            WITH g AS (
+              SELECT user_id, ts,
+                     CASE WHEN date_diff('second', lag(ts) OVER w, ts) > 1800
+                          THEN 1 ELSE 0 END AS ns
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), s AS (
+              SELECT user_id, ts,
+                     sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM g
+            )
+            SELECT user_id, session_id, count(*) AS n_events,
+                   min(ts) AS sess_start, max(ts) AS sess_end
+            FROM s GROUP BY user_id, session_id
+        """,
+        "user_event_types": """
+            SELECT user_id,
+                   array_to_string(list_sort(list_distinct(list(event_type))), ',') AS types
+            FROM events GROUP BY user_id
+        """,
+        "date_parse_roundtrip": """
+            SELECT event_id,
+                   strptime(strftime(ts, '%Y%m%d%H%M%S'), '%Y%m%d%H%M%S') AS rt_compact,
+                   strptime(strftime(ts, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S') AS rt_mysql,
+                   strptime(strftime(ts, '%Y-%m-%d'), '%Y-%m-%d') AS rt_date
+            FROM events
+        """,
+        "ngram_jaccard_pairs": """
+            WITH toks AS (
+              SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t
+              FROM documents WHERE doc_id < 40
+            ), sh AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),
+                                                  i -> array_to_string(t[i:i+2], ' '))) AS s
+              FROM toks
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                         / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+            FROM sh a, sh b WHERE a.doc_id < b.doc_id
+        """,
+        "cosine_pairs": """
+            WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings WHERE vec_id < 30)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.v, b.v), 4) + 0.0 AS cosine
+            FROM v a, v b WHERE a.vec_id < b.vec_id
         """,
     }

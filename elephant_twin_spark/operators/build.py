@@ -112,7 +112,11 @@ def postings_for(
     """
     src = df.select(
         F.col(column).cast("string").alias("key"),
-        F.col("_metadata.file_path").alias("file"),
+        # canonical URI form (local paths render as file:/x here but as
+        # file:///x in FS listings; JVM-side regexp, no Python UDF)
+        F.regexp_replace(
+            F.col("_metadata.file_path"), r"^file:/(?=[^/])", "file:///"
+        ).alias("file"),
         F.col("_metadata.file_block_start").alias("start"),
         (F.col("_metadata.file_block_start") + F.col("_metadata.file_block_length")).alias("end"),
     ).where(F.col("key").isNotNull())

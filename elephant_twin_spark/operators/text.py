@@ -61,7 +61,15 @@ def postings_for(
     doc_id_column: str,
     tokenizer: Tokenizer = whitespace_tokenizer,
 ) -> DataFrame:
-    """``(term, doc_id, tf, positions)`` — one row per (term, doc)."""
+    """``(term, doc_id, tf, positions)`` — one row per (term, doc).
+
+    If the source has fewer partitions than cores (e.g. one big file),
+    fan out before the explode so tokenization parallelizes — the explode
+    multiplies rows ~100×, so starting single-threaded wastes the cluster.
+    """
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism // 2:
+        df = df.repartition(sc.defaultParallelism)
     toks = df.select(
         F.col(doc_id_column).alias("doc_id"),
         F.posexplode(tokenizer(F.col(text_column))).alias("pos", "term"),

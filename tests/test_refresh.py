@@ -1,0 +1,98 @@
+"""Incremental index maintenance tests (M1 semantics: index only new
+files; changed files re-indexed; deleted files dropped)."""
+
+import glob
+import os
+import shutil
+
+import pyspark.sql.functions as F
+import pytest
+
+from elephant_twin_spark import Engine, col
+from elephant_twin_spark.sources import tables
+from elephant_twin_spark.streaming import refresh
+
+
+@pytest.fixture()
+def growing_table(spark, workdir, events_multifile):
+    """A table directory that starts with the events files and can grow."""
+    dst = f"{workdir}/events_growing"
+    shutil.rmtree(dst, ignore_errors=True)
+    os.makedirs(dst)
+    for p in sorted(glob.glob(f"{events_multifile}/part-*.parquet"))[:4]:
+        shutil.copy(p, dst)
+    return dst
+
+
+def _add_files(spark, src_glob, dst, n):
+    added = 0
+    for p in sorted(glob.glob(src_glob)):
+        base = os.path.basename(p)
+        if not os.path.exists(f"{dst}/{base}"):
+            shutil.copy(p, dst)
+            added += 1
+            if added == n:
+                break
+    import time
+
+    return added
+
+
+def test_refresh_full_then_incremental(spark, workdir, growing_table, events_multifile):
+    root = f"{workdir}/refresh_root"
+    r1 = refresh.refresh_block_index(spark, growing_table, "event_type", root)
+    assert r1["mode"] == "full_build"
+
+    r2 = refresh.refresh_block_index(spark, growing_table, "event_type", root)
+    assert r2["mode"] == "noop"
+
+    # add 4 more files → only those are indexed
+    assert _add_files(spark, f"{events_multifile}/part-*.parquet", growing_table, 4) == 4
+    spark.catalog.refreshByPath(growing_table)
+    r3 = refresh.refresh_block_index(spark, growing_table, "event_type", root)
+    assert r3["mode"] == "incremental" and r3["files_indexed"] == 4
+
+    # post-refresh: index-derived counts equal full scan for every key
+    eng = Engine(spark, root)
+    eng.assert_index_consistent(growing_table, "event_type")
+
+    # and a pruned query returns exact rows
+    got = eng.query(growing_table, col("event_type") == "click")
+    want = spark.read.parquet(growing_table).where(F.col("event_type") == "click")
+    assert sorted([r["event_id"] for r in got.collect()]) == sorted(
+        [r["event_id"] for r in want.collect()]
+    )
+    assert eng.last_metrics.stale_files == 0
+
+
+def test_refresh_handles_deleted_files(spark, workdir, growing_table):
+    root = f"{workdir}/refresh_del_root"
+    refresh.refresh_block_index(spark, growing_table, "event_type", root)
+    victim = sorted(glob.glob(f"{growing_table}/part-*.parquet"))[0]
+    os.remove(victim)
+    for crc in glob.glob(f"{growing_table}/.*.crc"):
+        os.remove(crc)
+    spark.catalog.refreshByPath(growing_table)
+    r = refresh.refresh_block_index(spark, growing_table, "event_type", root)
+    assert r["mode"] == "incremental" and r["files_removed"] == 1
+    Engine(spark, root).assert_index_consistent(growing_table, "event_type")
+
+
+def test_stream_index_updates(spark, workdir, growing_table, events_multifile):
+    root = f"{workdir}/stream_root"
+    ckpt = f"{workdir}/stream_ckpt"
+    q = refresh.stream_index_updates(
+        spark, growing_table, "event_type", root, ckpt, trigger_once=True
+    )
+    q.awaitTermination(120)
+    eng = Engine(spark, root)
+    eng.assert_index_consistent(growing_table, "event_type")
+
+    # new files arrive → next availableNow pass picks them up
+    _add_files(spark, f"{events_multifile}/part-*.parquet", growing_table, 2)
+    spark.catalog.refreshByPath(growing_table)
+    q2 = refresh.stream_index_updates(
+        spark, growing_table, "event_type", root, ckpt, trigger_once=True
+    )
+    q2.awaitTermination(120)
+    eng.assert_index_consistent(growing_table, "event_type")
