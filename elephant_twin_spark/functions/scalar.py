@@ -76,11 +76,11 @@ def round_up_to_next_hour(col: Column) -> Column:
 
 
 def add_days(col: Column, n: int) -> Column:
-    return F.timestampadd("DAY", F.lit(n), col)
+    return col + F.expr(f"INTERVAL {int(n)} DAY")
 
 
 def add_seconds(col: Column, n: int) -> Column:
-    return F.timestampadd("SECOND", F.lit(n), col)
+    return col + F.expr(f"INTERVAL {int(n)} SECOND")
 
 
 def interval_string(start: Column, end: Column) -> Column:
