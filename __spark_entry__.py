@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from elephant_twin_spark import Engine, col
 from elephant_twin_spark.functions import scalar
-from elephant_twin_spark.operators import sessionize
+from elephant_twin_spark.operators import rollup, sessionize
 from elephant_twin_spark.operators.pipeline import dedup, multimodal, similarity, textstats
 from elephant_twin_spark.sources import catalog, fsio, tables
 
@@ -383,6 +383,19 @@ def _q_cosine_pairs(spark, sf_dir):
     )
 
 
+def _q_time_rollup(spark, sf_dir):
+    """A5: (bucket, key) counts with max-ts and bounded sorted samples."""
+    ev = _state(spark, sf_dir).raw("events")
+    r = rollup.time_rollup(ev, "ts", "event_type", "event_id", unit="hour", k_samples=3)
+    return r.select(
+        "bucket",
+        "key",
+        "cnt",
+        "last_ts",
+        F.concat_ws(",", F.transform("samples", lambda x: x.cast("string"))).alias("samples"),
+    )
+
+
 # ---- rows-only entries (no ANSI-SQL oracle: engine-specific hashing or
 # ---- approximate algorithms; driver records the weaker rows-only check)
 
@@ -455,6 +468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_parse_roundtrip": _q_date_parse_roundtrip,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "cosine_pairs": _q_cosine_pairs,
+        "time_rollup_hourly": _q_time_rollup,
         # rows-only (no SQL oracle): engine-specific hashes / approximate ops
         "simhash_docs": _q_simhash_docs,
         "winnowing_fingerprints": _q_winnowing_fps,
@@ -648,5 +662,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                    round(list_cosine_similarity(a.v, b.v), 4) + 0.0 AS cosine
             FROM v a, v b WHERE a.vec_id < b.vec_id
+        """,
+        "time_rollup_hourly": """
+            SELECT date_trunc('hour', ts) AS bucket, event_type AS key,
+                   count(*) AS cnt, max(ts) AS last_ts,
+                   array_to_string(list_sort(list(event_id))[1:3], ',') AS samples
+            FROM events GROUP BY 1, 2
         """,
     }

@@ -76,13 +76,38 @@ class Engine:
         return out
 
     # ------------------------------------------------------------- query
-    def query(self, table_path: str, predicate: E.Expr) -> DataFrame:
+    def query(self, table_path: str, predicate) -> DataFrame:
         """Index-accelerated filter scan; reads only files whose postings
-        can match, then applies the full predicate per row."""
+        can match, then applies the full predicate per row. ``predicate``
+        is an Expr tree, a pyspark Column (residual-only), or a SQL-ish
+        string like ``"event_type = 'click' AND value > 5"``."""
+        if isinstance(predicate, str):
+            predicate = E.parse_predicate(predicate)
         self.last_metrics = scan_mod.ScanMetrics()
         return scan_mod.query(
             self.spark, table_path, predicate, self.index_root, metrics=self.last_metrics
         )
+
+    def pushdown_info(self, table_path: str, predicate) -> Dict:
+        """M4 capability negotiation: which part of ``predicate`` the
+        indexes can serve (the IndexedPigLoader getPartitionKeys /
+        setPartitionFilter contract as one inspectable call)."""
+        if isinstance(predicate, str):
+            predicate = E.parse_predicate(predicate)
+        predicate = E._coerce(predicate)
+        live = fsio.list_data_files(self.spark, table_path)
+        indexes = scan_mod._load_indexes(self.spark, table_path, self.index_root, live)
+        pushed = E.extract_pushable(predicate, set(indexes))
+        return {
+            "indexed_columns": sorted(indexes),
+            "pushable": repr(pushed) if pushed is not None else None,
+            "residual": repr(predicate),
+            "total_files": len(live),
+        }
+
+    def read_byte_range(self, file_path: str, start: int, end: int) -> DataFrame:
+        """S4 one-split debug scan of [start, end) in one file."""
+        return scan_mod.read_byte_range(self.spark, file_path, start, end)
 
     def scan(self, table_path: str) -> DataFrame:
         return self.spark.read.parquet(table_path)

@@ -164,6 +164,20 @@ def _eval_tree(tree: E.Expr, leaf_sets: Dict[int, Set[str]]) -> Set[str]:
     raise AssertionError(f"non-pushable node in pushed tree: {tree!r}")
 
 
+def read_byte_range(
+    spark: SparkSession, file_path: str, start: int, end: int
+) -> DataFrame:
+    """S4 debug scan: rows of the splits whose block start lies in
+    [start, end) of one file — the OneSplitInputFormat analog
+    (core/retrieval/OneSplitInputFormat.java:31-54), via the ``_metadata``
+    hidden column instead of a custom InputFormat."""
+    df = spark.read.parquet(file_path)
+    return df.where(
+        (F.col("_metadata.file_block_start") >= F.lit(int(start)))
+        & (F.col("_metadata.file_block_start") < F.lit(int(end)))
+    )
+
+
 def query(
     spark: SparkSession,
     table_path: str,

@@ -194,6 +194,36 @@ def _match_column(node, terms_col: Column) -> Column:
     return out
 
 
+def file_value_sets(df: DataFrame, columns: Sequence[str]) -> DataFrame:
+    """T3/A4 split-document analog: one row per source FILE with the
+    distinct value set of each column — the reference's "cheater's
+    block-level index" where a Lucene doc represents a whole split
+    (lucene/indexing/HadoopSplitDocument.java:31-40,
+    HadoopSplitIndexingMapper.java:44-107). ``(file, <col>_values...)``.
+
+    A lookup "which files contain value v in column c" is then
+    ``where(array_contains(c_values, v))`` — file-granularity pruning
+    from a table whose row count is the FILE count, not the row count.
+    """
+    aggs = [F.sort_array(F.collect_set(c)).alias(f"{c}_values") for c in columns]
+    return (
+        df.select(
+            F.regexp_replace(
+                F.col("_metadata.file_path"), r"^file:/(?=[^/])", "file:///"
+            ).alias("file"),
+            *columns,
+        )
+        .groupBy("file")
+        .agg(*aggs)
+    )
+
+
+def files_containing(value_sets: DataFrame, column: str, value) -> DataFrame:
+    """Split-doc lookup: files whose value set for ``column`` contains
+    ``value`` (T3 query side)."""
+    return value_sets.where(F.array_contains(F.col(f"{column}_values"), value)).select("file")
+
+
 class TextIndex:
     """Query handle over a built text index (HDFSQueryEngine analog)."""
 

@@ -80,6 +80,37 @@ class Eq(Expr):
         return f"Eq({self.column!r}, {self.value!r})"
 
 
+class Cmp(Expr):
+    """Comparison leaf (``!= > >= < <=``) — residual-only, never pruned on
+    (the reference declares these OpTypes but rejects them in pushdown,
+    core/retrieval/Expression.java:33-45,205-227; Catalyst evaluates them
+    in the residual filter). Column construction is lazy so predicate
+    trees can be built/parsed/serialized without an active SparkSession."""
+
+    OPS = {"!=", ">", ">=", "<", "<="}
+
+    def __init__(self, column: str, op: str, value: Any):
+        if op not in self.OPS:
+            raise ValueError(f"unsupported comparison {op!r}")
+        self.column, self.op, self.value = column, op, value
+
+    def to_column(self) -> Column:
+        c, v = F.col(self.column), F.lit(self.value)
+        return {
+            "!=": c != v,
+            ">": c > v,
+            ">=": c >= v,
+            "<": c < v,
+            "<=": c <= v,
+        }[self.op]
+
+    def columns(self) -> set:
+        return {self.column}
+
+    def __repr__(self):
+        return f"Cmp({self.column!r}, {self.op!r}, {self.value!r})"
+
+
 class And(Expr):
     def __init__(self, left: Expr, right: Expr):
         self.left, self.right = _coerce(left), _coerce(right)
@@ -163,6 +194,114 @@ class _ColBuilder:
 
 def col(name: str) -> _ColBuilder:
     return _ColBuilder(name)
+
+
+def to_json_dict(expr: Expr) -> dict:
+    """F3 analog: serializable predicate tree (the reference base64-Java-
+    serializes its Expression into the job conf,
+    core/retrieval/Expression.java:268-301; we use plain JSON — only
+    Eq/And/Or are serializable, matching what the reference can ship)."""
+    if isinstance(expr, Eq):
+        return {"op": "eq", "column": expr.column, "value": expr.value}
+    if isinstance(expr, Cmp):
+        return {"op": "cmp", "cmp": expr.op, "column": expr.column, "value": expr.value}
+    if isinstance(expr, And):
+        return {"op": "and", "left": to_json_dict(expr.left), "right": to_json_dict(expr.right)}
+    if isinstance(expr, Or):
+        return {"op": "or", "left": to_json_dict(expr.left), "right": to_json_dict(expr.right)}
+    raise ValueError(f"not serializable (Raw predicates are driver-only): {expr!r}")
+
+
+def from_json_dict(d: dict) -> Expr:
+    op = d["op"]
+    if op == "eq":
+        return Eq(d["column"], d["value"])
+    if op == "cmp":
+        return Cmp(d["column"], d["cmp"], d["value"])
+    if op == "and":
+        return And(from_json_dict(d["left"]), from_json_dict(d["right"]))
+    if op == "or":
+        return Or(from_json_dict(d["left"]), from_json_dict(d["right"]))
+    raise ValueError(f"unknown op {op!r}")
+
+
+def parse_predicate(s: str) -> Expr:
+    """Parse a SQL-ish predicate string into the IR — the engine-side
+    analog of the Pig pushdown negotiation (M4,
+    core/retrieval/IndexedPigLoader.java:207-216): ``col = 'v'`` leaves
+    (also ``==``) compose with AND/OR and parentheses and are index
+    servable; comparison leaves (``!= > >= < <=``) are accepted but
+    become residual-only Raw nodes, mirroring the reference's contract of
+    pushing only EQ/AND/OR while Catalyst evaluates the rest.
+    """
+    import re
+
+    tokens = re.findall(
+        r"""\(|\)|!=|>=|<=|==|=|>|<|AND\b|OR\b|'[^']*'|"[^"]*"|[\w.]+""",
+        s,
+        flags=re.IGNORECASE,
+    )
+    pos = 0
+
+    def peek():
+        return tokens[pos] if pos < len(tokens) else None
+
+    def take():
+        nonlocal pos
+        if pos >= len(tokens):
+            raise ValueError(f"unexpected end of predicate {s!r}")
+        t = tokens[pos]
+        pos += 1
+        return t
+
+    def unquote(t: str):
+        if (t.startswith("'") and t.endswith("'")) or (t.startswith('"') and t.endswith('"')):
+            return t[1:-1]
+        try:
+            return int(t)
+        except ValueError:
+            try:
+                return float(t)
+            except ValueError:
+                return t
+
+    def atom() -> Expr:
+        if peek() == "(":
+            take()
+            node = or_expr()
+            if peek() != ")":
+                raise ValueError(f"expected ')' in {s!r}")
+            take()
+            return node
+        column = take()
+        op = take()
+        value = unquote(take())
+        if op in ("=", "=="):
+            return Eq(column, value)
+        if op in Cmp.OPS:
+            return Cmp(column, op, value)
+        raise ValueError(f"unsupported operator {op!r} in {s!r}")
+
+    def and_expr() -> Expr:
+        node = atom()
+        while peek() is not None and peek().upper() == "AND":
+            take()
+            node = And(node, atom())
+        return node
+
+    def or_expr() -> Expr:
+        node = and_expr()
+        while peek() is not None and peek().upper() == "OR":
+            take()
+            node = Or(node, and_expr())
+        return node
+
+    if not tokens:
+        raise ValueError("empty predicate")
+    out = or_expr()
+    if pos != len(tokens):
+        raise ValueError(f"trailing tokens {tokens[pos:]} in {s!r}")
+    return out
 
 
 def extract_pushable(expr: Expr, indexed_columns: set) -> Optional[Expr]:

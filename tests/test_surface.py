@@ -1,0 +1,104 @@
+"""Tests for the parity surface added around the core: predicate string
+parsing + serde (F3/M4), one-split scans (S4), split-doc file value sets
+(T3/A4), time rollups (A5)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from elephant_twin_spark import Engine, col
+from elephant_twin_spark.operators import rollup, text
+from elephant_twin_spark.plans import expr as E
+from elephant_twin_spark.sources import tables
+
+
+@pytest.fixture(scope="module")
+def engine(spark, workdir, events_multifile):
+    eng = Engine(spark, f"{workdir}/surface_root")
+    eng.build_index(events_multifile, "event_type", num_buckets=4)
+    return eng
+
+
+def test_parse_predicate_roundtrip():
+    p = E.parse_predicate("event_type = 'click' AND (user_id = 7 OR user_id = 9)")
+    d = E.to_json_dict(p)
+    p2 = E.from_json_dict(d)
+    assert E.to_json_dict(p2) == d
+    assert d["op"] == "and"
+
+    # residual comparisons parse to lazy Cmp nodes (serializable, never pushed)
+    r = E.parse_predicate("value > 50")
+    assert isinstance(r, E.Cmp)
+    assert E.to_json_dict(r)["cmp"] == ">"
+    assert E.extract_pushable(r, {"value"}) is None
+
+    with pytest.raises(ValueError):
+        E.parse_predicate("a ~ 3")
+    with pytest.raises(ValueError):
+        E.parse_predicate("")
+    with pytest.raises(ValueError):
+        E.parse_predicate("a =")
+
+
+def test_string_predicate_query(engine, spark, events_multifile):
+    got = engine.query(events_multifile, "event_type = 'click' AND value > 50")
+    want = spark.read.parquet(events_multifile).where(
+        (F.col("event_type") == "click") & (F.col("value") > 50)
+    )
+    assert got.count() == want.count() > 0
+    assert "click" in engine.last_metrics.pushed
+
+
+def test_pushdown_info(engine, events_multifile):
+    info = engine.pushdown_info(events_multifile, "event_type = 'click' AND value > 5")
+    assert info["indexed_columns"] == ["event_type"]
+    assert "click" in info["pushable"]
+    assert info["total_files"] == 8
+
+    info2 = engine.pushdown_info(events_multifile, "value > 5")
+    assert info2["pushable"] is None
+
+
+def test_read_byte_range(engine, spark, events_multifile):
+    import glob
+
+    f = sorted(glob.glob(f"{events_multifile}/part-*.parquet"))[0]
+    all_rows = engine.read_byte_range(f, 0, 1 << 40).count()
+    assert all_rows == spark.read.parquet(f).count()
+    none = engine.read_byte_range(f, 1 << 40, 1 << 41).count()
+    assert none == 0
+
+
+def test_file_value_sets(spark, events_multifile):
+    df = spark.read.parquet(events_multifile)
+    vs = text.file_value_sets(df, ["event_type"]).cache()
+    assert vs.count() == 8
+    # lookup: every file containing 'click' + oracle comparison
+    got = {r["file"] for r in text.files_containing(vs, "event_type", "click").collect()}
+    want = {
+        r["f"]
+        for r in df.select(
+            F.regexp_replace(
+                F.col("_metadata.file_path"), r"^file:/(?=[^/])", "file:///"
+            ).alias("f"),
+            "event_type",
+        )
+        .where(F.col("event_type") == "click")
+        .distinct()
+        .collect()
+    }
+    assert got == want
+
+
+def test_time_rollup(spark, events_multifile):
+    df = spark.read.parquet(events_multifile)
+    r = rollup.time_rollup(df, "ts", "event_type", "event_id", unit="hour", k_samples=3)
+    row = r.where(F.col("key") == "click").orderBy("bucket").first()
+    assert row["cnt"] >= 1
+    assert len(row["samples"]) <= 3
+    assert row["samples"] == sorted(row["samples"])
+    # counts agree with a plain group-by
+    total = r.agg(F.sum("cnt")).collect()[0][0]
+    assert total == df.count()
+
+    w = rollup.windowed_rollup(df, "ts", "event_type", "2 hours")
+    assert w.agg(F.sum("cnt")).collect()[0][0] == df.count()
