@@ -1,0 +1,67 @@
+"""Structured Streaming windowed aggregations with late-data handling.
+
+Beyond the reference (its model is batch-index over immutable files;
+SURVEY §2.9 notes streaming is absent) — the north-star pipeline needs
+stream-shaped ingestion: file streams → watermarked event-time windows →
+append-mode sinks. The same expressions as the batch
+:mod:`elephant_twin_spark.operators.rollup` run under streaming, which is
+exactly why both are plain DataFrame algebra.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def streaming_windowed_counts(
+    spark: SparkSession,
+    table_path: str,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+    schema=None,
+    max_files_per_trigger: int = 64,
+) -> DataFrame:
+    """File-source stream → watermarked tumbling-window counts.
+
+    Returns the streaming DataFrame ``(window, key, cnt, sum_value?)``;
+    the caller picks the sink (memory for tests, parquet/kafka in prod).
+    The watermark bounds state: windows older than (max event time −
+    watermark) are finalized and dropped from the state store, so state
+    size is O(active windows × keys), independent of stream length.
+    """
+    if schema is None:
+        schema = spark.read.parquet(table_path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(table_path)
+    )
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window_duration).alias("window"), F.col(key_col).alias("key"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def run_to_memory(
+    streaming_df: DataFrame,
+    query_name: str,
+    output_mode: str = "append",
+    timeout_sec: int = 120,
+):
+    """Drain the stream's backlog into an in-memory table (tests/demos):
+    availableNow processes everything present, then stops."""
+    q = (
+        streaming_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    return q

@@ -126,6 +126,40 @@ def test_sampled_index_build(spark, workdir, events_multifile):
     assert 0.3 * n < total < 0.7 * n
 
 
+def test_empty_string_key(spark, workdir):
+    """FIXTURES §1: the excite fixture has empty query strings — the
+    empty-string key must index and look up like any other value."""
+    rows = [(i, "" if i % 3 == 0 else f"k{i % 5}") for i in range(300)]
+    tbl = f"{workdir}/empty_key_tbl"
+    spark.createDataFrame(rows, "id long, q string").repartition(4).write.mode(
+        "overwrite"
+    ).parquet(tbl)
+    eng = Engine(spark, f"{workdir}/empty_key_root")
+    eng.build_index(tbl, "q", num_buckets=2)
+    got = eng.query(tbl, col("q") == "")
+    want = spark.read.parquet(tbl).where(F.col("q") == "")
+    assert got.count() == want.count() == 100
+    eng.assert_index_consistent(tbl, "q")
+
+
+def test_null_keys_not_indexed_but_residual_works(spark, workdir):
+    rows = [(i, None if i % 2 == 0 else "a") for i in range(100)]
+    tbl = f"{workdir}/null_key_tbl"
+    spark.createDataFrame(rows, "id long, q string").repartition(2).write.mode(
+        "overwrite"
+    ).parquet(tbl)
+    eng = Engine(spark, f"{workdir}/null_key_root")
+    eng.build_index(tbl, "q", num_buckets=2)
+    # nulls never appear as postings keys
+    assert eng.postings(tbl, "q").where(F.col("key").isNull()).count() == 0
+    # Eq lookup excludes nulls (SQL semantics) and matches full scan
+    assert eng.query(tbl, col("q") == "a").count() == 50
+    # isNull residual predicate full-scans correctly
+    from elephant_twin_spark.plans.expr import Raw
+
+    assert eng.query(tbl, Raw(F.col("q").isNull())).count() == 50
+
+
 def test_extract_pushable_rules():
     idx = {"a", "b"}
     assert extract_pushable(Eq("a", "x"), idx) is not None
