@@ -383,6 +383,41 @@ def _q_cosine_pairs(spark, sf_dir):
     )
 
 
+def _q_join_revenue_by_nation(spark, sf_dir):
+    """Broadcast-join star query (TPC-H Q5-ish slice): revenue by nation."""
+    st = _state(spark, sf_dir)
+    orders = st.raw("orders")
+    customer = st.raw("customer")
+    nation = st.raw("nation")
+    j = (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+    return j
+
+
+def _q_rollup_orders(spark, sf_dir):
+    """GROUP BY ROLLUP (absent in the reference, free via Catalyst)."""
+    orders = _state(spark, sf_dir).raw("orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
+
+
+def _q_set_ops(spark, sf_dir):
+    """Relational set ops: users who clicked but never purchased."""
+    ev = _state(spark, sf_dir).raw("events")
+    clickers = ev.where(F.col("event_type") == "click").select("user_id")
+    buyers = ev.where(F.col("event_type") == "purchase").select("user_id")
+    return clickers.exceptAll(buyers).distinct()
+
+
 def _q_time_rollup(spark, sf_dir):
     """A5: (bucket, key) counts with max-ts and bounded sorted samples."""
     ev = _state(spark, sf_dir).raw("events")
@@ -469,6 +504,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "cosine_pairs": _q_cosine_pairs,
         "time_rollup_hourly": _q_time_rollup,
+        "join_revenue_by_nation": _q_join_revenue_by_nation,
+        "rollup_orders": _q_rollup_orders,
+        "click_not_purchase_users": _q_set_ops,
         # rows-only (no SQL oracle): engine-specific hashes / approximate ops
         "simhash_docs": _q_simhash_docs,
         "winnowing_fingerprints": _q_winnowing_fps,
@@ -668,5 +706,24 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS cnt, max(ts) AS last_ts,
                    array_to_string(list_sort(list(event_id))[1:3], ',') AS samples
             FROM events GROUP BY 1, 2
+        """,
+        "join_revenue_by_nation": """
+            SELECT n_name, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "rollup_orders": """
+            SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+                   round(sum(o_totalprice), 2) AS total
+            FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        """,
+        "click_not_purchase_users": """
+            SELECT DISTINCT user_id FROM (
+              SELECT user_id FROM events WHERE event_type = 'click'
+              EXCEPT ALL
+              SELECT user_id FROM events WHERE event_type = 'purchase'
+            )
         """,
     }

@@ -120,6 +120,19 @@ def main():
         lambda: textstats.quality_score(docs, "text").agg(F.avg("quality_score")).collect()
     )
 
+    # ---- clustered layout: selectivity-proportional I/O (the reference's
+    # ---- logged bytes-ratio objective, observable at file granularity)
+    from elephant_twin_spark.operators import layout
+
+    clustered = f"{work}/events_clustered"
+    if not os.path.exists(f"{clustered}/_SUCCESS"):
+        layout.cluster_table(spark, events, clustered, ["event_type"], num_files=32)
+    eng.build_index(clustered, "event_type", num_buckets=8)
+    timed("q_idx_clustered_point")(
+        lambda: eng.query(clustered, col("event_type") == "click").count()
+    )
+    bytes_ratio = round(eng.last_metrics.bytes_ratio, 2)
+
     qvec = emb.where(F.col("vec_id") == 0).first()["embedding"]
     timed("q_ann_bruteforce")(
         lambda: similarity.cosine_topk(emb, "embedding", "vec_id", qvec, k=10).collect()
@@ -141,6 +154,7 @@ def main():
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "cpus": CPUS,
+                "bytes_ratio_clustered_point": bytes_ratio,
             }
         )
     )
