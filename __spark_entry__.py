@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from elephant_twin_spark import Engine, col
 from elephant_twin_spark.functions import scalar
-from elephant_twin_spark.operators import rollup, sessionize
+from elephant_twin_spark.operators import rollup, sessionize, temporal
 from elephant_twin_spark.operators.pipeline import dedup, multimodal, similarity, textstats
 from elephant_twin_spark.sources import catalog, fsio, tables
 
@@ -418,6 +418,88 @@ def _q_set_ops(spark, sf_dir):
     return clickers.exceptAll(buyers).distinct()
 
 
+def _q_window_top_orders(spark, sf_dir):
+    """Window functions (absent in the reference, SURVEY §2.9): top-3
+    orders per customer by price, deterministic tiebreak on orderkey."""
+    from pyspark.sql.window import Window
+
+    orders = _state(spark, sf_dir).raw("orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("price"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .where(F.col("rn") <= 3)
+    )
+
+
+def _q_running_revenue(spark, sf_dir):
+    """Running-sum window frame: cumulative customer spend over time."""
+    from pyspark.sql.window import Window
+
+    orders = _state(spark, sf_dir).raw("orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_rev"),
+    )
+
+
+def _q_cube_orders(spark, sf_dir):
+    """GROUP BY CUBE over (status, priority)."""
+    orders = _state(spark, sf_dir).raw("orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total")
+    )
+
+
+def _q_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles per group (median + p95)."""
+    li = _state(spark, sf_dir).raw("lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("median_qty"),
+        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("p95_price"),
+    )
+
+
+def _q_asof_last_click(spark, sf_dir):
+    """As-of join: each purchase annotated with the user's most recent
+    click at-or-before it (single-shuffle union+window implementation)."""
+    ev = _state(spark, sf_dir).raw("events")
+    purchases = ev.where(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    return temporal.asof_join(
+        purchases, clicks, keys=["user_id"], left_ts="ts", right_ts="click_ts",
+        right_values=["click_ts"],
+    ).select("event_id", F.col("click_ts").alias("last_click_ts"))
+
+
+def _q_error_window_counts(spark, sf_dir):
+    """Interval join: same-user events inside ±1h of each error event."""
+    ev = _state(spark, sf_dir).raw("events")
+    intervals = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("iv_id"),
+        "user_id",
+        (F.col("ts") - F.expr("INTERVAL 1 HOUR")).alias("start"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("end"),
+    )
+    points = ev.select(F.col("event_id").alias("pt_id"), "user_id", "ts")
+    joined = temporal.interval_join(points, intervals, "ts", "start", "end", keys=["user_id"])
+    return joined.groupBy("iv_id").agg(F.count(F.lit(1)).alias("n"))
+
+
 def _q_time_rollup(spark, sf_dir):
     """A5: (bucket, key) counts with max-ts and bounded sorted samples."""
     ev = _state(spark, sf_dir).raw("events")
@@ -507,6 +589,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_revenue_by_nation": _q_join_revenue_by_nation,
         "rollup_orders": _q_rollup_orders,
         "click_not_purchase_users": _q_set_ops,
+        "window_top_orders": _q_window_top_orders,
+        "running_revenue": _q_running_revenue,
+        "cube_orders": _q_cube_orders,
+        "group_percentiles": _q_percentiles,
+        "asof_last_click": _q_asof_last_click,
+        "error_window_counts": _q_error_window_counts,
         # rows-only (no SQL oracle): engine-specific hashes / approximate ops
         "simhash_docs": _q_simhash_docs,
         "winnowing_fingerprints": _q_winnowing_fps,
@@ -725,5 +813,52 @@ def oracle_sql() -> dict[str, str]:
               EXCEPT ALL
               SELECT user_id FROM events WHERE event_type = 'purchase'
             )
+        """,
+        "window_top_orders": """
+            SELECT * FROM (
+              SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price,
+                     row_number() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+              FROM orders
+            ) WHERE rn <= 3
+        """,
+        "running_revenue": """
+            SELECT o_custkey, o_orderkey,
+                   round(sum(o_totalprice) OVER (
+                     PARTITION BY o_custkey
+                     ORDER BY o_orderdate ASC, o_orderkey ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+                     AS running_rev
+            FROM orders
+        """,
+        "cube_orders": """
+            SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+                   round(sum(o_totalprice), 2) AS total
+            FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        """,
+        "group_percentiles": """
+            SELECT l_returnflag,
+                   round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+                   round(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "asof_last_click": """
+            SELECT p.event_id, max(c.ts) AS last_click_ts
+            FROM events p
+            LEFT JOIN events c
+              ON c.user_id = p.user_id AND c.event_type = 'click' AND c.ts <= p.ts
+            WHERE p.event_type = 'purchase'
+            GROUP BY p.event_id
+        """,
+        "error_window_counts": """
+            SELECT i.iv_id, count(*) AS n
+            FROM (SELECT event_id AS iv_id, user_id,
+                         ts - INTERVAL 1 HOUR AS start_ts,
+                         ts + INTERVAL 1 HOUR AS end_ts
+                  FROM events WHERE event_type = 'error') i
+            JOIN events p
+              ON p.user_id = i.user_id AND p.ts >= i.start_ts AND p.ts < i.end_ts
+            GROUP BY i.iv_id
         """,
     }

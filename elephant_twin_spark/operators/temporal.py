@@ -1,0 +1,138 @@
+"""Temporal joins — as-of and interval joins over event tables.
+
+The reference has no record-to-record joins at all (SURVEY §2.9); its
+only interval algebra is over index postings (core/retrieval/
+BlockIndexedFileInputFormat.java:448-640). A training-data pipeline over
+event logs needs the record-level analogs, so this module supplies them
+Spark-first:
+
+- ``asof_join``: for each left row, the latest right row with
+  ``right_ts <= left_ts`` per key — implemented as ONE shuffle via the
+  union + last(ignorenulls) window trick, never a per-key loop or an
+  O(n*m) theta join. At 100 TB both sides shuffle once on the key and
+  the window runs sorted within partitions.
+- ``interval_join``: points joined into ``[start, end)`` intervals.
+  With equi-keys it is a plain shuffle join + range filter (Catalyst
+  sort-merge). Without keys, a naive theta join is a broadcast nested
+  loop — quadratic — so ``bucket_width_s`` chops time into coarse
+  buckets, explodes each interval onto the buckets it covers, and
+  equi-joins on the bucket id first (the postings interval algebra
+  applied to rows).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    right_values: Sequence[str],
+    strict: bool = False,
+) -> DataFrame:
+    """Backward as-of join: every left row, annotated with the most
+    recent right row's ``right_values`` where ``right_ts <= left_ts``
+    (``<`` when ``strict``), matching on ``keys``; nulls when no prior
+    right row exists (left-outer semantics).
+
+    Single shuffle: tag + union both sides, then
+    ``last(value, ignorenulls=True)`` over a key-partitioned window
+    ordered by (ts, side). On equal timestamps the right row sorts
+    before the left row so it is visible (inclusive semantics) unless
+    ``strict``, where it sorts after.
+    """
+    keys = list(keys)
+    right_values = list(right_values)
+    dup = set(right_values) & set(left.columns)
+    if dup:
+        raise ValueError(f"right_values collide with left columns: {sorted(dup)}")
+    rtypes = {f.name: f.dataType for f in right.schema.fields}
+
+    lhs = left.select(
+        *[F.col(k) for k in keys],
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_left"),
+        *[F.lit(None).cast(rtypes[c]).alias(c) for c in right_values],
+    )
+    rhs = right.select(
+        *[F.col(k) for k in keys],
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(left.schema).alias("_left"),
+        *[F.col(c) for c in right_values],
+    )
+
+    side_order = F.col("_side").desc() if strict else F.col("_side").asc()
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("_ts").asc(), side_order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = lhs.unionByName(rhs).select(
+        "_side",
+        "_left",
+        *[F.last(c, ignorenulls=True).over(w).alias(f"_f_{c}") for c in right_values],
+    )
+    return filled.where(F.col("_side") == 1).select(
+        *[F.col(f"_left.{c}").alias(c) for c in left.columns],
+        *[F.col(f"_f_{c}").alias(c) for c in right_values],
+    )
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str,
+    start: str,
+    end: str,
+    keys: Sequence[str] = (),
+    bucket_width_s: Optional[int] = None,
+) -> DataFrame:
+    """Inner-join point rows into ``[start, end)`` interval rows.
+
+    - With ``keys``: equi shuffle join on the keys + range residual
+      filter (sort-merge; scales linearly in both inputs).
+    - Without keys, with ``bucket_width_s`` (seconds): both sides get a
+      coarse time-bucket id — interval rows explode onto every covered
+      bucket — and the join becomes an equi join on the bucket id plus
+      the exact range check. Pick a width near the typical interval
+      length: much smaller multiplies interval rows, much larger
+      multiplies false candidate pairs.
+    - Without either: plain theta join (broadcast-nested-loop) — only
+      acceptable when one side is tiny.
+
+    Non-key column names must not collide (alias before calling).
+    """
+    dup = (set(points.columns) & set(intervals.columns)) - set(keys)
+    if dup:
+        raise ValueError(f"ambiguous columns, alias before joining: {sorted(dup)}")
+
+    range_cond = (F.col(point_ts) >= F.col(start)) & (F.col(point_ts) < F.col(end))
+    if keys:
+        return points.join(intervals, list(keys), "inner").where(range_cond)
+
+    if bucket_width_s is not None:
+        w = int(bucket_width_s)
+        p = points.withColumn(
+            "_bkt", F.floor(F.unix_timestamp(F.col(point_ts)) / w).cast("long")
+        )
+        b0 = F.floor(F.unix_timestamp(F.col(start)) / w).cast("long")
+        # last covered bucket; clamp so sub-second intervals (whose
+        # second-truncated end-1 would fall before b0 and make sequence()
+        # count DOWN) still cover exactly their start bucket
+        b1 = F.greatest(b0, F.floor((F.unix_timestamp(F.col(end)) - 1) / w).cast("long"))
+        i = intervals.where(F.col(end) > F.col(start)).withColumn(
+            "_bkt", F.explode(F.sequence(b0, b1))
+        )
+        return p.join(i, "_bkt", "inner").where(range_cond).drop("_bkt")
+
+    return points.join(intervals, range_cond, "inner")
