@@ -250,6 +250,12 @@ def _q_text_bool_or(spark, sf_dir):
     return ti.matches("group OR window")
 
 
+def _q_text_phrase(spark, sf_dir):
+    """Positional phrase query over the postings index (T5 extended)."""
+    ti = _state(spark, sf_dir).docs_text_index()
+    return ti.matches('"sort merge"')
+
+
 def _q_dedup_exact_groups(spark, sf_dir):
     docs = _state(spark, sf_dir).raw("documents")
     return dedup.exact_dup_groups(docs, "text", "doc_id")
@@ -536,6 +542,16 @@ def _q_ann_lsh_top10(spark, sf_dir):
     return top.select(F.col("id").alias("vec_id"), F.round("cosine", 4).alias("cosine"))
 
 
+def _q_ann_ivf_top10(spark, sf_dir):
+    """IVF ANN: spherical-kmeans coarse quantizer + nprobe cluster scan."""
+    st = _state(spark, sf_dir)
+    emb = st.raw("embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).first()["embedding"]
+    cents = similarity.ivf_fit(emb, "embedding", "vec_id", k_clusters=8, max_iter=2)
+    top = similarity.ivf_topk(emb, "embedding", "vec_id", qvec, cents, k=10, nprobe=3)
+    return top.select(F.col("id").alias("vec_id"), F.round("cosine", 4).alias("cosine"))
+
+
 def _q_minhash_near_dup(spark, sf_dir):
     docs = _state(spark, sf_dir).raw("documents")
     return dedup.minhash_near_dup_pairs(
@@ -570,6 +586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_topn": _q_text_topn,
         "text_bool_and": _q_text_bool_and,
         "text_bool_or": _q_text_bool_or,
+        "text_phrase": _q_text_phrase,
         # pipeline: dedup / stats / similarity (north star)
         "dedup_exact_groups": _q_dedup_exact_groups,
         "minhash_signatures": _q_minhash_signatures,
@@ -599,6 +616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_docs": _q_simhash_docs,
         "winnowing_fingerprints": _q_winnowing_fps,
         "ann_lsh_top10": _q_ann_lsh_top10,
+        "ann_ivf_top10": _q_ann_ivf_top10,
         "minhash_near_dup_pairs": _q_minhash_near_dup,
         "media_features": _q_media_features,
     }
@@ -685,6 +703,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(list_filter({_TOKS}, x -> x = 'group' OR x = 'window')) AS BIGINT) AS score
             FROM documents
             WHERE list_contains({_TOKS}, 'group') OR list_contains({_TOKS}, 'window')
+        """,
+        "text_phrase": f"""
+            SELECT doc_id,
+                   CAST(len(list_filter({_TOKS}, x -> x = 'sort' OR x = 'merge')) AS BIGINT) AS score
+            FROM documents
+            WHERE regexp_matches(text, '(^|\\s)sort\\s+merge(\\s|$)')
         """,
         "dedup_exact_groups": """
             SELECT md5(text) AS sig, count(*) AS n_dups, min(doc_id) AS keep_id

@@ -108,6 +108,95 @@ def lsh_cosine_topk(
     return cosine_topk(pruned, vec_col, id_col, query_vec, k)
 
 
+def _centroid_sims(vec_col, centroids: List[List[float]]):
+    v = F.transform(vec_col, lambda x: x.cast("double"))
+    vn = _norm(v)
+    out = []
+    for c in centroids:
+        cn = math.sqrt(sum(x * x for x in c)) or 1.0
+        out.append(_dot(v, F.array(*[F.lit(float(x)) for x in c])) / (vn * F.lit(cn)))
+    return out
+
+
+def ivf_assign(
+    df: DataFrame, vec_col: str, centroids: List[List[float]], out_col: str = "cluster"
+) -> DataFrame:
+    """Assign each row to its max-cosine centroid (argmax over an inline
+    struct array — pure JVM expression, ties broken toward the higher
+    cluster id deterministically)."""
+    sims = _centroid_sims(F.col(vec_col), centroids)
+    arr = F.array(
+        *[F.struct(s.alias("sim"), F.lit(i).alias("idx")) for i, s in enumerate(sims)]
+    )
+    return df.withColumn(out_col, F.array_max(arr)["idx"])
+
+
+def ivf_fit(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k_clusters: int = 16,
+    max_iter: int = 3,
+    seed: int = 42,
+) -> List[List[float]]:
+    """Spherical k-means (Lloyd) centroids for an IVF index.
+
+    Init = k deterministic pseudo-random rows (hash-of-id order). Each
+    iteration is one assign (narrow map) + one shuffle
+    (posexplode → groupBy(cluster, dim) mean); only k×dim small numbers
+    ever reach the driver, so the fit scales to any row count."""
+    init = (
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .orderBy(F.md5(F.concat_ws("|", F.lit(str(seed)), F.col("id").cast("string"))))
+        .limit(k_clusters)
+        .collect()
+    )
+    centroids = [[float(x) for x in r["v"]] for r in init]
+    for _ in range(max_iter):
+        assigned = ivf_assign(df, vec_col, centroids)
+        means = (
+            assigned.select("cluster", F.posexplode(vec_col).alias("dim", "x"))
+            .groupBy("cluster", "dim")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        new = {c: list(cent) for c, cent in enumerate(centroids)}  # empty keeps old
+        by_cluster: dict = {}
+        for r in means:
+            by_cluster.setdefault(r["cluster"], {})[r["dim"]] = r["m"]
+        for c, dims in by_cluster.items():
+            new[c] = [dims[i] for i in range(len(dims))]
+        centroids = [new[c] for c in range(k_clusters)]
+    return centroids
+
+
+def ivf_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_vec: Sequence[float],
+    centroids: List[List[float]],
+    k: int = 10,
+    nprobe: int = 4,
+    cluster_col: str = "cluster",
+) -> DataFrame:
+    """IVF probe: rank centroids by cosine to the query (driver-side, the
+    centroid table is tiny), brute-force only the ``nprobe`` nearest
+    clusters. ``df`` may be pre-assigned (has ``cluster_col`` — at scale
+    you write the table partitioned by it, making this partition
+    pruning); otherwise assignment happens on the fly."""
+    qn = math.sqrt(sum(float(x) * float(x) for x in query_vec)) or 1.0
+    scored = []
+    for i, c in enumerate(centroids):
+        cn = math.sqrt(sum(x * x for x in c)) or 1.0
+        scored.append((sum(a * float(b) for a, b in zip(c, query_vec)) / (cn * qn), i))
+    probe = [i for _, i in sorted(scored, reverse=True)[: max(1, nprobe)]]
+    if cluster_col not in df.columns:
+        df = ivf_assign(df, vec_col, centroids, cluster_col)
+    pruned = df.where(F.col(cluster_col).isin(probe))
+    return cosine_topk(pruned, vec_col, id_col, query_vec, k)
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     vec_col: str,

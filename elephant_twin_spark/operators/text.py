@@ -127,17 +127,26 @@ class _Term:
 
 
 @dataclass
+class _Phrase:
+    terms: List[str]
+
+
+@dataclass
 class _Bool:
     op: str  # 'AND' | 'OR'
     parts: List
 
 
 def parse_query(q: str):
-    """Tiny Lucene-subset parser: bare terms with AND/OR connectives,
-    parentheses allowed; adjacent bare terms default to OR (Lucene's
-    default operator). Covers the surface the reference demo exercises
-    (lucene/retrieval/HDFSRetrievalDemo.java:76)."""
-    tokens = q.replace("(", " ( ").replace(")", " ) ").split()
+    """Tiny Lucene-subset parser: bare terms and ``"quoted phrases"``
+    with AND/OR connectives, parentheses allowed; adjacent clauses
+    default to OR (Lucene's default operator). Covers the surface the
+    reference demo exercises (lucene/retrieval/HDFSRetrievalDemo.java:76)
+    plus positional phrase queries (the postings table stores positions
+    for exactly this)."""
+    import re as _re
+
+    tokens = _re.findall(r'"[^"]*"|\(|\)|[^\s()"]+', q)
     pos = 0
 
     def peek():
@@ -156,6 +165,11 @@ def parse_query(q: str):
             if peek() == ")":
                 take()
             return node
+        if t.startswith('"') and t.endswith('"') and len(t) >= 2:
+            terms = t[1:-1].split()
+            if not terms:
+                raise ValueError("empty phrase")
+            return _Term(terms[0]) if len(terms) == 1 else _Phrase(terms)
         return _Term(t)
 
     def and_expr():
@@ -181,13 +195,44 @@ def parse_query(q: str):
 def _query_terms(node) -> List[str]:
     if isinstance(node, _Term):
         return [node.term]
+    if isinstance(node, _Phrase):
+        return list(node.terms)
     return [t for p in node.parts for t in _query_terms(p)]
 
 
-def _match_column(node, terms_col: Column) -> Column:
+def _has_phrase(node) -> bool:
+    if isinstance(node, _Phrase):
+        return True
+    if isinstance(node, _Bool):
+        return any(_has_phrase(p) for p in node.parts)
+    return False
+
+
+def _phrase_match(terms: List[str], pos_col: Column) -> Column:
+    """True when some position p of terms[0] has terms[i] at p+i for all
+    i — evaluated entirely JVM-side with higher-order array functions
+    over the per-doc term→positions map (no UDF)."""
+
+    def positions(t: str) -> Column:
+        return F.coalesce(pos_col[t], F.array().cast("array<int>"))
+
+    def at(p: Column) -> Column:
+        cond = F.lit(True)
+        for i, t in enumerate(terms[1:], start=1):
+            cond = cond & F.array_contains(positions(t), p + i)
+        return cond
+
+    return F.exists(positions(terms[0]), at)
+
+
+def _match_column(node, terms_col: Column, pos_col: Optional[Column] = None) -> Column:
     if isinstance(node, _Term):
         return F.array_contains(terms_col, node.term)
-    parts = [_match_column(p, terms_col) for p in node.parts]
+    if isinstance(node, _Phrase):
+        if pos_col is None:
+            raise ValueError("phrase query requires positional postings")
+        return _phrase_match(node.terms, pos_col)
+    parts = [_match_column(p, terms_col, pos_col) for p in node.parts]
     out = parts[0]
     for p in parts[1:]:
         out = (out & p) if node.op == "AND" else (out | p)
@@ -248,16 +293,22 @@ class TextIndex:
         term, no driver-side data)."""
         node = parse_query(query) if isinstance(query, str) else query
         terms = sorted(set(_query_terms(node)))
-        hits = (
-            self.postings()
-            .where(F.col("term").isin(terms))
-            .groupBy("doc_id")
-            .agg(
-                F.collect_set("term").alias("_terms"),
-                F.sum("tf").cast("long").alias("score"),
+        aggs = [
+            F.collect_set("term").alias("_terms"),
+            F.sum("tf").cast("long").alias("score"),
+        ]
+        phrased = _has_phrase(node)
+        if phrased:
+            # per-doc term → positions map, only when a phrase needs it
+            # (collect_list is bounded: ≤ len(terms) entries per doc)
+            aggs.append(
+                F.map_from_entries(
+                    F.collect_list(F.struct("term", "positions"))
+                ).alias("_pos")
             )
-        )
-        return hits.where(_match_column(node, F.col("_terms"))).select("doc_id", "score")
+        hits = self.postings().where(F.col("term").isin(terms)).groupBy("doc_id").agg(*aggs)
+        match = _match_column(node, F.col("_terms"), F.col("_pos") if phrased else None)
+        return hits.where(match).select("doc_id", "score")
 
     def count(self, query: str) -> int:
         """Hit count with the reference's MAX_HITS cap (A3)."""

@@ -169,3 +169,32 @@ def test_multimodal_plumbing(spark, docs_path):
 
     frames = multimodal.sample_frames(media.limit(2), every_ms=500)
     assert frames.count() > 2
+
+
+def test_ivf_topk_exact_when_probing_all(spark):
+    emb = tables.load_raw(spark, docs_path_embeddings()).cache()
+    q = emb.where(F.col("vec_id") == 7).first()["embedding"]
+    cents = similarity.ivf_fit(emb, "embedding", "vec_id", k_clusters=8, max_iter=2)
+    assert len(cents) == 8 and all(len(c) == len(q) for c in cents)
+
+    exact = [r["id"] for r in similarity.cosine_topk(emb, "embedding", "vec_id", q, k=10).collect()]
+    all_probe = [
+        r["id"]
+        for r in similarity.ivf_topk(
+            emb, "embedding", "vec_id", q, cents, k=10, nprobe=8
+        ).collect()
+    ]
+    assert all_probe == exact  # probing every cluster == brute force
+
+    approx = [
+        r["id"]
+        for r in similarity.ivf_topk(emb, "embedding", "vec_id", q, cents, k=10, nprobe=2).collect()
+    ]
+    assert 7 in approx
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.3, f"recall {recall}: exact={exact} approx={approx}"
+
+    # pruning is real: probed subset is strictly smaller than the table
+    assigned = similarity.ivf_assign(emb, "embedding", cents)
+    sizes = {r["cluster"]: r["n"] for r in assigned.groupBy("cluster").agg(F.count("*").alias("n")).collect()}
+    assert len(sizes) >= 2, sizes

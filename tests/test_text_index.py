@@ -100,3 +100,32 @@ def test_parser():
     assert isinstance(parse_query("solo"), _Term)
     with pytest.raises(ValueError):
         parse_query("   ")
+
+
+def test_phrase_query(spark, workdir, docs_path):
+    from elephant_twin_spark.operators import text as T
+
+    eng_root = f"{workdir}/text_phrase_root"
+    T.build_text_index(spark, docs_path, "text", "doc_id", eng_root, num_buckets=4)
+    ti = T.TextIndex(spark, docs_path, "text", eng_root)
+
+    import re
+    docs = spark.read.parquet(docs_path).select("doc_id", "text").collect()
+
+    def brute(phrase):
+        pat = re.compile(r"(^|\s)" + r"\s+".join(map(re.escape, phrase.split())) + r"(\s|$)")
+        return {r["doc_id"] for r in docs if pat.search(r["text"])}
+
+    for phrase in ["sort merge", "table table", "no such phrase here"]:
+        got = {r["doc_id"] for r in ti.matches(f'"{phrase}"').collect()}
+        assert got == brute(phrase), phrase
+
+    # phrases compose with boolean operators
+    both = {r["doc_id"] for r in ti.matches('"sort merge" AND spark').collect()}
+    spark_docs = {r["doc_id"] for r in ti.matches("spark").collect()}
+    assert both == brute("sort merge") & spark_docs
+    either = {r["doc_id"] for r in ti.matches('"sort merge" OR "table table"').collect()}
+    assert either == brute("sort merge") | brute("table table")
+
+    # single-term "phrase" degrades to a term query
+    assert {r["doc_id"] for r in ti.matches('"spark"').collect()} == spark_docs
