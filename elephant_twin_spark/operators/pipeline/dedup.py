@@ -24,6 +24,17 @@ from pyspark.sql import functions as F
 from elephant_twin_spark.operators.text import whitespace_tokenizer
 
 
+def _fan_out(df: DataFrame) -> DataFrame:
+    """Repartition up-front when the source has fewer partitions than
+    cores (single-file tables): shingling/hashing multiplies work per
+    row ~100×, so starting from a 1-partition scan serializes the whole
+    map side into one task."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism // 2:
+        df = df.repartition(sc.defaultParallelism)
+    return df
+
+
 # ------------------------------------------------------------------ exact
 
 def content_signature(text: Column) -> Column:
@@ -85,7 +96,7 @@ def minhash_signatures(
     (min over the shingle multiset equals min over the distinct set, so no
     dedup pass is needed.)
     """
-    sh = df.select(
+    sh = _fan_out(df).select(
         F.col(id_col).alias("id"),
         F.explode(word_shingles(F.col(text_col), shingle_k)).alias("sh"),
     )
@@ -152,7 +163,7 @@ def jaccard_verify_pairs(
     """Exact n-gram Jaccard on candidate pairs only → near-dup pairs
     ``(id_a, id_b, jaccard)`` above threshold. The expensive exact measure
     runs on LSH candidates, not on all pairs."""
-    sh = df.select(
+    sh = _fan_out(df).select(
         F.col(id_col).alias("id"), word_shingles(F.col(text_col), shingle_k).alias("sh")
     )
     j = (
@@ -191,7 +202,7 @@ def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     ``(id, simhash)`` — explode to (id, token, tf), then ONE groupBy with a
     64-lane bit-count vector built by JVM higher-order functions (no
     Python, no 64 separate aggregates)."""
-    toks = df.select(
+    toks = _fan_out(df).select(
         F.col(id_col).alias("id"),
         F.explode(whitespace_tokenizer(F.col(text_col))).alias("tok"),
     )
