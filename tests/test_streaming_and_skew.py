@@ -6,6 +6,8 @@ import pytest
 from elephant_twin_spark.operators import skew
 from elephant_twin_spark.streaming import windows
 
+from conftest import SF_DIR
+
 
 def test_streaming_windowed_counts(spark, workdir, events_multifile):
     sdf = windows.streaming_windowed_counts(
@@ -74,3 +76,82 @@ def test_top_frequent_keys(spark, events_multifile):
     assert len(top) == 3
     assert top[0]["cnt"] >= top[1]["cnt"] >= top[2]["cnt"]
     assert 0 < top[0]["share"] < 1
+
+
+def test_streaming_sessionize_matches_batch(spark, workdir):
+    """applyInPandasWithState sessionization: every emitted session must
+    equal the batch sessionize answer; sessions still open at the end of
+    the backlog are the only permitted difference."""
+    from elephant_twin_spark.operators.sessionize import session_stats
+    from elephant_twin_spark.streaming import stateful
+    from elephant_twin_spark.sources import tables
+
+    src = f"{workdir}/events_time_chunked"
+    ev = tables.load_raw(spark, f"{SF_DIR}/events.parquet").select("user_id", "ts")
+    # time-ordered chunk files: each micro-batch advances event time, so
+    # the watermark moves forward and closes earlier sessions
+    ev.repartitionByRange(6, F.col("ts")).sortWithinPartitions("ts").write.mode(
+        "overwrite"
+    ).parquet(src)
+    # FileStreamSource batches files in modification-time order, which is
+    # identical for one write job — force mod-times ascending with the ts
+    # range (part-NNNNN ordering) so the stream replays in event-time order
+    import os as _os
+    import time as _time
+
+    parts = sorted(p for p in _os.listdir(src) if p.startswith("part-"))
+    base = _time.time() - len(parts) * 10
+    for i, p in enumerate(parts):
+        _os.utime(f"{src}/{p}", (base + i * 10, base + i * 10))
+
+    import shutil
+
+    out, ckpt = f"{workdir}/sessions_out", f"{workdir}/sessions_ckpt"
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    def drain():
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        sdf = stateful.streaming_sessionize(stream, gap_seconds=1800, watermark="1 hour")
+        assert sdf.isStreaming
+        q = (
+            sdf.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    batch = session_stats(spark.read.parquet(src), gap_seconds=1800)
+    want = {
+        (r["user_id"], r["sess_start"], r["sess_end"], r["n_events"])
+        for r in batch.collect()
+    }
+
+    drain()  # processes the backlog; the watermark lags, tail sessions stay open
+    # sentinel event far past everything: the next drain's watermark then
+    # closes every real session (only the sentinel's own stays open)
+    sentinel = (
+        spark.read.parquet(src)
+        .agg((F.max("ts") + F.expr("INTERVAL 30 DAYS")).alias("ts"))
+        .select(F.lit(-1).cast("long").alias("user_id"), "ts")
+    )
+    sentinel.write.mode("append").parquet(src)
+    drain()
+
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.read.parquet(out).where(F.col("user_id") >= 0).collect()
+    }
+    # exactly-once append: parquet row count == distinct session count
+    n_rows = spark.read.parquet(out).where(F.col("user_id") >= 0).count()
+    assert n_rows == len(got), "duplicate session emissions"
+    assert got == want, (
+        f"missing={sorted(want - got)[:5]} extra={sorted(got - want)[:5]}"
+    )
