@@ -177,6 +177,18 @@ def _q_idx_per_key_counts(spark, sf_dir):
     )
 
 
+def _q_sql_front_door(spark, sf_dir):
+    """Full SQL statement routed through index pushdown (entry point A
+    with SQL in place of Pig)."""
+    st = _state(spark, sf_dir)
+    tbl = st.indexed_events()
+    return st.engine.sql(
+        f"SELECT event_id, value FROM '{tbl}' "
+        "WHERE event_type = 'purchase' AND value > 10 "
+        "ORDER BY value DESC, event_id LIMIT 50"
+    )
+
+
 def _q_agg_lineitem_pricing(spark, sf_dir):
     li = _state(spark, sf_dir).raw("lineitem")
     return (
@@ -575,6 +587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "idx_residual": _q_idx_residual,
         "idx_no_match": _q_idx_no_match,
         "idx_per_key_counts": _q_idx_per_key_counts,
+        "sql_front_door": _q_sql_front_door,
         # relational/agg parity (A2/A5, O4, C1-C3)
         "agg_lineitem_pricing": _q_agg_lineitem_pricing,
         "events_hourly": _q_events_hourly,
@@ -649,6 +662,11 @@ def oracle_sql() -> dict[str, str]:
         "idx_per_key_counts": (
             "SELECT event_type AS key, count(*) AS cnt FROM events GROUP BY event_type"
         ),
+        "sql_front_door": """
+            SELECT event_id, value FROM events
+            WHERE event_type = 'purchase' AND value > 10
+            ORDER BY value DESC, event_id LIMIT 50
+        """,
         "agg_lineitem_pricing": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,

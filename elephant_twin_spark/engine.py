@@ -88,6 +88,58 @@ class Engine:
             self.spark, table_path, predicate, self.index_root, metrics=self.last_metrics
         )
 
+    def sql(self, statement: str) -> DataFrame:
+        """SQL front door over index-accelerated scans — the analog of the
+        reference's external-engine entry point (Pig in entry point A,
+        SURVEY §3.1), with SQL as the query language:
+
+            engine.sql("SELECT event_id, ts FROM '/data/events'"
+                       " WHERE event_type = 'click' AND value > 5"
+                       " ORDER BY ts DESC LIMIT 100")
+
+        The WHERE clause goes through the same pushdown negotiation as
+        ``query`` (EQ/AND/OR on indexed columns prune files; the full
+        predicate re-checks rows). The FROM item is a quoted table path.
+        Anything beyond this grammar (joins, GROUP BY) belongs in plain
+        ``spark.sql`` / DataFrame composition over ``query``'s result —
+        the front door covers the reference's own query surface, which is
+        exactly filter + project + order + limit."""
+        import re
+
+        m = re.match(
+            r"""^\s*SELECT\s+(?P<cols>.+?)\s+FROM\s+
+                (?P<q>['"])(?P<tbl>.+?)(?P=q)
+                (?:\s+WHERE\s+(?P<where>.+?))?
+                (?:\s+ORDER\s+BY\s+(?P<order>.+?))?
+                (?:\s+LIMIT\s+(?P<limit>\d+))?\s*$""",
+            statement,
+            re.IGNORECASE | re.DOTALL | re.VERBOSE,
+        )
+        if m is None:
+            raise ValueError(
+                "unsupported statement (expected SELECT cols FROM '<path>' "
+                f"[WHERE ...] [ORDER BY ...] [LIMIT n]): {statement!r}"
+            )
+        tbl = m.group("tbl")
+        df = self.query(tbl, m.group("where")) if m.group("where") else self.scan(tbl)
+        cols = [c.strip() for c in m.group("cols").split(",")]
+        if cols != ["*"]:
+            df = df.selectExpr(*cols)
+        if m.group("order"):
+            from pyspark.sql import functions as F
+
+            order_cols = []
+            for item in m.group("order").split(","):
+                parts = item.split()
+                c = F.expr(parts[0])
+                if len(parts) > 1 and parts[1].upper() == "DESC":
+                    c = c.desc()
+                order_cols.append(c)
+            df = df.orderBy(*order_cols)
+        if m.group("limit"):
+            df = df.limit(int(m.group("limit")))
+        return df
+
     def pushdown_info(self, table_path: str, predicate) -> Dict:
         """M4 capability negotiation: which part of ``predicate`` the
         indexes can serve (the IndexedPigLoader getPartitionKeys /

@@ -102,3 +102,37 @@ def test_time_rollup(spark, events_multifile):
 
     w = rollup.windowed_rollup(df, "ts", "event_type", "2 hours")
     assert w.agg(F.sum("cnt")).collect()[0][0] == df.count()
+
+
+def test_sql_front_door(spark, workdir, events_multifile):
+    from elephant_twin_spark import Engine
+
+    eng = Engine(spark, f"{workdir}/sqlfd_root")
+    eng.build_index(events_multifile, "event_type", num_buckets=4)
+
+    got = eng.sql(
+        f"SELECT event_id, value FROM '{events_multifile}' "
+        "WHERE event_type = 'click' AND value > 5 "
+        "ORDER BY value DESC, event_id LIMIT 20"
+    ).collect()
+    want = (
+        spark.read.parquet(events_multifile)
+        .where((F.col("event_type") == "click") & (F.col("value") > 5))
+        .select("event_id", "value")
+        .orderBy(F.col("value").desc(), "event_id")
+        .limit(20)
+        .collect()
+    )
+    assert got == want and len(got) == 20
+    # the WHERE went through pushdown negotiation (every file contains
+    # 'click' in this random split, so no files prune — but the EQ leaf
+    # must have been pushed to the index)
+    m = eng.last_metrics
+    assert m is not None and "event_type" in (m.pushed or "")
+
+    # star projection + no WHERE = plain scan
+    n = eng.sql(f"SELECT * FROM '{events_multifile}'").count()
+    assert n == spark.read.parquet(events_multifile).count()
+
+    with pytest.raises(ValueError):
+        eng.sql("DELETE FROM 'x'")
