@@ -133,6 +133,51 @@ def main():
     )
     bytes_ratio = round(eng.last_metrics.bytes_ratio, 2)
 
+    # ---- temporal joins
+    from elephant_twin_spark.operators import temporal
+
+    ev_df = spark.read.parquet(events)
+    purchases = ev_df.where(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = ev_df.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    timed("q_asof_join")(
+        lambda: temporal.asof_join(
+            purchases, clicks, ["user_id"], "ts", "click_ts", ["click_ts"]
+        ).count()
+    )
+    intervals = ev_df.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("iv_id"),
+        "user_id",
+        (F.col("ts") - F.expr("INTERVAL 1 HOUR")).alias("start"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("end"),
+    )
+    points = ev_df.select(F.col("event_id").alias("pt_id"), "user_id", "ts")
+    timed("q_interval_join")(
+        lambda: temporal.interval_join(points, intervals, "ts", "start", "end", keys=["user_id"])
+        .groupBy("iv_id")
+        .count()
+        .count()
+    )
+
+    # ---- phrase + SQL front door + mergeable sketches
+    timed("q_text_phrase")(lambda: ti.count('"sort merge"'))
+    timed("q_sql_front_door")(
+        lambda: eng.sql(
+            f"SELECT event_id, value FROM '{events}' "
+            "WHERE event_type = 'purchase' AND value > 10 "
+            "ORDER BY value DESC, event_id LIMIT 100"
+        ).collect()
+    )
+    from elephant_twin_spark.functions import sketches
+
+    timed("q_hll_merge_distinct_users")(
+        lambda: ev_df.groupBy("event_type")
+        .agg(sketches.hll_sketch("user_id").alias("sk"))
+        .agg(sketches.hll_estimate(sketches.hll_merge("sk")).alias("d"))
+        .collect()
+    )
+
     qvec = emb.where(F.col("vec_id") == 0).first()["embedding"]
     timed("q_ann_bruteforce")(
         lambda: similarity.cosine_topk(emb, "embedding", "vec_id", qvec, k=10).collect()

@@ -26,6 +26,35 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 
+def compact_table(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    target_file_mb: int = 128,
+    cluster_cols: Optional[Sequence[str]] = None,
+) -> int:
+    """Small-file compaction: rewrite ``src`` at ``dst`` with
+    ``ceil(total_bytes / target_file_mb)`` output files (at 100 TB the
+    small-files problem dominates listing + task-scheduling overhead; a
+    table ingested in many micro-batches needs periodic compaction).
+    With ``cluster_cols`` the rewrite also range-clusters (see
+    :func:`cluster_table`), folding two maintenance passes into one
+    shuffle. Returns the output file count."""
+    from elephant_twin_spark.sources import fsio
+
+    total = sum(size for _, size, _ in fsio.list_data_files(spark, src_path))
+    n = max(1, -(-total // (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(src_path)
+    if cluster_cols:
+        out = df.repartitionByRange(n, *[F.col(c) for c in cluster_cols]).sortWithinPartitions(
+            *cluster_cols
+        )
+    else:
+        out = df.repartition(n)
+    out.write.mode("overwrite").parquet(dst_path)
+    return int(n)
+
+
 def cluster_table(
     spark: SparkSession,
     src_path: str,

@@ -95,3 +95,36 @@ def test_hex_and_md5(spark):
     ).first()
     assert out["m"] == "900150983cd24fb0d6963f7d28e17f72"
     assert out["h"] == "ff"
+
+
+def test_sketches_accuracy_and_mergeability(spark):
+    from elephant_twin_spark.functions import sketches
+    from elephant_twin_spark.sources import tables
+    from conftest import SF_DIR
+
+    ev = tables.load_raw(spark, f"{SF_DIR}/events.parquet")
+    exact = ev.select("user_id").distinct().count()
+
+    approx = ev.agg(sketches.approx_distinct("user_id").alias("d")).first()["d"]
+    assert abs(approx - exact) <= max(2, 0.15 * exact), (approx, exact)
+
+    # mergeable path: per-event-type sketches union to the global estimate
+    per_type = ev.groupBy("event_type").agg(sketches.hll_sketch("user_id").alias("sk"))
+    merged = per_type.agg(
+        sketches.hll_estimate(sketches.hll_merge("sk")).alias("d")
+    ).first()["d"]
+    assert abs(merged - exact) <= max(2, 0.15 * exact), (merged, exact)
+
+    # approx quantiles bracket the exact median
+    [q50] = sketches.approx_quantiles(ev, "value", [0.5], relative_error=0.01)
+    exact_q50 = ev.selectExpr("percentile(value, 0.5) AS m").first()["m"]
+    lo, hi = (
+        ev.selectExpr("percentile(value, 0.45) AS m").first()["m"],
+        ev.selectExpr("percentile(value, 0.55) AS m").first()["m"],
+    )
+    assert lo <= q50 <= hi, (lo, q50, hi, exact_q50)
+
+    pa = ev.groupBy("event_type").agg(
+        sketches.percentile_approx("value", 0.5).alias("p50")
+    )
+    assert pa.count() > 0 and pa.first()["p50"] is not None

@@ -21,3 +21,18 @@ def test_clustered_layout_prunes(spark, workdir, events_multifile):
     # 5 event types clustered into 10 range files → 'click' lives in ~2
     assert m.scanned_files < m.total_files, m.as_dict()
     assert m.bytes_ratio > 2.0, m.as_dict()
+
+
+def test_compact_table(spark, workdir, events_multifile):
+    from elephant_twin_spark.sources import fsio
+
+    dst = f"{workdir}/events_compacted"
+    n = layout.compact_table(spark, events_multifile, dst, target_file_mb=128)
+    assert n == 1  # tiny table compacts to a single file
+    files = fsio.list_data_files(spark, dst)
+    assert len(files) == 1
+    # content preserved exactly
+    a = spark.read.parquet(events_multifile)
+    b = spark.read.parquet(dst)
+    assert a.count() == b.count()
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
