@@ -1,0 +1,113 @@
+"""Physical-plan property audit — the scale claims, checked.
+
+Each operator's docstring makes a claim about its plan shape (pushdown
+reaches the parquet scan, small dims broadcast, as-of join is a single
+shuffle, brute-force top-k never shuffles). These tests pin those claims
+to the actual executed plan so a regression that silently de-optimizes
+(e.g. a cast that blocks pushdown, a join that stops broadcasting) fails
+loudly — the `.explain()` discipline as CI.
+"""
+
+import pyspark.sql.functions as F
+import pytest
+
+from elephant_twin_spark.sources import tables
+
+from conftest import SF_DIR
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_of(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return tables.load_raw(spark, f"{SF_DIR}/events.parquet")
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark, events):
+    df = events.where(F.col("event_type") == "click").select("event_id", "event_type")
+    plan = plan_of(df)
+    assert "PushedFilters: [IsNotNull(event_type), EqualTo(event_type,click)" in plan, plan
+    # column pruning: scan schema carries only the selected columns
+    assert "ReadSchema" in plan and "value" not in plan.split("ReadSchema")[1][:200], plan
+
+
+def test_small_dim_join_broadcasts(spark):
+    orders = tables.load_sf_table(spark, SF_DIR, "orders")
+    customer = tables.load_sf_table(spark, SF_DIR, "customer")
+    j = orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey).groupBy(
+        "c_mktsegment"
+    ).count()
+    assert "BroadcastHashJoin" in plan_of(j)
+
+
+def test_asof_join_single_shuffle(spark, events):
+    from elephant_twin_spark.operators import temporal
+
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = events.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    out = temporal.asof_join(purchases, clicks, ["user_id"], "ts", "click_ts", ["click_ts"])
+    plan = plan_of(out)
+    # one Exchange for the union'd window partitioning — not one per side,
+    # and certainly no join-shaped second shuffle
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, f"{n_exchanges} shuffles:\n{plan}"
+    assert "Join" not in plan, plan
+
+
+def test_cosine_topk_has_no_shuffle(spark):
+    from elephant_twin_spark.operators.pipeline import similarity
+
+    emb = tables.load_raw(spark, f"{SF_DIR}/embeddings.parquet")
+    q = [0.1] * emb.select(F.size("embedding").alias("d")).first()["d"]
+    top = similarity.cosine_topk(emb, "embedding", "vec_id", q, k=5)
+    plan = plan_of(top)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange" not in plan, plan
+
+
+def test_exact_dedup_is_partial_aggregated(spark):
+    from elephant_twin_spark.operators.pipeline import dedup
+
+    docs = tables.load_raw(spark, f"{SF_DIR}/documents.parquet")
+    g = dedup.exact_dup_groups(docs, "text", "doc_id")
+    plan = plan_of(g)
+    # map-side combine: partial_count/partial_min before the exchange
+    assert "partial_count" in plan or "partial" in plan.lower(), plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_index_scan_keeps_residual_filter(spark, workdir, events_multifile):
+    from elephant_twin_spark import Engine, col
+
+    eng = Engine(spark, f"{workdir}/plans_root")
+    eng.build_index(events_multifile, "event_type", num_buckets=4)
+    df = eng.query(events_multifile, (col("event_type") == "click") & (col("value") > 5))
+    plan = plan_of(df)
+    # residual re-check present in the scan filter AND pushed to parquet
+    assert "EqualTo(event_type,click)" in plan, plan
+    assert "GreaterThan(value,5" in plan, plan
+
+
+def test_interval_join_keyed_is_sort_merge_not_nested_loop(spark, events):
+    from elephant_twin_spark.operators import temporal
+
+    intervals = events.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("iv_id"),
+        "user_id",
+        (F.col("ts") - F.expr("INTERVAL 1 HOUR")).alias("start"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("end"),
+    )
+    points = events.select(F.col("event_id").alias("pt_id"), "user_id", "ts")
+    j = temporal.interval_join(points, intervals, "ts", "start", "end", keys=["user_id"])
+    plan = plan_of(j)
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan, plan
