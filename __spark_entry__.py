@@ -436,6 +436,52 @@ def _q_set_ops(spark, sf_dir):
     return clickers.exceptAll(buyers).distinct()
 
 
+def _q_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: pure range-filter aggregation — every predicate
+    pushes to the parquet scan (no index needed; footer stats prune)."""
+    li = _state(spark, sf_dir).raw("lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1995-01-01"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01"))
+            & (F.col("l_discount").between(0.02, 0.06))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    )
+
+
+def _q_top_unshipped_orders(spark, sf_dir):
+    """TPC-H Q3 shape: selective join + agg + global top-N."""
+    st = _state(spark, sf_dir)
+    c = st.raw("customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = st.raw("orders").where(F.col("o_orderdate") < F.lit("1995-03-15"))
+    l = st.raw("lineitem").where(F.col("l_shipdate") > F.lit("1995-03-15"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderdate").asc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+def _q_above_avg_orders(spark, sf_dir):
+    """Scalar-subquery shape: orders above the global average price."""
+    orders = _state(spark, sf_dir).raw("orders")
+    avg_price = orders.agg(F.avg("o_totalprice")).first()[0]
+    return (
+        orders.where(F.col("o_totalprice") > F.lit(avg_price))
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 def _q_window_top_orders(spark, sf_dir):
     """Window functions (absent in the reference, SURVEY §2.9): top-3
     orders per customer by price, deterministic tiebreak on orderkey."""
@@ -619,6 +665,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_revenue_by_nation": _q_join_revenue_by_nation,
         "rollup_orders": _q_rollup_orders,
         "click_not_purchase_users": _q_set_ops,
+        "forecast_revenue": _q_forecast_revenue,
+        "top_unshipped_orders": _q_top_unshipped_orders,
+        "above_avg_orders": _q_above_avg_orders,
         "window_top_orders": _q_window_top_orders,
         "running_revenue": _q_running_revenue,
         "cube_orders": _q_cube_orders,
@@ -855,6 +904,28 @@ def oracle_sql() -> dict[str, str]:
               EXCEPT ALL
               SELECT user_id FROM events WHERE event_type = 'purchase'
             )
+        """,
+        "forecast_revenue": """
+            SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= DATE '1995-01-01' AND l_shipdate < DATE '1996-01-01'
+              AND l_discount BETWEEN 0.02 AND 0.06 AND l_quantity < 24
+        """,
+        "top_unshipped_orders": """
+            SELECT l_orderkey, o_orderdate, o_orderpriority,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < DATE '1995-03-15' AND l_shipdate > DATE '1995-03-15'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC LIMIT 10
+        """,
+        "above_avg_orders": """
+            SELECT o_orderpriority, count(*) AS n FROM orders
+            WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+            GROUP BY o_orderpriority
         """,
         "window_top_orders": """
             SELECT * FROM (

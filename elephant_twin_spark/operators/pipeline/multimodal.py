@@ -99,6 +99,56 @@ def decode_image_features(
     return df.mapInPandas(run, schema=IMAGE_FEATURES_SCHEMA)
 
 
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("content", BinaryType()),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame,
+    target_w: int,
+    target_h: int,
+    content_col: str = "content",
+    id_col: str = "media_id",
+    fake: bool = False,
+    batch_limit: int = 1024,
+) -> DataFrame:
+    """Resize images to (target_w, target_h) via ``mapInPandas`` — same
+    Arrow-batched narrow plan as the decode step. Real resampling is
+    stubbed; ``fake=True`` emits a deterministic truncated/padded payload
+    of ``target_w*target_h`` bytes so batch shape, memory bounds and
+    schema are exercised for real."""
+
+    n_out = target_w * target_h
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "image resize requires PIL (not in this container); "
+                    "pass fake=True for the deterministic stub"
+                )
+            for start in range(0, len(pdf), batch_limit):
+                chunk = pdf.iloc[start : start + batch_limit]
+                yield pd.DataFrame(
+                    {
+                        "media_id": chunk[id_col].astype("int64"),
+                        "width": target_w,
+                        "height": target_h,
+                        "content": chunk[content_col].map(
+                            lambda b: (b or b"").ljust(n_out, b"\0")[:n_out]
+                        ),
+                    }
+                )
+
+    return df.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
 def sample_frames(
     df: DataFrame,
     every_ms: int = 1000,

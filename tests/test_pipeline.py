@@ -198,3 +198,14 @@ def test_ivf_topk_exact_when_probing_all(spark):
     assigned = similarity.ivf_assign(emb, "embedding", cents)
     sizes = {r["cluster"]: r["n"] for r in assigned.groupBy("cluster").agg(F.count("*").alias("n")).collect()}
     assert len(sizes) >= 2, sizes
+
+
+def test_multimodal_resize_stub(spark, docs_path):
+    media = multimodal.synthesize_media_table(spark, docs_path).limit(50)
+    out = multimodal.resize_images(media, 16, 8, fake=True)
+    rows = out.collect()
+    assert len(rows) == 50
+    assert all(len(r["content"]) == 16 * 8 for r in rows)
+    assert all(r["width"] == 16 and r["height"] == 8 for r in rows)
+    with pytest.raises(Exception):
+        multimodal.resize_images(media, 4, 4, fake=False).collect()
