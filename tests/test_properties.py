@@ -1,0 +1,101 @@
+"""Hypothesis property tests for the pure-Python kernels (no Spark —
+these run in milliseconds and hammer the logic the DataFrame plans are
+built on)."""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from elephant_twin_spark.plans import expr as E
+from elephant_twin_spark.streaming.stateful import _sessions
+
+
+# ------------------------------------------------------------ sessionize
+
+@given(
+    ts=st.lists(st.integers(min_value=0, max_value=10**9), min_size=1, max_size=200),
+    gap=st.integers(min_value=1, max_value=10**6),
+)
+@settings(max_examples=200)
+def test_sessions_partition_and_gap_invariants(ts, gap):
+    ts = sorted(ts)
+    runs = _sessions(ts, gap)
+    # partition: counts sum to the input length, bounds nest and are ordered
+    assert sum(n for _, _, n in runs) == len(ts)
+    flat_idx = 0
+    prev_end = None
+    for start, end, n in runs:
+        chunk = ts[flat_idx : flat_idx + n]
+        assert chunk[0] == start and chunk[-1] == end
+        # within a run every consecutive gap <= gap
+        assert all(b - a <= gap for a, b in zip(chunk, chunk[1:]))
+        # between runs the gap is > gap
+        if prev_end is not None:
+            assert start - prev_end > gap
+        prev_end = end
+        flat_idx += n
+
+
+# --------------------------------------------------------- predicate IR
+
+_names = st.sampled_from(["a", "b", "event_type", "user_id"])
+_values = st.one_of(
+    st.text(alphabet="xyz_0 9", min_size=0, max_size=8),
+    st.integers(min_value=-10**6, max_value=10**6),
+)
+
+
+def _exprs(depth=3):
+    leaf = st.builds(E.Eq, _names, _values)
+    return st.recursive(
+        leaf,
+        lambda children: st.one_of(
+            st.builds(E.And, children, children),
+            st.builds(E.Or, children, children),
+        ),
+        max_leaves=8,
+    )
+
+
+@given(e=_exprs())
+@settings(max_examples=200)
+def test_expr_json_roundtrip(e):
+    assert repr(E.from_json_dict(E.to_json_dict(e))) == repr(e)
+
+
+@given(e=_exprs())
+@settings(max_examples=200)
+def test_pushable_extraction_is_subset(e):
+    # pushing against ALL columns returns the whole EQ/AND/OR tree;
+    # against NO columns returns nothing
+    assert E.extract_pushable(e, {"a", "b", "event_type", "user_id"}) is not None
+    assert E.extract_pushable(e, set()) is None
+
+
+@given(
+    name=st.sampled_from(["a", "event_type"]),
+    val=st.text(alphabet=st.characters(whitelist_categories=["Ll", "Nd"]), min_size=1, max_size=8),
+)
+@settings(max_examples=100)
+def test_parse_predicate_roundtrips_eq(name, val):
+    e = E.parse_predicate(f"{name} = '{val}'")
+    assert isinstance(e, E.Eq) and e.column == name and e.value == val
+
+
+# ------------------------------------------------------------ text query
+
+@given(
+    terms=st.lists(
+        st.text(alphabet=st.characters(whitelist_categories=["Ll"]), min_size=1, max_size=6),
+        min_size=2,
+        max_size=5,
+    )
+)
+@settings(max_examples=100)
+def test_phrase_parse(terms):
+    from elephant_twin_spark.operators.text import parse_query, _Phrase, _Term
+
+    node = parse_query('"' + " ".join(terms) + '"')
+    if len(terms) == 1:
+        assert isinstance(node, _Term)
+    else:
+        assert isinstance(node, _Phrase) and node.terms == terms
