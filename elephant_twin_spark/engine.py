@@ -58,6 +58,13 @@ class Engine:
             **kw,
         )
 
+    def build_indexes(self, table_path: str, columns, **kw) -> List[build_mod.BuildResult]:
+        """Build several column indexes with one shared scan of the table
+        (see :func:`operators.build.build_block_indexes`)."""
+        return build_mod.build_block_indexes(
+            self.spark, table_path, columns, self.index_root, **kw
+        )
+
     def drop_index(self, table_path: str, column: str, kind: str = "block") -> None:
         fsio.delete(self.spark, catalog.index_dir(self.index_root, table_path, column, kind))
 

@@ -144,6 +144,7 @@ def build_block_index(
     sample_fraction: Optional[float] = None,
     seed: int = 42,
     overwrite: bool = True,
+    df: Optional[DataFrame] = None,
 ) -> BuildResult:
     """Build (or rebuild) the sparse index for (table, column).
 
@@ -151,13 +152,17 @@ def build_block_index(
     pool (M1, AbstractBlockIndexingJob.java:176-312), this is one Spark job;
     incremental refresh of only-new files lives in
     :mod:`elephant_twin_spark.streaming.refresh`.
+
+    ``df`` lets :func:`build_block_indexes` pass a shared (cached) scan of
+    the table; it must be a file-source read of ``table_path``.
     """
     idx_dir = catalog.index_dir(index_root, table_path, column, kind="block")
     if not overwrite and catalog.read_descriptor(spark, idx_dir) is not None:
         desc = catalog.read_descriptor(spark, idx_dir)
         return BuildResult(idx_dir, column, len(desc.files), -1)
 
-    df = spark.read.parquet(table_path)
+    if df is None:
+        df = spark.read.parquet(table_path)
     postings = postings_for(
         df, column, max_merged_bytes=max_merged_bytes, sample_fraction=sample_fraction, seed=seed
     )
@@ -189,6 +194,46 @@ def build_block_index(
 
     n_keys = -1  # cheap: do not force a count; callers can count the postings table
     return BuildResult(idx_dir, column, len(files), n_keys)
+
+
+def build_block_indexes(
+    spark: SparkSession,
+    table_path: str,
+    columns,
+    index_root: str,
+    **kw,
+) -> list:
+    """Build indexes for several columns with ONE scan of the base table.
+
+    The reference pays a full MR pass per (file, column); here the k
+    index builds share a single cached projection of just the k key
+    columns + file metadata (column-pruned, spilled to disk if large), so
+    at 100 TB the table is read once instead of k times. Each column
+    still gets its own shuffle + bucketed write (their partitionings
+    differ by definition)."""
+    from pyspark import StorageLevel
+
+    cols = list(columns)
+    shared = spark.read.parquet(table_path).select(
+        *cols,
+        F.col("_metadata.file_path").alias("_mfp"),
+        F.col("_metadata.file_block_start").alias("_mbs"),
+        F.col("_metadata.file_block_length").alias("_mbl"),
+    ).withColumn(
+        "_metadata",
+        F.struct(
+            F.col("_mfp").alias("file_path"),
+            F.col("_mbs").alias("file_block_start"),
+            F.col("_mbl").alias("file_block_length"),
+        ),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        return [
+            build_block_index(spark, table_path, c, index_root, df=shared, **kw)
+            for c in cols
+        ]
+    finally:
+        shared.unpersist()
 
 
 def read_postings(spark: SparkSession, idx_dir: str) -> DataFrame:

@@ -192,3 +192,32 @@ def test_range_merge_invariants(engine, events_multifile):
         .count()
     )
     assert bad == 0
+
+
+def test_multi_column_build_matches_individual(spark, workdir, events_multifile):
+    from elephant_twin_spark import Engine
+
+    a = Engine(spark, f"{workdir}/multi_a")
+    a.build_index(events_multifile, "event_type", num_buckets=4)
+    a.build_index(events_multifile, "user_id", num_buckets=4)
+
+    b = Engine(spark, f"{workdir}/multi_b")
+    results = b.build_indexes(
+        events_multifile, ["event_type", "user_id"], num_buckets=4
+    )
+    assert [r.column for r in results] == ["event_type", "user_id"]
+
+    for colname in ("event_type", "user_id"):
+        pa = a.postings(events_multifile, colname).orderBy("key", "file")
+        pb = b.postings(events_multifile, colname).orderBy("key", "file")
+        ra, rb = pa.collect(), pb.collect()
+        assert ra == rb and len(ra) > 0
+
+    # queries through the shared-scan indexes stay exact
+    got = b.query(events_multifile, col("event_type") == "click").count()
+    want = (
+        spark.read.parquet(events_multifile)
+        .where(F.col("event_type") == "click")
+        .count()
+    )
+    assert got == want
