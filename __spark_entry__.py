@@ -81,6 +81,15 @@ class _SFState:
         self.ensure_block_index(p, "user_id")
         return p
 
+    def ensure_bloom_index(self, table_path: str, column: str) -> None:
+        idx_dir = catalog.index_dir(self.engine.index_root, table_path, column, "bloom")
+        desc = catalog.read_descriptor(self.spark, idx_dir)
+        if desc is not None:
+            live = fsio.list_data_files(self.spark, table_path)
+            if desc.fresh_files(live) == {p for p, _, _ in live}:
+                return
+        self.engine.build_bloom_index(table_path, column)
+
     def docs_text_index(self):
         p = f"{self.sf_dir}/documents.parquet"
         self.ensure_text_index(p, "text", "doc_id")
@@ -175,6 +184,15 @@ def _q_idx_per_key_counts(spark, sf_dir):
         .groupBy("key")
         .agg(F.sum("cnt").alias("cnt"))
     )
+
+
+def _q_bloom_user_lookup(spark, sf_dir):
+    """High-cardinality point lookup via the per-file Bloom index
+    (O(files) storage; false-positive-only pruning, exact results)."""
+    st = _state(spark, sf_dir)
+    tbl = st.events
+    st.ensure_bloom_index(tbl, "user_id")
+    return st.engine.query(tbl, col("user_id") == 42).select(*_EVENT_COLS)
 
 
 def _q_sql_front_door(spark, sf_dir):
@@ -634,6 +652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "idx_no_match": _q_idx_no_match,
         "idx_per_key_counts": _q_idx_per_key_counts,
         "sql_front_door": _q_sql_front_door,
+        "bloom_user_lookup": _q_bloom_user_lookup,
         # relational/agg parity (A2/A5, O4, C1-C3)
         "agg_lineitem_pricing": _q_agg_lineitem_pricing,
         "events_hourly": _q_events_hourly,
@@ -708,6 +727,7 @@ def oracle_sql() -> dict[str, str]:
         "idx_or": f"{ev} WHERE event_type = 'signup' OR event_type = 'error'",
         "idx_residual": f"{ev} WHERE event_type = 'purchase' AND value > 50.0",
         "idx_no_match": f"{ev} WHERE event_type = 'does_not_exist'",
+        "bloom_user_lookup": f"{ev} WHERE user_id = 42",
         "idx_per_key_counts": (
             "SELECT event_type AS key, count(*) AS cnt FROM events GROUP BY event_type"
         ),

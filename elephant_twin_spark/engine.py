@@ -65,6 +65,15 @@ class Engine:
             self.spark, table_path, columns, self.index_root, **kw
         )
 
+    def build_bloom_index(self, table_path: str, column: str, **kw) -> build_mod.BuildResult:
+        """Per-file Bloom index — O(files) storage for high-cardinality
+        columns where postings would be O(keys×files); lookups may
+        false-positive (residual filter keeps results exact), never
+        false-negative."""
+        return build_mod.build_bloom_index(
+            self.spark, table_path, column, self.index_root, **kw
+        )
+
     def drop_index(self, table_path: str, column: str, kind: str = "block") -> None:
         fsio.delete(self.spark, catalog.index_dir(self.index_root, table_path, column, kind))
 
@@ -155,7 +164,7 @@ class Engine:
             predicate = E.parse_predicate(predicate)
         predicate = E._coerce(predicate)
         live = fsio.list_data_files(self.spark, table_path)
-        indexes = scan_mod._load_indexes(self.spark, table_path, self.index_root, live)
+        indexes = scan_mod._load_all_indexes(self.spark, table_path, self.index_root, live)
         pushed = E.extract_pushable(predicate, set(indexes))
         return {
             "indexed_columns": sorted(indexes),

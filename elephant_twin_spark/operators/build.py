@@ -196,6 +196,107 @@ def build_block_index(
     return BuildResult(idx_dir, column, len(files), n_keys)
 
 
+# --------------------------------------------------------------- bloom index
+#
+# Postings indexes are O(distinct keys × files) — perfect for low/medium
+# cardinality, wasteful for high-cardinality columns (a user_id index over
+# 100 TB carries billions of postings). The bloom index is the scale
+# complement: ONE fixed-size bit array per file (`num_bits` bits as
+# num_bits/64 longs), k hash functions. Lookups can false-positive (scan a
+# file that has no match — residual filter keeps results exact) but never
+# false-negative, so pruning stays safe. Storage is O(files), independent
+# of cardinality. The reference has no analog; its MapFile postings hit
+# the same cardinality wall (every distinct Text key is materialized).
+
+BLOOM_DEFAULT_BITS = 8192
+BLOOM_DEFAULT_HASHES = 3
+
+
+def _bloom_pos_sql(key, i: int, num_bits: int) -> F.Column:
+    """Hash position i for a key column — md5-based so the SAME value is
+    computable driver-side in Python (`bloom_positions`) without Spark."""
+    h = F.conv(F.substring(F.md5(F.concat(F.lit(f"{i}|"), key)), 1, 15), 16, 10)
+    return (h.cast("long") % num_bits).cast("int")
+
+
+def bloom_positions(value: str, num_bits: int, num_hashes: int):
+    """Driver-side twin of :func:`_bloom_pos_sql`."""
+    import hashlib
+
+    out = []
+    for i in range(num_hashes):
+        h = hashlib.md5(f"{i}|{value}".encode()).hexdigest()
+        out.append(int(h[:15], 16) % num_bits)
+    return out
+
+
+def build_bloom_index(
+    spark: SparkSession,
+    table_path: str,
+    column: str,
+    index_root: str,
+    num_bits: int = BLOOM_DEFAULT_BITS,
+    num_hashes: int = BLOOM_DEFAULT_HASHES,
+) -> BuildResult:
+    """Per-file Bloom filter index for ``column``: sketch table
+    ``(file, bits array<bigint>)`` with ``num_bits/64`` words per file."""
+    if num_bits % 64:
+        raise ValueError("num_bits must be a multiple of 64")
+    n_words = num_bits // 64
+    idx_dir = catalog.index_dir(index_root, table_path, column, kind="bloom")
+
+    df = spark.read.parquet(table_path)
+    key = F.col(column).cast("string")
+    src = df.select(
+        key.alias("key"),
+        F.regexp_replace(
+            F.col("_metadata.file_path"), r"^file:/(?=[^/])", "file:///"
+        ).alias("file"),
+    ).where(key.isNotNull())
+    pos = src.select(
+        "file",
+        F.explode(
+            F.array(*[_bloom_pos_sql(F.col("key"), i, num_bits) for i in range(num_hashes)])
+        ).alias("pos"),
+    )
+    words = (
+        pos.select(
+            "file",
+            (F.col("pos") / 64).cast("int").alias("word"),
+            F.expr("shiftleft(1L, cast(pos % 64 as int))").alias("mask"),
+        )
+        .groupBy("file", "word")
+        .agg(F.expr("bit_or(mask)").alias("val"))
+    )
+    sketch = (
+        words.groupBy("file")
+        .agg(F.map_from_entries(F.collect_list(F.struct("word", "val"))).alias("_m"))
+        .select(
+            "file",
+            F.expr(
+                f"transform(sequence(0, {n_words - 1}), w -> coalesce(element_at(_m, w), 0L))"
+            ).alias("bits"),
+        )
+    )
+    sketch.coalesce(1).write.mode("overwrite").parquet(f"{idx_dir}/sketch")
+
+    files = fsio.list_data_files(spark, table_path)
+    desc = catalog.make_descriptor(
+        source_path=table_path,
+        column=column,
+        index_type="BLOOM",
+        num_buckets=1,
+        files=files,
+        options={"num_bits": str(num_bits), "num_hashes": str(num_hashes)},
+    )
+    catalog.write_descriptor(spark, idx_dir, desc)
+    return BuildResult(idx_dir, column, len(files), -1)
+
+
+def read_bloom_sketch(spark: SparkSession, idx_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{idx_dir}/sketch")
+
+
 def build_block_indexes(
     spark: SparkSession,
     table_path: str,

@@ -73,17 +73,22 @@ class _Index:
     column: str
     idx_dir: str
     desc: catalog.IndexDescriptor
+    kind: str = "block"
     fresh: Set[str] = field(default_factory=set)
     not_covered: Set[str] = field(default_factory=set)
 
 
 def _load_indexes(
-    spark: SparkSession, table_path: str, index_root: str, live: List[fsio.FileStat]
+    spark: SparkSession,
+    table_path: str,
+    index_root: str,
+    live: List[fsio.FileStat],
+    kind: str = "block",
 ) -> Dict[str, _Index]:
-    """Discover valid block indexes for the table and classify each live
-    file as fresh (pruneable) or not-covered (must always scan) per index."""
+    """Discover valid indexes of one kind for the table and classify each
+    live file as fresh (pruneable) or not-covered (must always scan)."""
     out: Dict[str, _Index] = {}
-    tid_dir = f"{index_root.rstrip('/')}/{catalog.table_id(table_path)}/block"
+    tid_dir = f"{index_root.rstrip('/')}/{catalog.table_id(table_path)}/{kind}"
     if not fsio.exists(spark, tid_dir):
         return out
     fs, jpath, _ = fsio._fs_and_path(spark, tid_dir)
@@ -101,10 +106,21 @@ def _load_indexes(
             column=column,
             idx_dir=idx_dir,
             desc=desc,
+            kind=kind,
             fresh=fresh,
             not_covered=all_live - fresh,
         )
     return out
+
+
+def _load_all_indexes(
+    spark: SparkSession, table_path: str, index_root: str, live: List[fsio.FileStat]
+) -> Dict[str, _Index]:
+    """Block + bloom indexes by column; when a column has both, the block
+    index wins (exact postings beat a false-positive-prone sketch)."""
+    merged = _load_indexes(spark, table_path, index_root, live, kind="bloom")
+    merged.update(_load_indexes(spark, table_path, index_root, live, kind="block"))
+    return merged
 
 
 def _leaf_file_sets(
@@ -127,22 +143,55 @@ def _leaf_file_sets(
     for column, col_leaves in by_col.items():
         idx = indexes[column]
         keys = sorted({l.key for l in col_leaves})
-        rows = (
-            build_mod.read_postings(spark, idx.idx_dir)
-            .where(F.col("key").isin(keys))
-            .select("key", "file")
-            .distinct()
-            .collect()
-        )
-        by_key: Dict[str, Set[str]] = {}
-        for r in rows:
-            # _metadata.file_path renders as file:/x, FS listing as file:///x
-            by_key.setdefault(r["key"], set()).add(fsio.normalize_path(r["file"]))
+        if idx.kind == "bloom":
+            by_key = _bloom_candidates(spark, idx, keys)
+        else:
+            rows = (
+                build_mod.read_postings(spark, idx.idx_dir)
+                .where(F.col("key").isin(keys))
+                .select("key", "file")
+                .distinct()
+                .collect()
+            )
+            by_key = {}
+            for r in rows:
+                # _metadata.file_path renders file:/x, FS listing file:///x
+                by_key.setdefault(r["key"], set()).add(fsio.normalize_path(r["file"]))
         for leaf in col_leaves:
             matched = by_key.get(leaf.key, set())
             # only fresh files may be served from the index
             result[id(leaf)] = (matched & idx.fresh) | idx.not_covered
     return result
+
+
+def _bloom_candidates(
+    spark: SparkSession, idx: "_Index", keys: List[str]
+) -> Dict[str, Set[str]]:
+    """Per key, the files whose Bloom bit array has ALL the key's bits set
+    (candidates; false positives possible, false negatives impossible —
+    the residual row filter keeps results exact). One scan of the tiny
+    sketch table answers every key."""
+    num_bits = int(idx.desc.options["num_bits"])
+    num_hashes = int(idx.desc.options["num_hashes"])
+    probes = []
+    for k in keys:
+        cond = F.lit(True)
+        for p in build_mod.bloom_positions(k, num_bits, num_hashes):
+            word, mask = p // 64, 1 << (p % 64)
+            if mask >= 1 << 63:  # two's-complement: bit 63 is the sign bit
+                mask -= 1 << 64
+            cond = cond & (
+                F.expr(f"element_at(bits, {word + 1})").bitwiseAND(F.lit(mask)) != 0
+            )
+        probes.append(cond.alias(f"_k{len(probes)}"))
+    rows = build_mod.read_bloom_sketch(spark, idx.idx_dir).select("file", *probes).collect()
+    out: Dict[str, Set[str]] = {k: set() for k in keys}
+    for r in rows:
+        f = fsio.normalize_path(r["file"])
+        for i, k in enumerate(keys):
+            if r[f"_k{i}"]:
+                out[k].add(f)
+    return out
 
 
 def _collect_leaves(tree: E.Expr) -> List[E.Eq]:
@@ -199,7 +248,7 @@ def query(
     m.total_files = len(live)
     m.total_bytes = sum(s for _, s, _ in live)
 
-    indexes = _load_indexes(spark, table_path, index_root, live)
+    indexes = _load_all_indexes(spark, table_path, index_root, live)
     pushed = E.extract_pushable(predicate, set(indexes))
     m.pushed = repr(pushed) if pushed is not None else None
 
