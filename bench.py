@@ -133,6 +133,11 @@ def main():
     )
     bytes_ratio = round(eng.last_metrics.bytes_ratio, 2)
 
+    # ---- bloom index: high-cardinality point lookup (no block index on
+    # ---- this column, so the probe exercises the bloom path)
+    timed("build_bloom_index_suppkey")(lambda: eng.build_bloom_index(lineitem, "l_suppkey"))
+    timed("q_bloom_point")(lambda: eng.query(lineitem, col("l_suppkey") == 17).count())
+
     # ---- temporal joins
     from elephant_twin_spark.operators import temporal
 

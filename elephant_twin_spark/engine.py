@@ -79,7 +79,7 @@ class Engine:
 
     def list_indexes(self, table_path: str) -> List[Dict]:
         out = []
-        for kind in ("block", "text"):
+        for kind in ("block", "bloom", "text"):
             base = f"{self.index_root}/{catalog.table_id(table_path)}/{kind}"
             if not fsio.exists(self.spark, base):
                 continue
