@@ -242,10 +242,33 @@ def build_bloom_index(
     ``(file, bits array<bigint>)`` with ``num_bits/64`` words per file."""
     if num_bits % 64:
         raise ValueError("num_bits must be a multiple of 64")
-    n_words = num_bits // 64
     idx_dir = catalog.index_dir(index_root, table_path, column, kind="bloom")
+    sketch = bloom_sketch_for(spark.read.parquet(table_path), column, num_bits, num_hashes)
+    sketch.coalesce(1).write.mode("overwrite").parquet(f"{idx_dir}/sketch")
 
-    df = spark.read.parquet(table_path)
+    files = fsio.list_data_files(spark, table_path)
+    desc = catalog.make_descriptor(
+        source_path=table_path,
+        column=column,
+        index_type="BLOOM",
+        num_buckets=1,
+        files=files,
+        options={"num_bits": str(num_bits), "num_hashes": str(num_hashes)},
+    )
+    catalog.write_descriptor(spark, idx_dir, desc)
+    return BuildResult(idx_dir, column, len(files), -1)
+
+
+def bloom_sketch_for(
+    df: DataFrame,
+    column: str,
+    num_bits: int = BLOOM_DEFAULT_BITS,
+    num_hashes: int = BLOOM_DEFAULT_HASHES,
+) -> DataFrame:
+    """Per-file Bloom bit arrays ``(file, bits)`` for a file-source read
+    (must expose ``_metadata``); also used by incremental refresh on a
+    delta of new files only."""
+    n_words = num_bits // 64
     key = F.col(column).cast("string")
     src = df.select(
         key.alias("key"),
@@ -268,7 +291,7 @@ def build_bloom_index(
         .groupBy("file", "word")
         .agg(F.expr("bit_or(mask)").alias("val"))
     )
-    sketch = (
+    return (
         words.groupBy("file")
         .agg(F.map_from_entries(F.collect_list(F.struct("word", "val"))).alias("_m"))
         .select(
@@ -278,19 +301,6 @@ def build_bloom_index(
             ).alias("bits"),
         )
     )
-    sketch.coalesce(1).write.mode("overwrite").parquet(f"{idx_dir}/sketch")
-
-    files = fsio.list_data_files(spark, table_path)
-    desc = catalog.make_descriptor(
-        source_path=table_path,
-        column=column,
-        index_type="BLOOM",
-        num_buckets=1,
-        files=files,
-        options={"num_bits": str(num_bits), "num_hashes": str(num_hashes)},
-    )
-    catalog.write_descriptor(spark, idx_dir, desc)
-    return BuildResult(idx_dir, column, len(files), -1)
 
 
 def read_bloom_sketch(spark: SparkSession, idx_dir: str) -> DataFrame:

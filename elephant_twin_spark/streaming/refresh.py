@@ -106,6 +106,66 @@ def refresh_block_index(
     }
 
 
+def refresh_bloom_index(
+    spark: SparkSession,
+    table_path: str,
+    column: str,
+    index_root: str,
+) -> dict:
+    """Incremental bloom-index maintenance. Sketches are strictly
+    per-file, so the delta is trivial: drop rows of changed/removed
+    files, append sketches computed from ONLY the new/changed files."""
+    idx_dir = catalog.index_dir(index_root, table_path, column, kind="bloom")
+    desc = catalog.read_descriptor(spark, idx_dir)
+    if desc is None:
+        build_mod.build_bloom_index(spark, table_path, column, index_root)
+        d2 = catalog.read_descriptor(spark, idx_dir)
+        return {"mode": "full_build", "files_indexed": len(d2.files)}
+
+    live = fsio.list_data_files(spark, table_path)
+    live_paths = {p for p, _, _ in live}
+    fresh = desc.fresh_files(live)
+    new_or_changed = sorted(live_paths - fresh)
+    removed = sorted(set(desc.files) - live_paths)
+    if not new_or_changed and not removed:
+        return {"mode": "noop", "files_indexed": 0}
+
+    num_bits = int(desc.options["num_bits"])
+    num_hashes = int(desc.options["num_hashes"])
+    data_dir = f"{idx_dir}/sketch"
+    kept = spark.read.parquet(data_dir).where(
+        ~F.col("file").isin(list(set(new_or_changed) | set(removed)))
+    )
+    merged = kept
+    if new_or_changed:
+        delta = build_mod.bloom_sketch_for(
+            spark.read.parquet(*new_or_changed), column, num_bits, num_hashes
+        )
+        merged = kept.unionByName(delta)
+
+    tmp_dir = f"{idx_dir}/sketch_tmp"
+    merged.coalesce(1).write.mode("overwrite").parquet(tmp_dir)
+    fsio.delete(spark, data_dir)
+    fs, _, _ = fsio._fs_and_path(spark, idx_dir)
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+    fs.rename(jvm_path(tmp_dir), jvm_path(data_dir))
+
+    new_desc = catalog.make_descriptor(
+        source_path=table_path,
+        column=column,
+        index_type="BLOOM",
+        num_buckets=1,
+        files=live,
+        options=desc.options,
+    )
+    catalog.write_descriptor(spark, idx_dir, new_desc)
+    return {
+        "mode": "incremental",
+        "files_indexed": len(new_or_changed),
+        "files_removed": len(removed),
+    }
+
+
 def stream_index_updates(
     spark: SparkSession,
     table_path: str,

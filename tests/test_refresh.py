@@ -12,6 +12,8 @@ from elephant_twin_spark import Engine, col
 from elephant_twin_spark.sources import tables
 from elephant_twin_spark.streaming import refresh
 
+from conftest import SF_DIR
+
 
 @pytest.fixture()
 def growing_table(spark, workdir, events_multifile):
@@ -96,3 +98,37 @@ def test_stream_index_updates(spark, workdir, growing_table, events_multifile):
     )
     q2.awaitTermination(120)
     eng.assert_index_consistent(growing_table, "event_type")
+
+
+def test_refresh_bloom_index_incremental(spark, workdir):
+    from elephant_twin_spark import Engine, col
+    from elephant_twin_spark.streaming.refresh import refresh_bloom_index
+    from elephant_twin_spark.sources import tables
+
+    src = f"{workdir}/bloom_refresh_tbl"
+    base = tables.load_raw(spark, f"{SF_DIR}/events.parquet").where(F.col("user_id") < 10)
+    base.repartitionByRange(4, "user_id").write.mode("overwrite").parquet(src)
+
+    root = f"{workdir}/bloom_refresh_root"
+    eng = Engine(spark, root)
+    out = refresh_bloom_index(spark, src, "user_id", root)
+    assert out["mode"] == "full_build"
+
+    # noop on unchanged table
+    assert refresh_bloom_index(spark, src, "user_id", root)["mode"] == "noop"
+
+    # append new files with previously-unseen users
+    extra = tables.load_raw(spark, f"{SF_DIR}/events.parquet").where(
+        F.col("user_id") >= 10
+    )
+    extra.coalesce(1).write.mode("append").parquet(src)
+    spark.catalog.refreshByPath(src)
+    out = refresh_bloom_index(spark, src, "user_id", root)
+    assert out["mode"] == "incremental" and out["files_indexed"] >= 1
+
+    # new users are findable and exact after the incremental refresh
+    got = eng.query(src, col("user_id") == 12).count()
+    want = spark.read.parquet(src).where(F.col("user_id") == 12).count()
+    assert got == want > 0
+    m = eng.last_metrics
+    assert "user_id" in (m.pushed or "")
