@@ -75,10 +75,19 @@ class _SFState:
                 return
         self.engine.build_text_index(table_path, text_col, id_col)
 
+    def _index_is_fresh(self, table_path: str, column: str, kind: str = "block") -> bool:
+        idx_dir = catalog.index_dir(self.engine.index_root, table_path, column, kind)
+        desc = catalog.read_descriptor(self.spark, idx_dir)
+        if desc is None:
+            return False
+        live = fsio.list_data_files(self.spark, table_path)
+        return desc.fresh_files(live) == {p for p, _, _ in live}
+
     def indexed_events(self) -> str:
         p = self.events
-        self.ensure_block_index(p, "event_type")
-        self.ensure_block_index(p, "user_id")
+        stale = [c for c in ("event_type", "user_id") if not self._index_is_fresh(p, c)]
+        if stale:  # one shared scan builds all stale column indexes
+            self.engine.build_indexes(p, stale, num_buckets=4)
         return p
 
     def ensure_bloom_index(self, table_path: str, column: str) -> None:
