@@ -25,7 +25,13 @@ from pyspark.sql import functions as F
 from elephant_twin_spark import Engine, col
 from elephant_twin_spark.functions import scalar
 from elephant_twin_spark.operators import rollup, sessionize, temporal
-from elephant_twin_spark.operators.pipeline import dedup, multimodal, similarity, textstats
+from elephant_twin_spark.operators.pipeline import (
+    dedup,
+    multimodal,
+    profile,
+    similarity,
+    textstats,
+)
 from elephant_twin_spark.sources import catalog, fsio, tables
 
 # --------------------------------------------------------------------- state
@@ -509,6 +515,33 @@ def _q_above_avg_orders(spark, sf_dir):
     )
 
 
+def _q_table_profile(spark, sf_dir):
+    """One-pass per-column profiling (n, nulls, exact distinct, range)."""
+    ev = _state(spark, sf_dir).raw("events")
+    return profile.profile_table(ev, ["user_id", "event_type"])
+
+
+def _q_grouping_sets(spark, sf_dir):
+    """GROUP BY GROUPING SETS — independent groupings in one pass."""
+    orders = _state(spark, sf_dir).raw("orders")
+    orders.createOrReplaceTempView("_ets_orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n, round(sum(o_totalprice), 2) AS total
+        FROM _ets_orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """
+    )
+
+
+def _q_text_retrieve(spark, sf_dir):
+    """T6: top hits joined back to stored fields."""
+    st = _state(spark, sf_dir)
+    ti = st.docs_text_index()
+    return ti.retrieve("merge", fields=["lang", "n_chars"], n=5)
+
+
 def _q_window_top_orders(spark, sf_dir):
     """Window functions (absent in the reference, SURVEY §2.9): top-3
     orders per customer by price, deterministic tiebreak on orderkey."""
@@ -693,6 +726,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_revenue_by_nation": _q_join_revenue_by_nation,
         "rollup_orders": _q_rollup_orders,
         "click_not_purchase_users": _q_set_ops,
+        "table_profile": _q_table_profile,
+        "grouping_sets_orders": _q_grouping_sets,
+        "text_retrieve": _q_text_retrieve,
         "forecast_revenue": _q_forecast_revenue,
         "top_unshipped_orders": _q_top_unshipped_orders,
         "above_avg_orders": _q_above_avg_orders,
@@ -933,6 +969,35 @@ def oracle_sql() -> dict[str, str]:
               EXCEPT ALL
               SELECT user_id FROM events WHERE event_type = 'purchase'
             )
+        """,
+        "table_profile": """
+            SELECT 'user_id' AS "column", count(*) AS n,
+                   sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS n_null,
+                   count(DISTINCT user_id) AS n_distinct,
+                   CAST(min(user_id) AS VARCHAR) AS min_s,
+                   CAST(max(user_id) AS VARCHAR) AS max_s
+            FROM events
+            UNION ALL
+            SELECT 'event_type', count(*),
+                   sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END),
+                   count(DISTINCT event_type),
+                   CAST(min(event_type) AS VARCHAR), CAST(max(event_type) AS VARCHAR)
+            FROM events
+        """,
+        "grouping_sets_orders": """
+            SELECT o_orderstatus, o_orderpriority,
+                   count(*) AS n, round(sum(o_totalprice), 2) AS total
+            FROM orders
+            GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """,
+        "text_retrieve": f"""
+            SELECT doc_id, score, lang, n_chars FROM (
+              SELECT doc_id,
+                     CAST(len(list_filter({_TOKS}, x -> x = 'merge')) AS BIGINT) AS score,
+                     lang, n_chars
+              FROM documents
+              WHERE list_contains({_TOKS}, 'merge')
+            ) ORDER BY score DESC, doc_id ASC LIMIT 5
         """,
         "forecast_revenue": """
             SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue

@@ -209,3 +209,22 @@ def test_multimodal_resize_stub(spark, docs_path):
     assert all(r["width"] == 16 and r["height"] == 8 for r in rows)
     with pytest.raises(Exception):
         multimodal.resize_images(media, 4, 4, fake=False).collect()
+
+
+def test_profile_table(spark, docs_path):
+    from elephant_twin_spark.operators.pipeline import profile
+
+    docs = tables.load_raw(spark, docs_path)
+    p = {r["column"]: r for r in profile.profile_table(docs, ["lang", "doc_id"]).collect()}
+    n = docs.count()
+    assert p["lang"]["n"] == n and p["doc_id"]["n"] == n
+    assert p["doc_id"]["n_distinct"] == n  # ids unique
+    assert p["doc_id"]["n_null"] == 0
+    assert p["doc_id"]["min_s"] == "0"
+    assert p["lang"]["n_distinct"] == docs.select("lang").distinct().count()
+
+    approx = {
+        r["column"]: r
+        for r in profile.profile_table(docs, ["doc_id"], approximate=True).collect()
+    }
+    assert abs(approx["doc_id"]["n_distinct"] - n) <= 0.15 * n
