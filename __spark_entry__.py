@@ -111,6 +111,17 @@ class _SFState:
         return self.engine.text_index(p, "text")
 
     @property
+    def events_time_clustered(self) -> str:
+        """Time-range-clustered events copy (expression-index pruning
+        observable: one day lives in ~1 file)."""
+        dst = f"{self.work}/events_by_time"
+        if not os.path.exists(f"{dst}/_SUCCESS"):
+            self.raw("events").repartitionByRange(8, "ts").sortWithinPartitions(
+                "ts"
+            ).write.mode("overwrite").parquet(dst)
+        return dst
+
+    @property
     def events_partitioned(self) -> str:
         """Hive-style date-partitioned events copy (S13: the reference's
         YYYY/MM/DD directory convention as partition columns)."""
@@ -208,6 +219,17 @@ def _q_bloom_user_lookup(spark, sf_dir):
     tbl = st.events
     st.ensure_bloom_index(tbl, "user_id")
     return st.engine.query(tbl, col("user_id") == 42).select(*_EVENT_COLS)
+
+
+def _q_expr_index_day(spark, sf_dir):
+    """Expression index: key = to_date(ts) under the virtual name
+    event_date (the reference's pluggable key-extractor surface)."""
+    st = _state(spark, sf_dir)
+    tbl = st.events_time_clustered
+    idx_dir = catalog.index_dir(st.engine.index_root, tbl, "event_date", "block")
+    if catalog.read_descriptor(spark, idx_dir) is None:
+        st.engine.build_index(tbl, "event_date", key_expr="to_date(ts)", num_buckets=4)
+    return st.engine.query(tbl, col("event_date") == "2024-01-05").select(*_EVENT_COLS)
 
 
 def _q_sql_front_door(spark, sf_dir):
@@ -695,6 +717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "idx_per_key_counts": _q_idx_per_key_counts,
         "sql_front_door": _q_sql_front_door,
         "bloom_user_lookup": _q_bloom_user_lookup,
+        "expr_index_day": _q_expr_index_day,
         # relational/agg parity (A2/A5, O4, C1-C3)
         "agg_lineitem_pricing": _q_agg_lineitem_pricing,
         "events_hourly": _q_events_hourly,
@@ -773,6 +796,7 @@ def oracle_sql() -> dict[str, str]:
         "idx_residual": f"{ev} WHERE event_type = 'purchase' AND value > 50.0",
         "idx_no_match": f"{ev} WHERE event_type = 'does_not_exist'",
         "bloom_user_lookup": f"{ev} WHERE user_id = 42",
+        "expr_index_day": f"{ev} WHERE CAST(ts AS DATE) = DATE '2024-01-05'",
         "idx_per_key_counts": (
             "SELECT event_type AS key, count(*) AS cnt FROM events GROUP BY event_type"
         ),

@@ -98,6 +98,7 @@ def postings_for(
     max_merged_bytes: int = DEFAULT_MAX_MERGED_BYTES,
     sample_fraction: Optional[float] = None,
     seed: int = 42,
+    key_col: Optional[F.Column] = None,
 ) -> DataFrame:
     """Compute the postings DataFrame ``(key, file, ranges, cnt)`` for one
     column. ``df`` must be a file-source read that exposes ``_metadata``.
@@ -107,11 +108,16 @@ def postings_for(
     (a null can never match an Eq pushdown and the residual filter handles
     null semantics).
 
+    ``key_col`` overrides the indexed key with an arbitrary expression —
+    the Spark analog of the reference's pluggable key-extractor mappers
+    (BlockIndexingMapper subclasses / Lucene field-extractor classes,
+    SURVEY §2.9 UDF surface); ``column`` is then just the index NAME.
+
     ``sample_fraction`` mirrors AbstractSamplingIndexingMapper.java:27-48
     (Bernoulli sampling of indexed records).
     """
     src = df.select(
-        F.col(column).cast("string").alias("key"),
+        (key_col if key_col is not None else F.col(column)).cast("string").alias("key"),
         # canonical URI form (local paths render as file:/x here but as
         # file:///x in FS listings; JVM-side regexp, no Python UDF)
         F.regexp_replace(
@@ -145,6 +151,7 @@ def build_block_index(
     seed: int = 42,
     overwrite: bool = True,
     df: Optional[DataFrame] = None,
+    key_expr: Optional[str] = None,
 ) -> BuildResult:
     """Build (or rebuild) the sparse index for (table, column).
 
@@ -164,7 +171,12 @@ def build_block_index(
     if df is None:
         df = spark.read.parquet(table_path)
     postings = postings_for(
-        df, column, max_merged_bytes=max_merged_bytes, sample_fraction=sample_fraction, seed=seed
+        df,
+        column,
+        max_merged_bytes=max_merged_bytes,
+        sample_fraction=sample_fraction,
+        seed=seed,
+        key_col=F.expr(key_expr) if key_expr else None,
     )
 
     data_dir = f"{idx_dir}/postings"
@@ -188,6 +200,7 @@ def build_block_index(
         options={
             "max_merged_bytes": str(max_merged_bytes),
             **({"sample_fraction": str(sample_fraction)} if sample_fraction else {}),
+            **({"key_expr": key_expr} if key_expr else {}),
         },
     )
     catalog.write_descriptor(spark, idx_dir, desc)

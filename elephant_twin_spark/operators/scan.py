@@ -241,7 +241,6 @@ def query(
     which files are opened.
     """
     predicate = E._coerce(predicate)
-    full_filter = predicate.to_column()
     m = metrics if metrics is not None else ScanMetrics()
 
     live = fsio.list_data_files(spark, table_path)
@@ -249,6 +248,17 @@ def query(
     m.total_bytes = sum(s for _, s, _ in live)
 
     indexes = _load_all_indexes(spark, table_path, index_root, live)
+
+    def _resolve(name: str) -> F.Column:
+        # expression indexes: a virtual index name expands to its defining
+        # expression in the residual filter (the reference's pluggable
+        # key-extractor contract, SURVEY §2.9)
+        idx = indexes.get(name)
+        if idx is not None and idx.desc.options.get("key_expr"):
+            return F.expr(idx.desc.options["key_expr"])
+        return F.col(name)
+
+    full_filter = predicate.to_column(_resolve)
     pushed = E.extract_pushable(predicate, set(indexes))
     m.pushed = repr(pushed) if pushed is not None else None
 

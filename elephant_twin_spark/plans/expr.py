@@ -32,7 +32,11 @@ class Expr:
     def __or__(self, other: "Expr") -> "Expr":
         return Or(self, _coerce(other))
 
-    def to_column(self) -> Column:
+    def to_column(self, resolver=None) -> Column:
+        """Render to a Spark Column. ``resolver(name) -> Column`` maps
+        column names; defaults to ``F.col`` — expression indexes pass a
+        resolver that expands virtual index names to their defining
+        expression."""
         raise NotImplementedError
 
     def columns(self) -> set:
@@ -63,8 +67,9 @@ class Eq(Expr):
         self.column = column
         self.value = value
 
-    def to_column(self) -> Column:
-        return F.col(self.column) == F.lit(self.value)
+    def to_column(self, resolver=None) -> Column:
+        name = (resolver or F.col)(self.column)
+        return name == F.lit(self.value)
 
     def columns(self) -> set:
         return {self.column}
@@ -94,8 +99,8 @@ class Cmp(Expr):
             raise ValueError(f"unsupported comparison {op!r}")
         self.column, self.op, self.value = column, op, value
 
-    def to_column(self) -> Column:
-        c, v = F.col(self.column), F.lit(self.value)
+    def to_column(self, resolver=None) -> Column:
+        c, v = (resolver or F.col)(self.column), F.lit(self.value)
         return {
             "!=": c != v,
             ">": c > v,
@@ -115,8 +120,8 @@ class And(Expr):
     def __init__(self, left: Expr, right: Expr):
         self.left, self.right = _coerce(left), _coerce(right)
 
-    def to_column(self) -> Column:
-        return self.left.to_column() & self.right.to_column()
+    def to_column(self, resolver=None) -> Column:
+        return self.left.to_column(resolver) & self.right.to_column(resolver)
 
     def columns(self) -> set:
         return self.left.columns() | self.right.columns()
@@ -129,8 +134,8 @@ class Or(Expr):
     def __init__(self, left: Expr, right: Expr):
         self.left, self.right = _coerce(left), _coerce(right)
 
-    def to_column(self) -> Column:
-        return self.left.to_column() | self.right.to_column()
+    def to_column(self, resolver=None) -> Column:
+        return self.left.to_column(resolver) | self.right.to_column(resolver)
 
     def columns(self) -> set:
         return self.left.columns() | self.right.columns()
@@ -145,7 +150,7 @@ class Raw(Expr):
     def __init__(self, column: Column):
         self.raw = column
 
-    def to_column(self) -> Column:
+    def to_column(self, resolver=None) -> Column:
         return self.raw
 
     def columns(self) -> set:

@@ -10,6 +10,8 @@ import pytest
 from elephant_twin_spark import Engine, col
 from elephant_twin_spark.plans.expr import And, Eq, Or, Raw, extract_pushable
 
+from conftest import SF_DIR
+
 
 @pytest.fixture(scope="module")
 def engine(spark, workdir, events_multifile):
@@ -221,3 +223,37 @@ def test_multi_column_build_matches_individual(spark, workdir, events_multifile)
         .count()
     )
     assert got == want
+
+
+def test_expression_index(spark, workdir):
+    """Index an arbitrary SQL expression under a virtual column name —
+    the reference's pluggable key-extractor surface (SURVEY §2.9)."""
+    from elephant_twin_spark.sources import tables as T
+
+    src = f"{workdir}/events_time_clustered"
+    ev = T.load_raw(spark, f"{SF_DIR}/events.parquet")
+    ev.repartitionByRange(8, "ts").sortWithinPartitions("ts").write.mode(
+        "overwrite"
+    ).parquet(src)
+
+    eng = Engine(spark, f"{workdir}/expr_idx_root")
+    eng.build_index(src, "event_date", key_expr="to_date(ts)", num_buckets=4)
+
+    day = "2024-01-05"
+    got = eng.query(src, col("event_date") == day)
+    want = spark.read.parquet(src).where(F.to_date("ts") == F.lit(day))
+    assert got.count() == want.count() > 0
+    m = eng.last_metrics
+    assert "event_date" in (m.pushed or "")
+    # time-clustered files: one day lives in ~1 of 8 files
+    assert m.scanned_files < m.total_files, m.as_dict()
+
+    # composes with plain-column predicates (residual evaluated exactly)
+    mixed = eng.query(src, (col("event_date") == day) & (col("event_type") == "click"))
+    want2 = spark.read.parquet(src).where(
+        (F.to_date("ts") == F.lit(day)) & (F.col("event_type") == "click")
+    )
+    assert mixed.count() == want2.count() > 0
+
+    # no-match day prunes everything
+    assert eng.query(src, col("event_date") == "1999-01-01").count() == 0
