@@ -280,6 +280,24 @@ def parse_predicate(s: str) -> Expr:
             return node
         column = take()
         op = take()
+        if op.upper() == "IN":
+            # IN-list sugar: expands to an OR chain of Eq leaves, so every
+            # member is index-servable (the reference accepts only EQ
+            # leaves; an IN is just their disjunction)
+            if take() != "(":
+                raise ValueError(f"expected '(' after IN in {s!r}")
+            values = []
+            while peek() is not None and peek() != ")":
+                values.append(unquote(take()))
+            if peek() != ")":
+                raise ValueError(f"unterminated IN list in {s!r}")
+            take()
+            if not values:
+                raise ValueError(f"empty IN list in {s!r}")
+            node: Expr = Eq(column, values[0])
+            for v in values[1:]:
+                node = Or(node, Eq(column, v))
+            return node
         value = unquote(take())
         if op in ("=", "=="):
             return Eq(column, value)

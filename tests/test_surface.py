@@ -136,3 +136,20 @@ def test_sql_front_door(spark, workdir, events_multifile):
 
     with pytest.raises(ValueError):
         eng.sql("DELETE FROM 'x'")
+
+
+def test_in_list_predicate(spark, workdir, events_multifile):
+    from elephant_twin_spark import Engine
+    from elephant_twin_spark.plans.expr import parse_predicate
+
+    e = parse_predicate("event_type IN ('click', 'signup') AND user_id = 3")
+    assert "Eq('event_type', 'click')" in repr(e) and "Eq('event_type', 'signup')" in repr(e)
+
+    eng = Engine(spark, f"{workdir}/inlist_root")
+    eng.build_index(events_multifile, "event_type", num_buckets=4)
+    got = eng.query(events_multifile, "event_type IN ('click', 'signup') AND user_id = 3")
+    want = spark.read.parquet(events_multifile).where(
+        F.col("event_type").isin("click", "signup") & (F.col("user_id") == 3)
+    )
+    assert got.count() == want.count() > 0
+    assert "event_type" in (eng.last_metrics.pushed or "")
