@@ -564,6 +564,22 @@ def _q_text_retrieve(spark, sf_dir):
     return ti.retrieve("merge", fields=["lang", "n_chars"], n=5)
 
 
+def _q_semi_join_customers(spark, sf_dir):
+    """Left-semi join: customers having at least one urgent order."""
+    st = _state(spark, sf_dir)
+    c = st.raw("customer")
+    o = st.raw("orders").where(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_mktsegment")
+
+
+def _q_anti_join_customers(spark, sf_dir):
+    """Left-anti join: customers with no urgent orders."""
+    st = _state(spark, sf_dir)
+    c = st.raw("customer")
+    o = st.raw("orders").where(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
 def _q_window_top_orders(spark, sf_dir):
     """Window functions (absent in the reference, SURVEY §2.9): top-3
     orders per customer by price, deterministic tiebreak on orderkey."""
@@ -755,6 +771,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forecast_revenue": _q_forecast_revenue,
         "top_unshipped_orders": _q_top_unshipped_orders,
         "above_avg_orders": _q_above_avg_orders,
+        "semi_join_customers": _q_semi_join_customers,
+        "anti_join_customers": _q_anti_join_customers,
         "window_top_orders": _q_window_top_orders,
         "running_revenue": _q_running_revenue,
         "cube_orders": _q_cube_orders,
@@ -1044,6 +1062,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderpriority, count(*) AS n FROM orders
             WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
             GROUP BY o_orderpriority
+        """,
+        "semi_join_customers": """
+            SELECT c_custkey, c_mktsegment FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        """,
+        "anti_join_customers": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
         """,
         "window_top_orders": """
             SELECT * FROM (

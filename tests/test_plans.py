@@ -111,3 +111,29 @@ def test_interval_join_keyed_is_sort_merge_not_nested_loop(spark, events):
     j = temporal.interval_join(points, intervals, "ts", "start", "end", keys=["user_id"])
     plan = plan_of(j)
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan, plan
+
+
+def test_partitioned_join_uses_dynamic_partition_pruning(spark, workdir, events):
+    """Joining a date-partitioned fact against a filtered dim must inject
+    a DPP subquery filter on the partition column (runtime pruning — the
+    join-shaped analog of the secondary-index file pruning)."""
+    part_dir = f"{workdir}/events_dpp"
+    events.withColumn("event_date", F.to_date("ts")).write.partitionBy(
+        "event_date"
+    ).mode("overwrite").parquet(part_dir)
+    fact = spark.read.parquet(part_dir)
+    # a real dim-side filter (limit/orderBy do not qualify for DPP)
+    dim = (
+        events.select(F.to_date("ts").alias("event_date"), "event_type")
+        .where(F.col("event_type") == "signup")
+        .select("event_date")
+        .distinct()
+    )
+    old = spark.conf.get("spark.sql.optimizer.dynamicPartitionPruning.useStats", "true")
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+    try:
+        j = fact.join(dim, "event_date").groupBy("event_date").count()
+        plan = plan_of(j)
+        assert "dynamicpruning" in plan.lower(), plan
+    finally:
+        spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", old)
