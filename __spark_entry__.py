@@ -105,6 +105,15 @@ class _SFState:
                 return
         self.engine.build_bloom_index(table_path, column)
 
+    def ensure_zone_index(self, table_path: str, column: str) -> None:
+        idx_dir = catalog.index_dir(self.engine.index_root, table_path, column, "zone")
+        desc = catalog.read_descriptor(self.spark, idx_dir)
+        if desc is not None:
+            live = fsio.list_data_files(self.spark, table_path)
+            if desc.fresh_files(live) == {p for p, _, _ in live}:
+                return
+        self.engine.build_zone_index(table_path, column)
+
     def docs_text_index(self):
         p = f"{self.sf_dir}/documents.parquet"
         self.ensure_text_index(p, "text", "doc_id")
@@ -230,6 +239,17 @@ def _q_expr_index_day(spark, sf_dir):
     if catalog.read_descriptor(spark, idx_dir) is None:
         st.engine.build_index(tbl, "event_date", key_expr="to_date(ts)", num_buckets=4)
     return st.engine.query(tbl, col("event_date") == "2024-01-05").select(*_EVENT_COLS)
+
+
+def _q_zone_range_scan(spark, sf_dir):
+    """Zone-map range pushdown: ordered predicates prune files by typed
+    per-file min/max — beyond the reference's EQ-only contract."""
+    st = _state(spark, sf_dir)
+    tbl = st.events_time_clustered
+    st.ensure_zone_index(tbl, "ts")
+    return st.engine.query(
+        tbl, (col("ts") >= "2024-01-10") & (col("ts") < "2024-01-12")
+    ).select(*_EVENT_COLS)
 
 
 def _q_sql_front_door(spark, sf_dir):
@@ -734,6 +754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_front_door": _q_sql_front_door,
         "bloom_user_lookup": _q_bloom_user_lookup,
         "expr_index_day": _q_expr_index_day,
+        "zone_range_scan": _q_zone_range_scan,
         # relational/agg parity (A2/A5, O4, C1-C3)
         "agg_lineitem_pricing": _q_agg_lineitem_pricing,
         "events_hourly": _q_events_hourly,
@@ -815,6 +836,10 @@ def oracle_sql() -> dict[str, str]:
         "idx_no_match": f"{ev} WHERE event_type = 'does_not_exist'",
         "bloom_user_lookup": f"{ev} WHERE user_id = 42",
         "expr_index_day": f"{ev} WHERE CAST(ts AS DATE) = DATE '2024-01-05'",
+        "zone_range_scan": (
+            f"{ev} WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'"
+            " AND ts < TIMESTAMP '2024-01-12 00:00:00'"
+        ),
         "idx_per_key_counts": (
             "SELECT event_type AS key, count(*) AS cnt FROM events GROUP BY event_type"
         ),

@@ -65,6 +65,11 @@ class Engine:
             self.spark, table_path, columns, self.index_root, **kw
         )
 
+    def build_zone_index(self, table_path: str, column: str) -> build_mod.BuildResult:
+        """Per-file typed min/max zone map — serves ORDERED predicates
+        (> >= < <=) as well as equality; pays off on clustered columns."""
+        return build_mod.build_zone_index(self.spark, table_path, column, self.index_root)
+
     def build_bloom_index(self, table_path: str, column: str, **kw) -> build_mod.BuildResult:
         """Per-file Bloom index — O(files) storage for high-cardinality
         columns where postings would be O(keys×files); lookups may
@@ -79,7 +84,7 @@ class Engine:
 
     def list_indexes(self, table_path: str) -> List[Dict]:
         out = []
-        for kind in ("block", "bloom", "text"):
+        for kind in ("block", "bloom", "zone", "text"):
             base = f"{self.index_root}/{catalog.table_id(table_path)}/{kind}"
             if not fsio.exists(self.spark, base):
                 continue
@@ -165,9 +170,10 @@ class Engine:
         predicate = E._coerce(predicate)
         live = fsio.list_data_files(self.spark, table_path)
         indexes = scan_mod._load_all_indexes(self.spark, table_path, self.index_root, live)
-        pushed = E.extract_pushable(predicate, set(indexes))
+        zones = scan_mod._load_indexes(self.spark, table_path, self.index_root, live, kind="zone")
+        pushed = E.extract_pushable(predicate, set(indexes), set(zones))
         return {
-            "indexed_columns": sorted(indexes),
+            "indexed_columns": sorted(set(indexes) | set(zones)),
             "pushable": repr(pushed) if pushed is not None else None,
             "residual": repr(predicate),
             "total_files": len(live),

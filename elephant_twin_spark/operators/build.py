@@ -209,6 +209,60 @@ def build_block_index(
     return BuildResult(idx_dir, column, len(files), n_keys)
 
 
+# ---------------------------------------------------------------- zone index
+#
+# Per-file TYPED min/max of a column — O(files) storage like the bloom
+# kind, but serving ORDERED predicates: a range leaf (> >= < <=) keeps
+# only files whose [min,max] interval can overlap it. Parquet already
+# keeps row-group min/max INSIDE each file; the zone table lifts the same
+# statistic to the file level so planning never opens a footer. Pays off
+# exactly when the column is clustered (sorted/range-partitioned writes,
+# time-ordered ingest). Extends pushdown beyond the reference's EQ-only
+# contract (core/retrieval/Expression.java:205-227).
+
+
+def build_zone_index(
+    spark: SparkSession,
+    table_path: str,
+    column: str,
+    index_root: str,
+) -> BuildResult:
+    """Zone table ``(file, min_v, max_v, n_null)`` with the column's native
+    type preserved (string min/max would order numbers wrong)."""
+    idx_dir = catalog.index_dir(index_root, table_path, column, kind="zone")
+    df = spark.read.parquet(table_path)
+    zones = (
+        df.select(
+            F.regexp_replace(
+                F.col("_metadata.file_path"), r"^file:/(?=[^/])", "file:///"
+            ).alias("file"),
+            F.col(column).alias("v"),
+        )
+        .groupBy("file")
+        .agg(
+            F.min("v").alias("min_v"),
+            F.max("v").alias("max_v"),
+            F.sum(F.when(F.col("v").isNull(), 1).otherwise(0)).alias("n_null"),
+        )
+    )
+    zones.coalesce(1).write.mode("overwrite").parquet(f"{idx_dir}/zones")
+    files = fsio.list_data_files(spark, table_path)
+    desc = catalog.make_descriptor(
+        source_path=table_path,
+        column=column,
+        index_type="ZONE",
+        num_buckets=1,
+        files=files,
+        options={},
+    )
+    catalog.write_descriptor(spark, idx_dir, desc)
+    return BuildResult(idx_dir, column, len(files), -1)
+
+
+def read_zones(spark: SparkSession, idx_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{idx_dir}/zones")
+
+
 # --------------------------------------------------------------- bloom index
 #
 # Postings indexes are O(distinct keys × files) — perfect for low/medium

@@ -124,7 +124,10 @@ def _load_all_indexes(
 
 
 def _leaf_file_sets(
-    spark: SparkSession, leaves: List[E.Eq], indexes: Dict[str, _Index]
+    spark: SparkSession,
+    leaves: List[E.Expr],
+    indexes: Dict[str, _Index],
+    zones: Optional[Dict[str, _Index]] = None,
 ) -> Dict[int, Set[str]]:
     """Batch-resolve all Eq leaves against their postings tables.
 
@@ -135,11 +138,40 @@ def _leaf_file_sets(
     not covered by that index are added by the caller (they may match
     anything — reference case (a), full-scan fallback).
     """
+    zones = zones or {}
     by_col: Dict[str, List[E.Eq]] = {}
+    zone_by_col: Dict[str, List[E.Expr]] = {}
     for leaf in leaves:
-        by_col.setdefault(leaf.column, []).append(leaf)
+        # point leaves go to block/bloom; Eq on a zone-only column and all
+        # ordered Cmp leaves go to the zone table
+        if isinstance(leaf, E.Eq) and leaf.column in indexes:
+            by_col.setdefault(leaf.column, []).append(leaf)
+        else:
+            zone_by_col.setdefault(leaf.column, []).append(leaf)
 
     result: Dict[int, Set[str]] = {}
+    for column, col_leaves in zone_by_col.items():
+        idx = zones[column]
+        probes = []
+        for i, leaf in enumerate(col_leaves):
+            v = F.lit(leaf.value)
+            if isinstance(leaf, E.Eq):
+                cond = (F.col("min_v") <= v) & (F.col("max_v") >= v)
+            else:  # ordered Cmp; '!=' never reaches here (not pushable)
+                cond = {
+                    ">": F.col("max_v") > v,
+                    ">=": F.col("max_v") >= v,
+                    "<": F.col("min_v") < v,
+                    "<=": F.col("min_v") <= v,
+                }[leaf.op]
+            probes.append(cond.alias(f"_z{i}"))
+        rows = build_mod.read_zones(spark, idx.idx_dir).select("file", *probes).collect()
+        for i, leaf in enumerate(col_leaves):
+            matched = {
+                fsio.normalize_path(r["file"]) for r in rows if r[f"_z{i}"]
+            }
+            result[id(leaf)] = (matched & idx.fresh) | idx.not_covered
+
     for column, col_leaves in by_col.items():
         idx = indexes[column]
         keys = sorted({l.key for l in col_leaves})
@@ -194,8 +226,8 @@ def _bloom_candidates(
     return out
 
 
-def _collect_leaves(tree: E.Expr) -> List[E.Eq]:
-    if isinstance(tree, E.Eq):
+def _collect_leaves(tree: E.Expr) -> List[E.Expr]:
+    if isinstance(tree, (E.Eq, E.Cmp)):
         return [tree]
     if isinstance(tree, (E.And, E.Or)):
         return _collect_leaves(tree.left) + _collect_leaves(tree.right)
@@ -204,7 +236,7 @@ def _collect_leaves(tree: E.Expr) -> List[E.Eq]:
 
 def _eval_tree(tree: E.Expr, leaf_sets: Dict[int, Set[str]]) -> Set[str]:
     """I1/I2/I3 at file granularity: OR = union, AND = intersection."""
-    if isinstance(tree, E.Eq):
+    if isinstance(tree, (E.Eq, E.Cmp)):
         return leaf_sets[id(tree)]
     if isinstance(tree, E.And):
         return _eval_tree(tree.left, leaf_sets) & _eval_tree(tree.right, leaf_sets)
@@ -258,8 +290,9 @@ def query(
             return F.expr(idx.desc.options["key_expr"])
         return F.col(name)
 
+    zones = _load_indexes(spark, table_path, index_root, live, kind="zone")
     full_filter = predicate.to_column(_resolve)
-    pushed = E.extract_pushable(predicate, set(indexes))
+    pushed = E.extract_pushable(predicate, set(indexes), set(zones))
     m.pushed = repr(pushed) if pushed is not None else None
 
     if pushed is None:
@@ -270,15 +303,23 @@ def query(
         return spark.read.parquet(table_path).where(full_filter)
 
     leaves = _collect_leaves(pushed)
-    leaf_sets = _leaf_file_sets(spark, leaves, indexes)
+    leaf_sets = _leaf_file_sets(spark, leaves, indexes, zones)
     matched = _eval_tree(pushed, leaf_sets)
 
     sizes = {p: s for p, s, _ in live}
     files = sorted(matched & set(sizes))
     m.scanned_files = len(files)
     m.scanned_bytes = sum(sizes[f] for f in files)
-    used_cols = {l.column for l in leaves}
-    m.stale_files = len(set().union(*(indexes[c].not_covered for c in used_cols)))
+    m.stale_files = len(
+        set().union(
+            *(
+                (indexes.get(l.column) or zones[l.column]).not_covered
+                if (isinstance(l, E.Eq) and l.column in indexes)
+                else zones[l.column].not_covered
+                for l in leaves
+            )
+        )
+    )
 
     if not files:
         # reference case (b): empty postings ⇒ zero files read; literal-false

@@ -170,19 +170,19 @@ class _ColBuilder:
         return Eq(self._name, other)
 
     def __ne__(self, other: Any) -> Expr:  # type: ignore[override]
-        return Raw(F.col(self._name) != F.lit(other))
+        return Cmp(self._name, "!=", other)
 
     def __gt__(self, other):
-        return Raw(F.col(self._name) > F.lit(other))
+        return Cmp(self._name, ">", other)
 
     def __ge__(self, other):
-        return Raw(F.col(self._name) >= F.lit(other))
+        return Cmp(self._name, ">=", other)
 
     def __lt__(self, other):
-        return Raw(F.col(self._name) < F.lit(other))
+        return Cmp(self._name, "<", other)
 
     def __le__(self, other):
-        return Raw(F.col(self._name) <= F.lit(other))
+        return Cmp(self._name, "<=", other)
 
     def isin(self, *values) -> Expr:
         vals = values[0] if len(values) == 1 and isinstance(values[0], (list, tuple)) else values
@@ -327,7 +327,9 @@ def parse_predicate(s: str) -> Expr:
     return out
 
 
-def extract_pushable(expr: Expr, indexed_columns: set) -> Optional[Expr]:
+def extract_pushable(
+    expr: Expr, indexed_columns: set, range_columns: set = frozenset()
+) -> Optional[Expr]:
     """Return the strongest index-servable predicate implied by ``expr``.
 
     Generalizes the reference's all-or-nothing ``Expression.isSupported``
@@ -338,18 +340,25 @@ def extract_pushable(expr: Expr, indexed_columns: set) -> Optional[Expr]:
 
     Rules: Eq leaf on an indexed column → itself; AND → push either/both
     sides; OR → both sides must push (a half-pushable OR cannot prune).
+    ``range_columns`` (zone-map-indexed) additionally accept ordered Cmp
+    leaves (``> >= < <=``; ``!=`` prunes nothing at file granularity) —
+    pushdown the reference's EQ-only contract never had.
     """
     if isinstance(expr, Eq):
-        return expr if expr.column in indexed_columns else None
+        return expr if expr.column in (indexed_columns | range_columns) else None
+    if isinstance(expr, Cmp):
+        if expr.column in range_columns and expr.op != "!=":
+            return expr
+        return None
     if isinstance(expr, And):
-        l = extract_pushable(expr.left, indexed_columns)
-        r = extract_pushable(expr.right, indexed_columns)
+        l = extract_pushable(expr.left, indexed_columns, range_columns)
+        r = extract_pushable(expr.right, indexed_columns, range_columns)
         if l is not None and r is not None:
             return And(l, r)
         return l if l is not None else r
     if isinstance(expr, Or):
-        l = extract_pushable(expr.left, indexed_columns)
-        r = extract_pushable(expr.right, indexed_columns)
+        l = extract_pushable(expr.left, indexed_columns, range_columns)
+        r = extract_pushable(expr.right, indexed_columns, range_columns)
         if l is not None and r is not None:
             return Or(l, r)
         return None

@@ -1,0 +1,80 @@
+"""Zone-map index: per-file typed min/max serving ORDERED predicates —
+pushdown beyond the reference's EQ-only contract."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from elephant_twin_spark import Engine, col
+from elephant_twin_spark.sources import tables
+
+from conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def time_clustered(spark, workdir):
+    src = f"{workdir}/events_zone_tbl"
+    ev = tables.load_raw(spark, f"{SF_DIR}/events.parquet")
+    ev.repartitionByRange(8, "ts").sortWithinPartitions("ts").write.mode(
+        "overwrite"
+    ).parquet(src)
+    return src
+
+
+@pytest.fixture(scope="module")
+def zeng(spark, workdir, time_clustered):
+    e = Engine(spark, f"{workdir}/zone_root")
+    e.build_zone_index(time_clustered, "ts")
+    return e
+
+
+def test_zone_range_query_exact_and_pruned(spark, zeng, time_clustered):
+    full = tables.load_raw(spark, time_clustered)
+    for pred, ref in [
+        (col("ts") < "2024-01-06", F.col("ts") < "2024-01-06"),
+        (col("ts") >= "2024-01-25", F.col("ts") >= "2024-01-25"),
+        (
+            (col("ts") >= "2024-01-10") & (col("ts") < "2024-01-12"),
+            (F.col("ts") >= "2024-01-10") & (F.col("ts") < "2024-01-12"),
+        ),
+    ]:
+        got = zeng.query(time_clustered, pred)
+        want = full.where(ref)
+        assert got.count() == want.count() > 0, repr(pred)
+        m = zeng.last_metrics
+        assert "Cmp" in (m.pushed or ""), m.as_dict()
+        # time-clustered files → a narrow range touches few of the 8 files
+        assert m.scanned_files < m.total_files, m.as_dict()
+
+
+def test_zone_eq_and_empty_range(spark, zeng, time_clustered):
+    # Eq on a zone-only column prunes by interval containment
+    row = tables.load_raw(spark, time_clustered).select("ts").first()
+    got = zeng.query(time_clustered, col("ts") == row["ts"])
+    assert got.count() >= 1
+    assert zeng.last_metrics.scanned_files < zeng.last_metrics.total_files
+
+    # out-of-range predicate prunes everything
+    assert zeng.query(time_clustered, col("ts") < "1999-01-01").count() == 0
+    assert zeng.last_metrics.scanned_files == 0
+
+
+def test_zone_inequality_stays_residual(spark, zeng, time_clustered):
+    info = zeng.pushdown_info(time_clustered, col("ts") != "2024-01-05")
+    assert info["pushable"] is None  # != prunes nothing at file granularity
+    got = zeng.query(time_clustered, col("ts") != "2024-01-05 00:00:00")
+    assert got.count() == tables.load_raw(spark, time_clustered).where(
+        F.col("ts") != "2024-01-05 00:00:00"
+    ).count()
+
+
+def test_zone_combines_with_block_index(spark, workdir, zeng, time_clustered):
+    zeng.build_index(time_clustered, "event_type", num_buckets=4)
+    pred = (col("event_type") == "click") & (col("ts") < "2024-01-08")
+    got = zeng.query(time_clustered, pred)
+    want = tables.load_raw(spark, time_clustered).where(
+        (F.col("event_type") == "click") & (F.col("ts") < "2024-01-08")
+    )
+    assert got.count() == want.count() > 0
+    m = zeng.last_metrics
+    assert "Eq" in m.pushed and "Cmp" in m.pushed, m.as_dict()
+    assert m.scanned_files < m.total_files
