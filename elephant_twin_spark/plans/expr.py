@@ -298,6 +298,13 @@ def parse_predicate(s: str) -> Expr:
             for v in values[1:]:
                 node = Or(node, Eq(column, v))
             return node
+        if op.upper() == "BETWEEN":
+            # inclusive-both-ends sugar: col >= lo AND col <= hi
+            lo = unquote(take())
+            if peek() is not None and peek().upper() == "AND":
+                take()
+            hi = unquote(take())
+            return And(Cmp(column, ">=", lo), Cmp(column, "<=", hi))
         value = unquote(take())
         if op in ("=", "=="):
             return Eq(column, value)

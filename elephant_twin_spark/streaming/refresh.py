@@ -166,6 +166,75 @@ def refresh_bloom_index(
     }
 
 
+def refresh_zone_index(
+    spark: SparkSession,
+    table_path: str,
+    column: str,
+    index_root: str,
+) -> dict:
+    """Incremental zone-map maintenance — per-file rows, so the delta is
+    the same drop-and-append as the bloom refresh."""
+    idx_dir = catalog.index_dir(index_root, table_path, column, kind="zone")
+    desc = catalog.read_descriptor(spark, idx_dir)
+    if desc is None:
+        build_mod.build_zone_index(spark, table_path, column, index_root)
+        d2 = catalog.read_descriptor(spark, idx_dir)
+        return {"mode": "full_build", "files_indexed": len(d2.files)}
+
+    live = fsio.list_data_files(spark, table_path)
+    live_paths = {p for p, _, _ in live}
+    fresh = desc.fresh_files(live)
+    new_or_changed = sorted(live_paths - fresh)
+    removed = sorted(set(desc.files) - live_paths)
+    if not new_or_changed and not removed:
+        return {"mode": "noop", "files_indexed": 0}
+
+    data_dir = f"{idx_dir}/zones"
+    kept = spark.read.parquet(data_dir).where(
+        ~F.col("file").isin(list(set(new_or_changed) | set(removed)))
+    )
+    merged = kept
+    if new_or_changed:
+        delta_df = spark.read.parquet(*new_or_changed)
+        delta = (
+            delta_df.select(
+                F.regexp_replace(
+                    F.col("_metadata.file_path"), r"^file:/(?=[^/])", "file:///"
+                ).alias("file"),
+                F.col(column).alias("v"),
+            )
+            .groupBy("file")
+            .agg(
+                F.min("v").alias("min_v"),
+                F.max("v").alias("max_v"),
+                F.sum(F.when(F.col("v").isNull(), 1).otherwise(0)).alias("n_null"),
+            )
+        )
+        merged = kept.unionByName(delta)
+
+    tmp_dir = f"{idx_dir}/zones_tmp"
+    merged.coalesce(1).write.mode("overwrite").parquet(tmp_dir)
+    fsio.delete(spark, data_dir)
+    fs, _, _ = fsio._fs_and_path(spark, idx_dir)
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+    fs.rename(jvm_path(tmp_dir), jvm_path(data_dir))
+
+    new_desc = catalog.make_descriptor(
+        source_path=table_path,
+        column=column,
+        index_type="ZONE",
+        num_buckets=1,
+        files=live,
+        options=desc.options,
+    )
+    catalog.write_descriptor(spark, idx_dir, new_desc)
+    return {
+        "mode": "incremental",
+        "files_indexed": len(new_or_changed),
+        "files_removed": len(removed),
+    }
+
+
 def stream_index_updates(
     spark: SparkSession,
     table_path: str,

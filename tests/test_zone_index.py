@@ -78,3 +78,43 @@ def test_zone_combines_with_block_index(spark, workdir, zeng, time_clustered):
     m = zeng.last_metrics
     assert "Eq" in m.pushed and "Cmp" in m.pushed, m.as_dict()
     assert m.scanned_files < m.total_files
+
+
+def test_between_parses_and_pushes_to_zone(spark, zeng, time_clustered):
+    from elephant_twin_spark.plans.expr import parse_predicate
+
+    e = parse_predicate("ts BETWEEN '2024-01-10' AND '2024-01-12' AND event_type = 'click'")
+    assert "Cmp('ts', '>='" in repr(e) and "Cmp('ts', '<='" in repr(e)
+
+    got = zeng.query(time_clustered, "ts BETWEEN '2024-01-10' AND '2024-01-12'")
+    want = tables.load_raw(spark, time_clustered).where(
+        (F.col("ts") >= "2024-01-10") & (F.col("ts") <= "2024-01-12")
+    )
+    assert got.count() == want.count() > 0
+    assert zeng.last_metrics.scanned_files < zeng.last_metrics.total_files
+
+
+def test_refresh_zone_index_incremental(spark, workdir):
+    from elephant_twin_spark.streaming.refresh import refresh_zone_index
+
+    src = f"{workdir}/zone_refresh_tbl"
+    ev = tables.load_raw(spark, f"{SF_DIR}/events.parquet")
+    early = ev.where(F.col("ts") < "2024-01-20")
+    late = ev.where(F.col("ts") >= "2024-01-20")
+    early.repartitionByRange(4, "ts").write.mode("overwrite").parquet(src)
+
+    root = f"{workdir}/zone_refresh_root"
+    eng = Engine(spark, root)
+    assert refresh_zone_index(spark, src, "ts", root)["mode"] == "full_build"
+    assert refresh_zone_index(spark, src, "ts", root)["mode"] == "noop"
+
+    late.coalesce(1).write.mode("append").parquet(src)
+    spark.catalog.refreshByPath(src)
+    out = refresh_zone_index(spark, src, "ts", root)
+    assert out["mode"] == "incremental" and out["files_indexed"] >= 1
+
+    got = eng.query(src, col("ts") >= "2024-01-25")
+    want = spark.read.parquet(src).where(F.col("ts") >= "2024-01-25")
+    assert got.count() == want.count() > 0
+    # the late file is the only zone candidate for this range
+    assert eng.last_metrics.scanned_files < eng.last_metrics.total_files
