@@ -138,6 +138,18 @@ def main():
     timed("build_bloom_index_suppkey")(lambda: eng.build_bloom_index(lineitem, "l_suppkey"))
     timed("q_bloom_point")(lambda: eng.query(lineitem, col("l_suppkey") == 17).count())
 
+    # ---- zone index: range pushdown on a time-clustered copy
+    ts_clustered = f"{work}/events_ts_clustered"
+    if not os.path.exists(f"{ts_clustered}/_SUCCESS"):
+        layout.cluster_table(spark, events, ts_clustered, ["ts"], num_files=32)
+    timed("build_zone_index_ts")(lambda: eng.build_zone_index(ts_clustered, "ts"))
+    timed("q_zone_range")(
+        lambda: eng.query(
+            ts_clustered, "ts BETWEEN '2024-01-10' AND '2024-01-12'"
+        ).count()
+    )
+    zone_bytes_ratio = round(eng.last_metrics.bytes_ratio, 2)
+
     # ---- temporal joins
     from elephant_twin_spark.operators import temporal
 
@@ -205,6 +217,7 @@ def main():
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "cpus": CPUS,
                 "bytes_ratio_clustered_point": bytes_ratio,
+                "bytes_ratio_zone_range": zone_bytes_ratio,
             }
         )
     )
