@@ -61,22 +61,35 @@ def postings_for(
     doc_id_column: str,
     tokenizer: Tokenizer = whitespace_tokenizer,
 ) -> DataFrame:
-    """``(term, doc_id, tf, positions)`` — one row per (term, doc).
+    """``(term, doc_id, tf, positions, file)`` — one row per (term, doc);
+    ``file`` is the doc's source file, carried so incremental refresh can
+    drop a changed file's postings without a doc→file side table.
 
     If the source has fewer partitions than cores (e.g. one big file),
     fan out before the explode so tokenization parallelizes — the explode
     multiplies rows ~100×, so starting single-threaded wastes the cluster.
     """
     sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() < sc.defaultParallelism // 2:
-        df = df.repartition(sc.defaultParallelism)
-    toks = df.select(
+    # resolve the metadata column before any repartition (it only
+    # resolves directly over the file-source relation)
+    src = df.select(
         F.col(doc_id_column).alias("doc_id"),
-        F.posexplode(tokenizer(F.col(text_column))).alias("pos", "term"),
+        F.col(text_column).alias("_text"),
+        F.regexp_replace(
+            F.col("_metadata.file_path"), r"^file:/(?=[^/])", "file:///"
+        ).alias("file"),
+    )
+    if src.rdd.getNumPartitions() < sc.defaultParallelism // 2:
+        src = src.repartition(sc.defaultParallelism)
+    toks = src.select(
+        "doc_id",
+        "file",
+        F.posexplode(tokenizer(F.col("_text"))).alias("pos", "term"),
     )
     return toks.groupBy("term", "doc_id").agg(
         F.count(F.lit(1)).cast("int").alias("tf"),
         F.sort_array(F.collect_list("pos")).alias("positions"),
+        F.first("file").alias("file"),
     )
 
 

@@ -166,6 +166,71 @@ def refresh_bloom_index(
     }
 
 
+def refresh_text_index(
+    spark: SparkSession,
+    table_path: str,
+    text_column: str,
+    index_root: str,
+) -> dict:
+    """Incremental text-index maintenance: postings carry their source
+    file, so changed/removed files' rows drop and new files re-tokenize
+    alone — M1 semantics for the Lucene-module analog."""
+    from elephant_twin_spark.operators import text as text_mod
+
+    idx_dir = catalog.index_dir(index_root, table_path, text_column, kind="text")
+    desc = catalog.read_descriptor(spark, idx_dir)
+    if desc is None:
+        raise FileNotFoundError(f"no text index at {idx_dir}; build_text_index first")
+
+    live = fsio.list_data_files(spark, table_path)
+    live_paths = {p for p, _, _ in live}
+    fresh = desc.fresh_files(live)
+    new_or_changed = sorted(live_paths - fresh)
+    removed = sorted(set(desc.files) - live_paths)
+    if not new_or_changed and not removed:
+        return {"mode": "noop", "files_indexed": 0}
+
+    data_dir = f"{idx_dir}/postings"
+    old = spark.read.parquet(data_dir)
+    kept = old.where(~F.col("file").isin(list(set(new_or_changed) | set(removed))))
+    merged = kept
+    if new_or_changed:
+        delta = text_mod.postings_for(
+            spark.read.parquet(*new_or_changed),
+            text_column,
+            desc.options["doc_id_column"],
+        )
+        merged = kept.unionByName(delta)
+
+    tmp_dir = f"{idx_dir}/postings_tmp"
+    (
+        merged.repartitionByRange(desc.num_buckets, "term")
+        .sortWithinPartitions("term", "doc_id")
+        .write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#term", "true")
+        .parquet(tmp_dir)
+    )
+    fsio.delete(spark, data_dir)
+    fs, _, _ = fsio._fs_and_path(spark, idx_dir)
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+    fs.rename(jvm_path(tmp_dir), jvm_path(data_dir))
+
+    new_desc = catalog.make_descriptor(
+        source_path=table_path,
+        column=text_column,
+        index_type="TEXT",
+        num_buckets=desc.num_buckets,
+        files=live,
+        options=desc.options,
+    )
+    catalog.write_descriptor(spark, idx_dir, new_desc)
+    return {
+        "mode": "incremental",
+        "files_indexed": len(new_or_changed),
+        "files_removed": len(removed),
+    }
+
+
 def refresh_zone_index(
     spark: SparkSession,
     table_path: str,

@@ -132,3 +132,35 @@ def test_refresh_bloom_index_incremental(spark, workdir):
     assert got == want > 0
     m = eng.last_metrics
     assert "user_id" in (m.pushed or "")
+
+
+def test_refresh_text_index_incremental(spark, workdir):
+    from elephant_twin_spark.streaming.refresh import refresh_text_index
+
+    src = f"{workdir}/text_refresh_tbl"
+    docs = tables.load_raw(spark, f"{SF_DIR}/documents.parquet")
+    docs.where(F.col("doc_id") < 80).coalesce(2).write.mode("overwrite").parquet(src)
+
+    root = f"{workdir}/text_refresh_root"
+    eng = Engine(spark, root)
+    eng.build_text_index(src, "text", "doc_id")
+    ti = eng.text_index(src, "text")
+    base_count = ti.count("spark")
+
+    assert refresh_text_index(spark, src, "text", root)["mode"] == "noop"
+
+    # append a new file containing a doc with a sentinel term
+    new = spark.createDataFrame(
+        [(9_999, "zzz_sentinel spark zzz_sentinel", "en", "synthetic", 30)],
+        schema=docs.schema,
+    )
+    new.coalesce(1).write.mode("append").parquet(src)
+    spark.catalog.refreshByPath(src)
+    out = refresh_text_index(spark, src, "text", root)
+    assert out["mode"] == "incremental" and out["files_indexed"] == 1
+
+    ti2 = eng.text_index(src, "text")
+    assert ti2.count("zzz_sentinel") == 1
+    assert ti2.count("spark") == base_count + 1
+    # phrase search sees the new positional postings too
+    assert {r["doc_id"] for r in ti2.matches('"zzz_sentinel spark"').collect()} == {9_999}
