@@ -96,6 +96,40 @@ class Engine:
                         out.append(d.to_json())
         return out
 
+    def stats(self, table_path: str) -> List[Dict]:
+        """Operational summary per index of the table: kind, column,
+        bucket count, on-disk bytes, covered-file freshness."""
+        live = fsio.list_data_files(self.spark, table_path)
+        live_paths = {p for p, _, _ in live}
+        out = []
+        for kind in ("block", "bloom", "zone", "text"):
+            base = f"{self.index_root}/{catalog.table_id(table_path)}/{kind}"
+            if not fsio.exists(self.spark, base):
+                continue
+            fs, jpath, _ = fsio._fs_and_path(self.spark, base)
+            for st in fs.listStatus(jpath):
+                if not st.isDirectory():
+                    continue
+                idx_dir = f"{base}/{st.getPath().getName()}"
+                desc = catalog.read_descriptor(self.spark, idx_dir)
+                if desc is None:
+                    continue
+                idx_bytes = sum(s for _, s, _ in fsio.list_data_files(self.spark, idx_dir))
+                fresh = desc.fresh_files(live)
+                out.append(
+                    {
+                        "kind": kind,
+                        "column": desc.column,
+                        "num_buckets": desc.num_buckets,
+                        "index_bytes": idx_bytes,
+                        "covered_files": len(desc.files),
+                        "fresh_files": len(fresh),
+                        "stale_or_new_files": len(live_paths - fresh),
+                        "options": dict(desc.options),
+                    }
+                )
+        return out
+
     # ------------------------------------------------------------- query
     def query(self, table_path: str, predicate) -> DataFrame:
         """Index-accelerated filter scan; reads only files whose postings

@@ -153,3 +153,19 @@ def test_in_list_predicate(spark, workdir, events_multifile):
     )
     assert got.count() == want.count() > 0
     assert "event_type" in (eng.last_metrics.pushed or "")
+
+
+def test_engine_stats(spark, workdir, events_multifile):
+    from elephant_twin_spark import Engine
+
+    eng = Engine(spark, f"{workdir}/stats_root")
+    eng.build_index(events_multifile, "event_type", num_buckets=4)
+    eng.build_bloom_index(events_multifile, "user_id")
+    eng.build_zone_index(events_multifile, "ts")
+
+    stats = {(s["kind"], s["column"]): s for s in eng.stats(events_multifile)}
+    assert set(stats) == {("block", "event_type"), ("bloom", "user_id"), ("zone", "ts")}
+    for s in stats.values():
+        assert s["index_bytes"] > 0
+        assert s["covered_files"] == 8 and s["fresh_files"] == 8
+        assert s["stale_or_new_files"] == 0
