@@ -142,6 +142,7 @@ class _Term:
 @dataclass
 class _Phrase:
     terms: List[str]
+    slop: int = 0
 
 
 @dataclass
@@ -182,7 +183,12 @@ def parse_query(q: str):
             terms = t[1:-1].split()
             if not terms:
                 raise ValueError("empty phrase")
-            return _Term(terms[0]) if len(terms) == 1 else _Phrase(terms)
+            slop = 0
+            if peek() is not None and peek().startswith("~"):
+                slop = int(take()[1:])
+            if len(terms) == 1 and slop == 0:
+                return _Term(terms[0])
+            return _Phrase(terms, slop)
         return _Term(t)
 
     def and_expr():
@@ -221,18 +227,30 @@ def _has_phrase(node) -> bool:
     return False
 
 
-def _phrase_match(terms: List[str], pos_col: Column) -> Column:
+def _phrase_match(terms: List[str], pos_col: Column, slop: int = 0) -> Column:
     """True when some position p of terms[0] has terms[i] at p+i for all
     i — evaluated entirely JVM-side with higher-order array functions
-    over the per-doc term→positions map (no UDF)."""
+    over the per-doc term→positions map (no UDF).
+
+    ``slop > 0`` relaxes each expected offset to the window
+    ``[p+i-slop, p+i+slop]`` (simple window proximity, documented as such
+    — NOT Lucene's edit-distance slop)."""
 
     def positions(t: str) -> Column:
         return F.coalesce(pos_col[t], F.array().cast("array<int>"))
 
+    def _near(p: Column, i: int):
+        # single-arg lambda via closure (PySpark reads the lambda's arity
+        # from its signature, so default-arg captures would mis-bind)
+        return lambda q: (q >= p + i - slop) & (q <= p + i + slop)
+
     def at(p: Column) -> Column:
         cond = F.lit(True)
         for i, t in enumerate(terms[1:], start=1):
-            cond = cond & F.array_contains(positions(t), p + i)
+            if slop == 0:
+                cond = cond & F.array_contains(positions(t), p + i)
+            else:
+                cond = cond & F.exists(positions(t), _near(p, i))
         return cond
 
     return F.exists(positions(terms[0]), at)
@@ -244,7 +262,7 @@ def _match_column(node, terms_col: Column, pos_col: Optional[Column] = None) -> 
     if isinstance(node, _Phrase):
         if pos_col is None:
             raise ValueError("phrase query requires positional postings")
-        return _phrase_match(node.terms, pos_col)
+        return _phrase_match(node.terms, pos_col, node.slop)
     parts = [_match_column(p, terms_col, pos_col) for p in node.parts]
     out = parts[0]
     for p in parts[1:]:

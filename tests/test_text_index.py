@@ -129,3 +129,35 @@ def test_phrase_query(spark, workdir, docs_path):
 
     # single-term "phrase" degrades to a term query
     assert {r["doc_id"] for r in ti.matches('"spark"').collect()} == spark_docs
+
+
+def test_proximity_phrase(spark, workdir):
+    from elephant_twin_spark.operators import text as T
+
+    src = f"{workdir}/prox_docs"
+    rows = [
+        (0, "alpha beta gamma"),          # adjacent
+        (1, "alpha filler beta gamma"),   # one gap before beta
+        (2, "alpha x y z beta"),          # far apart
+        (3, "beta alpha"),                # reversed
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(src)
+    root = f"{workdir}/prox_root"
+    T.build_text_index(spark, src, "text", "doc_id", root, num_buckets=2)
+    ti = T.TextIndex(spark, src, "text", root)
+
+    def ids(q):
+        return {r["doc_id"] for r in ti.matches(q).collect()}
+
+    assert ids('"alpha beta"') == {0}
+    # window [p+1-slop, p+1+slop]: slop 1 admits one inserted word
+    assert ids('"alpha beta"~1') == {0, 1}
+    # slop 2 reaches the reversed-adjacent case (beta one LEFT of alpha)
+    assert ids('"alpha beta"~2') == {0, 1, 3}
+    assert ids('"alpha beta"~4') == {0, 1, 2, 3}
+    # gamma sits 2 right of alpha in doc1 ("alpha filler beta gamma" has
+    # it at +3) — slop 1 covers doc0 only, slop 2 adds doc1
+    assert ids('"alpha gamma"~1') == {0}
+    assert ids('"alpha gamma"~2') == {0, 1}
