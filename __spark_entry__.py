@@ -343,6 +343,12 @@ def _q_text_phrase(spark, sf_dir):
     return ti.matches('"sort merge"')
 
 
+def _q_text_phrase_near(spark, sf_dir):
+    """Window-proximity phrase: terms within ±2 of the expected offset."""
+    ti = _state(spark, sf_dir).docs_text_index()
+    return ti.matches('"sort merge"~2')
+
+
 def _q_dedup_exact_groups(spark, sf_dir):
     docs = _state(spark, sf_dir).raw("documents")
     return dedup.exact_dup_groups(docs, "text", "doc_id")
@@ -767,6 +773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bool_and": _q_text_bool_and,
         "text_bool_or": _q_text_bool_or,
         "text_phrase": _q_text_phrase,
+        "text_phrase_near": _q_text_phrase_near,
         # pipeline: dedup / stats / similarity (north star)
         "dedup_exact_groups": _q_dedup_exact_groups,
         "minhash_signatures": _q_minhash_signatures,
@@ -908,6 +915,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(list_filter({_TOKS}, x -> x = 'sort' OR x = 'merge')) AS BIGINT) AS score
             FROM documents
             WHERE regexp_matches(text, '(^|\\s)sort\\s+merge(\\s|$)')
+        """,
+        "text_phrase_near": f"""
+            -- slop-2 window = merge at offsets -1, +1, +2, +3 from sort
+            SELECT doc_id,
+                   CAST(len(list_filter({_TOKS}, x -> x = 'sort' OR x = 'merge')) AS BIGINT) AS score
+            FROM documents
+            WHERE regexp_matches(text, '(^|\\s)sort(\\s+\\S+){{0,2}}\\s+merge(\\s|$)')
+               OR regexp_matches(text, '(^|\\s)merge\\s+sort(\\s|$)')
         """,
         "dedup_exact_groups": """
             SELECT md5(text) AS sig, count(*) AS n_dups, min(doc_id) AS keep_id
