@@ -310,16 +310,12 @@ def query(
     files = sorted(matched & set(sizes))
     m.scanned_files = len(files)
     m.scanned_bytes = sum(sizes[f] for f in files)
-    m.stale_files = len(
-        set().union(
-            *(
-                (indexes.get(l.column) or zones[l.column]).not_covered
-                if (isinstance(l, E.Eq) and l.column in indexes)
-                else zones[l.column].not_covered
-                for l in leaves
-            )
-        )
-    )
+    def _serving_index(leaf: E.Expr) -> _Index:
+        if isinstance(leaf, E.Eq) and leaf.column in indexes:
+            return indexes[leaf.column]
+        return zones[leaf.column]
+
+    m.stale_files = len(set().union(*(_serving_index(l).not_covered for l in leaves)))
 
     if not files:
         # reference case (b): empty postings ⇒ zero files read; literal-false
