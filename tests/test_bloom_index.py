@@ -76,3 +76,30 @@ def test_block_index_preferred_over_bloom(spark, workdir, clustered_events):
         spark.read.parquet(clustered_events).where(F.col("event_type") == "error").count()
     )
     assert got == want
+
+
+def test_bloom_sign_bit_roundtrip(spark, workdir):
+    """Value 'v41' hashes to bit position 7615 (word 118, bit 63 — the
+    long sign bit): the build-side shiftleft(1L, 63) and the probe-side
+    two's-complement mask must agree or sign-bit keys silently vanish."""
+    src = f"{workdir}/bloom_signbit_tbl"
+    rows = [(i, f"v{i}") for i in range(100)]
+    spark.createDataFrame(rows, "id long, k string").write.mode("overwrite").parquet(src)
+
+    eng = Engine(spark, f"{workdir}/bloom_signbit_root")
+    eng.build_bloom_index(src, "k")
+    assert eng.query(src, col("k") == "v41").count() == 1
+    assert eng.query(src, col("k") == "v44").count() == 1
+
+
+def test_indexes_on_empty_table(spark, workdir):
+    src = f"{workdir}/empty_tbl"
+    spark.createDataFrame([], "id long, k string, ts timestamp").write.mode(
+        "overwrite"
+    ).parquet(src)
+    eng = Engine(spark, f"{workdir}/empty_root")
+    eng.build_index(src, "k", num_buckets=2)
+    eng.build_bloom_index(src, "k")
+    eng.build_zone_index(src, "ts")
+    assert eng.query(src, col("k") == "anything").count() == 0
+    assert eng.query(src, col("ts") < "2030-01-01").count() == 0

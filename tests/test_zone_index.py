@@ -118,3 +118,19 @@ def test_refresh_zone_index_incremental(spark, workdir):
     assert got.count() == want.count() > 0
     # the late file is the only zone candidate for this range
     assert eng.last_metrics.scanned_files < eng.last_metrics.total_files
+
+
+def test_zone_all_null_file_prunes_safely(spark, workdir):
+    src = f"{workdir}/zone_null_tbl"
+    some = spark.range(0, 50).selectExpr("id", "timestamp '2024-01-05' + id * interval 1 hour AS ts")
+    nulls = spark.range(50, 60).selectExpr("id", "CAST(NULL AS timestamp) AS ts")
+    some.coalesce(1).write.mode("overwrite").parquet(src)
+    nulls.coalesce(1).write.mode("append").parquet(src)
+
+    eng = Engine(spark, f"{workdir}/zone_null_root")
+    eng.build_zone_index(src, "ts")
+    got = eng.query(src, col("ts") >= "2024-01-06")
+    want = spark.read.parquet(src).where(F.col("ts") >= "2024-01-06")
+    assert got.count() == want.count() > 0
+    # the all-null file can never satisfy an ordered predicate → pruned
+    assert eng.last_metrics.scanned_files < eng.last_metrics.total_files
