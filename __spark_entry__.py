@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from elephant_twin_spark import Engine, col
 from elephant_twin_spark.functions import scalar
-from elephant_twin_spark.operators import rollup, sessionize, temporal
+from elephant_twin_spark.operators import rollup, sessionize, skew, temporal
 from elephant_twin_spark.operators.pipeline import (
     dedup,
     multimodal,
@@ -590,6 +590,20 @@ def _q_text_retrieve(spark, sf_dir):
     return ti.retrieve("merge", fields=["lang", "n_chars"], n=5)
 
 
+def _q_salted_distinct_users(spark, sf_dir):
+    """Skew-resistant two-stage aggregation: distinct users per event
+    type via (key, salt) partials — must equal the plain aggregation."""
+    ev = _state(spark, sf_dir).raw("events")
+    return skew.salted_aggregate(
+        ev,
+        ["event_type"],
+        [F.collect_set("user_id").alias("us")],
+        [
+            F.size(F.array_distinct(F.flatten(F.collect_list("us")))).alias("n_users"),
+        ],
+    )
+
+
 def _q_semi_join_customers(spark, sf_dir):
     """Left-semi join: customers having at least one urgent order."""
     st = _state(spark, sf_dir)
@@ -799,6 +813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forecast_revenue": _q_forecast_revenue,
         "top_unshipped_orders": _q_top_unshipped_orders,
         "above_avg_orders": _q_above_avg_orders,
+        "salted_distinct_users": _q_salted_distinct_users,
         "semi_join_customers": _q_semi_join_customers,
         "anti_join_customers": _q_anti_join_customers,
         "window_top_orders": _q_window_top_orders,
@@ -1102,6 +1117,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderpriority, count(*) AS n FROM orders
             WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
             GROUP BY o_orderpriority
+        """,
+        "salted_distinct_users": """
+            SELECT event_type, count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type
         """,
         "semi_join_customers": """
             SELECT c_custkey, c_mktsegment FROM customer
