@@ -17,9 +17,25 @@ Catalyst residual filter. Parquet min/max + bloom stats then prune
 row-groups *within* the surviving files, recovering the reference's
 sub-file granularity without custom readers.
 
+The stored byte ranges ARE used below file granularity — just not as a
+scan filter: AND-predicates intersect each file's posting ranges
+(:mod:`elephant_twin_spark.plans.intervals`, the reference's I2), so a
+file whose matching blocks for the two keys don't overlap is excluded
+entirely, and the bytes-ratio metric reports range lengths rather than
+whole file sizes (the reference's ``totalBytesNewSplits``). Measured
+fact motivating this design: Spark evaluates ``_metadata
+.file_block_start`` predicates per row, NOT at split planning (verified:
+a block-range filter leaves the scan's partition count unchanged), so a
+range-based scan filter would add no IO saving over the pushed residual
+filter + parquet row-group stats — exclusion and metrics are where the
+ranges genuinely help. Correctness of cross-run range reuse: a row's
+split is chosen by its row-group midpoint byte, which both the
+build-time and any future split containing it must include, so matching
+rows always fall inside the recorded ranges.
+
 Scale notes (100 TB discipline, SURVEY §7.5):
-- the only driver-side collect is the matched FILE LIST for the requested
-  keys — bounded by file count, never row data;
+- the only driver-side collect is the matched FILE LIST (+ the requested
+  keys' posting ranges) — bounded by file count, never row data;
 - each leaf lookup reads ~1 of N range-partitioned index files (footer
   min/max + bloom on ``key``), the analog of the reference's
   hash-partitioned MapFile probe;
@@ -37,6 +53,7 @@ from pyspark.sql import functions as F
 
 from elephant_twin_spark.operators import build as build_mod
 from elephant_twin_spark.plans import expr as E
+from elephant_twin_spark.plans import intervals as iv
 from elephant_twin_spark.sources import catalog, fsio
 
 
@@ -123,20 +140,24 @@ def _load_all_indexes(
     return merged
 
 
+FileRanges = Dict[str, List[iv.Range]]
+
+
 def _leaf_file_sets(
     spark: SparkSession,
     leaves: List[E.Expr],
     indexes: Dict[str, _Index],
     zones: Optional[Dict[str, _Index]] = None,
-) -> Dict[int, Set[str]]:
-    """Batch-resolve all Eq leaves against their postings tables.
+) -> Dict[int, FileRanges]:
+    """Batch-resolve all leaves against their index tables.
 
     One index read per distinct column — all requested keys for that column
     are looked up in a single ``key IN (...)`` scan (bucket-pruned by
     parquet min/max + bloom), instead of one job per leaf. Returns, per
-    leaf id, the set of FRESH files whose postings contain the key; files
-    not covered by that index are added by the caller (they may match
-    anything — reference case (a), full-scan fallback).
+    leaf id, ``{file: [byte ranges]}`` over FRESH files; block indexes
+    carry their real posting ranges, bloom/zone candidates and files not
+    covered by an index map to :data:`intervals.WHOLE_FILE` (they may
+    match anywhere — reference case (a), full-scan fallback).
     """
     zones = zones or {}
     by_col: Dict[str, List[E.Eq]] = {}
@@ -149,7 +170,13 @@ def _leaf_file_sets(
         else:
             zone_by_col.setdefault(leaf.column, []).append(leaf)
 
-    result: Dict[int, Set[str]] = {}
+    def finish(matched: FileRanges, idx: _Index) -> FileRanges:
+        out = {f: r for f, r in matched.items() if f in idx.fresh}
+        for f in idx.not_covered:
+            out[f] = list(iv.WHOLE_FILE)
+        return out
+
+    result: Dict[int, FileRanges] = {}
     for column, col_leaves in zone_by_col.items():
         idx = zones[column]
         probes = []
@@ -168,31 +195,35 @@ def _leaf_file_sets(
         rows = build_mod.read_zones(spark, idx.idx_dir).select("file", *probes).collect()
         for i, leaf in enumerate(col_leaves):
             matched = {
-                fsio.normalize_path(r["file"]) for r in rows if r[f"_z{i}"]
+                fsio.normalize_path(r["file"]): list(iv.WHOLE_FILE)
+                for r in rows
+                if r[f"_z{i}"]
             }
-            result[id(leaf)] = (matched & idx.fresh) | idx.not_covered
+            result[id(leaf)] = finish(matched, idx)
 
     for column, col_leaves in by_col.items():
         idx = indexes[column]
         keys = sorted({l.key for l in col_leaves})
         if idx.kind == "bloom":
-            by_key = _bloom_candidates(spark, idx, keys)
+            by_key = {
+                k: {f: list(iv.WHOLE_FILE) for f in files}
+                for k, files in _bloom_candidates(spark, idx, keys).items()
+            }
         else:
             rows = (
                 build_mod.read_postings(spark, idx.idx_dir)
                 .where(F.col("key").isin(keys))
-                .select("key", "file")
-                .distinct()
+                .select("key", "file", "ranges")
                 .collect()
             )
             by_key = {}
             for r in rows:
                 # _metadata.file_path renders file:/x, FS listing file:///x
-                by_key.setdefault(r["key"], set()).add(fsio.normalize_path(r["file"]))
+                by_key.setdefault(r["key"], {})[fsio.normalize_path(r["file"])] = (
+                    iv.normalize([(x["start"], x["end"]) for x in r["ranges"]])
+                )
         for leaf in col_leaves:
-            matched = by_key.get(leaf.key, set())
-            # only fresh files may be served from the index
-            result[id(leaf)] = (matched & idx.fresh) | idx.not_covered
+            result[id(leaf)] = finish(by_key.get(leaf.key, {}), idx)
     return result
 
 
@@ -234,14 +265,29 @@ def _collect_leaves(tree: E.Expr) -> List[E.Expr]:
     return []
 
 
-def _eval_tree(tree: E.Expr, leaf_sets: Dict[int, Set[str]]) -> Set[str]:
-    """I1/I2/I3 at file granularity: OR = union, AND = intersection."""
+def _eval_tree(tree: E.Expr, leaf_sets: Dict[int, FileRanges]) -> FileRanges:
+    """I1/I2/I3 over per-file byte ranges: OR = per-file range union,
+    AND = per-file range intersection — a file whose matched blocks for
+    the two sides don't overlap drops out entirely (sub-file evidence,
+    file-level action)."""
     if isinstance(tree, (E.Eq, E.Cmp)):
         return leaf_sets[id(tree)]
     if isinstance(tree, E.And):
-        return _eval_tree(tree.left, leaf_sets) & _eval_tree(tree.right, leaf_sets)
+        l = _eval_tree(tree.left, leaf_sets)
+        r = _eval_tree(tree.right, leaf_sets)
+        out: FileRanges = {}
+        for f in l.keys() & r.keys():
+            got = iv.intersect(l[f], r[f])
+            if got:
+                out[f] = got
+        return out
     if isinstance(tree, E.Or):
-        return _eval_tree(tree.left, leaf_sets) | _eval_tree(tree.right, leaf_sets)
+        l = _eval_tree(tree.left, leaf_sets)
+        r = _eval_tree(tree.right, leaf_sets)
+        out = dict(l)
+        for f, ranges in r.items():
+            out[f] = iv.union(out[f], ranges) if f in out else ranges
+        return out
     raise AssertionError(f"non-pushable node in pushed tree: {tree!r}")
 
 
@@ -307,9 +353,11 @@ def query(
     matched = _eval_tree(pushed, leaf_sets)
 
     sizes = {p: s for p, s, _ in live}
-    files = sorted(matched & set(sizes))
+    files = sorted(set(matched) & set(sizes))
     m.scanned_files = len(files)
-    m.scanned_bytes = sum(sizes[f] for f in files)
+    # the reference's totalBytesNewSplits: matched block bytes, not whole
+    # file sizes (clamped — merged ranges can pad past the data end)
+    m.scanned_bytes = sum(min(sizes[f], iv.total_length(matched[f])) for f in files)
     def _serving_index(leaf: E.Expr) -> _Index:
         if isinstance(leaf, E.Eq) and leaf.column in indexes:
             return indexes[leaf.column]

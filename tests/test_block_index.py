@@ -257,3 +257,42 @@ def test_expression_index(spark, workdir):
 
     # no-match day prunes everything
     assert eng.query(src, col("event_date") == "1999-01-01").count() == 0
+
+
+def test_and_interval_intersection_excludes_file(spark, workdir):
+    """Sub-file interval evidence → whole-file exclusion: two keys whose
+    matching blocks inside ONE file don't overlap must prune the file on
+    an AND query, and single-key metrics must report block bytes, not the
+    whole file size (the reference's totalBytesNewSplits)."""
+    src = f"{workdir}/interval_excl_tbl"
+    n = 200_000
+    df = spark.range(n).selectExpr(
+        "id",
+        "CASE WHEN id < 90000 THEN 'x' WHEN id >= 110000 THEN 'y' ELSE 'z' END AS a",
+        "md5(cast(id as string)) AS pad",
+    )
+    (
+        df.orderBy("id")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .option("parquet.block.size", 64 * 1024)  # many small row groups
+        .parquet(src)
+    )
+
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(256 * 1024))
+    try:
+        eng = Engine(spark, f"{workdir}/interval_excl_root")
+        eng.build_index(src, "a", num_buckets=2)
+
+        got = eng.query(src, (col("a") == "x") & (col("a") == "y"))
+        assert got.count() == 0
+        m = eng.last_metrics
+        assert m.scanned_files == 0, m.as_dict()  # excluded by range intersection
+
+        n_x = eng.query(src, col("a") == "x").count()
+        assert n_x == 90_000
+        m2 = eng.last_metrics
+        assert 0 < m2.scanned_bytes < m2.total_bytes, m2.as_dict()
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)

@@ -99,3 +99,35 @@ def test_phrase_parse(terms):
         assert isinstance(node, _Term)
     else:
         assert isinstance(node, _Phrase) and node.terms == terms
+
+
+# ------------------------------------------------------------- intervals
+
+from elephant_twin_spark.plans import intervals as iv
+
+_ranges = st.lists(
+    st.tuples(st.integers(0, 1000), st.integers(0, 1000)).map(
+        lambda t: (min(t), max(t))
+    ),
+    max_size=20,
+)
+
+
+def _covered(ranges):
+    out = set()
+    for s, e in ranges:
+        out |= set(range(s, e))
+    return out
+
+
+@given(a=_ranges, b=_ranges)
+@settings(max_examples=200)
+def test_interval_union_intersect_match_set_semantics(a, b):
+    na, nb = iv.normalize(a), iv.normalize(b)
+    # normalize: disjoint, sorted, same coverage
+    assert _covered(na) == _covered(a)
+    assert all(x[1] < y[0] for x, y in zip(na, na[1:]))
+
+    assert _covered(iv.union(na, nb)) == _covered(a) | _covered(b)
+    assert _covered(iv.intersect(na, nb)) == _covered(a) & _covered(b)
+    assert iv.total_length(na) == len(_covered(a))
