@@ -590,6 +590,18 @@ def _q_text_retrieve(spark, sf_dir):
     return ti.retrieve("merge", fields=["lang", "n_chars"], n=5)
 
 
+def _q_json_props_stats(spark, sf_dir):
+    """Semi-structured extraction: JSON field pulled JVM-side and
+    aggregated (no UDF; the scan stays columnar)."""
+    ev = _state(spark, sf_dir).raw("events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.round(F.avg(k), 4).alias("avg_k"),
+    )
+
+
 def _q_salted_distinct_users(spark, sf_dir):
     """Skew-resistant two-stage aggregation: distinct users per event
     type via (key, salt) partials — must equal the plain aggregation."""
@@ -813,6 +825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forecast_revenue": _q_forecast_revenue,
         "top_unshipped_orders": _q_top_unshipped_orders,
         "above_avg_orders": _q_above_avg_orders,
+        "json_props_stats": _q_json_props_stats,
         "salted_distinct_users": _q_salted_distinct_users,
         "semi_join_customers": _q_semi_join_customers,
         "anti_join_customers": _q_anti_join_customers,
@@ -1117,6 +1130,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderpriority, count(*) AS n FROM orders
             WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
             GROUP BY o_orderpriority
+        """,
+        "json_props_stats": """
+            SELECT event_type, count(*) AS n,
+                   sum(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+                   round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k
+            FROM events GROUP BY event_type
         """,
         "salted_distinct_users": """
             SELECT event_type, count(DISTINCT user_id) AS n_users
