@@ -237,6 +237,12 @@ class Engine:
             self.spark, table_path, column, self.index_root
         )
 
+    def verify_all(self, table_path: str) -> Dict:
+        """Soundness check for every index of the table (block per-key
+        counts, zone bounds, bloom no-false-negatives); returns
+        {(kind, column): n_violations} — all zeros when fresh."""
+        return verify_mod.verify_all(self.spark, table_path, self.index_root, self)
+
     # -------------------------------------------------------------- text
     def build_text_index(self, table_path: str, text_column: str, doc_id_column: str, **kw):
         return text_mod.build_text_index(

@@ -64,3 +64,88 @@ def assert_index_consistent(
         return df.count()
     finally:
         df.unpersist()
+
+
+def _norm_file_col():
+    return F.regexp_replace(
+        F.col("_metadata.file_path"), r"^file:/(?=[^/])", "file:///"
+    ).alias("file")
+
+
+def zone_violations(
+    spark: SparkSession, table_path: str, column: str, index_root: str
+) -> DataFrame:
+    """Zone-map soundness: per file, the stored [min_v, max_v] must bound
+    the actual data (a too-narrow zone silently drops rows). Returns the
+    violating files — must be empty for a fresh index."""
+    idx_dir = catalog.index_dir(index_root, table_path, column, kind="zone")
+    zones = build_mod.read_zones(spark, idx_dir)
+    actual = (
+        spark.read.parquet(table_path)
+        .select(_norm_file_col(), F.col(column).alias("v"))
+        .groupBy("file")
+        .agg(F.min("v").alias("a_min"), F.max("v").alias("a_max"))
+    )
+    j = zones.join(actual, "file", "full_outer")
+    return j.where(
+        ~(
+            F.col("a_min").isNull()  # all-null file: nothing to bound
+            | (F.col("min_v").isNotNull() & (F.col("min_v") <= F.col("a_min"))
+               & (F.col("max_v") >= F.col("a_max")))
+        )
+    )
+
+
+def bloom_violations(
+    spark: SparkSession, table_path: str, column: str, index_root: str
+) -> DataFrame:
+    """Bloom soundness: every (file, key) actually present must test
+    positive against that file's bit array (false NEGATIVES are
+    correctness bugs; false positives are just wasted IO). Distributed:
+    distinct (file, key) pairs join the sketch table and re-hash
+    JVM-side. Returns violating pairs — must be empty."""
+    idx_dir = catalog.index_dir(index_root, table_path, column, kind="bloom")
+    desc = catalog.read_descriptor(spark, idx_dir)
+    num_bits = int(desc.options["num_bits"])
+    num_hashes = int(desc.options["num_hashes"])
+    present = (
+        spark.read.parquet(table_path)
+        .select(_norm_file_col(), F.col(column).cast("string").alias("key"))
+        .where(F.col("key").isNotNull())
+        .distinct()
+    )
+    sketch = build_mod.read_bloom_sketch(spark, idx_dir)
+    j = present.join(sketch, "file", "left")
+    # bit test as one SQL expr per hash (same md5 derivation as the build)
+    conds = []
+    for i in range(num_hashes):
+        pos_sql = (
+            f"cast(conv(substring(md5(concat('{i}|', key)), 1, 15), 16, 10) as bigint)"
+            f" % {num_bits}"
+        )
+        conds.append(
+            f"(element_at(bits, cast(({pos_sql}) / 64 as int) + 1)"
+            f" & shiftleft(1L, cast(({pos_sql}) % 64 as int))) != 0"
+        )
+    ok = F.expr(" AND ".join(conds))
+    return j.where(F.col("bits").isNull() | ~ok)
+
+
+def verify_all(spark: SparkSession, table_path: str, index_root: str, engine) -> dict:
+    """Run the soundness check appropriate to every index of the table;
+    returns {(kind, column): n_violations} (all zeros for fresh indexes)."""
+    out = {}
+    for s in engine.stats(table_path):
+        kind, column = s["kind"], s["column"]
+        if kind == "block" and "key_expr" not in s["options"]:
+            df = index_vs_fullscan_counts(spark, table_path, column, index_root)
+            out[(kind, column)] = df.where(~F.col("ok")).count()
+        elif kind == "zone":
+            out[(kind, column)] = zone_violations(
+                spark, table_path, column, index_root
+            ).count()
+        elif kind == "bloom":
+            out[(kind, column)] = bloom_violations(
+                spark, table_path, column, index_root
+            ).count()
+    return out

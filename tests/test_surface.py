@@ -169,3 +169,40 @@ def test_engine_stats(spark, workdir, events_multifile):
         assert s["index_bytes"] > 0
         assert s["covered_files"] == 8 and s["fresh_files"] == 8
         assert s["stale_or_new_files"] == 0
+
+
+def test_verify_all_kinds(spark, workdir, events_multifile):
+    from elephant_twin_spark import Engine
+
+    eng = Engine(spark, f"{workdir}/verify_all_root")
+    eng.build_index(events_multifile, "event_type", num_buckets=4)
+    eng.build_bloom_index(events_multifile, "user_id")
+    eng.build_zone_index(events_multifile, "ts")
+
+    out = eng.verify_all(events_multifile)
+    assert set(out) == {
+        ("block", "event_type"),
+        ("bloom", "user_id"),
+        ("zone", "ts"),
+    }
+    assert all(v == 0 for v in out.values()), out
+
+    # sabotage the zone table: corrupt bounds must surface as violations
+    from elephant_twin_spark.operators import build as B
+    from elephant_twin_spark.sources import catalog
+
+    zdir = catalog.index_dir(f"{workdir}/verify_all_root", events_multifile, "ts", "zone")
+    zones = B.read_zones(spark, zdir).collect()
+    import pyspark.sql.functions as FF
+
+    bad = B.read_zones(spark, zdir).withColumn(
+        "min_v", FF.col("max_v")  # min := max → bounds too narrow
+    )
+    bad.write.mode("overwrite").parquet(f"{zdir}/zones_bad")
+    import shutil
+
+    shutil.rmtree(f"{zdir}/zones".replace("file://", ""), ignore_errors=True)
+    shutil.move(f"{zdir}/zones_bad".replace("file://", ""), f"{zdir}/zones".replace("file://", ""))
+    spark.catalog.refreshByPath(f"{zdir}/zones")
+    out2 = eng.verify_all(events_multifile)
+    assert out2[("zone", "ts")] > 0, out2
