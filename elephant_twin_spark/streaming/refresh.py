@@ -300,6 +300,14 @@ def refresh_zone_index(
     }
 
 
+_REFRESHERS = {
+    "block": lambda spark, tbl, col_, root: refresh_block_index(spark, tbl, col_, root),
+    "bloom": lambda spark, tbl, col_, root: refresh_bloom_index(spark, tbl, col_, root),
+    "zone": lambda spark, tbl, col_, root: refresh_zone_index(spark, tbl, col_, root),
+    "text": lambda spark, tbl, col_, root: refresh_text_index(spark, tbl, col_, root),
+}
+
+
 def stream_index_updates(
     spark: SparkSession,
     table_path: str,
@@ -308,17 +316,20 @@ def stream_index_updates(
     checkpoint_dir: str,
     trigger_once: bool = True,
     schema=None,
+    kind: str = "block",
 ):
     """Structured-Streaming continuous index maintenance: watch the table
     directory for new parquet files; every micro-batch runs the
-    incremental refresh. ``trigger_once=True`` processes the backlog and
-    stops (the batch-cron deployment mode); ``False`` runs continuously
-    with the default trigger.
+    incremental refresh for ``kind`` (block/bloom/zone/text).
+    ``trigger_once=True`` processes the backlog and stops (the batch-cron
+    deployment mode); ``False`` runs continuously with the default
+    trigger.
 
     The stream itself is only the *signal* (which files arrived); the
-    refresh recomputes postings from the files directly, so restarts and
-    reprocessing are idempotent.
+    refresh recomputes index rows from the files directly, so restarts
+    and reprocessing are idempotent.
     """
+    refresher = _REFRESHERS[kind]
     if schema is None:
         schema = spark.read.parquet(table_path).schema
     stream = (
@@ -328,7 +339,7 @@ def stream_index_updates(
     )
 
     def on_batch(batch_df: DataFrame, batch_id: int) -> None:
-        refresh_block_index(spark, table_path, column, index_root)
+        refresher(spark, table_path, column, index_root)
 
     writer = stream.writeStream.foreachBatch(on_batch).option(
         "checkpointLocation", checkpoint_dir
