@@ -65,10 +65,13 @@ class Engine:
             self.spark, table_path, columns, self.index_root, **kw
         )
 
-    def build_zone_index(self, table_path: str, column: str) -> build_mod.BuildResult:
+    def build_zone_index(self, table_path: str, column: str, **kw) -> build_mod.BuildResult:
         """Per-file typed min/max zone map — serves ORDERED predicates
-        (> >= < <=) as well as equality; pays off on clustered columns."""
-        return build_mod.build_zone_index(self.spark, table_path, column, self.index_root)
+        (> >= < <=) as well as equality; pays off on clustered columns.
+        Accepts ``key_expr`` to zone an expression under a virtual name."""
+        return build_mod.build_zone_index(
+            self.spark, table_path, column, self.index_root, **kw
+        )
 
     def build_bloom_index(self, table_path: str, column: str, **kw) -> build_mod.BuildResult:
         """Per-file Bloom index — O(files) storage for high-cardinality

@@ -226,17 +226,22 @@ def build_zone_index(
     table_path: str,
     column: str,
     index_root: str,
+    key_expr: Optional[str] = None,
 ) -> BuildResult:
     """Zone table ``(file, min_v, max_v, n_null)`` with the column's native
-    type preserved (string min/max would order numbers wrong)."""
+    type preserved (string min/max would order numbers wrong).
+
+    ``key_expr`` zones an arbitrary SQL expression under the virtual name
+    ``column`` — same contract as the block-index expression support."""
     idx_dir = catalog.index_dir(index_root, table_path, column, kind="zone")
     df = spark.read.parquet(table_path)
+    key = F.expr(key_expr) if key_expr else F.col(column)
     zones = (
         df.select(
             F.regexp_replace(
                 F.col("_metadata.file_path"), r"^file:/(?=[^/])", "file:///"
             ).alias("file"),
-            F.col(column).alias("v"),
+            key.alias("v"),
         )
         .groupBy("file")
         .agg(
@@ -253,7 +258,7 @@ def build_zone_index(
         index_type="ZONE",
         num_buckets=1,
         files=files,
-        options={},
+        options={"key_expr": key_expr} if key_expr else {},
     )
     catalog.write_descriptor(spark, idx_dir, desc)
     return BuildResult(idx_dir, column, len(files), -1)

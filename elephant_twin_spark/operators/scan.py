@@ -326,17 +326,17 @@ def query(
     m.total_bytes = sum(s for _, s, _ in live)
 
     indexes = _load_all_indexes(spark, table_path, index_root, live)
+    zones = _load_indexes(spark, table_path, index_root, live, kind="zone")
 
     def _resolve(name: str) -> F.Column:
         # expression indexes: a virtual index name expands to its defining
         # expression in the residual filter (the reference's pluggable
         # key-extractor contract, SURVEY §2.9)
-        idx = indexes.get(name)
+        idx = indexes.get(name) or zones.get(name)
         if idx is not None and idx.desc.options.get("key_expr"):
             return F.expr(idx.desc.options["key_expr"])
         return F.col(name)
 
-    zones = _load_indexes(spark, table_path, index_root, live, kind="zone")
     full_filter = predicate.to_column(_resolve)
     pushed = E.extract_pushable(predicate, set(indexes), set(zones))
     m.pushed = repr(pushed) if pushed is not None else None

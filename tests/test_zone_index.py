@@ -134,3 +134,20 @@ def test_zone_all_null_file_prunes_safely(spark, workdir):
     assert got.count() == want.count() > 0
     # the all-null file can never satisfy an ordered predicate → pruned
     assert eng.last_metrics.scanned_files < eng.last_metrics.total_files
+
+
+def test_zone_expression_index(spark, workdir, time_clustered):
+    """Zone an expression (day-of-month) under a virtual name: ordered
+    predicates on it prune files and the residual resolves the virtual
+    name back to the expression."""
+    eng = Engine(spark, f"{workdir}/zone_expr_root")
+    eng.build_zone_index(time_clustered, "event_day", key_expr="day(ts)")
+
+    got = eng.query(time_clustered, (col("event_day") >= 5) & (col("event_day") <= 7))
+    want = tables.load_raw(spark, time_clustered).where(
+        (F.dayofmonth("ts") >= 5) & (F.dayofmonth("ts") <= 7)
+    )
+    assert got.count() == want.count() > 0
+    m = eng.last_metrics
+    assert "Cmp('event_day'" in (m.pushed or ""), m.as_dict()
+    assert m.scanned_files < m.total_files, m.as_dict()
