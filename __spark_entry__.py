@@ -590,6 +590,20 @@ def _q_text_retrieve(spark, sf_dir):
     return ti.retrieve("merge", fields=["lang", "n_chars"], n=5)
 
 
+def _q_unpivot_order_measures(spark, sf_dir):
+    """Unpivot (wide → long): per-status totals of two measures as
+    (o_orderstatus, measure, total) rows via stack."""
+    orders = _state(spark, sf_dir).raw("orders")
+    wide = orders.groupBy("o_orderstatus").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("price"),
+        F.count(F.lit(1)).cast("double").alias("n_orders"),
+    )
+    return wide.selectExpr(
+        "o_orderstatus",
+        "stack(2, 'price', price, 'n_orders', n_orders) AS (measure, total)",
+    )
+
+
 def _q_json_props_stats(spark, sf_dir):
     """Semi-structured extraction: JSON field pulled JVM-side and
     aggregated (no UDF; the scan stays columnar)."""
@@ -825,6 +839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forecast_revenue": _q_forecast_revenue,
         "top_unshipped_orders": _q_top_unshipped_orders,
         "above_avg_orders": _q_above_avg_orders,
+        "unpivot_order_measures": _q_unpivot_order_measures,
         "json_props_stats": _q_json_props_stats,
         "salted_distinct_users": _q_salted_distinct_users,
         "semi_join_customers": _q_semi_join_customers,
@@ -1130,6 +1145,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderpriority, count(*) AS n FROM orders
             WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
             GROUP BY o_orderpriority
+        """,
+        "unpivot_order_measures": """
+            WITH wide AS (
+              SELECT o_orderstatus,
+                     round(sum(o_totalprice), 2) AS price,
+                     CAST(count(*) AS DOUBLE) AS n_orders
+              FROM orders GROUP BY o_orderstatus
+            )
+            SELECT o_orderstatus, 'price' AS measure, price AS total FROM wide
+            UNION ALL
+            SELECT o_orderstatus, 'n_orders', n_orders FROM wide
         """,
         "json_props_stats": """
             SELECT event_type, count(*) AS n,
