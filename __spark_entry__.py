@@ -590,6 +590,18 @@ def _q_text_retrieve(spark, sf_dir):
     return ti.retrieve("merge", fields=["lang", "n_chars"], n=5)
 
 
+def _q_pivot_user_events(spark, sf_dir):
+    """Pivot (long → wide): per-user counts of each event type as
+    columns (explicit value list keeps the schema deterministic)."""
+    ev = _state(spark, sf_dir).raw("events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .count()
+        .na.fill(0)
+    )
+
+
 def _q_unpivot_order_measures(spark, sf_dir):
     """Unpivot (wide → long): per-status totals of two measures as
     (o_orderstatus, measure, total) rows via stack."""
@@ -839,6 +851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forecast_revenue": _q_forecast_revenue,
         "top_unshipped_orders": _q_top_unshipped_orders,
         "above_avg_orders": _q_above_avg_orders,
+        "pivot_user_events": _q_pivot_user_events,
         "unpivot_order_measures": _q_unpivot_order_measures,
         "json_props_stats": _q_json_props_stats,
         "salted_distinct_users": _q_salted_distinct_users,
@@ -1145,6 +1158,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderpriority, count(*) AS n FROM orders
             WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
             GROUP BY o_orderpriority
+        """,
+        "pivot_user_events": """
+            SELECT user_id,
+                   sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+                   sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
+                   sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+                   sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
+                   sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+            FROM events GROUP BY user_id
         """,
         "unpivot_order_measures": """
             WITH wide AS (
