@@ -48,6 +48,23 @@ def streaming_windowed_counts(
     )
 
 
+def streaming_exact_dedup(
+    stream: DataFrame,
+    key_cols,
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup: drop rows whose ``key_cols`` were already
+    seen within the watermark horizon (``dropDuplicatesWithinWatermark``
+    — state is bounded by the horizon, not stream length; the batch twin
+    is ``pipeline.dedup.exact_dedup``). Duplicates farther apart than the
+    watermark are the layout job's problem (compaction + batch dedup),
+    not the ingest stream's."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )
+
+
 def run_to_memory(
     streaming_df: DataFrame,
     query_name: str,

@@ -155,3 +155,28 @@ def test_streaming_sessionize_matches_batch(spark, workdir):
     assert got == want, (
         f"missing={sorted(want - got)[:5]} extra={sorted(got - want)[:5]}"
     )
+
+
+def test_streaming_exact_dedup(spark, workdir):
+    from elephant_twin_spark.sources import tables
+
+    src = f"{workdir}/stream_dedup_src"
+    ev = tables.load_raw(spark, f"{SF_DIR}/events.parquet").select(
+        "event_id", "user_id", "ts"
+    )
+    # duplicate every row once → stream must emit each key exactly once
+    ev.union(ev).coalesce(2).write.mode("overwrite").parquet(src)
+
+    from elephant_twin_spark.streaming.windows import streaming_exact_dedup
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sdf = streaming_exact_dedup(stream, ["event_id"], watermark="48 hours")
+    windows.run_to_memory(sdf, "dedup_out", output_mode="append", timeout_sec=180)
+    got = spark.table("dedup_out")
+    n_unique = spark.read.parquet(src).select("event_id").distinct().count()
+    assert got.count() == n_unique
+    assert got.select("event_id").distinct().count() == n_unique
