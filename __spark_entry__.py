@@ -786,6 +786,20 @@ def _q_ann_ivf_top10(spark, sf_dir):
     return top.select(F.col("id").alias("vec_id"), F.round("cosine", 4).alias("cosine"))
 
 
+def _q_ann_pq_top10(spark, sf_dir):
+    """Product-quantization ANN: per-subspace codebooks, ADC shortlist
+    over compressed codes, exact cosine re-rank."""
+    st = _state(spark, sf_dir)
+    emb = st.raw("embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).first()["embedding"]
+    books = similarity.pq_fit(emb, "embedding", "vec_id", m=8, k=16, max_iter=2)
+    codes = similarity.pq_encode(emb, "embedding", "vec_id", books)
+    top = similarity.pq_search(
+        emb, codes, "embedding", "vec_id", qvec, books, k=10, shortlist=100
+    )
+    return top.select(F.col("id").alias("vec_id"), F.round("cosine", 4).alias("cosine"))
+
+
 def _q_minhash_near_dup(spark, sf_dir):
     docs = _state(spark, sf_dir).raw("documents")
     return dedup.minhash_near_dup_pairs(
@@ -868,6 +882,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnowing_fingerprints": _q_winnowing_fps,
         "ann_lsh_top10": _q_ann_lsh_top10,
         "ann_ivf_top10": _q_ann_ivf_top10,
+        "ann_pq_top10": _q_ann_pq_top10,
         "minhash_near_dup_pairs": _q_minhash_near_dup,
         "media_features": _q_media_features,
     }

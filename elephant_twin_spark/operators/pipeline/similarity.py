@@ -108,23 +108,40 @@ def lsh_cosine_topk(
     return cosine_topk(pruned, vec_col, id_col, query_vec, k)
 
 
-def _centroid_sims(vec_col, centroids: List[List[float]]):
+def _centroid_sims(vec_col, centroids: List[List[float]], metric: str = "cosine"):
     v = F.transform(vec_col, lambda x: x.cast("double"))
     vn = _norm(v)
     out = []
     for c in centroids:
-        cn = math.sqrt(sum(x * x for x in c)) or 1.0
-        out.append(_dot(v, F.array(*[F.lit(float(x)) for x in c])) / (vn * F.lit(cn)))
+        cvec = F.array(*[F.lit(float(x)) for x in c])
+        if metric == "cosine":
+            cn = math.sqrt(sum(x * x for x in c)) or 1.0
+            out.append(_dot(v, cvec) / (vn * F.lit(cn)))
+        elif metric == "l2":
+            # argmax of negative squared distance == argmin distance
+            out.append(
+                -F.aggregate(
+                    F.zip_with(v, cvec, lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            )
+        else:
+            raise ValueError(metric)
     return out
 
 
 def ivf_assign(
-    df: DataFrame, vec_col: str, centroids: List[List[float]], out_col: str = "cluster"
+    df: DataFrame,
+    vec_col: str,
+    centroids: List[List[float]],
+    out_col: str = "cluster",
+    metric: str = "cosine",
 ) -> DataFrame:
-    """Assign each row to its max-cosine centroid (argmax over an inline
+    """Assign each row to its best centroid (argmax over an inline
     struct array — pure JVM expression, ties broken toward the higher
     cluster id deterministically)."""
-    sims = _centroid_sims(F.col(vec_col), centroids)
+    sims = _centroid_sims(F.col(vec_col), centroids, metric)
     arr = F.array(
         *[F.struct(s.alias("sim"), F.lit(i).alias("idx")) for i, s in enumerate(sims)]
     )
@@ -138,8 +155,9 @@ def ivf_fit(
     k_clusters: int = 16,
     max_iter: int = 3,
     seed: int = 42,
+    metric: str = "cosine",
 ) -> List[List[float]]:
-    """Spherical k-means (Lloyd) centroids for an IVF index.
+    """Spherical (cosine) or plain-L2 k-means (Lloyd) centroids.
 
     Init = k deterministic pseudo-random rows (hash-of-id order). Each
     iteration is one assign (narrow map) + one shuffle
@@ -153,7 +171,7 @@ def ivf_fit(
     )
     centroids = [[float(x) for x in r["v"]] for r in init]
     for _ in range(max_iter):
-        assigned = ivf_assign(df, vec_col, centroids)
+        assigned = ivf_assign(df, vec_col, centroids, metric=metric)
         means = (
             assigned.select("cluster", F.posexplode(vec_col).alias("dim", "x"))
             .groupBy("cluster", "dim")
@@ -195,6 +213,123 @@ def ivf_topk(
         df = ivf_assign(df, vec_col, centroids, cluster_col)
     pruned = df.where(F.col(cluster_col).isin(probe))
     return cosine_topk(pruned, vec_col, id_col, query_vec, k)
+
+
+# ------------------------------------------------------------------ PQ
+#
+# Product quantization: split each d-dim vector into m subvectors,
+# k-means each subspace to k centroids (codebooks), store each vector as
+# m small codes. At 100 TB this compresses float32 embeddings ~d*4/m
+# bytes → the candidate scan reads codes, not vectors; scoring uses the
+# ADC trick (per-query lookup tables, computed once on the driver).
+# Pairs with IVF (coarse cluster → PQ re-rank) as the classic pipeline.
+
+
+def pq_fit(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    m: int = 4,
+    k: int = 16,
+    max_iter: int = 2,
+    seed: int = 42,
+) -> List[List[List[float]]]:
+    """Per-subspace codebooks: ``m`` lists of ``k`` centroids (each of
+    dim d/m). Reuses the spherical-kmeans machinery per subspace (one
+    pass per subspace — m small fits, each over the same rows)."""
+    dim = df.select(F.size(vec_col).alias("d")).first()["d"]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    w = dim // m
+    books = []
+    for s in range(m):
+        sub = df.select(
+            F.col(id_col).alias("id"),
+            F.slice(F.col(vec_col), s * w + 1, w).alias("v"),
+        )
+        books.append(
+            ivf_fit(sub, "v", "id", k_clusters=k, max_iter=max_iter, seed=seed + s, metric="l2")
+        )
+    return books
+
+
+def pq_encode(
+    df: DataFrame, vec_col: str, id_col: str, codebooks: List[List[List[float]]]
+) -> DataFrame:
+    """``(id, codes array<int>)`` — nearest centroid per subspace, all
+    JVM expressions (argmin of squared L2 via inline struct arrays)."""
+    m = len(codebooks)
+    w = len(codebooks[0][0])
+    code_cols = []
+    for s, book in enumerate(codebooks):
+        sub = F.transform(
+            F.slice(F.col(vec_col), s * w + 1, w), lambda x: x.cast("double")
+        )
+        dists = []
+        for ci, c in enumerate(book):
+            cvec = F.array(*[F.lit(float(x)) for x in c])
+            d2 = F.aggregate(
+                F.zip_with(sub, cvec, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            dists.append(F.struct(d2.alias("d"), F.lit(ci).alias("i")))
+        code_cols.append(F.array_min(F.array(*dists))["i"])
+    return df.select(
+        F.col(id_col).alias("id"), F.array(*code_cols).cast("array<int>").alias("codes")
+    )
+
+
+def pq_topk(
+    codes_df: DataFrame,
+    query_vec: Sequence[float],
+    codebooks: List[List[List[float]]],
+    k: int = 10,
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: the driver precomputes,
+    per subspace, the squared L2 from the query subvector to every
+    centroid; each row's approximate distance is m array lookups summed
+    JVM-side — no vector math per row, no shuffle
+    (TakeOrderedAndProject)."""
+    m = len(codebooks)
+    w = len(codebooks[0][0])
+    tables = []
+    for s, book in enumerate(codebooks):
+        q = [float(x) for x in query_vec[s * w : (s + 1) * w]]
+        tables.append([sum((a - b) ** 2 for a, b in zip(q, c)) for c in book])
+    per_sub = [
+        F.element_at(
+            F.array(*[F.lit(float(d)) for d in tables[s]]), F.col("codes")[s] + 1
+        )
+        for s in range(m)
+    ]
+    dist = per_sub[0]
+    for p in per_sub[1:]:
+        dist = dist + p
+    scored = codes_df.select("id", dist.alias("adc_dist"))
+    return scored.orderBy(F.col("adc_dist").asc(), F.col("id").asc()).limit(k)
+
+
+def pq_search(
+    df: DataFrame,
+    codes_df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_vec: Sequence[float],
+    codebooks: List[List[List[float]]],
+    k: int = 10,
+    shortlist: int = 100,
+) -> DataFrame:
+    """The canonical PQ pipeline: ADC over codes produces a cheap
+    ``shortlist`` (reads m ints per row), then ONLY those rows' real
+    vectors are re-ranked exactly by cosine. At scale the codes table is
+    ~d*4/m times smaller than the vectors, so the full scan touches the
+    compressed representation and the expensive exact math runs on a
+    constant-size candidate set."""
+    cand = pq_topk(codes_df, query_vec, codebooks, k=shortlist).select("id")
+    vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col))
+    pruned = vecs.join(F.broadcast(cand), "id", "inner")
+    return cosine_topk(pruned, vec_col, "id", query_vec, k)
 
 
 def embedding_near_dup_pairs(

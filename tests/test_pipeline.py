@@ -228,3 +228,43 @@ def test_profile_table(spark, docs_path):
         for r in profile.profile_table(docs, ["doc_id"], approximate=True).collect()
     }
     assert abs(approx["doc_id"]["n_distinct"] - n) <= 0.15 * n
+
+
+def test_pq_encode_and_adc_topk(spark):
+    emb = tables.load_raw(spark, docs_path_embeddings()).cache()
+    dim = emb.select(F.size("embedding").alias("d")).first()["d"]
+    m = 8 if dim % 8 == 0 else (4 if dim % 4 == 0 else 2)
+    books = similarity.pq_fit(emb, "embedding", "vec_id", m=m, k=16, max_iter=3)
+    assert len(books) == m and all(len(b) == 16 for b in books)
+    assert all(len(c) == dim // m for b in books for c in b)
+
+    codes = similarity.pq_encode(emb, "embedding", "vec_id", books).cache()
+    n = emb.count()
+    assert codes.count() == n
+    row = codes.first()
+    assert len(row["codes"]) == m and all(0 <= c < 16 for c in row["codes"])
+
+    # ADC is a SHORTLIST generator: the query's own row ranks at/near the
+    # top, and the exact euclidean top-10 is well captured by ADC-top-100
+    q = emb.where(F.col("vec_id") == 7).first()["embedding"]
+    top = similarity.pq_topk(codes, q, books, k=10).collect()
+    assert 7 in [r["id"] for r in top[:3]]
+
+    import numpy as np
+
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=float) for r in emb.collect()}
+    qv = np.array(q, dtype=float)
+    exact = sorted(vecs, key=lambda i: float(np.sum((vecs[i] - qv) ** 2)))[:10]
+    short = [r["id"] for r in similarity.pq_topk(codes, q, books, k=100).collect()]
+    assert len(set(exact) & set(short)) / 10 >= 0.6, short[:20]
+
+    # full pipeline: ADC shortlist + exact cosine re-rank ≈ brute force
+    got = [r["id"] for r in similarity.pq_search(
+        emb, codes, "embedding", "vec_id", q, books, k=10, shortlist=100
+    ).collect()]
+    exact_cos = [r["id"] for r in similarity.cosine_topk(emb, "embedding", "vec_id", q, k=10).collect()]
+    recall = len(set(exact_cos) & set(got)) / 10
+    assert got[0] == 7 and recall >= 0.6, f"recall {recall}: exact={exact_cos} got={got}"
+
+    # compression shape: codes are m small ints vs dim floats
+    assert m < dim
