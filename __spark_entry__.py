@@ -343,6 +343,12 @@ def _q_text_phrase(spark, sf_dir):
     return ti.matches('"sort merge"')
 
 
+def _q_text_bm25_top(spark, sf_dir):
+    """BM25-ranked top-10 (idf from pruned postings, doc-length norms)."""
+    ti = _state(spark, sf_dir).docs_text_index()
+    return ti.top_n("spark", 10, scoring="bm25")
+
+
 def _q_text_phrase_near(spark, sf_dir):
     """Window-proximity phrase: terms within ±2 of the expected offset."""
     ti = _state(spark, sf_dir).docs_text_index()
@@ -840,6 +846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bool_or": _q_text_bool_or,
         "text_phrase": _q_text_phrase,
         "text_phrase_near": _q_text_phrase_near,
+        "text_bm25_top": _q_text_bm25_top,
         # pipeline: dedup / stats / similarity (north star)
         "dedup_exact_groups": _q_dedup_exact_groups,
         "minhash_signatures": _q_minhash_signatures,
@@ -986,6 +993,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(list_filter({_TOKS}, x -> x = 'sort' OR x = 'merge')) AS BIGINT) AS score
             FROM documents
             WHERE regexp_matches(text, '(^|\\s)sort\\s+merge(\\s|$)')
+        """,
+        "text_bm25_top": f"""
+            WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            stats AS (SELECT count(*) AS n, avg(len(toks)) AS avgdl FROM tok),
+            tf AS (SELECT doc_id,
+                          len(list_filter(toks, x -> x = 'spark')) AS tf,
+                          len(toks) AS dl
+                   FROM tok),
+            dfreq AS (SELECT count(*) AS df FROM tf WHERE tf > 0)
+            SELECT doc_id,
+                   round(ln(1 + (n - df + 0.5) / (df + 0.5))
+                         * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)),
+                         6) AS score
+            FROM tf, stats, dfreq
+            WHERE tf > 0
+            ORDER BY score DESC, doc_id ASC LIMIT 10
         """,
         "text_phrase_near": f"""
             -- slop-2 window = merge at offsets -1, +1, +2, +3 from sort

@@ -119,6 +119,18 @@ def build_text_index(
         .option("parquet.bloom.filter.enabled#term", "true")
         .parquet(f"{idx_dir}/postings")
     )
+    # doc-length norms for BM25 (the Lucene "norms" analog, T2): tiny
+    # table (one row per doc) + corpus stats in the descriptor
+    doclens = df.select(
+        F.col(doc_id_column).alias("doc_id"),
+        F.size(tokenizer(F.col(text_column))).alias("dl"),
+    )
+    doclens.coalesce(max(1, num_buckets // 4)).write.mode("overwrite").parquet(
+        f"{idx_dir}/doclens"
+    )
+    stats = doclens.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+    ).first()
     files = fsio.list_data_files(spark, table_path)
     desc = catalog.make_descriptor(
         source_path=table_path,
@@ -126,7 +138,12 @@ def build_text_index(
         index_type="TEXT",
         num_buckets=num_buckets,
         files=files,
-        options={"doc_id_column": doc_id_column, "tokenizer": tokenizer_name},
+        options={
+            "doc_id_column": doc_id_column,
+            "tokenizer": tokenizer_name,
+            "n_docs": str(stats["n"]),
+            "avgdl": str(float(stats["avgdl"] or 0.0)),
+        },
     )
     catalog.write_descriptor(spark, idx_dir, desc)
     return idx_dir
@@ -316,18 +333,50 @@ class TextIndex:
     def postings(self) -> DataFrame:
         return self.spark.read.parquet(f"{self.idx_dir}/postings")
 
-    def matches(self, query: Union[str, object]) -> DataFrame:
+    def doclens(self) -> DataFrame:
+        return self.spark.read.parquet(f"{self.idx_dir}/doclens")
+
+    def matches(self, query: Union[str, object], scoring: str = "tf") -> DataFrame:
         """``(doc_id, score)`` for all docs matching the boolean query.
-        Score = sum of tf over the query terms present in the doc —
-        deterministic TF ranking. One bucket-pruned postings read for ALL
-        query terms, then a per-doc matched-set evaluation (no join per
-        term, no driver-side data)."""
+        One bucket-pruned postings read for ALL query terms, then a
+        per-doc matched-set evaluation (no join per term, no driver-side
+        data).
+
+        ``scoring``:
+        - ``"tf"``  — sum of term frequencies (deterministic, cheap);
+        - ``"bm25"`` — Okapi BM25 (k1=1.2, b=0.75): per-term idf from the
+          pruned postings themselves, doc-length norms from the
+          ``doclens`` table built alongside the index (the Lucene
+          similarity/norms analog, SURVEY §2.7 T2).
+        """
         node = parse_query(query) if isinstance(query, str) else query
         terms = sorted(set(_query_terms(node)))
-        aggs = [
-            F.collect_set("term").alias("_terms"),
-            F.sum("tf").cast("long").alias("score"),
-        ]
+        pruned = self.postings().where(F.col("term").isin(terms))
+
+        if scoring == "bm25":
+            n_docs = int(self.desc.options.get("n_docs", "0"))
+            avgdl = float(self.desc.options.get("avgdl", "0") or 0) or 1.0
+            k1, b = 1.2, 0.75
+            from pyspark.sql.window import Window
+
+            df_w = Window.partitionBy("term")
+            w = pruned.withColumn("_df", F.count(F.lit(1)).over(df_w))
+            idf = F.log(
+                1.0
+                + (F.lit(float(n_docs)) - F.col("_df") + 0.5) / (F.col("_df") + 0.5)
+            )
+            w = w.join(self.doclens(), "doc_id", "inner")
+            tfn = (F.col("tf") * (k1 + 1)) / (
+                F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(avgdl))
+            )
+            pruned = w.withColumn("_contrib", idf * tfn)
+            score_agg = F.round(F.sum("_contrib"), 6).alias("score")
+        elif scoring == "tf":
+            score_agg = F.sum("tf").cast("long").alias("score")
+        else:
+            raise ValueError(f"unknown scoring {scoring!r}")
+
+        aggs = [F.collect_set("term").alias("_terms"), score_agg]
         phrased = _has_phrase(node)
         if phrased:
             # per-doc term → positions map, only when a phrase needs it
@@ -337,7 +386,7 @@ class TextIndex:
                     F.collect_list(F.struct("term", "positions"))
                 ).alias("_pos")
             )
-        hits = self.postings().where(F.col("term").isin(terms)).groupBy("doc_id").agg(*aggs)
+        hits = pruned.groupBy("doc_id").agg(*aggs)
         match = _match_column(node, F.col("_terms"), F.col("_pos") if phrased else None)
         return hits.where(match).select("doc_id", "score")
 
@@ -346,10 +395,11 @@ class TextIndex:
         n = self.matches(query).limit(MAX_HITS).count()
         return min(n, MAX_HITS)
 
-    def top_n(self, query: str, n: int) -> DataFrame:
-        """Best-n by TF score, doc_id as deterministic tiebreak (O4)."""
+    def top_n(self, query: str, n: int, scoring: str = "tf") -> DataFrame:
+        """Best-n by score (TF or BM25), doc_id as deterministic tiebreak
+        (O4)."""
         return (
-            self.matches(query)
+            self.matches(query, scoring=scoring)
             .orderBy(F.col("score").desc(), F.col("doc_id").asc())
             .limit(n)
         )

@@ -161,3 +161,35 @@ def test_proximity_phrase(spark, workdir):
     # it at +3) — slop 1 covers doc0 only, slop 2 adds doc1
     assert ids('"alpha gamma"~1') == {0}
     assert ids('"alpha gamma"~2') == {0, 1}
+
+
+def test_bm25_scoring(spark, workdir):
+    from elephant_twin_spark.operators import text as T
+
+    src = f"{workdir}/bm25_docs"
+    rows = [
+        (0, "rare common common common"),     # has the rare term, short
+        (1, "common common common common common common common common"),
+        (2, "rare " + "filler " * 50 + "common"),  # rare term, long doc
+        (3, "common common"),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(src)
+    root = f"{workdir}/bm25_root"
+    T.build_text_index(spark, src, "text", "doc_id", root, num_buckets=2)
+    ti = T.TextIndex(spark, src, "text", root)
+
+    scores = {r["doc_id"]: r["score"] for r in ti.matches("rare OR common", "bm25").collect()}
+    assert set(scores) == {0, 1, 2, 3}
+    # rare-term docs outrank the common-only doc stuffed with repetitions
+    assert scores[0] > scores[1], scores
+    # shorter rare-doc beats longer rare-doc (length normalization)
+    assert scores[0] > scores[2], scores
+
+    # TF scoring still available and different in shape
+    tf_scores = {r["doc_id"]: r["score"] for r in ti.matches("rare OR common", "tf").collect()}
+    assert tf_scores[1] == 8  # pure term-frequency sum
+
+    top = ti.top_n("rare", 2, scoring="bm25").collect()
+    assert {r["doc_id"] for r in top} == {0, 2}
