@@ -332,6 +332,41 @@ def pq_search(
     return cosine_topk(pruned, vec_col, "id", query_vec, k)
 
 
+def ivf_pq_search(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_vec: Sequence[float],
+    centroids: List[List[float]],
+    codebooks: List[List[List[float]]],
+    codes_df: Optional[DataFrame] = None,
+    cluster_col: str = "cluster",
+    k: int = 10,
+    nprobe: int = 4,
+    shortlist: int = 100,
+) -> DataFrame:
+    """IVF + PQ, the classic large-scale ANN pipeline: the coarse
+    quantizer prunes to ``nprobe`` clusters, ADC over PQ codes shortlists
+    within them, exact cosine re-ranks the shortlist. At 100 TB the
+    clustered+encoded table is written partitioned by ``cluster_col``
+    (partition pruning) with codes as a few bytes per row."""
+    qn = math.sqrt(sum(float(x) * float(x) for x in query_vec)) or 1.0
+    ranked = []
+    for i, c in enumerate(centroids):
+        cn = math.sqrt(sum(x * x for x in c)) or 1.0
+        ranked.append((sum(a * float(b) for a, b in zip(c, query_vec)) / (cn * qn), i))
+    probe = [i for _, i in sorted(ranked, reverse=True)[: max(1, nprobe)]]
+
+    assigned = df if cluster_col in df.columns else ivf_assign(df, vec_col, centroids, cluster_col)
+    pruned = assigned.where(F.col(cluster_col).isin(probe))
+    if codes_df is None:
+        codes_df = pq_encode(pruned, vec_col, id_col, codebooks)
+    else:
+        ids = pruned.select(F.col(id_col).alias("id"))
+        codes_df = codes_df.join(ids, "id", "inner")
+    return pq_search(pruned, codes_df, vec_col, id_col, query_vec, codebooks, k, shortlist)
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     vec_col: str,

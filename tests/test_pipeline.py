@@ -268,3 +268,24 @@ def test_pq_encode_and_adc_topk(spark):
 
     # compression shape: codes are m small ints vs dim floats
     assert m < dim
+
+
+def test_ivf_pq_search(spark):
+    emb = tables.load_raw(spark, docs_path_embeddings()).cache()
+    dim = emb.select(F.size("embedding").alias("d")).first()["d"]
+    q = emb.where(F.col("vec_id") == 7).first()["embedding"]
+    cents = similarity.ivf_fit(emb, "embedding", "vec_id", k_clusters=8, max_iter=2)
+    books = similarity.pq_fit(emb, "embedding", "vec_id", m=8 if dim % 8 == 0 else 4, k=16)
+    codes = similarity.pq_encode(emb, "embedding", "vec_id", books)
+
+    got = [
+        r["id"]
+        for r in similarity.ivf_pq_search(
+            emb, "embedding", "vec_id", q, cents, books,
+            codes_df=codes, k=10, nprobe=8, shortlist=150,
+        ).collect()
+    ]
+    exact = [r["id"] for r in similarity.cosine_topk(emb, "embedding", "vec_id", q, k=10).collect()]
+    assert got[0] == 7
+    recall = len(set(exact) & set(got)) / 10
+    assert recall >= 0.5, f"recall {recall}: exact={exact} got={got}"
