@@ -411,11 +411,15 @@ class TextIndex:
         return self.matches(query).orderBy(F.rand(seed)).limit(n)
 
     def retrieve(
-        self, query: str, fields: Optional[Sequence[str]] = None, n: int = 10
+        self,
+        query: str,
+        fields: Optional[Sequence[str]] = None,
+        n: int = 10,
+        scoring: str = "tf",
     ) -> DataFrame:
         """Top-n hits joined back to the stored table, projecting
         ``fields`` (T6: searcher.doc(id) + return_fields)."""
-        hits = self.top_n(query, n)
+        hits = self.top_n(query, n, scoring=scoring)
         stored = self.spark.read.parquet(self.table_path)
         joined = hits.join(
             stored, hits["doc_id"] == stored[self.doc_id_column], "inner"
