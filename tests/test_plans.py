@@ -137,3 +137,25 @@ def test_partitioned_join_uses_dynamic_partition_pruning(spark, workdir, events)
         assert "dynamicpruning" in plan.lower(), plan
     finally:
         spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", old)
+
+
+def test_minhash_signature_build_is_single_shuffle(spark):
+    from elephant_twin_spark.operators.pipeline import dedup
+
+    docs = tables.load_raw(spark, f"{SF_DIR}/documents.parquet")
+    sigs = dedup.minhash_signatures(docs, "text", "doc_id", num_perm=8)
+    plan = plan_of(sigs)
+    # explode + hash-aggregate: exactly one key Exchange, partial mins
+    # ride the map side (the round-robin fan-out repartition is not a
+    # keyed shuffle)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "partial_min" in plan, plan
+
+
+def test_text_postings_build_is_single_shuffle(spark):
+    from elephant_twin_spark.operators import text as T
+
+    docs = tables.load_raw(spark, f"{SF_DIR}/documents.parquet")
+    p = T.postings_for(docs, "text", "doc_id")
+    plan = plan_of(p)
+    assert plan.count("Exchange hashpartitioning") == 1, plan

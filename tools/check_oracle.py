@@ -55,17 +55,21 @@ def main():
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
 
+    import time as _time
+
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     failures = []
     for name, fn in qs.items():
+        _t0 = _time.perf_counter()
         try:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as e:
             failures.append((name, f"SPARK ERROR {type(e).__name__}: {str(e)[:300]}"))
             print(f"FAIL {name}: spark error")
             continue
+        _el = _time.perf_counter() - _t0
         if name not in oracles:
-            print(f"ok   {name}: {len(sdf)} rows (no oracle — rows-only)")
+            print(f"ok   {name}: {len(sdf)} rows (no oracle — rows-only) [{_el:.2f}s]")
             continue
         try:
             odf = con.execute(oracles[name]).df()
@@ -91,7 +95,7 @@ def main():
             failures.append((name, "; ".join(p.split(chr(10))[0] for p in problems)))
             print(f"FAIL {name}: {problems}")
         else:
-            print(f"ok   {name}: {len(sdf)} rows")
+            print(f"ok   {name}: {len(sdf)} rows [{_el:.2f}s]")
     print()
     if failures:
         print(f"{len(failures)} FAILURES:", [n for n, _ in failures])
