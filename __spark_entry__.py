@@ -798,7 +798,9 @@ def _q_ann_pq_top10(spark, sf_dir):
     st = _state(spark, sf_dir)
     emb = st.raw("embeddings")
     qvec = emb.where(F.col("vec_id") == 0).first()["embedding"]
-    books = similarity.pq_fit(emb, "embedding", "vec_id", m=8, k=16, max_iter=2)
+    # modest codebook params: the gate checks plumbing/determinism, the
+    # recall-sensitive parameter sweep lives in tests
+    books = similarity.pq_fit(emb, "embedding", "vec_id", m=4, k=16, max_iter=1)
     codes = similarity.pq_encode(emb, "embedding", "vec_id", books)
     top = similarity.pq_search(
         emb, codes, "embedding", "vec_id", qvec, books, k=10, shortlist=100
