@@ -234,22 +234,68 @@ def pq_fit(
     max_iter: int = 2,
     seed: int = 42,
 ) -> List[List[List[float]]]:
-    """Per-subspace codebooks: ``m`` lists of ``k`` centroids (each of
-    dim d/m). Reuses the spherical-kmeans machinery per subspace (one
-    pass per subspace — m small fits, each over the same rows)."""
+    """Per-subspace L2-kmeans codebooks: ``m`` lists of ``k`` centroids
+    (each of dim d/m).
+
+    All ``m`` subspaces train TOGETHER: init is one deterministic sample
+    of k rows (each contributing every subvector), and each Lloyd
+    iteration is ONE job — assign every subspace's cluster in a single
+    select, explode to (subspace, cluster, dim, x), one groupBy for all
+    means. Only m*k*(d/m) small numbers reach the driver per iteration,
+    so the fit costs O(max_iter) jobs regardless of m."""
     dim = df.select(F.size(vec_col).alias("d")).first()["d"]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     w = dim // m
-    books = []
-    for s in range(m):
-        sub = df.select(
-            F.col(id_col).alias("id"),
-            F.slice(F.col(vec_col), s * w + 1, w).alias("v"),
-        )
-        books.append(
-            ivf_fit(sub, "v", "id", k_clusters=k, max_iter=max_iter, seed=seed + s, metric="l2")
-        )
+
+    init = (
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .orderBy(F.md5(F.concat_ws("|", F.lit(str(seed)), F.col("id").cast("string"))))
+        .limit(k)
+        .collect()
+    )
+    books = [
+        [[float(x) for x in r["v"][s * w : (s + 1) * w]] for r in init]
+        for s in range(m)
+    ]
+
+    base = df.select(
+        *[
+            F.transform(F.slice(F.col(vec_col), s * w + 1, w), lambda x: x.cast("double")).alias(
+                f"_v{s}"
+            )
+            for s in range(m)
+        ]
+    )
+    for _ in range(max_iter):
+        assign_cols = []
+        for s in range(m):
+            sims = _centroid_sims(F.col(f"_v{s}"), books[s], metric="l2")
+            arr = F.array(
+                *[F.struct(x.alias("sim"), F.lit(i).alias("idx")) for i, x in enumerate(sims)]
+            )
+            assign_cols.append(F.array_max(arr)["idx"].alias(f"_c{s}"))
+        assigned = base.select(*[F.col(f"_v{s}") for s in range(m)], *assign_cols)
+        rows = assigned.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(s).alias("s"),
+                            F.col(f"_c{s}").alias("cluster"),
+                            F.col(f"_v{s}").alias("v"),
+                        )
+                        for s in range(m)
+                    ]
+                )
+            ).alias("e")
+        ).select("e.s", "e.cluster", F.posexplode("e.v").alias("dim", "x"))
+        means = rows.groupBy("s", "cluster", "dim").agg(F.avg("x").alias("mv")).collect()
+        by_sc: dict = {}
+        for r in means:
+            by_sc.setdefault((r["s"], r["cluster"]), {})[r["dim"]] = r["mv"]
+        for (s, c), dims in by_sc.items():
+            books[s][c] = [dims[i] for i in range(len(dims))]  # empty clusters keep old
     return books
 
 
