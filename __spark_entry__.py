@@ -355,6 +355,13 @@ def _q_text_phrase_near(spark, sf_dir):
     return ti.matches('"sort merge"~2')
 
 
+def _q_simhash_md5(spark, sf_dir):
+    """60-bit md5-based SimHash — the full signature hash-matches a
+    DuckDB reformulation (cross-engine determinism of the bit algebra)."""
+    docs = _state(spark, sf_dir).raw("documents")
+    return dedup.simhash60_md5(docs, "text", "doc_id").withColumnRenamed("id", "doc_id")
+
+
 def _q_dedup_exact_groups(spark, sf_dir):
     docs = _state(spark, sf_dir).raw("documents")
     return dedup.exact_dup_groups(docs, "text", "doc_id")
@@ -851,6 +858,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bm25_top": _q_text_bm25_top,
         # pipeline: dedup / stats / similarity (north star)
         "dedup_exact_groups": _q_dedup_exact_groups,
+        "simhash_md5_docs": _q_simhash_md5,
         "minhash_signatures": _q_minhash_signatures,
         "token_stats": _q_token_stats,
         "lang_id": _q_lang_id,
@@ -1019,6 +1027,20 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             WHERE regexp_matches(text, '(^|\\s)sort(\\s+\\S+){{0,2}}\\s+merge(\\s|$)')
                OR regexp_matches(text, '(^|\\s)merge\\s+sort(\\s|$)')
+        """,
+        "simhash_md5_docs": f"""
+            WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+            tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY 1, 2),
+            h AS (SELECT doc_id, tf,
+                         CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h
+                  FROM tf),
+            lanes AS (SELECT doc_id, b,
+                             sum(CASE WHEN (h >> b) & 1 = 1 THEN tf ELSE -tf END) AS s
+                      FROM h, unnest(range(60)) AS t(b) GROUP BY 1, 2)
+            SELECT doc_id,
+                   CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT)
+                     AS simhash
+            FROM lanes GROUP BY doc_id
         """,
         "dedup_exact_groups": """
             SELECT md5(text) AS sig, count(*) AS n_dups, min(doc_id) AS keep_id

@@ -231,6 +231,42 @@ def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def simhash60_md5(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """60-bit SimHash with md5-derived token hashes — bit-identical
+    across engines (xxhash64 is Spark-only), so a DuckDB oracle can
+    verify the full signature. Same lane algebra as :func:`simhash64`,
+    one fewer nibble of hash width."""
+    toks = _fan_out(df).select(
+        F.col(id_col).alias("id"),
+        F.explode(whitespace_tokenizer(F.col(text_col))).alias("tok"),
+    )
+    per_tok = toks.groupBy("id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    h = per_tok.withColumn(
+        "h",
+        F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long"),
+    )
+    lanes = h.withColumn(
+        "lanes",
+        F.expr(
+            "transform(sequence(0, 59), b -> CASE WHEN ((h >> b) & 1) = 1 THEN tf ELSE -tf END)"
+        ),
+    )
+    agg = lanes.groupBy("id").agg(
+        F.aggregate(
+            F.collect_list("lanes"),
+            F.expr("cast(array_repeat(0L, 60) as array<bigint>)"),
+            lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
+        ).alias("bitsums")
+    )
+    return agg.select(
+        "id",
+        F.expr(
+            "aggregate(transform(sequence(0, 59), b -> IF(bitsums[b] > 0, shiftleft(1L, b), 0L)),"
+            " 0L, (acc, x) -> acc | x)"
+        ).alias("simhash"),
+    )
+
+
 def simhash_near_dup_pairs(
     df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
 ) -> DataFrame:
