@@ -576,6 +576,318 @@ def _q_above_avg_orders(spark, sf_dir):
     )
 
 
+def _q_priority_fulfilment(spark, sf_dir):
+    """TPC-H Q4 shape: EXISTS decorrelated to a left-semi join with a
+    non-equi condition (any lineitem shipped after the order date)."""
+    st = _state(spark, sf_dir)
+    o = st.raw("orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01"))
+    )
+    l = st.raw("lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            l,
+            (o.o_orderkey == l.l_orderkey) & (l.l_shipdate > o.o_orderdate),
+            "leftsemi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def _q_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape: two independent dimension paths to the same fact
+    row (supplier nation via lineitem, customer nation via orders), both
+    broadcast; yearly volume between a nation pair, both directions."""
+    st = _state(spark, sf_dir)
+    n = st.raw("nation")
+    supp_n = (
+        st.raw("supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust_n = (
+        st.raw("customer")
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    l = st.raw("lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    o = st.raw("orders").select("o_orderkey", "o_custkey")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(supp_n), l.l_suppkey == supp_n.s_suppkey)
+        .join(F.broadcast(cust_n), o.o_custkey == cust_n.c_custkey)
+        .where(
+            (
+                (F.col("supp_nation") == "NATION_3")
+                & (F.col("cust_nation") == "NATION_8")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_8")
+                & (F.col("cust_nation") == "NATION_3")
+            )
+        )
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+def _q_profit_by_nation(spark, sf_dir):
+    """TPC-H Q9 shape (p_retailprice standing in for ps_supplycost):
+    profit = revenue - cost per (supplier nation, year), part filtered by
+    an infix LIKE that stays residual (no index can serve '%green%')."""
+    st = _state(spark, sf_dir)
+    p = st.raw("part").where(F.col("p_name").contains("red"))
+    n = st.raw("nation")
+    s = (
+        st.raw("supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    l = st.raw("lineitem")
+    # all monetary columns are exactly-2-decimal doubles; computing the
+    # profit in decimal makes the mixed-sign sum exact in both engines
+    # (a plain double sum hit a 0.005 rounding boundary at sf0.01)
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    amount = dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount")) - dec(
+        "p_retailprice"
+    ) * dec("l_quantity")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .groupBy("nation", F.year("l_shipdate").alias("o_year"))
+        .agg(F.round(F.sum(amount), 2).cast("double").alias("sum_profit"))
+    )
+
+
+def _q_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape: revenue lost to returns per customer in a
+    quarter; deterministic top-20 (rounded revenue, custkey tiebreak)."""
+    st = _state(spark, sf_dir)
+    o = st.raw("orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-10-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    l = st.raw("lineitem").where(F.col("l_returnflag") == "R")
+    c = st.raw("customer")
+    n = st.raw("nation")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+def _q_customer_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: LEFT OUTER join preserved through an aggregate
+    (customers with zero orders count in the c_count=0 bucket)."""
+    st = _state(spark, sf_dir)
+    c = st.raw("customer").select("c_custkey")
+    o = st.raw("orders").where(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+def _q_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape: conditional-aggregate ratio (share of revenue
+    from PROMO parts) over one month, part side broadcast."""
+    st = _state(spark, sf_dir)
+    l = st.raw("lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-06-01"))
+        & (F.col("l_shipdate") < F.lit("1996-07-01"))
+    )
+    p = st.raw("part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)))
+                / F.sum(rev),
+                4,
+            ).alias("promo_revenue")
+        )
+    )
+
+
+def _q_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: argmax against an aggregated view — the 1-row
+    global max is cross-broadcast back, never collected per-key."""
+    st = _state(spark, sf_dir)
+    l = st.raw("lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    rev = (
+        l.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))), 2
+            ).alias("total_revenue")
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("_mx"))
+    s = st.raw("supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx), F.col("total_revenue") == F.col("_mx"))
+        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+def _q_small_qty_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: per-part correlated average decorrelated into a
+    broadcast agg-join (brand filter makes the agg side tiny)."""
+    st = _state(spark, sf_dir)
+    p = st.raw("part").where(F.col("p_brand") == "Brand#13").select("p_partkey")
+    l = st.raw("lineitem").select("l_partkey", "l_quantity", "l_extendedprice")
+    brand_li = l.join(F.broadcast(p), l.l_partkey == p.p_partkey).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    avg_q = brand_li.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_cut")
+    )
+    return (
+        brand_li.join(F.broadcast(avg_q), brand_li.l_partkey == F.col("a_partkey"))
+        .where(F.col("l_quantity") < F.col("qty_cut"))
+        .agg(F.round(F.sum("l_extendedprice") / F.lit(7.0), 2).alias("avg_yearly"))
+    )
+
+
+def _q_large_volume_orders(spark, sf_dir):
+    """TPC-H Q18 shape: HAVING over a fact-side aggregate feeding an IN
+    subquery — the qualifying orderkey set joins back as a semi-join."""
+    st = _state(spark, sf_dir)
+    l = st.raw("lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .where(F.col("sum_qty") > 150)
+        .select("l_orderkey", "sum_qty")
+    )
+    o = st.raw("orders")
+    c = st.raw("customer").select("c_custkey", "c_name")
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.round("sum_qty", 2).alias("sum_qty"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
+def _q_disjunctive_revenue(spark, sf_dir):
+    """TPC-H Q19 shape: OR-of-ANDs across both join sides — Catalyst
+    extracts the common l_partkey=p_partkey conjunct so the join stays an
+    equi-join with the disjunction as residual."""
+    st = _state(spark, sf_dir)
+    l = st.raw("lineitem")
+    p = st.raw("part")
+    j = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("p_size").between(1, 10))
+         & (F.col("l_quantity").between(1, 11)))
+        | ((F.col("p_brand") == "Brand#13") & (F.col("p_size").between(1, 15))
+           & (F.col("l_quantity").between(10, 20)))
+        | ((F.col("p_brand") == "Brand#20") & (F.col("p_size").between(1, 25))
+           & (F.col("l_quantity").between(20, 30)))
+    )
+    return j.where(cond).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))), 2
+        ).alias("revenue")
+    )
+
+
+def _q_late_sole_supplier(spark, sf_dir):
+    """TPC-H Q21 shape (nested EXISTS/NOT EXISTS decorrelated): in
+    multi-supplier orders, count per supplier the orders where they were
+    the ONLY supplier shipping after the order date. One groupBy over
+    the order builds both the supplier count and the late-supplier set —
+    no self-joins on the fact table."""
+    st = _state(spark, sf_dir)
+    l = st.raw("lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    o = st.raw("orders").select("o_orderkey", "o_orderdate")
+    j = l.join(o, l.l_orderkey == o.o_orderkey)
+    per_order = j.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.collect_set(
+            F.when(F.col("l_shipdate") > F.col("o_orderdate"), F.col("l_suppkey"))
+        ).alias("late_supps"),
+    )
+    sole_late = per_order.where(
+        (F.col("n_supp") > 1) & (F.size("late_supps") == 1)
+    ).select("l_orderkey", F.element_at("late_supps", 1).alias("s_suppkey"))
+    s = st.raw("supplier").select("s_suppkey", "s_name")
+    return (
+        sole_late.join(F.broadcast(s), "s_suppkey")
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(20)
+    )
+
+
+def _q_dormant_customers(spark, sf_dir):
+    """TPC-H Q22 shape: scalar subquery (avg positive balance) + anti
+    join (customers with no RECENT orders — every customer has some
+    order at this scale, so recency keeps the anti-join non-trivial),
+    grouped by nation key."""
+    st = _state(spark, sf_dir)
+    c = st.raw("customer")
+    avg_bal = c.where(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("_avg_bal")
+    )
+    o = (
+        st.raw("orders")
+        .where(F.col("o_orderdate") >= F.lit("2000-06-01"))
+        .select("o_custkey")
+    )
+    return (
+        c.join(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("_avg_bal"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
 def _q_table_profile(spark, sf_dir):
     """One-pass per-column profiling (n, nulls, exact distinct, range)."""
     ev = _state(spark, sf_dir).raw("events")
@@ -882,6 +1194,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forecast_revenue": _q_forecast_revenue,
         "top_unshipped_orders": _q_top_unshipped_orders,
         "above_avg_orders": _q_above_avg_orders,
+        "priority_fulfilment": _q_priority_fulfilment,
+        "volume_shipping": _q_volume_shipping,
+        "profit_by_nation": _q_profit_by_nation,
+        "returned_items": _q_returned_items,
+        "customer_distribution": _q_customer_distribution,
+        "promo_revenue": _q_promo_revenue,
+        "top_supplier": _q_top_supplier,
+        "small_qty_revenue": _q_small_qty_revenue,
+        "large_volume_orders": _q_large_volume_orders,
+        "disjunctive_revenue": _q_disjunctive_revenue,
+        "late_sole_supplier": _q_late_sole_supplier,
+        "dormant_customers": _q_dormant_customers,
         "pivot_user_events": _q_pivot_user_events,
         "unpivot_order_measures": _q_unpivot_order_measures,
         "json_props_stats": _q_json_props_stats,
@@ -1220,6 +1544,156 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderpriority, count(*) AS n FROM orders
             WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
             GROUP BY o_orderpriority
+        """,
+        "priority_fulfilment": """
+            SELECT o_orderpriority, count(*) AS order_count FROM orders o
+            WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o.o_orderdate < TIMESTAMP '1996-04-01'
+              AND EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_shipdate > o.o_orderdate)
+            GROUP BY o_orderpriority
+        """,
+        "volume_shipping": """
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   year(l.l_shipdate) AS l_year,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+            WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l.l_shipdate < TIMESTAMP '1998-01-01'
+              AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
+                OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3'))
+            GROUP BY 1, 2, 3
+        """,
+        "profit_by_nation": """
+            SELECT n.n_name AS nation, year(l.l_shipdate) AS o_year,
+                   CAST(round(sum(
+                       CAST(l.l_extendedprice AS DECIMAL(18,2))
+                         * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+                       - CAST(p.p_retailprice AS DECIMAL(18,2))
+                         * CAST(l.l_quantity AS DECIMAL(18,2))), 2)
+                       AS DOUBLE) AS sum_profit
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            WHERE p.p_name LIKE '%red%'
+            GROUP BY 1, 2
+        """,
+        "returned_items": """
+            SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            WHERE o.o_orderdate >= TIMESTAMP '1996-10-01'
+              AND o.o_orderdate < TIMESTAMP '1997-01-01'
+              AND l.l_returnflag = 'R'
+            GROUP BY 1, 2, 3, 4
+            ORDER BY revenue DESC, c_custkey ASC
+            LIMIT 20
+        """,
+        "customer_distribution": """
+            SELECT c_count, count(*) AS custdist FROM (
+                SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+                FROM customer c
+                LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                     AND o.o_orderpriority <> '1-URGENT'
+                GROUP BY c.c_custkey
+            ) GROUP BY c_count
+        """,
+        "promo_revenue": """
+            SELECT round(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                         THEN l.l_extendedprice * (1 - l.l_discount)
+                         ELSE 0.0 END)
+                   / sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_revenue
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE l.l_shipdate >= TIMESTAMP '1996-06-01'
+              AND l.l_shipdate < TIMESTAMP '1996-07-01'
+        """,
+        "top_supplier": """
+            WITH rev AS (
+                SELECT l_suppkey AS supplier_no,
+                       round(sum(l_extendedprice * (1 - l_discount)), 2)
+                           AS total_revenue
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate < TIMESTAMP '1996-04-01'
+                GROUP BY l_suppkey
+            )
+            SELECT s.s_suppkey, s.s_name, rev.total_revenue
+            FROM rev JOIN supplier s ON rev.supplier_no = s.s_suppkey
+            WHERE rev.total_revenue = (SELECT max(total_revenue) FROM rev)
+        """,
+        "small_qty_revenue": """
+            WITH brand_li AS (
+                SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+                FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+                WHERE p.p_brand = 'Brand#13'
+            ), cuts AS (
+                SELECT l_partkey AS a_partkey, 0.2 * avg(l_quantity) AS qty_cut
+                FROM brand_li GROUP BY l_partkey
+            )
+            SELECT round(sum(b.l_extendedprice) / 7.0, 2) AS avg_yearly
+            FROM brand_li b JOIN cuts ON b.l_partkey = cuts.a_partkey
+            WHERE b.l_quantity < cuts.qty_cut
+        """,
+        "large_volume_orders": """
+            SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+                   o.o_totalprice, round(big.sum_qty, 2) AS sum_qty
+            FROM orders o
+            JOIN (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+                  FROM lineitem GROUP BY l_orderkey
+                  HAVING sum(l_quantity) > 150) big
+              ON o.o_orderkey = big.l_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            ORDER BY o.o_totalprice DESC, o.o_orderkey ASC
+            LIMIT 100
+        """,
+        "disjunctive_revenue": """
+            SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 10
+                   AND l.l_quantity BETWEEN 1 AND 11)
+               OR (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 1 AND 15
+                   AND l.l_quantity BETWEEN 10 AND 20)
+               OR (p.p_brand = 'Brand#20' AND p.p_size BETWEEN 1 AND 25
+                   AND l.l_quantity BETWEEN 20 AND 30)
+        """,
+        "late_sole_supplier": """
+            WITH per_order AS (
+                SELECT l.l_orderkey,
+                       count(DISTINCT l.l_suppkey) AS n_supp,
+                       count(DISTINCT CASE WHEN l.l_shipdate > o.o_orderdate
+                                           THEN l.l_suppkey END) AS n_late,
+                       max(CASE WHEN l.l_shipdate > o.o_orderdate
+                                THEN l.l_suppkey END) AS late_supp
+                FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+                GROUP BY l.l_orderkey
+            )
+            SELECT s.s_name, count(*) AS numwait
+            FROM per_order JOIN supplier s ON per_order.late_supp = s.s_suppkey
+            WHERE per_order.n_supp > 1 AND per_order.n_late = 1
+            GROUP BY s.s_name
+            ORDER BY numwait DESC, s_name ASC
+            LIMIT 20
+        """,
+        "dormant_customers": """
+            SELECT c.c_nationkey, count(*) AS numcust,
+                   round(sum(c.c_acctbal), 2) AS totacctbal
+            FROM customer c
+            WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                                 WHERE c_acctbal > 0.0)
+              AND NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_orderdate >= TIMESTAMP '2000-06-01')
+            GROUP BY c.c_nationkey
         """,
         "pivot_user_events": """
             SELECT user_id,

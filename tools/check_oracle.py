@@ -2,7 +2,8 @@
 ``queries()`` entry and its ``oracle_sql()`` twin at a given sf, compare
 row count + column names + order-insensitive values.
 
-Usage: python tools/check_oracle.py [sf_dir]
+Usage: python tools/check_oracle.py [sf_dir] [query_name ...]
+(with query names given, only those queries are checked)
 """
 
 import os
@@ -58,6 +59,13 @@ def main():
     import time as _time
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    only = set(sys.argv[2:])
+    if only:
+        unknown = only - set(qs)
+        if unknown:
+            print(f"unknown queries: {sorted(unknown)}")
+            sys.exit(2)
+        qs = {k: v for k, v in qs.items() if k in only}
     failures = []
     for name, fn in qs.items():
         _t0 = _time.perf_counter()
