@@ -355,6 +355,34 @@ def _q_text_phrase_near(spark, sf_dir):
     return ti.matches('"sort merge"~2')
 
 
+def _q_text_prefix(spark, sf_dir):
+    """Prefix (multi-term) query: the StartsWith pushes to the
+    range-partitioned term column, one contiguous bucket range."""
+    ti = _state(spark, sf_dir).docs_text_index()
+    return ti.matches("s*")
+
+
+def _q_text_wildcard(spark, sf_dir):
+    """Wildcard query: literal-prefix pushdown + JVM-side regex on the
+    term dictionary."""
+    ti = _state(spark, sf_dir).docs_text_index()
+    return ti.matches("s?a*")
+
+
+def _q_text_fuzzy(spark, sf_dir):
+    """Fuzzy query (Levenshtein ≤ 1): length-banded term-dictionary scan,
+    the Lucene automaton-walk analog."""
+    ti = _state(spark, sf_dir).docs_text_index()
+    return ti.matches("spork~1")
+
+
+def _q_text_not(spark, sf_dir):
+    """Boolean NOT: negated term's presence exposed via the same pruned
+    postings read, excluded in the per-doc matched-set eval."""
+    ti = _state(spark, sf_dir).docs_text_index()
+    return ti.matches("spark AND NOT join")
+
+
 def _q_simhash_md5(spark, sf_dir):
     """60-bit md5-based SimHash — the full signature hash-matches a
     DuckDB reformulation (cross-engine determinism of the bit algebra)."""
@@ -1168,6 +1196,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_phrase": _q_text_phrase,
         "text_phrase_near": _q_text_phrase_near,
         "text_bm25_top": _q_text_bm25_top,
+        "text_prefix": _q_text_prefix,
+        "text_wildcard": _q_text_wildcard,
+        "text_fuzzy": _q_text_fuzzy,
+        "text_not": _q_text_not,
         # pipeline: dedup / stats / similarity (north star)
         "dedup_exact_groups": _q_dedup_exact_groups,
         "simhash_md5_docs": _q_simhash_md5,
@@ -1351,6 +1383,33 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             WHERE regexp_matches(text, '(^|\\s)sort(\\s+\\S+){{0,2}}\\s+merge(\\s|$)')
                OR regexp_matches(text, '(^|\\s)merge\\s+sort(\\s|$)')
+        """,
+        "text_prefix": f"""
+            SELECT doc_id,
+                   CAST(len(list_filter({_TOKS}, x -> x LIKE 's%')) AS BIGINT) AS score
+            FROM documents
+            WHERE len(list_filter({_TOKS}, x -> x LIKE 's%')) > 0
+        """,
+        "text_wildcard": f"""
+            SELECT doc_id,
+                   CAST(len(list_filter({_TOKS}, x -> regexp_full_match(x, 's.a.*')))
+                        AS BIGINT) AS score
+            FROM documents
+            WHERE len(list_filter({_TOKS}, x -> regexp_full_match(x, 's.a.*'))) > 0
+        """,
+        "text_fuzzy": f"""
+            SELECT doc_id,
+                   CAST(len(list_filter({_TOKS}, x -> levenshtein(x, 'spork') <= 1))
+                        AS BIGINT) AS score
+            FROM documents
+            WHERE len(list_filter({_TOKS}, x -> levenshtein(x, 'spork') <= 1)) > 0
+        """,
+        "text_not": f"""
+            SELECT doc_id,
+                   CAST(len(list_filter({_TOKS}, x -> x = 'spark')) AS BIGINT) AS score
+            FROM documents
+            WHERE list_contains({_TOKS}, 'spark')
+              AND NOT list_contains({_TOKS}, 'join')
         """,
         "simhash_md5_docs": f"""
             WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),

@@ -163,18 +163,57 @@ class _Phrase:
 
 
 @dataclass
+class _Prefix:
+    """``pre*`` — Lucene prefix query. The fast multi-term case: the
+    pushdown is a ``StartsWith`` that parquet serves from the
+    range-partitioned term column's footer min/max."""
+
+    prefix: str
+
+
+@dataclass
+class _Wildcard:
+    """``w?ld*card`` — ``*`` = any run, ``?`` = one char. Pushdown is the
+    literal prefix up to the first wildcard (may be empty → full postings
+    term scan, same as Lucene's leading-wildcard caveat)."""
+
+    pattern: str
+
+
+@dataclass
+class _Fuzzy:
+    """``term~N`` — Levenshtein distance ≤ N (Lucene fuzzy; default 2).
+    Evaluated JVM-side with ``F.levenshtein`` under a length-band
+    pre-filter; like Lucene's automaton walk this enumerates the term
+    dictionary, so cost is one postings term-column scan."""
+
+    term: str
+    max_edits: int = 2
+
+
+@dataclass
+class _Not:
+    """Negation — valid only alongside at least one positive clause (a
+    pure-negative query has no postings to enumerate docs from)."""
+
+    child: object
+
+
+@dataclass
 class _Bool:
     op: str  # 'AND' | 'OR'
     parts: List
 
 
 def parse_query(q: str):
-    """Tiny Lucene-subset parser: bare terms and ``"quoted phrases"``
-    with AND/OR connectives, parentheses allowed; adjacent clauses
-    default to OR (Lucene's default operator). Covers the surface the
-    reference demo exercises (lucene/retrieval/HDFSRetrievalDemo.java:76)
-    plus positional phrase queries (the postings table stores positions
-    for exactly this)."""
+    """Tiny Lucene-subset parser: bare terms, ``"quoted phrases"``
+    (with ``~N`` window proximity), ``pre*`` prefix, ``w?ld*`` wildcard,
+    ``term~N`` fuzzy, and ``NOT`` — composed with AND/OR connectives,
+    parentheses allowed; adjacent clauses default to OR (Lucene's
+    default operator). Covers the surface the reference demo exercises
+    (lucene/retrieval/HDFSRetrievalDemo.java:76) plus the multi-term
+    query kinds Lucene's QueryParser accepts in principle (SURVEY §2.7
+    T5 "supports the full Lucene query syntax in principle")."""
     import re as _re
 
     tokens = _re.findall(r'"[^"]*"|\(|\)|[^\s()"]+', q)
@@ -189,6 +228,16 @@ def parse_query(q: str):
         pos += 1
         return t
 
+    def bare_term(t: str):
+        m = _re.fullmatch(r"(.+?)~(\d*)", t)
+        if m:
+            return _Fuzzy(m.group(1), int(m.group(2)) if m.group(2) else 2)
+        if "*" in t or "?" in t:
+            if _re.fullmatch(r"[^*?]+\*", t):
+                return _Prefix(t[:-1])
+            return _Wildcard(t)
+        return _Term(t)
+
     def atom():
         t = take()
         if t == "(":
@@ -196,6 +245,8 @@ def parse_query(q: str):
             if peek() == ")":
                 take()
             return node
+        if t == "NOT":
+            return _Not(atom())
         if t.startswith('"') and t.endswith('"') and len(t) >= 2:
             terms = t[1:-1].split()
             if not terms:
@@ -206,7 +257,7 @@ def parse_query(q: str):
             if len(terms) == 1 and slop == 0:
                 return _Term(terms[0])
             return _Phrase(terms, slop)
-        return _Term(t)
+        return bare_term(t)
 
     def and_expr():
         parts = [atom()]
@@ -233,15 +284,92 @@ def _query_terms(node) -> List[str]:
         return [node.term]
     if isinstance(node, _Phrase):
         return list(node.terms)
+    if isinstance(node, (_Prefix, _Wildcard, _Fuzzy)):
+        return []
+    if isinstance(node, _Not):
+        return _query_terms(node.child)
     return [t for p in node.parts for t in _query_terms(p)]
 
 
 def _has_phrase(node) -> bool:
     if isinstance(node, _Phrase):
         return True
+    if isinstance(node, _Not):
+        return _has_phrase(node.child)
     if isinstance(node, _Bool):
         return any(_has_phrase(p) for p in node.parts)
     return False
+
+
+def _is_positive(node) -> bool:
+    """A query is servable only if every doc it matches carries at least
+    one pruned-postings term — i.e. no branch matches docs purely by
+    absence. AND needs one positive conjunct; OR needs all."""
+    if isinstance(node, _Not):
+        return False
+    if isinstance(node, _Bool):
+        parts = [_is_positive(p) for p in node.parts]
+        return any(parts) if node.op == "AND" else all(parts)
+    return True
+
+
+def _wildcard_regex(pattern: str) -> str:
+    import re as _re
+
+    out = []
+    for ch in pattern:
+        if ch == "*":
+            out.append(".*")
+        elif ch == "?":
+            out.append(".")
+        else:
+            out.append(_re.escape(ch))
+    return "^" + "".join(out) + "$"
+
+
+def _literal_prefix(pattern: str) -> str:
+    for i, ch in enumerate(pattern):
+        if ch in "*?":
+            return pattern[:i]
+    return pattern
+
+
+def _term_predicate(node, term: Column) -> Optional[Column]:
+    """Predicate over a single term column for one leaf; None for
+    non-leaf handling. Exact/prefix forms push to the parquet term scan
+    (In / StringStartsWith reach the footer stats + bloom); wildcard and
+    fuzzy evaluate JVM-side after the prefix/length pre-filters."""
+    if isinstance(node, _Term):
+        return term == F.lit(node.term)
+    if isinstance(node, _Phrase):
+        return term.isin(list(node.terms))
+    if isinstance(node, _Prefix):
+        return term.startswith(node.prefix)
+    if isinstance(node, _Wildcard):
+        pre = _literal_prefix(node.pattern)
+        cond = term.rlike(_wildcard_regex(node.pattern))
+        return (term.startswith(pre) & cond) if pre else cond
+    if isinstance(node, _Fuzzy):
+        k, n = node.max_edits, len(node.term)
+        return (
+            F.length(term).between(n - k, n + k)
+            & (F.levenshtein(term, F.lit(node.term)) <= k)
+        )
+    return None
+
+
+def _prune_predicate(node, term: Column) -> Column:
+    """OR over all leaves (negated leaves included: the per-doc matched
+    set must EXPOSE a negated term's presence for NOT to exclude it)."""
+    leaf = _term_predicate(node, term)
+    if leaf is not None:
+        return leaf
+    if isinstance(node, _Not):
+        return _prune_predicate(node.child, term)
+    out = _prune_predicate(node.parts[0], term)
+    for p in node.parts[1:]:
+        out = out | _prune_predicate(p, term)
+    return out
 
 
 def _phrase_match(terms: List[str], pos_col: Column, slop: int = 0) -> Column:
@@ -280,6 +408,10 @@ def _match_column(node, terms_col: Column, pos_col: Optional[Column] = None) -> 
         if pos_col is None:
             raise ValueError("phrase query requires positional postings")
         return _phrase_match(node.terms, pos_col, node.slop)
+    if isinstance(node, (_Prefix, _Wildcard, _Fuzzy)):
+        return F.exists(terms_col, lambda t: _term_predicate(node, t))
+    if isinstance(node, _Not):
+        return ~_match_column(node.child, terms_col, pos_col)
     parts = [_match_column(p, terms_col, pos_col) for p in node.parts]
     out = parts[0]
     for p in parts[1:]:
@@ -338,9 +470,15 @@ class TextIndex:
 
     def matches(self, query: Union[str, object], scoring: str = "tf") -> DataFrame:
         """``(doc_id, score)`` for all docs matching the boolean query.
-        One bucket-pruned postings read for ALL query terms, then a
-        per-doc matched-set evaluation (no join per term, no driver-side
-        data).
+        One bucket-pruned postings read for ALL query terms (multi-term
+        expansions — prefix/wildcard/fuzzy — are predicates on the term
+        column of that same read), then a per-doc matched-set evaluation
+        (no join per term, no driver-side data).
+
+        Score sums contributions of every query-matched term present in
+        the doc (for expansions: every term the pattern matched) —
+        deterministic, documented as engine semantics rather than
+        Lucene-score parity (SURVEY §7.5).
 
         ``scoring``:
         - ``"tf"``  — sum of term frequencies (deterministic, cheap);
@@ -350,8 +488,13 @@ class TextIndex:
           similarity/norms analog, SURVEY §2.7 T2).
         """
         node = parse_query(query) if isinstance(query, str) else query
-        terms = sorted(set(_query_terms(node)))
-        pruned = self.postings().where(F.col("term").isin(terms))
+        if not _is_positive(node):
+            raise ValueError(
+                "pure-negative query: docs matching only by absence of a "
+                "term are not enumerable from postings (Lucene has the "
+                "same restriction); add a positive clause"
+            )
+        pruned = self.postings().where(_prune_predicate(node, F.col("term")))
 
         if scoring == "bm25":
             n_docs = int(self.desc.options.get("n_docs", "0"))

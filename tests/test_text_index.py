@@ -193,3 +193,96 @@ def test_bm25_scoring(spark, workdir):
 
     top = ti.top_n("rare", 2, scoring="bm25").collect()
     assert {r["doc_id"] for r in top} == {0, 2}
+
+
+# ---------------------------------------------------- multi-term query kinds
+
+def _toks():
+    return F.filter(F.split("text", r"\s+"), lambda t: t != F.lit(""))
+
+
+def test_prefix_query(eng, docs, docs_path):
+    ti = eng.text_index(docs_path, "text")
+    got = {r["doc_id"] for r in ti.matches("sc*").collect()}
+    want = {
+        r["doc_id"]
+        for r in docs.where(
+            F.exists(_toks(), lambda t: t.startswith("sc"))
+        ).collect()
+    }
+    assert got == want and got  # non-empty
+
+    # prefix expansion unions with plain terms through booleans
+    assert ti.count("sc* OR join") >= ti.count("sc*")
+    assert ti.count("sc* AND join") <= ti.count("join")
+
+
+def test_wildcard_query(eng, docs, docs_path):
+    ti = eng.text_index(docs_path, "text")
+    got = {r["doc_id"] for r in ti.matches("s?a*").collect()}
+    want = {
+        r["doc_id"]
+        for r in docs.where(F.exists(_toks(), lambda t: t.rlike("^s.a.*$"))).collect()
+    }
+    assert got == want and got
+    # '?' is exactly one char: 'scan' matches s?an, 'san' would not
+    assert ti.count("s?an") == ti.count("scan")
+
+
+def test_fuzzy_query(eng, docs, docs_path):
+    ti = eng.text_index(docs_path, "text")
+    got = {r["doc_id"] for r in ti.matches("spork~1").collect()}
+    want = {
+        r["doc_id"]
+        for r in docs.where(
+            F.exists(_toks(), lambda t: F.levenshtein(t, F.lit("spork")) <= 1)
+        ).collect()
+    }
+    assert got == want and got
+    # ~0 degenerates to exact match
+    assert ti.count("spark~0") == ti.count("spark")
+    # default edit distance is 2 (Lucene default)
+    assert ti.count("spork~") == ti.count("spork~2")
+
+
+def test_not_query(eng, docs, docs_path):
+    ti = eng.text_index(docs_path, "text")
+    got = {r["doc_id"] for r in ti.matches("spark AND NOT join").collect()}
+    want = {
+        r["doc_id"]
+        for r in docs.where(
+            F.array_contains(_toks(), "spark") & ~F.array_contains(_toks(), "join")
+        ).collect()
+    }
+    assert got == want and got
+    # complement partitions the positive set
+    assert ti.count("spark AND NOT join") + ti.count("spark AND join") == ti.count(
+        "spark"
+    )
+
+
+def test_pure_negative_rejected(eng, docs_path):
+    ti = eng.text_index(docs_path, "text")
+    with pytest.raises(ValueError, match="pure-negative"):
+        ti.matches("NOT spark")
+    with pytest.raises(ValueError, match="pure-negative"):
+        ti.matches("spark OR NOT join")  # OR needs all-positive branches
+    # but NOT under AND inside an OR branch is fine
+    assert ti.count("(spark AND NOT join) OR merge") >= 0
+
+
+def test_multiterm_parser():
+    from elephant_twin_spark.operators.text import (
+        _Fuzzy,
+        _Not,
+        _Prefix,
+        _Wildcard,
+        parse_query,
+    )
+
+    assert parse_query("pre*") == _Prefix("pre")
+    assert parse_query("w?ld*") == _Wildcard("w?ld*")
+    assert parse_query("term~1") == _Fuzzy("term", 1)
+    assert parse_query("term~") == _Fuzzy("term", 2)
+    node = parse_query("a AND NOT b")
+    assert isinstance(node.parts[1], _Not)
