@@ -443,6 +443,30 @@ def _q_label_centroid_component(spark, sf_dir):
     )
 
 
+def _q_near_dup_components(spark, sf_dir):
+    """Duplicate clusters as connected components (min-label propagation,
+    one shuffle per round, lineage cut per round). Pair source here is
+    bounded exact 3-gram Jaccard for cross-engine determinism; the
+    production path is ``dedup.near_dup_clusters`` (MinHash-LSH pairs
+    into the same component operator)."""
+    docs = _state(spark, sf_dir).raw("documents").where(F.col("doc_id") < 450)
+    sh = docs.select(
+        F.col("doc_id").alias("id"), dedup.word_shingles(F.col("text"), 3).alias("sh")
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .withColumn(
+            "j",
+            F.size(F.array_intersect("a.sh", "b.sh"))
+            / F.size(F.array_union("a.sh", "b.sh")),
+        )
+        .where(F.col("j") >= 0.8)
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    )
+    return dedup.connected_components(pairs)
+
+
 def _q_date_partition_range(spark, sf_dir):
     """S13: partition-pruned date-range scan on the date-partitioned copy."""
     st = _state(spark, sf_dir)
@@ -1215,6 +1239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_event_types": _q_user_event_types,
         "date_parse_roundtrip": _q_date_parse_roundtrip,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
+        "near_dup_components": _q_near_dup_components,
         "cosine_pairs": _q_cosine_pairs,
         "time_rollup_hourly": _q_time_rollup,
         "join_revenue_by_nation": _q_join_revenue_by_nation,
@@ -1520,6 +1545,30 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
                          / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
             FROM sh a, sh b WHERE a.doc_id < b.doc_id
+        """,
+        "near_dup_components": """
+            WITH RECURSIVE toks AS (
+              SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t
+              FROM documents WHERE doc_id < 450
+            ), sh AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),
+                                                  i -> array_to_string(t[i:i+2], ' '))) AS s
+              FROM toks
+            ), e AS (
+              SELECT a.doc_id AS ia, b.doc_id AS ib
+              FROM sh a, sh b WHERE a.doc_id < b.doc_id
+                AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                    / len(list_distinct(list_concat(a.s, b.s))) >= 0.8
+            ), sym AS (
+              SELECT ia AS a, ib AS b FROM e UNION SELECT ib, ia FROM e
+            ), reach AS (
+              SELECT a, b FROM sym
+              UNION
+              SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+            )
+            SELECT a AS node, least(a, min(b)) AS component
+            FROM reach GROUP BY a
         """,
         "cosine_pairs": """
             WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v

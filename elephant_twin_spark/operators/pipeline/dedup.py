@@ -302,3 +302,105 @@ def simhash_near_dup_pairs(
     return cands.withColumn("hamming", F.bit_count(F.expr("sh_a ^ sh_b"))).where(
         F.col("hamming") <= max_hamming
     ).select("id_a", "id_b", "hamming")
+
+
+# ------------------------------------------------- duplicate clustering
+
+def connected_components(
+    pairs: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """``(node, component)`` over the undirected graph of ``pairs`` —
+    component = min node id reachable. Only nodes appearing in some pair
+    are returned; callers union isolated rows back as singletons.
+
+    Algorithm: min-label propagation — each round every node takes the
+    min of its own label and its neighbors' labels, iterated to a
+    fixpoint. Rounds needed = graph diameter, which for near-dup
+    clusters (cliques plus a few chains) is small; each round is ONE
+    shuffle (join + groupBy on node). ``localCheckpoint`` after each
+    round cuts the lineage so the plan doesn't grow exponentially —
+    the standard hazard of iterative DataFrame algorithms. For graphs
+    with continent-sized diameter use the large-star/small-star variant
+    (Kiveris et al., "Connected Components in MapReduce"); near-dup
+    graphs never need it.
+    """
+    edges = (
+        pairs.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
+        .where(F.col("s") != F.col("d"))
+        .distinct()
+    )
+    edges = edges.union(
+        edges.select(F.col("d").alias("s"), F.col("s").alias("d"))
+    ).localCheckpoint()
+    labels = (
+        edges.select(F.col("s").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges.d == labels.node)
+            .select(F.col("s").alias("node"), "comp")
+        )
+        new = (
+            labels.unionByName(nbr_min)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint()
+        )
+        changed = (
+            new.withColumnRenamed("comp", "comp_new")
+            .join(labels, "node")
+            .where(F.col("comp_new") != F.col("comp"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select("node", "comp").withColumnsRenamed(
+        {"node": "node", "comp": "component"}
+    )
+
+
+def near_dup_clusters(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 16,
+    num_bands: int = 4,
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Every row of ``df`` labeled with its duplicate-cluster id:
+    MinHash-LSH candidate pairs → exact-Jaccard verify → connected
+    components → ``(id, cluster_id, is_canonical)``; singletons get
+    their own id as cluster, canonical = min id in cluster."""
+    pairs = minhash_near_dup_pairs(
+        df, text_col, id_col, num_perm, num_bands, shingle_k, threshold
+    )
+    comp = connected_components(pairs).withColumnsRenamed(
+        {"node": "id", "component": "cluster_id"}
+    )
+    ids = df.select(F.col(id_col).alias("id"))
+    return (
+        ids.join(comp, "id", "left")
+        .select(
+            "id",
+            F.coalesce("cluster_id", "id").alias("cluster_id"),
+        )
+        .withColumn("is_canonical", F.col("id") == F.col("cluster_id"))
+    )
+
+
+def near_dup_dedup(df: DataFrame, text_col: str, id_col: str, **kw) -> DataFrame:
+    """Keep one representative (min id) per near-dup cluster."""
+    keep = (
+        near_dup_clusters(df, text_col, id_col, **kw)
+        .where("is_canonical")
+        .select(F.col("id").alias(id_col))
+    )
+    return df.join(keep, id_col, "inner")

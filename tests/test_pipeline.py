@@ -289,3 +289,75 @@ def test_ivf_pq_search(spark):
     assert got[0] == 7
     recall = len(set(exact) & set(got)) / 10
     assert recall >= 0.5, f"recall {recall}: exact={exact} got={got}"
+
+
+def test_connected_components_matches_union_find(spark):
+    import random
+
+    rng = random.Random(7)
+    nodes = list(range(60))
+    edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(45)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+
+    got = {
+        r["node"]: r["component"]
+        for r in dedup.connected_components(pairs).collect()
+    }
+
+    # oracle: plain union-find
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        if a != b:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    want = {}
+    for a, b in edges:
+        if a != b:
+            want[a] = find(a)
+            want[b] = find(b)
+    # canonicalize oracle labels to min-of-component
+    comp_min = {}
+    for n, c in want.items():
+        comp_min.setdefault(c, n)
+        comp_min[c] = min(comp_min[c], n)
+    want = {n: comp_min[find(n)] for n in want}
+    assert got == want
+
+
+def test_connected_components_chain(spark):
+    # a path graph is the worst diameter case for min-label propagation
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(20)], "id_a long, id_b long"
+    )
+    res = dedup.connected_components(pairs).collect()
+    assert {r["component"] for r in res} == {0}
+    assert len(res) == 21
+
+
+def test_near_dup_clusters_end_to_end(docs_with_dups):
+    clusters = dedup.near_dup_clusters(
+        docs_with_dups, "text", "doc_id", num_perm=32, num_bands=8
+    ).cache()
+    # each of the 5 seeded groups {base, exact-dup, near-dup} collapses to
+    # one cluster whose canonical is the base (min) id
+    seeded = clusters.where(F.col("id") >= 10_000)
+    assert seeded.where(F.col("is_canonical")).count() == 0
+    base_ids = {
+        r["cluster_id"] for r in seeded.select("cluster_id").distinct().collect()
+    }
+    assert len(base_ids) == 5 and all(b < 10_000 for b in base_ids)
+
+    deduped = dedup.near_dup_dedup(
+        docs_with_dups, "text", "doc_id", num_perm=32, num_bands=8
+    )
+    assert deduped.where(F.col("doc_id") >= 10_000).count() == 0
+    clusters.unpersist()
