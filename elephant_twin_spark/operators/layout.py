@@ -73,3 +73,86 @@ def cluster_table(
         out = out.sortWithinPartitions(*cluster_cols)
     out.write.mode("overwrite").parquet(dst_path)
     return dst_path
+
+
+def _interleave_bits(buckets: Sequence, bits: int):
+    """Z-value: interleave ``bits`` low bits of each bucket column —
+    bit i of column j lands at position i*ncols + j. Pure Column
+    bit-arithmetic (shift counts are Python ints), whole-stage codegen."""
+    z = F.lit(0).cast("long")
+    n = len(buckets)
+    for i in range(bits):
+        for j, b in enumerate(buckets):
+            bit = F.shiftright(b, i).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, i * n + j))
+    return z
+
+
+def zorder_table(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    zorder_cols: Sequence[str],
+    num_files: int = 32,
+    bits: int = 8,
+    quantile_error: float = 0.01,
+) -> str:
+    """Rewrite ``src`` at ``dst`` clustered on a Z-order (Morton) curve
+    over ``zorder_cols`` — the multi-column locality layout: a single
+    sort gives range locality to its FIRST column only, while Z-order
+    gives every listed column partial locality, so zone-map / footer
+    min-max pruning works on each of them (Delta/Iceberg OPTIMIZE
+    ZORDER analog).
+
+    Mechanics (one pass + one shuffle, everything JVM-side):
+    ordered columns (numeric / timestamp / date) are quantile-bucketed
+    into ``2**bits`` rank buckets via driver-side ``approxQuantile``
+    boundaries (bounded small list — this is maintenance-time metadata,
+    not data on the driver); string columns are hash-bucketed (equality
+    locality instead of range locality). Bucket ids are bit-interleaved
+    into the Z-value; the rewrite range-partitions + sorts by it.
+
+    ``bits * len(zorder_cols)`` must fit in 63 bits.
+    """
+    if bits * len(zorder_cols) > 63:
+        raise ValueError("bits * len(zorder_cols) must be <= 63")
+    df = spark.read.parquet(src_path)
+    n_buckets = 1 << bits
+    dtypes = dict(df.dtypes)
+    buckets = []
+    for c in zorder_cols:
+        dt = dtypes[c]
+        if dt in ("timestamp", "date", "timestamp_ntz"):
+            num = F.col(c).cast("timestamp").cast("double")
+        elif dt in ("string", "binary", "boolean"):
+            buckets.append(
+                F.coalesce(
+                    F.pmod(F.xxhash64(F.col(c)), F.lit(n_buckets)), F.lit(0)
+                ).cast("long")
+            )
+            continue
+        else:
+            num = F.col(c).cast("double")
+        probs = [i / n_buckets for i in range(1, n_buckets)]
+        qs = df.select(num.alias("_q")).approxQuantile("_q", probs, quantile_error)
+        bounds = sorted(set(qs))
+        arr = F.array(*[F.lit(float(b)) for b in bounds])
+        raw = F.coalesce(F.size(F.filter(arr, lambda b: b <= num)), F.lit(0))
+        # low-cardinality columns fill few buckets; rescale the rank to
+        # span the full 2**bits range so this column's bits interleave at
+        # the same significance as its peers' (otherwise its zero high
+        # bits let the other columns dominate the curve entirely)
+        scale = n_buckets // (len(bounds) + 1)
+        if scale > 1:
+            raw = raw * F.lit(scale)
+        buckets.append(raw.cast("long"))
+    z = _interleave_bits(buckets, bits)
+    (
+        df.withColumn("_z", z)
+        .repartitionByRange(num_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(dst_path)
+    )
+    return dst_path

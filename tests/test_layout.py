@@ -36,3 +36,51 @@ def test_compact_table(spark, workdir, events_multifile):
     b = spark.read.parquet(dst)
     assert a.count() == b.count()
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_zorder_multi_column_pruning(spark, workdir, events_multifile):
+    """Z-order gives BOTH columns file-level locality: zone indexes on
+    each column prune files for point/range queries on either."""
+    dst = layout.zorder_table(
+        spark, events_multifile, f"{workdir}/events_zorder",
+        ["user_id", "value"], num_files=16, bits=6,
+    )
+    eng = Engine(spark, f"{workdir}/zorder_root")
+    eng.build_zone_index(dst, "user_id")
+    eng.build_zone_index(dst, "value")
+
+    full = spark.read.parquet(dst)
+    # content preserved exactly
+    src = spark.read.parquet(events_multifile)
+    assert src.count() == full.count()
+    assert src.exceptAll(full).count() == 0
+
+    ratios = []
+    for pred, naive in [
+        ((col("user_id") >= 2) & (col("user_id") <= 4),
+         (F.col("user_id") >= 2) & (F.col("user_id") <= 4)),
+        ((col("value") >= 10.0) & (col("value") <= 30.0),
+         (F.col("value") >= 10.0) & (F.col("value") <= 30.0)),
+    ]:
+        got = eng.query(dst, pred)
+        assert got.count() == full.where(naive).count() > 0
+        m = eng.last_metrics
+        assert m.scanned_files < m.total_files, m.as_dict()
+        ratios.append(m.bytes_ratio)
+    # both dimensions pruned — neither got all the locality
+    assert all(r > 1.2 for r in ratios), ratios
+
+
+def test_zorder_string_column_hash_buckets(spark, workdir, events_multifile):
+    dst = layout.zorder_table(
+        spark, events_multifile, f"{workdir}/events_zorder_str",
+        ["event_type", "user_id"], num_files=12, bits=5,
+    )
+    eng = Engine(spark, f"{workdir}/zorder_str_root")
+    eng.build_index(dst, "event_type", num_buckets=4)
+    got = eng.query(dst, col("event_type") == "click")
+    want = spark.read.parquet(dst).where(F.col("event_type") == "click")
+    assert got.count() == want.count() > 0
+    m = eng.last_metrics
+    # 5 event types hash-bucketed into the top bits → clustered subsets
+    assert m.scanned_files < m.total_files, m.as_dict()
