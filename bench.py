@@ -88,6 +88,7 @@ def main():
     timed("q_text_count")(lambda: ti.count("spark"))
     timed("q_text_bool")(lambda: ti.count("spark AND join"))
     timed("q_text_topn")(lambda: ti.top_n("merge", 10).collect())
+    timed("q_text_prefix")(lambda: ti.count("s*"))
 
     # ---- relational parity
     timed("q_lineitem_agg")(
@@ -107,6 +108,19 @@ def main():
         .agg(F.count(F.lit(1)).alias("n"), F.sum("o_totalprice").alias("rev"))
         .collect()
     )
+    # TPC-H Q18 shape: fact-side HAVING aggregate semi-joined back
+    timed("q_tpch_large_orders")(
+        lambda: orders.join(
+            spark.read.parquet(lineitem)
+            .groupBy("l_orderkey")
+            .agg(F.sum("l_quantity").alias("sum_qty"))
+            .where(F.col("sum_qty") > 150),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+        .collect()
+    )
 
     # ---- pipeline ops
     timed("q_dedup_exact")(lambda: dedup.exact_dup_groups(docs, "text", "doc_id").count())
@@ -116,6 +130,11 @@ def main():
         ).count()
     )
     timed("q_simhash")(lambda: dedup.simhash64(docs, "text", "doc_id").count())
+    timed("q_near_dup_clusters")(
+        lambda: dedup.near_dup_clusters(
+            docs, "text", "doc_id", num_perm=16, num_bands=4, threshold=0.7
+        ).where("NOT is_canonical").count()
+    )
     timed("q_quality_stats")(
         lambda: textstats.quality_score(docs, "text").agg(F.avg("quality_score")).collect()
     )

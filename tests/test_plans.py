@@ -159,3 +159,37 @@ def test_text_postings_build_is_single_shuffle(spark):
     p = T.postings_for(docs, "text", "doc_id")
     plan = plan_of(p)
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_tpch_semi_join_broadcasts_order_side_filter(spark):
+    """Q4 shape: the EXISTS semi-join keeps an equi-join on l_orderkey
+    (the non-equi shipdate condition rides along as a join filter, never
+    a nested loop)."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["priority_fulfilment"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert "LeftSemi" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan, plan
+
+
+def test_tpch_disjunctive_stays_equi_join(spark):
+    """Q19 shape: Catalyst extracts the common partkey conjunct from the
+    OR-of-ANDs, so the join is hash/broadcast, not nested-loop."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["disjunctive_revenue"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan, plan
+
+
+def test_tpch_q21_single_fact_pass(spark):
+    """Q21 shape: the late-sole-supplier rewrite reads lineitem ONCE
+    (one groupBy builds both the supplier count and the late set) —
+    no fact-table self-join."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["late_sole_supplier"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert plan.count("lineitem.parquet") <= 1, plan
