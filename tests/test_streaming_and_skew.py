@@ -180,3 +180,89 @@ def test_streaming_exact_dedup(spark, workdir):
     n_unique = spark.read.parquet(src).select("event_id").distinct().count()
     assert got.count() == n_unique
     assert got.select("event_id").distinct().count() == n_unique
+
+
+def test_stream_stream_interval_join_matches_batch(spark, workdir):
+    """Inner stream-stream join with time bounds: an availableNow drain
+    must emit exactly the batch join's rows (inner matches emit eagerly;
+    the watermark only governs state eviction)."""
+    from elephant_twin_spark.streaming import joins
+    from elephant_twin_spark.operators import temporal
+    from elephant_twin_spark.sources import tables
+
+    src = f"{workdir}/events_join_chunked"
+    ev = tables.load_raw(spark, f"{SF_DIR}/events.parquet")
+    ev.repartitionByRange(4, F.col("ts")).sortWithinPartitions("ts").write.mode(
+        "overwrite"
+    ).parquet(src)
+    import os as _os
+    import time as _time
+
+    parts = sorted(p for p in _os.listdir(src) if p.startswith("part-"))
+    base = _time.time() - len(parts) * 10
+    for i, p in enumerate(parts):
+        _os.utime(f"{src}/{p}", (base + i * 10, base + i * 10))
+
+    schema = spark.read.parquet(src).schema
+
+    def stream():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+    purchases = (
+        stream()
+        .where(F.col("event_type") == "purchase")
+        .select("user_id", F.col("event_id").alias("p_id"), F.col("ts").alias("p_ts"))
+    )
+    errors = (
+        stream()
+        .where(F.col("event_type") == "error")
+        .select("user_id", F.col("event_id").alias("e_id"), F.col("ts").alias("e_ts"))
+    )
+    joined = joins.stream_stream_interval_join(
+        purchases, errors, ["user_id"], "p_ts", "e_ts",
+        lower="30 minutes", upper="30 minutes", watermark="1 hour",
+    )
+    assert joined.isStreaming
+
+    import shutil
+
+    out, ckpt = f"{workdir}/ssj_out", f"{workdir}/ssj_ckpt"
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {
+        (r["p_id"], r["e_id"])
+        for r in spark.read.parquet(out).select("p_id", "e_id").collect()
+    }
+    bev = spark.read.parquet(src)
+    bp = bev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("p_id"), F.col("ts").alias("p_ts")
+    )
+    be = bev.where(F.col("event_type") == "error").select(
+        F.col("user_id").alias("e_user"), F.col("event_id").alias("e_id"),
+        F.col("ts").alias("e_ts"),
+    )
+    want = {
+        (r["p_id"], r["e_id"])
+        for r in bp.join(
+            be,
+            (bp.user_id == be.e_user)
+            & (F.col("e_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 minutes"))
+            & (F.col("e_ts") <= F.col("p_ts") + F.expr("INTERVAL 30 minutes")),
+        ).collect()
+    }
+    assert len(want) > 0
+    assert got == want
