@@ -355,6 +355,13 @@ def _q_text_phrase_near(spark, sf_dir):
     return ti.matches('"sort merge"~2')
 
 
+def _q_text_mlt(spark, sf_dir):
+    """MoreLikeThis: SMART lnc.ltc cosine over the postings index (doc
+    norms idf-free and precomputed; query idf from the pruned read)."""
+    ti = _state(spark, sf_dir).docs_text_index()
+    return ti.more_like_this(7, k=10)
+
+
 def _q_text_prefix(spark, sf_dir):
     """Prefix (multi-term) query: the StartsWith pushes to the
     range-partitioned term column, one contiguous bucket range."""
@@ -1224,6 +1231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_wildcard": _q_text_wildcard,
         "text_fuzzy": _q_text_fuzzy,
         "text_not": _q_text_not,
+        "text_more_like_this": _q_text_mlt,
         # pipeline: dedup / stats / similarity (north star)
         "dedup_exact_groups": _q_dedup_exact_groups,
         "simhash_md5_docs": _q_simhash_md5,
@@ -1408,6 +1416,35 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             WHERE regexp_matches(text, '(^|\\s)sort(\\s+\\S+){{0,2}}\\s+merge(\\s|$)')
                OR regexp_matches(text, '(^|\\s)merge\\s+sort(\\s|$)')
+        """,
+        "text_more_like_this": f"""
+            WITH tok AS (
+              SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+            ), tf AS (
+              SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
+            ), q AS (
+              SELECT term, 1.0 + ln(tf) AS wq0 FROM tf WHERE doc_id = 7
+            ), dfr AS (
+              SELECT t.term, count(*) AS df
+              FROM tf t JOIN q ON t.term = q.term GROUP BY t.term
+            ), qw AS (
+              SELECT q.term,
+                     q.wq0 * ln((SELECT count(*) FROM documents) * 1.0 / dfr.df)
+                         AS wq
+              FROM q JOIN dfr ON q.term = dfr.term
+            ), norms AS (
+              SELECT doc_id, sqrt(sum(pow(1.0 + ln(tf), 2))) AS norm
+              FROM tf GROUP BY doc_id
+            ), dots AS (
+              SELECT tf.doc_id, sum(qw.wq * (1.0 + ln(tf.tf))) AS dot
+              FROM tf JOIN qw ON tf.term = qw.term
+              WHERE tf.doc_id <> 7 GROUP BY tf.doc_id
+            )
+            SELECT d.doc_id,
+                   round(d.dot / ((SELECT sqrt(sum(wq*wq)) FROM qw) * n.norm), 6)
+                       AS score
+            FROM dots d JOIN norms n USING (doc_id)
+            ORDER BY score DESC, doc_id ASC LIMIT 10
         """,
         "text_prefix": f"""
             SELECT doc_id,

@@ -93,6 +93,34 @@ def postings_for(
     )
 
 
+def doclens_for(
+    df: DataFrame,
+    text_column: str,
+    doc_id_column: str,
+    tokenizer: Tokenizer = whitespace_tokenizer,
+) -> DataFrame:
+    """``(doc_id, dl, norm, file)`` — token count (BM25 length norm) and
+    the SMART 'lnc' cosine norm ``sqrt(Σ (1+ln tf)²)`` per doc, computed
+    from the doc's own tokens only (no corpus statistics → refreshable
+    file-by-file)."""
+    toks = df.select(
+        F.col(doc_id_column).alias("doc_id"),
+        F.regexp_replace(
+            F.col("_metadata.file_path"), r"^file:/(?=[^/])", "file:///"
+        ).alias("file"),
+        F.explode_outer(tokenizer(F.col(text_column))).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count("term").cast("int").alias("tf"), F.first("file").alias("file")
+    )
+    w = F.lit(1.0) + F.log(F.col("tf"))
+    return tf.groupBy("doc_id").agg(
+        F.sum("tf").cast("int").alias("dl"),
+        F.sqrt(F.sum(w * w)).alias("norm"),
+        F.first("file").alias("file"),
+    )
+
+
 def build_text_index(
     spark: SparkSession,
     table_path: str,
@@ -119,12 +147,13 @@ def build_text_index(
         .option("parquet.bloom.filter.enabled#term", "true")
         .parquet(f"{idx_dir}/postings")
     )
-    # doc-length norms for BM25 (the Lucene "norms" analog, T2): tiny
-    # table (one row per doc) + corpus stats in the descriptor
-    doclens = df.select(
-        F.col(doc_id_column).alias("doc_id"),
-        F.size(tokenizer(F.col(text_column))).alias("dl"),
-    )
+    # doc-length norms for BM25 (the Lucene "norms" analog, T2) plus the
+    # SMART lnc cosine norm for more_like_this: tiny table (one row per
+    # doc) + corpus stats in the descriptor. The lnc norm (1+ln tf,
+    # idf-free) is deliberately corpus-independent so per-file
+    # incremental refresh never invalidates other files' rows; ``file``
+    # is carried for exactly that kept/delta maintenance.
+    doclens = doclens_for(df, text_column, doc_id_column, tokenizer)
     doclens.coalesce(max(1, num_buckets // 4)).write.mode("overwrite").parquet(
         f"{idx_dir}/doclens"
     )
@@ -449,6 +478,12 @@ def files_containing(value_sets: DataFrame, column: str, value) -> DataFrame:
     return value_sets.where(F.array_contains(F.col(f"{column}_values"), value)).select("file")
 
 
+_TOKENIZERS = {
+    "whitespace": whitespace_tokenizer,
+    "lowercase": lowercase_tokenizer,
+}
+
+
 class TextIndex:
     """Query handle over a built text index (HDFSQueryEngine analog)."""
 
@@ -552,6 +587,78 @@ class TextIndex:
         reservoir via rand() ordering instead of the reference's in-memory
         partial Fisher-Yates (HDFSQueryEngine.java:100-153)."""
         return self.matches(query).orderBy(F.rand(seed)).limit(n)
+
+    def more_like_this(
+        self,
+        doc_id,
+        k: int = 10,
+        tokenizer: Optional[Tokenizer] = None,
+    ) -> DataFrame:
+        """Top-k docs most similar to ``doc_id`` by SMART *lnc.ltc*
+        cosine — the Lucene MoreLikeThis analog over the postings table.
+
+        Weighting choice is deliberate for incremental maintenance: doc
+        vectors are idf-FREE (``1+ln tf``, cosine norm precomputed per
+        doc in ``doclens``), the query vector carries the idf
+        (``(1+ln tf)·ln(N/df)``, df measured from the same bucket-pruned
+        postings read that serves the scores). Corpus growth therefore
+        never invalidates stored norms.
+
+        Driver holds only the ONE query doc's term vector (bounded by
+        doc length — same contract as the single-key postings lookups).
+        """
+        import math
+
+        tok = tokenizer or _TOKENIZERS.get(
+            self.desc.options.get("tokenizer", "whitespace")
+        )
+        if tok is None:
+            raise ValueError(
+                "unknown tokenizer in descriptor; pass tokenizer= explicitly"
+            )
+        stored = self.spark.read.parquet(self.table_path)
+        qtf = (
+            stored.where(F.col(self.doc_id_column) == doc_id)
+            .select(F.explode(tok(F.col(self.text_column))).alias("term"))
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("qtf"))
+            .collect()
+        )
+        if not qtf:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        qw0 = {r["term"]: 1.0 + math.log(r["qtf"]) for r in qtf}
+        terms = sorted(qw0)
+        n_docs = float(self.desc.options["n_docs"])
+
+        pruned = (
+            self.postings()
+            .where(F.col("term").isin(terms))
+            .select("term", "doc_id", "tf")
+        )
+        dfs = {r["term"]: r["df"] for r in
+               pruned.groupBy("term").agg(F.count(F.lit(1)).alias("df")).collect()}
+        wq = {t: qw0[t] * math.log(n_docs / dfs[t]) for t in terms if t in dfs}
+        qnorm = math.sqrt(sum(w * w for w in wq.values())) or 1.0
+
+        wq_map = F.create_map(
+            *[x for t, w in sorted(wq.items()) for x in (F.lit(t), F.lit(w))]
+        )
+        contrib = pruned.where(F.col("term").isin(sorted(wq))).withColumn(
+            "_c", wq_map[F.col("term")] * (F.lit(1.0) + F.log("tf"))
+        )
+        scores = (
+            contrib.groupBy("doc_id")
+            .agg(F.sum("_c").alias("_dot"))
+            .join(self.doclens().select("doc_id", "norm"), "doc_id")
+            .where(F.col("doc_id") != F.lit(doc_id))
+            .select(
+                "doc_id",
+                F.round(F.col("_dot") / (F.lit(qnorm) * F.col("norm")), 6).alias(
+                    "score"
+                ),
+            )
+        )
+        return scores.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
 
     def retrieve(
         self,

@@ -215,13 +215,43 @@ def refresh_text_index(
     jvm_path = spark._jvm.org.apache.hadoop.fs.Path
     fs.rename(jvm_path(tmp_dir), jvm_path(data_dir))
 
+    # doclens (BM25 length + lnc cosine norms) maintained with the same
+    # kept/delta split — norms are per-doc-only by design, so other
+    # files' rows stay valid; corpus stats (n_docs, avgdl) re-derive from
+    # the merged table, keeping BM25/more_like_this idf honest
+    lens_dir = f"{idx_dir}/doclens"
+    old_lens = spark.read.parquet(lens_dir)
+    kept_lens = old_lens.where(
+        ~F.col("file").isin(list(set(new_or_changed) | set(removed)))
+    )
+    merged_lens = kept_lens
+    if new_or_changed:
+        delta_lens = text_mod.doclens_for(
+            spark.read.parquet(*new_or_changed),
+            text_column,
+            desc.options["doc_id_column"],
+        )
+        merged_lens = kept_lens.unionByName(delta_lens)
+    lens_tmp = f"{idx_dir}/doclens_tmp"
+    merged_lens.coalesce(max(1, desc.num_buckets // 4)).write.mode(
+        "overwrite"
+    ).parquet(lens_tmp)
+    fsio.delete(spark, lens_dir)
+    fs.rename(jvm_path(lens_tmp), jvm_path(lens_dir))
+    stats = spark.read.parquet(lens_dir).agg(
+        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+    ).first()
+    options = dict(desc.options)
+    options["n_docs"] = str(stats["n"])
+    options["avgdl"] = str(float(stats["avgdl"] or 0.0))
+
     new_desc = catalog.make_descriptor(
         source_path=table_path,
         column=text_column,
         index_type="TEXT",
         num_buckets=desc.num_buckets,
         files=live,
-        options=desc.options,
+        options=options,
     )
     catalog.write_descriptor(spark, idx_dir, new_desc)
     return {

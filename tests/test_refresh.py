@@ -164,3 +164,40 @@ def test_refresh_text_index_incremental(spark, workdir):
     assert ti2.count("spark") == base_count + 1
     # phrase search sees the new positional postings too
     assert {r["doc_id"] for r in ti2.matches('"zzz_sentinel spark"').collect()} == {9_999}
+
+
+def test_refresh_text_index_maintains_doclens_and_stats(spark, workdir):
+    """doclens (BM25 length + lnc norm) and corpus stats follow the
+    incremental refresh — idf/avgdl never go stale."""
+    from elephant_twin_spark.streaming.refresh import refresh_text_index
+
+    src = f"{workdir}/text_refresh_lens_tbl"
+    docs = tables.load_raw(spark, f"{SF_DIR}/documents.parquet")
+    docs.where(F.col("doc_id") < 60).coalesce(2).write.mode("overwrite").parquet(src)
+
+    root = f"{workdir}/text_refresh_lens_root"
+    eng = Engine(spark, root)
+    eng.build_text_index(src, "text", "doc_id")
+    n0 = int(eng.text_index(src, "text").desc.options["n_docs"])
+    assert n0 == 60
+
+    new = spark.createDataFrame(
+        [(7_777, "alpha beta beta gamma", "en", "synthetic", 20)],
+        schema=docs.schema,
+    )
+    new.coalesce(1).write.mode("append").parquet(src)
+    spark.catalog.refreshByPath(src)
+    refresh_text_index(spark, src, "text", root)
+
+    ti = eng.text_index(src, "text")
+    assert int(ti.desc.options["n_docs"]) == 61
+    lens = {r["doc_id"]: r for r in ti.doclens().collect()}
+    assert lens[7_777]["dl"] == 4
+    import math
+
+    want_norm = math.sqrt(2 * 1.0 + (1 + math.log(2)) ** 2)
+    assert abs(lens[7_777]["norm"] - want_norm) < 1e-9
+    # more_like_this works against the refreshed corpus
+    top = ti.more_like_this(7_777, k=3).collect()
+    assert all(r["doc_id"] != 7_777 for r in top)
+

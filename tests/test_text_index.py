@@ -286,3 +286,43 @@ def test_multiterm_parser():
     assert parse_query("term~") == _Fuzzy("term", 2)
     node = parse_query("a AND NOT b")
     assert isinstance(node.parts[1], _Not)
+
+
+def test_more_like_this_matches_naive(eng, docs, docs_path):
+    """lnc.ltc cosine against a pure-Python oracle over all docs."""
+    import math
+    from collections import Counter
+
+    ti = eng.text_index(docs_path, "text")
+    qid = 7
+    got = [(r["doc_id"], r["score"]) for r in ti.more_like_this(qid, k=10).collect()]
+
+    rows = {r["doc_id"]: r["text"].split() for r in docs.collect()}
+    n_docs = len(rows)
+    tfs = {d: Counter(toks) for d, toks in rows.items()}
+    dfc = Counter()
+    for d, tf in tfs.items():
+        dfc.update(tf.keys())
+    qtf = tfs[qid]
+    wq = {
+        t: (1 + math.log(c)) * math.log(n_docs / dfc[t]) for t, c in qtf.items()
+    }
+    qn = math.sqrt(sum(w * w for w in wq.values()))
+    want = []
+    for d, tf in tfs.items():
+        if d == qid:
+            continue
+        dot = sum(w * (1 + math.log(tf[t])) for t, w in wq.items() if t in tf)
+        if dot == 0:
+            continue
+        dn = math.sqrt(sum((1 + math.log(c)) ** 2 for c in tf.values()))
+        want.append((d, round(dot / (qn * dn), 6)))
+    want.sort(key=lambda x: (-x[1], x[0]))
+    assert [d for d, _ in got] == [d for d, _ in want[:10]]
+    for (gd, gs), (wd, ws) in zip(got, want[:10]):
+        assert abs(gs - ws) < 1e-5, (gd, gs, ws)
+
+
+def test_more_like_this_missing_doc(eng, docs_path):
+    ti = eng.text_index(docs_path, "text")
+    assert ti.more_like_this(10**9, k=5).count() == 0
