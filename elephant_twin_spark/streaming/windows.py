@@ -82,3 +82,77 @@ def run_to_memory(
     )
     q.awaitTermination(timeout_sec)
     return q
+
+
+def sketch_rollup_stream(
+    stream: DataFrame,
+    sink_path: str,
+    checkpoint_path: str,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    distinct_col: str = "user_id",
+    window_duration: str = "1 hour",
+    lg_k: int = 12,
+):
+    """Streaming mergeable-sketch rollup: each micro-batch appends its
+    PARTIAL per-(window, key) HLL sketches to the rollup table; readers
+    merge at query time (:func:`read_sketch_rollup`).
+
+    This is the append-only alternative to stateful streaming
+    aggregation: no state store at all (sketches are mergeable, so
+    partials need no read-modify-write), no watermark needed (late rows
+    just append another partial that the merge absorbs), restart-safe
+    via the sink's exactly-once file commit. State cost moves to
+    merge-on-read, bounded by partials-per-window — compaction
+    (re-writing merged sketches) is the same ``hll_union_agg`` applied
+    to the table itself. The batch twin is a plain
+    ``groupBy(window, key).agg(hll_sketch)`` rollup — identical
+    estimates by sketch mergeability.
+    """
+    from elephant_twin_spark.functions import sketches
+
+    def append_partials(batch_df: DataFrame, batch_id: int):
+        (
+            batch_df.groupBy(
+                F.window(ts_col, window_duration).alias("window"),
+                F.col(key_col).alias("key"),
+            )
+            .agg(
+                sketches.hll_sketch(F.col(distinct_col), lg_k).alias("sketch"),
+                F.count(F.lit(1)).alias("n_rows"),
+            )
+            .select(
+                F.col("window.start").alias("win_start"),
+                F.col("window.end").alias("win_end"),
+                "key",
+                "sketch",
+                "n_rows",
+            )
+            .write.mode("append")
+            .parquet(sink_path)
+        )
+
+    return (
+        stream.writeStream.foreachBatch(append_partials)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_sketch_rollup(spark: SparkSession, sink_path: str) -> DataFrame:
+    """Merge the partial sketches: ``(win_start, win_end, key,
+    distinct_estimate, n_rows)`` — re-aggregation without rescanning
+    the stream."""
+    from elephant_twin_spark.functions import sketches
+
+    return (
+        spark.read.parquet(sink_path)
+        .groupBy("win_start", "win_end", "key")
+        .agg(
+            sketches.hll_estimate(sketches.hll_merge(F.col("sketch"))).alias(
+                "distinct_estimate"
+            ),
+            F.sum("n_rows").alias("n_rows"),
+        )
+    )

@@ -266,3 +266,54 @@ def test_stream_stream_interval_join_matches_batch(spark, workdir):
     }
     assert len(want) > 0
     assert got == want
+
+
+def test_streaming_sketch_rollup_matches_batch(spark, workdir, events_multifile):
+    """Partial HLL sketches appended per micro-batch merge to the same
+    estimates as one batch sketch rollup; estimates within HLL error of
+    exact distinct counts."""
+    from elephant_twin_spark.streaming import windows as w
+    from elephant_twin_spark.functions import sketches
+
+    schema = spark.read.parquet(events_multifile).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(events_multifile)
+    )
+    sink, ckpt = f"{workdir}/sketch_sink", f"{workdir}/sketch_ckpt"
+    q = w.sketch_rollup_stream(stream, sink, ckpt, window_duration="6 hours")
+    q.awaitTermination(180)
+
+    merged = {
+        (r["win_start"], r["key"]): r["distinct_estimate"]
+        for r in w.read_sketch_rollup(spark, sink).collect()
+    }
+    assert len(merged) > 0
+
+    ev = spark.read.parquet(events_multifile)
+    batch_sketch = {
+        (r["window"]["start"], r["key"]): r["est"]
+        for r in ev.groupBy(
+            F.window("ts", "6 hours").alias("window"),
+            F.col("event_type").alias("key"),
+        )
+        .agg(
+            sketches.hll_estimate(sketches.hll_sketch(F.col("user_id"))).alias("est")
+        )
+        .collect()
+    }
+    exact = {
+        (r["window"]["start"], r["key"]): r["d"]
+        for r in ev.groupBy(
+            F.window("ts", "6 hours").alias("window"),
+            F.col("event_type").alias("key"),
+        )
+        .agg(F.countDistinct("user_id").alias("d"))
+        .collect()
+    }
+    assert set(merged) == set(batch_sketch) == set(exact)
+    for k, est in merged.items():
+        # sketch-of-union == union-of-sketches (mergeability)
+        assert est == batch_sketch[k], (k, est, batch_sketch[k])
+        assert abs(est - exact[k]) <= max(2, 0.05 * exact[k]), (k, est, exact[k])
