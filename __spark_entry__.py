@@ -450,6 +450,26 @@ def _q_label_centroid_component(spark, sf_dir):
     )
 
 
+def _q_containment_pairs(spark, sf_dir):
+    """Asymmetric containment on a bounded exact pair set — the measure
+    that catches short-doc-embedded-in-long-doc duplication."""
+    docs = _state(spark, sf_dir).raw("documents").where(F.col("doc_id") < 450)
+    sh = docs.select(F.col("doc_id").alias("id"))
+    a, b = sh.alias("a"), sh.alias("b")
+    cands = a.join(b, F.col("a.id") < F.col("b.id")).select(
+        F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+    )
+    out = dedup.containment_verify_pairs(
+        cands, docs, "text", "doc_id", threshold=0.9
+    )
+    return out.select(
+        "id_a",
+        "id_b",
+        F.round("cont_a_in_b", 6).alias("cont_a_in_b"),
+        F.round("cont_b_in_a", 6).alias("cont_b_in_a"),
+    )
+
+
 def _q_near_dup_components(spark, sf_dir):
     """Duplicate clusters as connected components (min-label propagation,
     one shuffle per round, lineage cut per round). Pair source here is
@@ -1248,6 +1268,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_parse_roundtrip": _q_date_parse_roundtrip,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "near_dup_components": _q_near_dup_components,
+        "containment_pairs": _q_containment_pairs,
         "cosine_pairs": _q_cosine_pairs,
         "time_rollup_hourly": _q_time_rollup,
         "join_revenue_by_nation": _q_join_revenue_by_nation,
@@ -1582,6 +1603,27 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
                          / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
             FROM sh a, sh b WHERE a.doc_id < b.doc_id
+        """,
+        "containment_pairs": """
+            WITH toks AS (
+              SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t
+              FROM documents WHERE doc_id < 450
+            ), sh AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),
+                                                  i -> array_to_string(t[i:i+2], ' '))) AS s
+              FROM toks
+            ), p AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s)
+                         AS ca,
+                     CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(b.s)
+                         AS cb
+              FROM sh a, sh b WHERE a.doc_id < b.doc_id
+            )
+            SELECT id_a, id_b, round(ca, 6) AS cont_a_in_b,
+                   round(cb, 6) AS cont_b_in_a
+            FROM p WHERE ca >= 0.9 OR cb >= 0.9
         """,
         "near_dup_components": """
             WITH RECURSIVE toks AS (

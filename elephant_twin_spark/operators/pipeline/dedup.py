@@ -404,3 +404,31 @@ def near_dup_dedup(df: DataFrame, text_col: str, id_col: str, **kw) -> DataFrame
         .select(F.col("id").alias(id_col))
     )
     return df.join(keep, id_col, "inner")
+
+
+def containment_verify_pairs(
+    candidates: DataFrame,
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_k: int = 3,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Asymmetric near-dup on candidate pairs: containment(A⊆B) =
+    |shingles(A) ∩ shingles(B)| / |shingles(A)|. Catches a short doc
+    embedded verbatim in a longer one — Jaccard misses those (the union
+    dilutes the score), which is why training-data pipelines check both.
+    Emits pairs where EITHER direction clears the threshold."""
+    sh = _fan_out(df).select(
+        F.col(id_col).alias("id"), word_shingles(F.col(text_col), shingle_k).alias("sh")
+    )
+    j = (
+        candidates.join(sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
+        .join(sh.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
+        .withColumn("_inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("cont_a_in_b", F.col("_inter") / F.size("sh_a"))
+        .withColumn("cont_b_in_a", F.col("_inter") / F.size("sh_b"))
+    )
+    return j.where(
+        (F.col("cont_a_in_b") >= threshold) | (F.col("cont_b_in_a") >= threshold)
+    ).select("id_a", "id_b", "cont_a_in_b", "cont_b_in_a")

@@ -361,3 +361,31 @@ def test_near_dup_clusters_end_to_end(docs_with_dups):
     )
     assert deduped.where(F.col("doc_id") >= 10_000).count() == 0
     clusters.unpersist()
+
+
+def test_containment_catches_embedded_doc(spark, docs):
+    """A short doc pasted inside a longer one: containment ≈ 1 while
+    Jaccard is low — the asymmetric measure finds what Jaccard misses."""
+    base = docs.limit(2).collect()
+    long_text = base[0]["text"] + " " + base[1]["text"] + " " + base[0]["text"]
+    short_text = base[1]["text"]
+    extra = spark.createDataFrame(
+        [
+            (30_000, long_text, "en", "synthetic", len(long_text)),
+            (30_001, short_text, "en", "synthetic", len(short_text)),
+        ],
+        schema=docs.schema,
+    )
+    cands = spark.createDataFrame([(30_000, 30_001)], "id_a long, id_b long")
+    got = dedup.containment_verify_pairs(
+        cands, extra, "text", "doc_id", threshold=0.9
+    ).collect()
+    assert len(got) == 1
+    r = got[0]
+    # the short doc is fully contained in the long one (b in a direction)
+    assert r["cont_b_in_a"] >= 0.9
+    # but plain Jaccard on the same pair is well below near-dup range
+    jac = dedup.jaccard_verify_pairs(
+        cands, extra, "text", "doc_id", threshold=0.0
+    ).collect()[0]["jaccard"]
+    assert jac < 0.8
