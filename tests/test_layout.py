@@ -84,3 +84,33 @@ def test_zorder_string_column_hash_buckets(spark, workdir, events_multifile):
     m = eng.last_metrics
     # 5 event types hash-bucketed into the top bits → clustered subsets
     assert m.scanned_files < m.total_files, m.as_dict()
+
+
+def test_interleave_bits_is_morton_code(spark):
+    """_interleave_bits equals the reference Morton encoding for every
+    4-bit pair, and is monotonic per dimension with the other fixed."""
+    from elephant_twin_spark.operators.layout import _interleave_bits
+
+    rows = [(a, b) for a in range(16) for b in range(16)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    got = {
+        (r["a"], r["b"]): r["z"]
+        for r in df.select(
+            "a", "b", _interleave_bits([F.col("a"), F.col("b")], 4).alias("z")
+        ).collect()
+    }
+
+    def morton(a, b):
+        z = 0
+        for i in range(4):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    for (a, b), z in got.items():
+        assert z == morton(a, b), (a, b, z)
+    for fixed in range(16):
+        zs = [got[(a, fixed)] for a in range(16)]
+        assert zs == sorted(zs)
+        zs = [got[(fixed, b)] for b in range(16)]
+        assert zs == sorted(zs)

@@ -131,3 +131,63 @@ def test_interval_union_intersect_match_set_semantics(a, b):
     assert _covered(iv.union(na, nb)) == _covered(a) | _covered(b)
     assert _covered(iv.intersect(na, nb)) == _covered(a) & _covered(b)
     assert iv.total_length(na) == len(_covered(a))
+
+
+# --------------------------------------------------------- text query parse
+
+_term_chars = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd")),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(t=_term_chars)
+@settings(max_examples=200)
+def test_bare_term_never_misparses(t):
+    from elephant_twin_spark.operators.text import parse_query, _Term
+
+    node = parse_query(t)
+    assert node == _Term(t)
+
+
+@given(t=_term_chars, k=st.integers(min_value=0, max_value=4))
+@settings(max_examples=100)
+def test_fuzzy_and_prefix_forms_parse(t, k):
+    from elephant_twin_spark.operators.text import (
+        parse_query,
+        _Fuzzy,
+        _Prefix,
+    )
+
+    assert parse_query(f"{t}~{k}") == _Fuzzy(t, k)
+    assert parse_query(f"{t}*") == _Prefix(t)
+
+
+@given(ts=st.lists(_term_chars, min_size=2, max_size=5))
+@settings(max_examples=100)
+def test_boolean_combinations_parse_positive(ts):
+    from elephant_twin_spark.operators.text import parse_query, _is_positive
+
+    q_and = " AND ".join(ts)
+    q_or = " OR ".join(ts)
+    assert _is_positive(parse_query(q_and))
+    assert _is_positive(parse_query(q_or))
+    assert not _is_positive(parse_query(f"NOT {ts[0]}"))
+    # NOT under AND with a positive sibling is servable
+    assert _is_positive(parse_query(f"{ts[0]} AND NOT {ts[1]}"))
+
+
+# --------------------------------------------------------- wildcard regex
+
+@given(p=st.text(alphabet="ab*?", min_size=1, max_size=8), s=st.text(alphabet="ab", max_size=8))
+@settings(max_examples=300)
+def test_wildcard_regex_equals_fnmatch(p, s):
+    import re
+    import fnmatch
+
+    from elephant_twin_spark.operators.text import _wildcard_regex
+
+    got = re.fullmatch(_wildcard_regex(p)[1:-1], s) is not None
+    # fnmatch with identical *, ? semantics (no [] classes in our inputs)
+    assert got == fnmatch.fnmatchcase(s, p)
