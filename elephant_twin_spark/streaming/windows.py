@@ -156,3 +156,30 @@ def read_sketch_rollup(spark: SparkSession, sink_path: str) -> DataFrame:
             F.sum("n_rows").alias("n_rows"),
         )
     )
+
+
+def compact_sketch_rollup(spark: SparkSession, sink_path: str) -> int:
+    """Rewrite the partial-sketch table with one merged sketch per
+    (window, key): the same ``hll_union_agg`` that serves reads, applied
+    once to the table itself. Bounds merge-on-read cost after many
+    micro-batches; correctness unchanged (sketch union is associative).
+    Returns the compacted row count."""
+    from elephant_twin_spark.functions import sketches
+
+    compacted = (
+        spark.read.parquet(sink_path)
+        .groupBy("win_start", "win_end", "key")
+        .agg(
+            sketches.hll_merge(F.col("sketch")).alias("sketch"),
+            F.sum("n_rows").alias("n_rows"),
+        )
+    )
+    tmp = sink_path.rstrip("/") + "_compact_tmp"
+    compacted.write.mode("overwrite").parquet(tmp)
+    from elephant_twin_spark.sources import fsio
+
+    fsio.delete(spark, sink_path)
+    fs, _, _ = fsio._fs_and_path(spark, tmp)
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+    fs.rename(jvm_path(tmp), jvm_path(sink_path))
+    return spark.read.parquet(sink_path).count()

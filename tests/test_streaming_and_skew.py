@@ -317,3 +317,123 @@ def test_streaming_sketch_rollup_matches_batch(spark, workdir, events_multifile)
         # sketch-of-union == union-of-sketches (mergeability)
         assert est == batch_sketch[k], (k, est, batch_sketch[k])
         assert abs(est - exact[k]) <= max(2, 0.05 * exact[k]), (k, est, exact[k])
+
+
+def test_compact_sketch_rollup_preserves_estimates(spark, workdir, events_multifile):
+    from elephant_twin_spark.streaming import windows as w
+
+    schema = spark.read.parquet(events_multifile).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_multifile)
+    )
+    sink, ckpt = f"{workdir}/sketch_c_sink", f"{workdir}/sketch_c_ckpt"
+    q = w.sketch_rollup_stream(stream, sink, ckpt, window_duration="6 hours")
+    q.awaitTermination(180)
+
+    before = {
+        (r["win_start"], r["key"]): (r["distinct_estimate"], r["n_rows"])
+        for r in w.read_sketch_rollup(spark, sink).collect()
+    }
+    n_partials = spark.read.parquet(sink).count()
+    n_after = w.compact_sketch_rollup(spark, sink)
+    assert n_after == len(before) <= n_partials
+    spark.catalog.refreshByPath(sink)
+    after = {
+        (r["win_start"], r["key"]): (r["distinct_estimate"], r["n_rows"])
+        for r in w.read_sketch_rollup(spark, sink).collect()
+    }
+    assert after == before
+
+
+def test_stream_stream_left_outer_join_emits_nulls(spark, workdir):
+    """Left-outer stream-stream join: unmatched left rows emit with NULL
+    right side once the watermark passes their bound. availableNow
+    drains hold the watermark one batch back, so a far-future sentinel
+    file + second drain flushes the tail (see memory: sentinel trick)."""
+    import datetime
+    import os as _os
+    import time as _time
+
+    from elephant_twin_spark.streaming import joins
+    from elephant_twin_spark.sources import tables
+
+    src = f"{workdir}/events_louter_chunked"
+    ev = tables.load_raw(spark, f"{SF_DIR}/events.parquet")
+    ev.repartitionByRange(4, F.col("ts")).sortWithinPartitions("ts").write.mode(
+        "overwrite"
+    ).parquet(src)
+    parts = sorted(p for p in _os.listdir(src) if p.startswith("part-"))
+    base = _time.time() - (len(parts) + 2) * 10
+    for i, p in enumerate(parts):
+        _os.utime(f"{src}/{p}", (base + i * 10, base + i * 10))
+
+    schema = spark.read.parquet(src).schema
+    far = datetime.datetime(2030, 1, 1)
+    sentinel = spark.createDataFrame(
+        [
+            (10**9, far, 10**6, "purchase", 0.0, "{}"),
+            (10**9 + 1, far, 10**6, "error", 0.0, "{}"),
+        ],
+        schema=schema,
+    )
+
+    def drain():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        purchases = stream.where(F.col("event_type") == "purchase").select(
+            "user_id", F.col("event_id").alias("p_id"), F.col("ts").alias("p_ts")
+        )
+        errors = stream.where(F.col("event_type") == "error").select(
+            "user_id", F.col("event_id").alias("e_id"), F.col("ts").alias("e_ts")
+        )
+        joined = joins.stream_stream_interval_join(
+            purchases, errors, ["user_id"], "p_ts", "e_ts",
+            lower="30 minutes", upper="30 minutes", watermark="1 hour",
+            how="left_outer",
+        )
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", f"{workdir}/lo_out")
+            .option("checkpointLocation", f"{workdir}/lo_ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    drain()
+    sentinel.coalesce(1).write.mode("append").parquet(src)
+    spark.catalog.refreshByPath(src)
+    drain()
+
+    res = spark.read.parquet(f"{workdir}/lo_out").where(F.col("p_id") < 10**9)
+    got_matched = {
+        (r["p_id"], r["e_id"]) for r in res.where(F.col("e_id").isNotNull()).collect()
+    }
+    got_null = {r["p_id"] for r in res.where(F.col("e_id").isNull()).collect()}
+
+    b = spark.read.parquet(src).where(F.col("event_id") < 10**9)
+    bp = b.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("p_id"), F.col("ts").alias("p_ts")
+    )
+    be = b.where(F.col("event_type") == "error").select(
+        F.col("user_id").alias("e_user"), F.col("event_id").alias("e_id"),
+        F.col("ts").alias("e_ts"),
+    )
+    matched = bp.join(
+        be,
+        (bp.user_id == be.e_user)
+        & (F.col("e_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 minutes"))
+        & (F.col("e_ts") <= F.col("p_ts") + F.expr("INTERVAL 30 minutes")),
+    )
+    want_matched = {(r["p_id"], r["e_id"]) for r in matched.collect()}
+    all_p = {r["p_id"] for r in bp.collect()}
+    want_null = all_p - {p for p, _ in want_matched}
+
+    assert got_matched == want_matched
+    assert got_null == want_null and len(want_null) > 0
