@@ -450,6 +450,15 @@ def _q_label_centroid_component(spark, sf_dir):
     )
 
 
+def _q_char_entropy(spark, sf_dir):
+    """Character-distribution Shannon entropy per doc (quality signal) —
+    per-row nested higher-order functions, no shuffle."""
+    docs = _state(spark, sf_dir).raw("documents")
+    return textstats.char_entropy(docs, "text").select(
+        "doc_id", F.round("char_entropy", 6).alias("char_entropy")
+    )
+
+
 def _q_containment_pairs(spark, sf_dir):
     """Asymmetric containment on a bounded exact pair set — the measure
     that catches short-doc-embedded-in-long-doc duplication."""
@@ -1269,6 +1278,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "near_dup_components": _q_near_dup_components,
         "containment_pairs": _q_containment_pairs,
+        "char_entropy": _q_char_entropy,
         "cosine_pairs": _q_cosine_pairs,
         "time_rollup_hourly": _q_time_rollup,
         "join_revenue_by_nation": _q_join_revenue_by_nation,
@@ -1603,6 +1613,20 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
                          / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
             FROM sh a, sh b WHERE a.doc_id < b.doc_id
+        """,
+        "char_entropy": """
+            WITH c AS (
+              SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
+            ), cnt AS (
+              SELECT doc_id, ch, count(*) AS k FROM c GROUP BY 1, 2
+            ), n AS (
+              SELECT doc_id, sum(k) AS n FROM cnt GROUP BY 1
+            )
+            SELECT cnt.doc_id,
+                   round(-sum((k * 1.0 / n.n) * ln(k * 1.0 / n.n)), 6)
+                       AS char_entropy
+            FROM cnt JOIN n ON cnt.doc_id = n.doc_id
+            GROUP BY cnt.doc_id
         """,
         "containment_pairs": """
             WITH toks AS (

@@ -139,3 +139,29 @@ def winnowing_fingerprints(
         )
     )
     return df.select(F.col(id_col).alias("id"), F.explode(mins).alias("fp"))
+
+
+def char_entropy(df: DataFrame, text_col: str, out_col: str = "char_entropy") -> DataFrame:
+    """Shannon entropy of the character distribution (nats) — the classic
+    cheap gibberish/boilerplate signal: natural prose sits in a narrow
+    band, while repeated padding (low entropy) and random noise (high
+    entropy) fall outside it. Evaluated per row with JVM higher-order
+    functions (distinct-char counts via nested lambdas) — no shuffle, no
+    Python."""
+    return (
+        df.withColumn("_ch", F.split(F.col(text_col), ""))
+        .withColumn(
+            out_col,
+            F.when(F.size("_ch") == 0, F.lit(0.0)).otherwise(
+                -F.expr(
+                    "aggregate("
+                    "  transform(array_distinct(_ch),"
+                    "            c -> size(filter(_ch, x -> x = c))),"
+                    "  0D,"
+                    "  (acc, cnt) -> acc + (cnt / size(_ch)) * ln(cnt / size(_ch))"
+                    ")"
+                )
+            ),
+        )
+        .drop("_ch")
+    )

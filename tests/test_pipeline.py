@@ -389,3 +389,26 @@ def test_containment_catches_embedded_doc(spark, docs):
         cands, extra, "text", "doc_id", threshold=0.0
     ).collect()[0]["jaccard"]
     assert jac < 0.8
+
+
+def test_char_entropy(spark, docs):
+    import math
+    from collections import Counter
+
+    got = {
+        r["doc_id"]: r["char_entropy"]
+        for r in textstats.char_entropy(docs.limit(20), "text").collect()
+    }
+    for r in docs.limit(20).collect():
+        cnt = Counter(r["text"])
+        n = sum(cnt.values())
+        want = -sum((c / n) * math.log(c / n) for c in cnt.values())
+        assert abs(got[r["doc_id"]] - want) < 1e-9
+
+    edge = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abcd"), (3, "")], "doc_id long, text string"
+    )
+    e = {r["doc_id"]: r["char_entropy"] for r in textstats.char_entropy(edge, "text").collect()}
+    assert e[1] == 0.0            # constant string: zero entropy
+    assert abs(e[2] - 1.3862943611198906) < 1e-12  # ln(4), uniform
+    assert e[3] == 0.0            # empty string guarded
