@@ -450,6 +450,29 @@ def _q_label_centroid_component(spark, sf_dir):
     )
 
 
+def _q_knn_join(spark, sf_dir):
+    """Exact batch kNN join: 5 query vectors × full corpus, top-5 each
+    (broadcast queries, one windowed shuffle keyed by query)."""
+    emb = _state(spark, sf_dir).raw("embeddings")
+    qs = emb.where(F.col("vec_id") < 5)
+    out = similarity.knn_join(
+        qs, emb, "vec_id", "embedding", "vec_id", "embedding", k=5
+    )
+    return out.select(
+        "query_id", "id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
+def _q_ivf_knn_join(spark, sf_dir):
+    """IVF-pruned batch kNN join (rows-only: approximate candidates)."""
+    emb = _state(spark, sf_dir).raw("embeddings")
+    qs = emb.where(F.col("vec_id") < 5)
+    return similarity.ivf_knn_join(
+        qs, emb, "vec_id", "embedding", "vec_id", "embedding",
+        k=5, nlist=8, nprobe=4, max_iter=2,
+    ).select("query_id", "id", F.round("cosine", 6).alias("cosine"), "rank")
+
+
 def _q_char_entropy(spark, sf_dir):
     """Character-distribution Shannon entropy per doc (quality signal) —
     per-row nested higher-order functions, no shuffle."""
@@ -1279,6 +1302,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_components": _q_near_dup_components,
         "containment_pairs": _q_containment_pairs,
         "char_entropy": _q_char_entropy,
+        "knn_join_top5": _q_knn_join,
         "cosine_pairs": _q_cosine_pairs,
         "time_rollup_hourly": _q_time_rollup,
         "join_revenue_by_nation": _q_join_revenue_by_nation,
@@ -1322,6 +1346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_top10": _q_ann_pq_top10,
         "minhash_near_dup_pairs": _q_minhash_near_dup,
         "media_features": _q_media_features,
+        "knn_join_ivf_top5": _q_ivf_knn_join,
     }
 
 
@@ -1613,6 +1638,23 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
                          / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
             FROM sh a, sh b WHERE a.doc_id < b.doc_id
+        """,
+        "knn_join_top5": """
+            WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+            q AS (SELECT vec_id AS query_id, v AS qv FROM v WHERE vec_id < 5),
+            scored AS (
+              SELECT q.query_id, c.vec_id AS id,
+                     list_cosine_similarity(q.qv, c.v) AS cos_raw
+              FROM q, v c
+            ), ranked AS (
+              SELECT query_id, id, cos_raw,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cos_raw DESC, id ASC) AS rank
+              FROM scored
+            )
+            SELECT query_id, id, round(cos_raw, 6) + 0.0 AS cosine, rank
+            FROM ranked WHERE rank <= 5
         """,
         "char_entropy": """
             WITH c AS (

@@ -412,3 +412,58 @@ def test_char_entropy(spark, docs):
     assert e[1] == 0.0            # constant string: zero entropy
     assert abs(e[2] - 1.3862943611198906) < 1e-12  # ln(4), uniform
     assert e[3] == 0.0            # empty string guarded
+
+
+def test_knn_join_exact(spark):
+    emb = tables.load_raw(spark, f"{__import__('conftest').SF_DIR}/embeddings.parquet")
+    qs = emb.where(F.col("vec_id") < 5)
+    got = similarity.knn_join(
+        qs, emb, "vec_id", "embedding", "vec_id", "embedding", k=5
+    ).collect()
+    assert len(got) == 5 * 5
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+    import math
+
+    corpus = [
+        (r["vec_id"], [float(x) for x in r["embedding"]]) for r in emb.collect()
+    ]
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b)))
+
+    qvecs = {i: v for i, v in corpus if i < 5}
+    for qid, rows in by_q.items():
+        rows.sort(key=lambda r: r["rank"])
+        want = sorted(
+            ((cid, cos(qvecs[qid], cv)) for cid, cv in corpus),
+            key=lambda t: (-t[1], t[0]),
+        )[:5]
+        assert [r["id"] for r in rows] == [c for c, _ in want]
+        # the query itself is rank 1 at cosine ~1
+        assert rows[0]["id"] == qid and abs(rows[0]["cosine"] - 1.0) < 1e-9
+
+
+def test_ivf_knn_join_recall(spark):
+    emb = tables.load_raw(spark, f"{__import__('conftest').SF_DIR}/embeddings.parquet")
+    qs = emb.where(F.col("vec_id") < 10)
+    exact = similarity.knn_join(
+        qs, emb, "vec_id", "embedding", "vec_id", "embedding", k=5
+    ).collect()
+    approx = similarity.ivf_knn_join(
+        qs, emb, "vec_id", "embedding", "vec_id", "embedding",
+        k=5, nlist=8, nprobe=4, max_iter=3,
+    ).collect()
+    want = {(r["query_id"], r["id"]) for r in exact}
+    got = {(r["query_id"], r["id"]) for r in approx}
+    assert len(got) == len(want) == 50
+    recall = len(got & want) / len(want)
+    assert recall >= 0.7, recall
+    # probing ALL clusters must recover the exact answer
+    full = similarity.ivf_knn_join(
+        qs, emb, "vec_id", "embedding", "vec_id", "embedding",
+        k=5, nlist=8, nprobe=8, max_iter=3,
+    ).collect()
+    assert {(r["query_id"], r["id"]) for r in full} == want
