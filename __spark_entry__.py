@@ -473,6 +473,15 @@ def _q_ivf_knn_join(spark, sf_dir):
     ).select("query_id", "id", F.round("cosine", 6).alias("cosine"), "rank")
 
 
+def _q_repetition_ratio(spark, sf_dir):
+    """Within-doc duplicate-3-gram fraction (Gopher-style repetition
+    filter), per-row JVM expression."""
+    docs = _state(spark, sf_dir).raw("documents")
+    return textstats.repetition_ratio(docs, "text").select(
+        "doc_id", F.round("dup_ngram_ratio", 6).alias("dup_ngram_ratio")
+    )
+
+
 def _q_char_entropy(spark, sf_dir):
     """Character-distribution Shannon entropy per doc (quality signal) —
     per-row nested higher-order functions, no shuffle."""
@@ -1303,6 +1312,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_pairs": _q_containment_pairs,
         "char_entropy": _q_char_entropy,
         "knn_join_top5": _q_knn_join,
+        "repetition_ratio": _q_repetition_ratio,
         "cosine_pairs": _q_cosine_pairs,
         "time_rollup_hourly": _q_time_rollup,
         "join_revenue_by_nation": _q_join_revenue_by_nation,
@@ -1638,6 +1648,24 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
                          / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
             FROM sh a, sh b WHERE a.doc_id < b.doc_id
+        """,
+        "repetition_ratio": """
+            WITH toks AS (
+              SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t
+              FROM documents
+            ), grams AS (
+              SELECT doc_id,
+                     CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                          ELSE list_transform(range(1, len(t) - 1),
+                                              i -> array_to_string(t[i:i+2], ' '))
+                     END AS g
+              FROM toks
+            )
+            SELECT doc_id,
+                   round(CASE WHEN len(g) <= 0 THEN 0.0
+                         ELSE 1.0 - CAST(len(list_distinct(g)) AS DOUBLE) / len(g)
+                         END, 6) AS dup_ngram_ratio
+            FROM grams
         """,
         "knn_join_top5": """
             WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v

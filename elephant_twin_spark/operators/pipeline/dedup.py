@@ -432,3 +432,62 @@ def containment_verify_pairs(
     return j.where(
         (F.col("cont_a_in_b") >= threshold) | (F.col("cont_b_in_a") >= threshold)
     ).select("id_a", "id_b", "cont_a_in_b", "cont_b_in_a")
+
+
+# ------------------------------------------------ span-level exact dedup
+
+def paragraph_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    sep: str = "\n\n",
+) -> DataFrame:
+    """Corpus-wide exact span dedup (the C4 / "Deduplicating Training
+    Data" line-level pass): split each doc on ``sep``, keep only the
+    FIRST occurrence of every distinct span (first = min (doc id, span
+    position) — deterministic), drop later copies, reassemble docs in
+    original span order. Docs whose every span was seen earlier come
+    back empty.
+
+    Shape: posexplode → one groupBy on the span hash to elect winners →
+    semi-join winners back → groupBy doc to reassemble. Shuffles carry
+    (hash, id, pos) triples and the surviving spans — never whole docs
+    twice."""
+    spans = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), F.lit(sep), -1)).alias("pos", "span"),
+    ).withColumn("h", F.md5(F.col("span").cast("binary")))
+    winners = (
+        spans.groupBy("h")
+        .agg(F.min(F.struct("id", "pos")).alias("first"))
+        .select(
+            F.col("h").alias("hw"),
+            F.col("first.id").alias("wid"),
+            F.col("first.pos").alias("wpos"),
+        )
+    )
+    kept = spans.join(
+        winners,
+        (spans.h == F.col("hw"))
+        & (spans.id == F.col("wid"))
+        & (spans.pos == F.col("wpos")),
+        "leftsemi",
+    )
+    rebuilt = kept.groupBy("id").agg(
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "span"))),
+                lambda s: s["span"],
+            ),
+        ).alias("_kept_text")
+    )
+    # docs whose every span was a repeat still come back (empty text)
+    ids = df.select(F.col(id_col).alias("id"))
+    return (
+        ids.join(rebuilt, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("_kept_text", F.lit("")).alias(text_col),
+        )
+    )

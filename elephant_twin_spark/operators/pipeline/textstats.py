@@ -165,3 +165,29 @@ def char_entropy(df: DataFrame, text_col: str, out_col: str = "char_entropy") ->
         )
         .drop("_ch")
     )
+
+
+def repetition_ratio(
+    df: DataFrame, text_col: str, n: int = 3, out_col: str = "dup_ngram_ratio"
+) -> DataFrame:
+    """Fraction of within-doc n-gram OCCURRENCES that are repeats of an
+    earlier n-gram in the same doc (Gopher-style repetition filter):
+    0 = no internal repetition, →1 = the doc loops on itself. Per-row
+    JVM expression: 1 - distinct/total n-grams."""
+    t = tokens(F.col(text_col))
+    grams = F.when(F.size(t) < n, F.array(F.concat_ws(" ", t))).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(t) - n),
+            lambda i: F.concat_ws(" ", F.slice(t, i + 1, n)),
+        )
+    )
+    return (
+        df.withColumn("_g", grams)
+        .withColumn(
+            out_col,
+            F.when(F.size("_g") <= 0, F.lit(0.0)).otherwise(
+                F.lit(1.0) - F.size(F.array_distinct("_g")) / F.size("_g")
+            ),
+        )
+        .drop("_g")
+    )

@@ -467,3 +467,59 @@ def test_ivf_knn_join_recall(spark):
         k=5, nlist=8, nprobe=8, max_iter=3,
     ).collect()
     assert {(r["query_id"], r["id"]) for r in full} == want
+
+
+def test_paragraph_dedup(spark):
+    rows = [
+        (1, "alpha one\n\nshared para\n\nbeta two"),
+        (2, "shared para\n\ngamma three"),      # 'shared para' seen in doc 1
+        (3, "shared para"),                      # everything duplicated
+        (4, "gamma three\n\ngamma three"),       # internal + cross-doc dup
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r["text"]
+        for r in dedup.paragraph_dedup(df, "text", "doc_id").collect()
+    }
+    assert out[1] == "alpha one\n\nshared para\n\nbeta two"  # first keeps all
+    assert out[2] == "gamma three"
+    assert out[3] == ""
+    assert out[4] == ""  # gamma three first occurred in doc 2
+
+    # global invariant: every distinct span survives exactly once
+    import itertools
+
+    kept_spans = list(
+        itertools.chain.from_iterable(
+            t.split("\n\n") for t in out.values() if t
+        )
+    )
+    all_spans = set(
+        itertools.chain.from_iterable(t.split("\n\n") for _, t in rows)
+    )
+    assert sorted(kept_spans) == sorted(all_spans)
+
+
+def test_repetition_ratio(spark, docs):
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),          # all distinct 3-grams
+            (2, "x y z x y z x y z"),    # heavy internal repetition
+            (3, "one"),                  # shorter than n
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["dup_ngram_ratio"]
+        for r in textstats.repetition_ratio(df, "text", n=3).collect()
+    }
+    assert got[1] == 0.0
+    # 7 grams, 3 distinct -> 1 - 3/7
+    assert abs(got[2] - (1 - 3 / 7)) < 1e-12
+    assert got[3] == 0.0
+    # corpus docs: ratio in [0,1)
+    vals = [
+        r["dup_ngram_ratio"]
+        for r in textstats.repetition_ratio(docs.limit(50), "text").collect()
+    ]
+    assert all(0.0 <= v < 1.0 for v in vals)
