@@ -473,6 +473,26 @@ def _q_ivf_knn_join(spark, sf_dir):
     ).select("query_id", "id", F.round("cosine", 6).alias("cosine"), "rank")
 
 
+def _q_gap_to_prev(spark, sf_dir):
+    """lead/lag window shape: seconds since the user's previous event,
+    with per-user p95 of that gap — the think-time distribution."""
+    from pyspark.sql.window import Window
+
+    ev = _state(spark, sf_dir).raw("events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # microsecond-exact: ts carries sub-second precision, and a long
+    # cast would truncate where the oracle keeps fractions
+    us = F.unix_micros(F.col("ts"))
+    gaps = ev.withColumn(
+        "gap_s", (us - F.lag(us).over(w)) / F.lit(1000000.0)
+    ).where(F.col("gap_s").isNotNull())
+    return gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.round(F.avg("gap_s"), 4).alias("avg_gap_s"),
+        F.round(F.expr("percentile(gap_s, 0.95)"), 4).alias("p95_gap_s"),
+    )
+
+
 def _q_repetition_ratio(spark, sf_dir):
     """Within-doc duplicate-3-gram fraction (Gopher-style repetition
     filter), per-row JVM expression."""
@@ -1313,6 +1333,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_entropy": _q_char_entropy,
         "knn_join_top5": _q_knn_join,
         "repetition_ratio": _q_repetition_ratio,
+        "gap_to_prev": _q_gap_to_prev,
         "cosine_pairs": _q_cosine_pairs,
         "time_rollup_hourly": _q_time_rollup,
         "join_revenue_by_nation": _q_join_revenue_by_nation,
@@ -1648,6 +1669,20 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
                          / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
             FROM sh a, sh b WHERE a.doc_id < b.doc_id
+        """,
+        "gap_to_prev": """
+            WITH g AS (
+              SELECT user_id,
+                     (epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                         PARTITION BY user_id ORDER BY ts, event_id))
+                     / 1000000.0 AS gap_s
+              FROM events
+            )
+            SELECT user_id, count(*) AS n_gaps,
+                   round(avg(gap_s), 4) AS avg_gap_s,
+                   round(quantile_cont(gap_s, 0.95), 4) AS p95_gap_s
+            FROM g WHERE gap_s IS NOT NULL
+            GROUP BY user_id
         """,
         "repetition_ratio": """
             WITH toks AS (

@@ -223,6 +223,12 @@ def main():
             emb, "embedding", "vec_id", qvec, k=10, bits=4, multiprobe_hamming=1
         ).collect()
     )
+    timed("q_knn_join")(
+        lambda: similarity.knn_join(
+            emb.where(F.col("vec_id") < 8), emb,
+            "vec_id", "embedding", "vec_id", "embedding", k=10,
+        ).count()
+    )
 
     sf = SF_DIR.rsplit("sf", 1)[-1]
     total = round(sum(timings.values()), 4)
