@@ -119,6 +119,18 @@ class _SFState:
         self.ensure_text_index(p, "text", "doc_id")
         return self.engine.text_index(p, "text")
 
+    def emb_ann_index(self):
+        p = f"{self.sf_dir}/embeddings.parquet"
+        idx_dir = catalog.index_dir(self.engine.index_root, p, "embedding", "ivf")
+        desc = catalog.read_descriptor(self.spark, idx_dir)
+        rebuild = True
+        if desc is not None:
+            live = fsio.list_data_files(self.spark, p)
+            rebuild = desc.fresh_files(live) != {q for q, _, _ in live}
+        if rebuild:
+            self.engine.build_ann_index(p, "embedding", "vec_id", nlist=8, max_iter=3)
+        return self.engine.ann_index(p, "embedding")
+
     @property
     def events_time_clustered(self) -> str:
         """Time-range-clustered events copy (expression-index pruning
@@ -471,6 +483,18 @@ def _q_ivf_knn_join(spark, sf_dir):
         qs, emb, "vec_id", "embedding", "vec_id", "embedding",
         k=5, nlist=8, nprobe=4, max_iter=2,
     ).select("query_id", "id", F.round("cosine", 6).alias("cosine"), "rank")
+
+
+def _q_ann_persisted(spark, sf_dir):
+    """Persisted IVF index searched with nprobe=nlist — exact by
+    construction (all cluster partitions probed), so the DuckDB
+    brute-force oracle applies; pruned-nprobe behavior is pinned by
+    tests/test_pipeline.py::test_ann_index_persisted."""
+    ai = _state(spark, sf_dir).emb_ann_index()
+    emb = _state(spark, sf_dir).raw("embeddings")
+    q = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    out = ai.topk(q, k=10, nprobe=8)
+    return out.select("id", (F.round("cosine", 4) + F.lit(0.0)).alias("cosine"))
 
 
 def _q_gap_to_prev(spark, sf_dir):
@@ -1334,6 +1358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join_top5": _q_knn_join,
         "repetition_ratio": _q_repetition_ratio,
         "gap_to_prev": _q_gap_to_prev,
+        "ann_persisted_top10": _q_ann_persisted,
         "cosine_pairs": _q_cosine_pairs,
         "time_rollup_hourly": _q_time_rollup,
         "join_revenue_by_nation": _q_join_revenue_by_nation,
@@ -1669,6 +1694,15 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
                          / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
             FROM sh a, sh b WHERE a.doc_id < b.doc_id
+        """,
+        "ann_persisted_top10": """
+            WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id AS id,
+                   round(CAST(list_cosine_similarity(embedding, q.qv) AS DOUBLE), 4)
+                       + 0.0 AS cosine
+            FROM embeddings, q
+            ORDER BY list_cosine_similarity(embedding, q.qv) DESC, vec_id ASC
+            LIMIT 10
         """,
         "gap_to_prev": """
             WITH g AS (

@@ -254,3 +254,16 @@ class Engine:
 
     def text_index(self, table_path: str, text_column: str) -> text_mod.TextIndex:
         return text_mod.TextIndex(self.spark, table_path, text_column, self.index_root)
+
+    # --------------------------------------------------------------- ann
+    def build_ann_index(self, table_path: str, vec_column: str, id_column: str, **kw) -> str:
+        from elephant_twin_spark.operators import ann as ann_mod
+
+        return ann_mod.build_ann_index(
+            self.spark, table_path, vec_column, id_column, self.index_root, **kw
+        )
+
+    def ann_index(self, table_path: str, vec_column: str):
+        from elephant_twin_spark.operators import ann as ann_mod
+
+        return ann_mod.AnnIndex(self.spark, table_path, vec_column, self.index_root)

@@ -523,3 +523,34 @@ def test_repetition_ratio(spark, docs):
         for r in textstats.repetition_ratio(docs.limit(50), "text").collect()
     ]
     assert all(0.0 <= v < 1.0 for v in vals)
+
+
+def test_ann_index_persisted(spark, workdir):
+    """Persisted IVF index: build once, search many; probing all
+    clusters recovers the exact brute-force answer; probed search
+    reads only the probed cluster partitions."""
+    from elephant_twin_spark import Engine
+
+    emb_path = f"{__import__('conftest').SF_DIR}/embeddings.parquet"
+    emb = tables.load_raw(spark, emb_path)
+    eng = Engine(spark, f"{workdir}/ann_root")
+    eng.build_ann_index(emb_path, "embedding", "vec_id", nlist=8, max_iter=3)
+    ai = eng.ann_index(emb_path, "embedding")
+    assert ai.stale_files() == []
+
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == 3).first()["embedding"]]
+    exact = [
+        r["id"]
+        for r in similarity.cosine_topk(emb, "embedding", "vec_id", qvec, k=5).collect()
+    ]
+    full = [r["id"] for r in ai.topk(qvec, k=5, nprobe=8).collect()]
+    assert full == exact
+
+    probed = ai.topk(qvec, k=5, nprobe=2)
+    # partition pruning: the scan only touches the probed cluster dirs
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cluster" in plan
+    got = {r["id"] for r in probed.collect()}
+    assert len(got) == 5
+    recall = len(got & set(exact)) / 5
+    assert recall >= 0.4, recall  # 2 of 8 probes on tiny clusters
