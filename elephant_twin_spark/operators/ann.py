@@ -59,6 +59,10 @@ def build_ann_index(
     assigned = sim.ivf_assign(df, vec_column, centroids).select(
         F.col(id_column).alias("id"),
         F.transform(F.col(vec_column), lambda x: x.cast("double")).alias("vec"),
+        # source file carried for incremental refresh (kept/delta drop)
+        F.regexp_replace(
+            F.col("_metadata.file_path"), r"^file:/(?=[^/])", "file:///"
+        ).alias("file"),
         "cluster",
     )
     (

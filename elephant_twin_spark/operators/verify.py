@@ -148,4 +148,35 @@ def verify_all(spark: SparkSession, table_path: str, index_root: str, engine) ->
             out[(kind, column)] = bloom_violations(
                 spark, table_path, column, index_root
             ).count()
+        elif kind == "ivf":
+            out[(kind, column)] = ann_violations(
+                spark, table_path, column, index_root
+            ).count()
     return out
+
+
+def ann_violations(
+    spark: SparkSession, table_path: str, vec_column: str, index_root: str
+) -> DataFrame:
+    """IVF soundness: every stored vector's cluster must equal the argmax
+    centroid similarity under the PERSISTED centroids (the invariant
+    incremental refresh preserves even as centroids drift from the
+    kmeans optimum). Returns violating rows — empty when sound."""
+    from elephant_twin_spark.operators.pipeline import similarity as sim
+    from elephant_twin_spark.sources import catalog as _catalog
+
+    idx_dir = _catalog.index_dir(index_root, table_path, vec_column, kind="ivf")
+    centroids = [
+        list(r["centroid"])
+        for r in sorted(
+            spark.read.parquet(f"{idx_dir}/centroids").collect(),
+            key=lambda r: r["cluster"],
+        )
+    ]
+    vecs = spark.read.parquet(f"{idx_dir}/vectors")
+    re_assigned = sim.ivf_assign(
+        vecs.withColumnRenamed("cluster", "stored_cluster"), "vec", centroids
+    )
+    return re_assigned.where(F.col("cluster") != F.col("stored_cluster")).select(
+        "id", "stored_cluster", F.col("cluster").alias("expected_cluster")
+    )

@@ -335,6 +335,7 @@ _REFRESHERS = {
     "bloom": lambda spark, tbl, col_, root: refresh_bloom_index(spark, tbl, col_, root),
     "zone": lambda spark, tbl, col_, root: refresh_zone_index(spark, tbl, col_, root),
     "text": lambda spark, tbl, col_, root: refresh_text_index(spark, tbl, col_, root),
+    "ivf": lambda spark, tbl, col_, root: refresh_ann_index(spark, tbl, col_, root),
 }
 
 
@@ -377,3 +378,85 @@ def stream_index_updates(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def refresh_ann_index(
+    spark: SparkSession,
+    table_path: str,
+    vec_column: str,
+    index_root: str,
+) -> dict:
+    """Incremental IVF maintenance: new/changed files' vectors are
+    assigned with the EXISTING centroids and appended (changed/removed
+    files' rows dropped first). The quantizer is NOT refit — centroids
+    drift from the true kmeans optimum as the corpus grows, which costs
+    recall, never correctness (assignment stays argmax-consistent, and
+    the soundness check verifies exactly that); refit by rebuilding when
+    drift matters."""
+    from elephant_twin_spark.operators import ann as ann_mod
+    from elephant_twin_spark.operators.pipeline import similarity as sim
+
+    idx_dir = catalog.index_dir(index_root, table_path, vec_column, kind="ivf")
+    desc = catalog.read_descriptor(spark, idx_dir)
+    if desc is None:
+        raise FileNotFoundError(f"no IVF index at {idx_dir}; build_ann_index first")
+
+    live = fsio.list_data_files(spark, table_path)
+    live_paths = {p for p, _, _ in live}
+    fresh = desc.fresh_files(live)
+    new_or_changed = sorted(live_paths - fresh)
+    removed = sorted(set(desc.files) - live_paths)
+    if not new_or_changed and not removed:
+        return {"mode": "noop", "files_indexed": 0}
+
+    centroids = [
+        list(r["centroid"])
+        for r in sorted(
+            spark.read.parquet(f"{idx_dir}/centroids").collect(),
+            key=lambda r: r["cluster"],
+        )
+    ]
+    data_dir = f"{idx_dir}/vectors"
+    kept = spark.read.parquet(data_dir).where(
+        ~F.col("file").isin(list(set(new_or_changed) | set(removed)))
+    )
+    merged = kept
+    if new_or_changed:
+        delta_df = spark.read.parquet(*new_or_changed)
+        id_col = desc.options["id_column"]
+        delta = sim.ivf_assign(delta_df, vec_column, centroids).select(
+            F.col(id_col).alias("id"),
+            F.transform(F.col(vec_column), lambda x: x.cast("double")).alias("vec"),
+            F.regexp_replace(
+                F.col("_metadata.file_path"), r"^file:/(?=[^/])", "file:///"
+            ).alias("file"),
+            "cluster",
+        )
+        merged = kept.unionByName(delta)
+
+    tmp_dir = f"{idx_dir}/vectors_tmp"
+    (
+        merged.repartition("cluster")
+        .write.mode("overwrite")
+        .partitionBy("cluster")
+        .parquet(tmp_dir)
+    )
+    fsio.delete(spark, data_dir)
+    fs, _, _ = fsio._fs_and_path(spark, idx_dir)
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+    fs.rename(jvm_path(tmp_dir), jvm_path(data_dir))
+
+    new_desc = catalog.make_descriptor(
+        source_path=table_path,
+        column=vec_column,
+        index_type="IVF",
+        num_buckets=desc.num_buckets,
+        files=live,
+        options=desc.options,
+    )
+    catalog.write_descriptor(spark, idx_dir, new_desc)
+    return {
+        "mode": "incremental",
+        "files_indexed": len(new_or_changed),
+        "files_removed": len(removed),
+    }

@@ -201,3 +201,38 @@ def test_refresh_text_index_maintains_doclens_and_stats(spark, workdir):
     top = ti.more_like_this(7_777, k=3).collect()
     assert all(r["doc_id"] != 7_777 for r in top)
 
+
+
+def test_refresh_ann_index_incremental(spark, workdir):
+    """New vector files assign with the persisted centroids and append;
+    verify_all's IVF soundness stays at zero violations; the new vectors
+    become searchable."""
+    from elephant_twin_spark.streaming.refresh import refresh_ann_index
+
+    src = f"{workdir}/ann_refresh_tbl"
+    emb = tables.load_raw(spark, f"{SF_DIR}/embeddings.parquet")
+    emb.where(F.col("vec_id") < 400).coalesce(2).write.mode("overwrite").parquet(src)
+
+    root = f"{workdir}/ann_refresh_root"
+    eng = Engine(spark, root)
+    eng.build_ann_index(src, "embedding", "vec_id", nlist=8, max_iter=2)
+    assert refresh_ann_index(spark, src, "embedding", root)["mode"] == "noop"
+
+    # append new vectors: an exact copy of vec 3 under a fresh id
+    target = emb.where(F.col("vec_id") == 3).first()
+    new = spark.createDataFrame(
+        [(90_000, list(target["embedding"]), target["label"])], schema=emb.schema
+    )
+    new.coalesce(1).write.mode("append").parquet(src)
+    spark.catalog.refreshByPath(src)
+    out = refresh_ann_index(spark, src, "embedding", root)
+    assert out["mode"] == "incremental" and out["files_indexed"] == 1
+
+    ai = eng.ann_index(src, "embedding")
+    assert ai.stale_files() == []
+    qvec = [float(x) for x in target["embedding"]]
+    top = ai.topk(qvec, k=2, nprobe=8).collect()
+    assert {r["id"] for r in top} == {3, 90_000}  # twin found at cosine 1
+
+    violations = eng.verify_all(src)
+    assert violations[("ivf", "embedding")] == 0
