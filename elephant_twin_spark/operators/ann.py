@@ -142,3 +142,31 @@ class AnnIndex:
         )
         scored = vecs.select("id", (dot / (nrm * F.lit(qn))).alias("cosine"))
         return scored.orderBy(F.col("cosine").desc(), F.col("id").asc()).limit(k)
+
+    def knn_join(
+        self,
+        queries: DataFrame,
+        query_id_col: str,
+        query_vec_col: str,
+        k: int = 10,
+        nprobe: int = 4,
+    ) -> DataFrame:
+        """Batch kNN against the PERSISTED index: queries probe their
+        nprobe nearest persisted centroids, candidates come from only
+        the probed cluster partitions (the ``cluster.isin`` filter is a
+        partition filter on the vector table), exact cosine + windowed
+        top-k. ``(query_id, id, cosine, rank)``. Unlike
+        :func:`similarity.ivf_knn_join` nothing is refit — many batches
+        amortize one build."""
+        q_probed = sim.probe_queries(
+            queries, query_id_col, query_vec_col, self.centroids(), nprobe
+        )
+        probed_clusters = [
+            r["cluster"] for r in q_probed.select("cluster").distinct().collect()
+        ]
+        vecs = (
+            self.spark.read.parquet(f"{self.idx_dir}/vectors")
+            .where(F.col("cluster").isin(probed_clusters))
+            .select("id", F.col("vec").alias("_cv"), "cluster")
+        )
+        return sim.probed_knn(vecs, q_probed, k)

@@ -525,11 +525,24 @@ def ivf_knn_join(
         F.transform(F.col(corpus_vec_col), lambda x: x.cast("double")).alias("_cv"),
         F.col("cluster"),
     )
+    q_probed = probe_queries(queries, query_id_col, query_vec_col, centroids, nprobe)
+    return probed_knn(c_assigned, q_probed, k)
+
+
+def probe_queries(
+    queries: DataFrame,
+    query_id_col: str,
+    query_vec_col: str,
+    centroids: List[List[float]],
+    nprobe: int,
+) -> DataFrame:
+    """``(query_id, _qv, cluster)`` — each query row exploded to its
+    nprobe nearest centroids (JVM struct-sort, no UDF)."""
     sims = _centroid_sims(F.col(query_vec_col), centroids)
     sim_arr = F.array(
         *[F.struct(s.alias("sim"), F.lit(i).alias("idx")) for i, s in enumerate(sims)]
     )
-    q_probed = (
+    return (
         queries.select(
             F.col(query_id_col).alias("query_id"),
             F.transform(F.col(query_vec_col), lambda x: x.cast("double")).alias("_qv"),
@@ -538,6 +551,13 @@ def ivf_knn_join(
         .select("query_id", "_qv", F.explode("_probes").alias("_p"))
         .select("query_id", "_qv", F.col("_p")["idx"].alias("cluster"))
     )
+
+
+def probed_knn(c_assigned: DataFrame, q_probed: DataFrame, k: int) -> DataFrame:
+    """Join probed queries to cluster-assigned corpus vectors
+    (``(id, _cv, cluster)``), exact cosine, windowed top-k per query."""
+    from pyspark.sql.window import Window
+
     cands = c_assigned.join(F.broadcast(q_probed), "cluster").select(
         "query_id",
         "id",

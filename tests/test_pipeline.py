@@ -554,3 +554,31 @@ def test_ann_index_persisted(spark, workdir):
     assert len(got) == 5
     recall = len(got & set(exact)) / 5
     assert recall >= 0.4, recall  # 2 of 8 probes on tiny clusters
+
+
+def test_ann_index_knn_join(spark, workdir):
+    """Batch search against the persisted index: full-probe equals the
+    exact knn_join; partial probe keeps k rows per query."""
+    from elephant_twin_spark import Engine
+
+    emb_path = f"{__import__('conftest').SF_DIR}/embeddings.parquet"
+    emb = tables.load_raw(spark, emb_path)
+    eng = Engine(spark, f"{workdir}/ann_join_root")
+    eng.build_ann_index(emb_path, "embedding", "vec_id", nlist=8, max_iter=3)
+    ai = eng.ann_index(emb_path, "embedding")
+
+    qs = emb.where(F.col("vec_id") < 6)
+    exact = similarity.knn_join(
+        qs, emb, "vec_id", "embedding", "vec_id", "embedding", k=4
+    ).collect()
+    full = ai.knn_join(qs, "vec_id", "embedding", k=4, nprobe=8).collect()
+    assert {(r["query_id"], r["id"], r["rank"]) for r in full} == {
+        (r["query_id"], r["id"], r["rank"]) for r in exact
+    }
+    part = ai.knn_join(qs, "vec_id", "embedding", k=4, nprobe=2).collect()
+    by_q = {}
+    for r in part:
+        by_q.setdefault(r["query_id"], set()).add(r["id"])
+    assert set(by_q) == set(range(6)) and all(len(v) == 4 for v in by_q.values())
+    # self-match always survives partial probing (its cluster is probed first)
+    assert all(q in ids for q, ids in by_q.items())
