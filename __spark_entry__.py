@@ -485,6 +485,22 @@ def _q_ivf_knn_join(spark, sf_dir):
     ).select("query_id", "id", F.round("cosine", 6).alias("cosine"), "rank")
 
 
+def _q_clean_corpus_audit(spark, sf_dir):
+    """Composed cleaning pipeline audit (near-dup stage off: the MinHash
+    path is xxhash-based, so the deterministic gates + exact-dedup
+    stages form the oracle-matched surface; the full pipeline incl.
+    near-dup is pinned by test_clean_corpus_end_to_end)."""
+    from elephant_twin_spark.operators.pipeline import clean
+
+    docs = _state(spark, sf_dir).raw("documents")
+    _, audit = clean.clean_corpus(
+        docs, "text", "doc_id",
+        min_tokens=30, allowed_langs=("en",), max_repetition=0.2,
+        near_dup=False,
+    )
+    return audit
+
+
 def _q_ann_persisted(spark, sf_dir):
     """Persisted IVF index searched with nprobe=nlist — exact by
     construction (all cluster partitions probed), so the DuckDB
@@ -1359,6 +1375,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_ratio": _q_repetition_ratio,
         "gap_to_prev": _q_gap_to_prev,
         "ann_persisted_top10": _q_ann_persisted,
+        "clean_corpus_audit": _q_clean_corpus_audit,
         "cosine_pairs": _q_cosine_pairs,
         "time_rollup_hourly": _q_time_rollup,
         "join_revenue_by_nation": _q_join_revenue_by_nation,
@@ -1694,6 +1711,40 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
                          / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
             FROM sh a, sh b WHERE a.doc_id < b.doc_id
+        """,
+        "clean_corpus_audit": f"""
+            WITH h AS (SELECT doc_id, text, {lang_hits} FROM documents),
+            feats AS (
+              SELECT doc_id, text,
+                     len({_TOKS}) AS n_tok,
+                     CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+                          WHEN h_fr = greatest(h_de, h_en, h_es, h_fr) THEN 'fr'
+                          WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
+                          WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
+                          ELSE 'de' END AS lang_pred,
+                     CASE WHEN len({_TOKS}) < 3
+                          THEN 0.0
+                          ELSE 1.0 - CAST(len(list_distinct(
+                                 list_transform(range(1, len({_TOKS}) - 1),
+                                     i -> array_to_string(({_TOKS})[i:i+2], ' '))))
+                               AS DOUBLE)
+                               / (len({_TOKS}) - 2)
+                     END AS rep
+              FROM h
+            ), gated AS (
+              SELECT doc_id, text,
+                     CASE WHEN n_tok < 30 THEN 'too_short'
+                          WHEN lang_pred <> 'en' THEN 'lang'
+                          WHEN rep > 0.2 THEN 'repetitive' END AS gate_reason
+              FROM feats
+            ), sig AS (
+              SELECT md5(text) AS s, min(doc_id) AS keep
+              FROM gated WHERE gate_reason IS NULL GROUP BY 1
+            )
+            SELECT g.doc_id,
+                   CASE WHEN g.gate_reason IS NOT NULL THEN g.gate_reason
+                        WHEN g.doc_id <> s.keep THEN 'exact_dup' END AS reason
+            FROM gated g LEFT JOIN sig s ON s.s = md5(g.text)
         """,
         "ann_persisted_top10": """
             WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)

@@ -582,3 +582,37 @@ def test_ann_index_knn_join(spark, workdir):
     assert set(by_q) == set(range(6)) and all(len(v) == 4 for v in by_q.values())
     # self-match always survives partial probing (its cluster is probed first)
     assert all(q in ids for q, ids in by_q.items())
+
+
+def test_clean_corpus_end_to_end(spark, docs_with_dups):
+    from elephant_twin_spark.operators.pipeline import clean
+
+    base = docs_with_dups
+    extra = spark.createDataFrame(
+        [(40_000, "tiny doc", "en", "synthetic", 8)], schema=base.schema
+    )
+    df = base.union(extra)
+    cleaned, audit = clean.clean_corpus(
+        df, "text", "doc_id", min_tokens=10, allowed_langs=("en",),
+        num_perm=32, num_bands=8,
+    )
+    audit_rows = {r["doc_id"]: r["reason"] for r in audit.collect()}
+    # audit covers every input exactly once
+    assert len(audit_rows) == df.count()
+    assert audit_rows[40_000] == "too_short"
+    # the exact copies (10_000..) lose to their base doc
+    exact_dup_ids = {i for i, r in audit_rows.items() if r == "exact_dup"}
+    assert exact_dup_ids == {10_000 + i for i in range(5)}
+    # the mutated copies (20_000..) never survive: near-dup of their base,
+    # unless the mutated first token flipped an earlier gate (first stage
+    # wins by design — e.g. replacing a stopword flips the lang heuristic)
+    for i in range(5):
+        assert audit_rows[20_000 + i] in ("near_dup", "lang"), audit_rows[20_000 + i]
+    assert sum(audit_rows[20_000 + i] == "near_dup" for i in range(5)) >= 3
+    # non-English docs dropped by the lang gate
+    lang_dropped = {i for i, r in audit_rows.items() if r == "lang"}
+    assert len(lang_dropped) > 0
+    # cleaned == kept audit rows, and survivors are unique content
+    kept = {i for i, r in audit_rows.items() if r is None}
+    assert {r["doc_id"] for r in cleaned.collect()} == kept
+    assert 40_000 not in kept and kept
