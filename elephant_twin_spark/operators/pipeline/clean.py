@@ -55,7 +55,7 @@ def clean_corpus(
         )
         .when(~F.col("_lang").isin(list(allowed_langs)), F.lit("lang"))
         .when(F.col("_rep") > max_repetition, F.lit("repetitive")),
-    ).cache()
+    )
 
     survivors = gated.where(F.col("_reason").isNull()).select("id", "_text")
     sig_keep = (
@@ -100,5 +100,4 @@ def clean_corpus(
     )
     kept = audit.where(F.col("reason").isNull()).select(id_col)
     cleaned = df.join(kept, id_col, "inner")
-    gated.unpersist()
     return cleaned, audit
