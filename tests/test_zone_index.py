@@ -151,3 +151,37 @@ def test_zone_expression_index(spark, workdir, time_clustered):
     m = eng.last_metrics
     assert "Cmp('event_day'" in (m.pushed or ""), m.as_dict()
     assert m.scanned_files < m.total_files, m.as_dict()
+
+
+def test_mixed_index_kinds_one_predicate(spark, workdir):
+    """One predicate spanning all three point/range index kinds — block
+    (event_type), zone (ts), bloom (user_id) — plans through interval
+    AND-intersection across kinds and stays exact vs the full scan."""
+    src = f"{workdir}/events_mixed_tbl"
+    ev = tables.load_raw(spark, f"{SF_DIR}/events.parquet")
+    ev.repartitionByRange(8, "ts").sortWithinPartitions("ts").write.mode(
+        "overwrite"
+    ).parquet(src)
+    eng = Engine(spark, f"{workdir}/mixed_root")
+    eng.build_index(src, "event_type", num_buckets=4)
+    eng.build_zone_index(src, "ts")
+    eng.build_bloom_index(src, "user_id")
+
+    import datetime
+
+    lo = datetime.datetime(2024, 1, 8)
+    pred = (
+        (col("event_type") == "click")
+        & (col("ts") >= lo)
+        & (col("user_id") == 7)
+    )
+    got = eng.query(src, pred)
+    want = spark.read.parquet(src).where(
+        (F.col("event_type") == "click") & (F.col("ts") >= lo) & (F.col("user_id") == 7)
+    )
+    assert got.count() == want.count() > 0
+    m = eng.last_metrics
+    # zone (time clustering) must prune at least the pre-cutoff files
+    assert m.scanned_files < m.total_files, m.as_dict()
+    assert "Eq('event_type'" in m.pushed and "Cmp('ts'" in m.pushed, m.pushed
+    assert "Eq('user_id'" in m.pushed, m.pushed
