@@ -485,6 +485,19 @@ def _q_ivf_knn_join(spark, sf_dir):
     ).select("query_id", "id", F.round("cosine", 6).alias("cosine"), "rank")
 
 
+def _q_edit_distance_join(spark, sf_dir):
+    """String-similarity self-join on part names (q-gram candidate
+    filter + Levenshtein verify, never the cross product when the gram
+    bound applies)."""
+    from elephant_twin_spark.operators.pipeline import strings
+
+    names = _state(spark, sf_dir).raw("part").select("p_name")
+    out = strings.edit_distance_join(names, names, "p_name", "p_name", max_edits=2)
+    return out.where(F.col("p_name_a") < F.col("p_name_b")).select(
+        "p_name_a", "p_name_b", F.col("dist").cast("int").alias("dist")
+    )
+
+
 def _q_clean_corpus_audit(spark, sf_dir):
     """Composed cleaning pipeline audit (near-dup stage off: the MinHash
     path is xxhash-based, so the deterministic gates + exact-dedup
@@ -1376,6 +1389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gap_to_prev": _q_gap_to_prev,
         "ann_persisted_top10": _q_ann_persisted,
         "clean_corpus_audit": _q_clean_corpus_audit,
+        "edit_distance_join": _q_edit_distance_join,
         "cosine_pairs": _q_cosine_pairs,
         "time_rollup_hourly": _q_time_rollup,
         "join_revenue_by_nation": _q_join_revenue_by_nation,
@@ -1711,6 +1725,14 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
                          / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
             FROM sh a, sh b WHERE a.doc_id < b.doc_id
+        """,
+        "edit_distance_join": """
+            WITH n AS (SELECT DISTINCT p_name FROM part)
+            SELECT a.p_name AS p_name_a, b.p_name AS p_name_b,
+                   CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+            FROM n a, n b
+            WHERE a.p_name < b.p_name
+              AND levenshtein(a.p_name, b.p_name) <= 2
         """,
         "clean_corpus_audit": f"""
             WITH h AS (SELECT doc_id, text, {lang_hits} FROM documents),

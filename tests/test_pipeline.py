@@ -616,3 +616,49 @@ def test_clean_corpus_end_to_end(spark, docs_with_dups):
     kept = {i for i, r in audit_rows.items() if r is None}
     assert {r["doc_id"] for r in cleaned.collect()} == kept
     assert 40_000 not in kept and kept
+
+
+def test_edit_distance_join_matches_bruteforce(spark):
+    from elephant_twin_spark.operators.pipeline import strings
+
+    part = tables.load_raw(spark, f"{__import__('conftest').SF_DIR}/part.parquet")
+    names = part.select("p_name")
+    got = {
+        (r["p_name_a"], r["p_name_b"], r["dist"])
+        for r in strings.edit_distance_join(names, names, "p_name", "p_name", max_edits=2)
+        .where(F.col("p_name_a") < F.col("p_name_b"))
+        .collect()
+    }
+    # brute force over distinct names (tiny domain)
+    vals = [r["p_name"] for r in names.distinct().collect()]
+
+    def ed(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+        return dp[-1]
+
+    want = {
+        (a, b, ed(a, b))
+        for a in vals
+        for b in vals
+        if a < b and ed(a, b) <= 2
+    }
+    assert got == want and len(want) > 10
+
+
+def test_edit_distance_join_short_strings(spark):
+    """Strings below the q-gram bound still pair via the length band."""
+    from elephant_twin_spark.operators.pipeline import strings
+
+    a = spark.createDataFrame([("ab",), ("abc",), ("xyzzy",)], "s string")
+    b = spark.createDataFrame([("ac",), ("abcd",), ("xyzzy",)], "t string")
+    got = {
+        (r["s"], r["t"], r["dist"])
+        for r in strings.edit_distance_join(a, b, "s", "t", max_edits=1).collect()
+    }
+    assert ("ab", "ac", 1) in got        # short-short
+    assert ("abc", "abcd", 1) in got     # short vs just-long-enough
+    assert ("xyzzy", "xyzzy", 0) in got  # long-long exact
