@@ -485,6 +485,15 @@ def _q_ivf_knn_join(spark, sf_dir):
     ).select("query_id", "id", F.round("cosine", 6).alias("cosine"), "rank")
 
 
+def _q_funnel(spark, sf_dir):
+    """Funnel: per-user furthest stage through view→click→purchase
+    (greedy earliest-chain; one shuffle, JVM fold over sorted events)."""
+    ev = _state(spark, sf_dir).raw("events")
+    return sessionize.funnel(
+        ev, "user_id", "ts", "event_type", ["view", "click", "purchase"]
+    )
+
+
 def _q_edit_distance_join(spark, sf_dir):
     """String-similarity self-join on part names (q-gram candidate
     filter + Levenshtein verify, never the cross product when the gram
@@ -1390,6 +1399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_persisted_top10": _q_ann_persisted,
         "clean_corpus_audit": _q_clean_corpus_audit,
         "edit_distance_join": _q_edit_distance_join,
+        "funnel_stages": _q_funnel,
         "cosine_pairs": _q_cosine_pairs,
         "time_rollup_hourly": _q_time_rollup,
         "join_revenue_by_nation": _q_join_revenue_by_nation,
@@ -1725,6 +1735,29 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
                          / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
             FROM sh a, sh b WHERE a.doc_id < b.doc_id
+        """,
+        "funnel_stages": """
+            WITH s1 AS (
+              SELECT user_id, min(ts) AS t1 FROM events
+              WHERE event_type = 'view' GROUP BY user_id
+            ), s2 AS (
+              SELECT e.user_id, min(e.ts) AS t2
+              FROM events e JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t1
+              WHERE e.event_type = 'click' GROUP BY e.user_id
+            ), s3 AS (
+              SELECT e.user_id, min(e.ts) AS t3
+              FROM events e JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t2
+              WHERE e.event_type = 'purchase' GROUP BY e.user_id
+            )
+            SELECT u.user_id AS user,
+                   CASE WHEN s3.t3 IS NOT NULL THEN 3
+                        WHEN s2.t2 IS NOT NULL THEN 2
+                        WHEN s1.t1 IS NOT NULL THEN 1
+                        ELSE 0 END AS stage_reached
+            FROM (SELECT DISTINCT user_id FROM events) u
+            LEFT JOIN s1 ON u.user_id = s1.user_id
+            LEFT JOIN s2 ON u.user_id = s2.user_id
+            LEFT JOIN s3 ON u.user_id = s3.user_id
         """,
         "edit_distance_join": """
             WITH n AS (SELECT DISTINCT p_name FROM part)

@@ -45,3 +45,50 @@ def session_stats(
         F.min(ts_col).alias("sess_start"),
         F.max(ts_col).alias("sess_end"),
     )
+
+
+def funnel(
+    df,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    stages,
+):
+    """Funnel analysis: per user, how far through the ordered ``stages``
+    sequence their events progress — ``(user, stage_reached)`` with
+    stage_reached in 0..len(stages). An event advances the funnel only
+    if it is the next expected stage AND strictly later than the event
+    that matched the previous stage (the greedy earliest-chain, i.e.
+    min(view) → min(click > that) → …).
+
+    One shuffle: groupBy(user) + sorted-struct fold entirely JVM-side —
+    the per-user state is (stage, ts-of-last-match), never the event
+    list on the driver."""
+    from pyspark.sql import functions as F
+
+    stage_arr = F.array(*[F.lit(s) for s in stages])
+    ev = F.sort_array(
+        F.collect_list(F.struct(F.col(ts_col).alias("t"), F.col(type_col).alias("y")))
+    )
+    init = F.struct(
+        F.lit(0).alias("stage"), F.lit(None).cast("timestamp").alias("last")
+    )
+    n = len(stages)
+
+    def step(acc, x):
+        is_next = (acc["stage"] < n) & (
+            x["y"] == F.element_at(stage_arr, acc["stage"] + 1)
+        )
+        strictly_later = F.when(acc["stage"] == 0, F.lit(True)).otherwise(
+            x["t"] > acc["last"]
+        )
+        return F.when(
+            is_next & strictly_later,
+            F.struct((acc["stage"] + 1).alias("stage"), x["t"].alias("last")),
+        ).otherwise(acc)
+
+    folded = F.aggregate(ev, init, step)
+    return (
+        df.groupBy(F.col(user_col).alias("user"))
+        .agg(folded["stage"].alias("stage_reached"))
+    )

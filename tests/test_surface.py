@@ -206,3 +206,36 @@ def test_verify_all_kinds(spark, workdir, events_multifile):
     spark.catalog.refreshByPath(f"{zdir}/zones")
     out2 = eng.verify_all(events_multifile)
     assert out2[("zone", "ts")] > 0, out2
+
+
+def test_funnel_stage_machine(spark):
+    from elephant_twin_spark.operators import sessionize
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def at(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    rows = [
+        # user 1: full funnel in order
+        (1, at(0), "view"), (1, at(1), "click"), (1, at(2), "purchase"),
+        # user 2: click before any view → only reaches stage 1 via later view
+        (2, at(0), "click"), (2, at(1), "view"), (2, at(2), "error"),
+        # user 3: view then purchase (skips click) → stage 1
+        (3, at(0), "view"), (3, at(5), "purchase"),
+        # user 4: out-of-order full set: purchase, click, view → stage 1
+        (4, at(0), "purchase"), (4, at(1), "click"), (4, at(2), "view"),
+        # user 5: nothing relevant
+        (5, at(0), "error"),
+        # user 6: view, click, view, purchase → stage 3
+        (6, at(0), "view"), (6, at(1), "click"), (6, at(2), "view"), (6, at(3), "purchase"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    got = {
+        r["user"]: r["stage_reached"]
+        for r in sessionize.funnel(
+            df, "user_id", "ts", "event_type", ["view", "click", "purchase"]
+        ).collect()
+    }
+    assert got == {1: 3, 2: 1, 3: 1, 4: 1, 5: 0, 6: 3}
