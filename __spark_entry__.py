@@ -485,6 +485,25 @@ def _q_ivf_knn_join(spark, sf_dir):
     ).select("query_id", "id", F.round("cosine", 6).alias("cosine"), "rank")
 
 
+def _q_weekly_retention(spark, sf_dir):
+    """Cohort retention: users grouped by first-activity week, distinct
+    actives per (cohort, weeks-since) cell."""
+    ev = _state(spark, sf_dir).raw("events")
+    wk = F.date_trunc("week", F.col("ts"))
+    firsts = ev.groupBy("user_id").agg(F.min(wk).alias("cohort_week"))
+    active = ev.select("user_id", wk.alias("w")).distinct()
+    return (
+        active.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            F.expr("datediff(w, cohort_week) div 7").cast("int").alias("weeks_since"),
+        )
+        .groupBy("cohort_week", "weeks_since")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
 def _q_funnel(spark, sf_dir):
     """Funnel: per-user furthest stage through view→click→purchase
     (greedy earliest-chain; one shuffle, JVM fold over sorted events)."""
@@ -1400,6 +1419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_corpus_audit": _q_clean_corpus_audit,
         "edit_distance_join": _q_edit_distance_join,
         "funnel_stages": _q_funnel,
+        "weekly_retention": _q_weekly_retention,
         "cosine_pairs": _q_cosine_pairs,
         "time_rollup_hourly": _q_time_rollup,
         "join_revenue_by_nation": _q_join_revenue_by_nation,
@@ -1735,6 +1755,20 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
                          / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
             FROM sh a, sh b WHERE a.doc_id < b.doc_id
+        """,
+        "weekly_retention": """
+            WITH f AS (
+              SELECT user_id, min(date_trunc('week', ts)) AS cohort_week
+              FROM events GROUP BY user_id
+            ), act AS (
+              SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events
+            )
+            SELECT f.cohort_week,
+                   CAST(date_diff('day', f.cohort_week, act.w) // 7 AS INT)
+                       AS weeks_since,
+                   count(DISTINCT act.user_id) AS n_users
+            FROM act JOIN f ON act.user_id = f.user_id
+            GROUP BY 1, 2
         """,
         "funnel_stages": """
             WITH s1 AS (
