@@ -485,6 +485,28 @@ def _q_ivf_knn_join(spark, sf_dir):
     ).select("query_id", "id", F.round("cosine", 6).alias("cosine"), "rank")
 
 
+def _q_stratified_sample(spark, sf_dir):
+    """Deterministic class-balanced subset: first 20 docs per language by
+    md5(id) order — engine-independent 'seedless shuffle'."""
+    docs = _state(spark, sf_dir).raw("documents")
+    return textstats.stratified_take(docs, "lang", "doc_id", 20).select(
+        "doc_id", "lang", "strat_rank"
+    )
+
+
+def _q_term_pmi(spark, sf_dir):
+    """Term co-occurrence PMI from the postings index (document
+    frequencies, ordered pairs)."""
+    from elephant_twin_spark.operators import text as text_mod
+
+    ti = _state(spark, sf_dir).docs_text_index()
+    n_docs = int(ti.desc.options["n_docs"])
+    out = text_mod.cooccurrence_pmi(ti.postings(), n_docs, min_df=100)
+    return out.select(
+        "term_a", "term_b", "n_a", "n_b", "n_ab", F.round("pmi", 6).alias("pmi")
+    )
+
+
 def _q_weekly_retention(spark, sf_dir):
     """Cohort retention: users grouped by first-activity week, distinct
     actives per (cohort, weeks-since) cell."""
@@ -1420,6 +1442,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edit_distance_join": _q_edit_distance_join,
         "funnel_stages": _q_funnel,
         "weekly_retention": _q_weekly_retention,
+        "stratified_sample": _q_stratified_sample,
+        "term_pmi": _q_term_pmi,
         "cosine_pairs": _q_cosine_pairs,
         "time_rollup_hourly": _q_time_rollup,
         "join_revenue_by_nation": _q_join_revenue_by_nation,
@@ -1755,6 +1779,33 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
                          / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
             FROM sh a, sh b WHERE a.doc_id < b.doc_id
+        """,
+        "stratified_sample": """
+            SELECT doc_id, lang, strat_rank FROM (
+              SELECT doc_id, lang,
+                     row_number() OVER (PARTITION BY lang
+                         ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                         AS strat_rank
+              FROM documents
+            ) WHERE strat_rank <= 20
+        """,
+        "term_pmi": f"""
+            WITH td AS (
+              SELECT DISTINCT doc_id, unnest({_TOKS}) AS term FROM documents
+            ), dfreq AS (
+              SELECT term, count(*) AS df FROM td GROUP BY term HAVING count(*) >= 100
+            ), p AS (SELECT td.doc_id, td.term, dfreq.df
+                     FROM td JOIN dfreq ON td.term = dfreq.term),
+            pairs AS (
+              SELECT a.term AS term_a, b.term AS term_b,
+                     a.df AS n_a, b.df AS n_b, count(*) AS n_ab
+              FROM p a JOIN p b ON a.doc_id = b.doc_id AND a.term < b.term
+              GROUP BY 1, 2, 3, 4
+            )
+            SELECT term_a, term_b, n_a, n_b, n_ab,
+                   round(ln((SELECT count(*) FROM documents) * n_ab
+                            * 1.0 / (n_a * n_b)), 6) AS pmi
+            FROM pairs
         """,
         "weekly_retention": """
             WITH f AS (

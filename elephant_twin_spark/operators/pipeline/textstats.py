@@ -191,3 +191,26 @@ def repetition_ratio(
         )
         .drop("_g")
     )
+
+
+def stratified_take(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    n_per_group: int,
+    out_rank_col: str = "strat_rank",
+) -> DataFrame:
+    """Deterministic balanced subset: the first ``n_per_group`` rows of
+    every group ordered by ``md5(id)`` — a seedless, engine-independent
+    shuffle (md5 is uniform), so the same subset reproduces anywhere
+    (unlike fraction-based sampleBy, whose RNG is engine-specific).
+    The training-data use: class-balancing a skewed corpus."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.withColumn(out_rank_col, F.row_number().over(w))
+        .where(F.col(out_rank_col) <= n_per_group)
+    )

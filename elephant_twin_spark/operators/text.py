@@ -678,3 +678,36 @@ class TextIndex:
             stored[f] for f in (fields or [c for c in stored.columns])
         ]
         return joined.select(*cols).orderBy(F.col("score").desc(), F.col("doc_id").asc())
+
+
+def cooccurrence_pmi(
+    postings: DataFrame,
+    n_docs: int,
+    min_df: int = 5,
+    top_terms: Optional[int] = None,
+) -> DataFrame:
+    """Pointwise mutual information over term pairs co-occurring in a
+    document: ``(term_a, term_b, n_a, n_b, n_ab, pmi)`` with
+    ``pmi = ln(n_docs * n_ab / (n_a * n_b))`` on document frequencies.
+
+    Built from the postings table alone — no re-tokenization. The
+    self-join on doc_id is O(Σ dl²) pairs; ``min_df`` (drop rare terms)
+    and ``top_terms`` (keep only the most frequent) bound it the way
+    distributional-stats pipelines do."""
+    dfreq = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    vocab = dfreq.where(F.col("df") >= min_df)
+    if top_terms is not None:
+        vocab = vocab.orderBy(F.col("df").desc(), F.col("term")).limit(top_terms)
+    p = postings.join(F.broadcast(vocab.select("term", "df")), "term").select(
+        "doc_id", "term", "df"
+    )
+    a = p.select("doc_id", F.col("term").alias("term_a"), F.col("df").alias("n_a"))
+    b = p.select("doc_id", F.col("term").alias("term_b"), F.col("df").alias("n_b"))
+    pairs = (
+        a.join(b, "doc_id")
+        .where(F.col("term_a") < F.col("term_b"))
+        .groupBy("term_a", "term_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    pmi = F.log(F.lit(float(n_docs)) * F.col("n_ab") / (F.col("n_a") * F.col("n_b")))
+    return pairs.withColumn("pmi", pmi)

@@ -662,3 +662,42 @@ def test_edit_distance_join_short_strings(spark):
     assert ("ab", "ac", 1) in got        # short-short
     assert ("abc", "abcd", 1) in got     # short vs just-long-enough
     assert ("xyzzy", "xyzzy", 0) in got  # long-long exact
+
+
+def test_stratified_take(spark, docs):
+    out = textstats.stratified_take(docs, "lang", "doc_id", 10)
+    counts = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    full = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for lang, n in counts.items():
+        assert n == min(10, full[lang])
+    # deterministic: same subset both runs
+    ids1 = {r["doc_id"] for r in out.collect()}
+    ids2 = {r["doc_id"] for r in textstats.stratified_take(docs, "lang", "doc_id", 10).collect()}
+    assert ids1 == ids2
+
+
+def test_cooccurrence_pmi(spark, workdir, docs_path):
+    from elephant_twin_spark import Engine
+    from elephant_twin_spark.operators import text as text_mod
+
+    eng = Engine(spark, f"{workdir}/pmi_root")
+    eng.build_text_index(docs_path, "text", "doc_id")
+    ti = eng.text_index(docs_path, "text")
+    n_docs = int(ti.desc.options["n_docs"])
+    out = text_mod.cooccurrence_pmi(ti.postings(), n_docs, min_df=20).collect()
+    assert len(out) > 0
+    import math
+
+    # spot-check one pair against direct per-doc computation
+    r = out[0]
+    docs_df = tables.load_raw(spark, docs_path)
+    toks = F.filter(F.split("text", r"\s+"), lambda t: t != F.lit(""))
+    n_a = docs_df.where(F.array_contains(toks, r["term_a"])).count()
+    n_b = docs_df.where(F.array_contains(toks, r["term_b"])).count()
+    n_ab = docs_df.where(
+        F.array_contains(toks, r["term_a"]) & F.array_contains(toks, r["term_b"])
+    ).count()
+    assert (r["n_a"], r["n_b"], r["n_ab"]) == (n_a, n_b, n_ab)
+    assert abs(r["pmi"] - math.log(n_docs * n_ab / (n_a * n_b))) < 1e-9
+    # ordered pairs, no self-pairs
+    assert all(x["term_a"] < x["term_b"] for x in out)
