@@ -485,6 +485,14 @@ def _q_ivf_knn_join(spark, sf_dir):
     ).select("query_id", "id", F.round("cosine", 6).alias("cosine"), "rank")
 
 
+def _q_doc_keywords(spark, sf_dir):
+    """Top-3 TF-IDF keywords per doc from the postings index."""
+    ti = _state(spark, sf_dir).docs_text_index()
+    return ti.keywords(k=3).select(
+        "doc_id", "term", F.round("score", 6).alias("score"), "rank"
+    )
+
+
 def _q_stratified_sample(spark, sf_dir):
     """Deterministic class-balanced subset: first 20 docs per language by
     md5(id) order — engine-independent 'seedless shuffle'."""
@@ -1444,6 +1452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weekly_retention": _q_weekly_retention,
         "stratified_sample": _q_stratified_sample,
         "term_pmi": _q_term_pmi,
+        "doc_keywords": _q_doc_keywords,
         "cosine_pairs": _q_cosine_pairs,
         "time_rollup_hourly": _q_time_rollup,
         "join_revenue_by_nation": _q_join_revenue_by_nation,
@@ -1788,6 +1797,28 @@ def oracle_sql() -> dict[str, str]:
                          AS strat_rank
               FROM documents
             ) WHERE strat_rank <= 20
+        """,
+        "doc_keywords": f"""
+            WITH tok AS (
+              SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+            ), tf AS (
+              SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
+            ), dfreq AS (
+              SELECT term, count(*) AS df FROM tf GROUP BY term
+            ), scored AS (
+              SELECT tf.doc_id, tf.term,
+                     (1.0 + ln(tf.tf))
+                       * ln((SELECT count(*) FROM documents) * 1.0 / dfreq.df)
+                       AS score
+              FROM tf JOIN dfreq ON tf.term = dfreq.term
+            ), ranked AS (
+              SELECT doc_id, term, score,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY score DESC, term ASC) AS rank
+              FROM scored
+            )
+            SELECT doc_id, term, round(score, 6) AS score, rank
+            FROM ranked WHERE rank <= 3
         """,
         "term_pmi": f"""
             WITH td AS (

@@ -660,6 +660,33 @@ class TextIndex:
         )
         return scores.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
 
+    def keywords(self, k: int = 5) -> DataFrame:
+        """Top-k characteristic terms per doc by TF-IDF
+        (``(1+ln tf)·ln(N/df)``, same weighting as more_like_this) —
+        ``(doc_id, term, score, rank)``. One postings aggregation for
+        the df table (broadcast back) + one windowed top-k per doc."""
+        from pyspark.sql.window import Window
+
+        n_docs = float(self.desc.options["n_docs"])
+        p = self.postings().select("term", "doc_id", "tf")
+        dfreq = p.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
+        scored = p.join(F.broadcast(dfreq), "term").select(
+            "doc_id",
+            "term",
+            (
+                (F.lit(1.0) + F.log("tf"))
+                * F.log(F.lit(n_docs) / F.col("_df"))
+            ).alias("score"),
+        )
+        w = Window.partitionBy("doc_id").orderBy(
+            F.col("score").desc(), F.col("term").asc()
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("doc_id", "term", "score", "rank")
+        )
+
     def retrieve(
         self,
         query: str,

@@ -326,3 +326,30 @@ def test_more_like_this_matches_naive(eng, docs, docs_path):
 def test_more_like_this_missing_doc(eng, docs_path):
     ti = eng.text_index(docs_path, "text")
     assert ti.more_like_this(10**9, k=5).count() == 0
+
+
+def test_keywords_tfidf(eng, docs, docs_path):
+    import math
+    from collections import Counter
+
+    ti = eng.text_index(docs_path, "text")
+    got = ti.keywords(k=3).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], []).append((r["rank"], r["term"], r["score"]))
+    assert all(len(v) == 3 for v in by_doc.values())
+
+    rows = {r["doc_id"]: r["text"].split() for r in docs.collect()}
+    n = len(rows)
+    dfc = Counter()
+    for toks in rows.values():
+        dfc.update(set(toks))
+    qid = min(by_doc)
+    tf = Counter(rows[qid])
+    want = sorted(
+        ((t, (1 + math.log(c)) * math.log(n / dfc[t])) for t, c in tf.items()),
+        key=lambda x: (-x[1], x[0]),
+    )[:3]
+    got_q = sorted(by_doc[qid])
+    for (rank, term, score), (wt, ws) in zip(got_q, want):
+        assert term == wt and abs(score - ws) < 1e-9
