@@ -130,6 +130,12 @@ def main():
         ).count()
     )
     timed("q_simhash")(lambda: dedup.simhash64(docs, "text", "doc_id").count())
+    timed("q_clean_corpus")(
+        lambda: __import__(
+            "elephant_twin_spark.operators.pipeline.clean", fromlist=["clean"]
+        ).clean_corpus(docs, "text", "doc_id", near_dup=True)[1]
+        .groupBy("reason").count().collect()
+    )
     timed("q_near_dup_clusters")(
         lambda: dedup.near_dup_clusters(
             docs, "text", "doc_id", num_perm=16, num_bands=4, threshold=0.7

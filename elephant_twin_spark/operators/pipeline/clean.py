@@ -55,7 +55,13 @@ def clean_corpus(
         )
         .when(~F.col("_lang").isin(list(allowed_langs)), F.lit("lang"))
         .when(F.col("_rep") > max_repetition, F.lit("repetitive")),
-    )
+    ).localCheckpoint()
+    # ^ the gate expressions (stopword language ID + n-gram repetition)
+    # are the most expensive per-row work in the pipeline, and every
+    # downstream branch (sig groups, minhash signatures, jaccard verify,
+    # audit join) re-reads this relation — materialize once and cut the
+    # lineage or the whole gate recomputes per branch (measured 10x+
+    # slowdown at sf0.1)
 
     survivors = gated.where(F.col("_reason").isNull()).select("id", "_text")
     sig_keep = (
