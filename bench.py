@@ -130,10 +130,12 @@ def main():
         ).count()
     )
     timed("q_simhash")(lambda: dedup.simhash64(docs, "text", "doc_id").count())
+    # deterministic gates + exact dedup; the near-dup stage is timed
+    # separately by q_near_dup_clusters (no double-counting)
     timed("q_clean_corpus")(
         lambda: __import__(
             "elephant_twin_spark.operators.pipeline.clean", fromlist=["clean"]
-        ).clean_corpus(docs, "text", "doc_id", near_dup=True)[1]
+        ).clean_corpus(docs, "text", "doc_id", near_dup=False)[1]
         .groupBy("reason").count().collect()
     )
     timed("q_near_dup_clusters")(
