@@ -193,3 +193,18 @@ def test_tpch_q21_single_fact_pass(spark):
     df = entry.queries()["late_sole_supplier"](spark, SF_DIR)
     plan = plan_of(df)
     assert plan.count("lineitem.parquet") <= 1, plan
+
+
+def test_funnel_single_shuffle(spark, events):
+    from elephant_twin_spark.operators import sessionize
+
+    out = sessionize.funnel(
+        events, "user_id", "ts", "event_type", ["view", "click", "purchase"]
+    )
+    plan = plan_of(out)
+    import re
+
+    exchanges = len(re.findall(r"\bExchange\b", plan)) - len(
+        re.findall(r"BroadcastExchange", plan)
+    )
+    assert exchanges == 1, plan
