@@ -374,30 +374,50 @@ def near_dup_clusters(
     num_bands: int = 4,
     shingle_k: int = 3,
     threshold: float = 0.8,
+    prefer_col: Optional[str] = None,
 ) -> DataFrame:
     """Every row of ``df`` labeled with its duplicate-cluster id:
     MinHash-LSH candidate pairs → exact-Jaccard verify → connected
     components → ``(id, cluster_id, is_canonical)``; singletons get
-    their own id as cluster, canonical = min id in cluster."""
+    their own id as cluster.
+
+    Canonical choice: min id by default; with ``prefer_col`` (a numeric
+    column of ``df``, e.g. a quality score) the canonical is the
+    cluster's max-prefer row, min id on ties — real pipelines keep the
+    BEST copy of a near-dup group, not the first-crawled one."""
     pairs = minhash_near_dup_pairs(
         df, text_col, id_col, num_perm, num_bands, shingle_k, threshold
     )
     comp = connected_components(pairs).withColumnsRenamed(
         {"node": "id", "component": "cluster_id"}
     )
-    ids = df.select(F.col(id_col).alias("id"))
-    return (
-        ids.join(comp, "id", "left")
-        .select(
-            "id",
-            F.coalesce("cluster_id", "id").alias("cluster_id"),
+    cols = [F.col(id_col).alias("id")] + (
+        [F.col(prefer_col).alias("_prefer")] if prefer_col else []
+    )
+    ids = df.select(*cols)
+    labeled = ids.join(comp, "id", "left").withColumn(
+        "cluster_id", F.coalesce("cluster_id", F.col("id"))
+    )
+    if prefer_col is None:
+        return labeled.select("id", "cluster_id").withColumn(
+            "is_canonical", F.col("id") == F.col("cluster_id")
         )
-        .withColumn("is_canonical", F.col("id") == F.col("cluster_id"))
+    # canonical = argmax(prefer), deterministic min-id tiebreak: pick
+    # max(struct(prefer, -id)) per cluster (one extra small shuffle)
+    best = labeled.groupBy("cluster_id").agg(
+        F.max(F.struct(F.col("_prefer"), (-F.col("id")).alias("_neg"))).alias("_b")
+    ).select("cluster_id", (-F.col("_b._neg")).alias("_best_id"))
+    return (
+        labeled.join(best, "cluster_id")
+        .select(
+            "id", "cluster_id", (F.col("id") == F.col("_best_id")).alias("is_canonical")
+        )
     )
 
 
 def near_dup_dedup(df: DataFrame, text_col: str, id_col: str, **kw) -> DataFrame:
-    """Keep one representative (min id) per near-dup cluster."""
+    """Keep one representative per near-dup cluster (min id, or the
+    max-``prefer_col`` row when given)."""
     keep = (
         near_dup_clusters(df, text_col, id_col, **kw)
         .where("is_canonical")

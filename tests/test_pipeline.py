@@ -701,3 +701,35 @@ def test_cooccurrence_pmi(spark, workdir, docs_path):
     assert abs(r["pmi"] - math.log(n_docs * n_ab / (n_a * n_b))) < 1e-9
     # ordered pairs, no self-pairs
     assert all(x["term_a"] < x["term_b"] for x in out)
+
+
+def test_near_dup_clusters_prefer_quality(spark, docs):
+    """With prefer_col, the cluster canonical is the best-scored copy,
+    not the min id."""
+    base = docs.limit(3).collect()
+    rows = []
+    for i, r in enumerate(base):
+        # near-dup copy with a HIGHER score than its base
+        toks = r["text"].split()
+        toks[-1] = "TWEAKED"
+        rows.append((50_000 + i, " ".join(toks), r["lang"], r["source"], r["n_chars"]))
+    df = docs.union(spark.createDataFrame(rows, schema=docs.schema)).withColumn(
+        "score",
+        F.when(F.col("doc_id") >= 50_000, F.lit(9.0)).otherwise(F.lit(1.0)),
+    )
+    cl = dedup.near_dup_clusters(
+        df, "text", "doc_id", num_perm=32, num_bands=8, prefer_col="score"
+    )
+    rows_by_id = {r["id"]: r for r in cl.collect()}
+    assert len(rows_by_id) == df.count()
+    for i, r in enumerate(base):
+        copy = rows_by_id[50_000 + i]
+        orig = rows_by_id[r["doc_id"]]
+        assert copy["cluster_id"] == orig["cluster_id"]
+        assert copy["is_canonical"] and not orig["is_canonical"]
+    # exactly one canonical per cluster
+    from collections import Counter
+
+    canon = Counter(r["cluster_id"] for r in rows_by_id.values() if r["is_canonical"])
+    clusters = {r["cluster_id"] for r in rows_by_id.values()}
+    assert set(canon) == clusters and all(v == 1 for v in canon.values())
