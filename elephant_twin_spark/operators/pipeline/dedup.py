@@ -113,7 +113,10 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, num_perm: int = 16, num_bands: int = 4
+    signatures: DataFrame,
+    num_perm: int = 16,
+    num_bands: int = 4,
+    max_bucket_size: Optional[int] = None,
 ) -> DataFrame:
     """LSH banding: docs sharing any band of the signature become candidate
     pairs ``(id_a, id_b)`` with ``id_a < id_b``.
@@ -123,7 +126,14 @@ def lsh_candidate_pairs(
     O(n²) cross product; skew-prone giant buckets are the classic risk,
     mitigated upstream by signature width (more perms/bands → smaller
     buckets) and AQE skew-join splitting at runtime.
-    """
+
+    ``max_bucket_size`` is the production guard for pathological buckets
+    (boilerplate-heavy corpora collapse many docs into one band value,
+    and ONE million-doc bucket is a 10¹²-pair join): buckets larger than
+    the cap are DROPPED from candidate generation. That trades recall —
+    only for docs whose every matching band is oversized — for a hard
+    bound of ``max_bucket_size²`` pairs per bucket; near-identical docs
+    still pair through their other, rarer bands."""
     rows_per_band = num_perm // num_bands
     bands = signatures.select(
         "id",
@@ -138,6 +148,17 @@ def lsh_candidate_pairs(
             )
         ).alias("band", "band_hash"),
     )
+    if max_bucket_size is not None:
+        from pyspark.sql.window import Window
+
+        sizes = bands.groupBy("band", "band_hash").agg(
+            F.count(F.lit(1)).alias("_bsz")
+        )
+        bands = bands.join(
+            sizes.where(F.col("_bsz") <= max_bucket_size).drop("_bsz"),
+            ["band", "band_hash"],
+            "leftsemi",
+        )
     a = bands.alias("a")
     b = bands.alias("b")
     return (

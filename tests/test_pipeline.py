@@ -733,3 +733,27 @@ def test_near_dup_clusters_prefer_quality(spark, docs):
     canon = Counter(r["cluster_id"] for r in rows_by_id.values() if r["is_canonical"])
     clusters = {r["cluster_id"] for r in rows_by_id.values()}
     assert set(canon) == clusters and all(v == 1 for v in canon.values())
+
+
+def test_lsh_bucket_cap(spark, docs_with_dups):
+    sigs = dedup.minhash_signatures(docs_with_dups, "text", "doc_id", num_perm=32)
+    uncapped = dedup.lsh_candidate_pairs(sigs, num_perm=32, num_bands=8)
+    # the planted groups are (base, exact copy, near copy) triplets, so
+    # their shared buckets have size 3 — a cap of 3 keeps them
+    capped = dedup.lsh_candidate_pairs(sigs, num_perm=32, num_bands=8, max_bucket_size=3)
+    u = {(r["id_a"], r["id_b"]) for r in uncapped.collect()}
+    c = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    # capped candidates are a subset
+    assert c <= u
+    for i in range(5):
+        assert any(b == 10_000 + i for _, b in c), f"exact dup {10_000+i} lost"
+    # a cap of 2 drops exactly those triplet buckets
+    c2 = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.lsh_candidate_pairs(
+            sigs, num_perm=32, num_bands=8, max_bucket_size=2
+        ).collect()
+    }
+    assert c2 < c
+    # cap=0 drops everything
+    assert dedup.lsh_candidate_pairs(sigs, num_perm=32, num_bands=8, max_bucket_size=0).count() == 0
