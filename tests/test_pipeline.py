@@ -757,3 +757,36 @@ def test_lsh_bucket_cap(spark, docs_with_dups):
     assert c2 < c
     # cap=0 drops everything
     assert dedup.lsh_candidate_pairs(sigs, num_perm=32, num_bands=8, max_bucket_size=0).count() == 0
+
+
+def test_edge_cases_new_operators(spark):
+    """Empty/null/degenerate inputs across the session's new operators."""
+    from elephant_twin_spark.operators.pipeline import clean, strings
+    from elephant_twin_spark.operators import layout, sessionize
+
+    empty_docs = spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    # connected components on no pairs
+    no_pairs = spark.createDataFrame([], "id_a long, id_b long")
+    assert dedup.connected_components(no_pairs).count() == 0
+    # paragraph dedup on empty input
+    assert dedup.paragraph_dedup(empty_docs, "text", "doc_id").count() == 0
+    # clean_corpus on empty corpus: empty audit, empty cleaned
+    cleaned, audit = clean.clean_corpus(empty_docs, "text", "doc_id", near_dup=False)
+    assert cleaned.count() == 0 and audit.count() == 0
+    # edit-distance join ignores nulls
+    withnull = spark.createDataFrame([("abcd",), (None,)], "s string")
+    out = strings.edit_distance_join(withnull, withnull, "s", "s", max_edits=1)
+    assert {(r["s_a"], r["s_b"]) for r in out.collect()} == {("abcd", "abcd")}
+    # funnel with a user having no events of any stage type
+    one = spark.createDataFrame(
+        [(1, __import__("datetime").datetime(2024, 1, 1), "other")],
+        "user_id long, ts timestamp, event_type string",
+    )
+    got = sessionize.funnel(one, "user_id", "ts", "event_type", ["view"]).collect()
+    assert got[0]["stage_reached"] == 0
+    # repetition ratio on empty string
+    es = spark.createDataFrame([(1, "")], "doc_id long, text string")
+    assert textstats.repetition_ratio(es, "text").first()["dup_ngram_ratio"] == 0.0
+    assert textstats.char_entropy(es, "text").first()["char_entropy"] == 0.0
