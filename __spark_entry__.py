@@ -26,8 +26,11 @@ from elephant_twin_spark import Engine, col
 from elephant_twin_spark.functions import scalar
 from elephant_twin_spark.operators import rollup, sessionize, skew, temporal
 from elephant_twin_spark.operators.pipeline import (
+    decontaminate,
     dedup,
     multimodal,
+    pack,
+    pii,
     profile,
     similarity,
     textstats,
@@ -1392,6 +1395,41 @@ def _q_media_features(spark, sf_dir):
     )
 
 
+def _q_decontaminate_report(spark, sf_dir):
+    """Eval-set decontamination: docs sharing a 5-gram with the held-out
+    slice (doc_id % 29 == 0) are flagged. Broadcast eval-gram join."""
+    docs = _state(spark, sf_dir).raw("documents")
+    corpus = docs.where(F.col("doc_id") % 29 != 0)
+    eval_df = docs.where(F.col("doc_id") % 29 == 0)
+    rep = decontaminate.contamination_report(corpus, eval_df, "text", "doc_id", n=5)
+    return rep.select(
+        "doc_id",
+        F.col("n_grams").cast("bigint").alias("n_grams"),
+        F.col("n_contaminated").cast("bigint").alias("n_contaminated"),
+        "contaminated",
+    )
+
+
+def _q_pii_scrub(spark, sf_dir):
+    """PII counts + redacted text (identity on the clean fixture; the
+    operator is exercised on synthetic PII in tests)."""
+    docs = _state(spark, sf_dir).raw("documents")
+    counted = pii.pii_counts(docs, "text")
+    red = pii.pii_redact(counted, "text", out_col="redacted")
+    return red.select(
+        "doc_id", F.col("n_pii").cast("bigint").alias("n_pii"), "redacted"
+    )
+
+
+def _q_pack_docs(spark, sf_dir):
+    """Token-budget sequence packing over doc_id order (prefix-sum window)."""
+    docs = _state(spark, sf_dir).raw("documents")
+    packed = pack.pack_sequences(docs, "text", "doc_id", budget=256)
+    return packed.select(
+        "doc_id", "n_tokens", F.col("offset").alias("tok_offset"), "pack_id"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # sparse index surface (S2/S5/S6, F1-F5, I1-I3, M2/M5)
@@ -1447,6 +1485,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gap_to_prev": _q_gap_to_prev,
         "ann_persisted_top10": _q_ann_persisted,
         "clean_corpus_audit": _q_clean_corpus_audit,
+        "decontaminate_report": _q_decontaminate_report,
+        "pii_scrub": _q_pii_scrub,
+        "pack_docs": _q_pack_docs,
         "edit_distance_join": _q_edit_distance_join,
         "funnel_stages": _q_funnel,
         "weekly_retention": _q_weekly_retention,
@@ -1503,6 +1544,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # -------------------------------------------------------------------- oracle
 
 _TOKS = "regexp_split_to_array(text, '\\s+')"
+
+# PII oracle fragments composed from the same pattern table as the engine
+# (pii.PII_PATTERNS), so the two sides cannot drift.
+_PII_NPII = " + ".join(
+    f"len(regexp_extract_all(text, '{pat}'))" for pat, _ in pii.PII_PATTERNS.values()
+)
+_PII_REDACT = "text"
+for _pat, _tok in pii.PII_PATTERNS.values():
+    _PII_REDACT = f"regexp_replace({_PII_REDACT}, '{_pat}', '{_tok}', 'g')"
 _STOP = {
     "en": "['the','a','of','and','to','in','is','it','that','for']",
     "es": "['el','la','de','y','que','en','un','es','se','no']",
@@ -1882,6 +1932,46 @@ def oracle_sql() -> dict[str, str]:
             FROM n a, n b
             WHERE a.p_name < b.p_name
               AND levenshtein(a.p_name, b.p_name) <= 2
+        """,
+        "decontaminate_report": f"""
+            WITH tok AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+            evg AS (
+              SELECT DISTINCT array_to_string(t[i:i+4], ' ') AS gram
+              FROM tok, UNNEST(range(1, len(t) - 5 + 2)) AS u(i)
+              WHERE len(t) >= 5 AND doc_id % 29 = 0
+            ),
+            dg AS (
+              SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS gram
+              FROM tok, UNNEST(range(1, len(t) - 5 + 2)) AS u(i)
+              WHERE len(t) >= 5 AND doc_id % 29 <> 0
+            ),
+            agg AS (
+              SELECT doc_id, count(*) AS n_grams, count(e.gram) AS n_contaminated
+              FROM dg LEFT JOIN evg e USING (gram) GROUP BY doc_id
+            )
+            SELECT c.doc_id,
+                   CAST(coalesce(a.n_grams, 0) AS BIGINT) AS n_grams,
+                   CAST(coalesce(a.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+                   coalesce(a.n_contaminated, 0) >= 1 AS contaminated
+            FROM (SELECT doc_id FROM documents WHERE doc_id % 29 <> 0) c
+            LEFT JOIN agg a USING (doc_id)
+        """,
+        "pii_scrub": f"""
+            SELECT doc_id, CAST({_PII_NPII} AS BIGINT) AS n_pii,
+                   {_PII_REDACT} AS redacted
+            FROM documents
+        """,
+        "pack_docs": f"""
+            WITH t AS (SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+                       FROM documents),
+            c AS (SELECT doc_id, n_tokens,
+                         CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                              AS BIGINT) AS tok_offset
+                  FROM t)
+            SELECT doc_id, n_tokens, tok_offset,
+                   CAST(floor(tok_offset / 256) AS BIGINT) AS pack_id
+            FROM c
         """,
         "clean_corpus_audit": f"""
             WITH h AS (SELECT doc_id, text, {lang_hits} FROM documents),

@@ -1,0 +1,100 @@
+"""Benchmark decontamination: flag/remove corpus documents that share
+n-grams with a held-out evaluation set.
+
+North-star addition (no reference analog; the closest reference shape is
+the postings-overlap machinery, `core/retrieval/BlockIndexedFileInputFormat.java:577-640`,
+generalized from byte-range overlap to n-gram overlap between two corpora).
+
+Scale design: the eval set is small relative to the corpus (benchmarks
+are thousands of docs; the corpus is 100 TB), so its distinct n-gram set
+is collected into a broadcast hash join — the corpus side is a single
+map-side pass (explode → broadcast-semi-join → partial count agg). No
+corpus-side shuffle except the final per-doc aggregation, which Spark
+partial-aggregates map-side first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from elephant_twin_spark.operators.text import whitespace_tokenizer
+
+
+def ngram_set(text: Column, n: int) -> Column:
+    """Distinct contiguous n-word grams (space-joined) as array<string>.
+
+    Documents shorter than n tokens contribute no grams (they cannot
+    contain a full n-gram) — matching the standard decontamination
+    convention rather than falling back to the whole document.
+    """
+    toks = whitespace_tokenizer(text)
+    cnt = F.size(toks)
+    return F.when(cnt < n, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), cnt - n),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+            )
+        )
+    )
+
+
+def eval_ngrams(eval_df: DataFrame, text_col: str, n: int) -> DataFrame:
+    """Distinct n-grams of the evaluation set: one `gram` column."""
+    return (
+        eval_df.select(F.explode(ngram_set(F.col(text_col), n)).alias("gram"))
+        .distinct()
+    )
+
+
+def contamination_report(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 8,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Per-corpus-doc contamination stats against the eval set.
+
+    Returns ``(id_col, n_grams, n_contaminated, contaminated)`` where
+    `n_grams` is the doc's distinct n-gram count, `n_contaminated` how
+    many of those appear anywhere in the eval set, and `contaminated`
+    whether that count reaches `min_overlap`.
+
+    The eval n-gram set is broadcast (small side); corpus docs with
+    zero overlap are kept with `n_contaminated = 0` via a left join.
+    """
+    grams = eval_ngrams(eval_df, text_col, n)
+    doc_grams = corpus.select(
+        F.col(id_col),
+        ngram_set(F.col(text_col), n).alias("_grams"),
+    )
+    exploded = doc_grams.select(id_col, F.explode_outer("_grams").alias("gram"))
+    hit = (
+        exploded.join(F.broadcast(grams.withColumn("_hit", F.lit(1))), "gram", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("gram").alias("n_grams"),
+            F.coalesce(F.sum("_hit"), F.lit(0)).cast("bigint").alias("n_contaminated"),
+        )
+    )
+    return hit.withColumn(
+        "contaminated", F.col("n_contaminated") >= F.lit(min_overlap)
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 8,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Drop corpus documents contaminated by the eval set (same schema
+    out as in). The standard pre-training hygiene step."""
+    report = contamination_report(corpus, eval_df, text_col, id_col, n, min_overlap)
+    clean_ids = report.where(~F.col("contaminated")).select(id_col)
+    return corpus.join(clean_ids, id_col, "left_semi")

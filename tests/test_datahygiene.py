@@ -1,0 +1,134 @@
+"""Tests for decontamination, PII redaction, and sequence packing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from elephant_twin_spark.operators.pipeline import decontaminate, pack, pii
+
+
+# ------------------------------------------------------------- decontaminate
+
+
+def _corpus(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "an entirely different document about spark plans"),
+            (3, "quick brown fox jumps over the lazy cat instead"),
+            (4, "tiny doc"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def _eval_set(spark):
+    return spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog today")],
+        "doc_id long, text string",
+    )
+
+
+def test_contamination_report_flags_overlap(spark):
+    rep = decontaminate.contamination_report(
+        _corpus(spark), _eval_set(spark), "text", "doc_id", n=5
+    ).orderBy("doc_id")
+    rows = {r["doc_id"]: r for r in rep.collect()}
+    assert rows[1]["contaminated"]  # shares 5-grams verbatim
+    assert rows[3]["contaminated"]  # "quick brown fox jumps over" etc.
+    assert not rows[2]["contaminated"]
+    # < n tokens: no grams, never contaminated, but still present
+    assert rows[4]["n_grams"] == 0 and not rows[4]["contaminated"]
+
+
+def test_decontaminate_drops_only_contaminated(spark):
+    clean = decontaminate.decontaminate(
+        _corpus(spark), _eval_set(spark), "text", "doc_id", n=5
+    )
+    assert sorted(r["doc_id"] for r in clean.collect()) == [2, 4]
+    assert clean.columns == ["doc_id", "text"]
+
+
+def test_min_overlap_threshold(spark):
+    # doc 3 shares fewer 5-grams than doc 1; a high threshold keeps it
+    rep = decontaminate.contamination_report(
+        _corpus(spark), _eval_set(spark), "text", "doc_id", n=5, min_overlap=4
+    )
+    rows = {r["doc_id"]: r["contaminated"] for r in rep.collect()}
+    assert rows[1] and not rows[3]
+
+
+# --------------------------------------------------------------------- pii
+
+
+def test_pii_counts_and_redact(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob@example.com or jane.doe+x@sub.org today"),
+            (2, "ssn 123-45-6789 phone 555-867-5309 ip 10.0.0.1"),
+            (3, "card 4111111111111111 and nothing else"),
+            (4, "clean text with numbers 42 and 2024"),
+        ],
+        "id long, text string",
+    )
+    counted = {r["id"]: r for r in pii.pii_counts(df, "text").collect()}
+    assert counted[1]["n_email"] == 2 and counted[1]["n_pii"] == 2
+    assert counted[2]["n_ssn"] == 1
+    assert counted[2]["n_phone"] == 1
+    assert counted[2]["n_ipv4"] == 1
+    assert counted[3]["n_card"] == 1
+    assert counted[4]["n_pii"] == 0
+
+    red = {r["id"]: r["text"] for r in pii.pii_redact(df, "text").collect()}
+    assert red[1] == "mail <EMAIL> or <EMAIL> today"
+    assert red[2] == "ssn <SSN> phone <PHONE> ip <IP>"
+    assert red[3] == "card <CARD> and nothing else"
+    assert red[4] == "clean text with numbers 42 and 2024"
+
+
+def test_pii_structured_formats_win_over_card(spark):
+    # an SSN must not be half-eaten by the bare-digit card pattern
+    df = spark.createDataFrame([(1, "123-45-6789")], "id long, text string")
+    assert pii.pii_redact(df, "text").first()["text"] == "<SSN>"
+
+
+# --------------------------------------------------------------------- pack
+
+
+def test_pack_sequences_offsets_and_ids(spark):
+    df = spark.createDataFrame(
+        [(i, " ".join(["w"] * n)) for i, n in enumerate([4, 4, 4, 4, 10, 2])],
+        "doc_id long, text string",
+    )
+    packed = pack.pack_sequences(df, "text", "doc_id", budget=10).orderBy("doc_id")
+    rows = packed.collect()
+    assert [r["offset"] for r in rows] == [0, 4, 8, 12, 16, 26]
+    # doc 2 starts at offset 8 (< 10): belongs to pack 0 (straddles)
+    assert [r["pack_id"] for r in rows] == [0, 0, 0, 1, 1, 2]
+
+
+def test_pack_manifest_totals(spark):
+    df = spark.createDataFrame(
+        [(i, " ".join(["w"] * 5)) for i in range(6)], "doc_id long, text string"
+    )
+    man = pack.pack_manifest(df, "text", "doc_id", budget=10).orderBy("pack_id")
+    rows = man.collect()
+    assert [r["doc_ids"] for r in rows] == [[0, 1], [2, 3], [4, 5]]
+    assert all(r["total_tokens"] == 10 for r in rows)
+
+
+def test_pack_partitioned_independent(spark):
+    df = spark.createDataFrame(
+        [(i, "a b c", "s%d" % (i % 2)) for i in range(4)],
+        "doc_id long, text string, src string",
+    )
+    packed = pack.pack_sequences(df, "text", "doc_id", budget=4, partition_col="src")
+    rows = {r["doc_id"]: r for r in packed.collect()}
+    # per-partition offsets restart at 0
+    assert rows[0]["offset"] == 0 and rows[1]["offset"] == 0
+    assert rows[2]["offset"] == 3 and rows[3]["offset"] == 3
+
+
+def test_pack_rejects_bad_budget(spark):
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        pack.pack_sequences(df, "text", "doc_id", budget=0)
