@@ -29,7 +29,10 @@ from elephant_twin_spark.operators.pipeline import (
     decontaminate,
     dedup,
     multimodal,
+    lmscore,
+    mixture,
     pack,
+    shard,
     pii,
     profile,
     similarity,
@@ -1421,6 +1424,33 @@ def _q_pii_scrub(spark, sf_dir):
     )
 
 
+def _q_unigram_logprob(spark, sf_dir):
+    """Self-trained add-one unigram LM score per document (the
+    perplexity-filter proxy): one freq agg + one token join."""
+    docs = _state(spark, sf_dir).raw("documents")
+    out = lmscore.unigram_logprob(docs, "text", "doc_id")
+    return out.select("doc_id", F.round("logprob", 4).alias("logprob"))
+
+
+def _q_shard_assignment(spark, sf_dir):
+    """Deterministic 16-way shard assignment (md5 of doc_id:seed)."""
+    docs = _state(spark, sf_dir).raw("documents")
+    return shard.assign_shards(docs, "doc_id", 16, seed=0).select(
+        "doc_id", "shard_id"
+    )
+
+
+_MIX_WEIGHTS = {"en": 0.5, "de": 0.15, "es": 0.15, "fr": 0.1, "zh": 0.1}
+
+
+def _q_mixture_resample(spark, sf_dir):
+    """Deterministic language-mixture resample (downsample-only, md5
+    order within group) toward 50% en / 15% de,es / 10% fr,zh."""
+    docs = _state(spark, sf_dir).raw("documents")
+    out = mixture.mixture_resample(docs, "lang", _MIX_WEIGHTS, "doc_id", seed=42)
+    return out.select("doc_id", "lang")
+
+
 def _q_pack_docs(spark, sf_dir):
     """Token-budget sequence packing over doc_id order (prefix-sum window)."""
     docs = _state(spark, sf_dir).raw("documents")
@@ -1488,6 +1518,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_report": _q_decontaminate_report,
         "pii_scrub": _q_pii_scrub,
         "pack_docs": _q_pack_docs,
+        "mixture_resample": _q_mixture_resample,
+        "unigram_logprob": _q_unigram_logprob,
+        "shard_assignment": _q_shard_assignment,
         "edit_distance_join": _q_edit_distance_join,
         "funnel_stages": _q_funnel,
         "weekly_retention": _q_weekly_retention,
@@ -1960,6 +1993,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST({_PII_NPII} AS BIGINT) AS n_pii,
                    {_PII_REDACT} AS redacted
             FROM documents
+        """,
+        "unigram_logprob": f"""
+            WITH tk AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+            f AS (SELECT tok, count(*) AS cnt FROM tk GROUP BY tok),
+            s AS (SELECT count(*) AS total, count(DISTINCT tok) AS v FROM tk)
+            SELECT doc_id,
+                   round(avg(ln((cnt + 1.0) / (total + v))), 4) AS logprob
+            FROM tk JOIN f USING (tok), s
+            GROUP BY doc_id
+        """,
+        "shard_assignment": """
+            SELECT doc_id,
+                   CAST(CAST(concat('0x', substring(md5(concat(CAST(doc_id AS VARCHAR), ':0')), 1, 15)) AS BIGINT) % 16 AS INT) AS shard_id
+            FROM documents
+        """,
+        "mixture_resample": """
+            WITH n AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+            w AS (SELECT * FROM (VALUES ('en', 0.5), ('de', 0.15), ('es', 0.15),
+                                        ('fr', 0.1), ('zh', 0.1)) AS w(lang, wt)),
+            a AS (SELECT min(n / wt) AS alpha FROM n JOIN w USING (lang) WHERE wt > 0),
+            k AS (SELECT lang, CAST(floor(a.alpha * wt) AS BIGINT) AS keep FROM w, a),
+            r AS (SELECT doc_id, lang,
+                         row_number() OVER (PARTITION BY lang
+                             ORDER BY md5(concat(CAST(doc_id AS VARCHAR), ':42')),
+                                      doc_id) AS rn
+                  FROM documents)
+            SELECT r.doc_id, r.lang FROM r JOIN k USING (lang) WHERE rn <= keep
         """,
         "pack_docs": f"""
             WITH t AS (SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens

@@ -37,7 +37,14 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
 
     from elephant_twin_spark import Engine, col
-    from elephant_twin_spark.operators.pipeline import dedup, similarity, textstats
+    from elephant_twin_spark.operators.pipeline import (
+        decontaminate,
+        dedup,
+        mixture,
+        pack,
+        similarity,
+        textstats,
+    )
     from elephant_twin_spark.sources import tables
 
     work = f"/tmp/ets_bench/{os.path.basename(SF_DIR)}"
@@ -145,6 +152,23 @@ def main():
     )
     timed("q_quality_stats")(
         lambda: textstats.quality_score(docs, "text").agg(F.avg("quality_score")).collect()
+    )
+    timed("q_decontaminate")(
+        lambda: decontaminate.contamination_report(
+            docs.where(F.col("doc_id") % 29 != 0),
+            docs.where(F.col("doc_id") % 29 == 0),
+            "text", "doc_id", n=5, parallelism=CPUS,
+        ).where("contaminated").count()
+    )
+    timed("q_pack_docs")(
+        lambda: pack.pack_manifest(docs, "text", "doc_id", budget=2048, partition_col="source")
+        .count()
+    )
+    timed("q_mixture_resample")(
+        lambda: mixture.mixture_resample(
+            docs, "lang", {"en": 0.5, "de": 0.15, "es": 0.15, "fr": 0.1, "zh": 0.1},
+            "doc_id",
+        ).count()
     )
 
     # ---- clustered layout: selectivity-proportional I/O (the reference's

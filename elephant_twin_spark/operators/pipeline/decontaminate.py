@@ -55,6 +55,7 @@ def contamination_report(
     id_col: str,
     n: int = 8,
     min_overlap: int = 1,
+    parallelism: int | None = None,
 ) -> DataFrame:
     """Per-corpus-doc contamination stats against the eval set.
 
@@ -65,8 +66,15 @@ def contamination_report(
 
     The eval n-gram set is broadcast (small side); corpus docs with
     zero overlap are kept with `n_contaminated = 0` via a left join.
+
+    `parallelism` repartitions the corpus before the gram explode —
+    for sources whose file count is below the core count (local
+    single-file fixtures). Leave None at cluster scale: the scan's own
+    task parallelism is already right, and the extra shuffle is waste.
     """
     grams = eval_ngrams(eval_df, text_col, n)
+    if parallelism is not None:
+        corpus = corpus.repartition(parallelism)
     doc_grams = corpus.select(
         F.col(id_col),
         ngram_set(F.col(text_col), n).alias("_grams"),

@@ -1,0 +1,70 @@
+"""Corpus-level unigram language-model scoring — the classic
+perplexity-style quality filter, with the LM trained on the corpus
+itself (or a supplied reference frequency table).
+
+North-star addition (no reference analog; generalizes the token
+statistics the text index already maintains into a per-document score).
+
+Scale design: token frequencies are one hash aggregation; the score is
+one join from exploded tokens to the frequency table plus one per-doc
+aggregation. The frequency table is keyed by unique token, so the join
+side is compact even at corpus scale (vocab ≪ corpus); hot stopword
+keys on the probe side are plain AQE-skew territory, no salting needed
+because the build side is unique-per-key.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from elephant_twin_spark.operators.text import whitespace_tokenizer
+
+
+def unigram_model(df: DataFrame, text_col: str) -> Tuple[DataFrame, int, int]:
+    """Token frequency table plus corpus totals.
+
+    Returns ``(freq_df(tok, cnt), total_tokens, vocab_size)``. The two
+    scalars are a driver-side collect of one aggregate row (bounded).
+    """
+    toks = df.select(
+        F.explode(whitespace_tokenizer(F.col(text_col))).alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    row = freq.agg(
+        F.sum("cnt").alias("total"), F.count("*").alias("v")
+    ).first()
+    return freq, int(row["total"]), int(row["v"])
+
+
+def unigram_logprob(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    freq: DataFrame | None = None,
+    total: int | None = None,
+    vocab: int | None = None,
+) -> DataFrame:
+    """Per-document mean token log-probability under an add-one-smoothed
+    unigram model: ``avg(ln((cnt + 1) / (total + vocab)))``.
+
+    Train-on-self by default; pass (`freq`, `total`, `vocab`) from
+    `unigram_model` on a reference corpus to score against it (unseen
+    tokens get the smoothed floor). Returns ``(id_col, logprob)``;
+    documents with no tokens score null.
+    """
+    if freq is None:
+        freq, total, vocab = unigram_model(df, text_col)
+    denom = float(total + vocab)
+    tk = df.select(
+        F.col(id_col),
+        F.explode_outer(whitespace_tokenizer(F.col(text_col))).alias("tok"),
+    )
+    joined = tk.join(freq, "tok", "left")
+    logp = F.when(
+        F.col("tok").isNotNull(),
+        F.ln((F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(1.0)) / F.lit(denom)),
+    )
+    return joined.groupBy(id_col).agg(F.avg(logp).alias("logprob"))

@@ -1,0 +1,100 @@
+"""Mixture resampling: reweight a corpus toward target group shares
+(domain/language balancing for training-data assembly).
+
+North-star addition (no reference analog; the nearest reference shape is
+the Bernoulli sampling mapper, `core/indexing/AbstractSamplingIndexingMapper.java:27-48`,
+extended from one global rate to per-group rates solved from a target
+mixture).
+
+Two sampling disciplines:
+
+- `mixture_resample` — exact and deterministic: keep the first `c_g`
+  rows of each group in md5-hash order, where `c_g = floor(alpha * w_g)`
+  and `alpha = min_g(n_g / w_g)` (downsample-only: the scarcest group
+  relative to its target is kept whole). One shuffle (the per-group
+  window); group counts are a tiny driver-side collect (bounded by the
+  number of domains, not rows).
+- `hash_sample` — stateless expected-rate variant: keep a row iff its
+  md5 bucket falls under the group's rate. No shuffle, no window — the
+  100 TB/streaming path, at the cost of exact counts.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Mapping
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _hash_frac(id_col: Column, seed: int) -> Column:
+    """Deterministic uniform [0,1) per row: leading 15 hex digits of
+    md5(id:seed) — identical algebra is expressible in ANSI SQL."""
+    h = F.md5(F.concat(id_col.cast("string"), F.lit(f":{seed}")))
+    return F.conv(F.substring(h, 1, 15), 16, 10).cast("double") / F.lit(
+        float(16**15)
+    )
+
+
+def keep_counts(
+    df: DataFrame, group_col: str, weights: Mapping[str, float]
+) -> Dict[str, int]:
+    """Per-group keep counts for the target mixture (downsample-only).
+
+    alpha = min_g(n_g / w_g); c_g = floor(alpha * w_g). Groups absent
+    from `weights` are dropped entirely (weight 0).
+    """
+    counts = {
+        r["g"]: r["n"]
+        for r in df.groupBy(F.col(group_col).alias("g")).agg(F.count("*").alias("n"))
+        .collect()
+    }
+    missing = set(weights) - set(counts)
+    if missing:
+        raise ValueError(f"weights name groups absent from data: {sorted(missing)}")
+    alpha = min(counts[g] / w for g, w in weights.items() if w > 0)
+    return {g: int(alpha * w) for g, w in weights.items()}
+
+
+def mixture_resample(
+    df: DataFrame,
+    group_col: str,
+    weights: Mapping[str, float],
+    id_col: str,
+    seed: int = 42,
+) -> DataFrame:
+    """Exact deterministic resample to the target mixture: within each
+    group keep the `c_g` rows with the smallest md5(id:seed) hash."""
+    targets = keep_counts(df, group_col, weights)
+    spark = df.sparkSession
+    tdf = spark.createDataFrame(
+        [(g, c) for g, c in targets.items()], f"{group_col} string, _keep long"
+    )
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}")))
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(id_col).asc())
+    ranked = df.join(F.broadcast(tdf), group_col).withColumn(
+        "_rn", F.row_number().over(w)
+    )
+    return ranked.where(F.col("_rn") <= F.col("_keep")).drop("_rn", "_keep")
+
+
+def hash_sample(
+    df: DataFrame,
+    group_col: str,
+    weights: Mapping[str, float],
+    id_col: str,
+    seed: int = 42,
+) -> DataFrame:
+    """Stateless expected-rate resample (no shuffle): keep each row with
+    probability `rate_g = c_g / n_g`, decided by its own hash only."""
+    targets = keep_counts(df, group_col, weights)
+    counts = {
+        r["g"]: r["n"]
+        for r in df.groupBy(F.col(group_col).alias("g")).agg(F.count("*").alias("n"))
+        .collect()
+    }
+    rates = [(g, targets[g] / counts[g]) for g in targets]
+    spark = df.sparkSession
+    rdf = spark.createDataFrame(rates, f"{group_col} string, _rate double")
+    keep = _hash_frac(F.col(id_col), seed) < F.col("_rate")
+    return df.join(F.broadcast(rdf), group_col).where(keep).drop("_rate")

@@ -1,0 +1,53 @@
+"""Deterministic corpus sharding: seeded global shuffle + fixed shard
+assignment for training-data layout.
+
+North-star addition (no reference analog; the reference's hash
+partitioning of index keys, `core/io/TextLongPairWritable.java:134-142`,
+is the same discipline applied to output layout instead of index
+buckets).
+
+The assignment is a pure column expression (md5 of id + seed), so it is
+stable across runs, engines, and partitionings — the property training
+pipelines need so a re-run resumes into identical shards. The writer is
+one `repartition` on the shard column (one shuffle) with an in-shard
+hash sort, producing `shard_id=N/` Hive directories.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def shard_hash(id_col: Column, seed: int = 0) -> Column:
+    """60-bit deterministic hash of id:seed (hex md5 prefix → long)."""
+    h = F.md5(F.concat(id_col.cast("string"), F.lit(f":{seed}")))
+    return F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+
+
+def assign_shards(
+    df: DataFrame, id_col: str, num_shards: int, seed: int = 0
+) -> DataFrame:
+    """Append `shard_id` (0..num_shards-1) and `shard_hash` columns."""
+    if num_shards <= 0:
+        raise ValueError(f"num_shards must be positive, got {num_shards}")
+    h = shard_hash(F.col(id_col), seed)
+    return df.withColumn("shard_hash", h).withColumn(
+        "shard_id", F.pmod(h, F.lit(num_shards)).cast("int")
+    )
+
+
+def write_shards(
+    df: DataFrame, path: str, id_col: str, num_shards: int, seed: int = 0
+) -> None:
+    """Write the corpus as `shard_id=N/` parquet directories, rows
+    hash-ordered within each shard (the seeded global shuffle)."""
+    out = assign_shards(df, id_col, num_shards, seed)
+    (
+        out.repartition(num_shards, "shard_id")
+        .sortWithinPartitions("shard_hash")
+        .drop("shard_hash")
+        .write.mode("overwrite")
+        .partitionBy("shard_id")
+        .parquet(path)
+    )
