@@ -26,6 +26,7 @@ from elephant_twin_spark import Engine, col
 from elephant_twin_spark.functions import scalar
 from elephant_twin_spark.operators import rollup, sessionize, skew, temporal
 from elephant_twin_spark.operators.pipeline import (
+    chunk,
     decontaminate,
     dedup,
     multimodal,
@@ -1424,6 +1425,13 @@ def _q_pii_scrub(spark, sf_dir):
     )
 
 
+def _q_chunk_docs(spark, sf_dir):
+    """Sliding-window chunking (32-token windows, 8 overlap): pure
+    higher-order functions, no shuffle — runs at scan speed."""
+    docs = _state(spark, sf_dir).raw("documents")
+    return chunk.chunk_documents(docs, "text", "doc_id", 32, overlap=8)
+
+
 def _q_unigram_logprob(spark, sf_dir):
     """Self-trained add-one unigram LM score per document (the
     perplexity-filter proxy): one freq agg + one token join."""
@@ -1520,6 +1528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_docs": _q_pack_docs,
         "mixture_resample": _q_mixture_resample,
         "unigram_logprob": _q_unigram_logprob,
+        "chunk_docs": _q_chunk_docs,
         "shard_assignment": _q_shard_assignment,
         "edit_distance_join": _q_edit_distance_join,
         "funnel_stages": _q_funnel,
@@ -1993,6 +2002,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST({_PII_NPII} AS BIGINT) AS n_pii,
                    {_PII_REDACT} AS redacted
             FROM documents
+        """,
+        "chunk_docs": f"""
+            WITH tok AS (SELECT doc_id, {_TOKS} AS t, len({_TOKS}) AS n FROM documents),
+            st AS (
+              SELECT doc_id, t, n, unnest(range(0, greatest(0, ((n - 8 - 1) // 24) * 24) + 1, 24)) AS s
+              FROM tok WHERE n > 0
+            )
+            SELECT doc_id, CAST(s // 24 AS INT) AS chunk_id,
+                   array_to_string(t[s + 1 : s + 32], ' ') AS chunk_text,
+                   CAST(len(t[s + 1 : s + 32]) AS INT) AS n_tokens
+            FROM st
         """,
         "unigram_logprob": f"""
             WITH tk AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),

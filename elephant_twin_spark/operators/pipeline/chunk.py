@@ -1,0 +1,63 @@
+"""Document chunking: split texts into fixed-size token windows with
+overlap (training-sequence / retrieval-passage construction).
+
+North-star addition (no reference analog; the byte-range splitting the
+reference applies to files — `core/retrieval/BlockIndexedFileInputFormat.java:189-241`
+— applied to token streams).
+
+Pure higher-order-function implementation: per row, build the list of
+window start offsets with `sequence`, slice the token array per start,
+and `posexplode`. No UDFs, no shuffle — chunking is embarrassingly
+parallel and stays inside whole-stage codegen, so it runs at scan
+speed on any corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from elephant_twin_spark.operators.text import whitespace_tokenizer
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    chunk_tokens: int,
+    overlap: int = 0,
+) -> DataFrame:
+    """One row per (document, window): ``(id_col, chunk_id, chunk_text,
+    n_tokens)``.
+
+    Windows start every `chunk_tokens - overlap` tokens; the final
+    window may be short (no padding), and a window is only emitted if
+    it contributes at least one token beyond the previous window's
+    overlap region (no fully-redundant tail chunk). Empty documents
+    produce no chunks. `overlap` must be smaller than `chunk_tokens`.
+    """
+    if chunk_tokens <= 0:
+        raise ValueError(f"chunk_tokens must be positive, got {chunk_tokens}")
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(f"overlap must be in [0, chunk_tokens), got {overlap}")
+    stride = chunk_tokens - overlap
+    toks = whitespace_tokenizer(F.col(text_col))
+    n = F.size(toks)
+    # last start: largest multiple of stride with start + overlap < n
+    # (clamped to 0 so short docs still yield their single chunk)
+    last = F.greatest(
+        F.lit(0),
+        (F.floor((n - overlap - 1) / stride) * stride).cast("int"),
+    )
+    starts = F.when(n <= 0, F.array().cast("array<int>")).otherwise(
+        F.sequence(F.lit(0), last, F.lit(stride))
+    )
+    chunks = F.transform(
+        starts, lambda s: F.concat_ws(" ", F.slice(toks, s + 1, chunk_tokens))
+    )
+    out = df.select(
+        F.col(id_col), F.posexplode(chunks).alias("chunk_id", "chunk_text")
+    )
+    return out.withColumn(
+        "n_tokens", F.size(whitespace_tokenizer(F.col("chunk_text")))
+    )

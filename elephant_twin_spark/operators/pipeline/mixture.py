@@ -78,23 +78,43 @@ def mixture_resample(
     return ranked.where(F.col("_rn") <= F.col("_keep")).drop("_rn", "_keep")
 
 
-def hash_sample(
-    df: DataFrame,
-    group_col: str,
-    weights: Mapping[str, float],
-    id_col: str,
-    seed: int = 42,
-) -> DataFrame:
-    """Stateless expected-rate resample (no shuffle): keep each row with
-    probability `rate_g = c_g / n_g`, decided by its own hash only."""
+def sample_rates(
+    df: DataFrame, group_col: str, weights: Mapping[str, float]
+) -> Dict[str, float]:
+    """Per-group keep rates `c_g / n_g` for the target mixture,
+    computed on a static reference snapshot of the distribution."""
     targets = keep_counts(df, group_col, weights)
     counts = {
         r["g"]: r["n"]
         for r in df.groupBy(F.col(group_col).alias("g")).agg(F.count("*").alias("n"))
         .collect()
     }
-    rates = [(g, targets[g] / counts[g]) for g in targets]
+    return {g: targets[g] / counts[g] for g in targets}
+
+
+def hash_sample(
+    df: DataFrame,
+    group_col: str,
+    weights: Mapping[str, float] | None,
+    id_col: str,
+    seed: int = 42,
+    rates: Mapping[str, float] | None = None,
+) -> DataFrame:
+    """Stateless expected-rate resample (no shuffle): keep each row with
+    probability `rate_g = c_g / n_g`, decided by its own hash only.
+
+    Pass precomputed `rates` (from `sample_rates` on a static snapshot)
+    to skip the distribution aggregation — required for streaming input
+    (the decision is pure per-row, so the same rates apply batch or
+    stream and the kept set is identical either way).
+    """
+    if rates is None:
+        if weights is None:
+            raise ValueError("either weights or rates is required")
+        rates = sample_rates(df, group_col, weights)
     spark = df.sparkSession
-    rdf = spark.createDataFrame(rates, f"{group_col} string, _rate double")
+    rdf = spark.createDataFrame(
+        list(rates.items()), f"{group_col} string, _rate double"
+    )
     keep = _hash_frac(F.col(id_col), seed) < F.col("_rate")
     return df.join(F.broadcast(rdf), group_col).where(keep).drop("_rate")

@@ -53,3 +53,30 @@ def test_hash_sample_rate_and_statelessness(spark):
     assert sorted(r["id"] for r in out.collect()) == sorted(
         r["id"] for r in out2.collect()
     )
+
+
+def test_hash_sample_stream_matches_batch(spark, workdir):
+    """Precomputed-rate hash sampling is pure per-row, so a streamed
+    drain keeps exactly the batch-kept rows."""
+    from elephant_twin_spark.streaming import windows
+
+    df = _df(spark)
+    src = f"{workdir}/mixture_stream_src"
+    df.coalesce(2).write.mode("overwrite").parquet(src)
+
+    rates = mixture.sample_rates(df, "grp", {"a": 0.5, "b": 0.5})
+    batch_ids = sorted(
+        r["id"]
+        for r in mixture.hash_sample(
+            spark.read.parquet(src), "grp", None, "id", seed=7, rates=rates
+        ).collect()
+    )
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sdf = mixture.hash_sample(stream, "grp", None, "id", seed=7, rates=rates)
+    windows.run_to_memory(sdf, "mixture_out", output_mode="append", timeout_sec=180)
+    got = sorted(r["id"] for r in spark.table("mixture_out").collect())
+    assert got == batch_ids and len(got) > 0
