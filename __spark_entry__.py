@@ -138,6 +138,22 @@ class _SFState:
             self.engine.build_ann_index(p, "embedding", "vec_id", nlist=8, max_iter=3)
         return self.engine.ann_index(p, "embedding")
 
+    def docs_lsh_index(self):
+        """Persisted LSH bucket index over documents (md5 hashing so the
+        bucket assignment is oracle-reproducible)."""
+        p = f"{self.sf_dir}/documents.parquet"
+        idx_dir = catalog.index_dir(self.engine.index_root, p, "text", "lsh")
+        desc = catalog.read_descriptor(self.spark, idx_dir)
+        rebuild = True
+        if desc is not None:
+            live = fsio.list_data_files(self.spark, p)
+            rebuild = desc.fresh_files(live) != {q for q, _, _ in live}
+        if rebuild:
+            self.engine.build_lsh_index(
+                p, "text", "doc_id", num_perm=4, num_bands=2, shingle_k=1, hash_fn="md5"
+            )
+        return self.engine.lsh_index(p, "text")
+
     @property
     def events_time_clustered(self) -> str:
         """Time-range-clustered events copy (expression-index pruning
@@ -1336,6 +1352,35 @@ def _q_time_rollup(spark, sf_dir):
     )
 
 
+def _q_quality_top_fraction(spark, sf_dir):
+    """Percent-rank quality gate: best 30% of each source by quality
+    score (exact path: row_number vs group count, id tiebreak)."""
+    docs = _state(spark, sf_dir).raw("documents")
+    scored = textstats.quality_score(docs, "text")
+    kept = textstats.top_fraction(
+        scored, "quality_score", 0.3, group_cols=["source"], id_col="doc_id"
+    )
+    return kept.select(
+        "doc_id", "source", F.round("quality_score", 4).alias("quality_score")
+    )
+
+
+def _q_lsh_gate(spark, sf_dir):
+    """Near-dup ingest gate vs the PERSISTED LSH bucket index: every
+    7th document, lightly edited, probes the index; bucket collisions →
+    exact-Jaccard verify → (is_near_dup, dup_of). md5 MinHash/banding
+    so DuckDB reproduces the bucket assignment bit-for-bit."""
+    st = _state(spark, sf_dir)
+    idx = st.docs_lsh_index()
+    docs = st.raw("documents")
+    probes = docs.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzz")).alias("text"),
+    )
+    out = idx.gate(probes, "text", "doc_id", threshold=0.5)
+    return out.select("doc_id", "is_near_dup", "dup_of")
+
+
 # ---- rows-only entries (no ANSI-SQL oracle: engine-specific hashing or
 # ---- approximate algorithms; driver records the weaker rows-only check)
 
@@ -1571,6 +1616,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_percentiles": _q_percentiles,
         "asof_last_click": _q_asof_last_click,
         "error_window_counts": _q_error_window_counts,
+        "quality_top_fraction": _q_quality_top_fraction,
+        "lsh_gate": _q_lsh_gate,
         # rows-only (no SQL oracle): engine-specific hashes / approximate ops
         "simhash_docs": _q_simhash_docs,
         "winnowing_fingerprints": _q_winnowing_fps,
@@ -1797,6 +1844,73 @@ def oracle_sql() -> dict[str, str]:
                    min(md5('3|' || tok)) AS mh3
             FROM (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents)
             GROUP BY doc_id
+        """,
+        "quality_top_fraction": f"""
+            WITH q AS (
+                SELECT doc_id, source,
+                       least(len({_TOKS}) / 100.0, 1.0)
+                         * (len(list_distinct({_TOKS})) / len({_TOKS})) AS qs
+                FROM documents
+            ),
+            r AS (
+                SELECT doc_id, source, qs,
+                       row_number() OVER (PARTITION BY source
+                                          ORDER BY qs DESC, doc_id ASC) AS rn,
+                       count(*) OVER (PARTITION BY source) AS n
+                FROM q
+            )
+            SELECT doc_id, source, round(qs, 4) AS quality_score
+            FROM r WHERE rn <= ceil(n * 0.3)
+        """,
+        "lsh_gate": f"""
+            WITH corpus AS (
+                SELECT doc_id, {_TOKS} AS toks FROM documents
+            ),
+            probes AS (
+                SELECT doc_id + 1000000 AS pid,
+                       regexp_split_to_array(text || ' zzz', '\\s+') AS toks
+                FROM documents WHERE doc_id % 7 = 0
+            ),
+            csig AS (
+                SELECT doc_id,
+                       min(md5('0|' || tok)) AS mh0, min(md5('1|' || tok)) AS mh1,
+                       min(md5('2|' || tok)) AS mh2, min(md5('3|' || tok)) AS mh3
+                FROM (SELECT doc_id, unnest(toks) AS tok FROM corpus) GROUP BY doc_id
+            ),
+            psig AS (
+                SELECT pid,
+                       min(md5('0|' || tok)) AS mh0, min(md5('1|' || tok)) AS mh1,
+                       min(md5('2|' || tok)) AS mh2, min(md5('3|' || tok)) AS mh3
+                FROM (SELECT pid, unnest(toks) AS tok FROM probes) GROUP BY pid
+            ),
+            cband AS (
+                SELECT doc_id, 0 AS band, md5(mh0 || '|' || mh1) AS bh FROM csig
+                UNION ALL
+                SELECT doc_id, 1 AS band, md5(mh2 || '|' || mh3) AS bh FROM csig
+            ),
+            pband AS (
+                SELECT pid, 0 AS band, md5(mh0 || '|' || mh1) AS bh FROM psig
+                UNION ALL
+                SELECT pid, 1 AS band, md5(mh2 || '|' || mh3) AS bh FROM psig
+            ),
+            cand AS (
+                SELECT DISTINCT p.pid, c.doc_id AS cid
+                FROM pband p JOIN cband c ON p.band = c.band AND p.bh = c.bh
+            ),
+            ver AS (
+                SELECT cand.pid, min(cand.cid) AS dup_of
+                FROM cand
+                JOIN probes pr ON pr.pid = cand.pid
+                JOIN corpus co ON co.doc_id = cand.cid
+                WHERE len(list_distinct(list_intersect(list_distinct(pr.toks),
+                                                       list_distinct(co.toks))))
+                      / len(list_distinct(pr.toks || co.toks)) >= 0.5
+                GROUP BY cand.pid
+            )
+            SELECT p.pid AS doc_id,
+                   v.dup_of IS NOT NULL AS is_near_dup,
+                   v.dup_of
+            FROM probes p LEFT JOIN ver v ON v.pid = p.pid
         """,
         "token_stats": f"""
             SELECT doc_id,

@@ -267,3 +267,16 @@ class Engine:
         from elephant_twin_spark.operators import ann as ann_mod
 
         return ann_mod.AnnIndex(self.spark, table_path, vec_column, self.index_root)
+
+    # --------------------------------------------------------------- lsh
+    def build_lsh_index(self, table_path: str, text_column: str, id_column: str, **kw) -> str:
+        from elephant_twin_spark.operators import lsh as lsh_mod
+
+        return lsh_mod.build_lsh_index(
+            self.spark, table_path, text_column, id_column, self.index_root, **kw
+        )
+
+    def lsh_index(self, table_path: str, text_column: str):
+        from elephant_twin_spark.operators import lsh as lsh_mod
+
+        return lsh_mod.LshIndex(self.spark, table_path, text_column, self.index_root)

@@ -1,0 +1,215 @@
+"""Persisted MinHash-LSH bucket index — near-duplicate detection as a
+first-class index kind alongside block/bloom/zone/text/ivf.
+
+The ad-hoc :mod:`pipeline.dedup` functions re-shingle and re-hash the
+whole corpus per call; at 100 TB the corpus's band buckets are a
+build-time artifact, exactly like postings: built once, probed by every
+incoming batch (the "is this new document a near-dup of anything we
+already have?" gate that every training-data ingest pipeline needs).
+Layout:
+
+    {idx_dir}/bands/      — (id, band, band_hash), range-partitioned by
+                            band_hash (parquet min/max skips non-matching
+                            files at probe time)
+    {idx_dir}/index.json  — descriptor (files, checksums, LSH params)
+
+Probing cost is proportional to the *incoming batch*, not the corpus:
+the batch's bands shuffle-join against the bucket table on
+(band, band_hash); only colliding buckets produce candidate pairs, and
+only candidates are verified with exact Jaccard against the corpus text
+(a semi-join-shaped read of the source table — the candidates' corpus
+ids are a small set, so the verify read is bounded).
+
+Parameters (num_perm/num_bands/shingle_k/hash_fn) are frozen in the
+descriptor: a probe MUST hash with the build's parameters or buckets
+never collide, so the index handle re-derives them from the descriptor
+rather than trusting the caller.
+
+Reference analog: none (north-star extension) — but the shape is the
+same as `core/indexing/AbstractBlockIndexingJob.java` postings: a
+key→bucket table consulted before touching the base data.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from elephant_twin_spark.operators.pipeline import dedup
+from elephant_twin_spark.sources import catalog, fsio
+
+
+def build_lsh_index(
+    spark: SparkSession,
+    table_path: str,
+    text_column: str,
+    id_column: str,
+    index_root: str,
+    num_perm: int = 16,
+    num_bands: int = 4,
+    shingle_k: int = 3,
+    hash_fn: str = "xxhash64",
+    num_buckets: int = 8,
+) -> str:
+    """MinHash every document, band the signatures, persist the bucket
+    table range-partitioned by ``band_hash``."""
+    if num_perm % num_bands:
+        raise ValueError(f"num_perm={num_perm} not divisible by num_bands={num_bands}")
+    idx_dir = catalog.index_dir(index_root, table_path, text_column, kind="lsh")
+    df = spark.read.parquet(table_path)
+    sigs = dedup.minhash_signatures(
+        df, text_column, id_column, num_perm=num_perm, shingle_k=shingle_k, hash_fn=hash_fn
+    )
+    bands = dedup.band_table(sigs, num_perm=num_perm, num_bands=num_bands, hash_fn=hash_fn)
+    (
+        bands.repartitionByRange(num_buckets, "band_hash")
+        .sortWithinPartitions("band_hash", "id")
+        .write.mode("overwrite")
+        .parquet(f"{idx_dir}/bands")
+    )
+    files = fsio.list_data_files(spark, table_path)
+    desc = catalog.make_descriptor(
+        source_path=table_path,
+        column=text_column,
+        index_type="LSH",
+        num_buckets=num_buckets,
+        files=files,
+        options={
+            "id_column": id_column,
+            "num_perm": str(num_perm),
+            "num_bands": str(num_bands),
+            "shingle_k": str(shingle_k),
+            "hash_fn": hash_fn,
+        },
+    )
+    catalog.write_descriptor(spark, idx_dir, desc)
+    return idx_dir
+
+
+class LshIndex:
+    """Query handle over a persisted LSH bucket index. LSH parameters
+    come from the descriptor (a probe hashed with different parameters
+    would silently never collide)."""
+
+    def __init__(self, spark: SparkSession, table_path: str, text_column: str, index_root: str):
+        self.spark = spark
+        self.table_path = table_path
+        self.text_column = text_column
+        self.idx_dir = catalog.index_dir(index_root, table_path, text_column, kind="lsh")
+        self.desc = catalog.read_descriptor(spark, self.idx_dir)
+        if self.desc is None:
+            raise FileNotFoundError(f"no LSH index at {self.idx_dir}; build_lsh_index first")
+        o = self.desc.options
+        self.id_column = o["id_column"]
+        self.num_perm = int(o["num_perm"])
+        self.num_bands = int(o["num_bands"])
+        self.shingle_k = int(o["shingle_k"])
+        self.hash_fn = o["hash_fn"]
+
+    def bands(self) -> DataFrame:
+        return self.spark.read.parquet(f"{self.idx_dir}/bands")
+
+    def stale_files(self) -> List[str]:
+        """Source files added/changed since the build: their documents
+        are invisible to the gate (an absent corpus doc can't flag an
+        incoming dup), so like the ANN index this surfaces loudly."""
+        live = fsio.list_data_files(self.spark, self.table_path)
+        fresh = self.desc.fresh_files(live)
+        return sorted({p for p, _, _ in live} - fresh)
+
+    def _probe_bands(self, docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+        sigs = dedup.minhash_signatures(
+            docs, text_col, id_col,
+            num_perm=self.num_perm, shingle_k=self.shingle_k, hash_fn=self.hash_fn,
+        )
+        return dedup.band_table(
+            sigs, num_perm=self.num_perm, num_bands=self.num_bands, hash_fn=self.hash_fn
+        )
+
+    def candidate_pairs(self, docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+        """``(probe_id, corpus_id)`` — incoming docs sharing any LSH
+        bucket with a corpus doc. The join key (band, band_hash) carries
+        the probe side (small) against the bucket table (big, but
+        min/max-pruned by the range layout); same-id collisions are kept
+        out so re-probing the corpus against itself is meaningful."""
+        probe = self._probe_bands(docs, text_col, id_col).withColumnsRenamed(
+            {"id": "probe_id"}
+        )
+        corpus = self.bands().withColumnsRenamed({"id": "corpus_id"})
+        return (
+            probe.join(corpus, ["band", "band_hash"])
+            .where(F.col("probe_id") != F.col("corpus_id"))
+            .select("probe_id", "corpus_id")
+            .distinct()
+        )
+
+    def gate(
+        self,
+        docs: DataFrame,
+        text_col: str,
+        id_col: str,
+        threshold: float = 0.8,
+        extra_corpus: Optional[DataFrame] = None,
+    ) -> DataFrame:
+        """The ingest gate: incoming docs annotated with
+        ``is_near_dup`` and ``dup_of`` (lowest matching corpus id, null
+        when novel). Candidates from bucket collisions only; exact
+        shingle-Jaccard verification runs on candidates only, against
+        just the candidate corpus docs (semi-join-bounded read).
+
+        ``extra_corpus`` (same ``id_col``/``text_col`` names as the
+        probe) supplies verification text for documents whose bands were
+        :meth:`append_docs`-ed after the build — the index stores only
+        buckets, never text, so grown docs verify against wherever their
+        text was accepted to (one id space across all corpus sources)."""
+        cands = self.candidate_pairs(docs, text_col, id_col)
+        corpus = self.spark.read.parquet(self.table_path).select(
+            F.col(self.id_column).alias("corpus_id"),
+            F.col(self.text_column).alias("_ctext"),
+        )
+        if extra_corpus is not None:
+            corpus = corpus.unionByName(
+                extra_corpus.select(
+                    F.col(id_col).alias("corpus_id"), F.col(text_col).alias("_ctext")
+                )
+            )
+        probe_sh = docs.select(
+            F.col(id_col).alias("probe_id"),
+            dedup.word_shingles(F.col(text_col), self.shingle_k).alias("sh_a"),
+        )
+        corpus_sh = corpus.join(
+            cands.select("corpus_id").distinct(), "corpus_id", "leftsemi"
+        ).select(
+            "corpus_id",
+            dedup.word_shingles(F.col("_ctext"), self.shingle_k).alias("sh_b"),
+        )
+        verified = (
+            cands.join(probe_sh, "probe_id")
+            .join(corpus_sh, "corpus_id")
+            .withColumn(
+                "jaccard",
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+            )
+            .where(F.col("jaccard") >= threshold)
+            .groupBy("probe_id")
+            .agg(F.min("corpus_id").alias("dup_of"))
+        )
+        return (
+            docs.join(
+                verified.withColumnsRenamed({"probe_id": id_col}), id_col, "left"
+            )
+            .withColumn("is_near_dup", F.col("dup_of").isNotNull())
+        )
+
+    def append_docs(self, docs: DataFrame, text_col: str, id_col: str) -> None:
+        """Grow the bucket table with new documents' bands (the
+        streaming gate appends each batch's survivors so later batches
+        dedup against them). Appended files keep the (band_hash, id)
+        sort within their own partitions; min/max pruning still applies
+        per file."""
+        self._probe_bands(docs, text_col, id_col).sortWithinPartitions(
+            "band_hash", "id"
+        ).write.mode("append").parquet(f"{self.idx_dir}/bands")

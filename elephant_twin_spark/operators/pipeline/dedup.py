@@ -112,6 +112,41 @@ def minhash_signatures(
     return sh.groupBy("id").agg(*aggs)
 
 
+def band_table(
+    signatures: DataFrame,
+    num_perm: int = 16,
+    num_bands: int = 4,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """``(id, band, band_hash)`` — one row per (doc, LSH band). The band
+    hash collapses ``num_perm // num_bands`` consecutive signature lanes;
+    docs sharing any (band, band_hash) are near-dup candidates. The md5
+    variant (``md5(mh_i || '|' || mh_j ...)``) is engine-independent so
+    an external oracle can reproduce the bucket assignment exactly."""
+    rows_per_band = num_perm // num_bands
+    if hash_fn == "xxhash64":
+        hashes = [
+            F.xxhash64(
+                F.lit(b), *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+            ).cast("string")
+            for b in range(num_bands)
+        ]
+    elif hash_fn == "md5":
+        hashes = [
+            F.md5(
+                F.concat_ws(
+                    "|", *[F.col(f"mh{b * rows_per_band + r}").cast("string") for r in range(rows_per_band)]
+                ).cast("binary")
+            )
+            for b in range(num_bands)
+        ]
+    else:
+        raise ValueError(hash_fn)
+    return signatures.select(
+        "id", F.posexplode(F.array(*hashes)).alias("band", "band_hash")
+    )
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     num_perm: int = 16,

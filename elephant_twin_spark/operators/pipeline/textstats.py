@@ -6,7 +6,7 @@ every formula is simple enough to restate in ANSI SQL for the oracle gate.
 
 from __future__ import annotations
 
-from typing import Dict, List
+from typing import Dict, List, Optional
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -213,4 +213,62 @@ def stratified_take(
     return (
         df.withColumn(out_rank_col, F.row_number().over(w))
         .where(F.col(out_rank_col) <= n_per_group)
+    )
+
+
+def top_fraction(
+    df: DataFrame,
+    score_col: str,
+    fraction: float,
+    group_cols: Optional[List[str]] = None,
+    id_col: Optional[str] = None,
+    approx: bool = False,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Percent-rank quality gate: keep the top ``fraction`` of rows by
+    ``score_col`` within each group (whole table if ``group_cols`` is None).
+
+    The training-data use: "keep the best 30% of each source by model
+    score" — the standard quality-pruning step after scoring a corpus.
+
+    Two physical strategies for the same contract:
+
+    - **exact** (default): ``row_number`` over (group, score desc, id) vs
+      the group count — deterministic, keeps exactly
+      ``ceil(fraction * n_g)`` rows per group (ties broken by id, so the
+      result is reproducible and SQL-oracle-expressible). Cost: one
+      shuffle + per-group sort — fine when groups fit a sort budget.
+    - **approx** (``approx=True``, the 100 TB path): a tiny per-group
+      ``percentile_approx`` threshold aggregate (map-side combined,
+      result is #groups rows), broadcast back, then a STATELESS filter
+      ``score >= threshold``. No per-group sort of the big table at all;
+      row count per group is approximate to the sketch's rank error.
+
+    ``id_col`` is the exact path's deterministic tiebreaker (required
+    there); ignored for approx.
+    """
+    if not 0.0 < fraction <= 1.0:
+        raise ValueError(f"fraction must be in (0,1], got {fraction}")
+    from pyspark.sql.window import Window
+
+    groups = list(group_cols or [])
+    if approx:
+        agg = (df.groupBy(*groups) if groups else df.groupBy()).agg(
+            F.percentile_approx(F.col(score_col), 1.0 - fraction, accuracy).alias(
+                "_thr"
+            )
+        )
+        joined = (
+            df.join(F.broadcast(agg), groups) if groups else df.crossJoin(F.broadcast(agg))
+        )
+        return joined.where(F.col(score_col) >= F.col("_thr")).drop("_thr")
+    if id_col is None:
+        raise ValueError("exact top_fraction needs id_col as a deterministic tiebreaker")
+    part = Window.partitionBy(*groups) if groups else Window.partitionBy(F.lit(1))
+    w = part.orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(part))
+        .where(F.col("_rn") <= F.ceil(F.col("_n") * F.lit(fraction)))
+        .drop("_rn", "_n")
     )
