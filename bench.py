@@ -66,7 +66,12 @@ def main():
     events = tables.materialize(spark, f"{SF_DIR}/events.parquet", f"{work}/events", 32)
     lineitem = tables.materialize(spark, f"{SF_DIR}/lineitem.parquet", f"{work}/lineitem", 32)
     docs_path = f"{SF_DIR}/documents.parquet"
-    docs = tables.load_raw(spark, docs_path)
+    # pipeline ops read the normalized MULTI-FILE copy: the driver
+    # fixture is one parquet file, which would serialize every per-row
+    # text expression into a single task — no real 100 TB table is one
+    # file, so the bench input shouldn't be either
+    docs = tables.materialize(spark, docs_path, f"{work}/documents", CPUS)
+    docs = spark.read.parquet(docs)
     emb = tables.load_raw(spark, f"{SF_DIR}/embeddings.parquet")
     orders = tables.load_sf_table(spark, SF_DIR, "orders")
     customer = tables.load_sf_table(spark, SF_DIR, "customer")

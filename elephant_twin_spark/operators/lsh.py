@@ -41,6 +41,38 @@ from elephant_twin_spark.operators.pipeline import dedup
 from elephant_twin_spark.sources import catalog, fsio
 
 
+def banded_docs(
+    df: DataFrame,
+    text_column: str,
+    id_column: str,
+    num_perm: int,
+    num_bands: int,
+    shingle_k: int,
+    hash_fn: str,
+    file_label: Optional[str] = None,
+) -> DataFrame:
+    """``(id, band, band_hash, file)`` for every document. The source
+    file per row (doc-level join, 1 row/doc against num_bands rows/doc)
+    is what makes the index incrementally refreshable — changed files'
+    rows can be dropped and re-derived without touching the rest.
+    ``file_label`` overrides the provenance for docs that don't come
+    from the source table (streaming-grown rows)."""
+    sigs = dedup.minhash_signatures(
+        df, text_column, id_column,
+        num_perm=num_perm, shingle_k=shingle_k, hash_fn=hash_fn,
+    )
+    bands = dedup.band_table(sigs, num_perm=num_perm, num_bands=num_bands, hash_fn=hash_fn)
+    if file_label is not None:
+        return bands.withColumn("file", F.lit(file_label))
+    doc_files = df.select(
+        F.col(id_column).alias("id"),
+        F.regexp_replace(
+            F.col("_metadata.file_path"), r"^file:/(?=[^/])", "file:///"
+        ).alias("file"),
+    )
+    return bands.join(doc_files, "id")
+
+
 def build_lsh_index(
     spark: SparkSession,
     table_path: str,
@@ -59,10 +91,10 @@ def build_lsh_index(
         raise ValueError(f"num_perm={num_perm} not divisible by num_bands={num_bands}")
     idx_dir = catalog.index_dir(index_root, table_path, text_column, kind="lsh")
     df = spark.read.parquet(table_path)
-    sigs = dedup.minhash_signatures(
-        df, text_column, id_column, num_perm=num_perm, shingle_k=shingle_k, hash_fn=hash_fn
+    bands = banded_docs(
+        df, text_column, id_column,
+        num_perm=num_perm, num_bands=num_bands, shingle_k=shingle_k, hash_fn=hash_fn,
     )
-    bands = dedup.band_table(sigs, num_perm=num_perm, num_bands=num_bands, hash_fn=hash_fn)
     (
         bands.repartitionByRange(num_buckets, "band_hash")
         .sortWithinPartitions("band_hash", "id")
@@ -137,7 +169,7 @@ class LshIndex:
         probe = self._probe_bands(docs, text_col, id_col).withColumnsRenamed(
             {"id": "probe_id"}
         )
-        corpus = self.bands().withColumnsRenamed({"id": "corpus_id"})
+        corpus = self.bands().select(F.col("id").alias("corpus_id"), "band", "band_hash")
         return (
             probe.join(corpus, ["band", "band_hash"])
             .where(F.col("probe_id") != F.col("corpus_id"))
@@ -204,12 +236,20 @@ class LshIndex:
             .withColumn("is_near_dup", F.col("dup_of").isNotNull())
         )
 
-    def append_docs(self, docs: DataFrame, text_col: str, id_col: str) -> None:
+    def append_docs(
+        self, docs: DataFrame, text_col: str, id_col: str, file_label: str = "__grown__"
+    ) -> None:
         """Grow the bucket table with new documents' bands (the
         streaming gate appends each batch's survivors so later batches
-        dedup against them). Appended files keep the (band_hash, id)
-        sort within their own partitions; min/max pruning still applies
-        per file."""
-        self._probe_bands(docs, text_col, id_col).sortWithinPartitions(
-            "band_hash", "id"
-        ).write.mode("append").parquet(f"{self.idx_dir}/bands")
+        dedup against them). Grown rows carry ``file_label`` provenance
+        so a source-table refresh never drops them. Appended files keep
+        the (band_hash, id) sort within their own partitions; min/max
+        pruning still applies per file."""
+        banded_docs(
+            docs, text_col, id_col,
+            num_perm=self.num_perm, num_bands=self.num_bands,
+            shingle_k=self.shingle_k, hash_fn=self.hash_fn,
+            file_label=file_label,
+        ).sortWithinPartitions("band_hash", "id").write.mode("append").parquet(
+            f"{self.idx_dir}/bands"
+        )

@@ -41,7 +41,7 @@ def clean_corpus(
     kept rows. ``cleaned`` is the input restricted to kept ids. Survivor
     choice in both dedup stages is deterministic (min id)."""
     feats = textstats.repetition_ratio(
-        textstats.lang_id(df, text_col), text_col, out_col="_rep"
+        textstats.lang_id(dedup._fan_out(df), text_col), text_col, out_col="_rep"
     ).select(
         F.col(id_col).alias("id"),
         F.col(text_col).alias("_text"),

@@ -380,6 +380,77 @@ def stream_index_updates(
     return writer.start()
 
 
+def refresh_lsh_index(
+    spark: SparkSession,
+    table_path: str,
+    text_column: str,
+    index_root: str,
+) -> dict:
+    """Incremental LSH maintenance: changed/removed source files' band
+    rows are dropped, new/changed files' docs re-banded with the
+    descriptor's frozen parameters and merged in one rewrite.
+    Streaming-grown rows (``file='__grown__'``, appended by the ingest
+    gate) are never dropped — they have no source file to go stale."""
+    from elephant_twin_spark.operators import lsh as lsh_mod
+
+    idx_dir = catalog.index_dir(index_root, table_path, text_column, kind="lsh")
+    desc = catalog.read_descriptor(spark, idx_dir)
+    if desc is None:
+        raise FileNotFoundError(f"no LSH index at {idx_dir}; build_lsh_index first")
+
+    live = fsio.list_data_files(spark, table_path)
+    live_paths = {p for p, _, _ in live}
+    fresh = desc.fresh_files(live)
+    new_or_changed = sorted(live_paths - fresh)
+    removed = sorted(set(desc.files) - live_paths)
+    if not new_or_changed and not removed:
+        return {"mode": "noop", "files_indexed": 0}
+
+    o = desc.options
+    data_dir = f"{idx_dir}/bands"
+    dropped = list(set(new_or_changed) | set(removed))
+    kept = spark.read.parquet(data_dir).where(~F.col("file").isin(dropped))
+    merged = kept
+    if new_or_changed:
+        delta = lsh_mod.banded_docs(
+            spark.read.parquet(*new_or_changed),
+            desc.column,
+            o["id_column"],
+            num_perm=int(o["num_perm"]),
+            num_bands=int(o["num_bands"]),
+            shingle_k=int(o["shingle_k"]),
+            hash_fn=o["hash_fn"],
+        )
+        merged = kept.unionByName(delta)
+
+    tmp_dir = f"{idx_dir}/bands_tmp"
+    (
+        merged.repartitionByRange(desc.num_buckets, "band_hash")
+        .sortWithinPartitions("band_hash", "id")
+        .write.mode("overwrite")
+        .parquet(tmp_dir)
+    )
+    fsio.delete(spark, data_dir)
+    fs, _, _ = fsio._fs_and_path(spark, idx_dir)
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+    fs.rename(jvm_path(tmp_dir), jvm_path(data_dir))
+
+    new_desc = catalog.make_descriptor(
+        source_path=table_path,
+        column=text_column,
+        index_type="LSH",
+        num_buckets=desc.num_buckets,
+        files=live,
+        options=desc.options,
+    )
+    catalog.write_descriptor(spark, idx_dir, new_desc)
+    return {
+        "mode": "incremental",
+        "files_indexed": len(new_or_changed),
+        "files_removed": len(removed),
+    }
+
+
 def refresh_ann_index(
     spark: SparkSession,
     table_path: str,

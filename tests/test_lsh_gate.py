@@ -128,6 +128,44 @@ def test_streaming_gate_dedups_across_batches(spark, workdir):
     assert rej[400] == 300 and rej[401] == 1
 
 
+def test_refresh_lsh_index_incremental(spark, workdir):
+    """New source file → its docs become gate-visible after refresh;
+    streaming-grown rows survive the refresh."""
+    from elephant_twin_spark.streaming.refresh import refresh_lsh_index
+
+    corpus_path = f"{workdir}/lsh_rf_corpus"
+    _corpus(spark).write.mode("overwrite").parquet(corpus_path)
+    eng = Engine(spark, f"{workdir}/lsh_rf_root")
+    eng.build_lsh_index(corpus_path, "text", "doc_id", **PARAMS)
+    idx = eng.lsh_index(corpus_path, "text")
+
+    grown_text = "streaming grown survivor text about broadcast thresholds"
+    idx.append_docs(
+        spark.createDataFrame([Row(doc_id=500, text=grown_text)]), "text", "doc_id"
+    )
+
+    late_text = "watermark driven state eviction bounds the streaming store"
+    spark.createDataFrame([Row(doc_id=4, text=late_text)]).write.mode("append").parquet(
+        corpus_path
+    )
+    assert idx.stale_files() != []
+    res = refresh_lsh_index(spark, corpus_path, "text", f"{workdir}/lsh_rf_root")
+    assert res["mode"] == "incremental" and res["files_indexed"] >= 1
+
+    idx2 = eng.lsh_index(corpus_path, "text")
+    assert idx2.stale_files() == []
+    # grown row still present after rewrite
+    assert idx2.bands().where(F.col("file") == "__grown__").count() == PARAMS["num_bands"]
+    # a near-dup of the late-arriving doc is now flagged
+    probe = spark.createDataFrame(
+        [Row(doc_id=600, text=late_text.replace("bounds", "caps"))]
+    )
+    row = idx2.gate(probe, "text", "doc_id", threshold=0.5).collect()[0]
+    assert row["is_near_dup"] and row["dup_of"] == 4
+    # noop on second call
+    assert refresh_lsh_index(spark, corpus_path, "text", f"{workdir}/lsh_rf_root")["mode"] == "noop"
+
+
 def test_top_fraction_exact_and_approx(spark):
     rows = [
         Row(grp="a", id=i, score=float(i)) for i in range(10)
