@@ -38,6 +38,7 @@ from elephant_twin_spark.operators.pipeline import (
     profile,
     similarity,
     textstats,
+    vocab,
 )
 from elephant_twin_spark.sources import catalog, fsio, tables
 
@@ -1381,6 +1382,48 @@ def _q_lsh_gate(spark, sf_dir):
     return out.select("doc_id", "is_near_dup", "dup_of")
 
 
+def _q_vocab_top100(spark, sf_dir):
+    """Top-100 vocabulary with dense deterministic ids (cnt desc, token
+    asc); TakeOrdered cut, id window over the 100 survivors only."""
+    docs = _state(spark, sf_dir).raw("documents")
+    return vocab.build_vocab(docs, "text", vocab_size=100)
+
+
+def _q_doc_token_ids(spark, sf_dir):
+    """Documents encoded to token-id sequences against the top-20 vocab
+    (OOV → -1), order preserved through posexplode + broadcast join."""
+    docs = _state(spark, sf_dir).raw("documents")
+    v = vocab.build_vocab(docs, "text", vocab_size=20)
+    enc = vocab.encode_docs(docs, "text", "doc_id", v)
+    return enc.select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            ",", F.transform("token_ids", lambda x: x.cast("string"))
+        ).alias("token_ids"),
+    )
+
+
+def _q_oov_stats(spark, sf_dir):
+    docs = _state(spark, sf_dir).raw("documents")
+    v = vocab.build_vocab(docs, "text", vocab_size=20)
+    st = vocab.oov_stats(docs, "text", "doc_id", v)
+    return st.select(
+        F.col("id").alias("doc_id"),
+        "n_tokens",
+        "n_oov",
+        F.round("oov_rate", 6).alias("oov_rate"),
+    )
+
+
+def _q_weighted_sample(spark, sf_dir):
+    """Efraimidis–Spirakis weighted sample (50 per language, weight =
+    doc length) — seeded-md5 exponential draws, engine-independent."""
+    docs = _state(spark, sf_dir).raw("documents")
+    w = docs.withColumn("w", F.col("n_chars").cast("double"))
+    out = textstats.weighted_take(w, "w", 50, "doc_id", group_cols=["lang"])
+    return out.select("doc_id", "lang")
+
+
 # ---- rows-only entries (no ANSI-SQL oracle: engine-specific hashing or
 # ---- approximate algorithms; driver records the weaker rows-only check)
 
@@ -1618,6 +1661,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "error_window_counts": _q_error_window_counts,
         "quality_top_fraction": _q_quality_top_fraction,
         "lsh_gate": _q_lsh_gate,
+        "vocab_top100": _q_vocab_top100,
+        "doc_token_ids": _q_doc_token_ids,
+        "oov_stats": _q_oov_stats,
+        "weighted_sample": _q_weighted_sample,
         # rows-only (no SQL oracle): engine-specific hashes / approximate ops
         "simhash_docs": _q_simhash_docs,
         "winnowing_fingerprints": _q_winnowing_fps,
@@ -1844,6 +1891,73 @@ def oracle_sql() -> dict[str, str]:
                    min(md5('3|' || tok)) AS mh3
             FROM (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents)
             GROUP BY doc_id
+        """,
+        "vocab_top100": f"""
+            WITH c AS (
+                SELECT tok AS token, count(*) AS cnt
+                FROM (SELECT unnest({_TOKS}) AS tok FROM documents)
+                GROUP BY tok
+            ),
+            t AS (SELECT token, cnt FROM c ORDER BY cnt DESC, token ASC LIMIT 100)
+            SELECT token, cnt,
+                   CAST(row_number() OVER (ORDER BY cnt DESC, token ASC) - 1 AS INT)
+                     AS token_id
+            FROM t
+        """,
+        "doc_token_ids": f"""
+            WITH c AS (
+                SELECT tok AS token, count(*) AS cnt
+                FROM (SELECT unnest({_TOKS}) AS tok FROM documents)
+                GROUP BY tok
+            ),
+            t AS (SELECT token, cnt FROM c ORDER BY cnt DESC, token ASC LIMIT 20),
+            v AS (SELECT token,
+                         CAST(row_number() OVER (ORDER BY cnt DESC, token ASC) - 1 AS INT)
+                           AS token_id
+                  FROM t),
+            e AS (
+                SELECT doc_id, unnest({_TOKS}) AS tok,
+                       generate_subscripts({_TOKS}, 1) AS pos
+                FROM documents
+            )
+            SELECT e.doc_id,
+                   array_to_string(
+                       list(CAST(coalesce(v.token_id, -1) AS VARCHAR) ORDER BY e.pos),
+                       ',') AS token_ids
+            FROM e LEFT JOIN v ON v.token = e.tok
+            GROUP BY e.doc_id
+        """,
+        "oov_stats": f"""
+            WITH c AS (
+                SELECT tok AS token, count(*) AS cnt
+                FROM (SELECT unnest({_TOKS}) AS tok FROM documents)
+                GROUP BY tok
+            ),
+            t AS (SELECT token, cnt FROM c ORDER BY cnt DESC, token ASC LIMIT 20),
+            e AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents)
+            SELECT e.doc_id,
+                   count(*) AS n_tokens,
+                   sum(CASE WHEN t.token IS NULL THEN 1 ELSE 0 END) AS n_oov,
+                   round(sum(CASE WHEN t.token IS NULL THEN 1 ELSE 0 END)
+                         / count(*), 6) AS oov_rate
+            FROM e LEFT JOIN t ON t.token = e.tok
+            GROUP BY e.doc_id
+        """,
+        "weighted_sample": """
+            WITH w AS (
+                SELECT doc_id, lang, CAST(n_chars AS DOUBLE) AS wt,
+                       -ln((CAST(CAST(concat('0x',
+                              substring(md5(concat(CAST(doc_id AS VARCHAR), ':42')), 1, 15))
+                            AS BIGINT) AS DOUBLE) + 1.0) / 1152921504606846977.0)
+                         / CAST(n_chars AS DOUBLE) AS k
+                FROM documents
+                WHERE n_chars IS NOT NULL AND n_chars > 0
+            ),
+            r AS (SELECT doc_id, lang,
+                         row_number() OVER (PARTITION BY lang ORDER BY k ASC, doc_id ASC)
+                           AS rn
+                  FROM w)
+            SELECT doc_id, lang FROM r WHERE rn <= 50
         """,
         "quality_top_fraction": f"""
             WITH q AS (

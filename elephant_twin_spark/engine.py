@@ -87,7 +87,7 @@ class Engine:
 
     def list_indexes(self, table_path: str) -> List[Dict]:
         out = []
-        for kind in ("block", "bloom", "zone", "text", "ivf"):
+        for kind in ("block", "bloom", "zone", "text", "ivf", "lsh"):
             base = f"{self.index_root}/{catalog.table_id(table_path)}/{kind}"
             if not fsio.exists(self.spark, base):
                 continue
@@ -105,7 +105,7 @@ class Engine:
         live = fsio.list_data_files(self.spark, table_path)
         live_paths = {p for p, _, _ in live}
         out = []
-        for kind in ("block", "bloom", "zone", "text", "ivf"):
+        for kind in ("block", "bloom", "zone", "text", "ivf", "lsh"):
             base = f"{self.index_root}/{catalog.table_id(table_path)}/{kind}"
             if not fsio.exists(self.spark, base):
                 continue

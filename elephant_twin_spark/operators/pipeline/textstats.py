@@ -216,6 +216,46 @@ def stratified_take(
     )
 
 
+def weighted_take(
+    df: DataFrame,
+    weight_col: str,
+    n: int,
+    id_col: str,
+    group_cols: Optional[List[str]] = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis–Spirakis A-ES): keep the ``n`` rows per group with the
+    smallest exponential draw ``-ln(u)/w``, where ``u`` is a
+    seeded-md5 uniform per row — inclusion probability proportional to
+    ``weight_col``, reproducible anywhere (the draw depends only on
+    (id, seed), never on partitioning or an engine RNG).
+
+    The training-data use: importance-sample a corpus by quality score
+    or domain weight while keeping the selection auditable. Rows with
+    null/non-positive weight are excluded. One window shuffle; for the
+    ungrouped case the sort is a top-n heap per partition via the
+    rank filter, still bounded by n.
+    """
+    from pyspark.sql.window import Window
+
+    groups = list(group_cols or [])
+    # u in (0,1]: (int(md5[:15]) + 1) / (16^15 + 1) — never 0, so ln is safe
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}")))
+    u = (F.conv(F.substring(h, 1, 15), 16, 10).cast("double") + F.lit(1.0)) / F.lit(
+        float(16**15) + 1.0
+    )
+    key = -F.log(u) / F.col(weight_col)
+    part = Window.partitionBy(*groups) if groups else Window.partitionBy(F.lit(1))
+    w = part.orderBy(key.asc(), F.col(id_col).asc())
+    return (
+        df.where(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("_wrn", F.row_number().over(w))
+        .where(F.col("_wrn") <= n)
+        .drop("_wrn")
+    )
+
+
 def top_fraction(
     df: DataFrame,
     score_col: str,

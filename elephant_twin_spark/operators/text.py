@@ -157,7 +157,9 @@ def build_text_index(
     doclens.coalesce(max(1, num_buckets // 4)).write.mode("overwrite").parquet(
         f"{idx_dir}/doclens"
     )
-    stats = doclens.agg(
+    # corpus stats from the just-written table, not the doclens lineage:
+    # re-evaluating the lineage would re-tokenize the whole corpus
+    stats = spark.read.parquet(f"{idx_dir}/doclens").agg(
         F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
     ).first()
     files = fsio.list_data_files(spark, table_path)

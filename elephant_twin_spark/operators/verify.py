@@ -152,7 +152,37 @@ def verify_all(spark: SparkSession, table_path: str, index_root: str, engine) ->
             out[(kind, column)] = ann_violations(
                 spark, table_path, column, index_root
             ).count()
+        elif kind == "lsh":
+            out[(kind, column)] = lsh_violations(
+                spark, table_path, column, index_root
+            ).count()
     return out
+
+
+def lsh_violations(
+    spark: SparkSession, table_path: str, text_column: str, index_root: str
+) -> DataFrame:
+    """LSH soundness: every corpus document must have ALL its band rows
+    in the bucket table (a missing row is a potential missed near-dup —
+    the gate's no-false-negative contract for exact duplicates). Bands
+    are re-derived with the descriptor's frozen parameters and
+    anti-joined against the stored table; returns missing rows — empty
+    when sound. Streaming-grown rows are extra, never violations."""
+    from elephant_twin_spark.operators import lsh as lsh_mod
+
+    idx = lsh_mod.LshIndex(spark, table_path, text_column, index_root)
+    expected = lsh_mod.banded_docs(
+        spark.read.parquet(table_path),
+        text_column,
+        idx.id_column,
+        num_perm=idx.num_perm,
+        num_bands=idx.num_bands,
+        shingle_k=idx.shingle_k,
+        hash_fn=idx.hash_fn,
+        file_label="_expected",
+    ).drop("file")
+    stored = idx.bands().select("id", "band", "band_hash")
+    return expected.join(stored, ["id", "band", "band_hash"], "left_anti")
 
 
 def ann_violations(

@@ -166,6 +166,17 @@ def test_refresh_lsh_index_incremental(spark, workdir):
     assert refresh_lsh_index(spark, corpus_path, "text", f"{workdir}/lsh_rf_root")["mode"] == "noop"
 
 
+def test_verify_all_includes_lsh(spark, lsh_setup):
+    eng, corpus_path = lsh_setup
+    res = eng.verify_all(corpus_path)
+    assert res[("lsh", "text")] == 0
+    kinds = {k for k, _ in res}
+    assert "lsh" in kinds
+    # stats surfaces the lsh kind too
+    st = [s for s in eng.stats(corpus_path) if s["kind"] == "lsh"]
+    assert st and st[0]["column"] == "text" and st[0]["stale_or_new_files"] == 0
+
+
 def test_top_fraction_exact_and_approx(spark):
     rows = [
         Row(grp="a", id=i, score=float(i)) for i in range(10)
