@@ -70,8 +70,8 @@ def main():
     # fixture is one parquet file, which would serialize every per-row
     # text expression into a single task — no real 100 TB table is one
     # file, so the bench input shouldn't be either
-    docs = tables.materialize(spark, docs_path, f"{work}/documents", CPUS)
-    docs = spark.read.parquet(docs)
+    docs_multi = tables.materialize(spark, docs_path, f"{work}/documents", CPUS)
+    docs = spark.read.parquet(docs_multi)
     emb = tables.load_raw(spark, f"{SF_DIR}/embeddings.parquet")
     orders = tables.load_sf_table(spark, SF_DIR, "orders")
     customer = tables.load_sf_table(spark, SF_DIR, "customer")
@@ -173,6 +173,36 @@ def main():
         lambda: mixture.mixture_resample(
             docs, "lang", {"en": 0.5, "de": 0.15, "es": 0.15, "fr": 0.1, "zh": 0.1},
             "doc_id",
+        ).count()
+    )
+    # ---- training-data ops: persisted near-dup gate, vocab, sampling
+    from elephant_twin_spark.operators.pipeline import vocab as vocab_mod
+
+    timed("build_lsh_index_docs")(
+        lambda: eng.build_lsh_index(docs_multi, "text", "doc_id", num_perm=16, num_bands=4)
+    )
+    lsh_idx = eng.lsh_index(docs_multi, "text")
+    probe_docs = docs.limit(500).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" probe")).alias("text"),
+    )
+    timed("q_lsh_gate")(
+        lambda: lsh_idx.gate(probe_docs, "text", "doc_id", threshold=0.6)
+        .where("is_near_dup").count()
+    )
+    timed("q_vocab_build")(
+        lambda: vocab_mod.build_vocab(docs, "text", vocab_size=50000).count()
+    )
+    timed("q_weighted_sample")(
+        lambda: textstats.weighted_take(
+            docs.withColumn("w", F.col("n_chars").cast("double")),
+            "w", 1000, "doc_id", group_cols=["lang"],
+        ).count()
+    )
+    timed("q_quality_top_fraction")(
+        lambda: textstats.top_fraction(
+            textstats.quality_score(docs, "text"), "quality_score", 0.3,
+            group_cols=["source"], approx=True,
         ).count()
     )
 
