@@ -1415,6 +1415,25 @@ def _q_oov_stats(spark, sf_dir):
     )
 
 
+def _q_temperature_weights(spark, sf_dir):
+    """Temperature-flattened mixture weights (alpha=0.5) — the
+    multilingual up/down-sampling rule, one tiny count aggregate."""
+    docs = _state(spark, sf_dir).raw("documents")
+    w = mixture.temperature_weights(docs, "lang", alpha=0.5)
+    return spark.createDataFrame(
+        sorted(w.items()), "lang string, weight double"
+    ).select("lang", F.round("weight", 6).alias("weight"))
+
+
+def _q_normalized_docs(spark, sf_dir):
+    """Canonical text normalization (control chars, whitespace runs,
+    case) — pure JVM regexp chain, engine-independent output."""
+    docs = _state(spark, sf_dir).raw("documents")
+    return docs.select(
+        "doc_id", textstats.normalize_text(F.col("text")).alias("norm_text")
+    )
+
+
 def _q_weighted_sample(spark, sf_dir):
     """Efraimidis–Spirakis weighted sample (50 per language, weight =
     doc length) — seeded-md5 exponential draws, engine-independent."""
@@ -1665,6 +1684,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_ids": _q_doc_token_ids,
         "oov_stats": _q_oov_stats,
         "weighted_sample": _q_weighted_sample,
+        "temperature_weights": _q_temperature_weights,
+        "normalized_docs": _q_normalized_docs,
         # rows-only (no SQL oracle): engine-specific hashes / approximate ops
         "simhash_docs": _q_simhash_docs,
         "winnowing_fingerprints": _q_winnowing_fps,
@@ -1942,6 +1963,18 @@ def oracle_sql() -> dict[str, str]:
                          / count(*), 6) AS oov_rate
             FROM e LEFT JOIN t ON t.token = e.tok
             GROUP BY e.doc_id
+        """,
+        "temperature_weights": """
+            WITH n AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+            w AS (SELECT lang, pow(n, 0.5) AS wt FROM n)
+            SELECT lang, round(wt / (SELECT sum(wt) FROM w), 6) AS weight FROM w
+        """,
+        "normalized_docs": """
+            SELECT doc_id,
+                   lower(trim(regexp_replace(
+                       regexp_replace(text, '[\\x00-\\x1f\\x7f]', ' ', 'g'),
+                       '\\s+', ' ', 'g'))) AS norm_text
+            FROM documents
         """,
         "weighted_sample": """
             WITH w AS (

@@ -280,3 +280,11 @@ class Engine:
         from elephant_twin_spark.operators import lsh as lsh_mod
 
         return lsh_mod.LshIndex(self.spark, table_path, text_column, self.index_root)
+
+    # ----------------------------------------------------------- advisor
+    def advise_indexes(self, table_path: str, predicates) -> List[Dict]:
+        """Recommend (column → index kind) for a predicate workload —
+        the M4 negotiation contract turned proactive. One profiling scan."""
+        from elephant_twin_spark.operators import advisor as advisor_mod
+
+        return advisor_mod.advise_indexes(self.spark, table_path, predicates)

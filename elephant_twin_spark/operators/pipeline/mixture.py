@@ -56,6 +56,26 @@ def keep_counts(
     return {g: int(alpha * w) for g, w in weights.items()}
 
 
+def temperature_weights(
+    df: DataFrame, group_col: str, alpha: float = 0.5
+) -> Dict[str, float]:
+    """Temperature-scaled mixture weights ``w_g ∝ n_g^alpha`` (the
+    multilingual-LM up/down-sampling rule: alpha=1 keeps the natural
+    distribution, alpha=0 equalizes groups, 0<alpha<1 flattens the head
+    without starving the tail). Normalized to sum 1; computed from one
+    tiny count aggregate (#groups rows collected)."""
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0,1], got {alpha}")
+    counts = {
+        r["g"]: r["n"]
+        for r in df.groupBy(F.col(group_col).alias("g")).agg(F.count("*").alias("n"))
+        .collect()
+    }
+    raw = {g: float(n) ** alpha for g, n in counts.items()}
+    total = sum(raw.values()) or 1.0
+    return {g: w / total for g, w in raw.items()}
+
+
 def mixture_resample(
     df: DataFrame,
     group_col: str,

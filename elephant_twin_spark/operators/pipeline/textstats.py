@@ -216,6 +216,77 @@ def stratified_take(
     )
 
 
+def normalize_text(text: Column, lowercase: bool = True) -> Column:
+    """Canonical text cleanup before hashing/dedup/tokenizing: control
+    characters → space, whitespace runs collapsed to one space, trimmed,
+    optionally lowercased. Pure JVM regexp chain (codegen, restatable in
+    ANSI SQL), so normalized-content signatures are engine-independent."""
+    t = F.regexp_replace(text, "[\\x00-\\x1F\\x7F]", " ")
+    t = F.trim(F.regexp_replace(t, "\\s+", " "))
+    return F.lower(t) if lowercase else t
+
+
+def quality_thresholds(
+    df: DataFrame,
+    score_col: str,
+    fraction: float,
+    group_cols: Optional[List[str]] = None,
+    accuracy: int = 10000,
+) -> Dict:
+    """Per-group score cutoffs for keeping the top ``fraction`` —
+    computed ONCE on a static snapshot (``percentile_approx``, #groups
+    rows collected), then applied statelessly by
+    :func:`apply_score_gate`. The same split as
+    ``mixture.sample_rates``/``hash_sample``: aggregate on a reference
+    snapshot, filter anywhere — including a streaming DataFrame, where
+    the per-row decision needs no aggregation state and the kept set is
+    identical batch or stream. Keys are group values (tuples for
+    multi-column groups, the value itself for one column, None for
+    ungrouped)."""
+    if not 0.0 < fraction <= 1.0:
+        raise ValueError(f"fraction must be in (0,1], got {fraction}")
+    groups = list(group_cols or [])
+    agg = (df.groupBy(*groups) if groups else df.groupBy()).agg(
+        F.percentile_approx(F.col(score_col), 1.0 - fraction, accuracy).alias("_thr")
+    )
+    rows = agg.collect()
+    if not groups:
+        return {None: rows[0]["_thr"]}
+    if len(groups) == 1:
+        return {r[groups[0]]: r["_thr"] for r in rows}
+    return {tuple(r[g] for g in groups): r["_thr"] for r in rows}
+
+
+def apply_score_gate(
+    df: DataFrame,
+    score_col: str,
+    thresholds: Dict,
+    group_cols: Optional[List[str]] = None,
+) -> DataFrame:
+    """Stateless application of :func:`quality_thresholds` cutoffs:
+    keep rows with ``score >= threshold(group)``. Pure per-row decision
+    (broadcast join against the tiny threshold table; plain filter when
+    ungrouped) — safe on batch and streaming frames alike. Groups
+    without a threshold are dropped (no cutoff → not accepted)."""
+    groups = list(group_cols or [])
+    if not groups:
+        return df.where(F.col(score_col) >= F.lit(thresholds[None]))
+    spark = df.sparkSession
+    rows = [
+        (k if isinstance(k, tuple) else (k,)) + (float(v),)
+        for k, v in thresholds.items()
+    ]
+    schema = df.select(*groups).schema
+    tdf = spark.createDataFrame(
+        rows, schema.add("_thr", "double", False)
+    )
+    return (
+        df.join(F.broadcast(tdf), groups)
+        .where(F.col(score_col) >= F.col("_thr"))
+        .drop("_thr")
+    )
+
+
 def weighted_take(
     df: DataFrame,
     weight_col: str,
