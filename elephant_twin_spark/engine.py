@@ -281,6 +281,15 @@ class Engine:
 
         return lsh_mod.LshIndex(self.spark, table_path, text_column, self.index_root)
 
+    # ------------------------------------------------------------ ingest
+    def ingest(self, src_path: str, fmt: str, dst_path: str, **kw) -> str:
+        """Foreign format (csv/json/text/orc/any datasource) → normalized
+        parquet table, ready for indexing — the S1 plugability surface,
+        paid once at ingest instead of on every scan."""
+        from elephant_twin_spark.sources import ingest as ingest_mod
+
+        return ingest_mod.ingest(self.spark, src_path, fmt, dst_path, **kw)
+
     # ----------------------------------------------------------- advisor
     def advise_indexes(self, table_path: str, predicates) -> List[Dict]:
         """Recommend (column → index kind) for a predicate workload —
