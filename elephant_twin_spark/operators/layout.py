@@ -75,6 +75,39 @@ def cluster_table(
     return dst_path
 
 
+def overwrite_partitions(
+    spark: SparkSession,
+    df,
+    dst_path: str,
+    partition_cols: Sequence[str],
+    files_per_partition: Optional[int] = None,
+) -> None:
+    """Backfill: replace ONLY the Hive partitions present in ``df``,
+    leaving every other partition untouched (dynamic partition
+    overwrite). The standard correction flow at scale — recompute one
+    bad day and swap it in without rewriting the table or breaking
+    readers of other partitions.
+
+    ``files_per_partition`` controls output layout: repartitioning by
+    the partition columns (+ optional file count) avoids the classic
+    dynamic-overwrite failure of every input task writing a sliver into
+    every output partition."""
+    cols = [F.col(c) for c in partition_cols]
+    if files_per_partition and files_per_partition > 1:
+        # deterministic row-content salt: up to k writer tasks per
+        # partition value, without rand() (re-runs produce identical files)
+        salt = F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(files_per_partition))
+        out = df.repartition(*cols, salt)
+    else:
+        out = df.repartition(*cols)
+    (
+        out.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_cols)
+        .parquet(dst_path)
+    )
+
+
 def _interleave_bits(buckets: Sequence, bits: int):
     """Z-value: interleave ``bits`` low bits of each bucket column —
     bit i of column j lands at position i*ncols + j. Pure Column

@@ -1,0 +1,71 @@
+"""Dataset releases (manifest snapshots) and partition backfill."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from elephant_twin_spark.operators import layout
+from elephant_twin_spark.operators.pipeline import release
+
+
+def _df(spark, n=20, tag="x"):
+    return spark.createDataFrame([Row(id=i, tag=tag, val=float(i)) for i in range(n)])
+
+
+def test_publish_read_verify_release(spark, workdir):
+    root = f"{workdir}/rel"
+    m1 = release.publish_release(spark, _df(spark, 20), root, 1, num_files=2)
+    assert m1["n_rows"] == 20 and m1["n_files"] == 2
+    assert release.latest_version(spark, root) == 1
+    assert release.read_release(spark, root).count() == 20
+    assert release.verify_release(spark, root, 1) == []
+
+    m2 = release.publish_release(spark, _df(spark, 30, "y"), root, 2)
+    d = release.diff_manifests(m1, m2)
+    assert d["rows"] == 10 and not d["schema_changed"]
+    assert release.read_release(spark, root).count() == 30      # latest
+    assert release.read_release(spark, root, 1).count() == 20   # pinned
+
+
+def test_release_immutable_and_drift_detection(spark, workdir):
+    import glob, os
+
+    root = f"{workdir}/rel2"
+    release.publish_release(spark, _df(spark, 10), root, 1)
+    with pytest.raises(FileExistsError):
+        release.publish_release(spark, _df(spark, 10), root, 1)
+    # tamper: remove one data file -> verify reports it
+    victim = glob.glob(f"{root}/v1/data/part-*.parquet")[0]
+    os.remove(victim)
+    os.remove(f"{victim}.crc") if os.path.exists(f"{victim}.crc") else None
+    viols = release.verify_release(spark, root, 1)
+    assert viols and "missing file" in viols[0]
+
+
+def test_release_content_hash(spark, workdir):
+    root = f"{workdir}/rel3"
+    m = release.publish_release(spark, _df(spark, 15), root, 1, content_hash=True)
+    assert m["content_hash"].isdigit()
+    # same rows, different file layout -> same content hash
+    m2 = release.publish_release(
+        spark, _df(spark, 15).repartition(5), f"{workdir}/rel3b", 1,
+        num_files=3, content_hash=True,
+    )
+    assert m2["content_hash"] == m["content_hash"]
+
+
+def test_overwrite_partitions_backfill(spark, workdir):
+    dst = f"{workdir}/bf_tbl"
+    base = spark.createDataFrame(
+        [Row(id=i, day=f"2024-01-{d:02d}", v=1) for d in (1, 2, 3) for i in range(10)]
+    )
+    layout.overwrite_partitions(spark, base, dst, ["day"])
+    assert spark.read.parquet(dst).count() == 30
+
+    # recompute day 2 only (different values, fewer rows)
+    fix = spark.createDataFrame([Row(id=i, day="2024-01-02", v=9) for i in range(4)])
+    layout.overwrite_partitions(spark, fix, dst, ["day"], files_per_partition=2)
+    out = spark.read.parquet(dst)
+    assert out.count() == 24  # 10 + 4 + 10
+    assert out.where("day = '2024-01-02'").agg(F.min("v")).first()[0] == 9
+    assert out.where("day = '2024-01-01'").agg(F.max("v")).first()[0] == 1
