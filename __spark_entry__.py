@@ -1353,6 +1353,16 @@ def _q_time_rollup(spark, sf_dir):
     )
 
 
+def _q_idx_count_only(spark, sf_dir):
+    """Covering-index COUNT: answered from the postings' per-file counts
+    with ZERO data files opened (A2 as an index-only aggregate)."""
+    st = _state(spark, sf_dir)
+    tbl = st.indexed_events()
+    n = st.engine.count(tbl, col("event_type") == "click")
+    assert st.engine.last_metrics.scanned_files == 0
+    return spark.createDataFrame([(n,)], "cnt bigint")
+
+
 def _q_quality_top_fraction(spark, sf_dir):
     """Percent-rank quality gate: best 30% of each source by quality
     score (exact path: row_number vs group count, id tiebreak)."""
@@ -1680,6 +1690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "error_window_counts": _q_error_window_counts,
         "quality_top_fraction": _q_quality_top_fraction,
         "lsh_gate": _q_lsh_gate,
+        "idx_count_only": _q_idx_count_only,
         "vocab_top100": _q_vocab_top100,
         "doc_token_ids": _q_doc_token_ids,
         "oov_stats": _q_oov_stats,
@@ -1912,6 +1923,9 @@ def oracle_sql() -> dict[str, str]:
                    min(md5('3|' || tok)) AS mh3
             FROM (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents)
             GROUP BY doc_id
+        """,
+        "idx_count_only": """
+            SELECT count(*) AS cnt FROM events WHERE event_type = 'click'
         """,
         "vocab_top100": f"""
             WITH c AS (

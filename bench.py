@@ -94,6 +94,7 @@ def main():
         ).count()
     )
     timed("q_verify_per_key")(lambda: eng.assert_index_consistent(events, "event_type"))
+    timed("q_idx_count_only")(lambda: eng.count(events, col("event_type") == "click"))
 
     # ---- text search
     ti = eng.text_index(docs_path, "text")

@@ -146,6 +146,18 @@ class Engine:
             self.spark, table_path, predicate, self.index_root, metrics=self.last_metrics
         )
 
+    def count(self, table_path: str, predicate) -> int:
+        """Index-only COUNT for equality/IN predicates on block-indexed
+        columns (postings already store exact per-file counts — zero data
+        files read); anything else falls back to ``query(...).count()``.
+        Always equals the full-scan answer."""
+        if isinstance(predicate, str):
+            predicate = E.parse_predicate(predicate)
+        self.last_metrics = scan_mod.ScanMetrics()
+        return scan_mod.count(
+            self.spark, table_path, predicate, self.index_root, metrics=self.last_metrics
+        )
+
     def sql(self, statement: str) -> DataFrame:
         """SQL front door over index-accelerated scans — the analog of the
         reference's external-engine entry point (Pig in entry point A,

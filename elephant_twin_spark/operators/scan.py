@@ -371,3 +371,85 @@ def query(
         return spark.read.parquet(table_path).where(F.lit(False))
 
     return spark.read.parquet(*files).where(full_filter)
+
+
+def _eq_disjunction(e: E.Expr):
+    """``col = v`` / ``col IN (...)`` shape detector: returns
+    ``(column, {keys})`` when the tree is an OR-chain of Eq leaves on ONE
+    column (disjoint keys → countable by postings sum), else None."""
+    if isinstance(e, E.Eq):
+        return e.column, {e.key}
+    if isinstance(e, E.Or):
+        l, r = _eq_disjunction(e.left), _eq_disjunction(e.right)
+        if l and r and l[0] == r[0]:
+            return l[0], l[1] | r[1]
+    return None
+
+
+def count(
+    spark: SparkSession,
+    table_path: str,
+    predicate: E.Expr,
+    index_root: str,
+    metrics: Optional[ScanMetrics] = None,
+) -> int:
+    """Index-ONLY ``SELECT count(*) WHERE predicate`` when the predicate
+    is an equality (or same-column IN/OR-of-equalities) on a block-indexed
+    column: the postings table already stores the exact per-(key, file)
+    row count (A2), so the answer is a sum over the tiny index — ZERO
+    data files opened. A covering-index count, the set-based upgrade of
+    the reference's one-scan-per-key verification counts
+    (`core/retrieval/ScanUsingIndexJob.java:45-59`).
+
+    Files not covered by a fresh index entry (stale/new — reference case
+    (a)) are counted by actually reading just those files with the full
+    predicate, so the result always equals ``query(...).count()``. Any
+    other predicate shape falls back to exactly that.
+    """
+    predicate = E._coerce(predicate)
+    m = metrics if metrics is not None else ScanMetrics()
+    shape = _eq_disjunction(predicate)
+    if shape is None:
+        return query(spark, table_path, predicate, index_root, metrics=m).count()
+    column, keys = shape
+
+    live = fsio.list_data_files(spark, table_path)
+    indexes = _load_indexes(spark, table_path, index_root, live, kind="block")
+    idx = indexes.get(column)
+    if idx is None:  # bloom/zone can't count (false positives / ranges)
+        return query(spark, table_path, predicate, index_root, metrics=m).count()
+
+    m.total_files = len(live)
+    m.total_bytes = sum(s for _, s, _ in live)
+    m.pushed = f"count-only {column} IN {sorted(keys)}"
+    per_file = (
+        build_mod.read_postings(spark, idx.idx_dir)
+        .where(F.col("key").isin(sorted(keys)))
+        .groupBy("file")
+        .agg(F.sum("cnt").alias("cnt"))
+        .collect()
+    )
+    total = sum(
+        r["cnt"] for r in per_file if fsio.normalize_path(r["file"]) in idx.fresh
+    )
+    m.stale_files = len(idx.not_covered)
+    m.scanned_files = 0
+    m.scanned_bytes = 0
+    if idx.not_covered:
+        # reference case (a): stale/new files are counted the honest way
+        sizes = {p: s for p, s, _ in live}
+        residual_files = sorted(idx.not_covered)
+        m.scanned_files = len(residual_files)
+        m.scanned_bytes = sum(sizes[f] for f in residual_files)
+
+        def _resolve(name: str) -> F.Column:
+            if idx.desc.options.get("key_expr") and name == column:
+                return F.expr(idx.desc.options["key_expr"])
+            return F.col(name)
+
+        total += (
+            spark.read.parquet(*residual_files)
+            .where(predicate.to_column(_resolve))
+            .count()
+        )
+    return int(total)
