@@ -1363,6 +1363,24 @@ def _q_idx_count_only(spark, sf_dir):
     return spark.createDataFrame([(n,)], "cnt bigint")
 
 
+def _q_idx_distinct_values(spark, sf_dir):
+    """Index-only DISTINCT: the column's value domain read from postings
+    keys, zero data files opened (second covering-index aggregate)."""
+    st = _state(spark, sf_dir)
+    tbl = st.indexed_events()
+    return st.engine.distinct_values(tbl, "event_type")
+
+
+def _q_zone_min_max(spark, sf_dir):
+    """Index-only MIN/MAX from the zone table's typed per-file bounds
+    (third covering-index aggregate)."""
+    st = _state(spark, sf_dir)
+    tbl = st.events_time_clustered
+    st.ensure_zone_index(tbl, "value")
+    mn, mx = st.engine.min_max(tbl, "value")
+    return spark.createDataFrame([(float(mn), float(mx))], "mn double, mx double")
+
+
 def _q_quality_top_fraction(spark, sf_dir):
     """Percent-rank quality gate: best 30% of each source by quality
     score (exact path: row_number vs group count, id tiebreak)."""
@@ -1691,6 +1709,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_top_fraction": _q_quality_top_fraction,
         "lsh_gate": _q_lsh_gate,
         "idx_count_only": _q_idx_count_only,
+        "idx_distinct_values": _q_idx_distinct_values,
+        "zone_min_max": _q_zone_min_max,
         "vocab_top100": _q_vocab_top100,
         "doc_token_ids": _q_doc_token_ids,
         "oov_stats": _q_oov_stats,
@@ -1926,6 +1946,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "idx_count_only": """
             SELECT count(*) AS cnt FROM events WHERE event_type = 'click'
+        """,
+        "idx_distinct_values": """
+            SELECT DISTINCT CAST(event_type AS VARCHAR) AS key FROM events
+            WHERE event_type IS NOT NULL
+        """,
+        "zone_min_max": """
+            SELECT min(value) AS mn, max(value) AS mx FROM events
         """,
         "vocab_top100": f"""
             WITH c AS (

@@ -158,6 +158,15 @@ class Engine:
             self.spark, table_path, predicate, self.index_root, metrics=self.last_metrics
         )
 
+    def distinct_values(self, table_path: str, column: str) -> DataFrame:
+        """Index-only DISTINCT of a block-indexed column (postings keys;
+        stale files scanned). String key domain, as in the reference."""
+        return scan_mod.distinct_keys(self.spark, table_path, column, self.index_root)
+
+    def min_max(self, table_path: str, column: str):
+        """Index-only (min, max) of a zone-indexed column."""
+        return scan_mod.zone_min_max(self.spark, table_path, column, self.index_root)
+
     def sql(self, statement: str) -> DataFrame:
         """SQL front door over index-accelerated scans — the analog of the
         reference's external-engine entry point (Pig in entry point A,

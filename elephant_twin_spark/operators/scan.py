@@ -373,6 +373,64 @@ def query(
     return spark.read.parquet(*files).where(full_filter)
 
 
+def distinct_keys(
+    spark: SparkSession,
+    table_path: str,
+    column: str,
+    index_root: str,
+) -> DataFrame:
+    """Index-only DISTINCT: the stringified distinct values of a
+    block-indexed column, read from the postings table — zero data files
+    when the index fully covers the table; stale/new files contribute
+    their values via a scan of JUST those files. One column ``key``
+    (string — the index key domain, matching the reference's Text keys).
+    Raises if no block index exists (a full-scan distinct should be an
+    explicit choice, not a silent fallback 100× slower)."""
+    live = fsio.list_data_files(spark, table_path)
+    idx = _load_indexes(spark, table_path, index_root, live, kind="block").get(column)
+    if idx is None:
+        raise FileNotFoundError(f"no block index on {column!r}; use df.select(col).distinct()")
+    keys = build_mod.read_postings(spark, idx.idx_dir).select("key")
+    if idx.not_covered:
+        extra = (
+            spark.read.parquet(*sorted(idx.not_covered))
+            .select(F.col(column).cast("string").alias("key"))
+            .where(F.col("key").isNotNull())
+        )
+        keys = keys.unionByName(extra)
+    return keys.distinct()
+
+
+def zone_min_max(
+    spark: SparkSession,
+    table_path: str,
+    column: str,
+    index_root: str,
+):
+    """Index-only MIN/MAX from the zone table's per-file typed bounds —
+    the third covering-index aggregate (with COUNT and DISTINCT). Files
+    not covered by a fresh zone row are aggregated by reading just them.
+    Returns ``(min, max)`` in the column's native type."""
+    live = fsio.list_data_files(spark, table_path)
+    idx = _load_indexes(spark, table_path, index_root, live, kind="zone").get(column)
+    if idx is None:
+        raise FileNotFoundError(f"no zone index on {column!r}")
+    zones = build_mod.read_zones(spark, idx.idx_dir)
+    fresh = [r for r in zones.collect() if fsio.normalize_path(r["file"]) in idx.fresh]
+    mins = [r["min_v"] for r in fresh if r["min_v"] is not None]
+    maxs = [r["max_v"] for r in fresh if r["max_v"] is not None]
+    if idx.not_covered:
+        row = (
+            spark.read.parquet(*sorted(idx.not_covered))
+            .agg(F.min(column).alias("mn"), F.max(column).alias("mx"))
+            .first()
+        )
+        if row["mn"] is not None:
+            mins.append(row["mn"])
+            maxs.append(row["mx"])
+    return (min(mins) if mins else None, max(maxs) if maxs else None)
+
+
 def _eq_disjunction(e: E.Expr):
     """``col = v`` / ``col IN (...)`` shape detector: returns
     ``(column, {keys})`` when the tree is an OR-chain of Eq leaves on ONE

@@ -49,6 +49,54 @@ def test_count_falls_back_for_other_shapes(spark, indexed):
     assert eng.count(tbl, col("user_id") == 7) == want2
 
 
+def test_distinct_values_index_only_and_hybrid(spark, events_multifile, workdir):
+    import shutil
+
+    eng, tbl = Engine(spark, f"{workdir}/distinct_idx"), events_multifile
+    eng.build_index(tbl, "event_type", num_buckets=4)
+    want = {
+        r["event_type"]
+        for r in spark.read.parquet(tbl).select("event_type").distinct().collect()
+    }
+    got = {r["key"] for r in eng.distinct_values(tbl, "event_type").collect()}
+    assert got == want
+
+    # stale-file hybrid: new value appears only in an appended file
+    tbl2 = f"{workdir}/distinct_stale_tbl"
+    shutil.copytree(tbl, tbl2)
+    eng2 = Engine(spark, f"{workdir}/distinct_stale_idx")
+    eng2.build_index(tbl2, "event_type", num_buckets=4)
+    one = spark.read.parquet(tbl).limit(1).withColumn(
+        "event_type", F.lit("brand_new_type")
+    )
+    one.write.mode("append").parquet(tbl2)
+    spark.catalog.refreshByPath(tbl2)
+    got2 = {r["key"] for r in eng2.distinct_values(tbl2, "event_type").collect()}
+    assert got2 == want | {"brand_new_type"}
+
+    with pytest.raises(FileNotFoundError):
+        eng.distinct_values(tbl, "user_id")  # no index -> explicit error
+
+
+def test_zone_min_max_index_only_and_hybrid(spark, events_multifile, workdir):
+    import shutil
+
+    tbl = f"{workdir}/minmax_tbl"
+    shutil.copytree(events_multifile, tbl)
+    eng = Engine(spark, f"{workdir}/minmax_idx")
+    eng.build_zone_index(tbl, "value")
+    full = spark.read.parquet(tbl)
+    want = full.agg(F.min("value"), F.max("value")).first()
+    assert eng.min_max(tbl, "value") == (want[0], want[1])
+
+    # appended file extends the max
+    big = full.limit(1).withColumn("value", F.lit(10_000_000).cast(full.schema["value"].dataType))
+    big.write.mode("append").parquet(tbl)
+    spark.catalog.refreshByPath(tbl)
+    mn, mx = eng.min_max(tbl, "value")
+    assert mn == want[0] and mx == 10_000_000
+
+
 def test_count_stale_file_hybrid(spark, events_multifile, workdir):
     import shutil
 
