@@ -48,6 +48,55 @@ def streaming_windowed_counts(
     )
 
 
+def streaming_session_counts(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Gap-based session aggregation with Spark's NATIVE
+    ``session_window`` — the whole-stage-codegen complement to
+    :mod:`streaming.stateful`'s ``applyInPandasWithState`` sessionizer:
+    same session semantics (merge rows closer than ``gap``), but state
+    and merging live entirely in the JVM state store. Use this one when
+    per-session logic is expressible as aggregates; use the stateful
+    Python path only when it isn't (custom per-event logic). Returns
+    ``(key, session_start, session_end, n_events)``; watermark bounds
+    state exactly as for tumbling windows."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.session_window(F.col(ts_col), gap).alias("w"),
+            F.col(key_col).alias("key"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "key",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def stream_static_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    keys,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch joins against the
+    (broadcast) dimension snapshot — the standard fact-stream ×
+    dimension-table shape. The dimension is re-read per trigger for file
+    sources, so slowly-changing dims pick up updates without restarting
+    the query; no state store is involved (the join is stateless per
+    batch)."""
+    if isinstance(keys, str):
+        keys = [keys]
+    return stream.join(F.broadcast(dim), keys, how)
+
+
 def streaming_exact_dedup(
     stream: DataFrame,
     key_cols,

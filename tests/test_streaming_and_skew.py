@@ -437,3 +437,58 @@ def test_stream_stream_left_outer_join_emits_nulls(spark, workdir):
 
     assert got_matched == want_matched
     assert got_null == want_null and len(want_null) > 0
+
+
+def test_streaming_session_counts_matches_batch(spark, workdir, events_multifile):
+    """Native session_window streaming agg: finalized sessions must equal
+    the batch session_window computation (complete set: the fixture's
+    event times are far in the past, so the watermark closes everything
+    once the backlog drains... except possibly each key's last session —
+    emitted only when the watermark passes it, which availableNow's final
+    batch advances past for this fixture)."""
+    stream = (
+        spark.readStream.schema(spark.read.parquet(events_multifile).schema)
+        .parquet(events_multifile)
+    )
+    sdf = windows.streaming_session_counts(
+        stream, ts_col="ts", key_col="user_id", gap="30 minutes", watermark="1 hour"
+    )
+    assert sdf.isStreaming
+    windows.run_to_memory(sdf, "sess_counts", output_mode="append")
+    got = {
+        (r["key"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.table("sess_counts").collect()
+    }
+    batch = (
+        spark.read.parquet(events_multifile)
+        .groupBy(
+            F.session_window(F.col("ts"), "30 minutes").alias("w"),
+            F.col("user_id").alias("key"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("key", F.col("w.start").alias("s"), F.col("w.end").alias("e"), "n_events")
+    )
+    want = {(r["key"], r["s"], r["e"], r["n_events"]) for r in batch.collect()}
+    assert got <= want          # nothing emitted that batch wouldn't produce
+    assert len(got) >= len(want) * 0.8 and got  # at most the open tail differs
+
+
+def test_stream_static_enrich_matches_batch(spark, workdir, events_multifile):
+    dim = spark.createDataFrame(
+        [("click", "interaction"), ("view", "interaction"), ("purchase", "conversion"),
+         ("signup", "conversion"), ("error", "ops")],
+        "event_type string, category string",
+    )
+    stream = (
+        spark.readStream.schema(spark.read.parquet(events_multifile).schema)
+        .parquet(events_multifile)
+    )
+    enriched = windows.stream_static_enrich(stream, dim, "event_type")
+    assert enriched.isStreaming
+    windows.run_to_memory(enriched, "enriched_events", output_mode="append")
+    got = spark.table("enriched_events")
+    batch = spark.read.parquet(events_multifile).join(dim, "event_type", "left")
+    assert got.count() == batch.count()
+    g = {r["category"]: 1 for r in got.select("category").distinct().collect()}
+    b = {r["category"]: 1 for r in batch.select("category").distinct().collect()}
+    assert g == b
