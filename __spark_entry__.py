@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from elephant_twin_spark import Engine, col
-from elephant_twin_spark.functions import scalar
+from elephant_twin_spark.functions import scalar, sketches
 from elephant_twin_spark.operators import rollup, sessionize, skew, temporal
 from elephant_twin_spark.operators.pipeline import (
     chunk,
@@ -1381,6 +1381,22 @@ def _q_zone_min_max(spark, sf_dir):
     return spark.createDataFrame([(float(mn), float(mx))], "mn double, mx double")
 
 
+def _q_value_histogram(spark, sf_dir):
+    """Mergeable fixed-bin histogram sketch per key — bin counts are
+    EXACT (only quantile interpolation is approximate), so the sketch
+    itself passes the value-hash gate."""
+    ev = _state(spark, sf_dir).raw("events").where(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    )
+    h = ev.groupBy("event_type").agg(
+        sketches.histogram_sketch("value", 20, 0.0, 1000.0).alias("hist")
+    )
+    return h.select(
+        "event_type",
+        F.concat_ws(",", F.transform("hist", lambda x: x.cast("string"))).alias("hist"),
+    )
+
+
 def _q_quality_top_fraction(spark, sf_dir):
     """Percent-rank quality gate: best 30% of each source by quality
     score (exact path: row_number vs group count, id tiebreak)."""
@@ -1711,6 +1727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "idx_count_only": _q_idx_count_only,
         "idx_distinct_values": _q_idx_distinct_values,
         "zone_min_max": _q_zone_min_max,
+        "value_histogram": _q_value_histogram,
         "vocab_top100": _q_vocab_top100,
         "doc_token_ids": _q_doc_token_ids,
         "oov_stats": _q_oov_stats,
@@ -1953,6 +1970,23 @@ def oracle_sql() -> dict[str, str]:
         """,
         "zone_min_max": """
             SELECT min(value) AS mn, max(value) AS mx FROM events
+        """,
+        "value_histogram": """
+            WITH b AS (SELECT unnest(range(22)) AS bin),
+            t AS (SELECT DISTINCT event_type FROM events WHERE event_type IS NOT NULL),
+            c AS (SELECT event_type,
+                         CASE WHEN value < 0 THEN 20
+                              WHEN value >= 1000 THEN 21
+                              ELSE CAST(floor((value - 0.0) / 50.0) AS INT) END AS bin,
+                         count(*) AS n
+                  FROM events
+                  WHERE value IS NOT NULL AND event_type IS NOT NULL
+                  GROUP BY 1, 2)
+            SELECT t.event_type,
+                   array_to_string(list(COALESCE(c.n, 0) ORDER BY b.bin), ',') AS hist
+            FROM t CROSS JOIN b
+            LEFT JOIN c ON c.event_type = t.event_type AND c.bin = b.bin
+            GROUP BY t.event_type
         """,
         "vocab_top100": f"""
             WITH c AS (

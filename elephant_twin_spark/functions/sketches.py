@@ -64,3 +64,77 @@ def freq_count_min(col, eps: float = 0.001, confidence: float = 0.99, seed: int 
     """Count-min sketch (binary, mergeable) for approximate per-value
     frequencies over huge key domains."""
     return F.count_min_sketch(col, F.lit(eps), F.lit(confidence), F.lit(seed))
+
+
+# ----------------------------------------------------- histogram sketch
+#
+# Fixed-bin histograms are the simplest mergeable quantile structure:
+# merge = element-wise vector add (any associative grouping works —
+# per-file, per-day, per-micro-batch), and bin counts are EXACT given
+# the bin edges, so unlike GK/KLL the "sketch" itself is deterministic
+# and oracle-checkable; only the quantile interpolation is approximate
+# (bounded by bin width). The [lo, hi) domain must be fixed up front —
+# that's the trade for mergeability without a growing structure.
+
+def histogram_sketch(col, num_bins: int, lo: float, hi: float) -> Column:
+    """Aggregate: ``array<long>`` of ``num_bins + 2`` counts — bin i
+    counts values in ``[lo + i*w, lo + (i+1)*w)``; the last two slots
+    are underflow (< lo) and overflow (>= hi). Nulls are not counted.
+    Physically ``num_bins + 2`` conditional ``sum``s packed into one
+    array — map-side partial aggregation (NOT a collect_list fold), so
+    the shuffle carries one small array per group per partition."""
+    w = (hi - lo) / num_bins
+    c = F.col(col) if isinstance(col, str) else col
+    idx = F.when(c < F.lit(lo), F.lit(num_bins)).when(
+        c >= F.lit(hi), F.lit(num_bins + 1)
+    ).otherwise(F.floor((c - F.lit(lo)) / F.lit(w)).cast("int"))
+    return F.array(
+        *[
+            F.coalesce(
+                F.sum(F.when(idx == i, 1).otherwise(0)), F.lit(0)
+            ).cast("long")
+            for i in range(num_bins + 2)
+        ]
+    )
+
+
+def histogram_merge(hist_col, num_bins: int) -> Column:
+    """Merge stored histograms (element-wise sum of the
+    ``num_bins + 2``-slot arrays) — same contract as :func:`hll_merge`:
+    daily partials re-aggregate to monthly without a rescan, streaming
+    partials merge on read."""
+    c = F.col(hist_col) if isinstance(hist_col, str) else hist_col
+    return F.array(
+        *[
+            F.coalesce(F.sum(F.element_at(c, i + 1)), F.lit(0)).cast("long")
+            for i in range(num_bins + 2)
+        ]
+    )
+
+
+def histogram_quantile(hist, q: float, num_bins: int, lo: float, hi: float) -> Column:
+    """Quantile estimate from a stored histogram: find the bin where the
+    cumulative count crosses ``q`` of the in-range total, interpolate
+    linearly inside it. Error ≤ one bin width. Under/overflow slots are
+    excluded from the total (out-of-domain mass is reported by the
+    caller inspecting those slots)."""
+    w = (hi - lo) / num_bins
+    h = F.col(hist) if isinstance(hist, str) else hist
+    bins = F.slice(h, 1, num_bins)
+    total = F.aggregate(bins, F.lit(0).cast("long"), lambda a, x: a + x)
+    target = (F.lit(float(q)) * total.cast("double"))
+    # running cumulative; pick first bin index whose cumsum >= target
+    cums = F.transform(
+        F.sequence(F.lit(1), F.lit(num_bins)),
+        lambda i: F.aggregate(F.slice(bins, 1, i), F.lit(0).cast("long"), lambda a, x: a + x),
+    )
+    idx = F.array_position(
+        F.transform(cums, lambda c: c.cast("double") >= target), F.lit(True)
+    )  # 1-based; 0 if never (empty histogram)
+    prev_cum = F.when(idx > 1, F.element_at(cums, (idx - 1).cast("int"))).otherwise(
+        F.lit(0)
+    )
+    in_bin = F.element_at(bins, idx.cast("int"))
+    frac = F.when(in_bin > 0, (target - prev_cum.cast("double")) / in_bin.cast("double")).otherwise(F.lit(0.0))
+    est = F.lit(lo) + ((idx - 1).cast("double") + frac) * F.lit(w)
+    return F.when(total > 0, est)

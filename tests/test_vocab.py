@@ -81,3 +81,36 @@ def test_weighted_take_heavy_weights_win_in_aggregate(spark):
     kept = textstats.weighted_take(spark.createDataFrame(rows), "w", 50, "id").collect()
     heavy = sum(1 for r in kept if r["id"] < 100)
     assert heavy > 35  # E[heavy] ≈ 45+, light tail keeps a few slots
+
+
+def test_histogram_sketch_merge_and_quantile(spark):
+    from elephant_twin_spark.functions import sketches
+
+    df = spark.createDataFrame(
+        [Row(g="a" if i < 500 else "b", v=float(i % 100)) for i in range(1000)]
+    )
+    # per-group sketches (partials)
+    parts = df.groupBy("g").agg(
+        sketches.histogram_sketch("v", 20, 0.0, 100.0).alias("hist")
+    )
+    rows = {r["g"]: r["hist"] for r in parts.collect()}
+    assert sum(rows["a"]) == 500 and len(rows["a"]) == 22
+    assert rows["a"][-2:] == [0, 0]  # no under/overflow
+
+    # merge partials == histogram of the union (exact, vector add)
+    merged = parts.agg(sketches.histogram_merge("hist", 20).alias("hist"))
+    whole = df.agg(sketches.histogram_sketch("v", 20, 0.0, 100.0).alias("hist"))
+    assert merged.first()["hist"] == whole.first()["hist"]
+
+    # quantile estimate within one bin width of the exact percentile
+    q = merged.select(
+        sketches.histogram_quantile("hist", 0.5, 20, 0.0, 100.0).alias("p50")
+    ).first()["p50"]
+    exact = df.selectExpr("percentile(v, 0.5) AS p").first()["p"]
+    assert abs(q - exact) <= 5.0  # bin width
+
+    # out-of-domain mass lands in the tail slots
+    oob = spark.createDataFrame([Row(v=-5.0), Row(v=500.0)]).agg(
+        sketches.histogram_sketch("v", 4, 0.0, 100.0).alias("h")
+    ).first()["h"]
+    assert oob[4] == 1 and oob[5] == 1 and sum(oob[:4]) == 0
