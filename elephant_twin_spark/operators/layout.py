@@ -108,6 +108,54 @@ def overwrite_partitions(
     )
 
 
+def upsert_partitioned(
+    spark: SparkSession,
+    updates,
+    dst_path: str,
+    key_cols: Sequence[str],
+    partition_cols: Sequence[str],
+    files_per_partition: Optional[int] = None,
+) -> None:
+    """Copy-on-write MERGE-lite for Hive-partitioned tables: rows in
+    ``updates`` replace same-key rows, new keys append — and ONLY the
+    partitions named in ``updates`` are rewritten (everything else is
+    untouched bytes). The 100 TB contract: upsert cost is proportional
+    to the touched partitions, not the table.
+
+    Requires every key to stay inside its partition (keys that move
+    between partition values need a delete+insert, not an upsert —
+    enforce upstream). Not concurrent-writer-safe (no commit protocol;
+    this is the single-writer maintenance path, like the reference's
+    one-indexer-per-file assumption M1)."""
+    from elephant_twin_spark.sources import fsio
+
+    if not fsio.exists(spark, dst_path):
+        overwrite_partitions(
+            spark, updates, dst_path, list(partition_cols), files_per_partition
+        )
+        return
+    parts = updates.select(*partition_cols).distinct()
+    current = spark.read.parquet(dst_path)
+    # read ONLY the affected partitions (partition-pruned by the semi join
+    # against a literal list — collected; bounded by touched partitions)
+    vals = [tuple(r[c] for c in partition_cols) for r in parts.collect()]
+    cond = None
+    for v in vals:
+        this = None
+        for c, x in zip(partition_cols, v):
+            e = F.col(c) == F.lit(x)
+            this = e if this is None else (this & e)
+        cond = this if cond is None else (cond | this)
+    if cond is None:
+        return
+    affected = current.where(cond)
+    kept = affected.join(updates.select(*key_cols), list(key_cols), "left_anti")
+    merged = kept.unionByName(updates)
+    overwrite_partitions(
+        spark, merged, dst_path, list(partition_cols), files_per_partition
+    )
+
+
 def _interleave_bits(buckets: Sequence, bits: int):
     """Z-value: interleave ``bits`` low bits of each bucket column —
     bit i of column j lands at position i*ncols + j. Pure Column

@@ -54,6 +54,30 @@ def test_release_content_hash(spark, workdir):
     assert m2["content_hash"] == m["content_hash"]
 
 
+def test_upsert_partitioned(spark, workdir):
+    dst = f"{workdir}/ups_tbl"
+    base = spark.createDataFrame(
+        [Row(id=i, day=f"d{d}", v=1) for d in (1, 2, 3) for i in range(5)]
+    )
+    layout.upsert_partitioned(spark, base, dst, ["id", "day"], ["day"])
+    assert spark.read.parquet(dst).count() == 15
+
+    # update 2 existing keys in d2, insert 1 new key in d2; d1/d3 untouched
+    ups = spark.createDataFrame(
+        [Row(id=0, day="d2", v=9), Row(id=1, day="d2", v=9), Row(id=77, day="d2", v=9)]
+    )
+    layout.upsert_partitioned(spark, ups, dst, ["id", "day"], ["day"])
+    out = spark.read.parquet(dst)
+    assert out.count() == 16
+    d2 = {r["id"]: r["v"] for r in out.where("day = 'd2'").collect()}
+    assert d2[0] == 9 and d2[1] == 9 and d2[77] == 9 and d2[2] == 1
+    assert out.where("day = 'd1' AND v != 1").count() == 0
+
+    # empty updates is a no-op
+    layout.upsert_partitioned(spark, ups.limit(0), dst, ["id", "day"], ["day"])
+    assert spark.read.parquet(dst).count() == 16
+
+
 def test_overwrite_partitions_backfill(spark, workdir):
     dst = f"{workdir}/bf_tbl"
     base = spark.createDataFrame(
