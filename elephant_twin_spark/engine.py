@@ -200,6 +200,17 @@ class Engine:
                 f"[WHERE ...] [ORDER BY ...] [LIMIT n]): {statement!r}"
             )
         tbl = m.group("tbl")
+        cols_raw = m.group("cols").strip()
+        count_alias = re.match(
+            r"^count\(\s*\*\s*\)(?:\s+AS\s+(?P<a>\w+))?$", cols_raw, re.IGNORECASE
+        )
+        if count_alias and m.group("where") and not m.group("order"):
+            # COUNT(*) routes through the covering-index path: answered
+            # from postings when the predicate shape allows, zero data
+            # files opened (falls back to query().count() otherwise)
+            n = self.count(tbl, m.group("where"))
+            alias = count_alias.group("a") or "count"
+            return self.spark.createDataFrame([(n,)], f"{alias} bigint")
         df = self.query(tbl, m.group("where")) if m.group("where") else self.scan(tbl)
         cols = [c.strip() for c in m.group("cols").split(",")]
         if cols != ["*"]:

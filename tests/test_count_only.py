@@ -97,6 +97,35 @@ def test_zone_min_max_index_only_and_hybrid(spark, events_multifile, workdir):
     assert mn == want[0] and mx == 10_000_000
 
 
+def test_sql_count_star_routes_through_index(spark, indexed):
+    eng, tbl = indexed
+    want = spark.read.parquet(tbl).where(F.col("event_type") == "click").count()
+    row = eng.sql(f"SELECT count(*) AS n FROM '{tbl}' WHERE event_type = 'click'").first()
+    assert row["n"] == want
+    assert eng.last_metrics.scanned_files == 0  # index-only
+    # default alias
+    row2 = eng.sql(f"SELECT COUNT(*) FROM '{tbl}' WHERE event_type = 'click'").first()
+    assert row2["count"] == want
+
+
+def test_apply_score_gate_multi_group(spark):
+    from elephant_twin_spark.operators.pipeline import textstats
+    from pyspark.sql import Row
+
+    rows = [
+        Row(a="x", b="p", id=i, s=float(i)) for i in range(8)
+    ] + [Row(a="y", b="q", id=100 + i, s=float(i)) for i in range(8)]
+    df = spark.createDataFrame(rows)
+    thr = textstats.quality_thresholds(df, "s", 0.5, group_cols=["a", "b"])
+    assert set(thr) == {("x", "p"), ("y", "q")}  # tuple keys
+    kept = textstats.apply_score_gate(df, "s", thr, ["a", "b"])
+    by_group = {}
+    for r in kept.collect():
+        by_group.setdefault((r["a"], r["b"]), []).append(r["s"])
+    for g, vals in by_group.items():
+        assert min(vals) >= thr[g]
+
+
 def test_count_stale_file_hybrid(spark, events_multifile, workdir):
     import shutil
 
