@@ -125,6 +125,22 @@ def main():
         )
     )
 
+    lsh_src = f"{SF_DIR}/documents.parquet"
+    eng.build_lsh_index(lsh_src, "text", "doc_id", num_perm=8, num_bands=4, shingle_k=2)
+    lsh = eng.lsh_index(lsh_src, "text")
+    probe = docs.limit(50).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    sections.append(
+        (
+            "LSH near-dup gate (bucket join, probe-sized cost)",
+            "probe bands equi-join the persisted bucket table on "
+            "(band, band_hash); exact Jaccard runs only on collisions, against "
+            "a semi-join-bounded slice of the corpus.",
+            lsh.gate(probe, "text", "doc_id", threshold=0.5),
+        )
+    )
+
     out = ["# PLANS — formatted physical plans of headline operators",
            "",
            f"Generated by `tools/plan_report.py` at sf dir `{SF_DIR}`. These are the",
