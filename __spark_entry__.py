@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from elephant_twin_spark import Engine, col
-from elephant_twin_spark.functions import scalar, sketches
+from elephant_twin_spark.functions import scalar, sketches, timeutil
 from elephant_twin_spark.operators import rollup, sessionize, skew, temporal
 from elephant_twin_spark.operators.pipeline import (
     chunk,
@@ -616,8 +616,8 @@ def _q_gap_to_prev(spark, sf_dir):
     ev = _state(spark, sf_dir).raw("events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     # microsecond-exact: ts carries sub-second precision, and a long
-    # cast would truncate where the oracle keeps fractions
-    us = F.unix_micros(F.col("ts"))
+    # cast would truncate where the oracle keeps fractions; NTZ-safe
+    us = timeutil.epoch_micros(ev, "ts")
     gaps = ev.withColumn(
         "gap_s", (us - F.lag(us).over(w)) / F.lit(1000000.0)
     ).where(F.col("gap_s").isNotNull())

@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from elephant_twin_spark.functions import timeutil
+
 
 def sessionize(
     df: DataFrame,
@@ -25,8 +27,9 @@ def sessionize(
 ) -> DataFrame:
     """Assign ``session_id`` (0-based per user, ordered by time)."""
     w = Window.partitionBy(user_col).orderBy(ts_col)
+    secs = timeutil.epoch_seconds(df, ts_col)
     gap = F.when(
-        F.col(ts_col).cast("long") - F.lag(ts_col).over(w).cast("long") > gap_seconds,
+        secs - F.lag(secs).over(w) > gap_seconds,
         F.lit(1),
     ).otherwise(F.lit(0))
     return df.withColumn("session_id", F.sum(gap).over(w))

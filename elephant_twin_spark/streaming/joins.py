@@ -46,8 +46,10 @@ def stream_stream_interval_join(
     """
     if left_ts == right_ts:
         raise ValueError("rename ts columns to distinct names before joining")
-    lw = left.withWatermark(left_ts, watermark)
-    rw = right.withWatermark(right_ts, watermark)
+    from elephant_twin_spark.functions.timeutil import ensure_event_time
+
+    lw = ensure_event_time(left, left_ts).withWatermark(left_ts, watermark)
+    rw = ensure_event_time(right, right_ts).withWatermark(right_ts, watermark)
     keys = [lw[k] == rw[k] for k in on]
     rng = [
         rw[right_ts] >= lw[left_ts] - F.expr(f"INTERVAL {lower}"),

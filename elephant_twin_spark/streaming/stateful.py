@@ -124,9 +124,12 @@ def streaming_sessionize(
     finalized session ``(user_id, session_start, session_end, n_events)``,
     gap semantics identical to the batch ``sessionize`` (new session when
     the gap from the previous event exceeds ``gap_seconds``)."""
+    from elephant_twin_spark.functions.timeutil import ensure_event_time
+
     sel = stream.select(
         stream[user_col].cast("long").alias("user_id"), stream[ts_col].alias("ts")
-    ).withWatermark("ts", watermark)
+    )
+    sel = ensure_event_time(sel, "ts").withWatermark("ts", watermark)
     return sel.groupBy("user_id").applyInPandasWithState(
         _session_fn(gap_seconds * 1_000_000),
         outputStructType=SESSION_SCHEMA,

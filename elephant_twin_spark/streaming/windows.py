@@ -15,6 +15,8 @@ from typing import Optional
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from elephant_twin_spark.functions.timeutil import ensure_event_time
+
 
 def streaming_windowed_counts(
     spark: SparkSession,
@@ -41,6 +43,7 @@ def streaming_windowed_counts(
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(table_path)
     )
+    stream = ensure_event_time(stream, ts_col)
     return (
         stream.withWatermark(ts_col, watermark)
         .groupBy(F.window(ts_col, window_duration).alias("window"), F.col(key_col).alias("key"))
@@ -64,6 +67,7 @@ def streaming_session_counts(
     Python path only when it isn't (custom per-event logic). Returns
     ``(key, session_start, session_end, n_events)``; watermark bounds
     state exactly as for tumbling windows."""
+    stream = ensure_event_time(stream, ts_col)
     return (
         stream.withWatermark(ts_col, watermark)
         .groupBy(
@@ -109,6 +113,7 @@ def streaming_exact_dedup(
     is ``pipeline.dedup.exact_dedup``). Duplicates farther apart than the
     watermark are the layout job's problem (compaction + batch dedup),
     not the ingest stream's."""
+    stream = ensure_event_time(stream, ts_col)
     return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         list(key_cols)
     )
