@@ -704,6 +704,33 @@ def _q_sessionize(spark, sf_dir):
     return sessionize.session_stats(ev, "user_id", "ts", gap_seconds=1800)
 
 
+def _q_streaming_session_counts(spark, sf_dir):
+    """Structured Streaming end-to-end (rows-only: streaming emission is
+    not ANSI-SQL-expressible): file-source stream over the normalized
+    events copy → native ``session_window`` aggregation with a watermark →
+    availableNow drain to a memory sink. Returns the finalized sessions
+    ``(key, session_start, session_end, n_events)``; the fixture's event
+    times are historical, so the final watermark closes every session and
+    the result is deterministic (pinned against the batch twin by
+    tests/test_streaming_and_skew.py::test_streaming_session_counts_matches_batch).
+    """
+    from elephant_twin_spark.streaming import windows as swin
+
+    st = _state(spark, sf_dir)
+    path = st.events
+    stream = (
+        spark.readStream.schema(spark.read.parquet(path).schema)
+        .option("maxFilesPerTrigger", 64)
+        .parquet(path)
+    )
+    sdf = swin.streaming_session_counts(
+        stream, ts_col="ts", key_col="user_id", gap="30 minutes", watermark="1 hour"
+    )
+    name = "ets_stream_sessions_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    swin.run_to_memory(sdf, name, output_mode="append", timeout_sec=180)
+    return spark.table(name)
+
+
 def _q_user_event_types(spark, sf_dir):
     """A4/T3 analog at user granularity: distinct value-set aggregation."""
     ev = _state(spark, sf_dir).raw("events")
@@ -1142,24 +1169,24 @@ def _q_dormant_customers(spark, sf_dir):
     order at this scale, so recency keeps the anti-join non-trivial),
     grouped by nation key."""
     st = _state(spark, sf_dir)
-    c = st.raw("customer")
-    avg_bal = c.where(F.col("c_acctbal") > 0.0).agg(
-        F.avg("c_acctbal").alias("_avg_bal")
-    )
-    o = (
-        st.raw("orders")
-        .where(F.col("o_orderdate") >= F.lit("2000-06-01"))
-        .select("o_custkey")
-    )
-    return (
-        c.join(F.broadcast(avg_bal))
-        .where(F.col("c_acctbal") > F.col("_avg_bal"))
-        .join(o, c.c_custkey == o.o_custkey, "left_anti")
-        .groupBy("c_nationkey")
-        .agg(
-            F.count(F.lit(1)).alias("numcust"),
-            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
-        )
+    st.raw("customer").createOrReplaceTempView("ets_q22_customer")
+    st.raw("orders").createOrReplaceTempView("ets_q22_orders")
+    # scalar subquery (runs as its own tiny job, inlined as a literal —
+    # no BroadcastNestedLoopJoin) + NOT EXISTS → left-anti hash join with
+    # the date bound pushed into the orders scan
+    return spark.sql(
+        """
+        SELECT c_nationkey,
+               count(*) AS numcust,
+               round(sum(c_acctbal), 2) AS totacctbal
+        FROM ets_q22_customer c
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM ets_q22_customer
+                           WHERE c_acctbal > 0.0)
+          AND NOT EXISTS (SELECT 1 FROM ets_q22_orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderdate >= TIMESTAMP '2000-06-01 00:00:00')
+        GROUP BY c_nationkey
+        """
     )
 
 
@@ -1620,67 +1647,28 @@ def _q_pack_docs(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Ordered so queries WITHOUT a green CORRECTNESS_r01 row run first:
+    # the r1 driver checked exactly the first 50 dict entries before its
+    # budget ran out, leaving 66 declared queries without oracle evidence.
+    # r1-green queries keep their r1 rows as evidence and run last.
     return {
-        # sparse index surface (S2/S5/S6, F1-F5, I1-I3, M2/M5)
-        "idx_point_lookup": _q_idx_point,
-        "idx_and": _q_idx_and,
-        "idx_or": _q_idx_or,
-        "idx_residual": _q_idx_residual,
-        "idx_no_match": _q_idx_no_match,
-        "idx_per_key_counts": _q_idx_per_key_counts,
-        "sql_front_door": _q_sql_front_door,
-        "bloom_user_lookup": _q_bloom_user_lookup,
-        "expr_index_day": _q_expr_index_day,
-        "zone_range_scan": _q_zone_range_scan,
-        # relational/agg parity (A2/A5, O4, C1-C3)
-        "agg_lineitem_pricing": _q_agg_lineitem_pricing,
-        "events_hourly": _q_events_hourly,
-        "top_users_by_value": _q_top_users_by_value,
-        "date_functions": _q_date_functions,
-        "md5_digests": _q_md5_digests,
-        # text index (T1-T7, A3)
-        "text_count": _q_text_count,
-        "text_topn": _q_text_topn,
-        "text_bool_and": _q_text_bool_and,
-        "text_bool_or": _q_text_bool_or,
-        "text_phrase": _q_text_phrase,
-        "text_phrase_near": _q_text_phrase_near,
-        "text_bm25_top": _q_text_bm25_top,
-        "text_prefix": _q_text_prefix,
-        "text_wildcard": _q_text_wildcard,
-        "text_fuzzy": _q_text_fuzzy,
-        "text_not": _q_text_not,
-        "text_more_like_this": _q_text_mlt,
-        # pipeline: dedup / stats / similarity (north star)
-        "dedup_exact_groups": _q_dedup_exact_groups,
-        "simhash_md5_docs": _q_simhash_md5,
-        "minhash_signatures": _q_minhash_signatures,
-        "token_stats": _q_token_stats,
-        "lang_id": _q_lang_id,
-        "fingerprint": _q_fingerprint,
-        "ann_cosine_top10": _q_ann_cosine_top10,
-        "label_centroid_component": _q_label_centroid_component,
-        # partition pruning / windows / set-aggs / pair similarity
-        "date_partition_range": _q_date_partition_range,
-        "sessionize": _q_sessionize,
-        "user_event_types": _q_user_event_types,
-        "date_parse_roundtrip": _q_date_parse_roundtrip,
-        "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
-        "near_dup_components": _q_near_dup_components,
-        "containment_pairs": _q_containment_pairs,
-        "char_entropy": _q_char_entropy,
-        "knn_join_top5": _q_knn_join,
-        "repetition_ratio": _q_repetition_ratio,
-        "gap_to_prev": _q_gap_to_prev,
-        "ann_persisted_top10": _q_ann_persisted,
-        "clean_corpus_audit": _q_clean_corpus_audit,
-        "decontaminate_report": _q_decontaminate_report,
-        "pii_scrub": _q_pii_scrub,
+        # --- untested in r1, oracle-backed (cheap relational/window/vocab)
+        "idx_count_only": _q_idx_count_only,
+        "idx_distinct_values": _q_idx_distinct_values,
+        "zone_min_max": _q_zone_min_max,
+        "value_histogram": _q_value_histogram,
+        "text_retrieve": _q_text_retrieve,
         "pack_docs": _q_pack_docs,
-        "mixture_resample": _q_mixture_resample,
-        "unigram_logprob": _q_unigram_logprob,
         "chunk_docs": _q_chunk_docs,
         "shard_assignment": _q_shard_assignment,
+        "unigram_logprob": _q_unigram_logprob,
+        "mixture_resample": _q_mixture_resample,
+        "weighted_sample": _q_weighted_sample,
+        "temperature_weights": _q_temperature_weights,
+        "normalized_docs": _q_normalized_docs,
+        "vocab_top100": _q_vocab_top100,
+        "doc_token_ids": _q_doc_token_ids,
+        "oov_stats": _q_oov_stats,
         "edit_distance_join": _q_edit_distance_join,
         "funnel_stages": _q_funnel,
         "weekly_retention": _q_weekly_retention,
@@ -1694,7 +1682,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "click_not_purchase_users": _q_set_ops,
         "table_profile": _q_table_profile,
         "grouping_sets_orders": _q_grouping_sets,
-        "text_retrieve": _q_text_retrieve,
         "forecast_revenue": _q_forecast_revenue,
         "top_unshipped_orders": _q_top_unshipped_orders,
         "above_avg_orders": _q_above_avg_orders,
@@ -1724,17 +1711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "error_window_counts": _q_error_window_counts,
         "quality_top_fraction": _q_quality_top_fraction,
         "lsh_gate": _q_lsh_gate,
-        "idx_count_only": _q_idx_count_only,
-        "idx_distinct_values": _q_idx_distinct_values,
-        "zone_min_max": _q_zone_min_max,
-        "value_histogram": _q_value_histogram,
-        "vocab_top100": _q_vocab_top100,
-        "doc_token_ids": _q_doc_token_ids,
-        "oov_stats": _q_oov_stats,
-        "weighted_sample": _q_weighted_sample,
-        "temperature_weights": _q_temperature_weights,
-        "normalized_docs": _q_normalized_docs,
-        # rows-only (no SQL oracle): engine-specific hashes / approximate ops
+        # --- untested in r1, rows-only (engine-specific hashes/approx ops)
         "simhash_docs": _q_simhash_docs,
         "winnowing_fingerprints": _q_winnowing_fps,
         "ann_lsh_top10": _q_ann_lsh_top10,
@@ -1743,6 +1720,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dup_pairs": _q_minhash_near_dup,
         "media_features": _q_media_features,
         "knn_join_ivf_top5": _q_ivf_knn_join,
+        "streaming_session_counts": _q_streaming_session_counts,
+        # --- green in CORRECTNESS_r01 (sparse index surface S2/S5/S6,
+        # F1-F5, I1-I3, M2/M5; relational A2/A5 O4 C1-C3; text T1-T7 A3;
+        # pipeline dedup/stats/similarity)
+        "idx_point_lookup": _q_idx_point,
+        "idx_and": _q_idx_and,
+        "idx_or": _q_idx_or,
+        "idx_residual": _q_idx_residual,
+        "idx_no_match": _q_idx_no_match,
+        "idx_per_key_counts": _q_idx_per_key_counts,
+        "sql_front_door": _q_sql_front_door,
+        "bloom_user_lookup": _q_bloom_user_lookup,
+        "expr_index_day": _q_expr_index_day,
+        "zone_range_scan": _q_zone_range_scan,
+        "agg_lineitem_pricing": _q_agg_lineitem_pricing,
+        "events_hourly": _q_events_hourly,
+        "top_users_by_value": _q_top_users_by_value,
+        "date_functions": _q_date_functions,
+        "md5_digests": _q_md5_digests,
+        "text_count": _q_text_count,
+        "text_topn": _q_text_topn,
+        "text_bool_and": _q_text_bool_and,
+        "text_bool_or": _q_text_bool_or,
+        "text_phrase": _q_text_phrase,
+        "text_phrase_near": _q_text_phrase_near,
+        "text_bm25_top": _q_text_bm25_top,
+        "text_prefix": _q_text_prefix,
+        "text_wildcard": _q_text_wildcard,
+        "text_fuzzy": _q_text_fuzzy,
+        "text_not": _q_text_not,
+        "text_more_like_this": _q_text_mlt,
+        "dedup_exact_groups": _q_dedup_exact_groups,
+        "simhash_md5_docs": _q_simhash_md5,
+        "minhash_signatures": _q_minhash_signatures,
+        "token_stats": _q_token_stats,
+        "lang_id": _q_lang_id,
+        "fingerprint": _q_fingerprint,
+        "ann_cosine_top10": _q_ann_cosine_top10,
+        "label_centroid_component": _q_label_centroid_component,
+        "date_partition_range": _q_date_partition_range,
+        "sessionize": _q_sessionize,
+        "user_event_types": _q_user_event_types,
+        "date_parse_roundtrip": _q_date_parse_roundtrip,
+        "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
+        "near_dup_components": _q_near_dup_components,
+        "containment_pairs": _q_containment_pairs,
+        "char_entropy": _q_char_entropy,
+        "knn_join_top5": _q_knn_join,
+        "repetition_ratio": _q_repetition_ratio,
+        "gap_to_prev": _q_gap_to_prev,
+        "ann_persisted_top10": _q_ann_persisted,
+        "clean_corpus_audit": _q_clean_corpus_audit,
+        "decontaminate_report": _q_decontaminate_report,
+        "pii_scrub": _q_pii_scrub,
     }
 
 
