@@ -139,17 +139,17 @@ def test_partitioned_join_uses_dynamic_partition_pruning(spark, workdir, events)
         spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", old)
 
 
-def test_minhash_signature_build_is_single_shuffle(spark):
+def test_minhash_signature_build_is_shuffle_free(spark):
     from elephant_twin_spark.operators.pipeline import dedup
 
     docs = tables.load_raw(spark, f"{SF_DIR}/documents.parquet")
     sigs = dedup.minhash_signatures(docs, "text", "doc_id", num_perm=8)
     plan = plan_of(sigs)
-    # explode + hash-aggregate: exactly one key Exchange, partial mins
-    # ride the map side (the round-robin fan-out repartition is not a
-    # keyed shuffle)
-    assert plan.count("Exchange hashpartitioning") == 1, plan
-    assert "partial_min" in plan, plan
+    # per-lane array_min projection: ZERO keyed shuffles — the only
+    # exchange is the round-robin fan-out repartition (not keyed), and
+    # no aggregate appears at all
+    assert plan.count("Exchange hashpartitioning") == 0, plan
+    assert "HashAggregate" not in plan, plan
 
 
 def test_text_postings_build_is_single_shuffle(spark):
