@@ -208,3 +208,34 @@ def test_funnel_single_shuffle(spark, events):
         re.findall(r"BroadcastExchange", plan)
     )
     assert exchanges == 1, plan
+
+
+def test_lsh_gate_bucket_join_stays_hash_equi_join(spark, workdir):
+    """The LSH ingest gate's probe→bucket join must remain a hash
+    equi-join on (band, band_hash) with a LeftSemi bound on the corpus
+    verify read — never a nested-loop or cartesian plan (the PLANS.md
+    claim, pinned)."""
+    from pyspark.sql import Row
+
+    from elephant_twin_spark.engine import Engine
+
+    corpus_path = f"{workdir}/lsh_plan_corpus"
+    spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the quick brown fox jumps over the lazy dog today"),
+            Row(doc_id=2, text="spark shuffles data between stages across the cluster"),
+        ]
+    ).write.mode("overwrite").parquet(corpus_path)
+    eng = Engine(spark, f"{workdir}/lsh_plan_idx")
+    eng.build_lsh_index(corpus_path, "text", "doc_id", num_perm=8, num_bands=4, shingle_k=2)
+    idx = eng.lsh_index(corpus_path, "text")
+    probe = spark.createDataFrame(
+        [Row(doc_id=100, text="the quick brown fox jumps over the lazy cat today")]
+    )
+    plan = plan_of(idx.gate(probe, "text", "doc_id", threshold=0.5))
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan, plan
+    # bucket join: an equi hash join whose keys include band/band_hash
+    assert "band_hash" in plan, plan
+    joins = [l for l in plan.splitlines() if "HashJoin" in l or "ShuffledHashJoin" in l]
+    assert joins, plan
+    assert "LeftSemi" in plan, plan

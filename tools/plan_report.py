@@ -133,10 +133,12 @@ def main():
     )
     sections.append(
         (
-            "LSH near-dup gate (bucket join, probe-sized cost)",
+            "LSH near-dup gate (bucket join, probe-sized join work)",
             "probe bands equi-join the persisted bucket table on "
             "(band, band_hash); exact Jaccard runs only on collisions, against "
-            "a semi-join-bounded slice of the corpus.",
+            "a semi-join-bounded slice of the corpus. The bands/corpus scans "
+            "themselves are full-table reads (row-bounded by the joins, not "
+            "I/O-bounded) — only the join/verify work is probe-sized.",
             lsh.gate(probe, "text", "doc_id", threshold=0.5),
         )
     )
