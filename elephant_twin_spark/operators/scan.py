@@ -57,6 +57,16 @@ from elephant_twin_spark.plans import intervals as iv
 from elephant_twin_spark.sources import catalog, fsio
 
 
+#: Above this many live files the planner evaluates the predicate tree
+#: against the index tables CLUSTER-SIDE (set algebra over per-leaf file
+#: DataFrames) and collects only the final matched file list, instead of
+#: collecting per-leaf posting rows to the driver. Below it, the
+#: driver-side evaluator wins (no job-launch overhead, and byte-range
+#: granularity for AND-intersection + metrics). 10⁵ is where per-leaf
+#: lists × leaves start to threaten driver memory at 100 TB file counts.
+DISTRIBUTED_FILE_THRESHOLD = 100_000
+
+
 @dataclass
 class ScanMetrics:
     """The reference's logged planning metrics (M6,
@@ -68,6 +78,7 @@ class ScanMetrics:
     scanned_bytes: int = 0
     pushed: Optional[str] = None
     stale_files: int = 0
+    planner: str = "driver"
 
     @property
     def bytes_ratio(self) -> float:
@@ -82,6 +93,7 @@ class ScanMetrics:
             "bytes_ratio": self.bytes_ratio,
             "pushed": self.pushed,
             "stale_files": self.stale_files,
+            "planner": self.planner,
         }
 
 
@@ -257,6 +269,93 @@ def _bloom_candidates(
     return out
 
 
+def _norm_file_col() -> F.Column:
+    """SQL-side twin of :func:`fsio.normalize_path` for the common URI
+    spellings index tables contain (``file:/x`` vs ``file:///x``)."""
+    return F.regexp_replace(F.col("file"), r"^file:/+", "file:///").alias("file")
+
+
+def _leaf_file_df(
+    spark: SparkSession, leaf: E.Expr, idx: _Index
+) -> DataFrame:
+    """One leaf's candidate files as a single-column DataFrame — the
+    cluster-side twin of one :func:`_leaf_file_sets` entry, at whole-file
+    granularity (byte ranges are a driver-path refinement only)."""
+    if isinstance(leaf, E.Eq) and idx.kind == "block":
+        df = (
+            build_mod.read_postings(spark, idx.idx_dir)
+            .where(F.col("key") == leaf.key)
+            .select(_norm_file_col())
+        )
+    elif isinstance(leaf, E.Eq) and idx.kind == "bloom":
+        num_bits = int(idx.desc.options["num_bits"])
+        num_hashes = int(idx.desc.options["num_hashes"])
+        cond = F.lit(True)
+        for p in build_mod.bloom_positions(leaf.key, num_bits, num_hashes):
+            word, mask = p // 64, 1 << (p % 64)
+            if mask >= 1 << 63:
+                mask -= 1 << 64
+            cond = cond & (
+                F.expr(f"element_at(bits, {word + 1})").bitwiseAND(F.lit(mask)) != 0
+            )
+        df = build_mod.read_bloom_sketch(spark, idx.idx_dir).where(cond).select(
+            _norm_file_col()
+        )
+    else:  # zone leaf: Eq or ordered Cmp against per-file min/max
+        v = F.lit(leaf.value)
+        if isinstance(leaf, E.Eq):
+            cond = (F.col("min_v") <= v) & (F.col("max_v") >= v)
+        else:
+            cond = {
+                ">": F.col("max_v") > v,
+                ">=": F.col("max_v") >= v,
+                "<": F.col("min_v") < v,
+                "<=": F.col("min_v") <= v,
+            }[leaf.op]
+        df = build_mod.read_zones(spark, idx.idx_dir).where(cond).select(
+            _norm_file_col()
+        )
+    if idx.not_covered:
+        # fresh-only candidates, plus always-scan rows for stale/new files
+        # (reference case (a)). The file *listing* is inherently
+        # driver-resident (same contract as the reference's client-side
+        # split planning); what the distributed path avoids is per-leaf
+        # posting-row materialization, which scales with keys × files.
+        fresh = spark.createDataFrame(
+            [(f,) for f in sorted(idx.fresh)], "file string"
+        )
+        nc = spark.createDataFrame(
+            [(f,) for f in sorted(idx.not_covered)], "file string"
+        )
+        df = df.join(fresh, "file", "leftsemi").unionByName(nc)
+    return df
+
+
+def _eval_tree_df(
+    spark: SparkSession,
+    tree: E.Expr,
+    indexes: Dict[str, _Index],
+    zones: Dict[str, _Index],
+) -> DataFrame:
+    """I1/I2/I3 as DataFrame set algebra: OR = union, AND = intersect —
+    the pruning computation stays in the cluster; only the FINAL matched
+    file list is collected (bounded by the answer, not by keys × files).
+    Used above :data:`DISTRIBUTED_FILE_THRESHOLD`."""
+    if isinstance(tree, (E.Eq, E.Cmp)):
+        if isinstance(tree, E.Eq) and tree.column in indexes:
+            return _leaf_file_df(spark, tree, indexes[tree.column])
+        return _leaf_file_df(spark, tree, zones[tree.column])
+    if isinstance(tree, E.And):
+        return _eval_tree_df(spark, tree.left, indexes, zones).intersect(
+            _eval_tree_df(spark, tree.right, indexes, zones)
+        )
+    if isinstance(tree, E.Or):
+        return _eval_tree_df(spark, tree.left, indexes, zones).union(
+            _eval_tree_df(spark, tree.right, indexes, zones)
+        )
+    raise AssertionError(f"non-pushable node in pushed tree: {tree!r}")
+
+
 def _collect_leaves(tree: E.Expr) -> List[E.Expr]:
     if isinstance(tree, (E.Eq, E.Cmp)):
         return [tree]
@@ -311,12 +410,21 @@ def query(
     predicate: E.Expr,
     index_root: str,
     metrics: Optional[ScanMetrics] = None,
+    distributed_threshold: Optional[int] = None,
 ) -> DataFrame:
     """Index-accelerated ``SELECT * FROM table WHERE predicate``.
 
     Always returns exactly the rows a full scan + filter would (the gate
     the reference's verification job enforces, M5) — the index only prunes
     which files are opened.
+
+    Above ``distributed_threshold`` live files (default
+    :data:`DISTRIBUTED_FILE_THRESHOLD`), predicate→file-set evaluation
+    runs cluster-side (:func:`_eval_tree_df`): only the final matched
+    file list reaches the driver, so planning memory is bounded by the
+    answer instead of keys × files. The driver path below the threshold
+    additionally intersects per-file byte ranges for AND predicates
+    (sub-file exclusion + range-accurate bytes metrics).
     """
     predicate = E._coerce(predicate)
     m = metrics if metrics is not None else ScanMetrics()
@@ -349,15 +457,34 @@ def query(
         return spark.read.parquet(table_path).where(full_filter)
 
     leaves = _collect_leaves(pushed)
-    leaf_sets = _leaf_file_sets(spark, leaves, indexes, zones)
-    matched = _eval_tree(pushed, leaf_sets)
-
     sizes = {p: s for p, s, _ in live}
-    files = sorted(set(matched) & set(sizes))
-    m.scanned_files = len(files)
-    # the reference's totalBytesNewSplits: matched block bytes, not whole
-    # file sizes (clamped — merged ranges can pad past the data end)
-    m.scanned_bytes = sum(min(sizes[f], iv.total_length(matched[f])) for f in files)
+    threshold = (
+        DISTRIBUTED_FILE_THRESHOLD
+        if distributed_threshold is None
+        else distributed_threshold
+    )
+    if len(live) > threshold:
+        m.planner = "distributed"
+        matched_df = _eval_tree_df(spark, pushed, indexes, zones).distinct()
+        files = sorted(
+            {fsio.normalize_path(r["file"]) for r in matched_df.collect()}
+            & set(sizes)
+        )
+        m.scanned_files = len(files)
+        # whole-file granularity in distributed mode (byte ranges are a
+        # driver-path refinement)
+        m.scanned_bytes = sum(sizes[f] for f in files)
+    else:
+        leaf_sets = _leaf_file_sets(spark, leaves, indexes, zones)
+        matched = _eval_tree(pushed, leaf_sets)
+        files = sorted(set(matched) & set(sizes))
+        m.scanned_files = len(files)
+        # the reference's totalBytesNewSplits: matched block bytes, not
+        # whole file sizes (clamped — merged ranges can pad past the end)
+        m.scanned_bytes = sum(
+            min(sizes[f], iv.total_length(matched[f])) for f in files
+        )
+
     def _serving_index(leaf: E.Expr) -> _Index:
         if isinstance(leaf, E.Eq) and leaf.column in indexes:
             return indexes[leaf.column]

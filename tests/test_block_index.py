@@ -296,3 +296,51 @@ def test_and_interval_intersection_excludes_file(spark, workdir):
         assert 0 < m2.scanned_bytes < m2.total_bytes, m2.as_dict()
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+
+# ---------------------------------------------------------- distributed plan
+
+def test_distributed_planner_matches_driver_path(engine, spark, events_multifile):
+    """Above the file-count threshold the predicate→file-set evaluation
+    runs cluster-side; results and pruning must match the driver path
+    exactly (whole-file granularity)."""
+    from elephant_twin_spark.operators import scan
+    from elephant_twin_spark.plans import expr as E
+
+    preds = [
+        col("event_type") == "click",
+        (col("event_type") == "click") & (col("user_id") == 12),
+        (col("event_type") == "signup") | (col("event_type") == "error"),
+        (col("event_type") == "purchase") & (col("value") > 50.0),
+        col("user_id") == 13,
+        col("event_type") == "does_not_exist",
+    ]
+    for pred in preds:
+        md = scan.ScanMetrics()
+        drv = scan.query(
+            spark, events_multifile, pred, engine.index_root, metrics=md,
+            distributed_threshold=10**9,
+        )
+        mc = scan.ScanMetrics()
+        dist = scan.query(
+            spark, events_multifile, pred, engine.index_root, metrics=mc,
+            distributed_threshold=0,
+        )
+        assert md.planner == "driver" and mc.planner == "distributed"
+        assert rows(dist) == rows(drv), repr(pred)
+        # same files survive pruning (bytes may differ: driver path counts
+        # matched ranges, distributed counts whole files)
+        assert mc.scanned_files == md.scanned_files, repr(pred)
+        assert mc.total_files == md.total_files
+
+
+def test_distributed_planner_prunes(engine, spark, events_multifile):
+    from elephant_twin_spark.operators import scan
+
+    m = scan.ScanMetrics()
+    scan.query(
+        spark, events_multifile, col("user_id") == 13, engine.index_root,
+        metrics=m, distributed_threshold=0,
+    ).count()
+    assert m.planner == "distributed"
+    assert 0 < m.scanned_files <= m.total_files

@@ -103,3 +103,22 @@ def test_indexes_on_empty_table(spark, workdir):
     eng.build_zone_index(src, "ts")
     assert eng.query(src, col("k") == "anything").count() == 0
     assert eng.query(src, col("ts") < "2030-01-01").count() == 0
+
+
+def test_bloom_distributed_planner_matches(spark, workdir, clustered_events):
+    """Bloom leaf evaluated cluster-side equals the driver path."""
+    from elephant_twin_spark import col
+    from elephant_twin_spark.operators import scan
+
+    beng = Engine(spark, f"{workdir}/bloom_dist_root")
+    beng.build_bloom_index(clustered_events, "user_id")
+    md, mc = scan.ScanMetrics(), scan.ScanMetrics()
+    drv = scan.query(spark, clustered_events, col("user_id") == 42,
+                     beng.index_root, metrics=md, distributed_threshold=10**9)
+    dist = scan.query(spark, clustered_events, col("user_id") == 42,
+                      beng.index_root, metrics=mc, distributed_threshold=0)
+    assert mc.planner == "distributed"
+    assert sorted(r["event_id"] for r in dist.collect()) == sorted(
+        r["event_id"] for r in drv.collect()
+    )
+    assert mc.scanned_files == md.scanned_files

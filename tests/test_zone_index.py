@@ -185,3 +185,19 @@ def test_mixed_index_kinds_one_predicate(spark, workdir):
     assert m.scanned_files < m.total_files, m.as_dict()
     assert "Eq('event_type'" in m.pushed and "Cmp('ts'" in m.pushed, m.pushed
     assert "Eq('user_id'" in m.pushed, m.pushed
+
+
+def test_zone_distributed_planner_matches(zeng, spark, time_clustered):
+    """Zone (range) leaves evaluated cluster-side equal the driver path."""
+    from elephant_twin_spark.operators import scan
+    from elephant_twin_spark.plans import expr as E
+
+    pred = E.parse_predicate("ts >= '2024-01-10' AND ts < '2024-01-12'")
+    md, mc = scan.ScanMetrics(), scan.ScanMetrics()
+    drv = scan.query(spark, time_clustered, pred, zeng.index_root,
+                     metrics=md, distributed_threshold=10**9)
+    dist = scan.query(spark, time_clustered, pred, zeng.index_root,
+                      metrics=mc, distributed_threshold=0)
+    assert mc.planner == "distributed"
+    assert drv.count() == dist.count() > 0
+    assert mc.scanned_files == md.scanned_files < mc.total_files
