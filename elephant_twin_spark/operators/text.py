@@ -53,6 +53,83 @@ def lowercase_tokenizer(text: Column) -> Column:
     return whitespace_tokenizer(F.lower(text))
 
 
+def word_tokenizer(text: Column) -> Column:
+    """Regex analyzer: lowercase, split on any non-letter/digit run —
+    the StandardAnalyzer-ish entry of the pluggable-analyzer contract
+    (T1, lucene/indexing/AbstractLuceneIndexingJob.java:79-83: the
+    reference accepts any analyzer class by name)."""
+    return F.filter(
+        F.split(F.lower(text), r"[^\p{L}\p{N}]+"), lambda t: t != F.lit("")
+    )
+
+
+# Light English suffix-stripper (S-stemmer-style), applied RULE BY RULE in
+# order on both the build side (SQL regexp_replace fold) and the query
+# side (re.sub fold in _analyze_term) so the two can never disagree.
+# Replacements use Java's $1 syntax; the Python mirror rewrites to \1.
+_STEM_RULES = [
+    ("sses$", "ss"),
+    ("([xz]|ch|sh)es$", "$1"),
+    ("ies$", "y"),
+    ("([^su])s$", "$1"),
+    ("(.{3,})ing$", "$1"),
+    ("(.{3,})ed$", "$1"),
+    ("(.{3,})ly$", "$1"),
+]
+
+
+def english_stem_tokenizer(text: Column) -> Column:
+    """``word_tokenizer`` + light English suffix stripping — the
+    stemming-analyzer entry (T1). Deliberately a small deterministic
+    rule table, not Porter: cross-engine reproducibility (and the exact
+    Python mirror for query terms) beats linguistic completeness here."""
+
+    def stem(t: Column) -> Column:
+        for pat, repl in _STEM_RULES:
+            t = F.regexp_replace(t, pat, repl)
+        return t
+
+    return F.transform(word_tokenizer(text), stem)
+
+
+def _analyze_term(name: str, term: str) -> str:
+    """Query-side analysis mirror: a query term must go through the same
+    normalization its index's tokenizer applied to document terms."""
+    import re as _re
+
+    if name == "whitespace":
+        return term
+    term = term.lower()
+    if name == "lowercase":
+        return term
+    term = _re.sub(r"[^\w]+", "", term, flags=_re.UNICODE)
+    if name == "english_stem":
+        for pat, repl in _STEM_RULES:
+            term = _re.sub(pat, repl.replace("$1", "\\1"), term)
+    return term
+
+
+def _analyze_node(node, name: str):
+    """Rewrite every leaf of a parsed query through :func:`_analyze_term`
+    (prefix/wildcard patterns only fold case — stemming a pattern is
+    undefined, matching Lucene's analyzer-bypass for those leaves)."""
+    if name == "whitespace":
+        return node
+    if isinstance(node, _Term):
+        return _Term(_analyze_term(name, node.term))
+    if isinstance(node, _Phrase):
+        return _Phrase([_analyze_term(name, t) for t in node.terms], node.slop)
+    if isinstance(node, _Prefix):
+        return _Prefix(node.prefix.lower())
+    if isinstance(node, _Wildcard):
+        return _Wildcard(node.pattern.lower())
+    if isinstance(node, _Fuzzy):
+        return _Fuzzy(node.term.lower(), node.max_edits)
+    if isinstance(node, _Not):
+        return _Not(_analyze_node(node.child, name))
+    return _Bool(node.op, [_analyze_node(p, name) for p in node.parts])
+
+
 # --------------------------------------------------------------------- build
 
 def postings_for(
@@ -128,15 +205,28 @@ def build_text_index(
     doc_id_column: str,
     index_root: str,
     num_buckets: int = DEFAULT_NUM_BUCKETS,
-    tokenizer: Tokenizer = whitespace_tokenizer,
+    tokenizer: Optional[Tokenizer] = None,
     tokenizer_name: str = "whitespace",
 ) -> str:
     """Build the postings table + descriptor; returns the index dir.
+
+    ``tokenizer_name`` selects from the analyzer registry (whitespace,
+    lowercase, word, english_stem — the pluggable-analyzer contract, T1);
+    passing ``tokenizer`` overrides with a custom callable (its name is
+    still recorded so query-side analysis can be matched by the caller).
 
     The reference's shard-parallel build (#reducers = #shards, T8) maps to
     ``repartitionByRange(num_buckets, term)``; ``forceMerge(1)`` and the
     local-then-copy staging disappear (Parquet writes are already atomic
     per task and compact)."""
+    if tokenizer is None:
+        try:
+            tokenizer = _TOKENIZERS[tokenizer_name]
+        except KeyError:
+            raise ValueError(
+                f"unknown tokenizer {tokenizer_name!r}; registry has "
+                f"{sorted(_TOKENIZERS)}"
+            ) from None
     idx_dir = catalog.index_dir(index_root, table_path, text_column, kind="text")
     df = spark.read.parquet(table_path)
     postings = postings_for(df, text_column, doc_id_column, tokenizer)
@@ -483,6 +573,8 @@ def files_containing(value_sets: DataFrame, column: str, value) -> DataFrame:
 _TOKENIZERS = {
     "whitespace": whitespace_tokenizer,
     "lowercase": lowercase_tokenizer,
+    "word": word_tokenizer,
+    "english_stem": english_stem_tokenizer,
 }
 
 
@@ -525,6 +617,7 @@ class TextIndex:
           similarity/norms analog, SURVEY §2.7 T2).
         """
         node = parse_query(query) if isinstance(query, str) else query
+        node = _analyze_node(node, self.desc.options.get("tokenizer", "whitespace"))
         if not _is_positive(node):
             raise ValueError(
                 "pure-negative query: docs matching only by absence of a "

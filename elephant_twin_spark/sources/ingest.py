@@ -26,7 +26,23 @@ from typing import Dict, Optional
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-_KNOWN = {"csv", "json", "text", "parquet", "orc"}
+_KNOWN = {"csv", "json", "text", "parquet", "orc", "avro"}
+
+
+def avro_available(spark: SparkSession) -> bool:
+    """True when the ``spark-avro`` module is on the session's classpath.
+    Avro is Spark's external-but-official datasource (shipped separately
+    since 2.4); at spark-submit time it arrives via ``--packages
+    org.apache.spark:spark-avro_2.13:<spark version>``."""
+    try:
+        # resolve through Spark's own datasource registry (a bare
+        # Class.forName via py4j can "succeed" without a usable source)
+        spark._jvm.org.apache.spark.sql.execution.datasources.DataSource.lookupDataSource(
+            "avro", spark._jsparkSession.sessionState().conf()
+        )
+        return True
+    except Exception:
+        return False
 
 
 def read_foreign(
@@ -41,6 +57,13 @@ def read_foreign(
     ``delimiter``, ``multiLine``...). ``schema`` (DDL string) skips
     inference — ALWAYS pass it in production: schema inference is an
     extra full read of the source."""
+    if fmt == "avro" and not avro_available(spark):
+        raise RuntimeError(
+            "avro ingestion needs the spark-avro module on the classpath "
+            "(submit with --packages org.apache.spark:spark-avro_2.13:"
+            f"{spark.version}); it is Spark's official external datasource "
+            "and is not bundled in this environment"
+        )
     reader = spark.read.format(fmt)
     for k, v in (options or {}).items():
         reader = reader.option(k, v)

@@ -61,3 +61,25 @@ def test_unknown_format_rejected(spark, workdir):
     eng = Engine(spark, f"{workdir}/ing_idx")
     with pytest.raises(ValueError):
         eng.ingest("/nope", "xlsx", f"{workdir}/ing_bad")
+
+
+def test_avro_ingest_roundtrip_or_clear_error(spark, workdir):
+    """Avro is the nearest public analog of the reference's pluggable
+    InputFormat surface (S1). When spark-avro is deployed the round-trip
+    must work; when it isn't, read_foreign must fail with the deploy
+    hint rather than Spark's bare ClassNotFound."""
+    from elephant_twin_spark.sources import ingest as ing
+
+    if not ing.avro_available(spark):
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError, match="spark-avro"):
+            ing.read_foreign(spark, f"{workdir}/nope.avro", "avro")
+        _pytest.skip("spark-avro not on classpath in this environment")
+    src = f"{workdir}/avro_src"
+    spark.range(10).selectExpr("id", "cast(id as string) AS s").write.format(
+        "avro"
+    ).mode("overwrite").save(src)
+    dst = ing.ingest(spark, src, "avro", f"{workdir}/avro_ingested", num_files=2)
+    got = spark.read.parquet(dst)
+    assert got.count() == 10 and set(got.columns) == {"id", "s"}

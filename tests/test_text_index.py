@@ -353,3 +353,30 @@ def test_keywords_tfidf(eng, docs, docs_path):
     got_q = sorted(by_doc[qid])
     for (rank, term, score), (wt, ws) in zip(got_q, want):
         assert term == wt and abs(score - ws) < 1e-9
+
+
+def test_english_stem_tokenizer_end_to_end(spark, workdir):
+    """T1 pluggable-analyzer parity: build with the stemming analyzer by
+    NAME, query with inflected forms — the query-side mirror must apply
+    the same normalization."""
+    from pyspark.sql import Row
+
+    from elephant_twin_spark.engine import Engine
+
+    path = f"{workdir}/stem_corpus"
+    spark.createDataFrame(
+        [
+            Row(doc_id=1, text="The Foxes were jumping over sleeping dogs"),
+            Row(doc_id=2, text="A fox jumps over the dog"),
+            Row(doc_id=3, text="Parquet row groups carry column statistics"),
+        ]
+    ).write.mode("overwrite").parquet(path)
+    eng = Engine(spark, f"{workdir}/stem_idx")
+    eng.build_text_index(path, "text", "doc_id", tokenizer_name="english_stem")
+    ti = eng.text_index(path, "text")
+    # 'Foxes'/'fox' → 'fox'; 'jumping'/'jumps' → 'jump' on both sides
+    assert ti.count("fox") == 2
+    assert ti.count("jumping") == 2
+    assert ti.count("Jumps AND Fox") == 2
+    assert ti.count("statistic") == 1          # 'statistics' stemmed
+    assert ti.count("parquet") == 1            # case folded
