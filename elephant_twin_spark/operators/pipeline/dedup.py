@@ -55,8 +55,10 @@ def exact_dup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Keep exactly one row (min id) per distinct content."""
+    # keep is O(distinct docs) — same order as the corpus, so no broadcast
+    # hint: let AQE pick the join strategy from the measured size
     keep = exact_dup_groups(df, text_col, id_col).select(F.col("keep_id").alias(id_col))
-    return df.join(F.broadcast(keep) if False else keep, id_col, "inner")
+    return df.join(keep, id_col, "inner")
 
 
 # ---------------------------------------------------------------- shingles

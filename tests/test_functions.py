@@ -128,3 +128,28 @@ def test_sketches_accuracy_and_mergeability(spark):
         sketches.percentile_approx("value", 0.5).alias("p50")
     )
     assert pa.count() > 0 and pa.first()["p50"] is not None
+
+
+def test_timeutil_epoch_helpers_both_timestamp_flavors(spark):
+    """epoch_micros/epoch_seconds must agree between TIMESTAMP and
+    TIMESTAMP_NTZ inputs (the NTZ path is timezone-free by construction),
+    and ensure_event_time re-types NTZ to TIMESTAMP for watermarks."""
+    from pyspark.sql import functions as F
+
+    from elephant_twin_spark.functions import timeutil
+
+    base = spark.sql(
+        "SELECT TIMESTAMP'2024-01-05 10:00:00.123456' AS tz, "
+        "TIMESTAMP_NTZ'2024-01-05 10:00:00.123456' AS ntz"
+    )
+    r = base.select(
+        timeutil.epoch_micros(base, "tz").alias("us_tz"),
+        timeutil.epoch_micros(base, "ntz").alias("us_ntz"),
+        timeutil.epoch_seconds(base, "tz").alias("s_tz"),
+        timeutil.epoch_seconds(base, "ntz").alias("s_ntz"),
+    ).first()
+    assert r["us_tz"] == r["us_ntz"] == 1704448800123456
+    assert r["s_tz"] == r["s_ntz"] == 1704448800
+    fixed = timeutil.ensure_event_time(base, "ntz")
+    assert dict(fixed.dtypes)["ntz"] == "timestamp"
+    assert dict(timeutil.ensure_event_time(base, "tz").dtypes)["tz"] == "timestamp"
