@@ -33,6 +33,7 @@ from elephant_twin_spark.operators.pipeline import (
     lmscore,
     mixture,
     pack,
+    quota,
     shard,
     pii,
     profile,
@@ -507,6 +508,34 @@ def _q_ivf_knn_join(spark, sf_dir):
         qs, emb, "vec_id", "embedding", "vec_id", "embedding",
         k=5, nlist=8, nprobe=4, max_iter=2,
     ).select("query_id", "id", F.round("cosine", 6).alias("cosine"), "rank")
+
+
+def _q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, SRP-bucketed (rows-only: the
+    random-hyperplane buckets are engine-side; candidates-only verify).
+    The corpus is salted with slightly-perturbed copies of the first 50
+    vectors so the gate demonstrably recovers planted near-dups (the
+    random synthetic embeddings alone contain none above threshold)."""
+    emb = _state(spark, sf_dir).raw("embeddings")
+    planted = emb.where(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x.cast("double") * 1.001).cast("float")
+        ).alias("embedding"),
+    )
+    both = emb.select("vec_id", "embedding").unionByName(planted)
+    return similarity.embedding_near_dup_pairs(
+        both, "embedding", "vec_id", threshold=0.98, bits=6
+    ).select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+def _q_domain_cap(spark, sf_dir):
+    """Per-source quota cap (CCNet-style domain cap): keep the 10
+    longest docs per source, deterministic tiebreak on doc_id."""
+    docs = _state(spark, sf_dir).raw("documents")
+    return quota.per_group_cap(
+        docs, "source", cap=10, order_col="n_chars", id_col="doc_id"
+    ).select("doc_id", "source", "n_chars")
 
 
 def _q_doc_keywords(spark, sf_dir):
@@ -1710,6 +1739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_last_click": _q_asof_last_click,
         "error_window_counts": _q_error_window_counts,
         "quality_top_fraction": _q_quality_top_fraction,
+        "domain_cap": _q_domain_cap,
         "lsh_gate": _q_lsh_gate,
         # --- untested in r1, rows-only (engine-specific hashes/approx ops)
         "simhash_docs": _q_simhash_docs,
@@ -1718,6 +1748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_top10": _q_ann_ivf_top10,
         "ann_pq_top10": _q_ann_pq_top10,
         "minhash_near_dup_pairs": _q_minhash_near_dup,
+        "embedding_near_dup": _q_embedding_near_dup,
         "media_features": _q_media_features,
         "knn_join_ivf_top5": _q_ivf_knn_join,
         "streaming_session_counts": _q_streaming_session_counts,
@@ -2114,6 +2145,15 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, source, round(qs, 4) AS quality_score
             FROM r WHERE rn <= ceil(n * 0.3)
+        """,
+        "domain_cap": """
+            SELECT doc_id, source, n_chars
+            FROM (
+                SELECT doc_id, source, n_chars,
+                       row_number() OVER (PARTITION BY source
+                                          ORDER BY n_chars DESC, doc_id ASC) AS rn
+                FROM documents
+            ) WHERE rn <= 10
         """,
         "lsh_gate": f"""
             WITH corpus AS (

@@ -790,3 +790,30 @@ def test_edge_cases_new_operators(spark):
     es = spark.createDataFrame([(1, "")], "doc_id long, text string")
     assert textstats.repetition_ratio(es, "text").first()["dup_ngram_ratio"] == 0.0
     assert textstats.char_entropy(es, "text").first()["char_entropy"] == 0.0
+
+
+def test_per_group_cap_deterministic_and_bounded(spark):
+    from conftest import SF_DIR
+
+    from elephant_twin_spark.operators.pipeline import quota
+
+    docs = tables.load_raw(spark, f"{SF_DIR}/documents.parquet")
+    capped = quota.per_group_cap(docs, "source", cap=3, order_col="n_chars", id_col="doc_id")
+    per = {r["source"]: r["n"] for r in capped.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert per and all(n <= 3 for n in per.values())
+    # deterministic: same result twice
+    a = sorted(r["doc_id"] for r in capped.collect())
+    b = sorted(r["doc_id"] for r in quota.per_group_cap(
+        docs, "source", cap=3, order_col="n_chars", id_col="doc_id").collect())
+    assert a == b
+    # keeps the longest docs: every kept doc >= every dropped doc per group
+    kept = capped.select("source", F.col("n_chars").alias("k"))
+    dropped = docs.join(capped.select("doc_id"), "doc_id", "left_anti").select(
+        "source", F.col("n_chars").alias("d")
+    )
+    viol = (
+        kept.groupBy("source").agg(F.min("k").alias("min_k"))
+        .join(dropped.groupBy("source").agg(F.max("d").alias("max_d")), "source")
+        .where(F.col("max_d") > F.col("min_k"))
+    )
+    assert viol.count() == 0
