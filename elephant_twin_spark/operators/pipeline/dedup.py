@@ -429,6 +429,14 @@ def connected_components(
         .withColumn("comp", F.col("node"))
         .localCheckpoint()
     )
+    # convergence via label-sum: comp is componentwise non-increasing each
+    # round, so the (exact, decimal — no silent long overflow) sum strictly
+    # decreases iff ANY label changed. One tiny aggregation per round
+    # replaces a join+count change detector.
+    def label_sum(l: DataFrame):
+        return l.agg(F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")).first()["s"]
+
+    prev_sum = label_sum(labels)
     for _ in range(max_iter):
         nbr_min = (
             edges.join(labels, edges.d == labels.node)
@@ -440,15 +448,11 @@ def connected_components(
             .agg(F.min("comp").alias("comp"))
             .localCheckpoint()
         )
-        changed = (
-            new.withColumnRenamed("comp", "comp_new")
-            .join(labels, "node")
-            .where(F.col("comp_new") != F.col("comp"))
-            .count()
-        )
+        new_sum = label_sum(new)
         labels = new
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     return labels.select("node", "comp").withColumnsRenamed(
         {"node": "node", "comp": "component"}
     )
