@@ -64,18 +64,21 @@ def with_lsh_bucket(
     planes: List[List[float]],
     out_col: str = "bucket",
 ) -> DataFrame:
-    """Sign-random-projection LSH bucket id (0..2^bits-1) per row."""
+    """Sign-random-projection LSH bucket id (0..2^bits-1) per row.
+
+    The plane matrix rides as ONE nested-array literal folded with
+    higher-order functions — a per-element-literal expression tree
+    (bits × dim `Literal` nodes) costs seconds of codegen/compile before
+    the first row is touched; the single-literal form is compiled in
+    milliseconds and computes the identical sum order."""
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    bits = [
-        F.when(_dot(v, F.array(*[F.lit(float(x)) for x in p])) >= 0, F.lit(1 << i)).otherwise(
-            F.lit(0)
-        )
-        for i, p in enumerate(planes)
-    ]
-    acc = bits[0]
-    for b in bits[1:]:
-        acc = acc + b
-    return df.withColumn(out_col, acc.cast("int"))
+    pl = F.lit([[float(x) for x in p] for p in planes])
+    sign_bits = F.transform(pl, lambda p: (_dot(v, p) >= 0).cast("int"))
+    powers = F.lit([1 << i for i in range(len(planes))])
+    bucket = F.aggregate(
+        F.zip_with(sign_bits, powers, lambda b, w: b * w), F.lit(0), lambda s, x: s + x
+    )
+    return df.withColumn(out_col, bucket.cast("int"))
 
 
 def lsh_cosine_topk(
@@ -426,8 +429,13 @@ def embedding_near_dup_pairs(
     ``(id_a, id_b, cosine)``."""
     dim = df.select(F.size(vec_col).alias("d")).first()["d"]
     planes = random_hyperplanes(dim, bits, seed)
-    b = with_lsh_bucket(df, vec_col, planes).select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "bucket"
+    # pin the bucketed projection: the self-join would otherwise evaluate
+    # the bits×dim hyperplane expression tree twice (and pay its codegen
+    # cost twice — the literal-heavy plan is expensive to compile)
+    b = (
+        with_lsh_bucket(df, vec_col, planes)
+        .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "bucket")
+        .localCheckpoint()
     )
     x, y = b.alias("x"), b.alias("y")
     cands = x.join(
