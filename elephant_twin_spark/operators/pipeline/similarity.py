@@ -31,7 +31,7 @@ def _norm(a):
 
 def with_cosine(df: DataFrame, vec_col: str, query_vec: Sequence[float], out_col: str = "cosine") -> DataFrame:
     """Add cosine similarity to a constant query vector (double precision)."""
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = F.lit([float(x) for x in query_vec])
     qn = math.sqrt(sum(float(x) * float(x) for x in query_vec))
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     return df.withColumn(out_col, _dot(v, q) / (_norm(v) * F.lit(qn)))
@@ -111,27 +111,32 @@ def lsh_cosine_topk(
     return cosine_topk(pruned, vec_col, id_col, query_vec, k)
 
 
-def _centroid_sims(vec_col, centroids: List[List[float]], metric: str = "cosine"):
+def _centroid_struct_array(vec_col, centroids: List[List[float]], metric: str = "cosine"):
+    """``array<struct<sim,idx>>`` of similarity to every centroid. The
+    centroid matrix rides as ONE nested-array literal folded with
+    higher-order functions: per-element literal trees (k × dim `Literal`
+    nodes) cost seconds of plan compile at realistic k·dim, the
+    single-literal form milliseconds — same arithmetic, same sum order."""
     v = F.transform(vec_col, lambda x: x.cast("double"))
-    vn = _norm(v)
-    out = []
-    for c in centroids:
-        cvec = F.array(*[F.lit(float(x)) for x in c])
-        if metric == "cosine":
-            cn = math.sqrt(sum(x * x for x in c)) or 1.0
-            out.append(_dot(v, cvec) / (vn * F.lit(cn)))
-        elif metric == "l2":
-            # argmax of negative squared distance == argmin distance
-            out.append(
-                -F.aggregate(
-                    F.zip_with(v, cvec, lambda a, b: (a - b) * (a - b)),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-            )
-        else:
-            raise ValueError(metric)
-    return out
+    cmat = F.lit([[float(x) for x in c] for c in centroids])
+    idxs = F.lit(list(range(len(centroids))))
+    if metric == "cosine":
+        vn = _norm(v)
+        norms = F.lit([math.sqrt(sum(x * x for x in c)) or 1.0 for c in centroids])
+        sims = F.zip_with(cmat, norms, lambda c, n: _dot(v, c) / (vn * n))
+    elif metric == "l2":
+        # argmax of negative squared distance == argmin distance
+        sims = F.transform(
+            cmat,
+            lambda c: -F.aggregate(
+                F.zip_with(v, c, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+    else:
+        raise ValueError(metric)
+    return F.zip_with(sims, idxs, lambda s, i: F.struct(s.alias("sim"), i.alias("idx")))
 
 
 def ivf_assign(
@@ -144,10 +149,7 @@ def ivf_assign(
     """Assign each row to its best centroid (argmax over an inline
     struct array — pure JVM expression, ties broken toward the higher
     cluster id deterministically)."""
-    sims = _centroid_sims(F.col(vec_col), centroids, metric)
-    arr = F.array(
-        *[F.struct(s.alias("sim"), F.lit(i).alias("idx")) for i, s in enumerate(sims)]
-    )
+    arr = _centroid_struct_array(F.col(vec_col), centroids, metric)
     return df.withColumn(out_col, F.array_max(arr)["idx"])
 
 
@@ -273,10 +275,7 @@ def pq_fit(
     for _ in range(max_iter):
         assign_cols = []
         for s in range(m):
-            sims = _centroid_sims(F.col(f"_v{s}"), books[s], metric="l2")
-            arr = F.array(
-                *[F.struct(x.alias("sim"), F.lit(i).alias("idx")) for i, x in enumerate(sims)]
-            )
+            arr = _centroid_struct_array(F.col(f"_v{s}"), books[s], metric="l2")
             assign_cols.append(F.array_max(arr)["idx"].alias(f"_c{s}"))
         assigned = base.select(*[F.col(f"_v{s}") for s in range(m)], *assign_cols)
         rows = assigned.select(
@@ -346,15 +345,18 @@ def pq_topk(
     for s, book in enumerate(codebooks):
         q = [float(x) for x in query_vec[s * w : (s + 1) * w]]
         tables.append([sum((a - b) ** 2 for a, b in zip(q, c)) for c in book])
-    per_sub = [
-        F.element_at(
-            F.array(*[F.lit(float(d)) for d in tables[s]]), F.col("codes")[s] + 1
-        )
-        for s in range(m)
-    ]
-    dist = per_sub[0]
-    for p in per_sub[1:]:
-        dist = dist + p
+    # ONE m×k' nested literal + a zip_with fold (not m×k' Literal nodes:
+    # plan-compile cost, not row cost, dominates per-element literals)
+    lut = F.lit([[float(d) for d in t] for t in tables])
+    dist = F.aggregate(
+        F.zip_with(
+            lut,
+            F.transform(F.col("codes"), lambda c: c.cast("int")),
+            lambda t, c: F.element_at(t, c + 1),
+        ),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
     scored = codes_df.select("id", dist.alias("adc_dist"))
     return scored.orderBy(F.col("adc_dist").asc(), F.col("id").asc()).limit(k)
 
@@ -546,10 +548,7 @@ def probe_queries(
 ) -> DataFrame:
     """``(query_id, _qv, cluster)`` — each query row exploded to its
     nprobe nearest centroids (JVM struct-sort, no UDF)."""
-    sims = _centroid_sims(F.col(query_vec_col), centroids)
-    sim_arr = F.array(
-        *[F.struct(s.alias("sim"), F.lit(i).alias("idx")) for i, s in enumerate(sims)]
-    )
+    sim_arr = _centroid_struct_array(F.col(query_vec_col), centroids)
     return (
         queries.select(
             F.col(query_id_col).alias("query_id"),
