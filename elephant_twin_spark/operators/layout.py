@@ -75,6 +75,43 @@ def cluster_table(
     return dst_path
 
 
+def bucket_table(
+    spark: SparkSession,
+    src,
+    table_name: str,
+    bucket_cols: Sequence[str],
+    num_buckets: int,
+    sort_cols: Optional[Sequence[str]] = None,
+) -> str:
+    """Write ``src`` as a BUCKETED managed table: rows hash-partitioned
+    into ``num_buckets`` files per partition by ``bucket_cols`` (and
+    optionally sorted within buckets).
+
+    This is the co-located-join layout: two tables bucketed on the same
+    key with the same bucket count join with ZERO Exchange on either side
+    (Spark matches bucket spec to the join's required distribution) —
+    at 100 TB the difference between re-shuffling both fact tables per
+    join and reading pre-shuffled data in place. Aggregations on the
+    bucket key likewise skip their exchange. The cost is paid once at
+    write time — the same trade as the block index, applied to join keys
+    instead of filter keys.
+
+    Needs ``saveAsTable`` (bucket metadata lives in the catalog, not the
+    parquet footers); ``src`` may be a path or a DataFrame. Returns
+    ``table_name``.
+    """
+    df = spark.read.parquet(src) if isinstance(src, str) else src
+    w = (
+        df.write.format("parquet")
+        .mode("overwrite")
+        .bucketBy(int(num_buckets), *bucket_cols)
+    )
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table_name)
+    return table_name
+
+
 def overwrite_partitions(
     spark: SparkSession,
     df,

@@ -114,3 +114,53 @@ def test_interleave_bits_is_morton_code(spark):
         assert zs == sorted(zs)
         zs = [got[(fixed, b)] for b in range(16)]
         assert zs == sorted(zs)
+
+
+def test_bucketed_join_has_no_exchange(spark, workdir):
+    """Co-located join: two tables bucketed on the join key with equal
+    bucket counts must sort-merge join with ZERO shuffle exchanges —
+    the write-once/join-forever layout contract."""
+    import shutil
+
+    from conftest import SF_DIR
+
+    from elephant_twin_spark.sources import tables
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("ets_bkt_a", "ets_bkt_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
+    ev = tables.load_raw(spark, f"{SF_DIR}/events.parquet")
+    a = ev.select("event_id", "user_id", "value")
+    b = ev.select("user_id", "event_type").distinct()
+    layout.bucket_table(spark, a, "ets_bkt_a", ["user_id"], 8, sort_cols=["user_id"])
+    layout.bucket_table(spark, b, "ets_bkt_b", ["user_id"], 8, sort_cols=["user_id"])
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        old_aqe = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    except Exception:
+        old_aqe = None
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = (
+            spark.table("ets_bkt_a")
+            .join(spark.table("ets_bkt_b"), "user_id")
+            .groupBy("event_type")
+            .agg(F.sum("value").alias("rev"))
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange hashpartitioning" not in plan.split("HashAggregate")[-1], plan
+        # the join itself: no exchange between the scans and the join
+        join_part = plan.split("SortMergeJoin")[-1]
+        assert "Exchange" not in join_part, plan
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        if old_aqe is not None:
+            spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", old_aqe)
+        else:
+            spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS ets_bkt_a")
+        spark.sql("DROP TABLE IF EXISTS ets_bkt_b")
