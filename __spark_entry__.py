@@ -1740,6 +1740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "error_window_counts": _q_error_window_counts,
         "quality_top_fraction": _q_quality_top_fraction,
         "domain_cap": _q_domain_cap,
+        "media_features": _q_media_features,
         "lsh_gate": _q_lsh_gate,
         # --- untested in r1, rows-only (engine-specific hashes/approx ops)
         "simhash_docs": _q_simhash_docs,
@@ -1749,7 +1750,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_top10": _q_ann_pq_top10,
         "minhash_near_dup_pairs": _q_minhash_near_dup,
         "embedding_near_dup": _q_embedding_near_dup,
-        "media_features": _q_media_features,
         "knn_join_ivf_top5": _q_ivf_knn_join,
         "streaming_session_counts": _q_streaming_session_counts,
         # --- green in CORRECTNESS_r01 (sparse index surface S2/S5/S6,
@@ -2111,6 +2111,16 @@ def oracle_sql() -> dict[str, str]:
                    lower(trim(regexp_replace(
                        regexp_replace(text, '[\\x00-\\x1f\\x7f]', ' ', 'g'),
                        '\\s+', ' ', 'g'))) AS norm_text
+            FROM documents
+        """,
+        # content is the utf-8 text bytes (synthesize_media_table), so the
+        # mapInPandas fake-decode output is exactly reproducible: the
+        # multimodal PLUMBING (Arrow batches, schema, batching) gets a
+        # full value-hash oracle even though real decode stays stubbed
+        "media_features": """
+            SELECT doc_id AS media_id,
+                   octet_length(encode(text)) AS n_bytes,
+                   sha256(text) AS sha
             FROM documents
         """,
         "weighted_sample": """
