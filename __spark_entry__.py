@@ -1556,6 +1556,15 @@ def _q_winnowing_fps(spark, sf_dir):
     return textstats.winnowing_fingerprints(docs, "text", "doc_id", k=5, window=4)
 
 
+def _q_winnowing_md5(spark, sf_dir):
+    """Winnowing with the cross-engine md5 hash — full value-hash oracle
+    for the sliding-window-min fingerprint selection itself."""
+    docs = _state(spark, sf_dir).raw("documents").where(F.col("doc_id") < 50)
+    return textstats.winnowing_fingerprints(
+        docs, "text", "doc_id", k=5, window=4, hash_fn="md5"
+    )
+
+
 def _q_ann_lsh_top10(spark, sf_dir):
     st = _state(spark, sf_dir)
     emb = st.raw("embeddings")
@@ -1741,6 +1750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_top_fraction": _q_quality_top_fraction,
         "domain_cap": _q_domain_cap,
         "media_features": _q_media_features,
+        "winnowing_md5": _q_winnowing_md5,
         "lsh_gate": _q_lsh_gate,
         # --- untested in r1, rows-only (engine-specific hashes/approx ops)
         "simhash_docs": _q_simhash_docs,
@@ -2122,6 +2132,25 @@ def oracle_sql() -> dict[str, str]:
                    octet_length(encode(text)) AS n_bytes,
                    sha256(text) AS sha
             FROM documents
+        """,
+        "winnowing_md5": f"""
+            WITH t AS (
+              SELECT doc_id, {_TOKS} AS toks FROM documents WHERE doc_id < 50
+            ), g AS (
+              SELECT doc_id,
+                     list_transform(range(0, greatest(len(toks) - 5, 0) + 1),
+                       i -> CAST(concat('0x', substring(
+                              md5(array_to_string(toks[i+1 : i+5], ' ')), 1, 15))
+                            AS BIGINT)) AS grams
+              FROM t
+            ), m AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       range(0, greatest(len(grams) - 4, 0) + 1),
+                       j -> list_min(grams[j+1 : j+4]))) AS mins
+              FROM g
+            )
+            SELECT doc_id AS id, unnest(mins) AS fp FROM m
         """,
         "weighted_sample": """
             WITH w AS (

@@ -120,17 +120,28 @@ def fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def winnowing_fingerprints(
-    df: DataFrame, text_col: str, id_col: str, k: int = 5, window: int = 4
+    df: DataFrame, text_col: str, id_col: str, k: int = 5, window: int = 4,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Winnowing (rolling-hash) fingerprints: hash all k-grams of tokens,
     keep the min hash of each sliding window, distinct per doc —
     the standard local fingerprinting scheme for plagiarism/near-dup
     detection, entirely in JVM higher-order functions.
-    Returns (id, fp) exploded, one row per selected fingerprint."""
+    Returns (id, fp) exploded, one row per selected fingerprint.
+    ``hash_fn="md5"`` (first 15 hex chars as a bigint) is cross-engine
+    reproducible for external oracles; xxhash64 is the fast default."""
     toks = tokens(F.col(text_col))
+    if hash_fn == "xxhash64":
+        gram_hash = lambda g: F.xxhash64(g)  # noqa: E731
+    elif hash_fn == "md5":
+        gram_hash = lambda g: F.conv(  # noqa: E731
+            F.substring(F.md5(g), 1, 15), 16, 10
+        ).cast("long")
+    else:
+        raise ValueError(hash_fn)
     grams = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0))),
-        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, k))),
+        lambda i: gram_hash(F.concat_ws(" ", F.slice(toks, i + 1, k))),
     )
     mins = F.array_distinct(
         F.transform(
