@@ -1556,6 +1556,14 @@ def _q_winnowing_fps(spark, sf_dir):
     return textstats.winnowing_fingerprints(docs, "text", "doc_id", k=5, window=4)
 
 
+def _q_simhash_near_dup(spark, sf_dir):
+    """Banded simhash near-dup pairs (md5, bounded slice) — pigeonhole
+    recall guarantee makes the bucket-join result EQUAL brute force, so
+    the quadratic DuckDB oracle applies exactly."""
+    docs = _state(spark, sf_dir).raw("documents").where(F.col("doc_id") < 300)
+    return dedup.simhash_md5_near_dup_pairs(docs, "text", "doc_id", max_hamming=3)
+
+
 def _q_winnowing_md5(spark, sf_dir):
     """Winnowing with the cross-engine md5 hash — full value-hash oracle
     for the sliding-window-min fingerprint selection itself."""
@@ -1751,6 +1759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_cap": _q_domain_cap,
         "media_features": _q_media_features,
         "winnowing_md5": _q_winnowing_md5,
+        "simhash_near_dup": _q_simhash_near_dup,
         "lsh_gate": _q_lsh_gate,
         # --- untested in r1, rows-only (engine-specific hashes/approx ops)
         "simhash_docs": _q_simhash_docs,
@@ -2132,6 +2141,25 @@ def oracle_sql() -> dict[str, str]:
                    octet_length(encode(text)) AS n_bytes,
                    sha256(text) AS sha
             FROM documents
+        """,
+        "simhash_near_dup": f"""
+            WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+                         WHERE doc_id < 300),
+            tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY 1, 2),
+            h AS (SELECT doc_id, tf,
+                         CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h
+                  FROM tf),
+            lanes AS (SELECT doc_id, b,
+                             sum(CASE WHEN (h >> b) & 1 = 1 THEN tf ELSE -tf END) AS s
+                      FROM h, unnest(range(60)) AS t(b) GROUP BY 1, 2),
+            sh AS (SELECT doc_id,
+                          CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)
+                               AS BIGINT) AS simhash
+                   FROM lanes GROUP BY doc_id)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   bit_count(xor(a.simhash, b.simhash)) AS hamming
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
         """,
         "winnowing_md5": f"""
             WITH t AS (

@@ -361,7 +361,9 @@ def simhash_near_dup_pairs(
     """Near-dup pairs by SimHash Hamming distance ≤ k, using the 4-band
     pigeonhole trick (distance ≤3 ⇒ at least one of 4 16-bit bands equal)
     so candidates come from bucket joins, not a cross product."""
-    sh = simhash64(df, text_col, id_col)
+    # pin: the band self-join would otherwise compute the signature
+    # aggregation once per side
+    sh = simhash64(df, text_col, id_col).localCheckpoint()
     bands = sh.select(
         "id",
         "simhash",
@@ -390,6 +392,48 @@ def simhash_near_dup_pairs(
     return cands.withColumn("hamming", F.bit_count(F.expr("sh_a ^ sh_b"))).where(
         F.col("hamming") <= max_hamming
     ).select("id_a", "id_b", "hamming")
+
+
+def simhash_md5_near_dup_pairs(
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Pigeonhole-banded near-dup pairs over the 60-bit md5 SimHash:
+    4 bands × 15 bits, so hamming ≤ 3 forces at least one band equal —
+    the banded candidate join has PERFECT recall and the result equals
+    the brute-force all-pairs computation, which is exactly how the
+    external oracle verifies it (engine does the bucket join, oracle the
+    quadratic check on a bounded slice)."""
+    sh = simhash60_md5(df, text_col, id_col).localCheckpoint()
+    bands = sh.select(
+        "id",
+        "simhash",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, 3), b -> cast((simhash >> (b * 15)) & 32767 as int))"
+            )
+        ).alias("band", "band_val"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return (
+        cands.withColumn("hamming", F.bit_count(F.expr("sh_a ^ sh_b")))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
 
 
 # ------------------------------------------------- duplicate clustering
