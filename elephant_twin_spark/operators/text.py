@@ -243,7 +243,33 @@ def build_text_index(
     # idf-free) is deliberately corpus-independent so per-file
     # incremental refresh never invalidates other files' rows; ``file``
     # is carried for exactly that kept/delta maintenance.
-    doclens = doclens_for(df, text_column, doc_id_column, tokenizer)
+    #
+    # Derived from the JUST-WRITTEN postings — the per-(doc, term) tf is
+    # already there, so the corpus is tokenized once per build, not
+    # twice. Token-less docs (absent from postings) are restored by an
+    # id anti-join with dl=0/norm NULL, matching doclens_for's
+    # explode_outer semantics (that function still serves the
+    # incremental-refresh delta path).
+    written = spark.read.parquet(f"{idx_dir}/postings")
+    _w = F.lit(1.0) + F.log(F.col("tf"))
+    doclens = written.groupBy("doc_id").agg(
+        F.sum("tf").cast("int").alias("dl"),
+        F.sqrt(F.sum(_w * _w)).alias("norm"),
+        F.first("file").alias("file"),
+    )
+    src_ids = df.select(
+        F.col(doc_id_column).alias("doc_id"),
+        F.regexp_replace(
+            F.col("_metadata.file_path"), r"^file:/(?=[^/])", "file:///"
+        ).alias("file"),
+    )
+    tokenless = src_ids.join(doclens.select("doc_id"), "doc_id", "left_anti").select(
+        "doc_id",
+        F.lit(0).cast("int").alias("dl"),
+        F.lit(None).cast("double").alias("norm"),
+        "file",
+    )
+    doclens = doclens.select("doc_id", "dl", "norm", "file").unionByName(tokenless)
     doclens.coalesce(max(1, num_buckets // 4)).write.mode("overwrite").parquet(
         f"{idx_dir}/doclens"
     )
