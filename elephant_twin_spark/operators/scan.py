@@ -577,6 +577,7 @@ def count(
     predicate: E.Expr,
     index_root: str,
     metrics: Optional[ScanMetrics] = None,
+    distributed_threshold: Optional[int] = None,
 ) -> int:
     """Index-ONLY ``SELECT count(*) WHERE predicate`` when the predicate
     is an equality (or same-column IN/OR-of-equalities) on a block-indexed
@@ -607,16 +608,33 @@ def count(
     m.total_files = len(live)
     m.total_bytes = sum(s for _, s, _ in live)
     m.pushed = f"count-only {column} IN {sorted(keys)}"
-    per_file = (
-        build_mod.read_postings(spark, idx.idx_dir)
-        .where(F.col("key").isin(sorted(keys)))
-        .groupBy("file")
-        .agg(F.sum("cnt").alias("cnt"))
-        .collect()
+    threshold = (
+        DISTRIBUTED_FILE_THRESHOLD
+        if distributed_threshold is None
+        else distributed_threshold
     )
-    total = sum(
-        r["cnt"] for r in per_file if fsio.normalize_path(r["file"]) in idx.fresh
+    matched = build_mod.read_postings(spark, idx.idx_dir).where(
+        F.col("key").isin(sorted(keys))
     )
+    if len(live) > threshold:
+        # cluster-side covering count: the per-file posting rows never
+        # reach the driver. The fresh-file semi-join is unconditional —
+        # the index may hold rows for files since deleted (not in `live`
+        # at all), which the driver path's `in idx.fresh` check also
+        # excludes.
+        m.planner = "distributed"
+        fresh_df = spark.createDataFrame(
+            [(f,) for f in sorted(idx.fresh)], "file string"
+        )
+        matched = matched.select(_norm_file_col(), "cnt").join(
+            fresh_df, "file", "leftsemi"
+        )
+        total = matched.agg(F.sum("cnt").alias("c")).first()["c"] or 0
+    else:
+        per_file = matched.groupBy("file").agg(F.sum("cnt").alias("cnt")).collect()
+        total = sum(
+            r["cnt"] for r in per_file if fsio.normalize_path(r["file"]) in idx.fresh
+        )
     m.stale_files = len(idx.not_covered)
     m.scanned_files = 0
     m.scanned_bytes = 0

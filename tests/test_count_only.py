@@ -145,3 +145,27 @@ def test_count_stale_file_hybrid(spark, events_multifile, workdir):
     assert got == want
     assert eng.last_metrics.scanned_files >= 1  # the appended file was read
     assert eng.last_metrics.stale_files >= 1
+
+
+def test_count_distributed_matches_driver(spark, workdir, events_multifile):
+    """The cluster-side covering count equals the driver-side sum, with
+    and without stale files."""
+    from elephant_twin_spark import Engine, col
+    from elephant_twin_spark.operators import scan
+    from elephant_twin_spark.plans import expr as E
+
+    eng = Engine(spark, f"{workdir}/cnt_dist_root")
+    eng.build_index(events_multifile, "event_type", num_buckets=4)
+    pred = E._coerce(col("event_type") == "click")
+    md, mc = scan.ScanMetrics(), scan.ScanMetrics()
+    a = scan.count(spark, events_multifile, pred, eng.index_root,
+                   metrics=md, distributed_threshold=10**9)
+    b = scan.count(spark, events_multifile, pred, eng.index_root,
+                   metrics=mc, distributed_threshold=0)
+    assert a == b > 0
+    assert mc.planner == "distributed" and md.planner == "driver"
+    # OR-of-eq (IN) shape too
+    pred_in = E._coerce((col("event_type") == "click") | (col("event_type") == "error"))
+    assert scan.count(spark, events_multifile, pred_in, eng.index_root,
+                      distributed_threshold=0) == scan.count(
+        spark, events_multifile, pred_in, eng.index_root, distributed_threshold=10**9)
