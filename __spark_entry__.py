@@ -1698,12 +1698,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # budget ran out, leaving 66 declared queries without oracle evidence.
     # r1-green queries keep their r1 rows as evidence and run last.
     return {
-        # --- untested in r1, oracle-backed (cheap relational/window/vocab)
-        "idx_count_only": _q_idx_count_only,
-        "idx_distinct_values": _q_idx_distinct_values,
-        "zone_min_max": _q_zone_min_max,
-        "value_histogram": _q_value_histogram,
-        "text_retrieve": _q_text_retrieve,
+        # --- untested in r1, oracle-backed. Within this block the
+        # zero-setup relational/window/vocab queries run FIRST and the
+        # index-backed ones (which pay first-touch materialize + index
+        # builds) run after, so a time-capped checker records the most
+        # rows per second spent.
         "pack_docs": _q_pack_docs,
         "chunk_docs": _q_chunk_docs,
         "shard_assignment": _q_shard_assignment,
@@ -1760,6 +1759,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": _q_media_features,
         "winnowing_md5": _q_winnowing_md5,
         "simhash_near_dup": _q_simhash_near_dup,
+        # index-backed unevidenced queries (first-touch state builds)
+        "idx_count_only": _q_idx_count_only,
+        "idx_distinct_values": _q_idx_distinct_values,
+        "zone_min_max": _q_zone_min_max,
+        "value_histogram": _q_value_histogram,
+        "text_retrieve": _q_text_retrieve,
         "lsh_gate": _q_lsh_gate,
         # --- untested in r1, rows-only (engine-specific hashes/approx ops)
         "simhash_docs": _q_simhash_docs,
