@@ -737,11 +737,14 @@ def _q_streaming_session_counts(spark, sf_dir):
     """Structured Streaming end-to-end (rows-only: streaming emission is
     not ANSI-SQL-expressible): file-source stream over the normalized
     events copy → native ``session_window`` aggregation with a watermark →
-    availableNow drain to a memory sink. Returns the finalized sessions
-    ``(key, session_start, session_end, n_events)``; the fixture's event
-    times are historical, so the final watermark closes every session and
-    the result is deterministic (pinned against the batch twin by
-    tests/test_streaming_and_skew.py::test_streaming_session_counts_matches_batch).
+    availableNow drain to a memory sink. Returns the FINALIZED sessions
+    ``(key, session_start, session_end, n_events)`` — append mode emits a
+    session only once the watermark passes it, so each key's open tail
+    (sessions ending within 1 h of the max event time) is withheld; the
+    emitted set is a deterministic subset of the batch ``session_window``
+    result (subset + ≥80 % coverage pinned by
+    tests/test_streaming_and_skew.py::test_streaming_session_counts_matches_batch;
+    the drain raises on timeout rather than returning a partial table).
     """
     from elephant_twin_spark.streaming import windows as swin
 

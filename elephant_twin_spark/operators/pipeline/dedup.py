@@ -473,14 +473,19 @@ def connected_components(
         .withColumn("comp", F.col("node"))
         .localCheckpoint()
     )
-    # convergence via label-sum: comp is componentwise non-increasing each
-    # round, so the (exact, decimal — no silent long overflow) sum strictly
-    # decreases iff ANY label changed. One tiny aggregation per round
-    # replaces a join+count change detector.
+    # convergence detector: for NUMERIC ids the label-sum (exact decimal —
+    # no silent long overflow) is componentwise non-increasing and strictly
+    # decreases iff ANY label changed, so one tiny aggregation per round
+    # suffices. Non-numeric (string) ids fall back to the join+count
+    # change detector (summing strings is undefined; min-label still is).
+    numeric = dict(labels.dtypes)["comp"] in {
+        "tinyint", "smallint", "int", "bigint", "float", "double",
+    } or dict(labels.dtypes)["comp"].startswith("decimal")
+
     def label_sum(l: DataFrame):
         return l.agg(F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")).first()["s"]
 
-    prev_sum = label_sum(labels)
+    prev_sum = label_sum(labels) if numeric else None
     for _ in range(max_iter):
         nbr_min = (
             edges.join(labels, edges.d == labels.node)
@@ -492,11 +497,21 @@ def connected_components(
             .agg(F.min("comp").alias("comp"))
             .localCheckpoint()
         )
-        new_sum = label_sum(new)
+        if numeric:
+            new_sum = label_sum(new)
+            converged = new_sum == prev_sum
+            prev_sum = new_sum
+        else:
+            converged = (
+                new.withColumnRenamed("comp", "comp_new")
+                .join(labels, "node")
+                .where(F.col("comp_new") != F.col("comp"))
+                .count()
+                == 0
+            )
         labels = new
-        if new_sum == prev_sum:
+        if converged:
             break
-        prev_sum = new_sum
     return labels.select("node", "comp").withColumnsRenamed(
         {"node": "node", "comp": "component"}
     )

@@ -270,17 +270,21 @@ def _bloom_candidates(
 
 
 def _norm_file_col() -> F.Column:
-    """SQL-side twin of :func:`fsio.normalize_path` for the common URI
-    spellings index tables contain (``file:/x`` vs ``file:///x``)."""
-    return F.regexp_replace(F.col("file"), r"^file:/+", "file:///").alias("file")
+    return fsio.normalize_path_col("file").alias("file")
 
 
 def _leaf_file_df(
-    spark: SparkSession, leaf: E.Expr, idx: _Index
+    spark: SparkSession,
+    leaf: E.Expr,
+    idx: _Index,
+    fresh_dfs: Optional[Dict[int, DataFrame]] = None,
 ) -> DataFrame:
     """One leaf's candidate files as a single-column DataFrame — the
     cluster-side twin of one :func:`_leaf_file_sets` entry, at whole-file
-    granularity (byte ranges are a driver-path refinement only)."""
+    granularity (byte ranges are a driver-path refinement only).
+    ``fresh_dfs`` caches the per-index fresh/not-covered local relations
+    so a multi-leaf predicate ships each index's file list to the
+    cluster once, not once per leaf."""
     if isinstance(leaf, E.Eq) and idx.kind == "block":
         df = (
             build_mod.read_postings(spark, idx.idx_dir)
@@ -321,12 +325,17 @@ def _leaf_file_df(
         # driver-resident (same contract as the reference's client-side
         # split planning); what the distributed path avoids is per-leaf
         # posting-row materialization, which scales with keys × files.
-        fresh = spark.createDataFrame(
-            [(f,) for f in sorted(idx.fresh)], "file string"
-        )
-        nc = spark.createDataFrame(
-            [(f,) for f in sorted(idx.not_covered)], "file string"
-        )
+        cache = fresh_dfs if fresh_dfs is not None else {}
+        if id(idx) not in cache:
+            cache[id(idx)] = (
+                spark.createDataFrame(
+                    [(f,) for f in sorted(idx.fresh)], "file string"
+                ),
+                spark.createDataFrame(
+                    [(f,) for f in sorted(idx.not_covered)], "file string"
+                ),
+            )
+        fresh, nc = cache[id(idx)]
         df = df.join(fresh, "file", "leftsemi").unionByName(nc)
     return df
 
@@ -336,22 +345,25 @@ def _eval_tree_df(
     tree: E.Expr,
     indexes: Dict[str, _Index],
     zones: Dict[str, _Index],
+    fresh_dfs: Optional[Dict[int, DataFrame]] = None,
 ) -> DataFrame:
     """I1/I2/I3 as DataFrame set algebra: OR = union, AND = intersect —
     the pruning computation stays in the cluster; only the FINAL matched
     file list is collected (bounded by the answer, not by keys × files).
     Used above :data:`DISTRIBUTED_FILE_THRESHOLD`."""
+    if fresh_dfs is None:
+        fresh_dfs = {}
     if isinstance(tree, (E.Eq, E.Cmp)):
         if isinstance(tree, E.Eq) and tree.column in indexes:
-            return _leaf_file_df(spark, tree, indexes[tree.column])
-        return _leaf_file_df(spark, tree, zones[tree.column])
+            return _leaf_file_df(spark, tree, indexes[tree.column], fresh_dfs)
+        return _leaf_file_df(spark, tree, zones[tree.column], fresh_dfs)
     if isinstance(tree, E.And):
-        return _eval_tree_df(spark, tree.left, indexes, zones).intersect(
-            _eval_tree_df(spark, tree.right, indexes, zones)
+        return _eval_tree_df(spark, tree.left, indexes, zones, fresh_dfs).intersect(
+            _eval_tree_df(spark, tree.right, indexes, zones, fresh_dfs)
         )
     if isinstance(tree, E.Or):
-        return _eval_tree_df(spark, tree.left, indexes, zones).union(
-            _eval_tree_df(spark, tree.right, indexes, zones)
+        return _eval_tree_df(spark, tree.left, indexes, zones, fresh_dfs).union(
+            _eval_tree_df(spark, tree.right, indexes, zones, fresh_dfs)
         )
     raise AssertionError(f"non-pushable node in pushed tree: {tree!r}")
 

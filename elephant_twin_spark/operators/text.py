@@ -92,21 +92,42 @@ def english_stem_tokenizer(text: Column) -> Column:
     return F.transform(word_tokenizer(text), stem)
 
 
-def _analyze_term(name: str, term: str) -> str:
-    """Query-side analysis mirror: a query term must go through the same
-    normalization its index's tokenizer applied to document terms."""
+def _analyze_term(name: str, term: str) -> List[str]:
+    """Query-side analysis mirror: a query term goes through the SAME
+    normalization its index's tokenizer applied to document terms —
+    including the token SPLIT, so ``State-of-the-art`` analyzes to
+    ``[state, of, the, art]`` under the ``word`` analyzer, never to a
+    fused ``stateoftheart`` no document contains. (``[\\W_]+`` equals
+    the build side's ``[^\\p{L}\\p{N}]+``: both split on everything that
+    is not a letter or digit, underscore included.)"""
     import re as _re
 
     if name == "whitespace":
-        return term
+        return [term]
     term = term.lower()
     if name == "lowercase":
-        return term
-    term = _re.sub(r"[^\w]+", "", term, flags=_re.UNICODE)
+        return [term]
+    toks = [t for t in _re.split(r"[\W_]+", term, flags=_re.UNICODE) if t]
     if name == "english_stem":
-        for pat, repl in _STEM_RULES:
-            term = _re.sub(pat, repl.replace("$1", "\\1"), term)
-    return term
+        out = []
+        for t in toks:
+            for pat, repl in _STEM_RULES:
+                t = _re.sub(pat, repl.replace("$1", "\\1"), t)
+            out.append(t)
+        toks = out
+    return toks
+
+
+def _as_term_or_phrase(toks: List[str]):
+    """A query term whose analysis yields several tokens becomes an exact
+    phrase over them (Lucene's multi-token-term default); one that
+    analyzes to nothing becomes an unmatchable term (tokenizers never
+    emit the empty string)."""
+    if not toks:
+        return _Term("")
+    if len(toks) == 1:
+        return _Term(toks[0])
+    return _Phrase(toks, 0)
 
 
 def _analyze_node(node, name: str):
@@ -116,9 +137,10 @@ def _analyze_node(node, name: str):
     if name == "whitespace":
         return node
     if isinstance(node, _Term):
-        return _Term(_analyze_term(name, node.term))
+        return _as_term_or_phrase(_analyze_term(name, node.term))
     if isinstance(node, _Phrase):
-        return _Phrase([_analyze_term(name, t) for t in node.terms], node.slop)
+        flat = [t for term in node.terms for t in _analyze_term(name, term)]
+        return _as_term_or_phrase(flat) if node.slop == 0 else _Phrase(flat, node.slop)
     if isinstance(node, _Prefix):
         return _Prefix(node.prefix.lower())
     if isinstance(node, _Wildcard):
@@ -152,9 +174,7 @@ def postings_for(
     src = df.select(
         F.col(doc_id_column).alias("doc_id"),
         F.col(text_column).alias("_text"),
-        F.regexp_replace(
-            F.col("_metadata.file_path"), r"^file:/(?=[^/])", "file:///"
-        ).alias("file"),
+        fsio.normalize_path_col(F.col("_metadata.file_path")).alias("file"),
     )
     if src.rdd.getNumPartitions() < sc.defaultParallelism // 2:
         src = src.repartition(sc.defaultParallelism)
@@ -170,6 +190,21 @@ def postings_for(
     )
 
 
+def doclens_agg(tf_df: DataFrame) -> DataFrame:
+    """``(doc_id, dl, norm, file)`` from a per-(doc, term) ``tf`` table —
+    the ONE place the BM25 length + SMART 'lnc' cosine norm
+    (``sqrt(Σ (1+ln tf)²)``) formula lives, shared by the full build
+    (which feeds it the just-written postings) and the incremental
+    refresh delta path (:func:`doclens_for`), so the two can never
+    drift."""
+    w = F.lit(1.0) + F.log(F.col("tf"))
+    return tf_df.groupBy("doc_id").agg(
+        F.sum("tf").cast("int").alias("dl"),
+        F.sqrt(F.sum(w * w)).alias("norm"),
+        F.first("file").alias("file"),
+    )
+
+
 def doclens_for(
     df: DataFrame,
     text_column: str,
@@ -177,25 +212,17 @@ def doclens_for(
     tokenizer: Tokenizer = whitespace_tokenizer,
 ) -> DataFrame:
     """``(doc_id, dl, norm, file)`` — token count (BM25 length norm) and
-    the SMART 'lnc' cosine norm ``sqrt(Σ (1+ln tf)²)`` per doc, computed
-    from the doc's own tokens only (no corpus statistics → refreshable
-    file-by-file)."""
+    lnc cosine norm per doc, computed from the doc's own tokens only (no
+    corpus statistics → refreshable file-by-file)."""
     toks = df.select(
         F.col(doc_id_column).alias("doc_id"),
-        F.regexp_replace(
-            F.col("_metadata.file_path"), r"^file:/(?=[^/])", "file:///"
-        ).alias("file"),
+        fsio.normalize_path_col(F.col("_metadata.file_path")).alias("file"),
         F.explode_outer(tokenizer(F.col(text_column))).alias("term"),
     )
     tf = toks.groupBy("doc_id", "term").agg(
         F.count("term").cast("int").alias("tf"), F.first("file").alias("file")
     )
-    w = F.lit(1.0) + F.log(F.col("tf"))
-    return tf.groupBy("doc_id").agg(
-        F.sum("tf").cast("int").alias("dl"),
-        F.sqrt(F.sum(w * w)).alias("norm"),
-        F.first("file").alias("file"),
-    )
+    return doclens_agg(tf)
 
 
 def build_text_index(
@@ -251,17 +278,10 @@ def build_text_index(
     # explode_outer semantics (that function still serves the
     # incremental-refresh delta path).
     written = spark.read.parquet(f"{idx_dir}/postings")
-    _w = F.lit(1.0) + F.log(F.col("tf"))
-    doclens = written.groupBy("doc_id").agg(
-        F.sum("tf").cast("int").alias("dl"),
-        F.sqrt(F.sum(_w * _w)).alias("norm"),
-        F.first("file").alias("file"),
-    )
+    doclens = doclens_agg(written)
     src_ids = df.select(
         F.col(doc_id_column).alias("doc_id"),
-        F.regexp_replace(
-            F.col("_metadata.file_path"), r"^file:/(?=[^/])", "file:///"
-        ).alias("file"),
+        fsio.normalize_path_col(F.col("_metadata.file_path")).alias("file"),
     )
     tokenless = src_ids.join(doclens.select("doc_id"), "doc_id", "left_anti").select(
         "doc_id",
@@ -580,9 +600,7 @@ def file_value_sets(df: DataFrame, columns: Sequence[str]) -> DataFrame:
     aggs = [F.sort_array(F.collect_set(c)).alias(f"{c}_values") for c in columns]
     return (
         df.select(
-            F.regexp_replace(
-                F.col("_metadata.file_path"), r"^file:/(?=[^/])", "file:///"
-            ).alias("file"),
+            fsio.normalize_path_col(F.col("_metadata.file_path")).alias("file"),
             *columns,
         )
         .groupBy("file")

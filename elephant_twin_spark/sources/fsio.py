@@ -29,6 +29,16 @@ def normalize_path(p: str) -> str:
     return f"{u.scheme}://{netloc}{posixpath.normpath(u.path)}"
 
 
+def normalize_path_col(col):
+    """SQL-side twin of :func:`normalize_path` for the spellings that
+    occur in columns (``file:/x`` vs ``file:///x``) — ONE definition so
+    every module's stored ``file`` values stay join-compatible."""
+    from pyspark.sql import functions as F
+
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(c, r"^file:/+", "file:///")
+
+
 def _fs_and_path(spark: SparkSession, path: str):
     jvm = spark._jvm
     jpath = jvm.org.apache.hadoop.fs.Path(path)

@@ -190,6 +190,18 @@ def refresh_text_index(
     if not new_or_changed and not removed:
         return {"mode": "noop", "files_indexed": 0}
 
+    # delta files must be analyzed with the SAME tokenizer the index was
+    # built with (recorded in the descriptor) — a whitespace default here
+    # would silently mix analyzers within one postings table
+    tok_name = desc.options.get("tokenizer", "whitespace")
+    try:
+        tokenizer = text_mod._TOKENIZERS[tok_name]
+    except KeyError:
+        raise ValueError(
+            f"index descriptor names unknown tokenizer {tok_name!r}; "
+            f"registry has {sorted(text_mod._TOKENIZERS)}"
+        ) from None
+
     data_dir = f"{idx_dir}/postings"
     old = spark.read.parquet(data_dir)
     kept = old.where(~F.col("file").isin(list(set(new_or_changed) | set(removed))))
@@ -199,6 +211,7 @@ def refresh_text_index(
             spark.read.parquet(*new_or_changed),
             text_column,
             desc.options["doc_id_column"],
+            tokenizer,
         )
         merged = kept.unionByName(delta)
 
@@ -230,6 +243,7 @@ def refresh_text_index(
             spark.read.parquet(*new_or_changed),
             text_column,
             desc.options["doc_id_column"],
+            tokenizer,
         )
         merged_lens = kept_lens.unionByName(delta_lens)
     lens_tmp = f"{idx_dir}/doclens_tmp"

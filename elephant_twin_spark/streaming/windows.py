@@ -126,7 +126,10 @@ def run_to_memory(
     timeout_sec: int = 120,
 ):
     """Drain the stream's backlog into an in-memory table (tests/demos):
-    availableNow processes everything present, then stops."""
+    availableNow processes everything present, then stops. Raises if the
+    drain does not finish within ``timeout_sec`` — a silently
+    partially-populated memory table would poison any determinism
+    contract downstream."""
     q = (
         streaming_df.writeStream.format("memory")
         .queryName(query_name)
@@ -134,7 +137,12 @@ def run_to_memory(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_sec)
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(
+            f"stream {query_name!r} did not drain within {timeout_sec}s; "
+            "memory table would be partial"
+        )
     return q
 
 

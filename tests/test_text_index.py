@@ -380,3 +380,51 @@ def test_english_stem_tokenizer_end_to_end(spark, workdir):
     assert ti.count("Jumps AND Fox") == 2
     assert ti.count("statistic") == 1          # 'statistics' stemmed
     assert ti.count("parquet") == 1            # case folded
+
+
+def test_word_analyzer_multi_token_query_term(spark, workdir):
+    """A query term that the analyzer splits (hyphenated/underscored)
+    must match as a phrase over the split tokens, not as a fused string
+    no document contains."""
+    from pyspark.sql import Row
+
+    from elephant_twin_spark.engine import Engine
+
+    path = f"{workdir}/word_multi_corpus"
+    spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the state-of-the-art engine uses foo_bar naming"),
+            Row(doc_id=2, text="state machines of an art gallery"),
+        ]
+    ).write.mode("overwrite").parquet(path)
+    eng = Engine(spark, f"{workdir}/word_multi_idx")
+    eng.build_text_index(path, "text", "doc_id", tokenizer_name="word")
+    ti = eng.text_index(path, "text")
+    # doc 1 has the consecutive token run; doc 2 has the tokens scattered
+    assert ti.count("state-of-the-art") == 1
+    assert ti.count("foo_bar") == 1
+    assert ti.count("State-Of-The-Art") == 1
+
+
+def test_refresh_preserves_stemming_analyzer(spark, workdir):
+    """Incremental refresh must tokenize delta files with the analyzer
+    recorded in the descriptor, not the whitespace default."""
+    from pyspark.sql import Row
+
+    from elephant_twin_spark.engine import Engine
+    from elephant_twin_spark.streaming import refresh as refresh_mod
+
+    path = f"{workdir}/stem_refresh_corpus"
+    spark.createDataFrame(
+        [Row(doc_id=1, text="A fox jumps over the dog")]
+    ).write.mode("overwrite").parquet(path)
+    eng = Engine(spark, f"{workdir}/stem_refresh_idx")
+    eng.build_text_index(path, "text", "doc_id", tokenizer_name="english_stem")
+    # append a new data file with inflected forms only
+    spark.createDataFrame(
+        [Row(doc_id=2, text="The Foxes were jumping over sleeping dogs")]
+    ).write.mode("append").parquet(path)
+    refresh_mod.refresh_text_index(spark, path, "text", eng.index_root)
+    ti = eng.text_index(path, "text")
+    assert ti.count("fox") == 2      # stems from BOTH files
+    assert ti.count("jumping") == 2
