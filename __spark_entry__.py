@@ -2122,7 +2122,8 @@ def oracle_sql() -> dict[str, str]:
             e AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents)
             SELECT e.doc_id,
                    count(*) AS n_tokens,
-                   sum(CASE WHEN t.token IS NULL THEN 1 ELSE 0 END) AS n_oov,
+                   CAST(sum(CASE WHEN t.token IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_oov,
                    round(sum(CASE WHEN t.token IS NULL THEN 1 ELSE 0 END)
                          / count(*), 6) AS oov_rate
             FROM e LEFT JOIN t ON t.token = e.tok
@@ -2328,8 +2329,9 @@ def oracle_sql() -> dict[str, str]:
               FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
             ), s AS (
               SELECT user_id, ts,
-                     sum(ns) OVER (PARTITION BY user_id ORDER BY ts
-                                   ROWS UNBOUNDED PRECEDING) AS session_id
+                     CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+                                        ROWS UNBOUNDED PRECEDING)
+                          AS BIGINT) AS session_id
               FROM g
             )
             SELECT user_id, session_id, count(*) AS n_events,
@@ -2720,14 +2722,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         "table_profile": """
             SELECT 'user_id' AS "column", count(*) AS n,
-                   sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS n_null,
+                   CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_null,
                    count(DISTINCT user_id) AS n_distinct,
                    CAST(min(user_id) AS VARCHAR) AS min_s,
                    CAST(max(user_id) AS VARCHAR) AS max_s
             FROM events
             UNION ALL
             SELECT 'event_type', count(*),
-                   sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END),
+                   CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT),
                    count(DISTINCT event_type),
                    CAST(min(event_type) AS VARCHAR), CAST(max(event_type) AS VARCHAR)
             FROM events
@@ -2921,11 +2925,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pivot_user_events": """
             SELECT user_id,
-                   sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
-                   sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
-                   sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
-                   sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
-                   sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+                   CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS click,
+                   CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS error,
+                   CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS purchase,
+                   CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS signup,
+                   CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS view
             FROM events GROUP BY user_id
         """,
         "unpivot_order_measures": """
@@ -2941,7 +2950,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "json_props_stats": """
             SELECT event_type, count(*) AS n,
-                   sum(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+                   CAST(sum(CAST(json_extract_string(props, '$.k') AS INT))
+                        AS BIGINT) AS sum_k,
                    round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k
             FROM events GROUP BY event_type
         """,

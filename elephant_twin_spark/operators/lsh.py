@@ -52,25 +52,31 @@ def banded_docs(
     file_label: Optional[str] = None,
 ) -> DataFrame:
     """``(id, band, band_hash, file)`` for every document. The source
-    file per row (doc-level join, 1 row/doc against num_bands rows/doc)
-    is what makes the index incrementally refreshable — changed files'
-    rows can be dropped and re-derived without touching the rest.
-    ``file_label`` overrides the provenance for docs that don't come
-    from the source table (streaming-grown rows)."""
-    sigs = dedup.minhash_signatures(
-        df, text_column, id_column,
-        num_perm=num_perm, shingle_k=shingle_k, hash_fn=hash_fn,
-    )
-    bands = dedup.band_table(sigs, num_perm=num_perm, num_bands=num_bands, hash_fn=hash_fn)
+    file per row is what makes the index incrementally refreshable —
+    changed files' rows can be dropped and re-derived without touching
+    the rest. ``file_label`` overrides the provenance for docs that
+    don't come from the source table (streaming-grown rows).
+
+    The provenance column rides THROUGH ``minhash_signatures`` /
+    ``band_table`` via ``carry_cols`` — those stages are shuffle-free,
+    so carrying it is free, whereas the previous ``bands.join(doc_files,
+    "id")`` was the only exchange in the whole index build (r2 bench:
+    build 3.4 s → 8.6 s; r3 A/B confirmed the carry path restores it)."""
     if file_label is not None:
-        return bands.withColumn("file", F.lit(file_label))
-    doc_files = df.select(
-        F.col(id_column).alias("id"),
-        F.regexp_replace(
-            F.col("_metadata.file_path"), r"^file:/(?=[^/])", "file:///"
-        ).alias("file"),
+        src = df.withColumn("file", F.lit(file_label))
+    else:
+        src = df.withColumn(
+            "file", fsio.normalize_path_col(F.col("_metadata.file_path"))
+        )
+    sigs = dedup.minhash_signatures(
+        src, text_column, id_column,
+        num_perm=num_perm, shingle_k=shingle_k, hash_fn=hash_fn,
+        carry_cols=("file",),
     )
-    return bands.join(doc_files, "id")
+    return dedup.band_table(
+        sigs, num_perm=num_perm, num_bands=num_bands, hash_fn=hash_fn,
+        carry_cols=("file",),
+    )
 
 
 def build_lsh_index(

@@ -86,8 +86,14 @@ def minhash_signatures(
     num_perm: int = 16,
     shingle_k: int = 3,
     hash_fn: str = "xxhash64",
+    carry_cols: tuple = (),
 ) -> DataFrame:
-    """``(id, mh0..mh{K-1})`` signature table.
+    """``(id, [carry_cols...,] mh0..mh{K-1})`` signature table.
+
+    ``carry_cols`` ride through unchanged (e.g. a provenance ``file``
+    column): since this stage is shuffle-free, carrying a column here is
+    free, whereas attaching it downstream costs a join — the exchange
+    that regressed the r2 LSH index build 2.5×.
 
     Shape: NO shuffle — K independent ``array_min(transform(shingles,
     hash_i))`` lanes per row, after :func:`_fan_out` spreads the rows
@@ -103,6 +109,7 @@ def minhash_signatures(
     """
     sh = _fan_out(df.where(F.col(text_col).isNotNull())).select(
         F.col(id_col).alias("id"),
+        *[F.col(c) for c in carry_cols],
         word_shingles(F.col(text_col), shingle_k).alias("sh"),
     )
 
@@ -120,7 +127,7 @@ def minhash_signatures(
             raise ValueError(hash_fn)
         return F.array_min(h).alias(f"mh{i}")
 
-    return sh.select("id", *[lane(i) for i in range(num_perm)])
+    return sh.select("id", *carry_cols, *[lane(i) for i in range(num_perm)])
 
 
 def band_table(
@@ -128,8 +135,10 @@ def band_table(
     num_perm: int = 16,
     num_bands: int = 4,
     hash_fn: str = "xxhash64",
+    carry_cols: tuple = (),
 ) -> DataFrame:
-    """``(id, band, band_hash)`` — one row per (doc, LSH band). The band
+    """``(id, [carry_cols...,] band, band_hash)`` — one row per
+    (doc, LSH band). The band
     hash collapses ``num_perm // num_bands`` consecutive signature lanes;
     docs sharing any (band, band_hash) are near-dup candidates. The md5
     variant (``md5(mh_i || '|' || mh_j ...)``) is engine-independent so
@@ -154,7 +163,7 @@ def band_table(
     else:
         raise ValueError(hash_fn)
     return signatures.select(
-        "id", F.posexplode(F.array(*hashes)).alias("band", "band_hash")
+        "id", *carry_cols, F.posexplode(F.array(*hashes)).alias("band", "band_hash")
     )
 
 
@@ -443,6 +452,7 @@ def connected_components(
     src_col: str = "id_a",
     dst_col: str = "id_b",
     max_iter: int = 50,
+    detector: str = "auto",
 ) -> DataFrame:
     """``(node, component)`` over the undirected graph of ``pairs`` —
     component = min node id reachable. Only nodes appearing in some pair
@@ -473,14 +483,33 @@ def connected_components(
         .withColumn("comp", F.col("node"))
         .localCheckpoint()
     )
-    # convergence detector: for NUMERIC ids the label-sum (exact decimal —
-    # no silent long overflow) is componentwise non-increasing and strictly
-    # decreases iff ANY label changed, so one tiny aggregation per round
-    # suffices. Non-numeric (string) ids fall back to the join+count
-    # change detector (summing strings is undefined; min-label still is).
-    numeric = dict(labels.dtypes)["comp"] in {
-        "tinyint", "smallint", "int", "bigint", "float", "double",
-    } or dict(labels.dtypes)["comp"].startswith("decimal")
+    # convergence detector: for INTEGRAL/decimal ids the label-sum (exact
+    # decimal — no silent long overflow) is componentwise non-increasing
+    # and strictly decreases iff ANY label changed, so one tiny
+    # aggregation per round suffices. float/double ids are excluded — a
+    # decimal(38,0) cast rounds, so a real label change (2.4→2.2) can
+    # leave the sum unchanged and converge prematurely; they take the
+    # join+count change detector, as do non-numeric (string) ids.
+    # ``detector`` forces one variant ("sum"/"join") for A/B benching;
+    # "auto" picks as above. r3 A/B at sf0.1, CC step isolated on
+    # checkpointed pairs, back-to-back warm reps: sum 0.76-0.88 s vs
+    # join 0.87-1.01 s — label-sum kept; the r2 q_near_dup_clusters
+    # regression is NOT in this step (CC is ~1 s of the ~9 s query).
+    comp_type = dict(labels.dtypes)["comp"]
+    integral = comp_type in {
+        "tinyint", "smallint", "int", "bigint",
+    } or comp_type.startswith("decimal")
+    if detector == "auto":
+        use_sum = integral
+    elif detector == "sum":
+        if not integral:
+            raise ValueError(f"label-sum detector needs integral ids, got {comp_type}")
+        use_sum = True
+    elif detector == "join":
+        use_sum = False
+    else:
+        raise ValueError(detector)
+    numeric = use_sum
 
     def label_sum(l: DataFrame):
         return l.agg(F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")).first()["s"]

@@ -32,11 +32,16 @@ def normalize_path(p: str) -> str:
 def normalize_path_col(col):
     """SQL-side twin of :func:`normalize_path` for the spellings that
     occur in columns (``file:/x`` vs ``file:///x``) — ONE definition so
-    every module's stored ``file`` values stay join-compatible."""
+    every module's stored ``file`` values stay join-compatible.
+
+    Only the authority-LESS spelling is rewritten (``file:/x`` →
+    ``file:///x``); ``file://host/x`` passes through unchanged, matching
+    the Python twin's netloc handling — folding the host into the path
+    would silently break joins against driver-side normalized sets."""
     from pyspark.sql import functions as F
 
     c = F.col(col) if isinstance(col, str) else col
-    return F.regexp_replace(c, r"^file:/+", "file:///")
+    return F.regexp_replace(c, r"^file:/(?=[^/])", "file:///")
 
 
 def _fs_and_path(spark: SparkSession, path: str):

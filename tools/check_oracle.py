@@ -90,6 +90,22 @@ def main():
             problems.append(f"rows {len(sdf)} vs {len(odf)}")
         if sorted(sdf.columns) != sorted(odf.columns):
             problems.append(f"cols {sorted(sdf.columns)} vs {sorted(odf.columns)}")
+        else:
+            # Driver-faithful dtype audit: the driver hashes raw stringified
+            # values, so an int64 Spark column vs a float64 oracle column
+            # ("123" vs "123.0") is a hash FAIL even when %.9g-canonical
+            # values agree.  DuckDB sum(<integer>) returns HUGEINT, which the
+            # duckdb->pandas bridge renders float64 — exactly the 4
+            # CORRECTNESS_r02 failures.  Flag any numeric-kind mismatch.
+            for c in sdf.columns:
+                sk = sdf[c].dtype.kind  # i/u int, f float, O object, M datetime
+                ok_ = odf[c].dtype.kind
+                norm = lambda k: {"u": "i"}.get(k, k)
+                if norm(sk) != norm(ok_):
+                    problems.append(
+                        f"dtype kind mismatch col {c}: spark {sdf[c].dtype}"
+                        f" vs oracle {odf[c].dtype} (driver hash would differ)"
+                    )
         if not problems:
             cs, co = canon(sdf), canon(odf)
             if not cs.equals(co):
