@@ -1695,17 +1695,224 @@ def _q_pack_docs(spark, sf_dir):
     )
 
 
+# ----------------------------------------------------- r3-new operators
+
+
+def _q_market_share(spark, sf_dir):
+    """TPC-H Q8-shaped market share: among PROMO-part revenue bought by
+    EUROPE customers, the yearly share supplied by NATION_0 suppliers.
+    Dims (part/supplier/nation/region) broadcast; one agg shuffle."""
+    st = _state(spark, sf_dir)
+    li, orders, cust = st.raw("lineitem"), st.raw("orders"), st.raw("customer")
+    nat, reg, sup, part = st.raw("nation"), st.raw("region"), st.raw("supplier"), st.raw("part")
+    cust_eu = (
+        cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg.where(F.col("r_name") == "EUROPE")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    sup_nat = (
+        sup.join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    rev = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    base = (
+        li.join(F.broadcast(part.where(F.col("p_type") == "PROMO")),
+                li.l_partkey == F.col("p_partkey"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust_eu, orders.o_custkey == F.col("c_custkey"), "leftsemi")
+        .join(F.broadcast(sup_nat), li.l_suppkey == F.col("s_suppkey"))
+        .select(F.year("o_orderdate").alias("o_year"), rev.alias("rev"), "supp_nation")
+    )
+    return (
+        base.groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_0", F.col("rev"))
+                      .otherwise(F.lit(0.0)))
+                / F.sum("rev"), 6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+def _q_top_bigrams(spark, sf_dir):
+    """Corpus-wide top-20 bigrams (explode + one groupBy + TakeOrdered)."""
+    from elephant_twin_spark.operators.pipeline import ngrams
+
+    docs = _state(spark, sf_dir).raw("documents")
+    return ngrams.top_ngrams(docs, "text", n=2, k=20)
+
+
+def _q_exact_substring_dups(spark, sf_dir):
+    """Lee et al. exact-substring duplication: 10-token grams shared by
+    ≥2 docs (explode distinct grams → one md5-keyed groupBy)."""
+    from elephant_twin_spark.operators.pipeline import ngrams
+
+    docs = _state(spark, sf_dir).raw("documents")
+    return ngrams.exact_substring_dups(docs, "text", "doc_id", gram_len=10).withColumnsRenamed(
+        {"min_doc": "min_doc", "max_doc": "max_doc"}
+    )
+
+
+def _q_repeated_ngram_coverage(spark, sf_dir):
+    """Gopher repetition filter signal: per-doc duplicate-2-gram fraction
+    (zero-shuffle higher-order functions)."""
+    from elephant_twin_spark.operators.pipeline import ngrams
+
+    docs = _state(spark, sf_dir).raw("documents")
+    return ngrams.repeated_ngram_coverage(docs, "text", "doc_id", n=2).withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
+def _q_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking (rolling md5 boundary, expected 8-token
+    chunks): (doc, chunk_idx, n_tokens, chunk_md5), boundary decisions
+    purely content-local so identical content chunks identically."""
+    from elephant_twin_spark.operators.pipeline import ngrams
+
+    docs = _state(spark, sf_dir).raw("documents")
+    return ngrams.cdc_chunks(docs, "text", "doc_id", mask=7).withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
+def _q_gopher_quality_flags(spark, sf_dir):
+    """Gopher rule-based quality flags, one boolean column per rule
+    plus the conjunction (auditable filter report)."""
+    docs = _state(spark, sf_dir).raw("documents")
+    return textstats.gopher_quality_flags(docs, "text", "doc_id").withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
+def _q_perplexity_buckets(spark, sf_dir):
+    """CCNet-style head/middle/tail bucketing by unigram-logprob within
+    each language (score pass + one ntile window)."""
+    docs = _state(spark, sf_dir).raw("documents")
+    return lmscore.perplexity_buckets(docs, "text", "doc_id", group_col="lang").select(
+        F.col("id").alias("doc_id"), F.col("grp").alias("lang"), "logprob", "bucket"
+    )
+
+
+def _q_ann_range_search(spark, sf_dir):
+    """Range similarity search: all vectors with cosine ≥ 0.2 of the
+    query (scan-shaped, predicate prunes before any exchange)."""
+    st = _state(spark, sf_dir)
+    emb = st.raw("embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).first()["embedding"]
+    out = similarity.range_search(emb, "embedding", "vec_id", qvec, 0.2)
+    return out.select(
+        F.col("id").alias("vec_id"), F.round("cosine", 4).alias("cosine")
+    )
+
+
+def _q_kmeans_assign(spark, sf_dir):
+    """Nearest-centroid assignment against 8 fixed centroids (vectors
+    0..7) — the IVF coarse-quantizer step in isolation; centroids are
+    a bounded driver collect, assignment pure JVM argmax."""
+    st = _state(spark, sf_dir)
+    emb = st.raw("embeddings")
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.where(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    ]
+    return similarity.ivf_assign(emb, "embedding", cents).select(
+        "vec_id", F.col("cluster").cast("int").alias("cluster")
+    )
+
+
+def _q_lsh_bucket_stats(spark, sf_dir):
+    """LSH bucket-size histogram per band (md5 lanes so the oracle can
+    replay bucket assignment): the near-dup tuning observability query."""
+    docs = _state(spark, sf_dir).raw("documents")
+    return dedup.lsh_bucket_stats(
+        docs, "text", "doc_id", num_perm=4, num_bands=2, shingle_k=1, hash_fn="md5"
+    )
+
+
+def _q_dup_rate_by_source(spark, sf_dir):
+    """Exact-dup rate per source domain over the 8-token document head
+    (boilerplate detector; corpus-wide digests charged to every group
+    they touch)."""
+    docs = _state(spark, sf_dir).raw("documents")
+    toks = F.split(F.trim("text"), r"\s+")
+    headed = docs.withColumn("head", F.concat_ws(" ", F.slice(toks, 1, 8)))
+    return dedup.dup_rate_by_group(headed, "head", "doc_id", "source").withColumnRenamed(
+        "grp", "source"
+    )
+
+
+def _q_table_profile_approx(spark, sf_dir):
+    """profile_table(approximate=True): HLL++ cardinalities — the
+    at-scale default (rows-only twin; tolerance pinned in
+    tests/test_pipeline.py against the exact profile)."""
+    ev = _state(spark, sf_dir).raw("events")
+    return profile.profile_table(ev, ["user_id", "event_type"], approximate=True)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Ordered so queries WITHOUT a green CORRECTNESS_r01 row run first:
-    # the r1 driver checked exactly the first 50 dict entries before its
-    # budget ran out, leaving 66 declared queries without oracle evidence.
-    # r1-green queries keep their r1 rows as evidence and run last.
+    # Ordered so queries WITHOUT a green CORRECTNESS row run first: the
+    # driver checks exactly the first 50 dict entries per round. r1
+    # checked entries 1-50 of the r1 ordering; r2 checked its entries
+    # 1-50 (the then-unevidenced pipeline/relational block). For r3 the
+    # first block = the 4 r2 hash-fails (oracle dtype bug, fixed) + the
+    # 2 queries that ERRORED in r1 and were mislabeled r1-green
+    # (sessionize/gap_to_prev — fixed in r2, never re-queued) + the 21
+    # never-checked tail entries + the 12 r3-new queries = 39 < 50.
+    # Green-in-r1/r2 queries keep their recorded rows and run last.
+    # tests/test_advisor_gates.py enforces this invariant from the
+    # CORRECTNESS files themselves.
     return {
-        # --- untested in r1, oracle-backed. Within this block the
-        # zero-setup relational/window/vocab queries run FIRST and the
-        # index-backed ones (which pay first-touch materialize + index
-        # builds) run after, so a time-capped checker records the most
-        # rows per second spent.
+        # --- r2 hash-fails (DuckDB HUGEINT sum → float64; oracle now
+        # CASTs to BIGINT — engine side was already correct)
+        "oov_stats": _q_oov_stats,
+        "table_profile": _q_table_profile,
+        "pivot_user_events": _q_pivot_user_events,
+        "json_props_stats": _q_json_props_stats,
+        # --- errored in r1, fixed in r2 (timeutil epoch seam), never
+        # driver-re-verified
+        "sessionize": _q_sessionize,
+        "gap_to_prev": _q_gap_to_prev,
+        # --- never driver-checked in any round (r2 positions 51-71);
+        # zero-setup first, then index-backed (first-touch state builds)
+        "error_window_counts": _q_error_window_counts,
+        "quality_top_fraction": _q_quality_top_fraction,
+        "domain_cap": _q_domain_cap,
+        "media_features": _q_media_features,
+        "winnowing_md5": _q_winnowing_md5,
+        "simhash_near_dup": _q_simhash_near_dup,
+        "idx_count_only": _q_idx_count_only,
+        "idx_distinct_values": _q_idx_distinct_values,
+        "zone_min_max": _q_zone_min_max,
+        "value_histogram": _q_value_histogram,
+        "text_retrieve": _q_text_retrieve,
+        "lsh_gate": _q_lsh_gate,
+        "simhash_docs": _q_simhash_docs,
+        "winnowing_fingerprints": _q_winnowing_fps,
+        "ann_lsh_top10": _q_ann_lsh_top10,
+        "ann_ivf_top10": _q_ann_ivf_top10,
+        "ann_pq_top10": _q_ann_pq_top10,
+        "minhash_near_dup_pairs": _q_minhash_near_dup,
+        "embedding_near_dup": _q_embedding_near_dup,
+        "knn_join_ivf_top5": _q_ivf_knn_join,
+        "streaming_session_counts": _q_streaming_session_counts,
+        # --- r3-new operators
+        "market_share": _q_market_share,
+        "top_bigrams": _q_top_bigrams,
+        "exact_substring_dups": _q_exact_substring_dups,
+        "repeated_ngram_coverage": _q_repeated_ngram_coverage,
+        "cdc_chunks": _q_cdc_chunks,
+        "gopher_quality_flags": _q_gopher_quality_flags,
+        "perplexity_buckets": _q_perplexity_buckets,
+        "ann_range_search": _q_ann_range_search,
+        "kmeans_assign": _q_kmeans_assign,
+        "lsh_bucket_stats": _q_lsh_bucket_stats,
+        "dup_rate_by_source": _q_dup_rate_by_source,
+        "table_profile_approx": _q_table_profile_approx,
+        # --- green in CORRECTNESS_r02 (pipeline pack/chunk/shard, vocab,
+        # mixture, TPC-H-style analytics, windows, pivots, temporal)
         "pack_docs": _q_pack_docs,
         "chunk_docs": _q_chunk_docs,
         "shard_assignment": _q_shard_assignment,
@@ -1716,7 +1923,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalized_docs": _q_normalized_docs,
         "vocab_top100": _q_vocab_top100,
         "doc_token_ids": _q_doc_token_ids,
-        "oov_stats": _q_oov_stats,
         "edit_distance_join": _q_edit_distance_join,
         "funnel_stages": _q_funnel,
         "weekly_retention": _q_weekly_retention,
@@ -1728,7 +1934,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_revenue_by_nation": _q_join_revenue_by_nation,
         "rollup_orders": _q_rollup_orders,
         "click_not_purchase_users": _q_set_ops,
-        "table_profile": _q_table_profile,
         "grouping_sets_orders": _q_grouping_sets,
         "forecast_revenue": _q_forecast_revenue,
         "top_unshipped_orders": _q_top_unshipped_orders,
@@ -1745,9 +1950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "disjunctive_revenue": _q_disjunctive_revenue,
         "late_sole_supplier": _q_late_sole_supplier,
         "dormant_customers": _q_dormant_customers,
-        "pivot_user_events": _q_pivot_user_events,
         "unpivot_order_measures": _q_unpivot_order_measures,
-        "json_props_stats": _q_json_props_stats,
         "salted_distinct_users": _q_salted_distinct_users,
         "semi_join_customers": _q_semi_join_customers,
         "anti_join_customers": _q_anti_join_customers,
@@ -1756,29 +1959,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_orders": _q_cube_orders,
         "group_percentiles": _q_percentiles,
         "asof_last_click": _q_asof_last_click,
-        "error_window_counts": _q_error_window_counts,
-        "quality_top_fraction": _q_quality_top_fraction,
-        "domain_cap": _q_domain_cap,
-        "media_features": _q_media_features,
-        "winnowing_md5": _q_winnowing_md5,
-        "simhash_near_dup": _q_simhash_near_dup,
-        # index-backed unevidenced queries (first-touch state builds)
-        "idx_count_only": _q_idx_count_only,
-        "idx_distinct_values": _q_idx_distinct_values,
-        "zone_min_max": _q_zone_min_max,
-        "value_histogram": _q_value_histogram,
-        "text_retrieve": _q_text_retrieve,
-        "lsh_gate": _q_lsh_gate,
-        # --- untested in r1, rows-only (engine-specific hashes/approx ops)
-        "simhash_docs": _q_simhash_docs,
-        "winnowing_fingerprints": _q_winnowing_fps,
-        "ann_lsh_top10": _q_ann_lsh_top10,
-        "ann_ivf_top10": _q_ann_ivf_top10,
-        "ann_pq_top10": _q_ann_pq_top10,
-        "minhash_near_dup_pairs": _q_minhash_near_dup,
-        "embedding_near_dup": _q_embedding_near_dup,
-        "knn_join_ivf_top5": _q_ivf_knn_join,
-        "streaming_session_counts": _q_streaming_session_counts,
         # --- green in CORRECTNESS_r01 (sparse index surface S2/S5/S6,
         # F1-F5, I1-I3, M2/M5; relational A2/A5 O4 C1-C3; text T1-T7 A3;
         # pipeline dedup/stats/similarity)
@@ -1818,7 +1998,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_top10": _q_ann_cosine_top10,
         "label_centroid_component": _q_label_centroid_component,
         "date_partition_range": _q_date_partition_range,
-        "sessionize": _q_sessionize,
         "user_event_types": _q_user_event_types,
         "date_parse_roundtrip": _q_date_parse_roundtrip,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
@@ -1827,7 +2006,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_entropy": _q_char_entropy,
         "knn_join_top5": _q_knn_join,
         "repetition_ratio": _q_repetition_ratio,
-        "gap_to_prev": _q_gap_to_prev,
         "ann_persisted_top10": _q_ann_persisted,
         "clean_corpus_audit": _q_clean_corpus_audit,
         "decontaminate_report": _q_decontaminate_report,
@@ -3016,4 +3194,194 @@ def oracle_sql() -> dict[str, str]:
               ON p.user_id = i.user_id AND p.ts >= i.start_ts AND p.ts < i.end_ts
             GROUP BY i.iv_id
         """,
+        # ----------------------------------------------------- r3-new
+        "market_share": """
+            WITH cust_eu AS (
+              SELECT c.c_custkey FROM customer c
+              JOIN nation n ON c.c_nationkey = n.n_nationkey
+              JOIN region r ON n.n_regionkey = r.r_regionkey
+              WHERE r.r_name = 'EUROPE'
+            )
+            SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+                   round(sum(CASE WHEN sn.n_name = 'NATION_0'
+                                  THEN l.l_extendedprice * (1 - l.l_discount)
+                                  ELSE 0 END)
+                         / sum(l.l_extendedprice * (1 - l.l_discount)), 6)
+                     AS mkt_share
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'PROMO'
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+            WHERE o.o_custkey IN (SELECT c_custkey FROM cust_eu)
+            GROUP BY 1
+        """,
+        "top_bigrams": f"""
+            WITH t AS (SELECT {_TOKS} AS toks FROM documents),
+            g AS (
+              SELECT CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+                     ELSE list_transform(range(0, len(toks) - 1),
+                                         i -> concat(toks[i+1], ' ', toks[i+2]))
+                     END AS grams
+              FROM t
+            )
+            SELECT ngram, count(*) AS cnt
+            FROM (SELECT unnest(grams) AS ngram FROM g)
+            GROUP BY ngram ORDER BY cnt DESC, ngram ASC LIMIT 20
+        """,
+        "exact_substring_dups": f"""
+            WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            g AS (
+              SELECT doc_id,
+                     CASE WHEN len(toks) < 10 THEN [array_to_string(toks, ' ')]
+                     ELSE list_transform(range(0, len(toks) - 9),
+                                         i -> array_to_string(toks[i+1:i+10], ' '))
+                     END AS grams
+              FROM t
+            ),
+            h AS (SELECT doc_id, md5(g2.gram) AS gram_md5
+                  FROM g, unnest(list_distinct(g.grams)) AS g2(gram))
+            SELECT gram_md5, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ,
+                   min(doc_id) AS min_doc, max(doc_id) AS max_doc
+            FROM h GROUP BY gram_md5 HAVING count(DISTINCT doc_id) >= 2
+        """,
+        "repeated_ngram_coverage": f"""
+            WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            g AS (
+              SELECT doc_id,
+                     CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+                     ELSE list_transform(range(0, len(toks) - 1),
+                                         i -> concat(toks[i+1], ' ', toks[i+2]))
+                     END AS grams
+              FROM t
+            )
+            SELECT doc_id,
+                   round(1.0 - len(list_distinct(grams)) * 1.0 / len(grams), 6)
+                     AS dup_ngram_frac
+            FROM g
+        """,
+        "cdc_chunks": f"""
+            WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            b AS (
+              SELECT doc_id, toks,
+                     list_filter(range(1, len(toks) + 1),
+                       i -> CAST(concat('0x', substring(md5(toks[i]), 1, 15))
+                                 AS BIGINT) % 8 = 0) AS bpos
+              FROM t
+            ),
+            s AS (
+              SELECT doc_id, toks,
+                     list_filter(
+                       list_transform(range(0, len(bpos) + 1),
+                         k -> struct_pack(
+                           s := CASE WHEN k = 0 THEN 1 ELSE bpos[k] + 1 END,
+                           e := CASE WHEN k = len(bpos) THEN len(toks)
+                                     ELSE bpos[k + 1] END)),
+                       x -> x.s <= x.e) AS segs
+              FROM b
+            )
+            SELECT doc_id, CAST(k AS INT) AS chunk_idx,
+                   CAST(segs[k+1].e - segs[k+1].s + 1 AS INT) AS n_tokens,
+                   md5(array_to_string(toks[segs[k+1].s : segs[k+1].e], ' '))
+                     AS chunk_md5
+            FROM s, unnest(range(len(segs))) AS u(k)
+        """,
+        "gopher_quality_flags": f"""
+            WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+            g AS (
+              SELECT doc_id,
+                     CAST(len(toks) AS INT) AS n_words,
+                     round((length(text) - (len(toks) - 1)) * 1.0 / len(toks), 4)
+                       AS mean_word_len,
+                     CASE WHEN len(toks) < 3 THEN 0.0
+                     ELSE round(1.0 - len(list_distinct(
+                            list_transform(range(0, len(toks) - 2),
+                              i -> concat(toks[i+1], ' ', toks[i+2], ' ', toks[i+3]))))
+                          * 1.0 / (len(toks) - 2), 4)
+                     END AS dup_3gram_frac,
+                     CAST(len(list_filter(toks, x -> list_contains(
+                       {_STOP['en']}, lower(x)))) AS INT) AS n_stop_hits
+              FROM t
+            )
+            SELECT doc_id, n_words, mean_word_len, dup_3gram_frac, n_stop_hits,
+                   n_words >= 10 AND n_words <= 100000 AS ok_n_words,
+                   mean_word_len >= 2.0 AND mean_word_len <= 12.0 AS ok_word_len,
+                   dup_3gram_frac <= 0.5 AS ok_repetition,
+                   n_stop_hits >= 2 AS ok_stopwords,
+                   (n_words >= 10 AND n_words <= 100000)
+                     AND (mean_word_len >= 2.0 AND mean_word_len <= 12.0)
+                     AND dup_3gram_frac <= 0.5 AND n_stop_hits >= 2 AS keep
+            FROM g
+        """,
+        "perplexity_buckets": f"""
+            WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+            freq AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY tok),
+            tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total,
+                           CAST(count(*) AS DOUBLE) AS v FROM freq),
+            sc AS (SELECT tok.doc_id,
+                          round(avg(ln((freq.cnt + 1.0) / (tot.total + tot.v))), 6)
+                            AS logprob
+                   FROM tok JOIN freq USING (tok), tot GROUP BY tok.doc_id),
+            n AS (SELECT d.doc_id, d.lang, sc.logprob,
+                         ntile(3) OVER (PARTITION BY d.lang
+                                        ORDER BY sc.logprob DESC, d.doc_id ASC) AS nt
+                  FROM documents d JOIN sc ON sc.doc_id = d.doc_id)
+            SELECT doc_id, lang, logprob,
+                   CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                           ELSE 'tail' END AS bucket
+            FROM n
+        """,
+        "ann_range_search": """
+            WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id,
+                   round(CAST(list_cosine_similarity(embedding, q.qv) AS DOUBLE), 4)
+                     AS cosine
+            FROM embeddings, q
+            WHERE list_cosine_similarity(embedding, q.qv) >= 0.2
+        """,
+        "kmeans_assign": """
+            WITH c AS (SELECT vec_id AS cid, embedding AS cv
+                       FROM embeddings WHERE vec_id < 8),
+            s AS (SELECT e.vec_id, c.cid,
+                         CAST(list_cosine_similarity(e.embedding, c.cv) AS DOUBLE)
+                           AS cos
+                  FROM embeddings e CROSS JOIN c),
+            r AS (SELECT vec_id, cid,
+                         row_number() OVER (PARTITION BY vec_id
+                                            ORDER BY cos DESC, cid DESC) AS rn
+                  FROM s)
+            SELECT vec_id, CAST(cid AS INT) AS cluster FROM r WHERE rn = 1
+        """,
+        "lsh_bucket_stats": f"""
+            WITH sig AS (
+              SELECT doc_id,
+                     min(md5('0|' || tok)) AS mh0, min(md5('1|' || tok)) AS mh1,
+                     min(md5('2|' || tok)) AS mh2, min(md5('3|' || tok)) AS mh3
+              FROM (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents)
+              GROUP BY doc_id
+            ),
+            bands AS (
+              SELECT doc_id, 0 AS band, md5(mh0 || '|' || mh1) AS bh FROM sig
+              UNION ALL
+              SELECT doc_id, 1 AS band, md5(mh2 || '|' || mh3) AS bh FROM sig
+            ),
+            sizes AS (SELECT band, bh, count(*) AS bucket_size
+                      FROM bands GROUP BY band, bh)
+            SELECT CAST(band AS INT) AS band, bucket_size, count(*) AS n_buckets
+            FROM sizes GROUP BY band, bucket_size
+        """,
+        "dup_rate_by_source": f"""
+            WITH h AS (SELECT doc_id, source,
+                              md5(array_to_string(({_TOKS})[1:8], ' ')) AS sig
+                       FROM documents),
+            c AS (SELECT sig, count(*) AS n FROM h GROUP BY sig)
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(CASE WHEN c.n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_dup_docs,
+                   round(sum(CASE WHEN c.n > 1 THEN 1 ELSE 0 END) * 1.0
+                         / count(*), 6) AS dup_rate
+            FROM h JOIN c USING (sig) GROUP BY source
+        """,
+        # table_profile_approx: rows-only by design (HLL estimates are
+        # engine-specific; tolerance vs exact pinned in pytest)
     }

@@ -691,3 +691,60 @@ def paragraph_dedup(
             F.coalesce("_kept_text", F.lit("")).alias(text_col),
         )
     )
+
+
+# ------------------------------------------------- dedup observability
+
+def lsh_bucket_stats(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 16,
+    num_bands: int = 4,
+    shingle_k: int = 3,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Bucket-size histogram of the LSH band table: ``(band,
+    bucket_size, n_buckets)`` — how many buckets of each size each band
+    produced. THE observability query for near-dup tuning: a fat tail
+    of giant buckets means the band width is too coarse (candidate
+    blowup — exactly what ``lsh_candidate_pairs``' ``max_bucket_size``
+    caps), all-singleton bands mean it's too fine to find anything.
+    Two groupBy shuffles, both on small keys; output rows = distinct
+    bucket sizes per band (tiny)."""
+    sigs = minhash_signatures(
+        df, text_col, id_col, num_perm=num_perm, shingle_k=shingle_k, hash_fn=hash_fn
+    )
+    bands = band_table(sigs, num_perm=num_perm, num_bands=num_bands, hash_fn=hash_fn)
+    sizes = bands.groupBy("band", "band_hash").agg(
+        F.count(F.lit(1)).alias("bucket_size")
+    )
+    return sizes.groupBy("band", "bucket_size").agg(
+        F.count(F.lit(1)).alias("n_buckets")
+    )
+
+
+def dup_rate_by_group(
+    df: DataFrame, text_col: str, id_col: str, group_col: str
+) -> DataFrame:
+    """Exact-duplicate rate per ``group_col`` (source domain, crawl
+    snapshot, …): ``(group, n_docs, n_dup_docs, dup_rate)`` where a doc
+    counts as dup when its content digest appears >1 time CORPUS-WIDE
+    (cross-group duplicates charge every group they touch — the number
+    a crawl-source report needs). One groupBy on the digest + one
+    join back + one groupBy on the group: all hash-shuffles on
+    bounded-width keys."""
+    sigs = df.select(
+        F.col(group_col).alias("grp"),
+        content_signature(F.col(text_col)).alias("sig"),
+    )
+    counts = sigs.groupBy("sig").agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        sigs.join(counts, "sig")
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("_n") > 1).cast("bigint")).alias("n_dup_docs"),
+        )
+        .withColumn("dup_rate", F.round(F.col("n_dup_docs") / F.col("n_docs"), 6))
+    )

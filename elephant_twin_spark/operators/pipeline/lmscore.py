@@ -68,3 +68,45 @@ def unigram_logprob(
         F.ln((F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(1.0)) / F.lit(denom)),
     )
     return joined.groupBy(id_col).agg(F.avg(logp).alias("logprob"))
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    group_col: str | None = None,
+    n_buckets: int = 3,
+    labels: tuple = ("head", "middle", "tail"),
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): score
+    every document with the unigram log-probability proxy, then split
+    each ``group_col`` partition (language, usually) into ``n_buckets``
+    equal-count buckets by score — head = most fluent. Returns
+    ``(id, group, logprob, bucket)``.
+
+    One score pass (explode + groupBy) + one window ntile per group —
+    two shuffles total; the window partitions by group so no global
+    sort. Ranking runs on the 6-dp ROUNDED score (ties broken by id):
+    raw-double ordering is last-ulp-sensitive to summation order, so
+    rounding first makes the bucket assignment reproducible across
+    engines and partitionings.
+    """
+    if len(labels) != n_buckets:
+        raise ValueError(f"{n_buckets} buckets need {n_buckets} labels, got {labels}")
+    from pyspark.sql.window import Window
+
+    scored = unigram_logprob(df, text_col, id_col)
+    keyed = df.select(
+        F.col(id_col),
+        (F.col(group_col) if group_col else F.lit("all")).alias("grp"),
+    ).join(scored, id_col).withColumn("logprob", F.round("logprob", 6))
+    w = Window.partitionBy("grp").orderBy(
+        F.col("logprob").desc(), F.col(id_col).asc()
+    )
+    lab = F.array(*[F.lit(x) for x in labels])
+    return keyed.withColumn("_nt", F.ntile(n_buckets).over(w)).select(
+        F.col(id_col).alias("id"),
+        F.col("grp"),
+        "logprob",
+        F.element_at(lab, F.col("_nt")).alias("bucket"),
+    )

@@ -10,6 +10,10 @@ unpivots driver-side-free with ``stack``:
 
 Exact distinct is a wide aggregate; pass ``approximate=True`` to swap in
 HyperLogLog++ (constant memory per column) — the right default at scale.
+The DEFAULT here stays exact deliberately: the declared ``table_profile``
+query is oracle-checked value-for-value, which HLL estimates can't be;
+the at-scale variant has its own declared query (``table_profile_approx``,
+rows-only) and a pytest tolerance check against the exact path.
 """
 
 from __future__ import annotations

@@ -578,3 +578,26 @@ def probed_knn(c_assigned: DataFrame, q_probed: DataFrame, k: int) -> DataFrame:
         .where(F.col("rank") <= k)
         .select("query_id", "id", "cosine", "rank")
     )
+
+
+def range_search(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_vec: Sequence[float],
+    min_cosine: float,
+) -> DataFrame:
+    """Range variant of ANN: every vector with ``cosine(query) >=
+    min_cosine`` as ``(id, cosine)`` — the "give me everything similar
+    enough" query (dedup sweeps, recall evaluation) where top-k's fixed
+    k is the wrong contract.
+
+    Brute-force scan shape: zero shuffle, one pass, JVM fold per row —
+    the predicate prunes rows before any downstream exchange. At index
+    scale, the same predicate runs over an IVF-pruned partition subset
+    (`ivf_topk`'s nprobe partitions) instead of the full scan.
+    """
+    scored = with_cosine(df, vec_col, list(query_vec), out_col="_cos")
+    return scored.where(F.col("_cos") >= min_cosine).select(
+        F.col(id_col).alias("id"), F.col("_cos").alias("cosine")
+    )

@@ -394,3 +394,69 @@ def top_fraction(
         .where(F.col("_rn") <= F.ceil(F.col("_n") * F.lit(fraction)))
         .drop("_rn", "_n")
     )
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_words: int = 10,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 2.0,
+    max_mean_word_len: float = 12.0,
+    max_dup_3gram_frac: float = 0.5,
+    min_stopword_hits: int = 2,
+) -> DataFrame:
+    """Gopher-style rule flags per document (Rae et al. 2021, table A1
+    — word-count bounds, mean-word-length band, repetition cap,
+    stopword-presence), each as its own boolean column plus the AND of
+    all of them:
+
+        (id, n_words, mean_word_len, dup_3gram_frac, n_stop_hits,
+         ok_n_words, ok_word_len, ok_repetition, ok_stopwords, keep)
+
+    Exposing the individual flags (not just ``keep``) is what makes the
+    filter auditable — a corpus report can show WHICH rule rejects how
+    many documents. All per-row JVM expressions, zero shuffle.
+    """
+    t = tokens(F.col(text_col))
+    n_tok = F.size(t)
+    n_chars = F.length(F.col(text_col))
+    mean_wl = F.when(n_tok > 0, (n_chars - (n_tok - 1)) / n_tok).otherwise(F.lit(0.0))
+    # duplicate-3-gram fraction, inline (repeated_ngram_coverage twin)
+    g = F.when(n_tok < 3, F.array(F.col(text_col))).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n_tok - 3),
+            lambda i: F.concat_ws(" ", F.slice(t, i + 1, 3)),
+        )
+    )
+    dup_frac = F.lit(1.0) - F.size(F.array_distinct(g)) / F.size(g)
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    n_stop = F.size(F.filter(t, lambda x: F.array_contains(stop_arr, F.lower(x))))
+    out = df.select(
+        F.col(id_col).alias("id"),
+        n_tok.alias("n_words"),
+        F.round(mean_wl, 4).alias("mean_word_len"),
+        F.round(dup_frac, 4).alias("dup_3gram_frac"),
+        n_stop.alias("n_stop_hits"),
+    )
+    out = (
+        out.withColumn(
+            "ok_n_words",
+            (F.col("n_words") >= min_words) & (F.col("n_words") <= max_words),
+        )
+        .withColumn(
+            "ok_word_len",
+            (F.col("mean_word_len") >= min_mean_word_len)
+            & (F.col("mean_word_len") <= max_mean_word_len),
+        )
+        .withColumn("ok_repetition", F.col("dup_3gram_frac") <= max_dup_3gram_frac)
+        .withColumn("ok_stopwords", F.col("n_stop_hits") >= min_stopword_hits)
+    )
+    return out.withColumn(
+        "keep",
+        F.col("ok_n_words")
+        & F.col("ok_word_len")
+        & F.col("ok_repetition")
+        & F.col("ok_stopwords"),
+    )
