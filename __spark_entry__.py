@@ -489,7 +489,10 @@ def _q_label_centroid_component(spark, sf_dir):
 
 def _q_knn_join(spark, sf_dir):
     """Exact batch kNN join: 5 query vectors × full corpus, top-5 each
-    (broadcast queries, one windowed shuffle keyed by query)."""
+    (broadcast queries, one windowed shuffle keyed by query).
+
+    Bounded exact-oracle demo; the scale path for large query sets is
+    `knn_join_ivf_top5` (`similarity.ivf_knn_join`, partition-pruned)."""
     emb = _state(spark, sf_dir).raw("embeddings")
     qs = emb.where(F.col("vec_id") < 5)
     out = similarity.knn_join(
@@ -599,7 +602,10 @@ def _q_funnel(spark, sf_dir):
 def _q_edit_distance_join(spark, sf_dir):
     """String-similarity self-join on part names (q-gram candidate
     filter + Levenshtein verify, never the cross product when the gram
-    bound applies)."""
+    bound applies).
+
+    Bounded exact-oracle demo; at scale the q-gram bucket join IS the
+    candidate generator (cost ∝ shared-gram pairs, not n²)."""
     from elephant_twin_spark.operators.pipeline import strings
 
     names = _state(spark, sf_dir).raw("part").select("p_name")
@@ -677,7 +683,10 @@ def _q_char_entropy(spark, sf_dir):
 
 def _q_containment_pairs(spark, sf_dir):
     """Asymmetric containment on a bounded exact pair set — the measure
-    that catches short-doc-embedded-in-long-doc duplication."""
+    that catches short-doc-embedded-in-long-doc duplication.
+
+    Bounded exact-oracle demo; the scale path generates candidates with
+    `dedup.lsh_candidate_pairs` and verifies only those."""
     docs = _state(spark, sf_dir).raw("documents").where(F.col("doc_id") < 450)
     sh = docs.select(F.col("doc_id").alias("id"))
     a, b = sh.alias("a"), sh.alias("b")
@@ -789,7 +798,10 @@ def _q_date_parse_roundtrip(spark, sf_dir):
 
 
 def _q_ngram_jaccard_pairs(spark, sf_dir):
-    """Exact 3-gram Jaccard for all doc pairs in a bounded id range."""
+    """Exact 3-gram Jaccard for all doc pairs in a bounded id range.
+
+    Bounded exact-oracle demo; the scale path is MinHash+LSH candidates
+    (`dedup.lsh_candidate_pairs`) with Jaccard verify on candidates only."""
     docs = _state(spark, sf_dir).raw("documents").where(F.col("doc_id") < 40)
     sh = docs.select(
         F.col("doc_id").alias("id"), dedup.word_shingles(F.col("text"), 3).alias("sh")
@@ -808,7 +820,10 @@ def _q_ngram_jaccard_pairs(spark, sf_dir):
 
 
 def _q_cosine_pairs(spark, sf_dir):
-    """Exact pairwise cosine on a bounded id range (double precision)."""
+    """Exact pairwise cosine on a bounded id range (double precision).
+
+    Bounded exact-oracle demo; the scale path is SRP-bucketed
+    `similarity.embedding_near_dup_pairs` (candidates-only verify)."""
     emb = _state(spark, sf_dir).raw("embeddings").where(F.col("vec_id") < 30)
     v = emb.select(
         F.col("vec_id").alias("id"),

@@ -66,6 +66,13 @@ def with_lsh_bucket(
 ) -> DataFrame:
     """Sign-random-projection LSH bucket id (0..2^bits-1) per row.
 
+    NULL vectors (or vectors with a NULL element) get a NULL bucket and
+    therefore drop out of bucket self-joins entirely — intended: a row
+    with no embedding has no meaningful neighborhood, and silently
+    pinning it to bucket 0 would pair every such row with every real
+    bucket-0 row. Filter ``vec_col IS NOT NULL`` upstream to assert
+    completeness instead.
+
     The plane matrix rides as ONE nested-array literal folded with
     higher-order functions — a per-element-literal expression tree
     (bits × dim `Literal` nodes) costs seconds of codegen/compile before

@@ -273,15 +273,42 @@ def _norm_file_col() -> F.Column:
     return fsio.normalize_path_col("file").alias("file")
 
 
+#: matched byte length of a sorted (possibly overlapping) range list —
+#: classic sweep carrying (total, current max end); equals the driver
+#: path's ``iv.total_length(iv.normalize(...))`` without materializing
+#: the merged list. Pure Spark SQL (whole-stage codegen'd).
+_MERGED_LEN_EXPR = (
+    "aggregate(sort_array(collect_list(struct(s, e))), "
+    "named_struct('t', CAST(0 AS BIGINT), 'c', CAST(-1 AS BIGINT)), "
+    "(a, x) -> named_struct("
+    "'t', a.t + GREATEST(CAST(0 AS BIGINT), x.e - GREATEST(x.s, a.c)), "
+    "'c', GREATEST(a.c, x.e)), "
+    "a -> a.t)"
+)
+
+_WHOLE_FILE_END = iv.WHOLE_FILE[0][1]
+
+
+def _whole_file_ranges(df: DataFrame) -> DataFrame:
+    return df.select(
+        "file",
+        F.lit(0).cast("long").alias("s"),
+        F.lit(_WHOLE_FILE_END).cast("long").alias("e"),
+    )
+
+
 def _leaf_file_df(
     spark: SparkSession,
     leaf: E.Expr,
     idx: _Index,
     fresh_dfs: Optional[Dict[int, DataFrame]] = None,
 ) -> DataFrame:
-    """One leaf's candidate files as a single-column DataFrame — the
-    cluster-side twin of one :func:`_leaf_file_sets` entry, at whole-file
-    granularity (byte ranges are a driver-path refinement only).
+    """One leaf's candidate ``(file, s, e)`` byte ranges as a DataFrame —
+    the cluster-side twin of one :func:`_leaf_file_sets` entry. Block
+    indexes carry their real posting ranges; bloom/zone candidates and
+    not-covered files get the WHOLE_FILE sentinel range, exactly like
+    the driver path, so AND intersections can exclude files sub-file
+    cluster-side too (`core/retrieval/BlockIndexedFileInputFormat.java:189-241`).
     ``fresh_dfs`` caches the per-index fresh/not-covered local relations
     so a multi-leaf predicate ships each index's file list to the
     cluster once, not once per leaf."""
@@ -289,7 +316,13 @@ def _leaf_file_df(
         df = (
             build_mod.read_postings(spark, idx.idx_dir)
             .where(F.col("key") == leaf.key)
-            .select(_norm_file_col())
+            .select(_norm_file_col(), F.explode("ranges").alias("r"))
+            .select(
+                "file",
+                F.col("r.start").cast("long").alias("s"),
+                F.col("r.end").cast("long").alias("e"),
+            )
+            .where(F.col("e") > F.col("s"))
         )
     elif isinstance(leaf, E.Eq) and idx.kind == "bloom":
         num_bits = int(idx.desc.options["num_bits"])
@@ -302,8 +335,10 @@ def _leaf_file_df(
             cond = cond & (
                 F.expr(f"element_at(bits, {word + 1})").bitwiseAND(F.lit(mask)) != 0
             )
-        df = build_mod.read_bloom_sketch(spark, idx.idx_dir).where(cond).select(
-            _norm_file_col()
+        df = _whole_file_ranges(
+            build_mod.read_bloom_sketch(spark, idx.idx_dir)
+            .where(cond)
+            .select(_norm_file_col())
         )
     else:  # zone leaf: Eq or ordered Cmp against per-file min/max
         v = F.lit(leaf.value)
@@ -316,8 +351,10 @@ def _leaf_file_df(
                 "<": F.col("min_v") < v,
                 "<=": F.col("min_v") <= v,
             }[leaf.op]
-        df = build_mod.read_zones(spark, idx.idx_dir).where(cond).select(
-            _norm_file_col()
+        df = _whole_file_ranges(
+            build_mod.read_zones(spark, idx.idx_dir)
+            .where(cond)
+            .select(_norm_file_col())
         )
     if idx.not_covered:
         # fresh-only candidates, plus always-scan rows for stale/new files
@@ -336,7 +373,7 @@ def _leaf_file_df(
                 ),
             )
         fresh, nc = cache[id(idx)]
-        df = df.join(fresh, "file", "leftsemi").unionByName(nc)
+        df = df.join(fresh, "file", "leftsemi").unionByName(_whole_file_ranges(nc))
     return df
 
 
@@ -347,10 +384,13 @@ def _eval_tree_df(
     zones: Dict[str, _Index],
     fresh_dfs: Optional[Dict[int, DataFrame]] = None,
 ) -> DataFrame:
-    """I1/I2/I3 as DataFrame set algebra: OR = union, AND = intersect —
-    the pruning computation stays in the cluster; only the FINAL matched
-    file list is collected (bounded by the answer, not by keys × files).
-    Used above :data:`DISTRIBUTED_FILE_THRESHOLD`."""
+    """I1/I2/I3 as DataFrame interval algebra over ``(file, s, e)`` rows:
+    OR = union, AND = per-file range-overlap equi-join emitting
+    ``[max(starts), min(ends))`` — the same sub-file exclusion the driver
+    path's :func:`_eval_tree` does, but the pruning computation stays in
+    the cluster; only the FINAL matched (file, matched-bytes) list is
+    collected (bounded by the answer, not by keys × files). Used above
+    :data:`DISTRIBUTED_FILE_THRESHOLD`."""
     if fresh_dfs is None:
         fresh_dfs = {}
     if isinstance(tree, (E.Eq, E.Cmp)):
@@ -358,11 +398,22 @@ def _eval_tree_df(
             return _leaf_file_df(spark, tree, indexes[tree.column], fresh_dfs)
         return _leaf_file_df(spark, tree, zones[tree.column], fresh_dfs)
     if isinstance(tree, E.And):
-        return _eval_tree_df(spark, tree.left, indexes, zones, fresh_dfs).intersect(
-            _eval_tree_df(spark, tree.right, indexes, zones, fresh_dfs)
+        l = _eval_tree_df(spark, tree.left, indexes, zones, fresh_dfs).alias("l")
+        r = _eval_tree_df(spark, tree.right, indexes, zones, fresh_dfs).alias("r")
+        # hash equi-join on file + overlap residual; a file whose matched
+        # blocks on the two sides don't overlap produces no row at all
+        return l.join(
+            r,
+            (F.col("l.file") == F.col("r.file"))
+            & (F.col("l.s") < F.col("r.e"))
+            & (F.col("r.s") < F.col("l.e")),
+        ).select(
+            F.col("l.file").alias("file"),
+            F.greatest("l.s", "r.s").alias("s"),
+            F.least("l.e", "r.e").alias("e"),
         )
     if isinstance(tree, E.Or):
-        return _eval_tree_df(spark, tree.left, indexes, zones, fresh_dfs).union(
+        return _eval_tree_df(spark, tree.left, indexes, zones, fresh_dfs).unionByName(
             _eval_tree_df(spark, tree.right, indexes, zones, fresh_dfs)
         )
     raise AssertionError(f"non-pushable node in pushed tree: {tree!r}")
@@ -433,10 +484,11 @@ def query(
     Above ``distributed_threshold`` live files (default
     :data:`DISTRIBUTED_FILE_THRESHOLD`), predicate→file-set evaluation
     runs cluster-side (:func:`_eval_tree_df`): only the final matched
-    file list reaches the driver, so planning memory is bounded by the
-    answer instead of keys × files. The driver path below the threshold
-    additionally intersects per-file byte ranges for AND predicates
-    (sub-file exclusion + range-accurate bytes metrics).
+    (file, matched-bytes) list reaches the driver, so planning memory is
+    bounded by the answer instead of keys × files. Both paths intersect
+    per-file byte ranges for AND predicates (sub-file exclusion +
+    range-accurate bytes metrics) — the distributed path does it with a
+    range-overlap join plus a codegen'd merged-length fold.
     """
     predicate = E._coerce(predicate)
     m = metrics if metrics is not None else ScanMetrics()
@@ -477,15 +529,20 @@ def query(
     )
     if len(live) > threshold:
         m.planner = "distributed"
-        matched_df = _eval_tree_df(spark, pushed, indexes, zones).distinct()
-        files = sorted(
-            {fsio.normalize_path(r["file"]) for r in matched_df.collect()}
-            & set(sizes)
+        per_file = (
+            _eval_tree_df(spark, pushed, indexes, zones)
+            .groupBy("file")
+            .agg(F.expr(_MERGED_LEN_EXPR).alias("mb"))
+            .collect()
         )
+        matched_bytes = {
+            fsio.normalize_path(r["file"]): int(r["mb"]) for r in per_file
+        }
+        files = sorted(set(matched_bytes) & set(sizes))
         m.scanned_files = len(files)
-        # whole-file granularity in distributed mode (byte ranges are a
-        # driver-path refinement)
-        m.scanned_bytes = sum(sizes[f] for f in files)
+        # same contract as the driver path: matched block bytes, clamped
+        # to the real file size (WHOLE_FILE sentinel / merged-range pad)
+        m.scanned_bytes = sum(min(sizes[f], matched_bytes[f]) for f in files)
     else:
         leaf_sets = _leaf_file_sets(spark, leaves, indexes, zones)
         matched = _eval_tree(pushed, leaf_sets)

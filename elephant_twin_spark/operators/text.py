@@ -92,14 +92,35 @@ def english_stem_tokenizer(text: Column) -> Column:
     return F.transform(word_tokenizer(text), stem)
 
 
+def _split_letters_numbers(s: str) -> List[str]:
+    """Exact Python twin of the build side's Java ``[^\\p{L}\\p{N}]+``
+    split: keep runs of Unicode letters/numbers (general categories L*
+    and N*), split on everything else — including underscore and
+    combining marks (category M), which Python's ``\\w`` would keep and
+    thereby drift from the JVM tokenizer on NFD-decomposed text."""
+    import unicodedata as _ud
+
+    out: List[str] = []
+    cur: List[str] = []
+    for ch in s:
+        if _ud.category(ch)[0] in ("L", "N"):
+            cur.append(ch)
+        elif cur:
+            out.append("".join(cur))
+            cur = []
+    if cur:
+        out.append("".join(cur))
+    return out
+
+
 def _analyze_term(name: str, term: str) -> List[str]:
     """Query-side analysis mirror: a query term goes through the SAME
     normalization its index's tokenizer applied to document terms —
     including the token SPLIT, so ``State-of-the-art`` analyzes to
     ``[state, of, the, art]`` under the ``word`` analyzer, never to a
-    fused ``stateoftheart`` no document contains. (``[\\W_]+`` equals
-    the build side's ``[^\\p{L}\\p{N}]+``: both split on everything that
-    is not a letter or digit, underscore included.)"""
+    fused ``stateoftheart`` no document contains. The split uses
+    :func:`_split_letters_numbers` so build/query tokenization agree
+    character-for-character on Unicode category semantics."""
     import re as _re
 
     if name == "whitespace":
@@ -107,7 +128,7 @@ def _analyze_term(name: str, term: str) -> List[str]:
     term = term.lower()
     if name == "lowercase":
         return [term]
-    toks = [t for t in _re.split(r"[\W_]+", term, flags=_re.UNICODE) if t]
+    toks = _split_letters_numbers(term)
     if name == "english_stem":
         out = []
         for t in toks:

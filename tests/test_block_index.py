@@ -302,8 +302,8 @@ def test_and_interval_intersection_excludes_file(spark, workdir):
 
 def test_distributed_planner_matches_driver_path(engine, spark, events_multifile):
     """Above the file-count threshold the predicate→file-set evaluation
-    runs cluster-side; results and pruning must match the driver path
-    exactly (whole-file granularity)."""
+    runs cluster-side; results, pruning AND byte-range metrics must match
+    the driver path exactly."""
     from elephant_twin_spark.operators import scan
     from elephant_twin_spark.plans import expr as E
 
@@ -328,9 +328,9 @@ def test_distributed_planner_matches_driver_path(engine, spark, events_multifile
         )
         assert md.planner == "driver" and mc.planner == "distributed"
         assert rows(dist) == rows(drv), repr(pred)
-        # same files survive pruning (bytes may differ: driver path counts
-        # matched ranges, distributed counts whole files)
+        # identical pruning: same files AND same matched-range bytes
         assert mc.scanned_files == md.scanned_files, repr(pred)
+        assert mc.scanned_bytes == md.scanned_bytes, repr(pred)
         assert mc.total_files == md.total_files
 
 
@@ -348,8 +348,9 @@ def test_distributed_planner_prunes(engine, spark, events_multifile):
 
 def test_distributed_planner_random_tree_equivalence(engine, spark, events_multifile):
     """Seeded random AND/OR trees over indexed leaves: the cluster-side
-    evaluator must select exactly the files the driver evaluator does
-    (results already proven row-equal; this pins the pruning itself)."""
+    evaluator must select exactly the files AND the matched byte ranges
+    the driver evaluator does (results already proven row-equal; this
+    pins the pruning itself, including sub-file AND exclusion)."""
     import random
 
     from elephant_twin_spark.operators import scan
@@ -376,6 +377,5 @@ def test_distributed_planner_random_tree_equivalence(engine, spark, events_multi
         b = scan.query(spark, events_multifile, pred, engine.index_root,
                        metrics=mc, distributed_threshold=0).count()
         assert a == b, repr(pred)
-        # whole-file granularity may keep a file the driver path's
-        # byte-range AND-intersection can exclude — never the reverse
-        assert mc.scanned_files >= md.scanned_files, repr(pred)
+        assert mc.scanned_files == md.scanned_files, repr(pred)
+        assert mc.scanned_bytes == md.scanned_bytes, repr(pred)

@@ -115,6 +115,30 @@ def test_embedding_near_dup_self_join(spark):
     assert (3, 99_999) in got
 
 
+def test_lsh_bucket_null_vector_drops_out(spark):
+    """Documented NULL semantics: a NULL (or NULL-element) vector gets a
+    NULL bucket and therefore never pairs in bucket self-joins — it must
+    not silently land in bucket 0 next to real rows."""
+    from pyspark.sql import Row
+
+    emb = spark.createDataFrame(
+        [
+            Row(vec_id=1, embedding=[1.0, 0.0]),
+            Row(vec_id=2, embedding=[1.0, 0.0]),
+            Row(vec_id=3, embedding=None),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    planes = similarity.random_hyperplanes(dim=2, bits=2)
+    b = similarity.with_lsh_bucket(emb, "embedding", planes)
+    rows = {r["vec_id"]: r["bucket"] for r in b.collect()}
+    assert rows[3] is None
+    assert rows[1] == rows[2] is not None
+    pairs = similarity.embedding_near_dup_pairs(emb, "embedding", "vec_id", threshold=0.9)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert got == {(1, 2)}  # the NULL row pairs with nothing
+
+
 def test_quality_and_langid(docs):
     q = textstats.quality_score(docs, "text")
     row = q.first()

@@ -406,6 +406,33 @@ def test_word_analyzer_multi_token_query_term(spark, workdir):
     assert ti.count("State-Of-The-Art") == 1
 
 
+def test_word_analyzer_unicode_combining_marks(spark, workdir):
+    """Build/query tokenization must agree on NFD-decomposed text: the
+    JVM build side splits on combining marks (category M, outside
+    \\p{L}\\p{N}), so the Python query mirror must too — an NFD 'café'
+    query term analyzes to 'cafe' on both sides and matches."""
+    import unicodedata
+
+    from pyspark.sql import Row
+
+    from elephant_twin_spark.engine import Engine
+
+    nfd_cafe = unicodedata.normalize("NFD", "café")
+    assert len(nfd_cafe) == 5  # really decomposed
+    path = f"{workdir}/nfd_corpus"
+    spark.createDataFrame(
+        [
+            Row(doc_id=1, text=f"the {nfd_cafe} opens early"),
+            Row(doc_id=2, text="unrelated document"),
+        ]
+    ).write.mode("overwrite").parquet(path)
+    eng = Engine(spark, f"{workdir}/nfd_idx")
+    eng.build_text_index(path, "text", "doc_id", tokenizer_name="word")
+    ti = eng.text_index(path, "text")
+    assert ti.count(nfd_cafe) == 1          # NFD query term
+    assert ti.count("cafe") == 1            # the stripped form both sides store
+
+
 def test_refresh_preserves_stemming_analyzer(spark, workdir):
     """Incremental refresh must tokenize delta files with the analyzer
     recorded in the descriptor, not the whitespace default."""
