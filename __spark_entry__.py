@@ -38,6 +38,7 @@ from elephant_twin_spark.operators.pipeline import (
     pii,
     profile,
     similarity,
+    stats,
     textstats,
     vocab,
 )
@@ -1867,6 +1868,138 @@ def _q_table_profile_approx(spark, sf_dir):
     return profile.profile_table(ev, ["user_id", "event_type"], approximate=True)
 
 
+def _q_keep_best_per_group(spark, sf_dir):
+    """Canonical-document selection: the longest doc per (source, lang),
+    deterministic tiebreak on doc_id — the final step of crawl dedup
+    (one window shuffle; pre-bucket by the group key at scale)."""
+    docs = _state(spark, sf_dir).raw("documents")
+    return dedup.canonical_per_group(
+        docs, ["source", "lang"], "n_chars", "doc_id"
+    ).select("source", "lang", "doc_id", "n_chars")
+
+
+def _q_iqr_outliers(spark, sf_dir):
+    """Tukey-fence outlier counts per event type (exact quartile fences
+    + one broadcast-joined fence filter)."""
+    ev = _state(spark, sf_dir).raw("events").where(F.col("value").isNotNull())
+    return stats.iqr_outliers(ev, "value", "event_type").withColumnRenamed(
+        "grp", "event_type"
+    )
+
+
+def _q_corr_stats(spark, sf_dir):
+    """Per-group bivariate moments on lineitem: corr/covar/stddevs of
+    (quantity, extendedprice) in ONE partial-aggregation pass."""
+    li = _state(spark, sf_dir).raw("lineitem")
+    return stats.grouped_corr(
+        li, "l_quantity", "l_extendedprice", "l_returnflag"
+    ).withColumnRenamed("grp", "l_returnflag")
+
+
+def _q_token_len_histogram(spark, sf_dir):
+    """Doc token-length histogram in 32-token buckets — the
+    sequence-length-distribution diagnostic packing budgets are chosen
+    from (one narrow map + a distinct-buckets-sized groupBy)."""
+    docs = _state(spark, sf_dir).raw("documents")
+    return stats.length_histogram(
+        docs, textstats.token_count(F.col("text")), bucket_width=32
+    )
+
+
+def _q_bucket_skew_stats(spark, sf_dir):
+    """Shuffle-skew audit for user_id as a partitioning key: rows per
+    md5 hash bucket + skew factor vs uniform (md5, not engine hash, so
+    the oracle reproduces the exact bucketing)."""
+    ev = _state(spark, sf_dir).raw("events").where(F.col("user_id").isNotNull())
+    return stats.bucket_skew_stats(ev, "user_id", n_buckets=32)
+
+
+def _q_tfidf_top_terms(spark, sf_dir):
+    """Corpus top-20 terms by TF-IDF (tf * ln((N+1)/(df+1))),
+    deterministic term tiebreak."""
+    docs = _state(spark, sf_dir).raw("documents")
+    return textstats.tfidf_top_terms(docs, "text", "doc_id", top_n=20, min_df=2)
+
+
+def _q_pack_efficiency(spark, sf_dir):
+    """One-row audit of the budget=256 greedy packing: pack count,
+    docs/tokens per pack, mean fill ratio vs budget."""
+    docs = _state(spark, sf_dir).raw("documents")
+    return pack.pack_efficiency(docs, "text", "doc_id", budget=256)
+
+
+def _q_consecutive_dedup(spark, sf_dir):
+    """Run-length event compaction: per user (ordered by ts, event_id)
+    drop events repeating the previous event_type — keeps every state
+    TRANSITION, collapses repeats. Returns per-user kept counts."""
+    ev = _state(spark, sf_dir).raw("events")
+    kept = dedup.drop_consecutive_dups(
+        ev, "user_id", ["ts", "event_id"], "event_type"
+    )
+    return kept.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.min("event_id").alias("first_event"),
+    )
+
+
+def _q_minhash_jaccard_error(spark, sf_dir):
+    """MinHash accuracy audit: for all pairs in a bounded doc range,
+    the 4-lane md5 minhash Jaccard ESTIMATE (matching-lane fraction)
+    vs the exact distinct-token Jaccard, plus |error| — the query that
+    justifies trusting the sketch at scale. Bounded exact-oracle demo;
+    at scale the estimate rides the LSH candidate path
+    (`dedup.lsh_candidate_pairs`), never all pairs."""
+    docs = _state(spark, sf_dir).raw("documents").where(F.col("doc_id") < 60)
+    sigs = dedup.minhash_signatures(
+        docs, "text", "doc_id", num_perm=4, shingle_k=1, hash_fn="md5"
+    )
+    toks = docs.select(
+        F.col("doc_id").alias("id"),
+        dedup.word_shingles(F.col("text"), 1).alias("t"),
+    )
+    a = sigs.alias("a")
+    b = sigs.alias("b")
+    est = (
+        sum(
+            (F.col(f"a.mh{i}") == F.col(f"b.mh{i}")).cast("int")
+            for i in range(4)
+        )
+        / F.lit(4.0)
+    )
+    pairs = a.join(b, F.col("a.id") < F.col("b.id")).select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        est.alias("est"),
+    )
+    ta = toks.select(F.col("id").alias("id_a"), F.col("t").alias("ta"))
+    tb = toks.select(F.col("id").alias("id_b"), F.col("t").alias("tb"))
+    exact = (
+        F.size(F.array_intersect("ta", "tb"))
+        / F.size(F.array_union("ta", "tb"))
+    )
+    return (
+        pairs.join(ta, "id_a")
+        .join(tb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round("est", 6).alias("est_jaccard"),
+            F.round(exact, 6).alias("exact_jaccard"),
+            F.round(F.abs(F.col("est") - exact), 6).alias("abs_err"),
+        )
+    )
+
+
+def _q_doc_len_quantiles_approx(spark, sf_dir):
+    """approx_percentile doc-length quartiles per lang — the
+    constant-memory at-scale twin of the exact percentile aggregate
+    (rows-only; tolerance vs exact pinned in tests/test_stats.py)."""
+    docs = _state(spark, sf_dir).raw("documents")
+    return stats.approx_percentiles(
+        docs.withColumn("_n", textstats.token_count(F.col("text"))), "_n", "lang"
+    ).withColumnRenamed("grp", "lang")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered so queries WITHOUT a green CORRECTNESS row run first: the
     # driver checks exactly the first 50 dict entries per round. r1
@@ -1875,7 +2008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # first block = the 4 r2 hash-fails (oracle dtype bug, fixed) + the
     # 2 queries that ERRORED in r1 and were mislabeled r1-green
     # (sessionize/gap_to_prev — fixed in r2, never re-queued) + the 21
-    # never-checked tail entries + the 12 r3-new queries = 39 < 50.
+    # never-checked tail entries + the 22 r3-new queries = 49 < 50.
     # Green-in-r1/r2 queries keep their recorded rows and run last.
     # tests/test_advisor_gates.py enforces this invariant from the
     # CORRECTNESS files themselves.
@@ -1926,6 +2059,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_bucket_stats": _q_lsh_bucket_stats,
         "dup_rate_by_source": _q_dup_rate_by_source,
         "table_profile_approx": _q_table_profile_approx,
+        "keep_best_per_group": _q_keep_best_per_group,
+        "iqr_outliers": _q_iqr_outliers,
+        "corr_stats": _q_corr_stats,
+        "token_len_histogram": _q_token_len_histogram,
+        "bucket_skew_stats": _q_bucket_skew_stats,
+        "tfidf_top_terms": _q_tfidf_top_terms,
+        "pack_efficiency": _q_pack_efficiency,
+        "consecutive_dedup": _q_consecutive_dedup,
+        "minhash_jaccard_error": _q_minhash_jaccard_error,
+        "doc_len_quantiles_approx": _q_doc_len_quantiles_approx,
         # --- green in CORRECTNESS_r02 (pipeline pack/chunk/shard, vocab,
         # mixture, TPC-H-style analytics, windows, pivots, temporal)
         "pack_docs": _q_pack_docs,
@@ -3399,4 +3542,123 @@ def oracle_sql() -> dict[str, str]:
         """,
         # table_profile_approx: rows-only by design (HLL estimates are
         # engine-specific; tolerance vs exact pinned in pytest)
+        "keep_best_per_group": """
+            SELECT source, lang, doc_id, n_chars FROM (
+              SELECT source, lang, doc_id, n_chars,
+                     row_number() OVER (PARTITION BY source, lang
+                         ORDER BY n_chars DESC, doc_id ASC) AS rn
+              FROM documents) WHERE rn = 1
+        """,
+        "iqr_outliers": """
+            WITH f AS (SELECT event_type AS grp,
+                              quantile_cont(value, 0.25) AS q1,
+                              quantile_cont(value, 0.75) AS q3
+                       FROM events WHERE value IS NOT NULL GROUP BY 1),
+            b AS (SELECT grp, q1 - 1.5 * (q3 - q1) AS lo,
+                         q3 + 1.5 * (q3 - q1) AS hi FROM f)
+            SELECT b.grp AS event_type, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN e.value < b.lo OR e.value > b.hi
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_outlier,
+                   round(b.lo, 6) AS lo, round(b.hi, 6) AS hi
+            FROM events e JOIN b ON e.event_type = b.grp
+            WHERE e.value IS NOT NULL
+            GROUP BY b.grp, b.lo, b.hi
+        """,
+        "corr_stats": """
+            SELECT l_returnflag,
+                   round(corr(l_quantity, l_extendedprice), 6) AS corr_xy,
+                   round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_xy,
+                   round(stddev_samp(l_quantity), 6) AS sd_x,
+                   round(stddev_samp(l_extendedprice), 6) AS sd_y
+            FROM lineitem GROUP BY 1
+        """,
+        "token_len_histogram": f"""
+            SELECT CAST(floor(len({_TOKS}) / 32) * 32 AS BIGINT) AS bucket_lo,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM documents GROUP BY 1
+        """,
+        "bucket_skew_stats": """
+            WITH per AS (
+              SELECT CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                          AS BIGINT) % 32 AS bucket,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM events WHERE user_id IS NOT NULL GROUP BY 1)
+            SELECT bucket, n,
+                   round(n / ((SELECT sum(n) FROM per) / 32.0), 6) AS skew
+            FROM per
+        """,
+        "tfidf_top_terms": """
+            WITH toks AS (SELECT doc_id,
+                                 unnest(regexp_split_to_array(lower(text), '\\s+')) AS term
+                          FROM documents),
+            st AS (SELECT term, CAST(count(*) AS BIGINT) AS tf,
+                          CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+                   FROM toks GROUP BY 1),
+            n AS (SELECT count(*) AS n_docs FROM documents)
+            SELECT term, tf, df,
+                   round(tf * ln((n.n_docs + 1.0) / (df + 1.0)), 6) AS score
+            FROM st, n WHERE df >= 2
+            ORDER BY score DESC, term ASC LIMIT 20
+        """,
+        "pack_efficiency": f"""
+            WITH t AS (SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+                       FROM documents),
+            c AS (SELECT doc_id, n_tokens,
+                         CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                              AS BIGINT) AS tok_offset
+                  FROM t),
+            per AS (SELECT CAST(floor(tok_offset / 256) AS BIGINT) AS pack_id,
+                           CAST(count(*) AS BIGINT) AS n_docs,
+                           CAST(sum(n_tokens) AS BIGINT) AS toks
+                    FROM c GROUP BY 1)
+            SELECT CAST(count(*) AS BIGINT) AS n_packs,
+                   CAST(sum(n_docs) AS BIGINT) AS n_docs,
+                   CAST(sum(toks) AS BIGINT) AS total_tokens,
+                   round(avg(n_docs), 6) AS avg_docs_per_pack,
+                   round(avg(toks) / 256.0, 6) AS avg_fill_ratio,
+                   CAST(max(toks) AS BIGINT) AS max_pack_tokens
+            FROM per
+        """,
+        "consecutive_dedup": """
+            WITH o AS (SELECT user_id, event_id, event_type,
+                              lag(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS prev,
+                              row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+                       FROM events)
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_kept,
+                   min(event_id) AS first_event
+            FROM o WHERE rn = 1 OR event_type IS DISTINCT FROM prev
+            GROUP BY 1
+        """,
+        "minhash_jaccard_error": """
+            WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 60),
+            tk AS (SELECT doc_id,
+                          list_distinct(list_filter(
+                              regexp_split_to_array(text, '\\s+'),
+                              x -> x <> '')) AS t
+                   FROM d),
+            s AS (SELECT doc_id,
+                         min(md5('0|' || tok)) AS mh0, min(md5('1|' || tok)) AS mh1,
+                         min(md5('2|' || tok)) AS mh2, min(md5('3|' || tok)) AS mh3
+                  FROM (SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS tok
+                        FROM d) GROUP BY doc_id),
+            pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                          (CAST(a.mh0 = b.mh0 AS INT) + CAST(a.mh1 = b.mh1 AS INT)
+                           + CAST(a.mh2 = b.mh2 AS INT) + CAST(a.mh3 = b.mh3 AS INT))
+                          / 4.0 AS est
+                   FROM s a JOIN s b ON a.doc_id < b.doc_id),
+            ex AS (SELECT pr.id_a, pr.id_b, pr.est,
+                          len(list_intersect(ta.t, tb.t)) * 1.0
+                          / len(list_distinct(ta.t || tb.t)) AS exact
+                   FROM pr JOIN tk ta ON ta.doc_id = pr.id_a
+                           JOIN tk tb ON tb.doc_id = pr.id_b)
+            SELECT id_a, id_b, round(est, 6) AS est_jaccard,
+                   round(exact, 6) AS exact_jaccard,
+                   round(abs(est - exact), 6) AS abs_err
+            FROM ex
+        """,
+        # doc_len_quantiles_approx: rows-only by design (t-digest
+        # estimates are engine-specific; tolerance pinned in pytest)
     }

@@ -131,7 +131,7 @@ class AnnIndex:
         vecs = self.spark.read.parquet(f"{self.idx_dir}/vectors").where(
             F.col("cluster").isin(probes)
         )
-        qcol = F.array(*[F.lit(x) for x in q])
+        qcol = F.lit([float(x) for x in q])
         dot = F.aggregate(
             F.zip_with(F.col("vec"), qcol, lambda a, b: a * b),
             F.lit(0.0),

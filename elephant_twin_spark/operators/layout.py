@@ -254,7 +254,7 @@ def zorder_table(
         probs = [i / n_buckets for i in range(1, n_buckets)]
         qs = df.select(num.alias("_q")).approxQuantile("_q", probs, quantile_error)
         bounds = sorted(set(qs))
-        arr = F.array(*[F.lit(float(b)) for b in bounds])
+        arr = F.lit([float(b) for b in bounds]).cast("array<double>")
         raw = F.coalesce(F.size(F.filter(arr, lambda b: b <= num)), F.lit(0))
         # low-cardinality columns fill few buckets; rescale the rank to
         # span the full 2**bits range so this column's bits interleave at

@@ -748,3 +748,69 @@ def dup_rate_by_group(
         )
         .withColumn("dup_rate", F.round(F.col("n_dup_docs") / F.col("n_docs"), 6))
     )
+
+
+def canonical_per_group(
+    df: DataFrame,
+    group_cols,
+    order_col: str,
+    id_col: str,
+    descending: bool = True,
+) -> DataFrame:
+    """Canonical-document selection: keep exactly ONE row per group —
+    the best by ``order_col`` (ties broken by smallest ``id_col``, so
+    the winner is deterministic). The "keep the longest/highest-quality
+    capture per URL/source" step every crawl-dedup pipeline ends with,
+    after near-dup clustering collapses the rest.
+
+    One window shuffle keyed by the group columns; at 100 TB the input
+    should be pre-partitioned by the same key (``layout.bucket_by``) so
+    the exchange disappears.
+    """
+    from pyspark.sql.window import Window
+
+    if isinstance(group_cols, str):
+        group_cols = [group_cols]
+    order = F.col(order_col).desc() if descending else F.col(order_col).asc()
+    w = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy(
+        order, F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def drop_consecutive_dups(
+    df: DataFrame,
+    key_col: str,
+    order_cols,
+    value_col: str,
+) -> DataFrame:
+    """Run-length dedup: within each ``key_col`` stream ordered by
+    ``order_cols``, keep a row only when ``value_col`` differs from the
+    immediately preceding row's value (NULL-safe). The
+    sensor/telemetry/event-log compaction primitive — collapses repeated
+    states to their first occurrence while preserving every transition.
+
+    One window shuffle keyed by the stream key; no driver state. Ties in
+    ``order_cols`` must be broken by a unique column (pass it last) or
+    "previous row" is nondeterministic.
+    """
+    from pyspark.sql.window import Window
+
+    if isinstance(order_cols, str):
+        order_cols = [order_cols]
+    w = Window.partitionBy(key_col).orderBy(*[F.col(c).asc() for c in order_cols])
+    # row_number (not prev-is-null) marks the stream head, so a leading
+    # NULL value survives; eqNullSafe makes NULL-after-NULL a repeat
+    return (
+        df.withColumn("_prev", F.lag(F.col(value_col)).over(w))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(
+            (F.col("_rn") == 1)
+            | ~F.col(value_col).eqNullSafe(F.col("_prev"))
+        )
+        .drop("_prev", "_rn")
+    )

@@ -73,3 +73,32 @@ def pack_manifest(
             F.sum("n_tokens").alias("total_tokens"),
         )
     )
+
+
+def pack_efficiency(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    budget: int,
+    partition_col: str | None = None,
+) -> DataFrame:
+    """One-row packing audit over :func:`pack_sequences`: pack count,
+    docs/tokens per pack, and the mean fill ratio against ``budget`` —
+    the number that says whether the packing budget wastes context
+    window (fill ≪ 1: documents too long to tile; raise budget or
+    chunk first). Pure aggregate on the manifest — adds nothing to the
+    packing job's shuffle."""
+    packed = pack_sequences(df, text_col, id_col, budget, partition_col)
+    keys = ["pack_id"] if partition_col is None else [partition_col, "pack_id"]
+    per_pack = packed.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("toks"),
+    )
+    return per_pack.agg(
+        F.count(F.lit(1)).alias("n_packs"),
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("toks").alias("total_tokens"),
+        F.round(F.avg("n_docs"), 6).alias("avg_docs_per_pack"),
+        F.round(F.avg("toks") / F.lit(float(budget)), 6).alias("avg_fill_ratio"),
+        F.max("toks").alias("max_pack_tokens"),
+    )

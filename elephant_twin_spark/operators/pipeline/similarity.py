@@ -322,7 +322,7 @@ def pq_encode(
         )
         dists = []
         for ci, c in enumerate(book):
-            cvec = F.array(*[F.lit(float(x)) for x in c])
+            cvec = F.lit([float(x) for x in c])
             d2 = F.aggregate(
                 F.zip_with(sub, cvec, lambda a, b: (a - b) * (a - b)),
                 F.lit(0.0),

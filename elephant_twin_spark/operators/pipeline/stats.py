@@ -1,0 +1,160 @@
+"""Grouped statistical profiling: exact percentiles, IQR outlier
+gating, correlation matrices, length histograms, and partition-skew
+audits.
+
+North-star additions (no reference analog; the nearest reference shape
+is the per-key count rollup, `core/retrieval/CountTimestampWritable.java:29-38`,
+generalized from counts to order statistics). All operators are single
+wide aggregates over built-in JVM expressions — one shuffle each, no
+Python in the hot path.
+
+Scale notes:
+- ``exact_percentiles`` uses Spark's exact ``percentile`` — a
+  sort-based aggregate whose per-group state is the full value
+  multiset. Right for bounded group counts (event types, table
+  columns); for unbounded cardinality or 100-TB single groups, use
+  ``approx_percentiles`` (t-digest-style sketch, constant memory),
+  declared as the rows-only at-scale twin.
+- ``bucket_skew_stats`` is THE pre-flight check before keying a shuffle
+  on a column: it reports rows per md5-derived hash bucket and the
+  max/mean skew factor — the number that predicts straggler tasks. The
+  md5 bucketing is engine-independent, so the oracle can reproduce it.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def exact_percentiles(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    probs: Sequence[float] = (0.25, 0.5, 0.75),
+    ndigits: int = 6,
+) -> DataFrame:
+    """``(group, p_NN...)`` — exact linear-interpolated percentiles per
+    group (the continuous-quantile definition DuckDB's ``quantile_cont``
+    shares, so results are cross-engine bit-comparable after rounding)."""
+    aggs = [
+        F.round(F.expr(f"percentile({value_col}, {p!r})"), ndigits).alias(
+            f"p_{int(p * 100):02d}"
+        )
+        for p in probs
+    ]
+    return df.groupBy(F.col(group_col).alias("grp")).agg(*aggs)
+
+
+def approx_percentiles(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    probs: Sequence[float] = (0.25, 0.5, 0.75),
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Sketch-based twin of :func:`exact_percentiles` —
+    ``approx_percentile`` keeps constant memory per group, the right
+    default when a single group holds billions of rows. Estimates land
+    within ``1/accuracy`` rank error of exact (pytest pins the
+    tolerance); not oracle-hashable, declared rows-only."""
+    aggs = [
+        F.expr(f"approx_percentile({value_col}, {p!r}, {accuracy})").alias(
+            f"p_{int(p * 100):02d}"
+        )
+        for p in probs
+    ]
+    return df.groupBy(F.col(group_col).alias("grp")).agg(*aggs)
+
+
+def iqr_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    k: float = 1.5,
+) -> DataFrame:
+    """Tukey-fence outlier counts per group: ``(grp, n, n_outlier,
+    lo, hi)`` with fences ``[q1 - k*iqr, q3 + k*iqr]``. Two passes
+    (percentile agg, then a broadcast-joined fence filter) — the fences
+    table is one row per group, so the second pass is a broadcast join
+    however large the fact side is."""
+    fences = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.expr(f"percentile({value_col}, 0.25)").alias("_q1"),
+        F.expr(f"percentile({value_col}, 0.75)").alias("_q3"),
+    )
+    fences = fences.select(
+        "grp",
+        (F.col("_q1") - (F.col("_q3") - F.col("_q1")) * k).alias("lo"),
+        (F.col("_q3") + (F.col("_q3") - F.col("_q1")) * k).alias("hi"),
+    )
+    joined = df.join(
+        F.broadcast(fences), df[group_col] == fences["grp"], "inner"
+    )
+    out_flag = (F.col(value_col) < F.col("lo")) | (F.col(value_col) > F.col("hi"))
+    return (
+        joined.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(out_flag.cast("long")).alias("n_outlier"),
+            F.round(F.first("lo"), 6).alias("lo"),
+            F.round(F.first("hi"), 6).alias("hi"),
+        )
+    )
+
+
+def grouped_corr(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Per-group bivariate stats: sample correlation, sample covariance
+    and both standard deviations — one single-shuffle aggregate (all
+    four moments come out of one partial-aggregation pass)."""
+    return df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.round(F.corr(x_col, y_col), 6).alias("corr_xy"),
+        F.round(F.covar_samp(x_col, y_col), 4).alias("covar_xy"),
+        F.round(F.stddev_samp(x_col), 6).alias("sd_x"),
+        F.round(F.stddev_samp(y_col), 6).alias("sd_y"),
+    )
+
+
+def length_histogram(
+    df: DataFrame,
+    length_expr,
+    bucket_width: int = 32,
+) -> DataFrame:
+    """``(bucket_lo, n)`` — histogram of an integer length expression in
+    fixed-width buckets (``bucket_lo = floor(len/w)*w``). The packing /
+    sequence-length-distribution diagnostic: one narrow map + one small
+    groupBy (distinct buckets, not rows)."""
+    lo = (F.floor(length_expr / bucket_width) * bucket_width).cast("long")
+    return df.groupBy(lo.alias("bucket_lo")).agg(F.count(F.lit(1)).alias("n"))
+
+
+def bucket_skew_stats(
+    df: DataFrame,
+    key_col: str,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Shuffle-skew audit for a prospective partitioning key: rows per
+    md5-derived hash bucket, plus each bucket's share of a perfectly
+    uniform load (``skew = n / (total / n_buckets)``). A max skew ≫ 1
+    predicts straggler tasks on any ``groupBy``/``join`` keyed by this
+    column — the signal that keys need salting
+    (:mod:`elephant_twin_spark.operators.skew`). md5 (not Spark's
+    ``hash``) so the exact bucketing reproduces in any engine."""
+    b = (
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10)
+        .cast("long") % n_buckets
+    )
+    per = df.groupBy(b.alias("bucket")).agg(F.count(F.lit(1)).alias("n"))
+    # bucket table is n_buckets rows — the global-total window is trivial
+    total = F.sum("n").over(Window.partitionBy())
+    return per.select(
+        "bucket",
+        "n",
+        F.round(F.col("n") / (total / F.lit(n_buckets)), 6).alias("skew"),
+    )

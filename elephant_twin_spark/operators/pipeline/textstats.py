@@ -48,7 +48,7 @@ def quality_features(df: DataFrame, text_col: str) -> DataFrame:
     n_tok = F.size(t)
     n_chars = F.length(F.col(text_col))
     punct = F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"[^\w\s]"), 0))
-    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    stop_arr = F.lit(list(STOPWORDS["en"]))
     n_stop = F.size(F.filter(t, lambda x: F.array_contains(stop_arr, F.lower(x))))
     return (
         df.withColumn("n_tokens", n_tok)
@@ -91,7 +91,7 @@ def lang_id(df: DataFrame, text_col: str, out_col: str = "lang_pred") -> DataFra
     t = F.transform(tokens(F.col(text_col)), lambda x: F.lower(x))
     scores = []
     for lang in sorted(STOPWORDS):
-        arr = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+        arr = F.lit(list(STOPWORDS[lang]))
         scores.append(
             F.struct(
                 F.size(F.filter(t, lambda x: F.array_contains(arr, x))).alias("hits"),
@@ -431,7 +431,7 @@ def gopher_quality_flags(
         )
     )
     dup_frac = F.lit(1.0) - F.size(F.array_distinct(g)) / F.size(g)
-    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    stop_arr = F.lit(list(STOPWORDS["en"]))
     n_stop = F.size(F.filter(t, lambda x: F.array_contains(stop_arr, F.lower(x))))
     out = df.select(
         F.col(id_col).alias("id"),
@@ -460,3 +460,33 @@ def gopher_quality_flags(
         & F.col("ok_repetition")
         & F.col("ok_stopwords"),
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame, text_col: str, id_col: str, top_n: int = 20, min_df: int = 2
+) -> DataFrame:
+    """Corpus-level TF-IDF term ranking: ``(term, tf, df, score)`` for
+    the ``top_n`` terms by ``tf * ln((N+1)/(df+1))``, deterministic
+    tiebreak on term. The corpus-keyword/topic-drift diagnostic.
+
+    One explode + one groupBy on the term key (tf and df come out of
+    the same map-side-combinable aggregate). Terms below ``min_df``
+    docs are dropped (hapax noise)."""
+    n_docs = df.count()  # one scalar job; the N in the idf term
+    toks = df.select(
+        F.col(id_col).alias("_doc"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+    )
+    stats = toks.groupBy("term").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.countDistinct("_doc").alias("df"),
+    )
+    scored = stats.where(F.col("df") >= min_df).withColumn(
+        "score",
+        F.round(
+            F.col("tf")
+            * F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + F.lit(1.0))),
+            6,
+        ),
+    )
+    return scored.orderBy(F.col("score").desc(), F.col("term").asc()).limit(top_n)

@@ -69,7 +69,7 @@ def funnel(
     list on the driver."""
     from pyspark.sql import functions as F
 
-    stage_arr = F.array(*[F.lit(s) for s in stages])
+    stage_arr = F.lit([str(s) for s in stages])
     ev = F.sort_array(
         F.collect_list(F.struct(F.col(ts_col).alias("t"), F.col(type_col).alias("y")))
     )
