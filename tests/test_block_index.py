@@ -379,3 +379,48 @@ def test_distributed_planner_random_tree_equivalence(engine, spark, events_multi
         assert a == b, repr(pred)
         assert mc.scanned_files == md.scanned_files, repr(pred)
         assert mc.scanned_bytes == md.scanned_bytes, repr(pred)
+
+
+def test_distributed_planner_stale_file_equivalence(spark, workdir, events_multifile):
+    """Staleness in DISTRIBUTED mode: the not-covered file rides the
+    WHOLE_FILE sentinel range through the cluster-side evaluator —
+    results, pruning and bytes must still match the driver path, and the
+    mutated file must be scanned (reference case (a))."""
+    import glob
+    import os
+    import shutil
+
+    from elephant_twin_spark.operators import scan
+
+    stale_tbl = f"{workdir}/events_stale_dist"
+    shutil.copytree(events_multifile.replace("file:", ""), stale_tbl, dirs_exist_ok=True)
+    eng = Engine(spark, f"{workdir}/index_root_stale_dist")
+    eng.build_index(stale_tbl, "event_type", num_buckets=4)
+    eng.build_index(stale_tbl, "user_id", num_buckets=4)
+
+    part = sorted(glob.glob(f"{stale_tbl}/part-*.parquet"))[0]
+    df = spark.read.parquet(part)
+    mutated = df.withColumn("event_type", F.lit("mutant"))
+    tmp_out = f"{workdir}/_mutant_out_dist"
+    mutated.coalesce(1).write.mode("overwrite").parquet(tmp_out)
+    new_part = sorted(glob.glob(f"{tmp_out}/part-*.parquet"))[0]
+    shutil.copyfile(new_part, part)
+    for crc in glob.glob(f"{stale_tbl}/.*.crc"):
+        os.remove(crc)
+    spark.catalog.refreshByPath(stale_tbl)
+
+    preds = [
+        col("event_type") == "mutant",
+        (col("event_type") == "mutant") & (col("user_id") == 12),
+        (col("event_type") == "click") | (col("event_type") == "mutant"),
+    ]
+    for pred in preds:
+        md, mc = scan.ScanMetrics(), scan.ScanMetrics()
+        drv = scan.query(spark, stale_tbl, pred, eng.index_root,
+                         metrics=md, distributed_threshold=10**9)
+        dist = scan.query(spark, stale_tbl, pred, eng.index_root,
+                          metrics=mc, distributed_threshold=0)
+        assert rows(dist) == rows(drv), repr(pred)
+        assert mc.scanned_files == md.scanned_files, repr(pred)
+        assert mc.scanned_bytes == md.scanned_bytes, repr(pred)
+        assert mc.stale_files == md.stale_files == 1, repr(pred)

@@ -239,3 +239,45 @@ def test_lsh_gate_bucket_join_stays_hash_equi_join(spark, workdir):
     joins = [l for l in plan.splitlines() if "HashJoin" in l or "ShuffledHashJoin" in l]
     assert joins, plan
     assert "LeftSemi" in plan, plan
+
+
+def test_merged_len_expr_equals_python_kernel(spark):
+    """The distributed planner's codegen'd sorted-sweep fold must compute
+    exactly iv.total_length(iv.normalize(...)) for arbitrary
+    (overlapping, duplicated, adjacent) range multisets — seeded random
+    cases plus adversarial edges."""
+    import random
+
+    from elephant_twin_spark.operators.scan import _MERGED_LEN_EXPR
+    from elephant_twin_spark.plans import intervals as iv
+
+    rng = random.Random(11)
+    cases = [
+        [],
+        [(0, 10)],
+        [(0, 10), (0, 10)],          # exact duplicate
+        [(0, 10), (10, 20)],         # adjacent
+        [(0, 100), (5, 10), (20, 120)],  # containment + extension
+        [(5, 5), (7, 3)],            # empty/inverted ranges dropped upstream
+    ]
+    for _ in range(40):
+        n = rng.randint(1, 12)
+        cases.append(
+            [(s := rng.randint(0, 100), s + rng.randint(1, 40)) for _ in range(n)]
+        )
+    rows = [
+        (i, [{"s": int(s), "e": int(e)} for s, e in c if e > s])
+        for i, c in enumerate(cases)
+    ]
+    df = spark.createDataFrame(
+        rows, "i int, rs array<struct<s:bigint,e:bigint>>"
+    ).select("i", F.explode_outer("rs").alias("r")).select(
+        "i", F.col("r.s").alias("s"), F.col("r.e").alias("e")
+    ).where(F.col("s").isNotNull())
+    got = {
+        r["i"]: r["mb"]
+        for r in df.groupBy("i").agg(F.expr(_MERGED_LEN_EXPR).alias("mb")).collect()
+    }
+    for i, c in enumerate(cases):
+        want = iv.total_length(iv.normalize(c))
+        assert got.get(i, 0) == want, (i, c)
