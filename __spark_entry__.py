@@ -2000,6 +2000,22 @@ def _q_doc_len_quantiles_approx(spark, sf_dir):
     ).withColumnRenamed("grp", "lang")
 
 
+def _q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style pairs: cosine-argmax cluster assignment (fixed
+    centroids = the first 8 vectors, matching kmeans_assign), pairwise
+    cosine WITHIN clusters only, threshold on the rounded value.
+    Quadratic in cluster size, never corpus size — the semantic-dedup
+    scale decomposition (pairs drop n^2/2 -> n^2/2k)."""
+    emb = _state(spark, sf_dir).raw("embeddings").where(F.col("vec_id") < 500)
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.where(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    ]
+    return similarity.semantic_dedup_pairs(
+        emb, "embedding", "vec_id", cents, threshold=0.3
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered so queries WITHOUT a green CORRECTNESS row run first: the
     # driver checks exactly the first 50 dict entries per round. r1
@@ -2069,6 +2085,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "consecutive_dedup": _q_consecutive_dedup,
         "minhash_jaccard_error": _q_minhash_jaccard_error,
         "doc_len_quantiles_approx": _q_doc_len_quantiles_approx,
+        "semantic_dedup": _q_semantic_dedup,
         # --- green in CORRECTNESS_r02 (pipeline pack/chunk/shard, vocab,
         # mixture, TPC-H-style analytics, windows, pivots, temporal)
         "pack_docs": _q_pack_docs,
@@ -3658,6 +3675,28 @@ def oracle_sql() -> dict[str, str]:
                    round(exact, 6) AS exact_jaccard,
                    round(abs(est - exact), 6) AS abs_err
             FROM ex
+        """,
+        "semantic_dedup": """
+            WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+                       FROM embeddings WHERE vec_id < 8),
+            s AS (SELECT e.vec_id, c.cid,
+                         CAST(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                     c.cv) AS DOUBLE) AS cos
+                  FROM embeddings e CROSS JOIN c WHERE e.vec_id < 500),
+            r AS (SELECT vec_id, cid,
+                         row_number() OVER (PARTITION BY vec_id
+                                            ORDER BY cos DESC, cid DESC) AS rn
+                  FROM s),
+            asg AS (SELECT a.vec_id, a.cid AS cluster,
+                           CAST(e.embedding AS DOUBLE[]) AS v
+                    FROM r a JOIN embeddings e USING (vec_id) WHERE rn = 1),
+            p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                         CAST(a.cluster AS INT) AS cluster,
+                         round(CAST(list_cosine_similarity(a.v, b.v) AS DOUBLE), 4)
+                           + 0.0 AS cosine
+                  FROM asg a JOIN asg b
+                    ON a.cluster = b.cluster AND a.vec_id < b.vec_id)
+            SELECT id_a, id_b, cluster, cosine FROM p WHERE cosine >= 0.3
         """,
         # doc_len_quantiles_approx: rows-only by design (t-digest
         # estimates are engine-specific; tolerance pinned in pytest)

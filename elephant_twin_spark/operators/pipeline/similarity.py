@@ -608,3 +608,56 @@ def range_search(
     return scored.where(F.col("_cos") >= min_cosine).select(
         F.col(id_col).alias("id"), F.col("_cos").alias("cosine")
     )
+
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    centroids: List[List[float]],
+    threshold: float,
+) -> DataFrame:
+    """SemDeDup-style semantic near-dup pairs: assign every row to its
+    best centroid (cosine argmax, :func:`ivf_assign`), then compare
+    pairs WITHIN a cluster only — ``(id_a, id_b, cluster, cosine)`` for
+    pairs whose rounded cosine clears ``threshold``.
+
+    This is the semantic-dedup decomposition for scale: the pairwise
+    stage is quadratic only in CLUSTER size, never corpus size, and the
+    cluster self-join is a hash equi-join on the cluster id (AQE splits
+    skewed clusters). With k clusters of n/k rows the pair count drops
+    from n²/2 to n²/(2k) — and the cluster key is the partition key, so
+    at 100 TB the table is written partitioned by cluster and each
+    partition dedups independently. The comparison is on ``round(cos,
+    4)`` so an external oracle computing the same pairs in a different
+    float summation order reaches the identical decision at the
+    threshold boundary.
+    """
+    assigned = ivf_assign(df, vec_col, centroids, metric="cosine").select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+        "cluster",
+    )
+    # renamed right side, not a self-alias: the transform-lambda plan
+    # trips attribute resolution on LocalRelation self-joins
+    b = assigned.select(
+        F.col("id").alias("_id_b"),
+        F.col("v").alias("_v_b"),
+        F.col("cluster").alias("_cluster_b"),
+    )
+    cos = _dot(F.col("v"), F.col("_v_b")) / (F.col("_n_a") * F.col("_n_b"))
+    return (
+        assigned.withColumn("_n_a", _norm(F.col("v")))
+        .join(
+            b.withColumn("_n_b", _norm(F.col("_v_b"))),
+            (F.col("cluster") == F.col("_cluster_b"))
+            & (F.col("id") < F.col("_id_b")),
+        )
+        .select(
+            F.col("id").alias("id_a"),
+            F.col("_id_b").alias("id_b"),
+            "cluster",
+            F.round(cos, 4).alias("cosine"),
+        )
+        .where(F.col("cosine") >= F.lit(float(threshold)))
+    )

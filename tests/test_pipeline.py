@@ -841,3 +841,28 @@ def test_per_group_cap_deterministic_and_bounded(spark):
         .where(F.col("max_d") > F.col("min_k"))
     )
     assert viol.count() == 0
+
+
+def test_semantic_dedup_within_cluster_only(spark):
+    """SemDeDup pairs must (a) find a planted duplicate, (b) never pair
+    across clusters, (c) bound the comparison to cluster-local pairs."""
+    from pyspark.sql import Row
+
+    # two well-separated clusters + a planted near-duplicate in cluster 0
+    rows = [
+        Row(vec_id=0, embedding=[1.0, 0.0, 0.0]),
+        Row(vec_id=1, embedding=[0.99, 0.01, 0.0]),   # near-dup of 0
+        Row(vec_id=2, embedding=[0.0, 1.0, 0.0]),
+        Row(vec_id=3, embedding=[0.0, 0.98, 0.02]),   # near-dup of 2
+        Row(vec_id=4, embedding=[0.6, 0.55, 0.0]),    # between, assigned once
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]
+    got = similarity.semantic_dedup_pairs(df, "embedding", "vec_id", cents, 0.95)
+    pairs = {(r["id_a"], r["id_b"]): r["cluster"] for r in got.collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] == 0
+    assert (2, 3) in pairs and pairs[(2, 3)] == 1
+    # cross-cluster near-orthogonal pairs never appear
+    assert all(a != 2 or b != 0 for a, b in pairs)
+    for (a, b), cl in pairs.items():
+        assert cl in (0, 1)
