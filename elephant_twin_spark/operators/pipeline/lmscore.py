@@ -110,3 +110,84 @@ def perplexity_buckets(
         "logprob",
         F.element_at(lab, F.col("_nt")).alias("bucket"),
     )
+
+
+def bigram_model(df: DataFrame, text_col: str) -> Tuple[DataFrame, DataFrame]:
+    """Bigram + unigram count tables for a corpus-trained bigram LM.
+
+    Returns ``(bigram_df(w1, w2, cnt2), unigram_df(w1, cnt1))``. Both
+    are single hash aggregations over exploded adjacent token pairs —
+    model size is vocab²-bounded but in practice ≪ corpus (only
+    observed pairs materialize).
+    """
+    toks = df.select(whitespace_tokenizer(F.col(text_col)).alias("t"))
+    pairs = toks.select(
+        F.explode(
+            F.when(
+                F.size("t") >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("t") - 2),
+                    lambda i: F.struct(
+                        F.element_at("t", i + 1).alias("w1"),
+                        F.element_at("t", i + 2).alias("w2"),
+                    ),
+                ),
+            ).otherwise(F.array()),
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    bigrams = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt2"))
+    unigrams = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("cnt1"))
+    return bigrams, unigrams
+
+
+def bigram_logprob(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    bigrams: DataFrame | None = None,
+    unigrams: DataFrame | None = None,
+    vocab: int | None = None,
+) -> DataFrame:
+    """Per-document mean bigram log-probability with add-one smoothing:
+    ``avg(ln((cnt2 + 1) / (cnt1 + V)))`` over the doc's adjacent pairs —
+    the bigram upgrade of :func:`unigram_logprob` (context-sensitive, so
+    shuffled-word gibberish scores LOWER than fluent text even when the
+    unigram model cannot tell them apart).
+
+    Train-on-self by default. Docs with <2 tokens score null. The two
+    model joins are keyed by (w1, w2) / w1 — build sides unique per
+    key, AQE handles hot stopword prefixes. Returns ``(id_col,
+    bigram_logprob)``.
+    """
+    if bigrams is None:
+        bigrams, unigrams = bigram_model(df, text_col)
+    if vocab is None:
+        vocab = unigrams.count()
+    dv = float(vocab)
+    tk = df.select(F.col(id_col), whitespace_tokenizer(F.col(text_col)).alias("t"))
+    doc_pairs = tk.select(
+        id_col,
+        F.explode_outer(
+            F.when(
+                F.size("t") >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("t") - 2),
+                    lambda i: F.struct(
+                        F.element_at("t", i + 1).alias("w1"),
+                        F.element_at("t", i + 2).alias("w2"),
+                    ),
+                ),
+            ),
+        ).alias("p"),
+    ).select(id_col, "p.w1", "p.w2")
+    joined = doc_pairs.join(bigrams, ["w1", "w2"], "left").join(
+        unigrams, "w1", "left"
+    )
+    logp = F.when(
+        F.col("w1").isNotNull(),
+        F.ln(
+            (F.coalesce(F.col("cnt2"), F.lit(0)) + F.lit(1.0))
+            / (F.coalesce(F.col("cnt1"), F.lit(0)) + F.lit(dv))
+        ),
+    )
+    return joined.groupBy(id_col).agg(F.avg(logp).alias("bigram_logprob"))

@@ -141,3 +141,38 @@ def diff_manifests(a: Dict, b: Dict) -> Dict:
         "files": b["n_files"] - a["n_files"],
         "schema_changed": a["schema"] != b["schema"],
     }
+
+
+def snapshot_diff(
+    old_df: "DataFrame",
+    new_df: "DataFrame",
+    id_col: str,
+    text_col: str,
+) -> "DataFrame":
+    """Row-level drift report between two dataset snapshots: one row per
+    ``(status, n)`` with status in ``added | removed | changed |
+    unchanged`` — the between-releases complement of
+    :func:`diff_manifests` (which diffs FILES; this diffs CONTENT, so a
+    rewritten-in-place corpus still reports honestly).
+
+    One full-outer join keyed by id, comparing md5 content signatures —
+    scale-safe: both sides reduce to (id, sig) before the join, and the
+    output is 4 rows."""
+    from pyspark.sql import functions as F
+
+    from elephant_twin_spark.operators.pipeline.dedup import content_signature
+
+    o = old_df.select(
+        F.col(id_col).alias("id"), content_signature(F.col(text_col)).alias("_sig_o")
+    )
+    n = new_df.select(
+        F.col(id_col).alias("id"), content_signature(F.col(text_col)).alias("_sig_n")
+    )
+    j = o.join(n, "id", "full_outer")
+    status = (
+        F.when(F.col("_sig_o").isNull(), F.lit("added"))
+        .when(F.col("_sig_n").isNull(), F.lit("removed"))
+        .when(F.col("_sig_o") == F.col("_sig_n"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.groupBy(status.alias("status")).agg(F.count(F.lit(1)).alias("n"))

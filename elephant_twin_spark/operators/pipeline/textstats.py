@@ -6,6 +6,8 @@ every formula is simple enough to restate in ANSI SQL for the oracle gate.
 
 from __future__ import annotations
 
+import math
+
 from typing import Dict, List, Optional
 
 from pyspark.sql import Column, DataFrame
@@ -490,3 +492,81 @@ def tfidf_top_terms(
         ),
     )
     return scored.orderBy(F.col("score").desc(), F.col("term").asc()).limit(top_n)
+
+
+def js_divergence_by_group(
+    df: DataFrame, text_col: str, group_col: str
+) -> DataFrame:
+    """Per-group Jensen-Shannon divergence between the group's unigram
+    distribution and the whole corpus's — the source-outlier detector
+    (a crawl source whose term distribution drifts from the corpus is
+    boilerplate, spam, or another language). ``(grp, n_tokens, js)``
+    with js in [0, ln 2].
+
+    Shape: one explode + a (term, grp) aggregate + a term-level join of
+    the group distribution against the corpus distribution — all keyed
+    by term, vocab-bounded, map-side combinable. JS (not KL) so a term
+    absent from either side stays finite without smoothing."""
+    toks = df.select(
+        F.col(group_col).alias("grp"),
+        F.explode(tokens(F.col(text_col))).alias("term"),
+    )
+    per_grp = toks.groupBy("grp", "term").agg(F.count(F.lit(1)).alias("c_g"))
+    grp_tot = per_grp.groupBy("grp").agg(F.sum("c_g").alias("n_g"))
+    corpus = per_grp.groupBy("term").agg(F.sum("c_g").alias("c_all"))
+    corpus_tot = float(
+        toks.count()
+    )  # one scalar; the corpus token total
+    j = (
+        per_grp.join(F.broadcast(grp_tot), "grp")
+        .join(corpus, "term")
+        .select(
+            "grp",
+            "n_g",
+            (F.col("c_g") / F.col("n_g")).alias("p"),
+            (F.col("c_all") / F.lit(corpus_tot)).alias("q"),
+        )
+    )
+    m = (F.col("p") + F.col("q")) / 2.0
+    # terms with p=0 contribute only through q's side; q>0 always here
+    # (corpus includes the group). Sum over the group's OBSERVED terms
+    # plus the q-mass of unobserved terms handled via the 1 - sum(q) tail.
+    contrib = 0.5 * F.col("p") * F.ln(F.col("p") / m) + 0.5 * F.col("q") * F.ln(
+        F.col("q") / m
+    )
+    agg = j.groupBy("grp").agg(
+        F.max("n_g").alias("n_tokens"),
+        F.sum(contrib).alias("_js_obs"),
+        F.sum("q").alias("_q_obs"),
+    )
+    # unobserved-term tail: for terms the group never emits, p=0 and the
+    # integrand reduces to 0.5*q*ln(2); their total q mass is 1 - q_obs
+    tail = 0.5 * (F.lit(1.0) - F.col("_q_obs")) * F.lit(math.log(2.0))
+    return agg.select(
+        "grp",
+        "n_tokens",
+        F.round(F.col("_js_obs") + tail, 6).alias("js"),
+    )
+
+
+def tokenizer_fertility(
+    df: DataFrame, text_col: str, group_col: str
+) -> DataFrame:
+    """Per-group tokenizer fertility: BPE-ish subword tokens per
+    whitespace word (and chars per subword) — the pre-training check
+    that a tokenizer isn't pathologically expensive on some language or
+    source. One narrow map + one groupBy."""
+    n_words = token_count(F.col(text_col))
+    n_sub = bpe_ish_token_count(F.col(text_col))
+    n_chars = F.length(F.col(text_col))
+    per = df.select(
+        F.col(group_col).alias("grp"),
+        n_words.alias("_w"),
+        n_sub.alias("_s"),
+        n_chars.alias("_c"),
+    ).where(F.col("_w") > 0)
+    return per.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.sum("_s") / F.sum("_w"), 6).alias("fertility"),
+        F.round(F.sum("_c") / F.sum("_s"), 6).alias("chars_per_subword"),
+    )

@@ -132,3 +132,69 @@ def test_pack_rejects_bad_budget(spark):
     df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
     with pytest.raises(ValueError):
         pack.pack_sequences(df, "text", "doc_id", budget=0)
+
+
+def test_js_divergence_detects_outlier_source(spark):
+    """A source whose vocabulary diverges from the corpus must score a
+    materially higher JS than in-distribution sources; values bounded
+    by [0, ln 2]."""
+    import math
+
+    from pyspark.sql import Row
+
+    from elephant_twin_spark.operators.pipeline import textstats
+
+    rows = [
+        Row(id=i, src=f"s{i % 3}", text="the quick brown fox jumps over lazy dog")
+        for i in range(30)
+    ] + [Row(id=100 + i, src="weird", text="zzz qqq xxx vvv kkk jjj www") for i in range(10)]
+    df = spark.createDataFrame(rows, "id long, src string, text string")
+    got = {r["grp"]: r["js"] for r in textstats.js_divergence_by_group(df, "text", "src").collect()}
+    assert all(0.0 <= v <= math.log(2) + 1e-9 for v in got.values())
+    normal = max(v for k, v in got.items() if k != "weird")
+    assert got["weird"] > 3 * max(normal, 1e-6), got
+
+
+def test_tokenizer_fertility_orders_sources(spark):
+    """Punctuation-heavy text fragments into more BPE-ish subwords per
+    word -> higher fertility."""
+    from pyspark.sql import Row
+
+    from elephant_twin_spark.operators.pipeline import textstats
+
+    rows = [Row(id=i, src="plain", text="simple words only here") for i in range(5)]
+    rows += [Row(id=10 + i, src="punct", text="a-b.c,d!e f@g#h i;j:k l(m)n") for i in range(5)]
+    df = spark.createDataFrame(rows, "id long, src string, text string")
+    got = {r["grp"]: r for r in textstats.tokenizer_fertility(df, "text", "src").collect()}
+    assert got["punct"]["fertility"] > got["plain"]["fertility"]
+    assert got["plain"]["fertility"] >= 1.0
+
+
+def test_bigram_lm_prefers_fluent_order(spark):
+    """Context sensitivity: the same tokens in training order score
+    higher under the bigram LM than in shuffled order — the distinction
+    a unigram model cannot make."""
+    from pyspark.sql import Row
+
+    from elephant_twin_spark.operators.pipeline import lmscore
+
+    fluent = "the cat sat on the mat"
+    train = [Row(id=i, text=fluent) for i in range(20)]
+    probe = [
+        Row(id=1000, text=fluent),
+        Row(id=1001, text="mat the on sat cat the"),  # same unigrams, shuffled
+    ]
+    df = spark.createDataFrame(train + probe, "id long, text string")
+    bi, uni = lmscore.bigram_model(df, "text")
+    scored = {
+        r["id"]: r["bigram_logprob"]
+        for r in lmscore.bigram_logprob(df, "text", "id", bi, uni).collect()
+        if r["id"] >= 1000
+    }
+    assert scored[1000] > scored[1001]
+
+    # unigram model CANNOT distinguish them (same token multiset)
+    from elephant_twin_spark.operators.pipeline import lmscore as lm
+
+    u = {r["id"]: r["logprob"] for r in lm.unigram_logprob(df, "text", "id").collect() if r["id"] >= 1000}
+    assert abs(u[1000] - u[1001]) < 1e-9

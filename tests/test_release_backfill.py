@@ -93,3 +93,20 @@ def test_overwrite_partitions_backfill(spark, workdir):
     assert out.count() == 24  # 10 + 4 + 10
     assert out.where("day = '2024-01-02'").agg(F.min("v")).first()[0] == 9
     assert out.where("day = '2024-01-01'").agg(F.max("v")).first()[0] == 1
+
+
+def test_snapshot_diff_statuses(spark):
+    from pyspark.sql import Row
+
+    from elephant_twin_spark.operators.pipeline import release
+
+    old = spark.createDataFrame(
+        [Row(id=1, text="a"), Row(id=2, text="b"), Row(id=3, text="c")],
+        "id long, text string",
+    )
+    new = spark.createDataFrame(
+        [Row(id=2, text="b"), Row(id=3, text="C2"), Row(id=4, text="d")],
+        "id long, text string",
+    )
+    got = {r["status"]: r["n"] for r in release.snapshot_diff(old, new, "id", "text").collect()}
+    assert got == {"removed": 1, "unchanged": 1, "changed": 1, "added": 1}
