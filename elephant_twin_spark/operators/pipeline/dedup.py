@@ -172,6 +172,7 @@ def lsh_candidate_pairs(
     num_perm: int = 16,
     num_bands: int = 4,
     max_bucket_size: Optional[int] = None,
+    edge_mode: str = "all_pairs",
 ) -> DataFrame:
     """LSH banding: docs sharing any band of the signature become candidate
     pairs ``(id_a, id_b)`` with ``id_a < id_b``.
@@ -188,7 +189,21 @@ def lsh_candidate_pairs(
     the cap are DROPPED from candidate generation. That trades recall —
     only for docs whose every matching band is oversized — for a hard
     bound of ``max_bucket_size²`` pairs per bucket; near-identical docs
-    still pair through their other, rarer bands."""
+    still pair through their other, rarer bands.
+
+    ``edge_mode``: ``"all_pairs"`` (default) emits every within-bucket
+    pair — the exact candidate graph, quadratic in duplicate-GROUP size
+    (measured: a corpus where every doc has 10 near-replicas inflates
+    pair count ~17× over the 10× row growth). ``"star"`` emits only
+    (bucket-min-id, member) edges — LINEAR in bucket size, the
+    connected-components feed for dup-group COLLAPSING at 100 TB: the
+    star of a genuinely-duplicate bucket is connected after verify, so
+    components are identical whenever every member clears the Jaccard
+    threshold against the bucket hub; a member similar to a sibling but
+    NOT to the hub can lose that edge (recall trade documented at the
+    call sites that choose it)."""
+    if edge_mode not in ("all_pairs", "star"):
+        raise ValueError(edge_mode)
     rows_per_band = num_perm // num_bands
     bands = signatures.select(
         "id",
@@ -213,6 +228,14 @@ def lsh_candidate_pairs(
             sizes.where(F.col("_bsz") <= max_bucket_size).drop("_bsz"),
             ["band", "band_hash"],
             "leftsemi",
+        )
+    if edge_mode == "star":
+        hubs = bands.groupBy("band", "band_hash").agg(F.min("id").alias("_hub"))
+        return (
+            bands.join(hubs, ["band", "band_hash"])
+            .where(F.col("id") != F.col("_hub"))
+            .select(F.col("_hub").alias("id_a"), F.col("id").alias("id_b"))
+            .distinct()
         )
     a = bands.alias("a")
     b = bands.alias("b")
@@ -280,14 +303,20 @@ def minhash_near_dup_pairs(
     num_bands: int = 4,
     shingle_k: int = 3,
     threshold: float = 0.8,
+    edge_mode: str = "all_pairs",
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-dedup: signature → bands → candidates →
     exact Jaccard filter. The candidate-pair table (tiny: near-dup pairs
     only, not the corpus) is pinned with ``localCheckpoint`` so the
     signature+banding pipeline isn't re-run by each of the verify stage's
-    two consumers."""
+    two consumers. ``edge_mode="star"`` makes the candidate stage linear
+    in duplicate-group size (see :func:`lsh_candidate_pairs`) — the
+    right choice when the output feeds connected components rather than
+    an exhaustive pair report."""
     sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_k)
-    cands = lsh_candidate_pairs(sigs, num_perm, num_bands).localCheckpoint()
+    cands = lsh_candidate_pairs(
+        sigs, num_perm, num_bands, edge_mode=edge_mode
+    ).localCheckpoint()
     return jaccard_verify_pairs(cands, df, text_col, id_col, shingle_k, threshold)
 
 
@@ -555,6 +584,7 @@ def near_dup_clusters(
     shingle_k: int = 3,
     threshold: float = 0.8,
     prefer_col: Optional[str] = None,
+    edge_mode: str = "all_pairs",
 ) -> DataFrame:
     """Every row of ``df`` labeled with its duplicate-cluster id:
     MinHash-LSH candidate pairs → exact-Jaccard verify → connected
@@ -564,9 +594,19 @@ def near_dup_clusters(
     Canonical choice: min id by default; with ``prefer_col`` (a numeric
     column of ``df``, e.g. a quality score) the canonical is the
     cluster's max-prefer row, min id on ties — real pipelines keep the
-    BEST copy of a near-dup group, not the first-crawled one."""
+    BEST copy of a near-dup group, not the first-crawled one.
+
+    Components only need a SPANNING edge set, so ``edge_mode="star"``
+    is the at-scale configuration here: candidate count grows linearly
+    with duplicate-group size instead of quadratically (a boilerplate-
+    heavy corpus with 1000-replica groups generates 999 edges per
+    bucket, not ~500k). Trade: a member whose only strong similarity is
+    to a NON-hub sibling can land in a different component; for the
+    collapse-obvious-duplicates use case the hub edge passes whenever
+    the sibling edge would."""
     pairs = minhash_near_dup_pairs(
-        df, text_col, id_col, num_perm, num_bands, shingle_k, threshold
+        df, text_col, id_col, num_perm, num_bands, shingle_k, threshold,
+        edge_mode=edge_mode,
     )
     comp = connected_components(pairs).withColumnsRenamed(
         {"node": "id", "component": "cluster_id"}

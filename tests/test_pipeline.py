@@ -866,3 +866,27 @@ def test_semantic_dedup_within_cluster_only(spark):
     assert all(a != 2 or b != 0 for a, b in pairs)
     for (a, b), cl in pairs.items():
         assert cl in (0, 1)
+
+
+def test_star_edge_mode_same_components(docs_with_dups):
+    """edge_mode='star' must collapse the planted duplicate groups into
+    the same clusters the all-pairs graph finds (the planted dups all
+    clear the threshold against their bucket hub)."""
+    def comps(mode):
+        out = dedup.near_dup_clusters(
+            docs_with_dups, "text", "doc_id",
+            num_perm=32, num_bands=8, threshold=0.5, edge_mode=mode,
+        )
+        return {r["id"]: r["cluster_id"] for r in out.collect()}
+
+    all_pairs, star = comps("all_pairs"), comps("star")
+    # identical partitions: same ids co-clustered (labels may differ)
+    from collections import defaultdict
+
+    def partition(m):
+        g = defaultdict(set)
+        for k, v in m.items():
+            g[v].add(k)
+        return {frozenset(s) for s in g.values()}
+
+    assert partition(all_pairs) == partition(star)
