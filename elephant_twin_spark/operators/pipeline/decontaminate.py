@@ -106,3 +106,83 @@ def decontaminate(
     report = contamination_report(corpus, eval_df, text_col, id_col, n, min_overlap)
     clean_ids = report.where(~F.col("contaminated")).select(id_col)
     return corpus.join(clean_ids, id_col, "left_semi")
+
+
+def bloom_contamination_report(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 8,
+    num_bits: int = 1 << 20,
+    num_hashes: int = 5,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """Bloom-gated contamination screen: like
+    :func:`contamination_report`, but the eval side is compressed into a
+    FIXED-SIZE Bloom bit array instead of a broadcast gram set — the
+    configuration for eval suites too large to broadcast as strings
+    (the bit array is ``num_bits/8`` bytes regardless of gram count;
+    2^20 bits = 128 KiB where a 10M-gram string set is gigabytes).
+
+    False-positive-only: a flagged doc may be clean (rate set by
+    bits/hashes vs gram count), a clean verdict is exact — so use it as
+    the cheap first pass and re-check flagged docs with
+    :func:`contamination_report` on the flagged subset only. Returns
+    ``(id_col, n_grams, n_flagged, contaminated)``.
+
+    Build: eval grams → md5 positions → (word, bit) → ``bit_or`` per
+    word — one aggregation whose output is bounded by ``num_bits/64``
+    rows; collected and re-broadcast as ONE array literal. Probe: pure
+    JVM expression per corpus gram (no join at all on the corpus side).
+    """
+    from elephant_twin_spark.operators.build import _bloom_pos_sql
+
+    if num_bits % 64:
+        raise ValueError("num_bits must be a multiple of 64")
+    n_words = num_bits // 64
+    pos = eval_ngrams(eval_df, text_col, n).select(
+        F.explode(
+            F.array(*[_bloom_pos_sql(F.col("gram"), i, num_bits) for i in range(num_hashes)])
+        ).alias("pos")
+    )
+    words = (
+        pos.select(
+            (F.col("pos") / 64).cast("int").alias("word"),
+            F.expr("shiftleft(1L, cast(pos % 64 as int))").alias("mask"),
+        )
+        .groupBy("word")
+        .agg(F.expr("bit_or(mask)").alias("val"))
+        .collect()
+    )
+    by_word = {r["word"]: r["val"] for r in words}
+    bits = [by_word.get(w, 0) for w in range(n_words)]  # bounded: num_bits/64 longs
+    bits_col = F.lit(bits)
+    # variable-amount shifts need an int literal in the DSL; a 64-entry
+    # power table lookup does the same (bit 63 in two's complement)
+    powers = F.lit([(1 << k) - (1 << 64 if k == 63 else 0) for k in range(64)])
+
+    if parallelism is not None:
+        corpus = corpus.repartition(parallelism)
+
+    def gram_hit(g):
+        cond = F.lit(True)
+        for i in range(num_hashes):
+            p = _bloom_pos_sql(g, i, num_bits)
+            word = (p / 64).cast("int")
+            mask = F.element_at(powers, (p % 64).cast("int") + 1)
+            # element_at(bits, word+1) & (1 << (p % 64)) != 0
+            cond = cond & (
+                F.element_at(bits_col, word + 1).bitwiseAND(mask) != 0
+            )
+        return cond
+
+    doc = corpus.select(
+        F.col(id_col), ngram_set(F.col(text_col), n).alias("_grams")
+    )
+    flagged = F.size(F.filter("_grams", lambda g: gram_hit(g)))
+    return doc.select(
+        id_col,
+        F.size("_grams").alias("n_grams"),
+        flagged.alias("n_flagged"),
+    ).withColumn("contaminated", F.col("n_flagged") > 0)

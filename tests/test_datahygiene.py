@@ -198,3 +198,29 @@ def test_bigram_lm_prefers_fluent_order(spark):
 
     u = {r["id"]: r["logprob"] for r in lm.unigram_logprob(df, "text", "id").collect() if r["id"] >= 1000}
     assert abs(u[1000] - u[1001]) < 1e-9
+
+
+def test_bloom_contamination_no_false_negatives(spark):
+    """The Bloom screen must flag EVERY doc the exact report flags
+    (false-positive-only contract) and stay close on the clean side."""
+    from elephant_twin_spark.operators.pipeline import decontaminate
+    from elephant_twin_spark.sources import tables
+
+    import tests.conftest as c
+
+    docs = tables.load_raw(spark, f"{c.SF_DIR}/documents.parquet")
+    corpus = docs.where(F.col("doc_id") % 7 != 0)
+    eval_df = docs.where(F.col("doc_id") % 7 == 0)
+    exact = decontaminate.contamination_report(corpus, eval_df, "text", "doc_id", n=5)
+    bloom = decontaminate.bloom_contamination_report(
+        corpus, eval_df, "text", "doc_id", n=5, num_bits=1 << 18
+    )
+    e = {r["doc_id"]: r["contaminated"] for r in exact.collect()}
+    b = {r["doc_id"]: r["contaminated"] for r in bloom.collect()}
+    assert set(e) == set(b)
+    # no false negatives
+    missed = [d for d in e if e[d] and not b[d]]
+    assert missed == []
+    # false positives bounded (64k bits for this gram count is roomy)
+    fp = sum(1 for d in e if b[d] and not e[d])
+    assert fp <= max(3, int(0.02 * len(e))), fp
