@@ -1766,9 +1766,7 @@ def _q_exact_substring_dups(spark, sf_dir):
     from elephant_twin_spark.operators.pipeline import ngrams
 
     docs = _state(spark, sf_dir).raw("documents")
-    return ngrams.exact_substring_dups(docs, "text", "doc_id", gram_len=10).withColumnsRenamed(
-        {"min_doc": "min_doc", "max_doc": "max_doc"}
-    )
+    return ngrams.exact_substring_dups(docs, "text", "doc_id", gram_len=10)
 
 
 def _q_repeated_ngram_coverage(spark, sf_dir):
@@ -1855,7 +1853,7 @@ def _q_dup_rate_by_source(spark, sf_dir):
     docs = _state(spark, sf_dir).raw("documents")
     toks = F.split(F.trim("text"), r"\s+")
     headed = docs.withColumn("head", F.concat_ws(" ", F.slice(toks, 1, 8)))
-    return dedup.dup_rate_by_group(headed, "head", "doc_id", "source").withColumnRenamed(
+    return dedup.dup_rate_by_group(headed, "head", "source").withColumnRenamed(
         "grp", "source"
     )
 
@@ -2024,7 +2022,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # first block = the 4 r2 hash-fails (oracle dtype bug, fixed) + the
     # 2 queries that ERRORED in r1 and were mislabeled r1-green
     # (sessionize/gap_to_prev — fixed in r2, never re-queued) + the 21
-    # never-checked tail entries + the 22 r3-new queries = 49 < 50.
+    # never-checked tail entries + the 23 r3-new queries = exactly 50;
+    # the window is FULL — do not add unevidenced entries to the head
+    # until CORRECTNESS_r03 lands (test_registry_hygiene enforces it).
     # Green-in-r1/r2 queries keep their recorded rows and run last.
     # tests/test_advisor_gates.py enforces this invariant from the
     # CORRECTNESS files themselves.
@@ -3507,12 +3507,12 @@ def oracle_sql() -> dict[str, str]:
             FROM n
         """,
         "ann_range_search": """
-            WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
-            SELECT vec_id,
-                   round(CAST(list_cosine_similarity(embedding, q.qv) AS DOUBLE), 4)
-                     AS cosine
-            FROM embeddings, q
-            WHERE list_cosine_similarity(embedding, q.qv) >= 0.2
+            WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+            s AS (SELECT vec_id,
+                         round(CAST(list_cosine_similarity(embedding, q.qv)
+                                    AS DOUBLE), 4) AS cosine
+                  FROM embeddings, q)
+            SELECT vec_id, cosine FROM s WHERE cosine >= 0.2
         """,
         "kmeans_assign": """
             WITH c AS (SELECT vec_id AS cid, embedding AS cv

@@ -16,6 +16,7 @@ kept for cross-engine (DuckDB-oracle) determinism.
 
 from __future__ import annotations
 
+import re
 from typing import List, Optional
 
 from pyspark.sql import Column, DataFrame
@@ -525,9 +526,12 @@ def connected_components(
     # join 0.87-1.01 s — label-sum kept; the r2 q_near_dup_clusters
     # regression is NOT in this step (CC is ~1 s of the ~9 s query).
     comp_type = dict(labels.dtypes)["comp"]
+    # decimals only with scale 0: decimal(p, s>0) ids round under the
+    # decimal(38,0) sum cast — the same premature-convergence hazard as
+    # float/double
     integral = comp_type in {
         "tinyint", "smallint", "int", "bigint",
-    } or comp_type.startswith("decimal")
+    } or bool(re.fullmatch(r"decimal\(\d+,0\)", comp_type))
     if detector == "auto":
         use_sum = integral
     elif detector == "sum":
@@ -765,7 +769,7 @@ def lsh_bucket_stats(
 
 
 def dup_rate_by_group(
-    df: DataFrame, text_col: str, id_col: str, group_col: str
+    df: DataFrame, text_col: str, group_col: str
 ) -> DataFrame:
     """Exact-duplicate rate per ``group_col`` (source domain, crawl
     snapshot, …): ``(group, n_docs, n_dup_docs, dup_rate)`` where a doc

@@ -159,7 +159,9 @@ def bigram_logprob(
     key, AQE handles hot stopword prefixes. Returns ``(id_col,
     bigram_logprob)``.
     """
-    if bigrams is None:
+    if bigrams is None or unigrams is None:
+        if (bigrams is None) != (unigrams is None):
+            raise ValueError("pass both bigrams and unigrams, or neither")
         bigrams, unigrams = bigram_model(df, text_col)
     if vocab is None:
         vocab = unigrams.count()

@@ -124,12 +124,21 @@ def cdc_chunks(
         F.col(id_col).alias("id"),
         whitespace_tokenizer(F.col(text_col)).alias("_toks"),
     )
-    # 1-based positions of tokens that CLOSE a chunk
+    # 1-based positions of tokens that CLOSE a chunk. The expression
+    # must be TOTAL — Catalyst infers a size(_segs) > 0 predicate from
+    # the generate and may evaluate it BEFORE any row-pruning filter, so
+    # guarding with .where() upstream does not help. Two totality fixes:
+    # the sequence upper bound is clamped to ≥1 (sequence(1, 0) would
+    # descend THROUGH index 0, which even try_element_at rejects), and
+    # try_element_at returns NULL past the end — the NULL hash fails the
+    # boundary test, a token-less doc gets zero segments, and posexplode
+    # drops it: empty/whitespace docs contribute no chunks instead of
+    # aborting the job.
     bpos = F.filter(
-        F.sequence(F.lit(1), F.size("_toks")),
+        F.sequence(F.lit(1), F.greatest(F.size("_toks"), F.lit(1))),
         lambda i: F.conv(
             F.substring(
-                F.md5(F.element_at("_toks", i).cast("binary")), 1, 15
+                F.md5(F.try_element_at("_toks", i).cast("binary")), 1, 15
             ),
             16,
             10,

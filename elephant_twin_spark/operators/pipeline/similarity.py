@@ -605,8 +605,14 @@ def range_search(
     (`ivf_topk`'s nprobe partitions) instead of the full scan.
     """
     scored = with_cosine(df, vec_col, list(query_vec), out_col="_cos")
-    return scored.where(F.col("_cos") >= min_cosine).select(
-        F.col(id_col).alias("id"), F.col("_cos").alias("cosine")
+    # threshold on the ROUNDED value (same convention as
+    # semantic_dedup_pairs): an external oracle summing floats in a
+    # different order reaches the identical keep/drop decision for
+    # vectors sitting within float noise of min_cosine
+    return (
+        scored.withColumn("cosine", F.round("_cos", 4))
+        .where(F.col("cosine") >= F.lit(float(min_cosine)))
+        .select(F.col(id_col).alias("id"), "cosine")
     )
 
 

@@ -41,7 +41,7 @@ def exact_percentiles(
     shares, so results are cross-engine bit-comparable after rounding)."""
     aggs = [
         F.round(F.expr(f"percentile({value_col}, {p!r})"), ndigits).alias(
-            f"p_{int(p * 100):02d}"
+            f"p_{round(p * 100):02d}"
         )
         for p in probs
     ]
@@ -62,7 +62,7 @@ def approx_percentiles(
     tolerance); not oracle-hashable, declared rows-only."""
     aggs = [
         F.expr(f"approx_percentile({value_col}, {p!r}, {accuracy})").alias(
-            f"p_{int(p * 100):02d}"
+            f"p_{round(p * 100):02d}"
         )
         for p in probs
     ]

@@ -159,6 +159,25 @@ def test_dup_rate_by_group(spark):
         ]
     )
     rows = {r["grp"]: r for r in
-            dedup.dup_rate_by_group(df, "text", "id", "g").collect()}
+            dedup.dup_rate_by_group(df, "text", "g").collect()}
     assert rows["a"]["n_dup_docs"] == 2 and rows["a"]["dup_rate"] == pytest.approx(1.0)
     assert rows["b"]["n_dup_docs"] == 1 and rows["b"]["dup_rate"] == pytest.approx(0.5)
+
+
+def test_cdc_chunks_tolerates_empty_docs(spark):
+    """Docs with zero tokens (empty/whitespace text) contribute no
+    chunks and must not abort the job (regression: sequence(1,0)
+    indexed past the empty token array)."""
+    from pyspark.sql import Row
+
+    from elephant_twin_spark.operators.pipeline import ngrams
+
+    df = spark.createDataFrame(
+        [Row(id=1, text="some real tokens in here"),
+         Row(id=2, text=""),
+         Row(id=3, text="   ")],
+        "id long, text string",
+    )
+    rows = ngrams.cdc_chunks(df, "text", "id").collect()
+    assert {r["id"] for r in rows} == {1}
+    assert sum(r["n_tokens"] for r in rows) == 5
