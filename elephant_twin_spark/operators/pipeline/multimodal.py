@@ -74,7 +74,19 @@ def decode_image_features(
     fake decoder (pipeline plumbing identical to a real PIL/torch decode).
     """
 
+    # bound INSIDE the closure: cloudpickle ships nested functions by
+    # VALUE, so with no module-global references the executor worker
+    # never needs to import elephant_twin_spark (drivers launched
+    # without PYTHONPATH pointing at the repo still work)
+    def _feats(content: bytes, dim: int = 8):
+        digest = hashlib.sha256(content or b"").digest()
+        return [digest[i] / 255.0 for i in range(dim)]
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hl
+
+        import pandas as _pd
+
         for pdf in batches:
             if not fake:
                 raise NotImplementedError(
@@ -85,14 +97,14 @@ def decode_image_features(
             for start in range(0, len(pdf), batch_limit):
                 chunk = pdf.iloc[start : start + batch_limit]
                 contents = chunk[content_col]
-                yield pd.DataFrame(
+                yield _pd.DataFrame(
                     {
                         "media_id": chunk[id_col].astype("int64"),
                         "n_bytes": contents.map(lambda b: len(b or b"")).astype("int64"),
                         "sha": contents.map(
-                            lambda b: hashlib.sha256(b or b"").hexdigest()
+                            lambda b: _hl.sha256(b or b"").hexdigest()
                         ),
-                        "features": contents.map(_fake_features),
+                        "features": contents.map(_feats),
                     }
                 )
 
