@@ -51,3 +51,18 @@ def write_shards(
         .partitionBy("shard_id")
         .parquet(path)
     )
+
+
+def kfold_assign(
+    df: DataFrame, id_col: str, k: int = 5, seed: int = 42, out_col: str = "fold"
+) -> DataFrame:
+    """Deterministic k-fold assignment: ``fold = md5(id:seed) % k`` —
+    engine-independent (the md5 algebra restates in ANSI SQL), stable
+    under repartition/reordering, and uniform. The eval-split primitive:
+    train on folds != i, validate on fold i, reproducible anywhere
+    without storing an assignment table."""
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}")))
+    fold = (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % k).cast("int")
+    return df.withColumn(out_col, fold)

@@ -570,3 +570,24 @@ def tokenizer_fertility(
         F.round(F.sum("_s") / F.sum("_w"), 6).alias("fertility"),
         F.round(F.sum("_c") / F.sum("_s"), 6).alias("chars_per_subword"),
     )
+
+
+def code_score(df: DataFrame, text_col: str, out_col: str = "code_score") -> DataFrame:
+    """Code-likeness heuristic in [0,1]: density of code-ish symbol
+    characters (``{}[]()<>;=_#`` and ``::``-style runs) plus
+    camelCase/snake_case identifier hits, normalized by length — the
+    cheap "is this prose or source code" router a mixed crawl needs
+    before choosing a quality filter. Pure per-row JVM regex."""
+    n_chars = F.greatest(F.length(F.col(text_col)), F.lit(1))
+    sym = F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"[{}\[\]()<>;=#]"), 0))
+    idents = F.size(
+        F.regexp_extract_all(
+            F.col(text_col), F.lit(r"\b[a-z]+(?:_[a-z0-9]+|[A-Z][a-z0-9]+)\w*\b"), 0
+        )
+    )
+    n_toks = F.greatest(token_count(F.col(text_col)), F.lit(1))
+    score = F.least(
+        F.lit(1.0),
+        (sym / n_chars) * 8.0 + (idents / n_toks) * 0.5,
+    )
+    return df.withColumn(out_col, F.round(score, 6))

@@ -224,3 +224,21 @@ def test_bloom_contamination_no_false_negatives(spark):
     # false positives bounded (64k bits for this gram count is roomy)
     fp = sum(1 for d in e if b[d] and not e[d])
     assert fp <= max(3, int(0.02 * len(e))), fp
+
+
+def test_code_score_separates_code_from_prose(spark):
+    from pyspark.sql import Row
+
+    from elephant_twin_spark.operators.pipeline import textstats
+
+    df = spark.createDataFrame(
+        [
+            Row(id=1, text="def foo(bar_baz): return {x: y[i] for i in range(10)};"),
+            Row(id=2, text="the quiet afternoon settled over the harbor town"),
+        ],
+        "id long, text string",
+    )
+    got = {r["id"]: r["code_score"] for r in textstats.code_score(df, "text").collect()}
+    assert got[1] > 0.4
+    assert got[2] < 0.1
+    assert all(0.0 <= v <= 1.0 for v in got.values())

@@ -74,3 +74,26 @@ def test_assign_shards_rejects_bad_count(spark):
     df = spark.createDataFrame([(1,)], "id long")
     with pytest.raises(ValueError):
         shard.assign_shards(df, "id", 0)
+
+
+def test_kfold_assign_uniform_and_stable(spark):
+    from elephant_twin_spark.operators.pipeline import shard
+
+    df = spark.range(10_000).withColumnRenamed("id", "doc_id")
+    f1 = {r["doc_id"]: r["fold"] for r in shard.kfold_assign(df, "doc_id", k=5).collect()}
+    # stable under reordering/repartition
+    f2 = {
+        r["doc_id"]: r["fold"]
+        for r in shard.kfold_assign(df.repartition(17), "doc_id", k=5).collect()
+    }
+    assert f1 == f2
+    from collections import Counter
+
+    c = Counter(f1.values())
+    assert set(c) == {0, 1, 2, 3, 4}
+    assert max(c.values()) / min(c.values()) < 1.15  # roughly uniform
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        shard.kfold_assign(df, "doc_id", k=1)

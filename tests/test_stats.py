@@ -136,3 +136,34 @@ def test_length_histogram_buckets(spark, docs):
     assert sum(r["n"] for r in h) == docs.count()
     for r in h:
         assert r["bucket_lo"] % 32 == 0
+
+
+def test_drop_consecutive_dups_matches_python_reference(spark):
+    """Seeded random streams: the window-based run-length dedup must
+    keep exactly the rows a sequential Python scan keeps."""
+    import random
+
+    from pyspark.sql import Row
+
+    rng = random.Random(13)
+    rows = []
+    for k in range(8):
+        for o in range(rng.randint(0, 40)):
+            v = rng.choice(["A", "B", "C", None])
+            rows.append(Row(k=k, o=o, v=v))
+    df = spark.createDataFrame(rows, "k int, o int, v string")
+    kept = {
+        (r["k"], r["o"])
+        for r in dedup.drop_consecutive_dups(df, "k", ["o"], "v").collect()
+    }
+    want = set()
+    by_k = {}
+    for r in rows:
+        by_k.setdefault(r.k, []).append(r)
+    for k, rs in by_k.items():
+        prev = object()  # sentinel != anything incl. None
+        for r in sorted(rs, key=lambda x: x.o):
+            if r.v != prev or (prev is None) != (r.v is None):
+                want.add((k, r.o))
+            prev = r.v
+    assert kept == want
