@@ -242,3 +242,38 @@ def test_code_score_separates_code_from_prose(spark):
     assert got[1] > 0.4
     assert got[2] < 0.1
     assert all(0.0 <= v <= 1.0 for v in got.values())
+
+
+def test_pack_sequences_matches_python_reference(spark):
+    """Seeded random corpora: offsets/pack ids must equal the sequential
+    Python reference (cumulative tokens in id order, pack = offset //
+    budget), with and without a partition column."""
+    import random
+
+    from pyspark.sql import Row
+
+    rng = random.Random(29)
+    rows = [
+        Row(
+            doc_id=i,
+            text=" ".join(["w"] * rng.randint(1, 30)),
+            src=f"s{rng.randint(0, 2)}",
+        )
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, src string")
+    for part_col in (None, "src"):
+        got = {
+            r["doc_id"]: (r["offset"], r["pack_id"])
+            for r in pack.pack_sequences(df, "text", "doc_id", 64, part_col).collect()
+        }
+        groups = {}
+        for r in rows:
+            groups.setdefault(r.src if part_col else "_", []).append(r)
+        want = {}
+        for g in groups.values():
+            off = 0
+            for r in sorted(g, key=lambda x: x.doc_id):
+                want[r.doc_id] = (off, off // 64)
+                off += len(r.text.split())
+        assert got == want, f"partition_col={part_col}"
