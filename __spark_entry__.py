@@ -3659,8 +3659,11 @@ def oracle_sql() -> dict[str, str]:
             s AS (SELECT doc_id,
                          min(md5('0|' || tok)) AS mh0, min(md5('1|' || tok)) AS mh1,
                          min(md5('2|' || tok)) AS mh2, min(md5('3|' || tok)) AS mh3
-                  FROM (SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS tok
-                        FROM d) GROUP BY doc_id),
+                  -- same token definition as tk: empties dropped, so the
+                  -- signature lanes and the exact Jaccard agree with the
+                  -- Spark-side whitespace_tokenizer on edge whitespace
+                  FROM (SELECT doc_id, unnest(t) AS tok FROM tk)
+                  GROUP BY doc_id),
             pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                           (CAST(a.mh0 = b.mh0 AS INT) + CAST(a.mh1 = b.mh1 AS INT)
                            + CAST(a.mh2 = b.mh2 AS INT) + CAST(a.mh3 = b.mh3 AS INT))

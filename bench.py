@@ -151,9 +151,18 @@ def main():
         ).clean_corpus(docs, "text", "doc_id", near_dup=False)[1]
         .groupBy("reason").count().collect()
     )
+    # all_pairs pinned for round-over-round comparability with r1-r3
     timed("q_near_dup_clusters")(
         lambda: dedup.near_dup_clusters(
-            docs, "text", "doc_id", num_perm=16, num_bands=4, threshold=0.7
+            docs, "text", "doc_id", num_perm=16, num_bands=4, threshold=0.7,
+            edge_mode="all_pairs",
+        ).where("NOT is_canonical").count()
+    )
+    # star = the (now default) linear-candidate scale path
+    timed("q_near_dup_clusters_star")(
+        lambda: dedup.near_dup_clusters(
+            docs, "text", "doc_id", num_perm=16, num_bands=4, threshold=0.7,
+            edge_mode="star",
         ).where("NOT is_canonical").count()
     )
     timed("q_quality_stats")(
@@ -170,11 +179,14 @@ def main():
         lambda: pack.pack_manifest(docs, "text", "doc_id", budget=2048, partition_col="source")
         .count()
     )
+    _mix_w = {"en": 0.5, "de": 0.15, "es": 0.15, "fr": 0.1, "zh": 0.1}
     timed("q_mixture_resample")(
-        lambda: mixture.mixture_resample(
-            docs, "lang", {"en": 0.5, "de": 0.15, "es": 0.15, "fr": 0.1, "zh": 0.1},
-            "doc_id",
-        ).count()
+        lambda: mixture.mixture_resample(docs, "lang", _mix_w, "doc_id").count()
+    )
+    # stateless expected-rate twin — the 100-TB/streaming path (no
+    # per-group window; one tiny count agg + a broadcast-rate filter)
+    timed("q_mixture_hash_sample")(
+        lambda: mixture.hash_sample(docs, "lang", _mix_w, "doc_id").count()
     )
     # ---- training-data ops: persisted near-dup gate, vocab, sampling
     from elephant_twin_spark.operators.pipeline import vocab as vocab_mod
@@ -219,6 +231,14 @@ def main():
         lambda: eng.query(clustered, col("event_type") == "click").count()
     )
     bytes_ratio = round(eng.last_metrics.bytes_ratio, 2)
+    # same query with the cluster-side planner forced (the >10⁵-file
+    # path at 100 TB) — tracked so its overhead stays visible per round
+    timed("q_idx_clustered_point_distplan")(
+        lambda: eng.query(
+            clustered, col("event_type") == "click", distributed_threshold=0
+        ).count()
+    )
+    dist_bytes_ratio = round(eng.last_metrics.bytes_ratio, 2)
 
     # ---- bloom index: high-cardinality point lookup (no block index on
     # ---- this column, so the probe exercises the bloom path)
@@ -311,6 +331,7 @@ def main():
                 "cpus": CPUS,
                 "bytes_ratio_clustered_point": bytes_ratio,
                 "bytes_ratio_zone_range": zone_bytes_ratio,
+                "bytes_ratio_distplan": dist_bytes_ratio,
             }
         )
     )

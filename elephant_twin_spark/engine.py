@@ -134,16 +134,24 @@ class Engine:
         return out
 
     # ------------------------------------------------------------- query
-    def query(self, table_path: str, predicate) -> DataFrame:
+    def query(
+        self, table_path: str, predicate, distributed_threshold=None
+    ) -> DataFrame:
         """Index-accelerated filter scan; reads only files whose postings
         can match, then applies the full predicate per row. ``predicate``
         is an Expr tree, a pyspark Column (residual-only), or a SQL-ish
-        string like ``"event_type = 'click' AND value > 5"``."""
+        string like ``"event_type = 'click' AND value > 5"``.
+
+        ``distributed_threshold`` overrides the live-file count above
+        which predicate→file-set planning runs cluster-side (0 forces
+        the distributed planner — used by bench.py to track that path's
+        cost round-over-round)."""
         if isinstance(predicate, str):
             predicate = E.parse_predicate(predicate)
         self.last_metrics = scan_mod.ScanMetrics()
         return scan_mod.query(
-            self.spark, table_path, predicate, self.index_root, metrics=self.last_metrics
+            self.spark, table_path, predicate, self.index_root,
+            metrics=self.last_metrics, distributed_threshold=distributed_threshold,
         )
 
     def count(self, table_path: str, predicate) -> int:

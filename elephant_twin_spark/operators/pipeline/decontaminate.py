@@ -26,17 +26,23 @@ def ngram_set(text: Column, n: int) -> Column:
 
     Documents shorter than n tokens contribute no grams (they cannot
     contain a full n-gram) — matching the standard decontamination
-    convention rather than falling back to the whole document.
+    convention rather than falling back to the whole document. Total:
+    NULL text also yields the EMPTY array (not NULL), so both the exact
+    and the Bloom report agree that such docs have n_grams=0,
+    contaminated=false instead of dropping out of one path.
     """
     toks = whitespace_tokenizer(text)
     cnt = F.size(toks)
-    return F.when(cnt < n, F.array().cast("array<string>")).otherwise(
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), cnt - n),
-                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    return F.coalesce(
+        F.when(cnt < n, F.array().cast("array<string>")).otherwise(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), cnt - n),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+                )
             )
-        )
+        ),
+        F.array().cast("array<string>"),
     )
 
 

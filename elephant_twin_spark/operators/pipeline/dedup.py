@@ -588,7 +588,7 @@ def near_dup_clusters(
     shingle_k: int = 3,
     threshold: float = 0.8,
     prefer_col: Optional[str] = None,
-    edge_mode: str = "all_pairs",
+    edge_mode: str = "star",
 ) -> DataFrame:
     """Every row of ``df`` labeled with its duplicate-cluster id:
     MinHash-LSH candidate pairs → exact-Jaccard verify → connected
@@ -601,13 +601,15 @@ def near_dup_clusters(
     BEST copy of a near-dup group, not the first-crawled one.
 
     Components only need a SPANNING edge set, so ``edge_mode="star"``
-    is the at-scale configuration here: candidate count grows linearly
-    with duplicate-group size instead of quadratically (a boilerplate-
-    heavy corpus with 1000-replica groups generates 999 edges per
-    bucket, not ~500k). Trade: a member whose only strong similarity is
-    to a NON-hub sibling can land in a different component; for the
-    collapse-obvious-duplicates use case the hub edge passes whenever
-    the sibling edge would."""
+    is the DEFAULT here: candidate count grows linearly with
+    duplicate-group size instead of quadratically (a boilerplate-heavy
+    corpus with 1000-replica groups generates 999 edges per bucket, not
+    ~500k — measured 3.6× cheaper at 10× scale and component-equal on
+    planted dups, SCALE_EXPERIMENTS.md). Trade: a member whose only
+    strong similarity is to a NON-hub sibling can land in a different
+    component; pass ``edge_mode="all_pairs"`` when every qualifying
+    edge itself is the product (the pair-emitting/verify APIs keep
+    all_pairs as their default for exactly that reason)."""
     pairs = minhash_near_dup_pairs(
         df, text_col, id_col, num_perm, num_bands, shingle_k, threshold,
         edge_mode=edge_mode,

@@ -103,7 +103,7 @@ def perplexity_buckets(
     w = Window.partitionBy("grp").orderBy(
         F.col("logprob").desc(), F.col(id_col).asc()
     )
-    lab = F.lit([str(x) for x in labels])
+    lab = F.lit(list(labels))  # element types preserved (no str() cast)
     return keyed.withColumn("_nt", F.ntile(n_buckets).over(w)).select(
         F.col(id_col).alias("id"),
         F.col("grp"),

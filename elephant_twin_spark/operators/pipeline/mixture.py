@@ -36,6 +36,26 @@ def _hash_frac(id_col: Column, seed: int) -> Column:
     )
 
 
+def _group_counts(df: DataFrame, group_col: str) -> Dict[str, int]:
+    """One tiny aggregate: rows per group (#groups rows collected)."""
+    return {
+        r["g"]: r["n"]
+        for r in df.groupBy(F.col(group_col).alias("g")).agg(F.count("*").alias("n"))
+        .collect()
+    }
+
+
+def _keep_counts_from(
+    counts: Mapping[str, int], weights: Mapping[str, float]
+) -> Dict[str, int]:
+    """keep_counts from an already-computed group-count dict."""
+    missing = set(weights) - set(counts)
+    if missing:
+        raise ValueError(f"weights name groups absent from data: {sorted(missing)}")
+    alpha = min(counts[g] / w for g, w in weights.items() if w > 0)
+    return {g: int(alpha * w) for g, w in weights.items()}
+
+
 def keep_counts(
     df: DataFrame, group_col: str, weights: Mapping[str, float]
 ) -> Dict[str, int]:
@@ -44,16 +64,7 @@ def keep_counts(
     alpha = min_g(n_g / w_g); c_g = floor(alpha * w_g). Groups absent
     from `weights` are dropped entirely (weight 0).
     """
-    counts = {
-        r["g"]: r["n"]
-        for r in df.groupBy(F.col(group_col).alias("g")).agg(F.count("*").alias("n"))
-        .collect()
-    }
-    missing = set(weights) - set(counts)
-    if missing:
-        raise ValueError(f"weights name groups absent from data: {sorted(missing)}")
-    alpha = min(counts[g] / w for g, w in weights.items() if w > 0)
-    return {g: int(alpha * w) for g, w in weights.items()}
+    return _keep_counts_from(_group_counts(df, group_col), weights)
 
 
 def temperature_weights(
@@ -84,7 +95,15 @@ def mixture_resample(
     seed: int = 42,
 ) -> DataFrame:
     """Exact deterministic resample to the target mixture: within each
-    group keep the `c_g` rows with the smallest md5(id:seed) hash."""
+    group keep the `c_g` rows with the smallest md5(id:seed) hash.
+
+    Scale caveat: the per-group ``row_number`` window sorts each group
+    inside ONE task — with a handful of language/domain groups over a
+    100-TB corpus that is a few tasks sorting everything (a straggler by
+    construction). At that scale use :func:`hash_sample` (stateless
+    per-row keep decision, no window, no shuffle) and accept expected
+    rather than exact counts; `bench.py` times both so the trade is
+    measured, not guessed."""
     targets = keep_counts(df, group_col, weights)
     spark = df.sparkSession
     tdf = spark.createDataFrame(
@@ -102,13 +121,10 @@ def sample_rates(
     df: DataFrame, group_col: str, weights: Mapping[str, float]
 ) -> Dict[str, float]:
     """Per-group keep rates `c_g / n_g` for the target mixture,
-    computed on a static reference snapshot of the distribution."""
-    targets = keep_counts(df, group_col, weights)
-    counts = {
-        r["g"]: r["n"]
-        for r in df.groupBy(F.col(group_col).alias("g")).agg(F.count("*").alias("n"))
-        .collect()
-    }
+    computed on a static reference snapshot of the distribution.
+    One group-count aggregate total (shared with the target solve)."""
+    counts = _group_counts(df, group_col)
+    targets = _keep_counts_from(counts, weights)
     return {g: targets[g] / counts[g] for g in targets}
 
 

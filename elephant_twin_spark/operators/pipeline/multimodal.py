@@ -16,7 +16,6 @@ sampling/resize happen inside the same Arrow batch pass.
 
 from __future__ import annotations
 
-import hashlib
 from typing import Iterator
 
 import pandas as pd
@@ -55,12 +54,6 @@ IMAGE_FEATURES_SCHEMA = StructType(
 )
 
 
-def _fake_features(content: bytes, dim: int = 8):
-    """Deterministic pseudo-embedding from the content digest."""
-    digest = hashlib.sha256(content or b"").digest()
-    return [digest[i] / 255.0 for i in range(dim)]
-
-
 def decode_image_features(
     df: DataFrame,
     content_col: str = "content",
@@ -70,29 +63,59 @@ def decode_image_features(
 ) -> DataFrame:
     """Decode + feature-extract images via ``mapInPandas``.
 
-    Real decoding is stubbed: pass ``fake=True`` to run the deterministic
-    fake decoder (pipeline plumbing identical to a real PIL/torch decode).
+    ``fake=True`` runs the deterministic stub decoder (content-hash
+    pseudo-embedding — the oracle-checkable path). ``fake=False`` uses
+    the REAL decoder when ``PIL`` is importable on the executors
+    (8-dim geometry+intensity features from the decoded raster) and
+    raises ``NotImplementedError`` otherwise — the decode libs are not
+    in every container, and a silent fallback would mislabel fake
+    features as real. Plumbing (schema, Arrow batch shape, memory
+    bound) is identical either way.
     """
 
     # bound INSIDE the closure: cloudpickle ships nested functions by
     # VALUE, so with no module-global references the executor worker
     # never needs to import elephant_twin_spark (drivers launched
     # without PYTHONPATH pointing at the repo still work)
-    def _feats(content: bytes, dim: int = 8):
-        digest = hashlib.sha256(content or b"").digest()
-        return [digest[i] / 255.0 for i in range(dim)]
-
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib as _hl
+        import io as _io
 
         import pandas as _pd
 
-        for pdf in batches:
-            if not fake:
+        if fake:
+            def _feats(content: bytes, dim: int = 8):
+                digest = _hl.sha256(content or b"").digest()
+                return [digest[i] / 255.0 for i in range(dim)]
+        else:
+            try:
+                from PIL import Image as _Image
+            except ImportError as exc:  # honest guard, no silent fake
                 raise NotImplementedError(
-                    "image decode requires PIL/torchvision (not in this container); "
+                    "real image decode requires PIL (not in this container); "
                     "pass fake=True for the deterministic stub decoder"
-                )
+                ) from exc
+
+            def _feats(content: bytes, dim: int = 8):
+                img = _Image.open(_io.BytesIO(content or b""))
+                img = img.convert("L")
+                w, h = img.size
+                px = list(img.resize((8, 8)).getdata())  # fixed-size raster
+                mean = sum(px) / len(px) / 255.0
+                lo, hi = min(px) / 255.0, max(px) / 255.0
+                var = sum((p / 255.0 - mean) ** 2 for p in px) / len(px)
+                return [
+                    float(w) / 65535.0,
+                    float(h) / 65535.0,
+                    float(w) / max(float(h), 1.0) / 16.0,
+                    mean,
+                    lo,
+                    hi,
+                    var,
+                    float(len(px)) / 64.0,
+                ][:dim]
+
+        for pdf in batches:
             # bound batch size so one Arrow batch never balloons executor memory
             for start in range(0, len(pdf), batch_limit):
                 chunk = pdf.iloc[start : start + batch_limit]
@@ -131,20 +154,34 @@ def resize_images(
     batch_limit: int = 1024,
 ) -> DataFrame:
     """Resize images to (target_w, target_h) via ``mapInPandas`` — same
-    Arrow-batched narrow plan as the decode step. Real resampling is
-    stubbed; ``fake=True`` emits a deterministic truncated/padded payload
-    of ``target_w*target_h`` bytes so batch shape, memory bounds and
-    schema are exercised for real."""
+    Arrow-batched narrow plan as the decode step. ``fake=True`` emits a
+    deterministic truncated/padded payload of ``target_w*target_h``
+    bytes (batch shape, memory bounds, schema exercised for real);
+    ``fake=False`` runs a REAL PIL bilinear resize (raw grayscale bytes
+    out) when PIL is importable on the executors, else raises."""
 
     n_out = target_w * target_h
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not fake:
+        import io as _io
+
+        if fake:
+            def _resize(b):
+                return (b or b"").ljust(n_out, b"\0")[:n_out]
+        else:
+            try:
+                from PIL import Image as _Image
+            except ImportError as exc:
                 raise NotImplementedError(
-                    "image resize requires PIL (not in this container); "
+                    "real image resize requires PIL (not in this container); "
                     "pass fake=True for the deterministic stub"
-                )
+                ) from exc
+
+            def _resize(b):
+                img = _Image.open(_io.BytesIO(b or b"")).convert("L")
+                return img.resize((target_w, target_h)).tobytes()
+
+        for pdf in batches:
             for start in range(0, len(pdf), batch_limit):
                 chunk = pdf.iloc[start : start + batch_limit]
                 yield pd.DataFrame(
@@ -152,9 +189,7 @@ def resize_images(
                         "media_id": chunk[id_col].astype("int64"),
                         "width": target_w,
                         "height": target_h,
-                        "content": chunk[content_col].map(
-                            lambda b: (b or b"").ljust(n_out, b"\0")[:n_out]
-                        ),
+                        "content": chunk[content_col].map(_resize),
                     }
                 )
 

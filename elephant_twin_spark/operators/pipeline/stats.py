@@ -29,6 +29,24 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _p_labels(probs: Sequence[float]) -> list:
+    """Column labels for percentile probs: ``p_NN`` for integral
+    percents (0.25 → p_25), full-precision digits otherwise (0.125 →
+    p_12_5) — and a hard error on duplicates, so 0.124 vs 0.125 can
+    never silently collide into one column."""
+    out = []
+    for p in probs:
+        v = p * 100
+        if abs(v - round(v)) < 1e-9:
+            out.append(f"p_{round(v):02d}")
+        else:
+            out.append("p_" + f"{v:g}".replace(".", "_").replace("-", "m"))
+    dups = {l for l in out if out.count(l) > 1}
+    if dups:
+        raise ValueError(f"percentile probs produce duplicate labels: {sorted(dups)}")
+    return out
+
+
 def exact_percentiles(
     df: DataFrame,
     value_col: str,
@@ -39,11 +57,10 @@ def exact_percentiles(
     """``(group, p_NN...)`` — exact linear-interpolated percentiles per
     group (the continuous-quantile definition DuckDB's ``quantile_cont``
     shares, so results are cross-engine bit-comparable after rounding)."""
+    labels = _p_labels(probs)
     aggs = [
-        F.round(F.expr(f"percentile({value_col}, {p!r})"), ndigits).alias(
-            f"p_{round(p * 100):02d}"
-        )
-        for p in probs
+        F.round(F.expr(f"percentile({value_col}, {p!r})"), ndigits).alias(lab)
+        for p, lab in zip(probs, labels)
     ]
     return df.groupBy(F.col(group_col).alias("grp")).agg(*aggs)
 
@@ -60,11 +77,10 @@ def approx_percentiles(
     default when a single group holds billions of rows. Estimates land
     within ``1/accuracy`` rank error of exact (pytest pins the
     tolerance); not oracle-hashable, declared rows-only."""
+    labels = _p_labels(probs)
     aggs = [
-        F.expr(f"approx_percentile({value_col}, {p!r}, {accuracy})").alias(
-            f"p_{round(p * 100):02d}"
-        )
-        for p in probs
+        F.expr(f"approx_percentile({value_col}, {p!r}, {accuracy})").alias(lab)
+        for p, lab in zip(probs, labels)
     ]
     return df.groupBy(F.col(group_col).alias("grp")).agg(*aggs)
 

@@ -574,8 +574,9 @@ def tokenizer_fertility(
 
 def code_score(df: DataFrame, text_col: str, out_col: str = "code_score") -> DataFrame:
     """Code-likeness heuristic in [0,1]: density of code-ish symbol
-    characters (``{}[]()<>;=_#`` and ``::``-style runs) plus
-    camelCase/snake_case identifier hits, normalized by length — the
+    characters (exactly the class ``{ } [ ] ( ) < > ; = #``) plus
+    camelCase/snake_case identifier hits (underscores count via the
+    identifier regex, not the symbol class), normalized by length — the
     cheap "is this prose or source code" router a mixed crawl needs
     before choosing a quality filter. Pure per-row JVM regex."""
     n_chars = F.greatest(F.length(F.col(text_col)), F.lit(1))

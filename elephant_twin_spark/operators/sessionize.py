@@ -69,7 +69,9 @@ def funnel(
     list on the driver."""
     from pyspark.sql import functions as F
 
-    stage_arr = F.lit([str(s) for s in stages])
+    # single array literal, element types preserved (str() coercion
+    # would silently cast non-string stages and change match semantics)
+    stage_arr = F.lit(list(stages))
     ev = F.sort_array(
         F.collect_list(F.struct(F.col(ts_col).alias("t"), F.col(type_col).alias("y")))
     )

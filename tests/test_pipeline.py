@@ -186,13 +186,54 @@ def test_multimodal_plumbing(spark, docs_path):
     again = feats.limit(5).collect()
     assert [r["sha"] for r in rows] == [r["sha"] for r in again]
 
-    # real decode path is an explicit stub
+    # real decode path: honest NotImplementedError when PIL is absent
+    # (when PIL IS importable the real branch runs — covered by
+    # test_multimodal_real_decode; on text bytes it raises a PIL error)
     with pytest.raises(Exception) as exc_info:
         multimodal.decode_image_features(media, fake=False).limit(1).collect()
-    assert "NotImplementedError" in str(exc_info.value) or "decode" in str(exc_info.value)
+    if not _pil_available():
+        assert "NotImplementedError" in str(exc_info.value) or "decode" in str(
+            exc_info.value
+        )
 
     frames = multimodal.sample_frames(media.limit(2), every_ms=500)
     assert frames.count() > 2
+
+
+def _pil_available() -> bool:
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def test_multimodal_real_decode(spark):
+    """Exercises the REAL PIL decode/resize branch when PIL is
+    importable (skipped in containers without it): a synthetic 6×4 PNG
+    round-trips through decode_image_features(fake=False) with geometry
+    features matching, and resize_images emits w*h raster bytes."""
+    pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (6, 4), (120, 30, 200)).save(buf, format="PNG")
+    png = buf.getvalue()
+    media = spark.createDataFrame(
+        [(1, png), (2, png)], "media_id long, content binary"
+    )
+    rows = multimodal.decode_image_features(media, fake=False).collect()
+    assert len(rows) == 2
+    for r in rows:
+        f = r["features"]
+        assert len(f) == 8
+        assert abs(f[0] - 6 / 65535.0) < 1e-9 and abs(f[1] - 4 / 65535.0) < 1e-9
+        assert 0.0 <= f[3] <= 1.0  # mean intensity normalized
+    resized = multimodal.resize_images(media, 5, 3, fake=False).collect()
+    assert all(len(r["content"]) == 5 * 3 for r in resized)
 
 
 def test_ivf_topk_exact_when_probing_all(spark):
