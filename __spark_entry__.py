@@ -2014,23 +2014,138 @@ def _q_semantic_dedup(spark, sf_dir):
     )
 
 
+# ----------------------------------------------------- r4-new declarations
+
+
+def _q_bigram_logprob(spark, sf_dir):
+    """Self-trained add-one bigram LM score per document (context-
+    sensitive fluency: shuffled-word gibberish scores LOWER than fluent
+    text even when unigram stats agree). Two vocab-bounded count aggs +
+    two token-keyed joins; docs with <2 tokens score null."""
+    docs = _state(spark, sf_dir).raw("documents")
+    out = lmscore.bigram_logprob(docs, "text", "doc_id")
+    return out.select("doc_id", F.round("bigram_logprob", 4).alias("bigram_logprob"))
+
+
+def _q_js_divergence_by_source(spark, sf_dir):
+    """Per-source Jensen-Shannon divergence vs the whole corpus's
+    unigram distribution — the crawl-source drift detector. All
+    term-keyed aggregates; unobserved-term tail handled analytically."""
+    docs = _state(spark, sf_dir).raw("documents")
+    out = textstats.js_divergence_by_group(docs, "text", "source")
+    return out.select("grp", "n_tokens", "js")
+
+
+def _q_tokenizer_fertility(spark, sf_dir):
+    """Per-language tokenizer fertility (BPE-ish subwords per
+    whitespace word, chars per subword) — the is-this-tokenizer-
+    pathological-on-zh check. One narrow map + one groupBy."""
+    docs = _state(spark, sf_dir).raw("documents")
+    return textstats.tokenizer_fertility(docs, "text", "lang")
+
+
+def _q_code_score(spark, sf_dir):
+    """Code-likeness score in [0,1] per doc (symbol density + snake/
+    camelCase identifier density) — the prose-vs-source router. Pure
+    per-row JVM regex."""
+    docs = _state(spark, sf_dir).raw("documents")
+    return textstats.code_score(docs, "text").select("doc_id", "code_score")
+
+
+def _q_snapshot_diff(spark, sf_dir):
+    """Row-level drift between two dataset snapshots (added / removed /
+    changed / unchanged counts): old = docs with doc_id % 7 != 0, new =
+    docs with doc_id % 5 != 0 and every doc_id % 3 == 0 text rewritten.
+    One (id, md5-sig) full-outer join; output is 4 rows."""
+    from elephant_twin_spark.operators.pipeline import release
+
+    docs = _state(spark, sf_dir).raw("documents")
+    old = docs.where(F.col("doc_id") % 7 != 0)
+    new = docs.where(F.col("doc_id") % 5 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 3 == 0, F.concat(F.col("text"), F.lit(" [v2]"))
+        ).otherwise(F.col("text")),
+    )
+    return release.snapshot_diff(old, new, "doc_id", "text")
+
+
+def _q_bloom_decontaminate_screen(spark, sf_dir):
+    """Bloom-gated contamination screen (fixed 64 Ki-bit array stands in
+    for the broadcast eval-gram set — the too-big-to-broadcast eval
+    configuration). md5 bit positions, so the flag decision — false
+    positives included — is EXACTLY reproducible in the oracle."""
+    docs = _state(spark, sf_dir).raw("documents")
+    corpus = docs.where(F.col("doc_id") % 29 != 0)
+    eval_df = docs.where(F.col("doc_id") % 29 == 0)
+    rep = decontaminate.bloom_contamination_report(
+        corpus, eval_df, "text", "doc_id", n=5, num_bits=1 << 16, num_hashes=3
+    )
+    return rep.select("doc_id", "n_grams", "n_flagged", "contaminated")
+
+
+def _q_kfold_assign(spark, sf_dir):
+    """Deterministic 5-fold eval-split assignment: fold = md5(id:seed)
+    prefix % k — stable across engines/partitionings, no assignment
+    table to store."""
+    docs = _state(spark, sf_dir).raw("documents")
+    return shard.kfold_assign(docs, "doc_id", k=5, seed=42).select("doc_id", "fold")
+
+
+def _q_paragraph_dedup(spark, sf_dir):
+    """Corpus-wide exact paragraph dedup (the C4 line-level pass) over a
+    synthesized multi-paragraph corpus: 100 synthetic docs of 5
+    paragraphs, every paragraph planted in exactly TWO docs (paragraph
+    source = doc_id % 250), so later copies must drop and first
+    occurrences survive. posexplode → winner election on span hash →
+    semi-join → reassemble."""
+    docs = _state(spark, sf_dir).raw("documents")
+    a = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 250).alias("base"),
+        (F.col("doc_id") % 100).alias("sid"),
+    )
+    b = docs.select(F.col("doc_id").alias("base"), F.col("text").alias("ptext"))
+    synth = (
+        a.join(b, "base")
+        .groupBy("sid")
+        .agg(
+            F.concat_ws(
+                "\n\n",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("doc_id", "ptext"))),
+                    lambda s: s["ptext"],
+                ),
+            ).alias("text")
+        )
+    )
+    return dedup.paragraph_dedup(synth, "text", "sid")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered so queries WITHOUT a green CORRECTNESS row run first: the
-    # driver checks exactly the first 50 dict entries per round. r1
-    # checked entries 1-50 of the r1 ordering; r2 checked its entries
-    # 1-50 (the then-unevidenced pipeline/relational block). For r3 the
-    # first block = the 4 r2 hash-fails (oracle dtype bug, fixed) + the
-    # 2 queries that ERRORED in r1 and were mislabeled r1-green
-    # (sessionize/gap_to_prev — fixed in r2, never re-queued) + the 21
-    # never-checked tail entries + the 23 r3-new queries = exactly 50;
-    # the window is FULL — do not add unevidenced entries to the head
-    # until CORRECTNESS_r03 lands (test_registry_hygiene enforces it).
-    # Green-in-r1/r2 queries keep their recorded rows and run last.
-    # tests/test_advisor_gates.py enforces this invariant from the
-    # CORRECTNESS files themselves.
+    # driver checks exactly the first 50 dict entries per round. r1/r2/
+    # r3 each filled their 50-slot window and every name declared
+    # through r3 now has a green row (CORRECTNESS_r03: 0 errors, 0 hash
+    # fails), so the r4 window starts fresh. Head block = the 8 r4-new
+    # declarations (operators built in r3 with pytest evidence only,
+    # plus paragraph_dedup on a synthesized multi-paragraph corpus);
+    # everything after them is evidenced and deliberately not re-run.
+    # test_registry_hygiene enforces the placement invariant;
+    # tests/test_advisor_gates.py checks it against the CORRECTNESS
+    # files themselves.
     return {
+        # --- r4-new declarations (unevidenced until CORRECTNESS_r04)
+        "bigram_logprob": _q_bigram_logprob,
+        "js_divergence_by_source": _q_js_divergence_by_source,
+        "tokenizer_fertility": _q_tokenizer_fertility,
+        "code_score": _q_code_score,
+        "snapshot_diff": _q_snapshot_diff,
+        "bloom_decontaminate_screen": _q_bloom_decontaminate_screen,
+        "kfold_assign": _q_kfold_assign,
+        "paragraph_dedup": _q_paragraph_dedup,
         # --- r2 hash-fails (DuckDB HUGEINT sum → float64; oracle now
-        # CASTs to BIGINT — engine side was already correct)
+        # CASTs to BIGINT — engine side was already correct; green r3)
         "oov_stats": _q_oov_stats,
         "table_profile": _q_table_profile,
         "pivot_user_events": _q_pivot_user_events,
@@ -2191,6 +2306,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # -------------------------------------------------------------------- oracle
 
 _TOKS = "regexp_split_to_array(text, '\\s+')"
+# empty-token-filtered twin — mirrors whitespace_tokenizer exactly
+# (edge/duplicate whitespace produces '' entries in a plain split)
+_TOKSF = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')"
 
 # PII oracle fragments composed from the same pattern table as the engine
 # (pii.PII_PATTERNS), so the two sides cannot drift.
@@ -3703,4 +3821,161 @@ def oracle_sql() -> dict[str, str]:
         """,
         # doc_len_quantiles_approx: rows-only by design (t-digest
         # estimates are engine-specific; tolerance pinned in pytest)
+        # ------------------------------------------- r4-new declarations
+        "bigram_logprob": f"""
+            WITH tk AS (SELECT doc_id, {_TOKSF} AS t FROM documents),
+            pr AS (
+              SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+              FROM tk, UNNEST(range(1, len(t))) AS u(i)
+              WHERE len(t) >= 2
+            ),
+            b AS (SELECT w1, w2, count(*) AS cnt2 FROM pr GROUP BY w1, w2),
+            un AS (SELECT w1, count(*) AS cnt1 FROM pr GROUP BY w1),
+            v AS (SELECT count(*) AS v FROM un),
+            agg AS (
+              SELECT doc_id,
+                     round(avg(ln((cnt2 + 1.0) / (cnt1 + v.v))), 4) AS bigram_logprob
+              FROM pr JOIN b USING (w1, w2) JOIN un USING (w1), v
+              GROUP BY doc_id
+            )
+            SELECT d.doc_id, a.bigram_logprob
+            FROM documents d LEFT JOIN agg a USING (doc_id)
+        """,
+        "js_divergence_by_source": f"""
+            WITH tk AS (
+              SELECT source AS grp, unnest({_TOKSF}) AS term FROM documents
+            ),
+            pg AS (SELECT grp, term, count(*) AS c_g FROM tk GROUP BY grp, term),
+            gt AS (SELECT grp, CAST(sum(c_g) AS BIGINT) AS n_g FROM pg GROUP BY grp),
+            co AS (SELECT term, CAST(sum(c_g) AS BIGINT) AS c_all FROM pg GROUP BY term),
+            tot AS (SELECT count(*) AS n FROM tk),
+            j AS (
+              SELECT pg.grp, gt.n_g,
+                     pg.c_g / CAST(gt.n_g AS DOUBLE) AS p,
+                     co.c_all / CAST(tot.n AS DOUBLE) AS q
+              FROM pg JOIN gt USING (grp) JOIN co USING (term), tot
+            ),
+            agg AS (
+              SELECT grp, max(n_g) AS n_tokens,
+                     sum(0.5 * p * ln(p / ((p + q) / 2))
+                         + 0.5 * q * ln(q / ((p + q) / 2))) AS js_obs,
+                     sum(q) AS q_obs
+              FROM j GROUP BY grp
+            )
+            SELECT grp, CAST(n_tokens AS BIGINT) AS n_tokens,
+                   round(js_obs + 0.5 * (1 - q_obs) * ln(2), 6) AS js
+            FROM agg
+        """,
+        "tokenizer_fertility": f"""
+            WITH per AS (
+              SELECT lang AS grp,
+                     len({_TOKSF}) AS w,
+                     len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS s,
+                     length(text) AS c
+              FROM documents
+            )
+            SELECT grp, CAST(count(*) AS BIGINT) AS n_docs,
+                   round(CAST(sum(s) AS DOUBLE) / sum(w), 6) AS fertility,
+                   round(CAST(sum(c) AS DOUBLE) / sum(s), 6) AS chars_per_subword
+            FROM per WHERE w > 0 GROUP BY grp
+        """,
+        "code_score": f"""
+            SELECT doc_id,
+                   round(least(1.0,
+                       (len(regexp_extract_all(text, '[{{}}\\[\\]()<>;=#]'))
+                        / CAST(greatest(length(text), 1) AS DOUBLE)) * 8.0
+                       + (len(regexp_extract_all(text,
+                              '\\b[a-z]+(?:_[a-z0-9]+|[A-Z][a-z0-9]+)\\w*\\b'))
+                          / CAST(greatest(len({_TOKSF}), 1) AS DOUBLE)) * 0.5
+                   ), 6) AS code_score
+            FROM documents
+        """,
+        "snapshot_diff": """
+            WITH old AS (
+              SELECT doc_id AS id, md5(text) AS sig_o
+              FROM documents WHERE doc_id % 7 <> 0
+            ),
+            new AS (
+              SELECT doc_id AS id,
+                     md5(CASE WHEN doc_id % 3 = 0 THEN text || ' [v2]'
+                              ELSE text END) AS sig_n
+              FROM documents WHERE doc_id % 5 <> 0
+            ),
+            j AS (
+              SELECT CASE WHEN o.sig_o IS NULL THEN 'added'
+                          WHEN n.sig_n IS NULL THEN 'removed'
+                          WHEN o.sig_o = n.sig_n THEN 'unchanged'
+                          ELSE 'changed' END AS status
+              FROM old o FULL OUTER JOIN new n USING (id)
+            )
+            SELECT status, CAST(count(*) AS BIGINT) AS n FROM j GROUP BY status
+        """,
+        "bloom_decontaminate_screen": f"""
+            WITH tok AS (SELECT doc_id, {_TOKSF} AS t FROM documents),
+            evg AS (
+              SELECT DISTINCT array_to_string(t[i:i+4], ' ') AS gram
+              FROM tok, UNNEST(range(1, len(t) - 5 + 2)) AS u(i)
+              WHERE len(t) >= 5 AND doc_id % 29 = 0
+            ),
+            evp AS (
+              SELECT DISTINCT
+                CAST(CAST(concat('0x', substring(md5(concat(CAST(h AS VARCHAR), '|', gram)), 1, 15)) AS BIGINT) % 65536 AS INT) AS pos
+              FROM evg, UNNEST([0, 1, 2]) AS hh(h)
+            ),
+            dg AS (
+              SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS gram
+              FROM tok, UNNEST(range(1, len(t) - 5 + 2)) AS u(i)
+              WHERE len(t) >= 5 AND doc_id % 29 <> 0
+            ),
+            dgp AS (
+              SELECT doc_id, gram,
+                CAST(CAST(concat('0x', substring(md5(concat(CAST(h AS VARCHAR), '|', gram)), 1, 15)) AS BIGINT) % 65536 AS INT) AS pos
+              FROM dg, UNNEST([0, 1, 2]) AS hh(h)
+            ),
+            gh AS (
+              SELECT doc_id, gram,
+                     bool_and(pos IN (SELECT pos FROM evp)) AS flagged
+              FROM dgp GROUP BY doc_id, gram
+            ),
+            agg AS (
+              SELECT doc_id, count(*) AS n_grams,
+                     sum(CASE WHEN flagged THEN 1 ELSE 0 END) AS n_flagged
+              FROM gh GROUP BY doc_id
+            )
+            SELECT c.doc_id,
+                   CAST(coalesce(a.n_grams, 0) AS INT) AS n_grams,
+                   CAST(coalesce(a.n_flagged, 0) AS INT) AS n_flagged,
+                   coalesce(a.n_flagged, 0) > 0 AS contaminated
+            FROM (SELECT doc_id FROM documents WHERE doc_id % 29 <> 0) c
+            LEFT JOIN agg a USING (doc_id)
+        """,
+        "kfold_assign": """
+            SELECT doc_id,
+                   CAST(CAST(concat('0x', substring(md5(concat(CAST(doc_id AS VARCHAR), ':42')), 1, 8)) AS BIGINT) % 5 AS INT) AS fold
+            FROM documents
+        """,
+        "paragraph_dedup": """
+            WITH a AS (SELECT doc_id, doc_id % 250 AS base, doc_id % 100 AS sid
+                       FROM documents),
+            b AS (SELECT doc_id AS base, text AS ptext FROM documents),
+            synth AS (
+              SELECT sid, string_agg(ptext, chr(10) || chr(10) ORDER BY a.doc_id) AS text
+              FROM a JOIN b USING (base) GROUP BY sid
+            ),
+            sp AS (SELECT sid, str_split(text, chr(10) || chr(10)) AS t FROM synth),
+            spans AS (
+              SELECT sid, i AS pos, t[i] AS span, md5(t[i]) AS h
+              FROM sp, UNNEST(range(1, len(t) + 1)) AS u(i)
+            ),
+            ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY h ORDER BY sid, pos) AS rk
+              FROM spans
+            ),
+            rebuilt AS (
+              SELECT sid, string_agg(span, chr(10) || chr(10) ORDER BY pos) AS text
+              FROM ranked WHERE rk = 1 GROUP BY sid
+            )
+            SELECT s.sid, coalesce(r.text, '') AS text
+            FROM synth s LEFT JOIN rebuilt r USING (sid)
+        """,
     }

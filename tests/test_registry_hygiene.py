@@ -30,6 +30,13 @@ def _green_names() -> set:
         with open(path) as f:
             rows = json.load(f)
         for name, r in rows.items():
+            if r.get("err") == "no_oracle":
+                # the driver's rows-only record: evidence iff the query
+                # ran (spark_rows present) and is STILL declared
+                # oracle-less (adding an oracle later re-queues it)
+                if name not in oracle_names and r.get("spark_rows") is not None:
+                    green.add(name)
+                continue
             if r.get("err"):
                 continue
             if r.get("hash_match"):
