@@ -2122,6 +2122,82 @@ def _q_paragraph_dedup(spark, sf_dir):
     return dedup.paragraph_dedup(synth, "text", "sid")
 
 
+def _q_cms_heavy_hitters(spark, sf_dir):
+    """Deterministic (md5-bucketed) count-min sketch: build a 3×1024
+    sketch over all corpus tokens, then estimate the 20 true heaviest
+    terms — the mergeable heavy-hitter structure whose estimates
+    (collisions included) reproduce bit-exactly in the oracle. Sketch
+    is depth×width rows however large the corpus; probe side is a
+    broadcast join."""
+    docs = _state(spark, sf_dir).raw("documents")
+    toks = docs.select(F.explode(textstats.tokens(F.col("text"))).alias("term"))
+    sk = sketches.cms_table(toks, "term", depth=3, width=1024)
+    top = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("term").asc())
+        .limit(20)
+    )
+    return sketches.cms_estimate(top, sk, "term", depth=3, width=1024)
+
+
+def _q_zipf_slope(spark, sf_dir):
+    """Zipf-law slope of ln(freq)~ln(rank) over each language's top-100
+    terms — whole-source language-health check (natural text ≈ −1)."""
+    docs = _state(spark, sf_dir).raw("documents")
+    return textstats.zipf_slope(docs, "text", "lang", top_n=100)
+
+
+def _q_sentence_stats(spark, sf_dir):
+    """Per-doc sentence count + mean words per sentence (split on
+    [.!?]+ runs) — the fragment-spam / wall-of-text quality signal."""
+    docs = _state(spark, sf_dir).raw("documents")
+    return textstats.sentence_stats(docs, "text", "doc_id")
+
+
+def _q_quantile_normalize(spark, sf_dir):
+    """Within-language percentile rank of doc length — the score
+    normalization that makes a single keep-fraction threshold fair
+    across languages. One window shuffle, id tiebreak."""
+    docs = _state(spark, sf_dir).raw("documents")
+    return stats.quantile_normalize(docs, "n_chars", "doc_id", "lang")
+
+
+def _q_mad_outliers(spark, sf_dir):
+    """Median/MAD robust outlier audit of doc length per language
+    (k=3) — heavy-tail-safe twin of the IQR fences."""
+    docs = _state(spark, sf_dir).raw("documents")
+    return stats.mad_outliers(docs, "n_chars", "lang", k=3.0)
+
+
+def _q_truncate_tokens(spark, sf_dir):
+    """Head-truncate every doc to 32 whitespace tokens with an audit
+    flag — the context-window guard before packing."""
+    docs = _state(spark, sf_dir).raw("documents")
+    return chunk.truncate_tokens(docs, "text", "doc_id", max_tokens=32)
+
+
+def _q_label_centroids(spark, sf_dir):
+    """Per-label embedding centroid in long form (label, pos,
+    mean_val) — class prototypes via a scalar-keyed aggregate (no
+    vector collect_list on the shuffle)."""
+    emb = _state(spark, sf_dir).raw("embeddings")
+    # single 6-dp rounding (the operator's own) — re-rounding to 4dp
+    # would manufacture exact .5 boundaries where engines disagree
+    return similarity.label_centroids(emb, "embedding", "label")
+
+
+def _q_curriculum_interleave(spark, sf_dir):
+    """Round-robin curriculum order: rank docs within each language by
+    length (best first, id tiebreak), interleave groups via an
+    analytic global position — no global sort; the layout write is a
+    range-partitioned sort on global_pos."""
+    from elephant_twin_spark.operators.pipeline import curriculum
+
+    docs = _state(spark, sf_dir).raw("documents")
+    return curriculum.curriculum_interleave(docs, "doc_id", "n_chars", "lang")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered so queries WITHOUT a green CORRECTNESS row run first: the
     # driver checks exactly the first 50 dict entries per round. r1/r2/
@@ -2144,6 +2220,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_decontaminate_screen": _q_bloom_decontaminate_screen,
         "kfold_assign": _q_kfold_assign,
         "paragraph_dedup": _q_paragraph_dedup,
+        "cms_heavy_hitters": _q_cms_heavy_hitters,
+        "zipf_slope": _q_zipf_slope,
+        "sentence_stats": _q_sentence_stats,
+        "quantile_normalize": _q_quantile_normalize,
+        "mad_outliers": _q_mad_outliers,
+        "truncate_tokens": _q_truncate_tokens,
+        "label_centroids": _q_label_centroids,
+        "curriculum_interleave": _q_curriculum_interleave,
         # --- r2 hash-fails (DuckDB HUGEINT sum → float64; oracle now
         # CASTs to BIGINT — engine side was already correct; green r3)
         "oov_stats": _q_oov_stats,
@@ -3953,6 +4037,111 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CAST(CAST(concat('0x', substring(md5(concat(CAST(doc_id AS VARCHAR), ':42')), 1, 8)) AS BIGINT) % 5 AS INT) AS fold
             FROM documents
+        """,
+        "cms_heavy_hitters": f"""
+            WITH tk AS (SELECT unnest({_TOKSF}) AS term FROM documents),
+            buck AS (
+              SELECT h AS row, term,
+                CAST(CAST(concat('0x', substring(md5(concat(CAST(h AS VARCHAR), '|', term)), 1, 15)) AS BIGINT) % 1024 AS INT) AS bucket
+              FROM tk, UNNEST([0, 1, 2]) AS hh(h)
+            ),
+            sk AS (SELECT row, bucket, count(*) AS scnt FROM buck GROUP BY row, bucket),
+            top AS (
+              SELECT term, count(*) AS cnt FROM tk GROUP BY term
+              ORDER BY cnt DESC, term ASC LIMIT 20
+            ),
+            probe AS (
+              SELECT term, cnt, h AS row,
+                CAST(CAST(concat('0x', substring(md5(concat(CAST(h AS VARCHAR), '|', term)), 1, 15)) AS BIGINT) % 1024 AS INT) AS bucket
+              FROM top, UNNEST([0, 1, 2]) AS hh(h)
+            )
+            SELECT term, CAST(any_value(cnt) AS BIGINT) AS cnt,
+                   CAST(min(coalesce(sk.scnt, 0)) AS BIGINT) AS est_cnt
+            FROM probe LEFT JOIN sk USING (row, bucket)
+            GROUP BY term
+        """,
+        "zipf_slope": f"""
+            WITH tk AS (SELECT lang AS grp, unnest({_TOKSF}) AS term FROM documents),
+            f AS (SELECT grp, term, count(*) AS cnt FROM tk GROUP BY grp, term),
+            r AS (
+              SELECT grp, cnt,
+                     row_number() OVER (PARTITION BY grp
+                                        ORDER BY cnt DESC, term ASC) AS rank
+              FROM f
+            )
+            SELECT grp, CAST(count(*) AS BIGINT) AS n_terms,
+                   round(regr_slope(ln(cnt), ln(rank)), 6) AS slope
+            FROM r WHERE rank <= 100 GROUP BY grp
+        """,
+        "sentence_stats": """
+            WITH s AS (
+              SELECT doc_id,
+                     list_filter(list_transform(
+                         regexp_split_to_array(text, '[.!?]+'), x -> trim(x)),
+                       x -> x <> '') AS sents
+              FROM documents
+            )
+            SELECT doc_id, CAST(len(sents) AS INT) AS n_sentences,
+                   CASE WHEN len(sents) > 0 THEN
+                     round(CAST(list_sum(list_transform(sents,
+                         s2 -> len(list_filter(regexp_split_to_array(s2, '\\s+'),
+                                               w -> w <> '')))) AS DOUBLE)
+                           / len(sents), 6)
+                   END AS avg_sentence_words
+            FROM s
+        """,
+        "quantile_normalize": """
+            SELECT doc_id, lang AS grp, n_chars,
+                   round(percent_rank() OVER (PARTITION BY lang
+                         ORDER BY n_chars ASC, doc_id ASC), 6) AS pct_rank
+            FROM documents
+        """,
+        "mad_outliers": """
+            WITH med AS (
+              SELECT lang AS grp, quantile_cont(n_chars, 0.5) AS med
+              FROM documents GROUP BY lang
+            ),
+            j AS (
+              SELECT d.lang AS grp, d.n_chars, m.med,
+                     abs(d.n_chars - m.med) AS adev
+              FROM documents d JOIN med m ON d.lang = m.grp
+            ),
+            madt AS (SELECT grp, quantile_cont(adev, 0.5) AS mad FROM j GROUP BY grp)
+            SELECT j.grp, CAST(count(*) AS BIGINT) AS n,
+                   round(any_value(j.med), 6) AS med,
+                   round(any_value(madt.mad), 6) AS mad,
+                   CAST(sum(CASE WHEN abs(j.n_chars - j.med) > 3.0 * madt.mad
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_outlier
+            FROM j JOIN madt USING (grp) GROUP BY j.grp
+        """,
+        "truncate_tokens": f"""
+            WITH t AS (SELECT doc_id, {_TOKSF} AS tk FROM documents)
+            SELECT doc_id, array_to_string(tk[1:32], ' ') AS text,
+                   CAST(least(len(tk), 32) AS INT) AS n_tokens,
+                   len(tk) > 32 AS truncated
+            FROM t
+        """,
+        "label_centroids": """
+            SELECT label, CAST(i - 1 AS INT) AS pos,
+                   round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS mean_val
+            FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)
+            GROUP BY label, i
+        """,
+        "curriculum_interleave": """
+            WITH g AS (
+              SELECT lang, row_number() OVER (ORDER BY lang) - 1 AS gidx
+              FROM (SELECT DISTINCT lang FROM documents)
+            ),
+            r AS (
+              SELECT doc_id, lang AS grp,
+                     row_number() OVER (PARTITION BY lang
+                         ORDER BY n_chars DESC, doc_id ASC) AS rank_in_group
+              FROM documents
+            ),
+            n AS (SELECT count(*) AS ng FROM g)
+            SELECT r.doc_id, r.grp, CAST(r.rank_in_group AS INT) AS rank_in_group,
+                   CAST((r.rank_in_group - 1) * n.ng + g.gidx AS BIGINT) AS global_pos
+            FROM r JOIN g ON r.grp = g.lang, n
         """,
         "paragraph_dedup": """
             WITH a AS (SELECT doc_id, doc_id % 250 AS base, doc_id % 100 AS sid

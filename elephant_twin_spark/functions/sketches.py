@@ -66,6 +66,86 @@ def freq_count_min(col, eps: float = 0.001, confidence: float = 0.99, seed: int 
     return F.count_min_sketch(col, F.lit(eps), F.lit(confidence), F.lit(seed))
 
 
+# ------------------------------------------- deterministic count-min
+#
+# Spark's built-in `count_min_sketch` returns an opaque binary whose
+# hashing is engine-private — fine for estimates, useless for
+# cross-engine verification. This variant uses md5-derived bucket
+# hashes, so the ENTIRE sketch (bucket sums and the min-estimate,
+# collisions included) is bit-reproducible in any engine with md5 —
+# the same discipline as the Bloom index (`operators/build.py`). Use
+# it when heavy-hitter estimates feed a decision you must be able to
+# audit (e.g. which terms to hard-code into a filter list).
+
+def cms_bucket(key: Column, row: int, width: int) -> Column:
+    """Bucket of ``key`` in CMS row ``row``: md5('row|key') prefix mod
+    width — deterministic, engine-independent."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{row}|"), key)), 1, 15), 16, 10
+    )
+    return (h.cast("long") % width).cast("int")
+
+
+def cms_table(
+    df: DataFrame, key_col: str, depth: int = 3, width: int = 1024
+) -> DataFrame:
+    """Count-min sketch as a DataFrame ``(row, bucket, cnt)`` — at most
+    ``depth × width`` rows regardless of key cardinality. One explode
+    (depth× fan-out of the key column only) + one map-side-combined
+    groupBy; store it, merge two sketches by summing cnt per (row,
+    bucket)."""
+    k = F.col(key_col)
+    pairs = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"), cms_bucket(k, i, width).alias("bucket")
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("p")
+    )
+    return (
+        pairs.select("p.row", "p.bucket")
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(
+    keys: DataFrame, sketch: DataFrame, key_col: str, depth: int = 3, width: int = 1024
+) -> DataFrame:
+    """Point-frequency estimates for ``keys`` from a stored
+    :func:`cms_table` sketch: ``est = min over rows of cnt[row,
+    bucket_row(key)]`` (over-count only — collisions inflate, never
+    deflate). Output: ``keys`` columns + ``est_cnt``. The sketch side
+    is depth×width rows — broadcast it."""
+    k = F.col(key_col)
+    probes = keys.select(
+        "*",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"), cms_bucket(k, i, width).alias("bucket")
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("p"),
+    ).select("*", F.col("p.row").alias("row"), F.col("p.bucket").alias("bucket")).drop("p")
+    # sketch count renamed so a caller-side 'cnt' column never collides
+    sk = sketch.select("row", "bucket", F.col("cnt").alias("_sk_cnt"))
+    est = (
+        probes.join(F.broadcast(sk), ["row", "bucket"], "left")
+        .groupBy(*keys.columns)
+        .agg(F.min(F.coalesce(F.col("_sk_cnt"), F.lit(0))).alias("est_cnt"))
+    )
+    return est
+
+
 # ----------------------------------------------------- histogram sketch
 #
 # Fixed-bin histograms are the simplest mergeable quantile structure:

@@ -61,3 +61,27 @@ def chunk_documents(
     return out.withColumn(
         "n_tokens", F.size(whitespace_tokenizer(F.col("chunk_text")))
     )
+
+
+def truncate_tokens(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_tokens: int,
+) -> DataFrame:
+    """Head-truncate every document to its first ``max_tokens``
+    whitespace tokens: ``(id_col, text, n_tokens, truncated)`` — the
+    context-window guard applied corpus-wide before packing (a single
+    10M-token document would otherwise own a whole pack). Same
+    no-shuffle higher-order-function discipline as chunking; the
+    truncated flag keeps the cut auditable."""
+    if max_tokens <= 0:
+        raise ValueError(f"max_tokens must be positive, got {max_tokens}")
+    toks = whitespace_tokenizer(F.col(text_col))
+    n = F.size(toks)
+    return df.select(
+        F.col(id_col),
+        F.concat_ws(" ", F.slice(toks, 1, max_tokens)).alias("text"),
+        F.least(n, F.lit(max_tokens)).alias("n_tokens"),
+        (n > max_tokens).alias("truncated"),
+    )

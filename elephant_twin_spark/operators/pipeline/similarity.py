@@ -667,3 +667,24 @@ def semantic_dedup_pairs(
         )
         .where(F.col("cosine") >= F.lit(float(threshold)))
     )
+
+
+def label_centroids(
+    df: DataFrame,
+    vec_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Per-label centroid of an embedding column, LONG form: ``(label,
+    pos, mean_val)`` with pos 0-based — the class-prototype/cluster-
+    profile aggregate (label → mean vector). posexplode + one (label,
+    pos) groupBy: the shuffle carries scalars keyed by (label, dim),
+    so it map-side-combines and never materializes per-label vector
+    lists; reassemble to array form with ``collect_list`` over the
+    (small) output only when needed."""
+    expl = df.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col)).alias("pos", "v"),
+    )
+    return expl.groupBy("label", "pos").agg(
+        F.round(F.avg("v"), 6).alias("mean_val")
+    )

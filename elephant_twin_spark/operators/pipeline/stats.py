@@ -174,3 +174,67 @@ def bucket_skew_stats(
         "n",
         F.round(F.col("n") / (total / F.lit(n_buckets)), 6).alias("skew"),
     )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    group_col: str,
+    out_col: str = "pct_rank",
+) -> DataFrame:
+    """Within-group percentile rank of ``value_col`` (0 = min, 1 = max)
+    — the scale-free score normalization that makes quality scores
+    comparable ACROSS languages/sources before a global keep-fraction
+    cut (a raw threshold keeps different fractions of each group; the
+    percentile rank keeps the same fraction everywhere).
+
+    One window shuffle partitioned by group. Ties broken by id so the
+    rank — and anything thresholded on it — is deterministic
+    cross-engine. At 100 TB the partition key is the group: fine for
+    language-sized groups (each sorts in parallel chunks via
+    range-partitioned sort), but for a SINGLE giant group use
+    ``approx_percentiles`` fences instead of exact ranks."""
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(value_col).asc(), F.col(id_col).asc()
+    )
+    return df.select(
+        F.col(id_col),
+        F.col(group_col).alias("grp"),
+        F.col(value_col),
+        F.round(F.percent_rank().over(w), 6).alias(out_col),
+    )
+
+
+def mad_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    k: float = 3.0,
+) -> DataFrame:
+    """Robust (median/MAD) outlier audit per group: ``(grp, n, med,
+    mad, n_outlier)`` where an outlier is ``|x - med| > k * mad`` —
+    the heavy-tail-safe twin of :func:`iqr_outliers` (a single extreme
+    value moves the mean and stddev but not the median/MAD, so
+    MAD fences hold on corrupt length/score columns where moment-based
+    fences blow up). Three aggregates: group median, median absolute
+    deviation, then a broadcast-fence count. MAD=0 groups (over half
+    the values identical) flag only exact deviants (|x - med| > 0)."""
+    base = df.select(
+        F.col(group_col).alias("_g"), F.col(value_col).alias("_v")
+    )
+    med = base.groupBy("_g").agg(F.expr("percentile(_v, 0.5)").alias("med"))
+    j = base.join(F.broadcast(med), "_g").withColumn(
+        "_adev", F.abs(F.col("_v") - F.col("med"))
+    )
+    madt = j.groupBy("_g").agg(F.expr("percentile(_adev, 0.5)").alias("mad"))
+    fences = med.join(madt, "_g")
+    out = base.join(F.broadcast(fences), "_g")
+    return out.groupBy(F.col("_g").alias("grp")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.first("med"), 6).alias("med"),
+        F.round(F.first("mad"), 6).alias("mad"),
+        F.sum(
+            (F.abs(F.col("_v") - F.col("med")) > F.lit(k) * F.col("mad")).cast("long")
+        ).alias("n_outlier"),
+    )

@@ -592,3 +592,63 @@ def code_score(df: DataFrame, text_col: str, out_col: str = "code_score") -> Dat
         (sym / n_chars) * 8.0 + (idents / n_toks) * 0.5,
     )
     return df.withColumn(out_col, F.round(score, 6))
+
+
+def zipf_slope(
+    df: DataFrame, text_col: str, group_col: str, top_n: int = 100
+) -> DataFrame:
+    """Zipf-law slope per group: least-squares slope of ``ln(freq) ~
+    ln(rank)`` over the group's ``top_n`` most frequent terms —
+    natural-language corpora sit near −1; spam/boilerplate/markup
+    drift far from it, making this a cheap whole-source health check.
+
+    Shape: one (grp, term) count aggregate, a per-group rank window
+    bounded to ``top_n`` rows per group, then a closed-form regression
+    aggregate (covar_pop/var_pop) — no iteration, all JVM. Rank ties
+    break by term so the rank assignment (and thus the slope) is
+    deterministic cross-engine. Returns ``(grp, n_terms, slope)``."""
+    from pyspark.sql.window import Window
+
+    toks = df.select(
+        F.col(group_col).alias("grp"), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    freq = toks.groupBy("grp", "term").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("grp").orderBy(F.col("cnt").desc(), F.col("term").asc())
+    ranked = (
+        freq.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_n)
+        .select(
+            "grp", F.ln("rank").alias("x"), F.ln("cnt").alias("y")
+        )
+    )
+    return ranked.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.round(F.covar_pop("x", "y") / F.var_pop("x"), 6).alias("slope"),
+    )
+
+
+def sentence_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-document sentence statistics: ``(id, n_sentences,
+    avg_sentence_words)`` with sentences split on ``[.!?]+`` runs
+    (trimmed, empties dropped) — the quality filter that catches
+    wall-of-text and fragment-spam documents. Pure per-row expressions,
+    no shuffle."""
+    sents = F.filter(
+        F.transform(
+            F.split(F.col(text_col), r"[.!?]+"), lambda s: F.trim(s)
+        ),
+        lambda s: s != F.lit(""),
+    )
+    n_sent = F.size(sents)
+    words = F.aggregate(
+        sents,
+        F.lit(0),
+        lambda acc, s: acc + F.size(F.filter(F.split(s, r"\s+"), lambda t: t != F.lit(""))),
+    )
+    return df.select(
+        F.col(id_col),
+        n_sent.alias("n_sentences"),
+        F.when(
+            n_sent > 0, F.round(words.cast("double") / n_sent, 6)
+        ).alias("avg_sentence_words"),
+    )

@@ -1,0 +1,196 @@
+"""Round-4 operators: deterministic count-min sketch, Zipf slope,
+sentence stats, quantile normalization, MAD outliers, token
+truncation, label centroids, curriculum interleave."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from elephant_twin_spark.functions import sketches
+from elephant_twin_spark.operators.pipeline import (
+    chunk,
+    curriculum,
+    similarity,
+    stats,
+    textstats,
+)
+from elephant_twin_spark.sources import tables
+
+
+@pytest.fixture(scope="module")
+def docs(spark, docs_path):
+    return tables.load_raw(spark, docs_path).cache()
+
+
+# ------------------------------------------------- deterministic CMS
+
+def test_cms_estimate_overcounts_never_undercounts(spark):
+    rows = [("a",)] * 50 + [("b",)] * 20 + [("c",)] * 5 + [("d",)] * 1
+    df = spark.createDataFrame(rows, "k string")
+    sk = sketches.cms_table(df, "k", depth=3, width=64)
+    # sketch is bounded by depth x width regardless of input size
+    assert sk.count() <= 3 * 64
+    keys = spark.createDataFrame([("a",), ("b",), ("c",), ("d",), ("zz",)], "k string")
+    est = {r["k"]: r["est_cnt"] for r in sketches.cms_estimate(keys, sk, "k", 3, 64).collect()}
+    truth = {"a": 50, "b": 20, "c": 5, "d": 1, "zz": 0}
+    for k, t in truth.items():
+        assert est[k] >= t, (k, est[k], t)  # CMS never undercounts
+    # with 4 keys in 64 buckets, collisions are unlikely: estimates exact
+    assert est["a"] == 50 and est["b"] == 20
+
+
+def test_cms_merge_is_sum(spark):
+    a = spark.createDataFrame([("x",)] * 10, "k string")
+    b = spark.createDataFrame([("x",)] * 7, "k string")
+    sa, sb = sketches.cms_table(a, "k", 2, 32), sketches.cms_table(b, "k", 2, 32)
+    merged = (
+        sa.unionByName(sb)
+        .groupBy("row", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    keys = spark.createDataFrame([("x",)], "k string")
+    est = sketches.cms_estimate(keys, merged, "k", 2, 32).first()["est_cnt"]
+    assert est == 17
+
+
+# -------------------------------------------------------- Zipf slope
+
+def test_zipf_slope_on_synthetic_zipf(spark):
+    # construct frequencies cnt(rank) = round(1000 / rank): slope ~ -1
+    rows = []
+    doc = []
+    for rank in range(1, 51):
+        doc.extend([f"w{rank:03d}"] * max(1, round(1000 / rank)))
+    rows.append((1, "g", " ".join(doc)))
+    df = spark.createDataFrame(rows, "id long, lang string, text string")
+    out = textstats.zipf_slope(df, "text", "lang", top_n=50).first()
+    assert out["n_terms"] == 50
+    assert -1.1 < out["slope"] < -0.9, out["slope"]
+
+
+def test_zipf_slope_uniform_is_flat(spark):
+    text = " ".join([f"t{i}" for i in range(40)] * 5)  # every term freq 5
+    df = spark.createDataFrame([(1, "g", text)], "id long, lang string, text string")
+    out = textstats.zipf_slope(df, "text", "lang", top_n=40).first()
+    assert abs(out["slope"]) < 1e-9
+
+
+# ---------------------------------------------------- sentence stats
+
+def test_sentence_stats(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "One two three. Four five! Six?"),
+            (2, "No terminator here"),
+            (3, "!!!"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in textstats.sentence_stats(df, "text", "doc_id").collect()}
+    assert out[1]["n_sentences"] == 3
+    assert abs(out[1]["avg_sentence_words"] - 2.0) < 1e-9
+    assert out[2]["n_sentences"] == 1 and abs(out[2]["avg_sentence_words"] - 3.0) < 1e-9
+    assert out[3]["n_sentences"] == 0 and out[3]["avg_sentence_words"] is None
+    assert out[4]["n_sentences"] == 0
+
+
+# ----------------------------------------------- quantile_normalize
+
+def test_quantile_normalize_bounds_and_fraction(spark, docs):
+    out = stats.quantile_normalize(docs, "n_chars", "doc_id", "lang").cache()
+    mm = out.agg(F.min("pct_rank"), F.max("pct_rank")).first()
+    assert mm[0] == 0.0 and mm[1] == 1.0
+    # same keep fraction per group under a percentile threshold
+    kept = (
+        out.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("pct_rank") >= 0.7).cast("long")).alias("k"),
+        )
+        .collect()
+    )
+    for r in kept:
+        frac = r["k"] / r["n"]
+        assert abs(frac - 0.3) < 0.05, (r["grp"], frac)
+    out.unpersist()
+
+
+# ----------------------------------------------------- MAD outliers
+
+def test_mad_outliers_robust_to_one_extreme(spark):
+    vals = [(i, "g", float(v)) for i, v in enumerate([10, 11, 12, 10, 11, 12, 10, 11, 1000])]
+    df = spark.createDataFrame(vals, "id long, grp string, v double")
+    r = stats.mad_outliers(df, "v", "grp", k=3.0).first()
+    assert r["med"] == 11.0
+    assert r["mad"] == 1.0
+    assert r["n_outlier"] == 1  # only the 1000 — mean/stddev fences would drag
+
+
+def test_mad_outliers_zero_mad(spark):
+    df = spark.createDataFrame(
+        [(i, "g", 5.0) for i in range(6)] + [(9, "g", 6.0)], "id long, grp string, v double"
+    )
+    r = stats.mad_outliers(df, "v", "grp", k=3.0).first()
+    assert r["mad"] == 0.0 and r["n_outlier"] == 1
+
+
+# -------------------------------------------------- truncate_tokens
+
+def test_truncate_tokens(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "x y"), (3, "")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in chunk.truncate_tokens(df, "text", "doc_id", 3).collect()}
+    assert out[1]["text"] == "a b c" and out[1]["n_tokens"] == 3 and out[1]["truncated"]
+    assert out[2]["text"] == "x y" and out[2]["n_tokens"] == 2 and not out[2]["truncated"]
+    assert out[3]["n_tokens"] == 0 and not out[3]["truncated"]
+
+
+# -------------------------------------------------- label centroids
+
+def test_label_centroids_match_python(spark):
+    rows = [
+        (1, 0, [1.0, 2.0]),
+        (2, 0, [3.0, 4.0]),
+        (3, 1, [10.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<double>")
+    out = {(r["label"], r["pos"]): r["mean_val"] for r in similarity.label_centroids(df, "embedding", "label").collect()}
+    assert out[(0, 0)] == 2.0 and out[(0, 1)] == 3.0
+    assert out[(1, 0)] == 10.0 and out[(1, 1)] == 0.0
+
+
+# -------------------------------------------- curriculum interleave
+
+def test_curriculum_interleave_round_robin(spark):
+    rows = []
+    for g, n in (("en", 4), ("de", 3), ("fr", 2)):
+        for i in range(n):
+            rows.append((f"{g}{i}", g, float(n - i)))  # score desc by i
+    df = spark.createDataFrame(rows, "id string, src string, score double")
+    out = curriculum.curriculum_interleave(df, "id", "score", "src").collect()
+    assert len({r["global_pos"] for r in out}) == len(rows)  # unique positions
+    by_pos = sorted(out, key=lambda r: r["global_pos"])
+    # first wave = rank-1 of every group, ordered by group index
+    assert [r["grp"] for r in by_pos[:3]] == ["de", "en", "fr"]
+    assert all(r["rank_in_group"] == 1 for r in by_pos[:3])
+    # within a group, positions increase with rank (best first)
+    for g in ("en", "de", "fr"):
+        sub = sorted((r for r in out if r["grp"] == g), key=lambda r: r["rank_in_group"])
+        poss = [r["global_pos"] for r in sub]
+        assert poss == sorted(poss)
+    # best-scored doc of each group is rank 1
+    best = {r["id"]: r["rank_in_group"] for r in out}
+    assert best["en0"] == 1 and best["de0"] == 1 and best["fr0"] == 1
+
+
+def test_write_curriculum_layout(spark, workdir, docs):
+    path = f"{workdir}/curriculum"
+    curriculum.write_curriculum(
+        docs.limit(100), path, "doc_id", "n_chars", "lang", num_files=4
+    )
+    back = spark.read.parquet(path)
+    assert back.count() == 100
+    assert "global_pos" in back.columns
