@@ -2198,6 +2198,97 @@ def _q_curriculum_interleave(spark, sf_dir):
     return curriculum.curriculum_interleave(docs, "doc_id", "n_chars", "lang")
 
 
+def _q_sliding_distinct_users(spark, sf_dir):
+    """Sliding-window distinct users (1h window, 30min slide) via the
+    native ``F.window`` sliding groupBy — each event lands in exactly
+    two windows; exact distinct per window. The batch twin of the
+    streaming windowed aggregation surface."""
+    ev = _state(spark, sf_dir).raw("events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("win"))
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .select(F.col("win.start").alias("win_start"), "n_users")
+    )
+
+
+def _q_rolling_avg_value(spark, sf_dir):
+    """Per-user rolling mean of `value` over the current + 2 previous
+    events (ts, event_id order) — the bounded-frame window aggregate.
+    One window shuffle keyed by user."""
+    from pyspark.sql.window import Window
+
+    ev = _state(spark, sf_dir).raw("events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-2, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.avg("value").over(w), 6).alias("roll_avg"),
+    )
+
+
+def _q_error_rate_anomaly(spark, sf_dir):
+    """Hourly error-rate anomaly flags: rate z-score vs the all-hours
+    mean/σ, |z| > 2 flagged. One hour-keyed aggregate + one scalar
+    stats aggregate broadcast back — the monitoring rollup shape.
+    The flag compares the ROUNDED z (both engines) so the boundary
+    decision is deterministic."""
+    ev = _state(spark, sf_dir).raw("events")
+    hours = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("event_type") == "error").cast("long")).alias("n_err"),
+    )
+    hours = hours.withColumn("rate", F.col("n_err") / F.col("n"))
+    st = hours.agg(
+        F.avg("rate").alias("_mu"), F.stddev_samp("rate").alias("_sd")
+    )
+    z = F.round((F.col("rate") - F.col("_mu")) / F.col("_sd"), 4)
+    return (
+        hours.crossJoin(F.broadcast(st))
+        .select(
+            "hour",
+            "n",
+            "n_err",
+            F.round("rate", 6).alias("rate"),
+            z.alias("z"),
+            (F.abs(z) > 2.0).alias("is_anomaly"),
+        )
+    )
+
+
+def _q_rrf_fusion(spark, sf_dir):
+    """Hybrid retrieval: BM25 top-50 for 'spark' fused with dense
+    cosine top-50 for vector 0 (vec_id ≡ doc_id) by reciprocal-rank
+    fusion, top 20 out. Ranks are assigned on ROUNDED scores with id
+    tiebreaks so the fused ranking is engine-deterministic; both
+    candidate lists are bounded before fusion (the corpus is never
+    touched by the fuse step)."""
+    from pyspark.sql.window import Window
+
+    st = _state(spark, sf_dir)
+    ti = st.docs_text_index()
+    bm = ti.top_n("spark", 50, scoring="bm25").select(
+        "doc_id", F.round("score", 6).alias("_s")
+    )
+    wb = Window.partitionBy(F.lit(1)).orderBy(
+        F.col("_s").desc(), F.col("doc_id").asc()
+    )
+    bm_ranked = bm.select(
+        F.col("doc_id").alias("id"), F.row_number().over(wb).alias("rank")
+    )
+    emb = st.raw("embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).first()["embedding"]
+    cos = similarity.cosine_topk(emb, "embedding", "vec_id", qvec, k=50).select(
+        "id", F.round("cosine", 4).alias("_c")
+    )
+    wc = Window.partitionBy(F.lit(1)).orderBy(F.col("_c").desc(), F.col("id").asc())
+    cos_ranked = cos.select("id", F.row_number().over(wc).alias("rank"))
+    return similarity.rrf_fuse([bm_ranked, cos_ranked], k=60, top=20)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered so queries WITHOUT a green CORRECTNESS row run first: the
     # driver checks exactly the first 50 dict entries per round. r1/r2/
@@ -2228,6 +2319,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "truncate_tokens": _q_truncate_tokens,
         "label_centroids": _q_label_centroids,
         "curriculum_interleave": _q_curriculum_interleave,
+        "sliding_distinct_users": _q_sliding_distinct_users,
+        "rolling_avg_value": _q_rolling_avg_value,
+        "error_rate_anomaly": _q_error_rate_anomaly,
+        "rrf_fusion": _q_rrf_fusion,
         # --- r2 hash-fails (DuckDB HUGEINT sum → float64; oracle now
         # CASTs to BIGINT — engine side was already correct; green r3)
         "oov_stats": _q_oov_stats,
@@ -4126,6 +4221,78 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS mean_val
             FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)
             GROUP BY label, i
+        """,
+        "sliding_distinct_users": """
+            WITH w AS (
+              SELECT user_id,
+                     TIMESTAMP '1970-01-01 00:00:00'
+                       + INTERVAL (floor(epoch(ts) / 1800) * 1800 - 1800 * j) SECOND
+                       AS win_start
+              FROM events, UNNEST([0, 1]) AS u(j)
+            )
+            SELECT win_start, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM w GROUP BY win_start
+        """,
+        "rolling_avg_value": """
+            SELECT event_id, user_id,
+                   round(avg(value) OVER (PARTITION BY user_id
+                         ORDER BY ts ASC, event_id ASC
+                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS roll_avg
+            FROM events
+        """,
+        "error_rate_anomaly": """
+            WITH h AS (
+              SELECT date_trunc('hour', ts) AS hour, count(*) AS n,
+                     sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_err
+              FROM events GROUP BY 1
+            ),
+            r AS (SELECT hour, n, n_err, n_err * 1.0 / n AS rate FROM h),
+            s AS (SELECT avg(rate) AS mu, stddev_samp(rate) AS sd FROM r)
+            SELECT hour, CAST(n AS BIGINT) AS n, CAST(n_err AS BIGINT) AS n_err,
+                   round(rate, 6) AS rate,
+                   round((rate - mu) / sd, 4) AS z,
+                   abs(round((rate - mu) / sd, 4)) > 2.0 AS is_anomaly
+            FROM r, s
+        """,
+        "rrf_fusion": f"""
+            WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            stats AS (SELECT count(*) AS n, avg(len(toks)) AS avgdl FROM tok),
+            tf AS (SELECT doc_id,
+                          len(list_filter(toks, x -> x = 'spark')) AS tf,
+                          len(toks) AS dl
+                   FROM tok),
+            dfreq AS (SELECT count(*) AS df FROM tf WHERE tf > 0),
+            bm AS (
+              -- top-50 cut on the RAW score (mirrors TextIndex.top_n);
+              -- fusion ranks then use the rounded score
+              SELECT doc_id,
+                     round(ln(1 + (n - df + 0.5) / (df + 0.5))
+                           * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)),
+                           6) AS s
+              FROM tf, stats, dfreq WHERE tf > 0
+              ORDER BY ln(1 + (n - df + 0.5) / (df + 0.5))
+                       * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) DESC,
+                       doc_id ASC
+              LIMIT 50
+            ),
+            bmr AS (SELECT doc_id AS id,
+                           row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rank
+                    FROM bm),
+            q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+            cs AS (
+              SELECT vec_id AS id,
+                     round(CAST(list_cosine_similarity(embedding, q.qv) AS DOUBLE), 4) AS c
+              FROM embeddings, q
+              ORDER BY list_cosine_similarity(embedding, q.qv) DESC, vec_id ASC
+              LIMIT 50
+            ),
+            csr AS (SELECT id, row_number() OVER (ORDER BY c DESC, id ASC) AS rank
+                    FROM cs),
+            u AS (SELECT * FROM bmr UNION ALL SELECT * FROM csr)
+            SELECT id, round(sum(1.0 / (60.0 + rank)), 6) AS rrf_score,
+                   CAST(count(*) AS BIGINT) AS n_lists
+            FROM u GROUP BY id
+            ORDER BY rrf_score DESC, id ASC LIMIT 20
         """,
         "curriculum_interleave": """
             WITH g AS (

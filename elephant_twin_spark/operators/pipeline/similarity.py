@@ -688,3 +688,41 @@ def label_centroids(
     return expl.groupBy("label", "pos").agg(
         F.round(F.avg("v"), 6).alias("mean_val")
     )
+
+
+def rrf_fuse(
+    ranked,
+    id_col: str = "id",
+    rank_col: str = "rank",
+    k: int = 60,
+    top: Optional[int] = None,
+) -> DataFrame:
+    """Reciprocal-rank fusion of N ranked candidate lists (the standard
+    hybrid-retrieval combiner: BM25 list + dense-ANN list → one
+    ranking): ``score(d) = Σ_lists 1/(k + rank_d)``, higher better.
+    Rank-based, so the lists' raw scores need no calibration against
+    each other — exactly why RRF is the default hybrid fusion.
+
+    ``ranked``: sequence of DataFrames each carrying ``(id_col,
+    rank_col)`` with rank starting at 1. Shape: union of the (already
+    top-N-bounded) lists + one tiny groupBy — the fused set is at most
+    Σ list sizes rows, so this never touches the corpus. Returns
+    ``(id, rrf_score, n_lists)`` sorted best-first (id tiebreak),
+    limited to ``top`` when given."""
+    if not ranked:
+        raise ValueError("ranked must name at least one list")
+    parts = [
+        d.select(F.col(id_col).alias("id"), F.col(rank_col).alias("rank"))
+        for d in ranked
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    fused = u.groupBy("id").agg(
+        F.round(
+            F.sum(F.lit(1.0) / (F.lit(float(k)) + F.col("rank"))), 6
+        ).alias("rrf_score"),
+        F.count(F.lit(1)).alias("n_lists"),
+    )
+    out = fused.orderBy(F.col("rrf_score").desc(), F.col("id").asc())
+    return out.limit(top) if top is not None else out

@@ -186,6 +186,23 @@ def test_curriculum_interleave_round_robin(spark):
     assert best["en0"] == 1 and best["de0"] == 1 and best["fr0"] == 1
 
 
+def test_rrf_fuse_ranks_and_scores(spark):
+    a = spark.createDataFrame([(10, 1), (20, 2), (30, 3)], "id long, rank int")
+    b = spark.createDataFrame([(20, 1), (40, 2)], "id long, rank int")
+    out = {r["id"]: r for r in similarity.rrf_fuse([a, b], k=60).collect()}
+    # doc 20: in both lists (ranks 2 and 1)
+    assert out[20]["n_lists"] == 2
+    assert abs(out[20]["rrf_score"] - round(1 / 62 + 1 / 61, 6)) < 1e-9
+    assert out[10]["n_lists"] == 1
+    assert abs(out[10]["rrf_score"] - round(1 / 61, 6)) < 1e-9
+    # consensus doc outranks every single-list doc here
+    best = max(out.values(), key=lambda r: r["rrf_score"])
+    assert best["id"] == 20
+    # top limiting
+    top1 = similarity.rrf_fuse([a, b], k=60, top=1).collect()
+    assert len(top1) == 1 and top1[0]["id"] == 20
+
+
 def test_write_curriculum_layout(spark, workdir, docs):
     path = f"{workdir}/curriculum"
     curriculum.write_curriculum(
