@@ -143,6 +143,48 @@ def main():
         )
     )
 
+    from elephant_twin_spark.functions import sketches
+    from elephant_twin_spark.operators.pipeline import curriculum, stats
+
+    toks = docs.select(F.explode(F.split(F.col("text"), r"\s+")).alias("term"))
+    sections.append(
+        (
+            "Deterministic count-min sketch build (bounded output, map-side combined)",
+            "depth× fan-out of the key column only, then ONE partial-aggregated "
+            "hash Exchange; output ≤ depth×width rows however large the corpus.",
+            sketches.cms_table(toks, "term", depth=3, width=1024),
+        )
+    )
+
+    sections.append(
+        (
+            "Curriculum interleave (per-group window + broadcast group dim, no global sort)",
+            "rank window partitioned by group; global position is ARITHMETIC "
+            "(rank·n_groups + broadcast-joined group index) — the corpus-wide "
+            "ordering costs one window Exchange, not a single-reducer sort.",
+            curriculum.curriculum_interleave(docs, "doc_id", "n_chars", "lang"),
+        )
+    )
+
+    sections.append(
+        (
+            "Paragraph dedup (span winner election, shuffles carry hashes not docs)",
+            "posexplode → groupBy(span md5) winner election → left-semi join back "
+            "→ per-doc reassembly; the wide shuffles carry (hash, id, pos) "
+            "triples and surviving spans only.",
+            dedup.paragraph_dedup(docs, "text", "doc_id"),
+        )
+    )
+
+    sections.append(
+        (
+            "Quantile normalize (one window Exchange keyed by group)",
+            "percent_rank over (group, value, id) — a single hash Exchange on "
+            "the group key; deterministic ties via the id tiebreak.",
+            stats.quantile_normalize(docs, "n_chars", "doc_id", "lang"),
+        )
+    )
+
     out = ["# PLANS — formatted physical plans of headline operators",
            "",
            f"Generated by `tools/plan_report.py` at sf dir `{SF_DIR}`. These are the",
