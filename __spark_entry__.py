@@ -2289,6 +2289,29 @@ def _q_rrf_fusion(spark, sf_dir):
     return similarity.rrf_fuse([bm_ranked, cos_ranked], k=60, top=20)
 
 
+def _q_rfm_segments(spark, sf_dir):
+    """RFM customer segmentation: recency (last order date), frequency
+    (order count), monetary (total spend) → quartile each metric with
+    custkey tiebreaks → segment label. One customer-keyed aggregate +
+    three entity-table ntile windows (fence-based bucketing is the
+    billion-entity alternative, see stats.ntile_segments)."""
+    orders = _state(spark, sf_dir).raw("orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("recency"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+    )
+    seg = stats.ntile_segments(
+        per_cust,
+        "o_custkey",
+        {"recency": True, "frequency": True, "monetary": True},
+        n=4,
+    )
+    return seg.select(
+        "o_custkey", "recency_q", "frequency_q", "monetary_q", "segment"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered so queries WITHOUT a green CORRECTNESS row run first: the
     # driver checks exactly the first 50 dict entries per round. r1/r2/
@@ -2323,6 +2346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_avg_value": _q_rolling_avg_value,
         "error_rate_anomaly": _q_error_rate_anomaly,
         "rrf_fusion": _q_rrf_fusion,
+        "rfm_segments": _q_rfm_segments,
         # --- r2 hash-fails (DuckDB HUGEINT sum → float64; oracle now
         # CASTs to BIGINT — engine side was already correct; green r3)
         "oov_stats": _q_oov_stats,
@@ -4293,6 +4317,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_lists
             FROM u GROUP BY id
             ORDER BY rrf_score DESC, id ASC LIMIT 20
+        """,
+        "rfm_segments": """
+            WITH pc AS (
+              SELECT o_custkey, max(o_orderdate) AS recency,
+                     count(*) AS frequency,
+                     round(sum(o_totalprice), 2) AS monetary
+              FROM orders GROUP BY o_custkey
+            ),
+            q AS (
+              SELECT o_custkey,
+                     ntile(4) OVER (ORDER BY recency DESC, o_custkey ASC) AS recency_q,
+                     ntile(4) OVER (ORDER BY frequency DESC, o_custkey ASC) AS frequency_q,
+                     ntile(4) OVER (ORDER BY monetary DESC, o_custkey ASC) AS monetary_q,
+                     recency, frequency, monetary
+              FROM pc
+            )
+            SELECT o_custkey, CAST(recency_q AS INT) AS recency_q,
+                   CAST(frequency_q AS INT) AS frequency_q,
+                   CAST(monetary_q AS INT) AS monetary_q,
+                   concat(recency_q, '-', frequency_q, '-', monetary_q) AS segment
+            FROM q
         """,
         "curriculum_interleave": """
             WITH g AS (

@@ -238,3 +238,35 @@ def mad_outliers(
             (F.abs(F.col("_v") - F.col("med")) > F.lit(k) * F.col("mad")).cast("long")
         ).alias("n_outlier"),
     )
+
+
+def ntile_segments(
+    df: DataFrame,
+    id_col: str,
+    metrics: "dict[str, bool]",
+    n: int = 4,
+) -> DataFrame:
+    """Multi-metric ntile segmentation (the RFM-segmentation shape):
+    for each ``metric_col -> higher_is_better`` entry, append
+    ``{col}_q`` = the row's ntile bucket (1 = best) ranked by that
+    metric with an ``id_col`` tiebreak, plus a concatenated
+    ``segment`` label ("1-2-4"). Deterministic cross-engine: every
+    ordering is total.
+
+    Scale note: each ntile is a GLOBAL window (one sort partition).
+    Right for entity tables (customers, sources — the usual
+    segmentation grain); for billion-row entity tables switch to
+    fence-based bucketing via :func:`approx_percentiles` cut points
+    (broadcast join), which trades exact equal-count buckets for
+    constant memory."""
+    out = df
+    qcols = []
+    for col, desc in metrics.items():
+        order = [F.col(col).desc() if desc else F.col(col).asc(), F.col(id_col).asc()]
+        w = Window.partitionBy(F.lit(1)).orderBy(*order)
+        qc = f"{col}_q"
+        out = out.withColumn(qc, F.ntile(n).over(w))
+        qcols.append(qc)
+    return out.withColumn(
+        "segment", F.concat_ws("-", *[F.col(c).cast("string") for c in qcols])
+    )

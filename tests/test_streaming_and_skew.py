@@ -492,3 +492,29 @@ def test_stream_static_enrich_matches_batch(spark, workdir, events_multifile):
     g = {r["category"]: 1 for r in got.select("category").distinct().collect()}
     b = {r["category"]: 1 for r in batch.select("category").distinct().collect()}
     assert g == b
+
+
+def test_streaming_hash_sample_matches_batch(spark, events_multifile):
+    """mixture.hash_sample with precomputed rates is a pure per-row
+    filter, so the streaming kept-set is IDENTICAL to batch — the
+    stateless mixture-resampling path the scale docs promise."""
+    from elephant_twin_spark.operators.pipeline import mixture
+
+    batch_df = spark.read.parquet(events_multifile)
+    rates = {"click": 0.5, "view": 0.25, "purchase": 1.0, "signup": 0.1, "error": 0.0}
+    kept_batch = mixture.hash_sample(
+        batch_df, "event_type", None, "event_id", seed=7, rates=rates
+    )
+    stream = (
+        spark.readStream.schema(batch_df.schema).parquet(events_multifile)
+    )
+    kept_stream = mixture.hash_sample(
+        stream, "event_type", None, "event_id", seed=7, rates=rates
+    )
+    assert kept_stream.isStreaming
+    windows.run_to_memory(kept_stream, "hash_sample_out", output_mode="append")
+    got = {r["event_id"] for r in spark.table("hash_sample_out").select("event_id").collect()}
+    want = {r["event_id"] for r in kept_batch.select("event_id").collect()}
+    assert got == want and len(want) > 0
+    # rate-0 group fully dropped
+    assert spark.table("hash_sample_out").where("event_type = 'error'").count() == 0
