@@ -11,6 +11,7 @@ from elephant_twin_spark.functions import sketches
 from elephant_twin_spark.operators.pipeline import (
     chunk,
     curriculum,
+    dedup,
     similarity,
     stats,
     textstats,
@@ -184,6 +185,47 @@ def test_curriculum_interleave_round_robin(spark):
     # best-scored doc of each group is rank 1
     best = {r["id"]: r["rank_in_group"] for r in out}
     assert best["en0"] == 1 and best["de0"] == 1 and best["fr0"] == 1
+
+
+def _ref_paragraph_dedup(rows, sep="\n\n"):
+    """Sequential reference: global first-occurrence (min (id, pos))
+    wins each distinct span; docs reassembled in original span order."""
+    winner = {}
+    for doc_id, text in sorted(rows):
+        for pos, span in enumerate(text.split(sep)):
+            if span not in winner:
+                winner[span] = (doc_id, pos)
+    out = {}
+    for doc_id, text in rows:
+        kept = [
+            s for p, s in enumerate(text.split(sep)) if winner[s] == (doc_id, p)
+        ]
+        out[doc_id] = sep.join(kept)
+    return out
+
+
+def test_paragraph_dedup_matches_sequential_reference(spark):
+    """Seeded random corpora with heavy cross-doc span duplication —
+    the Spark winner-election plan must reproduce the sequential
+    first-occurrence semantics exactly, including within-doc repeats
+    and all-duplicate (emptied) docs."""
+    import random
+
+    rng = random.Random(1234)
+    paras = [f"para {i} " + "x" * rng.randint(0, 5) for i in range(12)]
+    for trial in range(3):
+        rows = []
+        for doc_id in range(30):
+            n = rng.randint(1, 5)
+            rows.append(
+                (doc_id, "\n\n".join(rng.choice(paras) for _ in range(n)))
+            )
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: r["text"]
+            for r in dedup.paragraph_dedup(df, "text", "doc_id").collect()
+        }
+        assert got == _ref_paragraph_dedup(rows), f"trial {trial}"
 
 
 def test_rrf_fuse_ranks_and_scores(spark):
