@@ -2312,6 +2312,58 @@ def _q_rfm_segments(spark, sf_dir):
     )
 
 
+def _q_salted_join_revenue(spark, sf_dir):
+    """Skew-salted equi-join (random salt on the fact side, salt-
+    replicated dim side) MUST return exactly the plain-join answer —
+    declared with the plain join as its oracle, so the driver pins the
+    equivalence the skew machinery promises."""
+    from elephant_twin_spark.operators import skew
+
+    st = _state(spark, sf_dir)
+    o = st.raw("orders").withColumnRenamed("o_custkey", "custkey")
+    c = st.raw("customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    j = skew.salted_join(o, c, "custkey", num_salts=8)
+    return j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+
+
+def _q_hist_quantile_est(spark, sf_dir):
+    """Mergeable fixed-bin histogram sketch → median estimate per
+    language: bin counts are EXACT (so the estimate is deterministic
+    and fully oracle-checkable); only the in-bin interpolation is
+    approximate, bounded by bin width. The constant-size quantile
+    structure a per-partition rollup can merge by vector-add."""
+    docs = _state(spark, sf_dir).raw("documents")
+    h = docs.groupBy(F.col("lang").alias("grp")).agg(
+        sketches.histogram_sketch("n_chars", 64, 0.0, 640.0).alias("hist")
+    )
+    return h.select(
+        "grp",
+        F.round(
+            sketches.histogram_quantile("hist", 0.5, 64, 0.0, 640.0), 6
+        ).alias("p50_est"),
+    )
+
+
+def _q_ann_ivf_pq_top10(spark, sf_dir):
+    """Combined IVF+PQ ANN (coarse prune → ADC shortlist → exact
+    re-rank) — the classic billion-scale layout; rows-only (approx
+    path; `ann_cosine_top10` is the exact green twin)."""
+    st = _state(spark, sf_dir)
+    emb = st.raw("embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).first()["embedding"]
+    cents = similarity.ivf_fit(emb, "embedding", "vec_id", k_clusters=8, max_iter=2)
+    books = similarity.pq_fit(emb, "embedding", "vec_id", m=4, k=16, max_iter=1)
+    top = similarity.ivf_pq_search(
+        emb, "embedding", "vec_id", qvec, cents, books, k=10, nprobe=4, shortlist=100
+    )
+    return top.select(F.col("id").alias("vec_id"), F.round("cosine", 4).alias("cosine"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered so queries WITHOUT a green CORRECTNESS row run first: the
     # driver checks exactly the first 50 dict entries per round. r1/r2/
@@ -2347,6 +2399,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "error_rate_anomaly": _q_error_rate_anomaly,
         "rrf_fusion": _q_rrf_fusion,
         "rfm_segments": _q_rfm_segments,
+        "salted_join_revenue": _q_salted_join_revenue,
+        "hist_quantile_est": _q_hist_quantile_est,
+        "ann_ivf_pq_top10": _q_ann_ivf_pq_top10,
         # --- r2 hash-fails (DuckDB HUGEINT sum → float64; oracle now
         # CASTs to BIGINT — engine side was already correct; green r3)
         "oov_stats": _q_oov_stats,
@@ -4318,6 +4373,39 @@ def oracle_sql() -> dict[str, str]:
             FROM u GROUP BY id
             ORDER BY rrf_score DESC, id ASC LIMIT 20
         """,
+        "salted_join_revenue": """
+            SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+                   round(sum(o_totalprice), 2) AS revenue
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "hist_quantile_est": """
+            WITH b AS (
+              SELECT lang AS grp, CAST(floor(n_chars / 10.0) AS INT) AS bin,
+                     count(*) AS cnt
+              FROM documents WHERE n_chars >= 0 AND n_chars < 640
+              GROUP BY 1, 2
+            ),
+            tot AS (SELECT grp, sum(cnt) AS total FROM b GROUP BY grp),
+            c AS (
+              SELECT grp, bin, cnt,
+                     sum(cnt) OVER (PARTITION BY grp ORDER BY bin) AS cum
+              FROM b
+            ),
+            pick AS (
+              SELECT c.grp, c.bin, c.cnt, c.cum, 0.5 * t.total AS target,
+                     row_number() OVER (PARTITION BY c.grp ORDER BY c.bin) AS rn
+              FROM c JOIN tot t USING (grp)
+              WHERE c.cum >= 0.5 * t.total
+            )
+            SELECT grp,
+                   round((bin + CASE WHEN cnt > 0
+                                     THEN (target - (cum - cnt)) * 1.0 / cnt
+                                     ELSE 0 END) * 10.0, 6) AS p50_est
+            FROM pick WHERE rn = 1
+        """,
+        # ann_ivf_pq_top10: rows-only by design (approx path through the
+        # IVF prune + ADC shortlist; ann_cosine_top10 is the exact twin)
         "rfm_segments": """
             WITH pc AS (
               SELECT o_custkey, max(o_orderdate) AS recency,
