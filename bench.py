@@ -76,6 +76,13 @@ def main():
     orders = tables.load_sf_table(spark, SF_DIR, "orders")
     customer = tables.load_sf_table(spark, SF_DIR, "customer")
 
+    # untimed warm-up: one shuffle + one codegen'd aggregate so per-query
+    # timings measure the OPERATOR, not one-time JVM/codegen/shuffle-service
+    # init (A/B'd r4: the first build otherwise absorbs ~3-4 s of warm-up —
+    # steady-state event_type build is 0.7-1.0 s, see SCALE_EXPERIMENTS.md)
+    spark.range(1_000_000).groupBy((F.col("id") % 7).alias("k")).count().collect()
+    spark.read.parquet(events).limit(1000).count()
+
     # ---- index build (the reference's write path)
     timed("build_block_index_event_type")(
         lambda: eng.build_index(events, "event_type", num_buckets=8)
