@@ -2364,6 +2364,35 @@ def _q_ann_ivf_pq_top10(spark, sf_dir):
     return top.select(F.col("id").alias("vec_id"), F.round("cosine", 4).alias("cosine"))
 
 
+def _q_index_advisor(spark, sf_dir):
+    """Index advisor (M4's planning side): given a 4-predicate workload,
+    recommend block/bloom/zone per referenced column from ONE profiling
+    aggregate. The oracle recomputes the same decision rule with exact
+    distinct counts — the chosen workload's ratios sit far from the
+    0.01 block/bloom threshold, so the HLL estimate cannot flip a
+    recommendation."""
+    from elephant_twin_spark.operators import advisor
+
+    st = _state(spark, sf_dir)
+    recs = advisor.advise_indexes(
+        spark,
+        st.events,
+        [
+            "event_type = 'click'",
+            "event_type = 'purchase' AND value > 10",
+            "user_id = 7",
+            "ts >= '2024-01-10'",
+        ],
+    )
+    rows = [
+        (r["column"], r["n_refs"], ",".join(r["ops"]), r["recommendation"])
+        for r in recs
+    ]
+    return spark.createDataFrame(
+        rows, "col_name string, n_refs int, ops string, recommendation string"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered so queries WITHOUT a green CORRECTNESS row run first: the
     # driver checks exactly the first 50 dict entries per round. r1/r2/
@@ -2402,6 +2431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join_revenue": _q_salted_join_revenue,
         "hist_quantile_est": _q_hist_quantile_est,
         "ann_ivf_pq_top10": _q_ann_ivf_pq_top10,
+        "index_advisor": _q_index_advisor,
         # --- r2 hash-fails (DuckDB HUGEINT sum → float64; oracle now
         # CASTs to BIGINT — engine side was already correct; green r3)
         "oov_stats": _q_oov_stats,
@@ -4372,6 +4402,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_lists
             FROM u GROUP BY id
             ORDER BY rrf_score DESC, id ASC LIMIT 20
+        """,
+        "index_advisor": """
+            WITH s AS (SELECT count(*) AS n,
+                              count(DISTINCT event_type) AS d_et,
+                              count(DISTINCT user_id) AS d_uid
+                       FROM events)
+            SELECT * FROM (VALUES
+              ('event_type', 2, 'eq',
+               CASE WHEN (SELECT d_et * 1.0 / n FROM s) <= 0.01
+                    THEN 'block' ELSE 'bloom' END),
+              ('user_id', 1, 'eq',
+               CASE WHEN (SELECT d_uid * 1.0 / n FROM s) <= 0.01
+                    THEN 'block' ELSE 'bloom' END),
+              ('ts', 1, 'range', 'zone'),
+              ('value', 1, 'range', 'zone')
+            ) AS t(col_name, n_refs, ops, recommendation)
         """,
         "salted_join_revenue": """
             SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
