@@ -2364,6 +2364,26 @@ def _q_ann_ivf_pq_top10(spark, sf_dir):
     return top.select(F.col("id").alias("vec_id"), F.round("cosine", 4).alias("cosine"))
 
 
+def _q_cms_error_stats(spark, sf_dir):
+    """CMS accuracy audit (the sketch twin of minhash_jaccard_error):
+    estimate EVERY distinct term's frequency from the 3×256 sketch and
+    report the overestimate distribution — ``(n_terms, n_exact,
+    max_over, sum_over)``. Deliberately small width so collisions DO
+    occur and the oracle must reproduce them bit-exactly."""
+    docs = _state(spark, sf_dir).raw("documents")
+    toks = docs.select(F.explode(textstats.tokens(F.col("text"))).alias("term"))
+    sk = sketches.cms_table(toks, "term", depth=3, width=256)
+    truth = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    est = sketches.cms_estimate(truth, sk, "term", depth=3, width=256)
+    over = F.col("est_cnt") - F.col("cnt")
+    return est.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum((over == 0).cast("long")).alias("n_exact"),
+        F.max(over).alias("max_over"),
+        F.sum(over).alias("sum_over"),
+    )
+
+
 def _q_index_advisor(spark, sf_dir):
     """Index advisor (M4's planning side): given a 4-predicate workload,
     recommend block/bloom/zone per referenced column from ONE profiling
@@ -2432,6 +2452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hist_quantile_est": _q_hist_quantile_est,
         "ann_ivf_pq_top10": _q_ann_ivf_pq_top10,
         "index_advisor": _q_index_advisor,
+        "cms_error_stats": _q_cms_error_stats,
         # --- r2 hash-fails (DuckDB HUGEINT sum → float64; oracle now
         # CASTs to BIGINT — engine side was already correct; green r3)
         "oov_stats": _q_oov_stats,
@@ -4402,6 +4423,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_lists
             FROM u GROUP BY id
             ORDER BY rrf_score DESC, id ASC LIMIT 20
+        """,
+        "cms_error_stats": f"""
+            WITH tk AS (SELECT unnest({_TOKSF}) AS term FROM documents),
+            buck AS (
+              SELECT h AS row, term,
+                CAST(CAST(concat('0x', substring(md5(concat(CAST(h AS VARCHAR), '|', term)), 1, 15)) AS BIGINT) % 256 AS INT) AS bucket
+              FROM tk, UNNEST([0, 1, 2]) AS hh(h)
+            ),
+            sk AS (SELECT row, bucket, count(*) AS scnt FROM buck GROUP BY row, bucket),
+            truth AS (SELECT term, count(*) AS cnt FROM tk GROUP BY term),
+            probe AS (
+              SELECT t.term, t.cnt, h AS row,
+                CAST(CAST(concat('0x', substring(md5(concat(CAST(h AS VARCHAR), '|', t.term)), 1, 15)) AS BIGINT) % 256 AS INT) AS bucket
+              FROM truth t, UNNEST([0, 1, 2]) AS hh(h)
+            ),
+            est AS (
+              SELECT term, any_value(cnt) AS cnt,
+                     min(coalesce(sk.scnt, 0)) AS est_cnt
+              FROM probe LEFT JOIN sk USING (row, bucket)
+              GROUP BY term
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_terms,
+                   CAST(sum(CASE WHEN est_cnt = cnt THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+                   CAST(max(est_cnt - cnt) AS BIGINT) AS max_over,
+                   CAST(sum(est_cnt - cnt) AS BIGINT) AS sum_over
+            FROM est
         """,
         "index_advisor": """
             WITH s AS (SELECT count(*) AS n,
