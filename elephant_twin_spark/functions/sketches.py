@@ -95,7 +95,9 @@ def cms_table(
     groupBy; store it, merge two sketches by summing cnt per (row,
     bucket)."""
     k = F.col(key_col)
-    pairs = df.select(
+    # NULLs don't enter the sketch (standard sketch semantics: a NULL
+    # key has no frequency; estimates for NULL probe keys return 0)
+    pairs = df.where(k.isNotNull()).select(
         F.explode(
             F.array(
                 *[

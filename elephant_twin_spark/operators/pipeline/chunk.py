@@ -77,7 +77,10 @@ def truncate_tokens(
     truncated flag keeps the cut auditable."""
     if max_tokens <= 0:
         raise ValueError(f"max_tokens must be positive, got {max_tokens}")
-    toks = whitespace_tokenizer(F.col(text_col))
+    # total: NULL text behaves as the empty doc ("", 0 tokens, untruncated)
+    toks = F.coalesce(
+        whitespace_tokenizer(F.col(text_col)), F.array().cast("array<string>")
+    )
     n = F.size(toks)
     return df.select(
         F.col(id_col),

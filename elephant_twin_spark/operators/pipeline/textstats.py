@@ -633,11 +633,15 @@ def sentence_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     (trimmed, empties dropped) — the quality filter that catches
     wall-of-text and fragment-spam documents. Pure per-row expressions,
     no shuffle."""
-    sents = F.filter(
-        F.transform(
-            F.split(F.col(text_col), r"[.!?]+"), lambda s: F.trim(s)
+    # total: NULL text reports 0 sentences (not NULL counts)
+    sents = F.coalesce(
+        F.filter(
+            F.transform(
+                F.split(F.col(text_col), r"[.!?]+"), lambda s: F.trim(s)
+            ),
+            lambda s: s != F.lit(""),
         ),
-        lambda s: s != F.lit(""),
+        F.array().cast("array<string>"),
     )
     n_sent = F.size(sents)
     words = F.aggregate(

@@ -41,6 +41,15 @@ def test_cms_estimate_overcounts_never_undercounts(spark):
     assert est["a"] == 50 and est["b"] == 20
 
 
+def test_cms_ignores_null_keys(spark):
+    df = spark.createDataFrame([("a",), (None,), ("a",), (None,)], "k string")
+    sk = sketches.cms_table(df, "k", depth=2, width=32)
+    keys = spark.createDataFrame([("a",), (None,)], "k string")
+    est = {r["k"]: r["est_cnt"] for r in sketches.cms_estimate(keys, sk, "k", 2, 32).collect()}
+    assert est["a"] == 2  # NULLs never entered the sketch
+    assert est[None] == 0
+
+
 def test_cms_merge_is_sum(spark):
     a = spark.createDataFrame([("x",)] * 10, "k string")
     b = spark.createDataFrame([("x",)] * 7, "k string")
@@ -95,6 +104,10 @@ def test_sentence_stats(spark):
     assert out[2]["n_sentences"] == 1 and abs(out[2]["avg_sentence_words"] - 3.0) < 1e-9
     assert out[3]["n_sentences"] == 0 and out[3]["avg_sentence_words"] is None
     assert out[4]["n_sentences"] == 0
+    # NULL text is total
+    df2 = spark.createDataFrame([(9, None)], "doc_id long, text string")
+    r9 = textstats.sentence_stats(df2, "text", "doc_id").first()
+    assert r9["n_sentences"] == 0 and r9["avg_sentence_words"] is None
 
 
 # ----------------------------------------------- quantile_normalize
@@ -141,12 +154,15 @@ def test_mad_outliers_zero_mad(spark):
 
 def test_truncate_tokens(spark):
     df = spark.createDataFrame(
-        [(1, "a b c d e"), (2, "x y"), (3, "")], "doc_id long, text string"
+        [(1, "a b c d e"), (2, "x y"), (3, ""), (4, None)],
+        "doc_id long, text string",
     )
     out = {r["doc_id"]: r for r in chunk.truncate_tokens(df, "text", "doc_id", 3).collect()}
     assert out[1]["text"] == "a b c" and out[1]["n_tokens"] == 3 and out[1]["truncated"]
     assert out[2]["text"] == "x y" and out[2]["n_tokens"] == 2 and not out[2]["truncated"]
     assert out[3]["n_tokens"] == 0 and not out[3]["truncated"]
+    # NULL text is total: empty doc out, no NULL flags
+    assert out[4]["n_tokens"] == 0 and not out[4]["truncated"] and out[4]["text"] == ""
 
 
 # -------------------------------------------------- label centroids
