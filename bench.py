@@ -82,6 +82,15 @@ def main():
     # steady-state event_type build is 0.7-1.0 s, see SCALE_EXPERIMENTS.md)
     spark.range(1_000_000).groupBy((F.col("id") % 7).alias("k")).count().collect()
     spark.read.parquet(events).limit(1000).count()
+    # ...and one tiny range-partitioned parquet write: the first write of
+    # a session pays committer/codec/range-sampler init (~2 s) that has
+    # nothing to do with the operator being measured
+    (
+        spark.range(1000)
+        .repartitionByRange(2, "id")
+        .write.mode("overwrite")
+        .parquet(f"{work}/_warmup")
+    )
 
     # ---- index build (the reference's write path)
     timed("build_block_index_event_type")(
