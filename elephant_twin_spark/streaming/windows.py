@@ -245,3 +245,48 @@ def compact_sketch_rollup(spark: SparkSession, sink_path: str) -> int:
     jvm_path = spark._jvm.org.apache.hadoop.fs.Path
     fs.rename(jvm_path(tmp), jvm_path(sink_path))
     return spark.read.parquet(sink_path).count()
+
+
+def cms_rollup_stream(
+    stream: DataFrame,
+    sink_path: str,
+    checkpoint_path: str,
+    key_col: str = "event_type",
+    depth: int = 3,
+    width: int = 1024,
+):
+    """Streaming mergeable count-min rollup: each micro-batch appends
+    its PARTIAL sketch cells ``(row, bucket, cnt)``; merge-on-read is a
+    sum per cell (:func:`read_cms_rollup`). Same zero-state discipline
+    as :func:`sketch_rollup_stream` — no state store, no watermark,
+    restart-safe by file commit — but STRONGER equivalence: the md5
+    bucketing is deterministic and the merge is exact addition, so the
+    merged sketch is CELL-IDENTICAL to a batch-built sketch over the
+    same rows (the HLL rollup only promises matching estimates). Pinned
+    by ``test_cms_rollup_stream_equals_batch_sketch``."""
+    from elephant_twin_spark.functions import sketches
+
+    def append_partials(batch_df: DataFrame, batch_id: int):
+        (
+            sketches.cms_table(batch_df, key_col, depth=depth, width=width)
+            .write.mode("append")
+            .parquet(sink_path)
+        )
+
+    return (
+        stream.writeStream.foreachBatch(append_partials)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_cms_rollup(spark: SparkSession, sink_path: str) -> DataFrame:
+    """Merge the partial CMS cells: ``(row, bucket, cnt)`` summed —
+    exactly the sketch :func:`~elephant_twin_spark.functions.sketches.cms_table`
+    would build over all streamed rows."""
+    return (
+        spark.read.parquet(sink_path)
+        .groupBy("row", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )

@@ -518,3 +518,43 @@ def test_streaming_hash_sample_matches_batch(spark, events_multifile):
     assert got == want and len(want) > 0
     # rate-0 group fully dropped
     assert spark.table("hash_sample_out").where("event_type = 'error'").count() == 0
+
+
+def test_cms_rollup_stream_equals_batch_sketch(spark, workdir, events_multifile):
+    """The streamed CMS rollup (partial cells per micro-batch, summed on
+    read) must be CELL-IDENTICAL to the batch-built sketch — exact-merge
+    mergeability, stronger than the HLL rollup's estimate equality."""
+    from elephant_twin_spark.functions import sketches
+
+    batch_df = spark.read.parquet(events_multifile)
+    sink = f"{workdir}/cms_rollup"
+    ckpt = f"{workdir}/cms_rollup_ckpt"
+    stream = (
+        spark.readStream.schema(batch_df.schema)
+        .option("maxFilesPerTrigger", 3)  # force several micro-batches
+        .parquet(events_multifile)
+    )
+    q = windows.cms_rollup_stream(stream, sink, ckpt, key_col="event_type", depth=2, width=64)
+    q.awaitTermination(120)
+    merged = {
+        (r["row"], r["bucket"]): r["cnt"]
+        for r in windows.read_cms_rollup(spark, sink).collect()
+    }
+    batch = {
+        (r["row"], r["bucket"]): r["cnt"]
+        for r in sketches.cms_table(batch_df, "event_type", depth=2, width=64).collect()
+    }
+    assert merged == batch and len(batch) > 0
+    # and the estimates drawn from the merged table match the batch ones
+    keys = batch_df.select("event_type").distinct()
+    merged_df = windows.read_cms_rollup(spark, sink)
+    est_m = {
+        r["event_type"]: r["est_cnt"]
+        for r in sketches.cms_estimate(keys, merged_df, "event_type", 2, 64).collect()
+    }
+    truth = {
+        r["event_type"]: r["n"]
+        for r in batch_df.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for k, t in truth.items():
+        assert est_m[k] >= t  # CMS never undercounts
