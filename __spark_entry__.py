@@ -4306,9 +4306,10 @@ def oracle_sql() -> dict[str, str]:
         "sentence_stats": """
             WITH s AS (
               SELECT doc_id,
-                     list_filter(list_transform(
+                     -- coalesce mirrors the Spark side's NULL-text totality
+                     coalesce(list_filter(list_transform(
                          regexp_split_to_array(text, '[.!?]+'), x -> trim(x)),
-                       x -> x <> '') AS sents
+                       x -> x <> ''), []) AS sents
               FROM documents
             )
             SELECT doc_id, CAST(len(sents) AS INT) AS n_sentences,
@@ -4345,7 +4346,8 @@ def oracle_sql() -> dict[str, str]:
             FROM j JOIN madt USING (grp) GROUP BY j.grp
         """,
         "truncate_tokens": f"""
-            WITH t AS (SELECT doc_id, {_TOKSF} AS tk FROM documents)
+            -- coalesce mirrors the Spark side's NULL-text totality
+            WITH t AS (SELECT doc_id, coalesce({_TOKSF}, []) AS tk FROM documents)
             SELECT doc_id, array_to_string(tk[1:32], ' ') AS text,
                    CAST(least(len(tk), 32) AS INT) AS n_tokens,
                    len(tk) > 32 AS truncated
@@ -4398,16 +4400,15 @@ def oracle_sql() -> dict[str, str]:
                    FROM tok),
             dfreq AS (SELECT count(*) AS df FROM tf WHERE tf > 0),
             bm AS (
-              -- top-50 cut on the RAW score (mirrors TextIndex.top_n);
-              -- fusion ranks then use the rounded score
+              -- top-50 cut on the 6dp-ROUNDED score with doc_id tiebreak:
+              -- TextIndex.matches() rounds BEFORE top_n's cut, so the
+              -- rounded ordering IS the engine's candidate-set semantics
               SELECT doc_id,
                      round(ln(1 + (n - df + 0.5) / (df + 0.5))
                            * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)),
                            6) AS s
               FROM tf, stats, dfreq WHERE tf > 0
-              ORDER BY ln(1 + (n - df + 0.5) / (df + 0.5))
-                       * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) DESC,
-                       doc_id ASC
+              ORDER BY s DESC, doc_id ASC
               LIMIT 50
             ),
             bmr AS (SELECT doc_id AS id,

@@ -102,3 +102,16 @@ def hex_lower(col: Column) -> Column:
 def md5_hex(col: Column) -> Column:
     """C6: MD5 digest as lowercase hex (core/util/DigestUtil.java:22-75)."""
     return F.md5(col.cast("binary"))
+
+
+def md5_bucket(key: Column, salt: int, modulus: int) -> Column:
+    """THE shared deterministic-hash primitive: bucket of ``key`` under
+    integer ``salt`` = md5('{salt}|' + key) 15-hex prefix, base-16 →
+    long, mod ``modulus`` (int out). One definition serves the Bloom
+    index positions (`operators/build.py`) and the count-min buckets
+    (`functions/sketches.py`) so the cross-engine oracle restatements
+    can never desynchronize from a one-sided tweak. ANSI-SQL twin:
+    ``CAST(CAST(concat('0x', substring(md5(concat('{salt}|', key)), 1,
+    15)) AS BIGINT) % modulus AS INT)``."""
+    h = F.conv(F.substring(F.md5(F.concat(F.lit(f"{salt}|"), key)), 1, 15), 16, 10)
+    return (h.cast("long") % modulus).cast("int")

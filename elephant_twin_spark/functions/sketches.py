@@ -79,11 +79,11 @@ def freq_count_min(col, eps: float = 0.001, confidence: float = 0.99, seed: int 
 
 def cms_bucket(key: Column, row: int, width: int) -> Column:
     """Bucket of ``key`` in CMS row ``row``: md5('row|key') prefix mod
-    width — deterministic, engine-independent."""
-    h = F.conv(
-        F.substring(F.md5(F.concat(F.lit(f"{row}|"), key)), 1, 15), 16, 10
-    )
-    return (h.cast("long") % width).cast("int")
+    width — deterministic, engine-independent (the shared
+    `scalar.md5_bucket` primitive, same algebra as the Bloom index)."""
+    from elephant_twin_spark.functions.scalar import md5_bucket
+
+    return md5_bucket(key, row, width)
 
 
 def cms_table(

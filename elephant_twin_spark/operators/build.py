@@ -286,9 +286,12 @@ BLOOM_DEFAULT_HASHES = 3
 
 def _bloom_pos_sql(key, i: int, num_bits: int) -> F.Column:
     """Hash position i for a key column — md5-based so the SAME value is
-    computable driver-side in Python (`bloom_positions`) without Spark."""
-    h = F.conv(F.substring(F.md5(F.concat(F.lit(f"{i}|"), key)), 1, 15), 16, 10)
-    return (h.cast("long") % num_bits).cast("int")
+    computable driver-side in Python (`bloom_positions`) without Spark.
+    Delegates to the shared primitive (`scalar.md5_bucket`) so the Bloom
+    and count-min hash algebras stay one definition."""
+    from elephant_twin_spark.functions.scalar import md5_bucket
+
+    return md5_bucket(key, i, num_bits)
 
 
 def bloom_positions(value: str, num_bits: int, num_hashes: int):

@@ -33,6 +33,7 @@ def clean_corpus(
     num_bands: int = 4,
     shingle_k: int = 3,
     threshold: float = 0.8,
+    edge_mode: str = "star",
 ) -> Tuple[DataFrame, DataFrame]:
     """Returns ``(cleaned, audit)``.
 
@@ -75,6 +76,9 @@ def clean_corpus(
         exact_survivors = after_exact.where(F.col("_sig_win").isNotNull()).select(
             "id", "_text"
         )
+        # edge_mode pinned EXPLICITLY at this call site (not inherited):
+        # star (linear spanning edges) is the scale default; pass
+        # "all_pairs" to reproduce pre-r4 recorded audits exactly
         clusters = dedup.near_dup_clusters(
             exact_survivors,
             "_text",
@@ -83,6 +87,7 @@ def clean_corpus(
             num_bands=num_bands,
             shingle_k=shingle_k,
             threshold=threshold,
+            edge_mode=edge_mode,
         ).select("id", "is_canonical")
         verdict = after_exact.join(clusters, "id", "left").withColumn(
             "_dedup_reason",

@@ -38,17 +38,26 @@ def curriculum_interleave(
     One per-group window shuffle + a broadcast join against the
     (tiny) group dimension. Group count and index are computed from a
     #groups-row aggregate, never the fact table.
+
+    A NULL group is a REAL group (its own rank sequence and round-robin
+    slot, sorted first in the group ordering) — silently dropping
+    unlabeled documents from a training layout would be a data-loss
+    bug, so the internal join key is null-safe.
     """
     gdim = (
-        df.select(F.col(group_col).alias("grp"))
+        df.select(F.col(group_col).alias("_g"))
         .distinct()
-        .orderBy("grp")
         .withColumn(
             "gidx",
-            F.row_number().over(Window.partitionBy(F.lit(1)).orderBy("grp")) - 1,
+            F.row_number().over(
+                Window.partitionBy(F.lit(1)).orderBy(F.col("_g").asc_nulls_first())
+            )
+            - 1,
         )
     )
     n_groups = gdim.count()
+    # window partitioning already treats NULL as one group; the dim join
+    # must be null-safe for the same rows to survive
     w = Window.partitionBy(group_col).orderBy(
         F.col(score_col).desc(), F.col(id_col).asc()
     )
@@ -57,7 +66,9 @@ def curriculum_interleave(
         F.col(group_col).alias("grp"),
         F.row_number().over(w).alias("rank_in_group"),
     )
-    return ranked.join(F.broadcast(gdim), "grp").select(
+    return ranked.join(
+        F.broadcast(gdim), ranked["grp"].eqNullSafe(gdim["_g"])
+    ).select(
         id_col,
         "grp",
         "rank_in_group",

@@ -641,11 +641,16 @@ def near_dup_clusters(
     )
 
 
-def near_dup_dedup(df: DataFrame, text_col: str, id_col: str, **kw) -> DataFrame:
+def near_dup_dedup(
+    df: DataFrame, text_col: str, id_col: str, edge_mode: str = "star", **kw
+) -> DataFrame:
     """Keep one representative per near-dup cluster (min id, or the
-    max-``prefer_col`` row when given)."""
+    max-``prefer_col`` row when given). ``edge_mode`` is explicit here
+    (default star — the clustering use case) so this API's recorded
+    behavior never shifts under a default change in
+    :func:`near_dup_clusters`."""
     keep = (
-        near_dup_clusters(df, text_col, id_col, **kw)
+        near_dup_clusters(df, text_col, id_col, edge_mode=edge_mode, **kw)
         .where("is_canonical")
         .select(F.col("id").alias(id_col))
     )

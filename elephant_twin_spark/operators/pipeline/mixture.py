@@ -77,11 +77,7 @@ def temperature_weights(
     tiny count aggregate (#groups rows collected)."""
     if not 0.0 <= alpha <= 1.0:
         raise ValueError(f"alpha must be in [0,1], got {alpha}")
-    counts = {
-        r["g"]: r["n"]
-        for r in df.groupBy(F.col(group_col).alias("g")).agg(F.count("*").alias("n"))
-        .collect()
-    }
+    counts = _group_counts(df, group_col)
     raw = {g: float(n) ** alpha for g, n in counts.items()}
     total = sum(raw.values()) or 1.0
     return {g: w / total for g, w in raw.items()}

@@ -228,15 +228,15 @@ def mad_outliers(
         "_adev", F.abs(F.col("_v") - F.col("med"))
     )
     madt = j.groupBy("_g").agg(F.expr("percentile(_adev, 0.5)").alias("mad"))
-    fences = med.join(madt, "_g")
-    out = base.join(F.broadcast(fences), "_g")
+    # final count reuses j's _adev (two fact-table passes total, not three)
+    out = j.join(F.broadcast(madt), "_g")
     return out.groupBy(F.col("_g").alias("grp")).agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.first("med"), 6).alias("med"),
         F.round(F.first("mad"), 6).alias("mad"),
-        F.sum(
-            (F.abs(F.col("_v") - F.col("med")) > F.lit(k) * F.col("mad")).cast("long")
-        ).alias("n_outlier"),
+        F.sum((F.col("_adev") > F.lit(k) * F.col("mad")).cast("long")).alias(
+            "n_outlier"
+        ),
     )
 
 

@@ -258,19 +258,25 @@ def cms_rollup_stream(
     """Streaming mergeable count-min rollup: each micro-batch appends
     its PARTIAL sketch cells ``(row, bucket, cnt)``; merge-on-read is a
     sum per cell (:func:`read_cms_rollup`). Same zero-state discipline
-    as :func:`sketch_rollup_stream` — no state store, no watermark,
-    restart-safe by file commit — but STRONGER equivalence: the md5
-    bucketing is deterministic and the merge is exact addition, so the
-    merged sketch is CELL-IDENTICAL to a batch-built sketch over the
-    same rows (the HLL rollup only promises matching estimates). Pinned
-    by ``test_cms_rollup_stream_equals_batch_sketch``."""
+    as :func:`sketch_rollup_stream` — no state store, no watermark —
+    but STRONGER equivalence: the md5 bucketing is deterministic and
+    the merge is exact addition, so the merged sketch is CELL-IDENTICAL
+    to a batch-built sketch over the same rows (the HLL rollup only
+    promises matching estimates). Pinned by
+    ``test_cms_rollup_stream_equals_batch_sketch``.
+
+    Replay safety: foreachBatch is at-least-once, and unlike the HLL
+    register-max merge, SUM-merge is NOT idempotent — so each batch
+    writes (overwrite) its own ``batch_id=N`` directory instead of
+    appending; a replayed batch rewrites the same partition and the
+    read-side sum never double-counts."""
     from elephant_twin_spark.functions import sketches
 
     def append_partials(batch_df: DataFrame, batch_id: int):
         (
             sketches.cms_table(batch_df, key_col, depth=depth, width=width)
-            .write.mode("append")
-            .parquet(sink_path)
+            .write.mode("overwrite")
+            .parquet(f"{sink_path}/batch_id={batch_id}")
         )
 
     return (

@@ -261,6 +261,17 @@ def test_rrf_fuse_ranks_and_scores(spark):
     assert len(top1) == 1 and top1[0]["id"] == 20
 
 
+def test_curriculum_interleave_null_group_kept(spark):
+    """A NULL group is a real group: its docs rank, join, and get
+    positions (silently dropping unlabeled docs would be data loss)."""
+    rows = [("a1", "en", 2.0), ("a2", "en", 1.0), ("b1", None, 5.0), ("b2", None, 4.0)]
+    df = spark.createDataFrame(rows, "id string, src string, score double")
+    out = {r["id"]: r for r in curriculum.curriculum_interleave(df, "id", "score", "src").collect()}
+    assert set(out) == {"a1", "a2", "b1", "b2"}  # nothing dropped
+    assert out["b1"]["rank_in_group"] == 1 and out["b2"]["rank_in_group"] == 2
+    assert len({r["global_pos"] for r in out.values()}) == 4  # unique positions
+
+
 def test_write_curriculum_layout(spark, workdir, docs):
     path = f"{workdir}/curriculum"
     curriculum.write_curriculum(
