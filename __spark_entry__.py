@@ -2364,6 +2364,58 @@ def _q_ann_ivf_pq_top10(spark, sf_dir):
     return top.select(F.col("id").alias("vec_id"), F.round("cosine", 4).alias("cosine"))
 
 
+def _q_time_decay_score(spark, sf_dir):
+    """Exponentially time-decayed engagement score per user:
+    ``Σ value · exp(−Δt/τ)`` with Δt measured from the corpus max
+    timestamp (τ = 7 days) — the recency-weighted feature aggregation
+    every ranking pipeline computes. One scalar max-ts aggregate
+    broadcast back + one user-keyed sum; decay is pure JVM math."""
+    ev = _state(spark, sf_dir).raw("events")
+    mx = ev.agg(F.max("ts").alias("_mx"))
+    tau = 7.0 * 86400.0
+    # ts is TIMESTAMP_NTZ (no direct double cast): micros via an
+    # NTZ→timestamp cast under the UTC session, exactly epoch_us in DuckDB
+    dt = (
+        F.unix_micros(F.col("_mx").cast("timestamp"))
+        - F.unix_micros(F.col("ts").cast("timestamp"))
+    ) / F.lit(1e6)
+    return (
+        ev.crossJoin(F.broadcast(mx))
+        .groupBy("user_id")
+        .agg(
+            F.round(F.sum(F.col("value") * F.exp(-dt / tau)), 4).alias(
+                "decay_score"
+            ),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+def _q_winsorized_stats(spark, sf_dir):
+    """Winsorized robust means per language: clip doc length at the
+    group's exact [p05, p95] fences, report mean before/after and the
+    clipped-row count — the outlier-tolerant summary that pairs with
+    the MAD audit. Fences are a #groups-row broadcast; clipping is a
+    per-row least/greatest."""
+    docs = _state(spark, sf_dir).raw("documents")
+    fences = docs.groupBy(F.col("lang").alias("grp")).agg(
+        F.expr("percentile(n_chars, 0.05)").alias("_lo"),
+        F.expr("percentile(n_chars, 0.95)").alias("_hi"),
+    )
+    j = docs.join(F.broadcast(fences), docs["lang"] == fences["grp"])
+    clipped = F.least(F.greatest(F.col("n_chars").cast("double"), F.col("_lo")), F.col("_hi"))
+    return j.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("n_chars"), 6).alias("mean_raw"),
+        F.round(F.avg(clipped), 6).alias("mean_winsor"),
+        F.sum(
+            (
+                (F.col("n_chars") < F.col("_lo")) | (F.col("n_chars") > F.col("_hi"))
+            ).cast("long")
+        ).alias("n_clipped"),
+    )
+
+
 def _q_cms_error_stats(spark, sf_dir):
     """CMS accuracy audit (the sketch twin of minhash_jaccard_error):
     estimate EVERY distinct term's frequency from the 3×256 sketch and
@@ -2458,6 +2510,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_pq_top10": _q_ann_ivf_pq_top10,
         "index_advisor": _q_index_advisor,
         "cms_error_stats": _q_cms_error_stats,
+        "time_decay_score": _q_time_decay_score,
+        "winsorized_stats": _q_winsorized_stats,
         # --- r2 hash-fails (DuckDB HUGEINT sum → float64; oracle now
         # CASTs to BIGINT — engine side was already correct; green r3)
         "oov_stats": _q_oov_stats,
@@ -4429,6 +4483,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_lists
             FROM u GROUP BY id
             ORDER BY rrf_score DESC, id ASC LIMIT 20
+        """,
+        "time_decay_score": """
+            WITH mx AS (SELECT max(ts) AS m FROM events)
+            SELECT user_id,
+                   round(sum(value * exp(-((epoch_us(mx.m) - epoch_us(ts))
+                                           / 1000000.0) / 604800.0)), 4)
+                     AS decay_score,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM events, mx GROUP BY user_id
+        """,
+        "winsorized_stats": """
+            WITH f AS (SELECT lang AS grp, quantile_cont(n_chars, 0.05) AS lo,
+                              quantile_cont(n_chars, 0.95) AS hi
+                       FROM documents GROUP BY lang)
+            SELECT f.grp, CAST(count(*) AS BIGINT) AS n,
+                   round(avg(n_chars), 6) AS mean_raw,
+                   round(avg(least(greatest(n_chars * 1.0, lo), hi)), 6) AS mean_winsor,
+                   CAST(sum(CASE WHEN n_chars < lo OR n_chars > hi
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
+            FROM documents d JOIN f ON d.lang = f.grp GROUP BY f.grp
         """,
         "cms_error_stats": f"""
             WITH tk AS (SELECT unnest({_TOKSF}) AS term FROM documents),
