@@ -2364,6 +2364,29 @@ def _q_ann_ivf_pq_top10(spark, sf_dir):
     return top.select(F.col("id").alias("vec_id"), F.round("cosine", 4).alias("cosine"))
 
 
+def _q_kmv_distinct_users(spark, sf_dir):
+    """KMV (k-minimum-values) distinct sketch: estimate distinct users
+    per event type from the 64 smallest md5 hashes, reported against
+    the exact count with |error| — like the md5-CMS, the hash is
+    engine-independent so even the ESTIMATE is oracle-checkable
+    (HLL's register layout never is). The synopsis is 64 doubles per
+    key and merges exactly (union + re-min, pinned in pytest)."""
+    ev = _state(spark, sf_dir).raw("events")
+    syn = sketches.kmv_synopsis(ev, "event_type", "user_id", k=64)
+    est = sketches.kmv_estimate(syn, k=64)
+    exact = ev.groupBy(F.col("event_type").alias("key")).agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return est.join(exact, "key").select(
+        "key",
+        "distinct_est",
+        "exact_distinct",
+        F.round(F.abs(F.col("distinct_est") - F.col("exact_distinct")), 4).alias(
+            "abs_err"
+        ),
+    )
+
+
 def _q_time_decay_score(spark, sf_dir):
     """Exponentially time-decayed engagement score per user:
     ``Σ value · exp(−Δt/τ)`` with Δt measured from the corpus max
@@ -2512,6 +2535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_error_stats": _q_cms_error_stats,
         "time_decay_score": _q_time_decay_score,
         "winsorized_stats": _q_winsorized_stats,
+        "kmv_distinct_users": _q_kmv_distinct_users,
         # --- r2 hash-fails (DuckDB HUGEINT sum → float64; oracle now
         # CASTs to BIGINT — engine side was already correct; green r3)
         "oov_stats": _q_oov_stats,
@@ -4483,6 +4507,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_lists
             FROM u GROUP BY id
             ORDER BY rrf_score DESC, id ASC LIMIT 20
+        """,
+        "kmv_distinct_users": """
+            WITH pairs AS (
+              SELECT DISTINCT event_type AS key,
+                     CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                       / 1152921504606846976.0 AS h
+              FROM events WHERE user_id IS NOT NULL
+            ),
+            r AS (SELECT key, h,
+                         row_number() OVER (PARTITION BY key ORDER BY h) AS rn
+                  FROM pairs),
+            syn AS (
+              SELECT key, count(*) AS n,
+                     max(CASE WHEN rn = 64 THEN h END) AS h64
+              FROM r WHERE rn <= 64 GROUP BY key
+            ),
+            ex AS (SELECT event_type AS key, count(DISTINCT user_id) AS exact
+                   FROM events GROUP BY event_type),
+            est AS (
+              SELECT key,
+                     round(CASE WHEN n < 64 THEN n * 1.0
+                                ELSE 63.0 / h64 END, 4) AS distinct_est
+              FROM syn
+            )
+            SELECT est.key, est.distinct_est,
+                   CAST(ex.exact AS BIGINT) AS exact_distinct,
+                   round(abs(est.distinct_est - ex.exact), 4) AS abs_err
+            FROM est JOIN ex USING (key)
         """,
         "time_decay_score": """
             WITH mx AS (SELECT max(ts) AS m FROM events)

@@ -220,3 +220,64 @@ def histogram_quantile(hist, q: float, num_bins: int, lo: float, hi: float) -> C
     frac = F.when(in_bin > 0, (target - prev_cum.cast("double")) / in_bin.cast("double")).otherwise(F.lit(0.0))
     est = F.lit(lo) + ((idx - 1).cast("double") + frac) * F.lit(w)
     return F.when(total > 0, est)
+
+
+# ------------------------------------------------- KMV distinct sketch
+#
+# K-minimum-values: keep the k smallest uniform hashes of the distinct
+# values; estimate distinct ≈ (k-1)/h_k (h_k = the kth smallest hash in
+# [0,1)). Like the md5 count-min above, the hash is md5-derived, so the
+# synopsis AND the estimate are bit-reproducible in any engine — unlike
+# HLL, whose register layout is engine-private. Mergeable: union two
+# synopses and re-take the k smallest (exact, associative). The value
+# at scale is the STORED synopsis (k doubles per key, re-aggregatable
+# per day/partition without rescans); the build itself is one distinct
+# + one bounded window.
+
+def kmv_hash(val: Column) -> Column:
+    """Uniform [0,1) hash of a value: md5 15-hex prefix / 16^15."""
+    h = F.conv(F.substring(F.md5(val.cast("string")), 1, 15), 16, 10)
+    return h.cast("double") / F.lit(float(16**15))
+
+
+def kmv_synopsis(
+    df: DataFrame, key_col: str, val_col: str, k: int = 64
+) -> DataFrame:
+    """``(key, hashes array<double>)`` — the k smallest distinct-value
+    hashes per key (ascending; fewer than k when the key has fewer
+    distinct values). NULL values don't enter (no frequency, like the
+    CMS). One distinct + one key-partitioned window."""
+    from pyspark.sql.window import Window
+
+    pairs = (
+        df.where(F.col(val_col).isNotNull())
+        .select(F.col(key_col).alias("key"), kmv_hash(F.col(val_col)).alias("h"))
+        .distinct()
+    )
+    w = Window.partitionBy("key").orderBy("h")
+    kept = pairs.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= k)
+    return kept.groupBy("key").agg(F.sort_array(F.collect_list("h")).alias("hashes"))
+
+
+def kmv_estimate(synopsis: DataFrame, k: int = 64) -> DataFrame:
+    """``(key, distinct_est)`` from a stored synopsis: exact count when
+    the key saturated below k, else ``(k-1)/h_k``."""
+    n = F.size("hashes")
+    est = F.when(n < k, n.cast("double")).otherwise(
+        F.lit(float(k - 1)) / F.element_at("hashes", k)
+    )
+    return synopsis.select("key", F.round(est, 4).alias("distinct_est"))
+
+
+def kmv_merge(a: DataFrame, b: DataFrame, k: int = 64) -> DataFrame:
+    """Merge two synopses: per key, union the hash lists and re-take the
+    k smallest — exact and associative, so daily synopses roll up to
+    monthly without touching raw data."""
+    u = a.unionByName(b)
+    return u.groupBy("key").agg(
+        F.slice(
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("hashes")))),
+            1,
+            k,
+        ).alias("hashes")
+    )

@@ -64,6 +64,33 @@ def test_cms_merge_is_sum(spark):
     assert est == 17
 
 
+# --------------------------------------------------------- KMV sketch
+
+def test_kmv_estimate_accuracy_and_saturation(spark):
+    # 1000 distinct values: k=64 estimate within ~25% (1/sqrt(k) ≈ 12.5%)
+    df = spark.createDataFrame([("g", i) for i in range(1000)], "key string, v long")
+    syn = sketches.kmv_synopsis(df, "key", "v", k=64)
+    est = sketches.kmv_estimate(syn, k=64).first()["distinct_est"]
+    assert 750 <= est <= 1250, est
+    # below-k keys are EXACT
+    small = spark.createDataFrame([("s", i % 10) for i in range(100)], "key string, v long")
+    s_est = sketches.kmv_estimate(sketches.kmv_synopsis(small, "key", "v", k=64), k=64)
+    assert s_est.first()["distinct_est"] == 10.0
+
+
+def test_kmv_merge_equals_direct_synopsis(spark):
+    a = spark.createDataFrame([("g", i) for i in range(500)], "key string, v long")
+    b = spark.createDataFrame([("g", i) for i in range(300, 900)], "key string, v long")
+    both = a.unionByName(b)
+    merged = sketches.kmv_merge(
+        sketches.kmv_synopsis(a, "key", "v", k=32),
+        sketches.kmv_synopsis(b, "key", "v", k=32),
+        k=32,
+    ).first()["hashes"]
+    direct = sketches.kmv_synopsis(both, "key", "v", k=32).first()["hashes"]
+    assert merged == direct  # exact mergeability
+
+
 # -------------------------------------------------------- Zipf slope
 
 def test_zipf_slope_on_synthetic_zipf(spark):
