@@ -865,3 +865,68 @@ def drop_consecutive_dups(
         )
         .drop("_prev", "_rn")
     )
+
+
+# -------------------------------------------- incremental cluster refresh
+
+def refresh_clusters(
+    new_docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    existing_clusters: DataFrame,
+    lsh_index,
+    threshold: float = 0.8,
+    **near_dup_kw,
+) -> DataFrame:
+    """Incremental near-dup cluster maintenance: place a NEW batch into
+    an existing clustering WITHOUT re-clustering the corpus — the
+    production shape once a 100-TB corpus has been clustered once and
+    batches keep arriving.
+
+    Two-stage, both bounded by the batch:
+
+    1. Gate the batch against the persisted LSH index
+       (:meth:`~elephant_twin_spark.operators.lsh.LshIndex.gate`):
+       a matched doc inherits the cluster of its lowest matching corpus
+       doc (``dup_of``), falling back to ``dup_of`` itself when that doc
+       is absent from ``existing_clusters`` (e.g. a corpus grown by
+       ``append_docs`` after the last full clustering).
+    2. The unmatched remainder — novel content — is near-dup-clustered
+       among ITSELF (star mode), so brand-new duplicate groups arriving
+       inside one batch still collapse; their cluster id is their own
+       min doc id (disjoint from corpus ids by the caller's id space).
+
+    Returns ``(id, cluster_id, is_new_cluster)``. Cost: probe-sized
+    bucket join + exact verify on collisions + clustering of only the
+    novel remainder — the corpus is touched only through the index and
+    the candidate verify reads.
+
+    Trade (same as any incremental clustering): merges BETWEEN existing
+    clusters that the new batch would induce (doc D near both cluster X
+    and cluster Y) are not applied to the stored clustering; D inherits
+    its lowest match. Run the full clustering periodically to compact.
+    """
+    gated = lsh_index.gate(new_docs, text_col, id_col, threshold=threshold)
+    matched = gated.where(F.col("is_near_dup")).select(
+        F.col(id_col).alias("id"), F.col("dup_of")
+    )
+    prior = existing_clusters.select(
+        F.col("id").alias("dup_of"), F.col("cluster_id").alias("_prior_cluster")
+    )
+    inherited = (
+        matched.join(prior, "dup_of", "left")
+        .select(
+            "id",
+            F.coalesce("_prior_cluster", F.col("dup_of")).alias("cluster_id"),
+            F.lit(False).alias("is_new_cluster"),
+        )
+    )
+    novel_ids = gated.where(~F.col("is_near_dup")).select(F.col(id_col).alias("id"))
+    novel_docs = new_docs.join(
+        novel_ids.withColumnRenamed("id", id_col), id_col, "left_semi"
+    )
+    fresh = near_dup_clusters(
+        novel_docs, text_col, id_col, threshold=threshold,
+        edge_mode="star", **near_dup_kw,
+    ).select("id", "cluster_id", F.lit(True).alias("is_new_cluster"))
+    return inherited.unionByName(fresh)

@@ -205,3 +205,45 @@ def test_top_fraction_rejects_bad_args(spark):
         textstats.top_fraction(df, "score", 0.0, id_col="id")
     with pytest.raises(ValueError):
         textstats.top_fraction(df, "score", 0.5)
+
+
+def test_refresh_clusters_incremental(spark, lsh_setup):
+    """Incremental cluster maintenance: gated matches inherit the
+    existing cluster; the novel remainder clusters among itself (a
+    within-batch duplicate pair collapses); singles become their own
+    new cluster."""
+    from elephant_twin_spark.operators.pipeline import dedup
+
+    eng, corpus_path = lsh_setup
+    idx = eng.lsh_index(corpus_path, "text")
+    # existing clustering: corpus docs 1..3, doc 2 canonicalized into
+    # cluster 7 by some earlier full run
+    existing = spark.createDataFrame(
+        [(1, 1), (2, 7), (3, 3)], "id long, cluster_id long"
+    )
+    batch = spark.createDataFrame(
+        [
+            # near-dup of corpus doc 1 -> inherits cluster 1
+            (100, "the quick brown fox jumps over the lazy cat today"),
+            # near-dup of corpus doc 2 -> inherits its REMAPPED cluster 7
+            (101, "spark shuffles data between stages across the cluster"),
+            # novel duplicate pair -> one NEW cluster (min id 102)
+            (102, "brand new content about incremental cluster refresh paths"),
+            (103, "brand new content about incremental cluster refresh paths"),
+            # novel singleton -> its own new cluster
+            (104, "nothing like anything else in corpus or batch at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["id"]: r
+        for r in dedup.refresh_clusters(
+            batch, "text", "doc_id", existing, idx, threshold=0.5, **PARAMS
+        ).collect()
+    }
+    assert len(out) == 5
+    assert out[100]["cluster_id"] == 1 and not out[100]["is_new_cluster"]
+    assert out[101]["cluster_id"] == 7 and not out[101]["is_new_cluster"]
+    assert out[102]["cluster_id"] == out[103]["cluster_id"] == 102
+    assert out[102]["is_new_cluster"] and out[103]["is_new_cluster"]
+    assert out[104]["cluster_id"] == 104 and out[104]["is_new_cluster"]
