@@ -2364,6 +2364,37 @@ def _q_ann_ivf_pq_top10(spark, sf_dir):
     return top.select(F.col("id").alias("vec_id"), F.round("cosine", 4).alias("cosine"))
 
 
+def _q_cluster_refresh(spark, sf_dir):
+    """Incremental cluster maintenance (rows-only: composition of the
+    green `lsh_gate` + `near_dup_components` behaviors): a probe batch
+    of 60 modified corpus docs + 2 planted novel duplicates is placed
+    into an existing clustering via the persisted LSH index; matched
+    docs inherit, the novel pair forms one new cluster. md5 hashing
+    throughout, so the placement is deterministic."""
+    st = _state(spark, sf_dir)
+    idx = st.docs_lsh_index()
+    docs = st.raw("documents")
+    existing = docs.select(
+        F.col("doc_id").alias("id"), F.col("doc_id").alias("cluster_id")
+    )
+    probe = docs.where(F.col("doc_id") < 60).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" probe")).alias("text"),
+    )
+    novel = spark.createDataFrame(
+        [
+            (20_000_000, "planted novel duplicate pair for refresh check"),
+            (20_000_001, "planted novel duplicate pair for refresh check"),
+        ],
+        "doc_id long, text string",
+    )
+    batch = probe.unionByName(novel)
+    return dedup.refresh_clusters(
+        batch, "text", "doc_id", existing, idx, threshold=0.5,
+        num_perm=8, num_bands=4, shingle_k=1,
+    )
+
+
 def _q_kmv_distinct_users(spark, sf_dir):
     """KMV (k-minimum-values) distinct sketch: estimate distinct users
     per event type from the 64 smallest md5 hashes, reported against
@@ -2536,6 +2567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_decay_score": _q_time_decay_score,
         "winsorized_stats": _q_winsorized_stats,
         "kmv_distinct_users": _q_kmv_distinct_users,
+        "cluster_refresh": _q_cluster_refresh,
         # --- r2 hash-fails (DuckDB HUGEINT sum → float64; oracle now
         # CASTs to BIGINT — engine side was already correct; green r3)
         "oov_stats": _q_oov_stats,
