@@ -2364,6 +2364,27 @@ def _q_ann_ivf_pq_top10(spark, sf_dir):
     return top.select(F.col("id").alias("vec_id"), F.round("cosine", 4).alias("cosine"))
 
 
+def _q_session_duration_stats(spark, sf_dir):
+    """Session-level KPI rollup on top of the gap sessionizer: per user,
+    session count, bounce count (1-event sessions), mean session
+    duration seconds and mean events per session — one extra user-keyed
+    aggregate over the session_stats output (same single window
+    shuffle, reused exchange)."""
+    ev = _state(spark, sf_dir).raw("events")
+    s = sessionize.session_stats(ev, "user_id", "ts", gap_seconds=1800)
+    dur = F.col("sess_end").cast("timestamp").cast("double") - F.col(
+        "sess_start"
+    ).cast("timestamp").cast("double")
+    return s.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum((F.col("n_events") == 1).cast("long")).alias("n_bounce"),
+        F.round(F.avg(dur), 4).alias("avg_duration_s"),
+        F.round(F.avg(F.col("n_events").cast("double")), 4).alias(
+            "avg_events"
+        ),
+    )
+
+
 def _q_cluster_refresh(spark, sf_dir):
     """Incremental cluster maintenance (rows-only: composition of the
     green `lsh_gate` + `near_dup_components` behaviors): a probe batch
@@ -2568,6 +2589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorized_stats": _q_winsorized_stats,
         "kmv_distinct_users": _q_kmv_distinct_users,
         "cluster_refresh": _q_cluster_refresh,
+        "session_duration_stats": _q_session_duration_stats,
         # --- r2 hash-fails (DuckDB HUGEINT sum → float64; oracle now
         # CASTs to BIGINT — engine side was already correct; green r3)
         "oov_stats": _q_oov_stats,
@@ -4539,6 +4561,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_lists
             FROM u GROUP BY id
             ORDER BY rrf_score DESC, id ASC LIMIT 20
+        """,
+        "session_duration_stats": """
+            WITH g AS (
+              SELECT user_id, ts,
+                     CASE WHEN date_diff('second', lag(ts) OVER w, ts) > 1800
+                          THEN 1 ELSE 0 END AS ns
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), s AS (
+              SELECT user_id, ts,
+                     sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM g
+            ), sess AS (
+              SELECT user_id, session_id, count(*) AS n_events,
+                     epoch_us(max(ts)) / 1000000.0
+                       - epoch_us(min(ts)) / 1000000.0 AS dur
+              FROM s GROUP BY user_id, session_id
+            )
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+                   CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_bounce,
+                   round(avg(dur), 4) AS avg_duration_s,
+                   round(avg(n_events * 1.0), 4) AS avg_events
+            FROM sess GROUP BY user_id
         """,
         "kmv_distinct_users": """
             WITH pairs AS (
