@@ -2545,15 +2545,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # driver checks exactly the first 50 dict entries per round. r1/r2/
     # r3 each filled their 50-slot window and every name declared
     # through r3 now has a green row (CORRECTNESS_r03: 0 errors, 0 hash
-    # fails), so the r4 window starts fresh. Head block = the 26 r4-new
+    # fails), so the r4 window starts fresh. Head block = the 31 r4-new
     # declarations (the seven operators built in r3 with pytest-only
     # evidence, paragraph_dedup on a synthesized multi-paragraph corpus,
     # and the r4-new operator set: CMS, zipf, sentence stats, quantile
     # normalize, MAD, truncation, centroids, curriculum, sliding
     # windows, rolling means, anomaly flags, RRF, RFM, salted-join
     # equivalence, histogram quantile, IVF+PQ, index advisor, CMS error
-    # audit); everything after them is evidenced and deliberately not
-    # re-run (the driver will re-check positions 27-50 — all green r3).
+    # audit, time-decay, winsorized means, KMV, cluster refresh,
+    # session-duration KPI); everything after them is evidenced and
+    # deliberately not re-run (the driver re-checks positions 32-50 —
+    # all green r2/r3).
     # test_registry_hygiene enforces the placement invariant;
     # tests/test_advisor_gates.py checks it against the CORRECTNESS
     # files themselves.
@@ -4732,7 +4734,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "curriculum_interleave": """
             WITH g AS (
-              SELECT lang, row_number() OVER (ORDER BY lang) - 1 AS gidx
+              -- NULLS FIRST + IS NOT DISTINCT FROM: the engine is
+              -- null-safe (asc_nulls_first + eqNullSafe) and treats a
+              -- NULL lang as a real group — mirror that here
+              SELECT lang, row_number() OVER (ORDER BY lang NULLS FIRST) - 1 AS gidx
               FROM (SELECT DISTINCT lang FROM documents)
             ),
             r AS (
@@ -4744,7 +4749,7 @@ def oracle_sql() -> dict[str, str]:
             n AS (SELECT count(*) AS ng FROM g)
             SELECT r.doc_id, r.grp, CAST(r.rank_in_group AS INT) AS rank_in_group,
                    CAST((r.rank_in_group - 1) * n.ng + g.gidx AS BIGINT) AS global_pos
-            FROM r JOIN g ON r.grp = g.lang, n
+            FROM r JOIN g ON r.grp IS NOT DISTINCT FROM g.lang, n
         """,
         "paragraph_dedup": """
             WITH a AS (SELECT doc_id, doc_id % 250 AS base, doc_id % 100 AS sid

@@ -123,7 +123,13 @@ def cms_estimate(
     :func:`cms_table` sketch: ``est = min over rows of cnt[row,
     bucket_row(key)]`` (over-count only — collisions inflate, never
     deflate). Output: ``keys`` columns + ``est_cnt``. The sketch side
-    is depth×width rows — broadcast it."""
+    is depth×width rows — broadcast it.
+
+    Constraints: probe rows must be DISTINCT on ``keys``' columns (the
+    final groupBy collapses duplicates — probe the distinct key set and
+    re-join multiplicities yourself if you need per-row estimates).
+    Internal join columns are prefixed ``_cms_*`` so caller columns
+    named ``row``/``bucket`` pass through untouched."""
     k = F.col(key_col)
     probes = keys.select(
         "*",
@@ -136,12 +142,20 @@ def cms_estimate(
                     for i in range(depth)
                 ]
             )
-        ).alias("p"),
-    ).select("*", F.col("p.row").alias("row"), F.col("p.bucket").alias("bucket")).drop("p")
-    # sketch count renamed so a caller-side 'cnt' column never collides
-    sk = sketch.select("row", "bucket", F.col("cnt").alias("_sk_cnt"))
+        ).alias("_cms_p"),
+    ).select(
+        "*",
+        F.col("_cms_p.row").alias("_cms_row"),
+        F.col("_cms_p.bucket").alias("_cms_bucket"),
+    ).drop("_cms_p")
+    # sketch columns renamed so caller-side 'row'/'bucket'/'cnt' never collide
+    sk = sketch.select(
+        F.col("row").alias("_cms_row"),
+        F.col("bucket").alias("_cms_bucket"),
+        F.col("cnt").alias("_sk_cnt"),
+    )
     est = (
-        probes.join(F.broadcast(sk), ["row", "bucket"], "left")
+        probes.join(F.broadcast(sk), ["_cms_row", "_cms_bucket"], "left")
         .groupBy(*keys.columns)
         .agg(F.min(F.coalesce(F.col("_sk_cnt"), F.lit(0))).alias("est_cnt"))
     )

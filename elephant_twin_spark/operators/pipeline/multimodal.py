@@ -71,6 +71,13 @@ def decode_image_features(
     in every container, and a silent fallback would mislabel fake
     features as real. Plumbing (schema, Arrow batch shape, memory
     bound) is identical either way.
+
+    Real-path failure semantics: a row whose payload PIL cannot open
+    (empty, truncated, non-image bytes) gets ``features = NULL`` —
+    ``n_bytes``/``sha`` are still computed from the raw bytes, so bad
+    rows stay auditable and one corrupt image never fails the task.
+    The real raster feature vector is exactly 8-dim; asking for more
+    raises (the fake path supports up to 32).
     """
 
     # bound INSIDE the closure: cloudpickle ships nested functions by
@@ -97,8 +104,23 @@ def decode_image_features(
                 ) from exc
 
             def _feats(content: bytes, dim: int = 8):
-                img = _Image.open(_io.BytesIO(content or b""))
-                img = img.convert("L")
+                # the real raster feature list has exactly 8 entries; a
+                # larger dim would silently truncate to fewer features
+                # than asked (the fake path supports up to 32) — refuse
+                if dim > 8:
+                    raise ValueError(
+                        f"real decoder produces 8 features, dim={dim} requested; "
+                        "use fake=True for wider pseudo-embeddings"
+                    )
+                # per-ROW failure isolation: one empty/corrupt payload
+                # must not kill the whole task (at 100 TB some images
+                # WILL be truncated). features=NULL marks the failure;
+                # n_bytes/sha stay real so the row remains auditable.
+                try:
+                    img = _Image.open(_io.BytesIO(content or b""))
+                    img = img.convert("L")
+                except Exception:
+                    return None
                 w, h = img.size
                 px = list(img.resize((8, 8)).getdata())  # fixed-size raster
                 mean = sum(px) / len(px) / 255.0

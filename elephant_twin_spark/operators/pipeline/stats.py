@@ -219,7 +219,13 @@ def mad_outliers(
     MAD fences hold on corrupt length/score columns where moment-based
     fences blow up). Three aggregates: group median, median absolute
     deviation, then a broadcast-fence count. MAD=0 groups (over half
-    the values identical) flag only exact deviants (|x - med| > 0)."""
+    the values identical) flag only exact deviants (|x - med| > 0).
+
+    Scale note: exact ``percentile`` buffers each group's values on
+    one executor — fine at language/source-group grain, unbounded for
+    a single giant group. For billion-row groups swap both medians for
+    ``approx_percentile`` (see :func:`approx_percentiles`); the fences
+    move by at most the sketch error."""
     base = df.select(
         F.col(group_col).alias("_g"), F.col(value_col).alias("_v")
     )
