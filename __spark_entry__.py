@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from elephant_twin_spark import Engine, col
 from elephant_twin_spark.functions import scalar, sketches, timeutil
-from elephant_twin_spark.operators import rollup, sessionize, skew, temporal
+from elephant_twin_spark.operators import kpi, rollup, sessionize, skew, temporal
 from elephant_twin_spark.operators.pipeline import (
     chunk,
     decontaminate,
@@ -2199,63 +2199,36 @@ def _q_curriculum_interleave(spark, sf_dir):
 
 
 def _q_sliding_distinct_users(spark, sf_dir):
-    """Sliding-window distinct users (1h window, 30min slide) via the
-    native ``F.window`` sliding groupBy — each event lands in exactly
-    two windows; exact distinct per window. The batch twin of the
-    streaming windowed aggregation surface."""
+    """Thin wrapper over :func:`kpi.sliding_distinct` (1h window, 30min
+    slide — each event lands in exactly two windows; exact distinct per
+    window). The batch twin of the streaming windowed aggregation
+    surface."""
     ev = _state(spark, sf_dir).raw("events")
-    return (
-        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("win"))
-        .agg(F.countDistinct("user_id").alias("n_users"))
-        .select(F.col("win.start").alias("win_start"), "n_users")
+    return kpi.sliding_distinct(ev, "ts", "user_id").select(
+        "win_start", F.col("n_distinct").alias("n_users")
     )
 
 
 def _q_rolling_avg_value(spark, sf_dir):
-    """Per-user rolling mean of `value` over the current + 2 previous
-    events (ts, event_id order) — the bounded-frame window aggregate.
-    One window shuffle keyed by user."""
-    from pyspark.sql.window import Window
-
+    """Thin wrapper over :func:`kpi.rolling_mean`: per-user rolling mean
+    of `value` over the current + 2 previous events (ts, event_id
+    order) — the bounded-frame window aggregate, one user-keyed window
+    shuffle."""
     ev = _state(spark, sf_dir).raw("events")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
-        .rowsBetween(-2, 0)
-    )
-    return ev.select(
-        "event_id",
-        "user_id",
-        F.round(F.avg("value").over(w), 6).alias("roll_avg"),
+    return kpi.rolling_mean(
+        ev, "value", ["user_id"], ["ts", "event_id"], preceding=2
+    ).select(
+        "event_id", "user_id", F.round(F.col("roll_mean"), 6).alias("roll_avg")
     )
 
 
 def _q_error_rate_anomaly(spark, sf_dir):
-    """Hourly error-rate anomaly flags: rate z-score vs the all-hours
-    mean/σ, |z| > 2 flagged. One hour-keyed aggregate + one scalar
-    stats aggregate broadcast back — the monitoring rollup shape.
-    The flag compares the ROUNDED z (both engines) so the boundary
-    decision is deterministic."""
+    """Thin wrapper over :func:`kpi.rate_anomaly`: hourly error-rate
+    z-score vs the all-hours mean/σ, |z| > 2 flagged on the ROUNDED z
+    (both engines) so the boundary decision is deterministic."""
     ev = _state(spark, sf_dir).raw("events")
-    hours = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour")).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum((F.col("event_type") == "error").cast("long")).alias("n_err"),
-    )
-    hours = hours.withColumn("rate", F.col("n_err") / F.col("n"))
-    st = hours.agg(
-        F.avg("rate").alias("_mu"), F.stddev_samp("rate").alias("_sd")
-    )
-    z = F.round((F.col("rate") - F.col("_mu")) / F.col("_sd"), 4)
-    return (
-        hours.crossJoin(F.broadcast(st))
-        .select(
-            "hour",
-            "n",
-            "n_err",
-            F.round("rate", 6).alias("rate"),
-            z.alias("z"),
-            (F.abs(z) > 2.0).alias("is_anomaly"),
-        )
+    return kpi.rate_anomaly(
+        ev, "ts", F.col("event_type") == "error", bucket="hour", z_threshold=2.0
     )
 
 
@@ -2365,24 +2338,13 @@ def _q_ann_ivf_pq_top10(spark, sf_dir):
 
 
 def _q_session_duration_stats(spark, sf_dir):
-    """Session-level KPI rollup on top of the gap sessionizer: per user,
+    """Thin wrapper over :func:`sessionize.session_kpis`: per user,
     session count, bounce count (1-event sessions), mean session
     duration seconds and mean events per session — one extra user-keyed
     aggregate over the session_stats output (same single window
     shuffle, reused exchange)."""
     ev = _state(spark, sf_dir).raw("events")
-    s = sessionize.session_stats(ev, "user_id", "ts", gap_seconds=1800)
-    dur = F.col("sess_end").cast("timestamp").cast("double") - F.col(
-        "sess_start"
-    ).cast("timestamp").cast("double")
-    return s.groupBy("user_id").agg(
-        F.count(F.lit(1)).alias("n_sessions"),
-        F.sum((F.col("n_events") == 1).cast("long")).alias("n_bounce"),
-        F.round(F.avg(dur), 4).alias("avg_duration_s"),
-        F.round(F.avg(F.col("n_events").cast("double")), 4).alias(
-            "avg_events"
-        ),
-    )
+    return sessionize.session_kpis(ev, "user_id", "ts", gap_seconds=1800)
 
 
 def _q_cluster_refresh(spark, sf_dir):
@@ -2440,55 +2402,27 @@ def _q_kmv_distinct_users(spark, sf_dir):
 
 
 def _q_time_decay_score(spark, sf_dir):
-    """Exponentially time-decayed engagement score per user:
-    ``Σ value · exp(−Δt/τ)`` with Δt measured from the corpus max
+    """Thin wrapper over :func:`kpi.time_decay_score`: ``Σ value ·
+    exp(−Δt/τ)`` per user with Δt measured from the corpus max
     timestamp (τ = 7 days) — the recency-weighted feature aggregation
-    every ranking pipeline computes. One scalar max-ts aggregate
-    broadcast back + one user-keyed sum; decay is pure JVM math."""
+    every ranking pipeline computes. ts is TIMESTAMP_NTZ: the library
+    casts NTZ→timestamp under the UTC session, exactly epoch_us in
+    DuckDB."""
     ev = _state(spark, sf_dir).raw("events")
-    mx = ev.agg(F.max("ts").alias("_mx"))
-    tau = 7.0 * 86400.0
-    # ts is TIMESTAMP_NTZ (no direct double cast): micros via an
-    # NTZ→timestamp cast under the UTC session, exactly epoch_us in DuckDB
-    dt = (
-        F.unix_micros(F.col("_mx").cast("timestamp"))
-        - F.unix_micros(F.col("ts").cast("timestamp"))
-    ) / F.lit(1e6)
-    return (
-        ev.crossJoin(F.broadcast(mx))
-        .groupBy("user_id")
-        .agg(
-            F.round(F.sum(F.col("value") * F.exp(-dt / tau)), 4).alias(
-                "decay_score"
-            ),
-            F.count(F.lit(1)).alias("n_events"),
-        )
+    return kpi.time_decay_score(
+        ev, "user_id", "ts", "value", tau_seconds=7.0 * 86400.0
+    ).select(
+        "user_id", F.round(F.col("decay_score"), 4).alias("decay_score"), "n_events"
     )
 
 
 def _q_winsorized_stats(spark, sf_dir):
-    """Winsorized robust means per language: clip doc length at the
-    group's exact [p05, p95] fences, report mean before/after and the
-    clipped-row count — the outlier-tolerant summary that pairs with
-    the MAD audit. Fences are a #groups-row broadcast; clipping is a
-    per-row least/greatest."""
+    """Thin wrapper over :func:`stats.winsorized_stats`: clip doc
+    length at each language's exact [p05, p95] fences, report mean
+    before/after and the clipped-row count — the outlier-tolerant
+    summary that pairs with the MAD audit."""
     docs = _state(spark, sf_dir).raw("documents")
-    fences = docs.groupBy(F.col("lang").alias("grp")).agg(
-        F.expr("percentile(n_chars, 0.05)").alias("_lo"),
-        F.expr("percentile(n_chars, 0.95)").alias("_hi"),
-    )
-    j = docs.join(F.broadcast(fences), docs["lang"] == fences["grp"])
-    clipped = F.least(F.greatest(F.col("n_chars").cast("double"), F.col("_lo")), F.col("_hi"))
-    return j.groupBy("grp").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.round(F.avg("n_chars"), 6).alias("mean_raw"),
-        F.round(F.avg(clipped), 6).alias("mean_winsor"),
-        F.sum(
-            (
-                (F.col("n_chars") < F.col("_lo")) | (F.col("n_chars") > F.col("_hi"))
-            ).cast("long")
-        ).alias("n_clipped"),
-    )
+    return stats.winsorized_stats(docs, "n_chars", "lang", lo=0.05, hi=0.95)
 
 
 def _q_cms_error_stats(spark, sf_dir):

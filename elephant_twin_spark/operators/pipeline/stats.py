@@ -246,6 +246,44 @@ def mad_outliers(
     )
 
 
+def winsorized_stats(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    lo: float = 0.05,
+    hi: float = 0.95,
+) -> DataFrame:
+    """Winsorized robust means per group: clip ``value_col`` at the
+    group's exact ``[lo, hi]`` percentile fences and report ``(grp, n,
+    mean_raw, mean_winsor, n_clipped)`` — the outlier-tolerant summary
+    that pairs with :func:`mad_outliers`. Fences are a #groups-row
+    broadcast; clipping is a per-row least/greatest, so the fact table
+    is scanned twice and shuffled once. Means rounded to 6 digits for
+    cross-engine determinism.
+
+    Scale note: exact ``percentile`` buffers each group's values on one
+    executor (same caveat as :func:`mad_outliers`); swap the fence
+    aggregate for ``approx_percentile`` for billion-row groups."""
+    fences = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.expr(f"percentile({value_col}, {lo})").alias("_lo"),
+        F.expr(f"percentile({value_col}, {hi})").alias("_hi"),
+    )
+    j = df.join(F.broadcast(fences), df[group_col] == fences["grp"])
+    clipped = F.least(
+        F.greatest(F.col(value_col).cast("double"), F.col("_lo")), F.col("_hi")
+    )
+    return j.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(value_col), 6).alias("mean_raw"),
+        F.round(F.avg(clipped), 6).alias("mean_winsor"),
+        F.sum(
+            (
+                (F.col(value_col) < F.col("_lo")) | (F.col(value_col) > F.col("_hi"))
+            ).cast("long")
+        ).alias("n_clipped"),
+    )
+
+
 def ntile_segments(
     df: DataFrame,
     id_col: str,

@@ -50,6 +50,32 @@ def session_stats(
     )
 
 
+def session_kpis(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Per-user session KPI rollup over :func:`session_stats`:
+    ``(user, n_sessions, n_bounce, avg_duration_s, avg_events)`` where
+    a bounce is a 1-event session. One extra user-keyed aggregate on
+    the session_stats output — same single window shuffle, the
+    follow-up groupBy reuses the user partitioning (one Exchange in
+    the plan). Duration is ``sess_end - sess_start`` in seconds;
+    averages rounded to 4 digits so the rollup is
+    engine-deterministic."""
+    s = session_stats(df, user_col, ts_col, gap_seconds)
+    dur = F.col("sess_end").cast("timestamp").cast("double") - F.col(
+        "sess_start"
+    ).cast("timestamp").cast("double")
+    return s.groupBy(user_col).agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum((F.col("n_events") == 1).cast("long")).alias("n_bounce"),
+        F.round(F.avg(dur), 4).alias("avg_duration_s"),
+        F.round(F.avg(F.col("n_events").cast("double")), 4).alias("avg_events"),
+    )
+
+
 def funnel(
     df,
     user_col: str,
