@@ -2348,12 +2348,16 @@ def _q_session_duration_stats(spark, sf_dir):
 
 
 def _q_cluster_refresh(spark, sf_dir):
-    """Incremental cluster maintenance (rows-only: composition of the
-    green `lsh_gate` + `near_dup_components` behaviors): a probe batch
-    of 60 modified corpus docs + 2 planted novel duplicates is placed
-    into an existing clustering via the persisted LSH index; matched
-    docs inherit, the novel pair forms one new cluster. md5 hashing
-    throughout, so the placement is deterministic."""
+    """Incremental cluster maintenance, FULL oracle (r5 — was
+    rows-only): a probe batch of 60 modified corpus docs + 2 planted
+    novel duplicates is placed into an existing clustering via the
+    persisted LSH index; matched docs inherit the cluster of their
+    lowest verified corpus match, the unmatched remainder is
+    star-clustered among itself. md5 hashing on BOTH stages
+    (``hash_fn="md5"`` for the novel-remainder clustering too), so the
+    oracle reproduces gate, star candidate graph, Jaccard verify and
+    min-label components exactly — the same algebra `lsh_gate` and
+    `near_dup_components` pin individually."""
     st = _state(spark, sf_dir)
     idx = st.docs_lsh_index()
     docs = st.raw("documents")
@@ -2374,7 +2378,7 @@ def _q_cluster_refresh(spark, sf_dir):
     batch = probe.unionByName(novel)
     return dedup.refresh_clusters(
         batch, "text", "doc_id", existing, idx, threshold=0.5,
-        num_perm=8, num_bands=4, shingle_k=1,
+        num_perm=8, num_bands=4, shingle_k=1, hash_fn="md5",
     )
 
 
@@ -3133,6 +3137,113 @@ def oracle_sql() -> dict[str, str]:
                    v.dup_of IS NOT NULL AS is_near_dup,
                    v.dup_of
             FROM probes p LEFT JOIN ver v ON v.pid = p.pid
+        """,
+        # full restatement of refresh_clusters: stage 1 = the lsh_gate
+        # md5 algebra (4 lanes / 2 bands, the persisted index params)
+        # with min-id inherit; stage 2 = md5 star candidates (8 lanes /
+        # 4 bands) + exact-Jaccard verify + recursive-CTE min-label
+        # components over the unmatched remainder
+        "cluster_refresh": f"""
+            WITH RECURSIVE corpus AS (
+                SELECT doc_id, {_TOKS} AS toks FROM documents
+            ),
+            batch AS (
+                SELECT doc_id + 10000000 AS pid,
+                       regexp_split_to_array(text || ' probe', '\\s+') AS toks
+                FROM documents WHERE doc_id < 60
+                UNION ALL
+                SELECT pid, regexp_split_to_array(ptext, '\\s+') AS toks
+                FROM (VALUES
+                    (20000000, 'planted novel duplicate pair for refresh check'),
+                    (20000001, 'planted novel duplicate pair for refresh check')
+                ) AS v(pid, ptext)
+            ),
+            csig AS (
+                SELECT doc_id,
+                       min(md5('0|' || tok)) AS mh0, min(md5('1|' || tok)) AS mh1,
+                       min(md5('2|' || tok)) AS mh2, min(md5('3|' || tok)) AS mh3
+                FROM (SELECT doc_id, unnest(toks) AS tok FROM corpus) GROUP BY doc_id
+            ),
+            psig AS (
+                SELECT pid,
+                       min(md5('0|' || tok)) AS mh0, min(md5('1|' || tok)) AS mh1,
+                       min(md5('2|' || tok)) AS mh2, min(md5('3|' || tok)) AS mh3
+                FROM (SELECT pid, unnest(toks) AS tok FROM batch) GROUP BY pid
+            ),
+            cband AS (
+                SELECT doc_id, 0 AS band, md5(mh0 || '|' || mh1) AS bh FROM csig
+                UNION ALL
+                SELECT doc_id, 1 AS band, md5(mh2 || '|' || mh3) AS bh FROM csig
+            ),
+            pband AS (
+                SELECT pid, 0 AS band, md5(mh0 || '|' || mh1) AS bh FROM psig
+                UNION ALL
+                SELECT pid, 1 AS band, md5(mh2 || '|' || mh3) AS bh FROM psig
+            ),
+            cand AS (
+                SELECT DISTINCT p.pid, c.doc_id AS cid
+                FROM pband p JOIN cband c ON p.band = c.band AND p.bh = c.bh
+            ),
+            gate AS (
+                SELECT cand.pid, min(cand.cid) AS dup_of
+                FROM cand
+                JOIN batch pr ON pr.pid = cand.pid
+                JOIN corpus co ON co.doc_id = cand.cid
+                WHERE len(list_distinct(list_intersect(list_distinct(pr.toks),
+                                                       list_distinct(co.toks))))
+                      / len(list_distinct(pr.toks || co.toks)) >= 0.5
+                GROUP BY cand.pid
+            ),
+            novel AS (
+                SELECT b.pid, b.toks FROM batch b
+                LEFT JOIN gate g ON g.pid = b.pid WHERE g.pid IS NULL
+            ),
+            nsig AS (
+                SELECT pid,
+                       min(md5('0|' || tok)) AS mh0, min(md5('1|' || tok)) AS mh1,
+                       min(md5('2|' || tok)) AS mh2, min(md5('3|' || tok)) AS mh3,
+                       min(md5('4|' || tok)) AS mh4, min(md5('5|' || tok)) AS mh5,
+                       min(md5('6|' || tok)) AS mh6, min(md5('7|' || tok)) AS mh7
+                FROM (SELECT pid, unnest(toks) AS tok FROM novel) GROUP BY pid
+            ),
+            nband AS (
+                SELECT pid, 0 AS band, md5(mh0 || '|' || mh1) AS bh FROM nsig
+                UNION ALL SELECT pid, 1, md5(mh2 || '|' || mh3) FROM nsig
+                UNION ALL SELECT pid, 2, md5(mh4 || '|' || mh5) FROM nsig
+                UNION ALL SELECT pid, 3, md5(mh6 || '|' || mh7) FROM nsig
+            ),
+            hubs AS (SELECT band, bh, min(pid) AS hub FROM nband GROUP BY band, bh),
+            star AS (
+                SELECT DISTINCT h.hub AS ia, n.pid AS ib
+                FROM nband n JOIN hubs h ON n.band = h.band AND n.bh = h.bh
+                WHERE n.pid <> h.hub
+            ),
+            ver AS (
+                SELECT s.ia, s.ib
+                FROM star s
+                JOIN novel a ON a.pid = s.ia
+                JOIN novel b ON b.pid = s.ib
+                WHERE len(list_distinct(list_intersect(list_distinct(a.toks),
+                                                       list_distinct(b.toks))))
+                      / len(list_distinct(a.toks || b.toks)) >= 0.5
+            ),
+            sym AS (SELECT ia AS a, ib AS b FROM ver UNION SELECT ib, ia FROM ver),
+            reach AS (
+                SELECT a, b FROM sym
+                UNION
+                SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+            ),
+            comp AS (SELECT a AS node, least(a, min(b)) AS component
+                     FROM reach GROUP BY a)
+            SELECT CAST(id AS BIGINT) AS id,
+                   CAST(cluster_id AS BIGINT) AS cluster_id, is_new_cluster
+            FROM (
+                SELECT pid AS id, dup_of AS cluster_id, FALSE AS is_new_cluster
+                FROM gate
+                UNION ALL
+                SELECT n.pid, coalesce(c.component, n.pid), TRUE
+                FROM novel n LEFT JOIN comp c ON c.node = n.pid
+            )
         """,
         "token_stats": f"""
             SELECT doc_id,

@@ -144,16 +144,30 @@ def band_table(
     docs sharing any (band, band_hash) are near-dup candidates. The md5
     variant (``md5(mh_i || '|' || mh_j ...)``) is engine-independent so
     an external oracle can reproduce the bucket assignment exactly."""
+    hashes = [
+        h.cast("string")
+        for h in _band_hash_exprs(num_perm, num_bands, hash_fn)
+    ]
+    return signatures.select(
+        "id", *carry_cols, F.posexplode(F.array(*hashes)).alias("band", "band_hash")
+    )
+
+
+def _band_hash_exprs(num_perm: int, num_bands: int, hash_fn: str) -> "list[Column]":
+    """One band-hash Column per band over the mh* signature lanes —
+    shared by :func:`band_table` (persisted index) and
+    :func:`lsh_candidate_pairs` (in-flight dedup) so the two surfaces
+    can never disagree on bucket assignment."""
     rows_per_band = num_perm // num_bands
     if hash_fn == "xxhash64":
-        hashes = [
+        return [
             F.xxhash64(
                 F.lit(b), *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
-            ).cast("string")
+            )
             for b in range(num_bands)
         ]
-    elif hash_fn == "md5":
-        hashes = [
+    if hash_fn == "md5":
+        return [
             F.md5(
                 F.concat_ws(
                     "|", *[F.col(f"mh{b * rows_per_band + r}").cast("string") for r in range(rows_per_band)]
@@ -161,11 +175,7 @@ def band_table(
             )
             for b in range(num_bands)
         ]
-    else:
-        raise ValueError(hash_fn)
-    return signatures.select(
-        "id", *carry_cols, F.posexplode(F.array(*hashes)).alias("band", "band_hash")
-    )
+    raise ValueError(hash_fn)
 
 
 def lsh_candidate_pairs(
@@ -174,9 +184,13 @@ def lsh_candidate_pairs(
     num_bands: int = 4,
     max_bucket_size: Optional[int] = None,
     edge_mode: str = "all_pairs",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """LSH banding: docs sharing any band of the signature become candidate
-    pairs ``(id_a, id_b)`` with ``id_a < id_b``.
+    pairs ``(id_a, id_b)`` with ``id_a < id_b``. ``hash_fn`` must match
+    the one the signatures were built with; ``"md5"`` makes the bucket
+    assignment engine-independent (oracle-reproducible), xxhash64 is
+    the cheaper default.
 
     Scale shape: explode to (band_hash, id) — one shuffle on band_hash —
     then an equi self-join *within buckets only*. Never computes the
@@ -205,18 +219,10 @@ def lsh_candidate_pairs(
     call sites that choose it)."""
     if edge_mode not in ("all_pairs", "star"):
         raise ValueError(edge_mode)
-    rows_per_band = num_perm // num_bands
     bands = signatures.select(
         "id",
         F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        F.lit(b), *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
-                    )
-                    for b in range(num_bands)
-                ]
-            )
+            F.array(*_band_hash_exprs(num_perm, num_bands, hash_fn))
         ).alias("band", "band_hash"),
     )
     if max_bucket_size is not None:
@@ -305,6 +311,7 @@ def minhash_near_dup_pairs(
     shingle_k: int = 3,
     threshold: float = 0.8,
     edge_mode: str = "all_pairs",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-dedup: signature → bands → candidates →
     exact Jaccard filter. The candidate-pair table (tiny: near-dup pairs
@@ -313,10 +320,11 @@ def minhash_near_dup_pairs(
     two consumers. ``edge_mode="star"`` makes the candidate stage linear
     in duplicate-group size (see :func:`lsh_candidate_pairs`) — the
     right choice when the output feeds connected components rather than
-    an exhaustive pair report."""
-    sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_k)
+    an exhaustive pair report. ``hash_fn="md5"`` makes the candidate
+    graph engine-independent (oracle-reproducible) at higher hash cost."""
+    sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_k, hash_fn=hash_fn)
     cands = lsh_candidate_pairs(
-        sigs, num_perm, num_bands, edge_mode=edge_mode
+        sigs, num_perm, num_bands, edge_mode=edge_mode, hash_fn=hash_fn
     ).localCheckpoint()
     return jaccard_verify_pairs(cands, df, text_col, id_col, shingle_k, threshold)
 
@@ -589,6 +597,7 @@ def near_dup_clusters(
     threshold: float = 0.8,
     prefer_col: Optional[str] = None,
     edge_mode: str = "star",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Every row of ``df`` labeled with its duplicate-cluster id:
     MinHash-LSH candidate pairs → exact-Jaccard verify → connected
@@ -612,7 +621,7 @@ def near_dup_clusters(
     all_pairs as their default for exactly that reason)."""
     pairs = minhash_near_dup_pairs(
         df, text_col, id_col, num_perm, num_bands, shingle_k, threshold,
-        edge_mode=edge_mode,
+        edge_mode=edge_mode, hash_fn=hash_fn,
     )
     comp = connected_components(pairs).withColumnsRenamed(
         {"node": "id", "component": "cluster_id"}
