@@ -2337,6 +2337,29 @@ def _q_ann_ivf_pq_top10(spark, sf_dir):
     return top.select(F.col("id").alias("vec_id"), F.round("cosine", 4).alias("cosine"))
 
 
+def _q_ann_recall_stats(spark, sf_dir):
+    """Recall@10 audit of the approximate ANN family (VERDICT r4 #4):
+    LSH (md5 sign planes), IVF (fixed centroids = vectors 0..7), PQ
+    (fixed codebooks = subvectors of vectors 0..15) and IVF+PQ, each
+    measured against exact cosine_topk ground truth over query vectors
+    0..7. Every component is md5-/fixed-vector-deterministic, so the
+    oracle reproduces each method's candidate set exactly — the five
+    rows-only ANN entries gain a measured-quality green twin."""
+    emb = _state(spark, sf_dir).raw("embeddings")
+    base = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.where(F.col("vec_id") < 16).orderBy("vec_id").collect()
+    ]
+    cents = base[:8]
+    w = len(base[0]) // 4
+    books = [[v[s * w : (s + 1) * w] for v in base] for s in range(4)]
+    return similarity.ann_recall_audit(
+        emb, "embedding", "vec_id", list(range(8)), cents, books,
+        k=10, bits=4, seed=42, nprobe_ivf=2, nprobe_ivfpq=4,
+        shortlist=50, multiprobe_hamming=1,
+    )
+
+
 def _q_session_duration_stats(spark, sf_dir):
     """Thin wrapper over :func:`sessionize.session_kpis`: per user,
     session count, bounce count (1-event sessions), mean session
@@ -2498,7 +2521,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tests/test_advisor_gates.py checks it against the CORRECTNESS
     # files themselves.
     return {
-        # --- r4-new declarations (unevidenced until CORRECTNESS_r04)
+        # --- r5-new declarations (unevidenced until CORRECTNESS_r05)
+        "ann_recall_stats": _q_ann_recall_stats,
+        # --- r4-new declarations (green CORRECTNESS_r04; cluster_refresh
+        # and kmv_distinct_users changed in r5 — full oracle / rebuilt
+        # synopsis — and sit inside the window for re-verification)
         "bigram_logprob": _q_bigram_logprob,
         "js_divergence_by_source": _q_js_divergence_by_source,
         "tokenizer_fertility": _q_tokenizer_fertility,
@@ -3268,6 +3295,201 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    md5(array_to_string(list_sort(list_distinct({_TOKS})), ' ')) AS fingerprint
             FROM documents
+        """,
+        # full restatement of ann_recall_audit: exact-cosine truth,
+        # md5-sign-plane LSH buckets, fixed-centroid IVF assignment
+        # (the kmeans_assign algebra), fixed-codebook PQ encode + ADC
+        # (order-deterministic list_sum folds mirror the engine's
+        # sequential F.aggregate), recall as INTEGER hit counts
+        "ann_recall_stats": """
+            WITH corpus AS (
+                SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings
+            ),
+            q AS (SELECT id AS qid, v AS qv FROM corpus WHERE id < 8),
+            truth AS (
+                SELECT qid, id FROM (
+                    SELECT q.qid, c.id,
+                           row_number() OVER (PARTITION BY q.qid
+                               ORDER BY list_cosine_similarity(c.v, q.qv) DESC,
+                                        c.id ASC) AS rn
+                    FROM q CROSS JOIN corpus c
+                ) WHERE rn <= 10
+            ),
+            cents AS (SELECT id AS cid, v AS cv FROM corpus WHERE id < 8),
+            assign AS (
+                SELECT id, cid AS cluster FROM (
+                    SELECT c.id, ct.cid,
+                           row_number() OVER (PARTITION BY c.id
+                               ORDER BY list_cosine_similarity(c.v, ct.cv) DESC,
+                                        ct.cid DESC) AS rn
+                    FROM corpus c CROSS JOIN cents ct
+                ) WHERE rn = 1
+            ),
+            qprobe2 AS (
+                SELECT qid, cid FROM (
+                    SELECT q.qid, ct.cid,
+                           row_number() OVER (PARTITION BY q.qid
+                               ORDER BY list_cosine_similarity(q.qv, ct.cv) DESC,
+                                        ct.cid DESC) AS rn
+                    FROM q CROSS JOIN cents ct
+                ) WHERE rn <= 2
+            ),
+            qprobe4 AS (
+                SELECT qid, cid FROM (
+                    SELECT q.qid, ct.cid,
+                           row_number() OVER (PARTITION BY q.qid
+                               ORDER BY list_cosine_similarity(q.qv, ct.cv) DESC,
+                                        ct.cid DESC) AS rn
+                    FROM q CROSS JOIN cents ct
+                ) WHERE rn <= 4
+            ),
+            ivf_top AS (
+                SELECT qid, id FROM (
+                    SELECT q.qid, c.id,
+                           row_number() OVER (PARTITION BY q.qid
+                               ORDER BY list_cosine_similarity(c.v, q.qv) DESC,
+                                        c.id ASC) AS rn
+                    FROM q
+                    JOIN qprobe2 p ON p.qid = q.qid
+                    JOIN assign a ON a.cluster = p.cid
+                    JOIN corpus c ON c.id = a.id
+                ) WHERE rn <= 10
+            ),
+            planes AS (
+                SELECT p, list_transform(range(64), d ->
+                    CASE WHEN strpos('89abcdef',
+                             substring(md5('42|' || p || '|' || d), 1, 1)) > 0
+                         THEN 1.0 ELSE -1.0 END) AS w
+                FROM (SELECT unnest(range(4)) AS p)
+            ),
+            buckets AS (
+                SELECT c.id,
+                       CAST(sum(CASE WHEN list_sum(list_transform(range(64),
+                                        i -> c.v[i+1] * pl.w[i+1])) >= 0
+                                     THEN 1 << pl.p ELSE 0 END) AS INT) AS bucket
+                FROM corpus c CROSS JOIN planes pl GROUP BY c.id
+            ),
+            qbuckets AS (
+                SELECT q.qid,
+                       CAST(sum(CASE WHEN list_sum(list_transform(range(64),
+                                        i -> q.qv[i+1] * pl.w[i+1])) >= 0
+                                     THEN 1 << pl.p ELSE 0 END) AS INT) AS qb
+                FROM q CROSS JOIN planes pl GROUP BY q.qid
+            ),
+            lsh_top AS (
+                SELECT qid, id FROM (
+                    SELECT qb.qid, c.id,
+                           row_number() OVER (PARTITION BY qb.qid
+                               ORDER BY list_cosine_similarity(c.v, q.qv) DESC,
+                                        c.id ASC) AS rn
+                    FROM qbuckets qb
+                    JOIN q ON q.qid = qb.qid
+                    JOIN buckets b ON bit_count(xor(b.bucket, qb.qb)) <= 1
+                    JOIN corpus c ON c.id = b.id
+                ) WHERE rn <= 10
+            ),
+            cb AS (
+                SELECT s.s, c.id AS ci, c.v[s.s*16+1 : (s.s+1)*16] AS cv
+                FROM corpus c CROSS JOIN (SELECT unnest(range(4)) AS s) s
+                WHERE c.id < 16
+            ),
+            codes AS (
+                SELECT id, s, ci AS code FROM (
+                    SELECT c.id, cb.s, cb.ci,
+                           row_number() OVER (PARTITION BY c.id, cb.s
+                               ORDER BY list_sum(list_transform(range(16),
+                                   i -> (c.v[cb.s*16 + i + 1] - cb.cv[i+1])
+                                      * (c.v[cb.s*16 + i + 1] - cb.cv[i+1]))) ASC,
+                                        cb.ci ASC) AS rn
+                    FROM corpus c CROSS JOIN cb
+                ) WHERE rn = 1
+            ),
+            lut AS (
+                SELECT q.qid, cb.s, cb.ci,
+                       list_sum(list_transform(range(16),
+                           i -> (q.qv[cb.s*16 + i + 1] - cb.cv[i+1])
+                              * (q.qv[cb.s*16 + i + 1] - cb.cv[i+1]))) AS d2
+                FROM q CROSS JOIN cb
+            ),
+            adc AS (
+                SELECT co.id, l.qid, list_sum(list(l.d2 ORDER BY l.s)) AS dist
+                FROM codes co
+                JOIN lut l ON l.s = co.s AND l.ci = co.code
+                GROUP BY co.id, l.qid
+            ),
+            pq_short AS (
+                SELECT qid, id FROM (
+                    SELECT qid, id,
+                           row_number() OVER (PARTITION BY qid
+                               ORDER BY dist ASC, id ASC) AS rn
+                    FROM adc
+                ) WHERE rn <= 50
+            ),
+            pq_top AS (
+                SELECT qid, id FROM (
+                    SELECT s.qid, s.id,
+                           row_number() OVER (PARTITION BY s.qid
+                               ORDER BY list_cosine_similarity(c.v, q.qv) DESC,
+                                        c.id ASC) AS rn
+                    FROM pq_short s
+                    JOIN corpus c ON c.id = s.id
+                    JOIN q ON q.qid = s.qid
+                ) WHERE rn <= 10
+            ),
+            ivfpq_adc AS (
+                SELECT a2.qid, a2.id, list_sum(list(a2.d2 ORDER BY a2.s)) AS dist
+                FROM (
+                    SELECT p.qid, a.id, co.s, l.d2
+                    FROM qprobe4 p
+                    JOIN assign a ON a.cluster = p.cid
+                    JOIN codes co ON co.id = a.id
+                    JOIN lut l ON l.qid = p.qid AND l.s = co.s AND l.ci = co.code
+                ) a2
+                GROUP BY a2.qid, a2.id
+            ),
+            ivfpq_short AS (
+                SELECT qid, id FROM (
+                    SELECT qid, id,
+                           row_number() OVER (PARTITION BY qid
+                               ORDER BY dist ASC, id ASC) AS rn
+                    FROM ivfpq_adc
+                ) WHERE rn <= 50
+            ),
+            ivfpq_top AS (
+                SELECT qid, id FROM (
+                    SELECT s.qid, s.id,
+                           row_number() OVER (PARTITION BY s.qid
+                               ORDER BY list_cosine_similarity(c.v, q.qv) DESC,
+                                        c.id ASC) AS rn
+                    FROM ivfpq_short s
+                    JOIN corpus c ON c.id = s.id
+                    JOIN q ON q.qid = s.qid
+                ) WHERE rn <= 10
+            ),
+            approx AS (
+                SELECT 'ivf' AS method, qid, id FROM ivf_top
+                UNION ALL SELECT 'lsh', qid, id FROM lsh_top
+                UNION ALL SELECT 'pq', qid, id FROM pq_top
+                UNION ALL SELECT 'ivf_pq', qid, id FROM ivfpq_top
+            ),
+            qm AS (
+                SELECT m.method, q.qid
+                FROM q CROSS JOIN
+                     (SELECT unnest(['lsh','ivf','pq','ivf_pq']) AS method) m
+            ),
+            hit AS (
+                SELECT qm.method, qm.qid, count(t.id) AS h
+                FROM qm
+                LEFT JOIN approx a ON a.method = qm.method AND a.qid = qm.qid
+                LEFT JOIN truth t ON t.qid = qm.qid AND t.id = a.id
+                GROUP BY qm.method, qm.qid
+            )
+            SELECT method, CAST(count(*) AS INT) AS n_queries,
+                   CAST(sum(h) AS BIGINT) AS total_hits,
+                   CAST(min(h) AS BIGINT) AS min_hits,
+                   round(sum(h) / (10.0 * count(*)), 4) AS mean_recall
+            FROM hit GROUP BY method
         """,
         "ann_cosine_top10": """
             WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)

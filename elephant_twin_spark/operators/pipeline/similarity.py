@@ -726,3 +726,112 @@ def rrf_fuse(
     )
     out = fused.orderBy(F.col("rrf_score").desc(), F.col("id").asc())
     return out.limit(top) if top is not None else out
+
+
+def md5_sign_planes(dim: int, bits: int, seed: int = 42) -> List[List[float]]:
+    """±1 sign-projection hyperplanes derived from md5 parity — the
+    engine-independent twin of :func:`random_hyperplanes` (Gaussian
+    entries from a Python RNG can never be recomputed by an external
+    oracle; md5 of ``"seed|plane|dim"`` can, in any engine). Rademacher
+    (±1) projections preserve angular locality like Gaussian ones
+    (Achlioptas, "Database-friendly random projections"), so bucket
+    recall behaves the same; use these whenever the bucket assignment
+    itself must be auditable."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"{seed}|{p}|{d}".encode()).hexdigest()[0], 16) >= 8
+            else -1.0
+            for d in range(dim)
+        ]
+        for p in range(bits)
+    ]
+
+
+def ann_recall_audit(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_ids: Sequence[int],
+    centroids: List[List[float]],
+    codebooks: List[List[List[float]]],
+    k: int = 10,
+    bits: int = 4,
+    seed: int = 42,
+    nprobe_ivf: int = 2,
+    nprobe_ivfpq: int = 4,
+    shortlist: int = 50,
+    multiprobe_hamming: int = 1,
+) -> DataFrame:
+    """Measured recall@k of the approximate ANN family against the
+    exact :func:`cosine_topk` ground truth, per method → ``(method,
+    n_queries, total_hits, min_hits, mean_recall)`` for ``lsh`` (md5
+    sign planes), ``ivf``, ``pq`` and ``ivf_pq`` — the quality audit
+    the approximate paths otherwise lack (the sketch-accuracy twin of
+    ``cms_error_stats``). Every component is deterministic: pass FIXED
+    ``centroids``/``codebooks`` (e.g. corpus vectors) and the md5
+    planes make the LSH buckets engine-independent, so an external
+    oracle can reproduce every method's candidate set exactly.
+
+    Hits are INTEGER counts (``|approx ∩ truth|``) and ``mean_recall``
+    is one division ``total_hits/(k·n)`` — no floating-point summation
+    whose order could differ across engines.
+
+    Shape: the per-query collects are bounded by ``k`` rows; cluster
+    assignment, PQ codes and LSH buckets are computed once and pinned
+    (``localCheckpoint``). At production scale run the audit over a
+    SAMPLE of queries against pre-materialized assigned/encoded tables
+    — recall estimates converge with tens of queries, so the audit
+    cost is query-proportional, never corpus-proportional."""
+    spark = df.sparkSession
+    planes = md5_sign_planes(len(centroids[0]), bits, seed)
+    assigned = ivf_assign(df, vec_col, centroids).localCheckpoint()
+    codes = pq_encode(df, vec_col, id_col, codebooks).localCheckpoint()
+    bucketed = with_lsh_bucket(df, vec_col, planes).localCheckpoint()
+    qrows = (
+        df.where(F.col(id_col).isin(list(query_ids)))
+        .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .orderBy("id")
+        .collect()
+    )
+    per_method: dict = {m: [] for m in ("lsh", "ivf", "pq", "ivf_pq")}
+    for r in qrows:
+        qv = [float(x) for x in r["v"]]
+        truth = {row["id"] for row in cosine_topk(df, vec_col, id_col, qv, k).collect()}
+        q_bucket = 0
+        for i, p in enumerate(planes):
+            if sum(a * b for a, b in zip(qv, p)) >= 0:
+                q_bucket |= 1 << i
+        probe = [
+            b for b in range(1 << bits)
+            if bin(b ^ q_bucket).count("1") <= multiprobe_hamming
+        ]
+        results = {
+            "lsh": cosine_topk(
+                bucketed.where(F.col("bucket").isin(probe)), vec_col, id_col, qv, k
+            ),
+            "ivf": ivf_topk(
+                assigned, vec_col, id_col, qv, centroids, k=k, nprobe=nprobe_ivf
+            ),
+            "pq": pq_search(
+                df, codes, vec_col, id_col, qv, codebooks, k=k, shortlist=shortlist
+            ),
+            "ivf_pq": ivf_pq_search(
+                assigned, vec_col, id_col, qv, centroids, codebooks,
+                codes_df=codes, k=k, nprobe=nprobe_ivfpq, shortlist=shortlist,
+            ),
+        }
+        for m, res in results.items():
+            ids = {row["id"] for row in res.collect()}
+            per_method[m].append(len(ids & truth))
+    n = len(qrows)
+    rows = [
+        (m, n, int(sum(hs)), int(min(hs)), round(sum(hs) / (k * n), 4))
+        for m, hs in per_method.items()
+    ]
+    return spark.createDataFrame(
+        rows,
+        "method string, n_queries int, total_hits long, min_hits long, mean_recall double",
+    )

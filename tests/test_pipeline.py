@@ -931,3 +931,41 @@ def test_star_edge_mode_same_components(docs_with_dups):
         return {frozenset(s) for s in g.values()}
 
     assert partition(all_pairs) == partition(star)
+
+
+def test_md5_sign_planes_deterministic_and_pm1():
+    from elephant_twin_spark.operators.pipeline import similarity
+
+    p1 = similarity.md5_sign_planes(8, 4, seed=42)
+    p2 = similarity.md5_sign_planes(8, 4, seed=42)
+    assert p1 == p2
+    assert {x for row in p1 for x in row} <= {1.0, -1.0}
+    assert similarity.md5_sign_planes(8, 4, seed=7) != p1
+
+
+def test_ann_recall_audit_exhaustive_settings_give_full_recall(spark):
+    """With nprobe = #clusters and shortlist >= corpus the approximate
+    methods degenerate to exact search, so every recall must be 1.0 —
+    pins the hit accounting itself (not the approximation quality)."""
+    from elephant_twin_spark.operators.pipeline import similarity
+    from elephant_twin_spark.sources import tables
+
+    emb = tables.load_raw(spark, "/root/testdata/sf0.001/embeddings.parquet")
+    base = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.where("vec_id < 16").orderBy("vec_id").collect()
+    ]
+    w = len(base[0]) // 4
+    books = [[v[s * w : (s + 1) * w] for v in base] for s in range(4)]
+    n_corpus = emb.count()
+    out = similarity.ann_recall_audit(
+        emb, "embedding", "vec_id", [0, 1, 2], base[:8], books,
+        k=5, bits=4, nprobe_ivf=8, nprobe_ivfpq=8,
+        shortlist=n_corpus, multiprobe_hamming=4,  # probe every bucket
+    )
+    rows = {r["method"]: r.asDict() for r in out.collect()}
+    assert set(rows) == {"lsh", "ivf", "pq", "ivf_pq"}
+    for m, r in rows.items():
+        assert r["n_queries"] == 3
+        assert r["total_hits"] == 15 and r["min_hits"] == 5, (m, r)
+        assert r["mean_recall"] == 1.0
