@@ -307,3 +307,44 @@ def test_write_curriculum_layout(spark, workdir, docs):
     back = spark.read.parquet(path)
     assert back.count() == 100
     assert "global_pos" in back.columns
+
+
+def test_kmv_bounded_build_bitwise_equals_window_build(spark):
+    """r5 rebuild (per-partition bounded top-k + re-min merge) must
+    produce the IDENTICAL synopsis to the r4 window formulation —
+    the sketch contract is exact k-smallest distinct hashes."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from elephant_twin_spark.functions import sketches
+
+    df = (
+        spark.range(20_000)
+        .select(
+            (F.col("id") % 7).cast("string").alias("key"),
+            (F.col("id") % 3001).alias("v"),
+        )
+        .repartition(16)  # several partitions so the partial stage matters
+    )
+    got = {
+        r["key"]: r["hashes"]
+        for r in sketches.kmv_synopsis(df, "key", "v", k=64).collect()
+    }
+    # reference: the old one-window-per-key formulation
+    pairs = (
+        df.where(F.col("v").isNotNull())
+        .select(F.col("key"), sketches.kmv_hash(F.col("v")).alias("h"))
+        .distinct()
+    )
+    w = Window.partitionBy("key").orderBy("h")
+    ref = {
+        r["key"]: r["hashes"]
+        for r in pairs.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= 64)
+        .groupBy("key")
+        .agg(F.sort_array(F.collect_list("h")).alias("hashes"))
+        .collect()
+    }
+    assert set(got) == set(ref)
+    for key in ref:
+        assert got[key] == ref[key], key  # bit-for-bit, order included
