@@ -183,6 +183,29 @@ class _SFState:
                 fh.write(tables.LAYOUT_VERSION)
         return dst
 
+    def bucketed_tpch(self) -> tuple:
+        """Orders + customer written as BUCKETED tables on the join key
+        (``layout.bucket_table``): both sides hash-bucketed into 8
+        buckets by custkey and sorted within buckets, so the join needs
+        neither Exchange nor Sort — the co-located-join layout a 100-TB
+        warehouse pays for once at write time. The catalog entry is
+        per-session (in-memory metastore) but the parquet lives under
+        the work dir; a fresh session just re-registers it."""
+        from elephant_twin_spark.operators import layout
+
+        suffix = hashlib.md5(self.sf_dir.encode()).hexdigest()[:8]
+        names = (f"ets_orders_bkt_{suffix}", f"ets_customer_bkt_{suffix}")
+        for name, tbl, key in (
+            (names[0], "orders", "o_custkey"),
+            (names[1], "customer", "c_custkey"),
+        ):
+            if not self.spark.catalog.tableExists(name):
+                layout.bucket_table(
+                    self.spark, self.raw(tbl), name, [key], 8,
+                    sort_cols=[key], path=f"{self.work}/{name}",
+                )
+        return names
+
 
 _STATES: dict = {}
 
@@ -2501,28 +2524,99 @@ def _q_index_advisor(spark, sf_dir):
     )
 
 
+def _q_scd2_user_state(spark, sf_dir):
+    """SCD2 history from the event changelog: per user, one row per
+    event_type run with [effective_from, effective_to) validity and an
+    is_current flag — :func:`temporal.scd2_intervals`, keyed on
+    user_id, ordered by (ts, event_id)."""
+    ev = _state(spark, sf_dir).raw("events")
+    return temporal.scd2_intervals(
+        ev, ["user_id"], "ts", ["event_type"], tiebreak=["event_id"]
+    )
+
+
+def _q_event_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event
+    sequences (:func:`kpi.transition_matrix`): (from, to, n, p) with p
+    row-normalized out of from_state."""
+    ev = _state(spark, sf_dir).raw("events")
+    return kpi.transition_matrix(
+        ev, "user_id", "ts", "event_type", tiebreak="event_id"
+    )
+
+
+def _q_item_cf_cosine(spark, sf_dir):
+    """Item-item collaborative-filtering cosine over the user x
+    event_type interaction matrix — sparse-vector similarity without
+    materializing the matrix (:func:`similarity.cooccurrence_cosine`)."""
+    ev = _state(spark, sf_dir).raw("events")
+    return similarity.cooccurrence_cosine(ev, "user_id", "event_type")
+
+
+def _q_sq8_error_stats(spark, sf_dir):
+    """Int8 scalar-quantization audit over the embeddings: per-dim
+    (n, vmin, vmax, exact integer code sum, worst reconstruction
+    error). Deliberately sum-of-int / max-of-double evidence — bit-
+    stable across engines, like cms_error_stats
+    (:func:`similarity.scalar_quantize_stats`)."""
+    emb = _state(spark, sf_dir).raw("embeddings")
+    return similarity.scalar_quantize_stats(emb, "embedding", bits=8)
+
+
+def _q_heaps_vocab_growth(spark, sf_dir):
+    """Heaps'-law vocabulary-growth checkpoint curve + log-log slope in
+    doc_id order (:func:`textstats.heaps_slope`; 50 id-range buckets —
+    the synthetic corpus has a closed template vocabulary, so the slope
+    correctly lands at 0: saturation detected)."""
+    docs = _state(spark, sf_dir).raw("documents")
+    return textstats.heaps_slope(docs, "text", "doc_id", n_buckets=50)
+
+
+def _q_bucketed_join_agg(spark, sf_dir):
+    """Revenue by market segment over BUCKETED orders x customer
+    (``layout.bucket_table``, 8 buckets on custkey, sorted within
+    buckets): the join runs with no Exchange and no Sort on either side
+    (pinned by tests/test_layout.py) — the pay-once co-located-join
+    layout at 100 TB. Result equals the plain join, which is exactly
+    what the oracle checks."""
+    o_name, c_name = _state(spark, sf_dir).bucketed_tpch()
+    o = spark.table(o_name)
+    c = spark.table(c_name)
+    joined = o.join(c, o["o_custkey"] == c["c_custkey"])
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered so queries WITHOUT a green CORRECTNESS row run first: the
-    # driver checks exactly the first 50 dict entries per round. r1/r2/
-    # r3 each filled their 50-slot window and every name declared
-    # through r3 now has a green row (CORRECTNESS_r03: 0 errors, 0 hash
-    # fails), so the r4 window starts fresh. Head block = the 31 r4-new
-    # declarations (the seven operators built in r3 with pytest-only
-    # evidence, paragraph_dedup on a synthesized multi-paragraph corpus,
-    # and the r4-new operator set: CMS, zipf, sentence stats, quantile
-    # normalize, MAD, truncation, centroids, curriculum, sliding
-    # windows, rolling means, anomaly flags, RRF, RFM, salted-join
-    # equivalence, histogram quantile, IVF+PQ, index advisor, CMS error
-    # audit, time-decay, winsorized means, KMV, cluster refresh,
-    # session-duration KPI); everything after them is evidenced and
-    # deliberately not re-run (the driver re-checks positions 32-50 —
-    # all green r2/r3).
+    # driver checks exactly the first 50 dict entries per round. Every
+    # name declared through r4 has a green row (CORRECTNESS_r04: 0
+    # errors, 0 hash fails), so the r5 window leads with the 7 r5-new
+    # declarations (ANN recall audit, SCD2 history, Markov transitions,
+    # item-item CF cosine, int8 scalar-quantization audit, Heaps-law
+    # vocab growth, bucketed co-located join), followed by the 31 r4
+    # declarations (cluster_refresh gained a full oracle and
+    # kmv_distinct_users a rebuilt scale-safe synopsis in r5, so their
+    # re-verification inside the window is load-bearing; the rest are
+    # green re-checks). Everything after position 50 is evidenced in
+    # r1-r4 and deliberately not re-run.
     # test_registry_hygiene enforces the placement invariant;
     # tests/test_advisor_gates.py checks it against the CORRECTNESS
     # files themselves.
     return {
         # --- r5-new declarations (unevidenced until CORRECTNESS_r05)
         "ann_recall_stats": _q_ann_recall_stats,
+        "scd2_user_state": _q_scd2_user_state,
+        "event_transitions": _q_event_transitions,
+        "item_cf_cosine": _q_item_cf_cosine,
+        "sq8_error_stats": _q_sq8_error_stats,
+        "heaps_vocab_growth": _q_heaps_vocab_growth,
+        "bucketed_join_agg": _q_bucketed_join_agg,
         # --- r4-new declarations (green CORRECTNESS_r04; cluster_refresh
         # and kmv_distinct_users changed in r5 — full oracle / rebuilt
         # synopsis — and sit inside the window for re-verification)
@@ -2747,6 +2841,134 @@ def oracle_sql() -> dict[str, str]:
         for lang in ["de", "en", "es", "fr"]
     )
     return {
+        # --- r5-new oracles
+        "scd2_user_state": """
+            WITH o AS (
+              SELECT user_id, event_type, ts, event_id,
+                     CASE WHEN event_type IS NOT DISTINCT FROM
+                               lag(event_type) OVER w
+                          THEN 0 ELSE 1 END AS chg
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            r AS (
+              SELECT *, sum(chg) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS run
+              FROM o
+            ),
+            g AS (
+              SELECT user_id, run, any_value(event_type) AS event_type,
+                     min(ts) AS effective_from,
+                     CAST(count(*) AS BIGINT) AS n_rows
+              FROM r GROUP BY user_id, run
+            )
+            SELECT user_id, event_type, effective_from, n_rows,
+                   lead(effective_from) OVER w2 AS effective_to,
+                   lead(effective_from) OVER w2 IS NULL AS is_current
+            FROM g
+            WINDOW w2 AS (PARTITION BY user_id ORDER BY effective_from, run)
+        """,
+        "event_transitions": """
+            WITH s AS (
+              SELECT event_type AS from_state,
+                     lead(event_type) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id) AS to_state
+              FROM events
+            ),
+            c AS (
+              SELECT from_state, to_state, CAST(count(*) AS BIGINT) AS n
+              FROM s WHERE to_state IS NOT NULL GROUP BY from_state, to_state
+            )
+            SELECT from_state, to_state, n,
+                   round(n / CAST(sum(n) OVER (PARTITION BY from_state)
+                                  AS DOUBLE), 6) AS p
+            FROM c
+        """,
+        "item_cf_cosine": """
+            WITH ui AS (
+              SELECT user_id AS u, event_type AS i, count(*) AS cnt
+              FROM events GROUP BY u, i
+            ),
+            norms AS (SELECT i, sqrt(sum(cnt * cnt)) AS nrm FROM ui GROUP BY i),
+            pairs AS (
+              SELECT a.i AS item_a, b.i AS item_b,
+                     CAST(count(*) AS BIGINT) AS n_users,
+                     CAST(sum(a.cnt * b.cnt) AS BIGINT) AS dot
+              FROM ui a JOIN ui b ON a.u = b.u AND a.i < b.i
+              GROUP BY item_a, item_b
+            )
+            SELECT item_a, item_b, n_users, dot,
+                   round(dot / (na.nrm * nb.nrm), 6) AS cosine
+            FROM pairs
+            JOIN norms na ON na.i = item_a
+            JOIN norms nb ON nb.i = item_b
+        """,
+        "sq8_error_stats": """
+            WITH ex AS (
+              SELECT CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,
+                     CAST(unnest(embedding) AS DOUBLE) AS x
+              FROM embeddings
+            ),
+            mm AS (SELECT dim, min(x) AS vmin, max(x) AS vmax FROM ex GROUP BY dim),
+            c AS (
+              SELECT ex.dim, x, vmin, vmax, (vmax - vmin) / 255.0 AS scale,
+                     CASE WHEN (vmax - vmin) / 255.0 > 0
+                          THEN greatest(CAST(0 AS BIGINT),
+                                 least(CAST(255 AS BIGINT),
+                                   CAST(floor((x - vmin) / ((vmax - vmin) / 255.0)
+                                              + 0.5) AS BIGINT)))
+                          ELSE 0 END AS code
+              FROM ex JOIN mm USING (dim)
+            )
+            SELECT dim, CAST(count(*) AS BIGINT) AS n,
+                   round(any_value(vmin), 6) AS vmin,
+                   round(any_value(vmax), 6) AS vmax,
+                   CAST(sum(code) AS BIGINT) AS sum_codes,
+                   round(max(abs(x - (CASE WHEN scale > 0
+                                           THEN vmin + code * scale
+                                           ELSE vmin END))), 9) AS max_abs_err
+            FROM c GROUP BY dim
+        """,
+        "heaps_vocab_growth": f"""
+            WITH tk AS (
+              SELECT doc_id AS id, unnest({_TOKSF}) AS term FROM documents
+            ),
+            bounds AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM documents),
+            fo AS (SELECT term, min(id) AS fid FROM tk GROUP BY term),
+            nb AS (
+              SELECT least(49, CAST(floor(CAST(fid - lo AS DOUBLE) * 50
+                       / CAST(hi - lo + 1 AS DOUBLE)) AS INT)) AS bucket,
+                     count(*) AS new_terms
+              FROM fo, bounds GROUP BY bucket
+            ),
+            tc AS (
+              SELECT least(49, CAST(floor(CAST(id - lo AS DOUBLE) * 50
+                       / CAST(hi - lo + 1 AS DOUBLE)) AS INT)) AS bucket,
+                     sum(ntok) AS toks
+              FROM (SELECT id, count(*) AS ntok FROM tk GROUP BY id), bounds
+              GROUP BY bucket
+            ),
+            pts AS (
+              SELECT coalesce(nb.bucket, tc.bucket) AS bucket,
+                     sum(coalesce(new_terms, 0)) OVER w AS cum_vocab,
+                     sum(coalesce(toks, 0)) OVER w AS cum_toks
+              FROM nb FULL JOIN tc ON nb.bucket = tc.bucket
+              WINDOW w AS (ORDER BY coalesce(nb.bucket, tc.bucket)
+                           ROWS UNBOUNDED PRECEDING)
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_points,
+                   CAST(max(cum_toks) AS BIGINT) AS total_tokens,
+                   CAST(max(cum_vocab) AS BIGINT) AS total_vocab,
+                   round(regr_slope(ln(cum_vocab), ln(cum_toks)), 6) AS slope
+            FROM pts WHERE cum_vocab > 0 AND cum_toks > 0
+        """,
+        "bucketed_join_agg": """
+            SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+                   round(sum(o_totalprice), 2) AS revenue
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
         "idx_point_lookup": f"{ev} WHERE event_type = 'click'",
         "idx_and": f"{ev} WHERE event_type = 'click' AND user_id = 7",
         "idx_or": f"{ev} WHERE event_type = 'signup' OR event_type = 'error'",

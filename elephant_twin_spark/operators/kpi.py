@@ -132,3 +132,46 @@ def rate_anomaly(
         z.alias("z"),
         (F.abs(z) > F.lit(z_threshold)).alias("is_anomaly"),
     )
+
+
+def transition_matrix(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    state_col: str,
+    tiebreak: Optional[str] = None,
+    include_terminal: bool = False,
+) -> DataFrame:
+    """First-order Markov transition counts over per-key event
+    sequences: ``(from_state, to_state, n, p)`` where ``p`` is the
+    row-normalized transition probability out of ``from_state``.
+
+    The behavioral-analytics companion to the funnel: which step
+    actually follows which, with what probability — drop-off, loops,
+    and unexpected paths fall straight out of the matrix.
+
+    Shape: one ``lead`` window per key partition (hash shuffle on
+    ``key_col``, sorted once), one (from, to) count aggregate with
+    map-side combine, and the normalizer as a window over the tiny
+    |states|^2 result — no second pass over the events. With
+    ``include_terminal`` each key's last event contributes a
+    ``to_state = NULL`` terminal transition (so ``p`` sums to 1 per
+    ``from_state`` including exits); by default terminals are dropped.
+    ``tiebreak`` orders equal timestamps (pass the event id — without
+    it, tied-ts sequences are nondeterministic).
+    """
+    order = [F.col(ts_col).asc()]
+    if tiebreak is not None:
+        order.append(F.col(tiebreak).asc())
+    w = Window.partitionBy(key_col).orderBy(*order)
+    seq = df.select(
+        F.col(state_col).alias("from_state"),
+        F.lead(state_col).over(w).alias("to_state"),
+    )
+    if not include_terminal:
+        seq = seq.where(F.col("to_state").isNotNull())
+    counts = seq.groupBy("from_state", "to_state").agg(F.count(F.lit(1)).alias("n"))
+    w_norm = Window.partitionBy("from_state")
+    return counts.withColumn(
+        "p", F.round(F.col("n") / F.sum("n").over(w_norm), 6)
+    )

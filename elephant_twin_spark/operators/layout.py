@@ -82,6 +82,7 @@ def bucket_table(
     bucket_cols: Sequence[str],
     num_buckets: int,
     sort_cols: Optional[Sequence[str]] = None,
+    path: Optional[str] = None,
 ) -> str:
     """Write ``src`` as a BUCKETED managed table: rows hash-partitioned
     into ``num_buckets`` files per partition by ``bucket_cols`` (and
@@ -97,8 +98,10 @@ def bucket_table(
     instead of filter keys.
 
     Needs ``saveAsTable`` (bucket metadata lives in the catalog, not the
-    parquet footers); ``src`` may be a path or a DataFrame. Returns
-    ``table_name``.
+    parquet footers); ``src`` may be a path or a DataFrame. ``path``
+    makes the table EXTERNAL (data at ``path``, metadata in the
+    session catalog — with an in-memory metastore a fresh session just
+    re-registers the same files). Returns ``table_name``.
     """
     df = spark.read.parquet(src) if isinstance(src, str) else src
     w = (
@@ -106,6 +109,8 @@ def bucket_table(
         .mode("overwrite")
         .bucketBy(int(num_buckets), *bucket_cols)
     )
+    if path is not None:
+        w = w.option("path", path)
     if sort_cols:
         w = w.sortBy(*sort_cols)
     w.saveAsTable(table_name)

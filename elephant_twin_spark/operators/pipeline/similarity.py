@@ -835,3 +835,149 @@ def ann_recall_audit(
         rows,
         "method string, n_queries int, total_hits long, min_hits long, mean_recall double",
     )
+
+
+def cooccurrence_cosine(
+    df: DataFrame,
+    user_col: str,
+    item_col: str,
+    max_items_per_user: Optional[int] = None,
+    min_pair_count: int = 1,
+) -> DataFrame:
+    """Item-item cosine similarity over sparse interaction vectors —
+    the classic collaborative-filtering shape: item i's vector has one
+    component per user (the interaction count), and similarity is
+    ``dot(i, j) / (|i| * |j|)`` computed WITHOUT ever materializing the
+    |items| x |users| matrix.
+
+    ``(item_a, item_b, n_users, dot, cosine)`` for unordered pairs
+    (``item_a < item_b``) co-interacted by at least ``min_pair_count``
+    users.
+
+    Shape (100 TB of interactions): (user, item) counts in one
+    map-side-combined aggregate; per-item norms in a second small
+    aggregate (|items| rows, broadcast back); the dot products come
+    from the self-join on ``user_col`` — the one genuinely quadratic
+    step, bounded per user by that user's item count. Power users are
+    the skew hazard (a user with 10k items yields 5*10^7 pairs), so
+    ``max_items_per_user`` drops users above the cap (standard CF
+    practice — a user who touches everything carries no similarity
+    signal). The pair aggregate is again map-side combined.
+    """
+    ui = df.groupBy(F.col(user_col).alias("u"), F.col(item_col).alias("i")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    if max_items_per_user is not None:
+        deg = ui.groupBy("u").agg(F.count(F.lit(1)).alias("_deg"))
+        ui = ui.join(
+            F.broadcast(deg.where(F.col("_deg") <= int(max_items_per_user))), "u"
+        ).drop("_deg")
+    norms = ui.groupBy("i").agg(F.sqrt(F.sum(F.col("cnt") * F.col("cnt"))).alias("norm"))
+    a = ui.select(F.col("u"), F.col("i").alias("item_a"), F.col("cnt").alias("ca"))
+    b = ui.select(F.col("u"), F.col("i").alias("item_b"), F.col("cnt").alias("cb"))
+    pairs = (
+        a.join(b, "u")
+        .where(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum(F.col("ca") * F.col("cb")).alias("dot"),
+        )
+        .where(F.col("n_users") >= int(min_pair_count))
+    )
+    na = norms.select(F.col("i").alias("item_a"), F.col("norm").alias("_na"))
+    nb = norms.select(F.col("i").alias("item_b"), F.col("norm").alias("_nb"))
+    return (
+        pairs.join(F.broadcast(na), "item_a")
+        .join(F.broadcast(nb), "item_b")
+        .select(
+            "item_a",
+            "item_b",
+            "n_users",
+            "dot",
+            F.round(F.col("dot") / (F.col("_na") * F.col("_nb")), 6).alias("cosine"),
+        )
+    )
+
+
+def scalar_quantize_fit(df: DataFrame, vec_col: str):
+    """Per-dimension (min, max) over the corpus for scalar (int8-style)
+    quantization — returned as two Python lists, bounded by the
+    embedding dim (a posexplode + per-dim min/max aggregate, map-side
+    combined; the collect is dim rows, never row data)."""
+    mm = (
+        df.select(F.posexplode(vec_col).alias("dim", "x"))
+        .groupBy("dim")
+        .agg(F.min(F.col("x").cast("double")).alias("vmin"),
+             F.max(F.col("x").cast("double")).alias("vmax"))
+        .orderBy("dim")
+        .collect()
+    )
+    return [r["vmin"] for r in mm], [r["vmax"] for r in mm]
+
+
+def scalar_quantize(
+    df: DataFrame,
+    vec_col: str,
+    vmin: Sequence[float],
+    vmax: Sequence[float],
+    bits: int = 8,
+    out_col: str = "codes",
+) -> DataFrame:
+    """Scalar-quantize ``vec_col`` to ``array<int>`` codes in
+    ``[0, 2^bits - 1]``: ``code_d = floor((x - min_d)/scale_d + 0.5)``
+    with ``scale_d = (max_d - min_d)/(2^bits - 1)`` (degenerate dims —
+    ``max == min`` — code to 0). 4x smaller than float32 at 8 bits, and
+    unlike PQ the decode is a single multiply-add, so re-ranking stays
+    cheap. Pure JVM ``transform`` over broadcast per-dim literals — no
+    shuffle, no Python."""
+    levels = float((1 << int(bits)) - 1)
+    lo = F.array(*[F.lit(float(v)) for v in vmin])
+    hi = F.array(*[F.lit(float(v)) for v in vmax])
+    def code(x, i):
+        mn = F.element_at(lo, i + 1)
+        scale = (F.element_at(hi, i + 1) - mn) / F.lit(levels)
+        raw = F.floor((x.cast("double") - mn) / scale + F.lit(0.5))
+        clamped = F.greatest(F.lit(0).cast("long"), F.least(F.lit(int(levels)).cast("long"), raw))
+        return F.when(scale > 0, clamped).otherwise(F.lit(0).cast("long")).cast("int")
+    return df.withColumn(out_col, F.transform(F.col(vec_col), code))
+
+
+def scalar_quantize_stats(df: DataFrame, vec_col: str, bits: int = 8) -> DataFrame:
+    """End-to-end scalar-quantization audit, one row per dimension:
+    ``(dim, n, vmin, vmax, sum_codes, max_abs_err)`` where
+    ``max_abs_err`` is the worst reconstruction error
+    ``max |x - (vmin + code*scale)|`` for that dimension. The audit
+    deliberately avoids float-sum aggregates (``sum_codes`` is an exact
+    integer sum, the error is a max) so the result is bit-stable across
+    engines and partitionings — the same evidence design as
+    ``cms_error_stats``. Shape: posexplode + two per-dim aggregates
+    (both map-side combined); the min/max join back is a broadcast of
+    dim rows."""
+    levels = float((1 << int(bits)) - 1)
+    ex = df.select(F.posexplode(vec_col).alias("dim", "xf")).select(
+        "dim", F.col("xf").cast("double").alias("x")
+    )
+    mm = ex.groupBy("dim").agg(F.min("x").alias("vmin"), F.max("x").alias("vmax"))
+    j = ex.join(F.broadcast(mm), "dim")
+    scale = (F.col("vmax") - F.col("vmin")) / F.lit(levels)
+    raw = F.floor((F.col("x") - F.col("vmin")) / scale + F.lit(0.5))
+    clamped = F.greatest(
+        F.lit(0).cast("long"), F.least(F.lit(int(levels)).cast("long"), raw)
+    )
+    code = F.when(scale > 0, clamped).otherwise(F.lit(0).cast("long"))
+    deq = F.when(scale > 0, F.col("vmin") + code * scale).otherwise(F.col("vmin"))
+    return (
+        j.select(
+            "dim", "vmin", "vmax", code.alias("code"), F.abs(F.col("x") - deq).alias("err")
+        )
+        .groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.first("vmin"), 6).alias("vmin"),
+            F.round(F.first("vmax"), 6).alias("vmax"),
+            F.sum("code").alias("sum_codes"),
+            F.round(F.max("err"), 9).alias("max_abs_err"),
+        )
+        .select("dim", "n", "vmin", "vmax", "sum_codes", "max_abs_err")
+    )

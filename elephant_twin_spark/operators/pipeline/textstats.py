@@ -656,3 +656,70 @@ def sentence_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             n_sent > 0, F.round(words.cast("double") / n_sent, 6)
         ).alias("avg_sentence_words"),
     )
+
+
+def heaps_slope(
+    df: DataFrame, text_col: str, id_col: str, n_buckets: int = 50
+) -> DataFrame:
+    """Heaps'-law vocabulary-growth exponent: least-squares slope of
+    ``ln(vocab) ~ ln(tokens)`` over cumulative (tokens-seen,
+    distinct-terms-seen) checkpoints, reading the corpus in ``id_col``
+    order. Natural text sits near 0.4-0.6; near-1 means unbounded
+    novel-token churn (serial numbers, hashes — tokenizer poison), near-0
+    means a closed vocabulary (template spam). The corpus-level
+    companion to per-group ``zipf_slope``.
+
+    Shape: the curve is NEVER built doc-by-doc — each term contributes
+    only its FIRST occurrence (a ``min(id)`` aggregate), docs contribute
+    token counts (one aggregate), and both land in ``n_buckets``
+    id-range buckets (bounds from a 1-row min/max scalar broadcast).
+    The cumulative sums and the closed-form regression then run over
+    ``n_buckets`` rows — a deliberately tiny single-partition window,
+    bounded by the parameter, not the data. Returns one row:
+    ``(n_points, total_tokens, total_vocab, slope)``.
+    """
+    from pyspark.sql.window import Window
+
+    toks = df.select(F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("term"))
+    bounds = df.agg(
+        F.min(F.col(id_col)).alias("lo"), F.max(F.col(id_col)).alias("hi")
+    )
+    span = (F.col("hi") - F.col("lo") + 1).cast("double")
+    bkt = lambda c: F.least(
+        F.lit(int(n_buckets) - 1),
+        F.floor((c - F.col("lo")).cast("double") * int(n_buckets) / span).cast("int"),
+    )
+    first_occ = (
+        toks.groupBy("term").agg(F.min("id").alias("fid")).crossJoin(F.broadcast(bounds))
+        .groupBy(bkt(F.col("fid")).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("new_terms"))
+    )
+    tok_counts = (
+        toks.groupBy("id").agg(F.count(F.lit(1)).alias("ntok")).crossJoin(F.broadcast(bounds))
+        .groupBy(bkt(F.col("id")).alias("bucket"))
+        .agg(F.sum("ntok").alias("toks"))
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    pts = (
+        first_occ.join(tok_counts, "bucket", "full")
+        .select(
+            "bucket",
+            F.coalesce("new_terms", F.lit(0)).alias("new_terms"),
+            F.coalesce("toks", F.lit(0)).alias("toks"),
+        )
+        .withColumn("cum_vocab", F.sum("new_terms").over(w))
+        .withColumn("cum_toks", F.sum("toks").over(w))
+        .where((F.col("cum_vocab") > 0) & (F.col("cum_toks") > 0))
+        .select(
+            F.ln("cum_toks").alias("x"),
+            F.ln("cum_vocab").alias("y"),
+            "cum_vocab",
+            "cum_toks",
+        )
+    )
+    return pts.agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.max("cum_toks").alias("total_tokens"),
+        F.max("cum_vocab").alias("total_vocab"),
+        F.round(F.covar_pop("x", "y") / F.var_pop("x"), 6).alias("slope"),
+    )

@@ -136,3 +136,59 @@ def interval_join(
         return p.join(i, "_bkt", "inner").where(range_cond).drop("_bkt")
 
     return points.join(intervals, range_cond, "inner")
+
+
+def scd2_intervals(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    state_cols: Sequence[str],
+    tiebreak: Sequence[str] = (),
+    collapse_consecutive: bool = True,
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 history from a changelog: one
+    row per (key, state run) with ``effective_from`` / ``effective_to``
+    validity bounds and an ``is_current`` flag (open intervals carry a
+    NULL ``effective_to``).
+
+    The standard snapshot-from-changelog operator a warehouse runs over
+    CDC feeds: point-in-time state is then a plain
+    ``effective_from <= t AND (t < effective_to OR effective_to IS NULL)``
+    filter, and the latest snapshot is ``is_current``.
+
+    Shape (100 TB): every step is keyed by ``keys`` — a change-flag
+    window (``lag`` over the key partition, null-safe struct compare),
+    a running-sum run id over the same sorted partition (Catalyst
+    reuses the sort), one ``(keys, run)`` group aggregate, and a final
+    ``lead`` window back on ``keys``. All shuffles hash on the key set;
+    per-task state is a single row of lookback. ``collapse_consecutive``
+    merges adjacent rows with identical state (CDC feeds that re-emit
+    unchanged rows); with it off every changelog row opens an interval.
+    Ordering within a key is ``(ts_col, *tiebreak)`` — pass a unique id
+    when timestamps can tie, or run order (and thus the history) is
+    nondeterministic.
+    """
+    keys, state_cols, tiebreak = list(keys), list(state_cols), list(tiebreak)
+    order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in tiebreak]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    state = F.struct(*[F.col(c) for c in state_cols])
+    if collapse_consecutive:
+        changed = F.when(
+            state.eqNullSafe(F.lag(state).over(w)), F.lit(0)
+        ).otherwise(F.lit(1))
+    else:
+        changed = F.lit(1)
+    runs = df.withColumn("_chg", changed).withColumn(
+        "_run", F.sum("_chg").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    grouped = runs.groupBy(*keys, "_run").agg(
+        *[F.first(c).alias(c) for c in state_cols],
+        F.min(ts_col).alias("effective_from"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    w2 = Window.partitionBy(*keys).orderBy(F.col("effective_from").asc(), F.col("_run").asc())
+    return (
+        grouped.withColumn("effective_to", F.lead("effective_from").over(w2))
+        .withColumn("is_current", F.col("effective_to").isNull())
+        .drop("_run")
+    )

@@ -1,0 +1,207 @@
+"""Round-5 operators: SCD2 changelog history, Markov transition
+matrices, item-item CF cosine, int8 scalar quantization, Heaps-law
+vocabulary growth, external-path bucketed tables."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from elephant_twin_spark.operators import kpi, layout, temporal
+from elephant_twin_spark.operators.pipeline import similarity, textstats
+
+
+# ------------------------------------------------------------- scd2
+
+def _changelog(spark):
+    rows = [
+        # user 1: a -> a (re-emit) -> b -> a ; ties broken by seq
+        (1, 10, 1, "a"),
+        (1, 20, 2, "a"),
+        (1, 30, 3, "b"),
+        (1, 40, 4, "a"),
+        # user 2: single row -> single open interval
+        (2, 15, 5, "x"),
+        # user 3: NULL state is a real state and collapses with itself
+        (3, 10, 6, None),
+        (3, 20, 7, None),
+        (3, 30, 8, "y"),
+    ]
+    return spark.createDataFrame(rows, "uid int, ts int, seq int, state string")
+
+
+def test_scd2_collapses_consecutive_and_chains_intervals(spark):
+    out = temporal.scd2_intervals(
+        _changelog(spark), ["uid"], "ts", ["state"], tiebreak=["seq"]
+    )
+    got = {
+        (r["uid"], r["effective_from"]): r.asDict() for r in out.collect()
+    }
+    # user 1: runs (a,10..30) (b,30..40) (a,40..open)
+    assert got[(1, 10)]["state"] == "a" and got[(1, 10)]["n_rows"] == 2
+    assert got[(1, 10)]["effective_to"] == 30
+    assert got[(1, 30)]["state"] == "b" and got[(1, 30)]["effective_to"] == 40
+    assert got[(1, 40)]["state"] == "a" and got[(1, 40)]["is_current"]
+    assert got[(1, 40)]["effective_to"] is None
+    # user 2: one open interval
+    assert got[(2, 15)]["is_current"] and got[(2, 15)]["n_rows"] == 1
+    # user 3: NULL run collapsed (eqNullSafe), then y
+    assert got[(3, 10)]["state"] is None and got[(3, 10)]["n_rows"] == 2
+    assert got[(3, 10)]["effective_to"] == 30
+    assert got[(3, 30)]["state"] == "y" and got[(3, 30)]["is_current"]
+    # exactly one current interval per key
+    cur = [k for k, v in got.items() if v["is_current"]]
+    assert sorted(u for u, _ in cur) == [1, 2, 3]
+
+
+def test_scd2_no_collapse_opens_interval_per_row(spark):
+    out = temporal.scd2_intervals(
+        _changelog(spark), ["uid"], "ts", ["state"],
+        tiebreak=["seq"], collapse_consecutive=False,
+    )
+    assert out.count() == 8
+    u1 = (
+        out.where(F.col("uid") == 1)
+        .orderBy("effective_from")
+        .select("effective_from", "effective_to")
+        .collect()
+    )
+    # intervals chain with no gaps: each effective_to = next effective_from
+    for prev, nxt in zip(u1, u1[1:]):
+        assert prev["effective_to"] == nxt["effective_from"]
+    assert u1[-1]["effective_to"] is None
+
+
+# ------------------------------------------------- transition matrix
+
+def test_transition_matrix_counts_and_rows_normalize(spark):
+    rows = [
+        (1, 1, "a"), (1, 2, "b"), (1, 3, "a"),
+        (2, 1, "a"), (2, 2, "b"),
+        (3, 5, "b"),  # lone event: no transition unless terminal
+    ]
+    df = spark.createDataFrame(rows, "uid int, ts int, state string")
+    out = kpi.transition_matrix(df, "uid", "ts", "state")
+    got = {(r["from_state"], r["to_state"]): (r["n"], r["p"]) for r in out.collect()}
+    assert got[("a", "b")][0] == 2
+    assert got[("b", "a")][0] == 1
+    assert got[("a", "b")][1] == 1.0  # a only ever goes to b
+    assert len(got) == 2
+
+    term = kpi.transition_matrix(df, "uid", "ts", "state", include_terminal=True)
+    by_from = {}
+    for r in term.collect():
+        by_from.setdefault(r["from_state"], []).append(r)
+    # with terminals, p sums to 1 per from_state and NULL targets appear
+    for rows_ in by_from.values():
+        assert sum(r["p"] for r in rows_) == pytest.approx(1.0, abs=1e-5)
+    assert any(r["to_state"] is None for r in by_from["b"])
+
+
+# -------------------------------------------------- item-item cosine
+
+def test_cooccurrence_cosine_matches_hand_computation(spark):
+    # u1: A,A,B   u2: A,B   u3: B,C
+    rows = [(1, "A"), (1, "A"), (1, "B"), (2, "A"), (2, "B"), (3, "B"), (3, "C")]
+    df = spark.createDataFrame(rows, "u int, item string")
+    out = similarity.cooccurrence_cosine(df, "u", "item")
+    got = {(r["item_a"], r["item_b"]): r.asDict() for r in out.collect()}
+    # vectors: A=(2,1,0) B=(1,1,1) C=(0,0,1)
+    ab = got[("A", "B")]
+    assert ab["n_users"] == 2 and ab["dot"] == 3
+    assert ab["cosine"] == pytest.approx(3 / (math.sqrt(5) * math.sqrt(3)), abs=1e-6)
+    bc = got[("B", "C")]
+    assert bc["dot"] == 1
+    assert ("A", "C") not in got  # never co-interacted
+
+
+def test_cooccurrence_cosine_power_user_cap_drops_user(spark):
+    rows = [(1, "A"), (1, "B"), (1, "C"), (2, "A"), (2, "B")]
+    df = spark.createDataFrame(rows, "u int, item string")
+    capped = similarity.cooccurrence_cosine(df, "u", "item", max_items_per_user=2)
+    got = {(r["item_a"], r["item_b"]): r["n_users"] for r in capped.collect()}
+    # user 1 (3 items) dropped: only u2's A-B pair remains
+    assert got == {("A", "B"): 1}
+
+
+# ------------------------------------------------ scalar quantization
+
+def test_scalar_quantize_roundtrip_and_bounds(spark):
+    rows = [(0, [0.0, -1.0, 5.0]), (1, [1.0, 1.0, 5.0]), (2, [0.5, 0.0, 5.0])]
+    df = spark.createDataFrame(rows, "id int, v array<float>")
+    vmin, vmax = similarity.scalar_quantize_fit(df, "v")
+    assert vmin == [0.0, -1.0, 5.0] and vmax == [1.0, 1.0, 5.0]
+    codes = {
+        r["id"]: r["codes"]
+        for r in similarity.scalar_quantize(df, "v", vmin, vmax).collect()
+    }
+    # endpoints hit 0 and 255; midpoint rounds to nearest level
+    assert codes[0] == [0, 0, 0]       # mins (degenerate dim 2 -> 0)
+    assert codes[1] == [255, 255, 0]
+    assert codes[2][0] in (127, 128)
+    # reconstruction error bounded by scale/2 on every dim
+    stats = {r["dim"]: r.asDict() for r in
+             similarity.scalar_quantize_stats(df, "v").collect()}
+    for d in (0, 1):
+        scale = (vmax[d] - vmin[d]) / 255.0
+        # max_abs_err is rounded to 9 digits, so allow that grain
+        assert stats[d]["max_abs_err"] <= scale / 2 + 1e-9
+    assert stats[2]["max_abs_err"] == 0.0  # degenerate dim decodes exactly
+
+
+def test_scalar_quantize_stats_sum_codes_is_exact(spark):
+    from conftest import SF_DIR
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    out = similarity.scalar_quantize_stats(emb, "embedding")
+    rows = out.collect()
+    n = emb.count()
+    assert all(r["n"] == n for r in rows)
+    # codes live in [0, 255] so the exact integer sum is bounded
+    assert all(0 <= r["sum_codes"] <= 255 * n for r in rows)
+    assert all(r["max_abs_err"] >= 0 for r in rows)
+
+
+# ------------------------------------------------------- Heaps' law
+
+def test_heaps_slope_detects_growth_vs_saturation(spark):
+    # growing vocabulary: doc i introduces i novel tokens
+    grow = [(i, " ".join(f"tok{i}_{j}" for j in range(i + 1))) for i in range(100)]
+    g = textstats.heaps_slope(
+        spark.createDataFrame(grow, "doc_id long, text string"), "text", "doc_id",
+        n_buckets=10,
+    ).collect()[0]
+    assert g["n_points"] == 10
+    assert g["total_vocab"] == sum(range(1, 101))
+    assert 0.5 < g["slope"] <= 1.2  # vocab grows ~linearly with tokens
+
+    # closed vocabulary: always the same 3 tokens -> slope 0
+    closed = [(i, "a b c") for i in range(100)]
+    c = textstats.heaps_slope(
+        spark.createDataFrame(closed, "doc_id long, text string"), "text", "doc_id",
+        n_buckets=10,
+    ).collect()[0]
+    assert c["total_vocab"] == 3 and c["slope"] == 0.0
+
+
+# ------------------------------------------- external-path bucketing
+
+def test_bucket_table_external_path(spark, workdir):
+    import os
+
+    from conftest import SF_DIR
+
+    from elephant_twin_spark.sources import tables
+
+    ev = tables.load_raw(spark, f"{SF_DIR}/events.parquet")
+    spark.sql("DROP TABLE IF EXISTS ets_bkt_ext")
+    dst = f"{workdir}/bkt_ext"
+    layout.bucket_table(
+        spark, ev.select("event_id", "user_id", "value"), "ets_bkt_ext",
+        ["user_id"], 4, sort_cols=["user_id"], path=dst,
+    )
+    try:
+        assert os.path.exists(dst)  # data at the external path, not the warehouse
+        assert spark.table("ets_bkt_ext").count() == ev.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ets_bkt_ext")
