@@ -187,8 +187,8 @@ class _SFState:
         """Orders + customer written as BUCKETED tables on the join key
         (``layout.bucket_table``): both sides hash-bucketed into 8
         buckets by custkey and sorted within buckets, so the join needs
-        neither Exchange nor Sort — the co-located-join layout a 100-TB
-        warehouse pays for once at write time. The catalog entry is
+        no Exchange on either side — the co-located-join layout a
+        100-TB warehouse pays for once at write time. The catalog entry is
         per-session (in-memory metastore) but the parquet lives under
         the work dir; a fresh session just re-registers it."""
         from elephant_twin_spark.operators import layout
@@ -2575,9 +2575,9 @@ def _q_heaps_vocab_growth(spark, sf_dir):
 def _q_bucketed_join_agg(spark, sf_dir):
     """Revenue by market segment over BUCKETED orders x customer
     (``layout.bucket_table``, 8 buckets on custkey, sorted within
-    buckets): the join runs with no Exchange and no Sort on either side
-    (pinned by tests/test_layout.py) — the pay-once co-located-join
-    layout at 100 TB. Result equals the plain join, which is exactly
+    buckets): the join runs with no Exchange on either side (pinned by
+    tests/test_layout.py) — the pay-once co-located-join layout at
+    100 TB. Result equals the plain join, which is exactly
     what the oracle checks."""
     o_name, c_name = _state(spark, sf_dir).bucketed_tpch()
     o = spark.table(o_name)

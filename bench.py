@@ -164,6 +164,50 @@ def main():
         .collect()
     )
 
+    # ---- bucketed co-located join (write once, join with zero Exchange)
+    from elephant_twin_spark.operators import layout as layout_mod
+    from elephant_twin_spark.operators import temporal as temporal_mod
+
+    def _build_bucketed():
+        for name, df, key in (
+            ("ets_bench_orders_bkt", orders, "o_custkey"),
+            ("ets_bench_customer_bkt", customer, "c_custkey"),
+        ):
+            layout_mod.bucket_table(
+                spark, df, name, [key], 8, sort_cols=[key], path=f"{work}/{name}"
+            )
+
+    timed("build_bucketed_tables", reps=1)(_build_bucketed)
+
+    def _bucketed_join():
+        # broadcast disabled: measuring the no-Exchange sort-merge path
+        # (at 100 TB neither fact side broadcasts)
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        try:
+            o = spark.table("ets_bench_orders_bkt")
+            c = spark.table("ets_bench_customer_bkt")
+            return (
+                o.join(c, o["o_custkey"] == c["c_custkey"])
+                .groupBy("c_mktsegment")
+                .agg(F.count(F.lit(1)).alias("n"), F.sum("o_totalprice").alias("rev"))
+                .collect()
+            )
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+            spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+    timed("q_bucketed_join")(_bucketed_join)
+
+    # ---- SCD2 changelog history (key-partitioned windows only)
+    timed("q_scd2_history")(
+        lambda: temporal_mod.scd2_intervals(
+            spark.read.parquet(events), ["user_id"], "ts", ["event_type"],
+            tiebreak=["event_id"],
+        ).count()
+    )
+
     # ---- pipeline ops
     timed("q_dedup_exact")(lambda: dedup.exact_dup_groups(docs, "text", "doc_id").count())
     timed("q_minhash_lsh")(

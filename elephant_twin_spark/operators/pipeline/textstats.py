@@ -689,24 +689,21 @@ def heaps_slope(
         F.lit(int(n_buckets) - 1),
         F.floor((c - F.col("lo")).cast("double") * int(n_buckets) / span).cast("int"),
     )
+    # both contributions land in ONE bucket aggregate: term rows carry
+    # (new_terms=1, toks=0), raw token rows carry (0, 1) — no per-doc
+    # intermediate, no bucket-table join
     first_occ = (
         toks.groupBy("term").agg(F.min("id").alias("fid")).crossJoin(F.broadcast(bounds))
-        .groupBy(bkt(F.col("fid")).alias("bucket"))
-        .agg(F.count(F.lit(1)).alias("new_terms"))
+        .select(bkt(F.col("fid")).alias("bucket"), F.lit(1).alias("nt"), F.lit(0).alias("tk"))
     )
-    tok_counts = (
-        toks.groupBy("id").agg(F.count(F.lit(1)).alias("ntok")).crossJoin(F.broadcast(bounds))
-        .groupBy(bkt(F.col("id")).alias("bucket"))
-        .agg(F.sum("ntok").alias("toks"))
+    tok_rows = toks.crossJoin(F.broadcast(bounds)).select(
+        bkt(F.col("id")).alias("bucket"), F.lit(0).alias("nt"), F.lit(1).alias("tk")
     )
     w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
     pts = (
-        first_occ.join(tok_counts, "bucket", "full")
-        .select(
-            "bucket",
-            F.coalesce("new_terms", F.lit(0)).alias("new_terms"),
-            F.coalesce("toks", F.lit(0)).alias("toks"),
-        )
+        first_occ.unionByName(tok_rows)
+        .groupBy("bucket")
+        .agg(F.sum("nt").alias("new_terms"), F.sum("tk").alias("toks"))
         .withColumn("cum_vocab", F.sum("new_terms").over(w))
         .withColumn("cum_toks", F.sum("toks").over(w))
         .where((F.col("cum_vocab") > 0) & (F.col("cum_toks") > 0))

@@ -185,13 +185,61 @@ def main():
         )
     )
 
+    # bucketed co-located join: both sides bucketed on the key -> the
+    # sort-merge join has NO Exchange below it
+    from elephant_twin_spark.operators import layout
+
+    orders = tables.load_sf_table(spark, SF_DIR, "orders")
+    customer = tables.load_sf_table(spark, SF_DIR, "customer")
+    layout.bucket_table(spark, orders, "ets_plans_o", ["o_custkey"], 8,
+                        sort_cols=["o_custkey"], path=f"{work}/bkt_o")
+    layout.bucket_table(spark, customer, "ets_plans_c", ["c_custkey"], 8,
+                        sort_cols=["c_custkey"], path=f"{work}/bkt_c")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    o, c = spark.table("ets_plans_o"), spark.table("ets_plans_c")
+    bkt_join = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    # render NOW, while broadcast is disabled (the shared formatting loop
+    # below runs after the conf reset)
+    sections.append(
+        (
+            "Bucketed co-located join (zero Exchange on the join)",
+            "orders and customer both written `bucketBy(8, custkey)` + sorted "
+            "within buckets — the SortMergeJoin consumes the bucket layout with "
+            "no Exchange on either side (broadcast disabled to show the fact-fact "
+            "path; per-bucket Sorts remain — Spark elides them only for "
+            "single-file buckets — and the only Exchange is the final small "
+            "groupBy).",
+            formatted(bkt_join),
+        )
+    )
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+    sections.append(
+        (
+            "SCD2 changelog history (key-partitioned windows, one shuffle)",
+            "change-flag lag window, running-sum run id, (key, run) aggregate "
+            "and the lead window all hash on user_id — Catalyst reuses the one "
+            "Exchange/Sort for every step.",
+            temporal.scd2_intervals(ev, ["user_id"], "ts", ["event_type"],
+                                    tiebreak=["event_id"]),
+        )
+    )
+
     out = ["# PLANS — formatted physical plans of headline operators",
            "",
            f"Generated by `tools/plan_report.py` at sf dir `{SF_DIR}`. These are the",
            "plan shapes `tests/test_plans.py` pins in CI.",
            ""]
     for title, blurb, df in sections:
-        out += [f"## {title}", "", blurb, "", "```", formatted(df), "```", ""]
+        plan = df if isinstance(df, str) else formatted(df)
+        out += [f"## {title}", "", blurb, "", "```", plan, "```", ""]
 
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as fh:
         fh.write("\n".join(out))
