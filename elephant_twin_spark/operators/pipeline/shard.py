@@ -66,3 +66,41 @@ def kfold_assign(
     h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}")))
     fold = (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % k).cast("int")
     return df.withColumn(out_col, fold)
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    id_col: str,
+    epoch: int,
+    num_shards: int = 16,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic per-epoch training shuffle: every epoch gets a
+    DIFFERENT but fully reproducible permutation of the corpus, with no
+    global sort and no stored shuffle table.
+
+    Each row gets ``key = md5(id:epoch:seed)`` — a fresh pseudo-random
+    draw per epoch — then ``shard = int(key[:8]) % num_shards`` and
+    ``pos`` = the row's rank inside its shard in key order. Readers
+    stream shards in (shard, pos) order; re-running any epoch anywhere
+    reproduces the identical order, and distinct epochs decorrelate
+    (the property epoch shuffling exists for: no batch sees the same
+    neighborhood twice).
+
+    Shape: the only shuffle is the shard-partitioned rank window —
+    hash on ``shard``, each task sorting corpus/num_shards keys; at
+    100 TB ``num_shards`` scales with the cluster so per-task state
+    stays bounded. Compare ``write_shards`` (epoch-independent layout)
+    and ``kfold_assign`` (membership, not order).
+    """
+    if num_shards < 1:
+        raise ValueError("num_shards must be >= 1")
+    from pyspark.sql.window import Window
+
+    key = F.md5(
+        F.concat(F.col(id_col).cast("string"), F.lit(f":{int(epoch)}:{int(seed)}"))
+    )
+    shard = (F.conv(F.substring(key, 1, 8), 16, 10).cast("long") % num_shards).cast("int")
+    out = df.withColumn("shuffle_key", key).withColumn("shard", shard)
+    w = Window.partitionBy("shard").orderBy(F.col("shuffle_key").asc(), F.col(id_col).asc())
+    return out.withColumn("pos", F.row_number().over(w))

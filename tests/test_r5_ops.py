@@ -205,3 +205,127 @@ def test_bucket_table_external_path(spark, workdir):
         assert spark.table("ets_bkt_ext").count() == ev.count()
     finally:
         spark.sql("DROP TABLE IF EXISTS ets_bkt_ext")
+
+
+# ------------------------------------------------------ epoch shuffle
+
+def test_epoch_shuffle_deterministic_and_decorrelated(spark):
+    from elephant_twin_spark.operators.pipeline import shard as shard_mod
+
+    df = spark.createDataFrame([(i,) for i in range(200)], "id long")
+    a = shard_mod.epoch_shuffle(df, "id", epoch=0, num_shards=4)
+    b = shard_mod.epoch_shuffle(df, "id", epoch=0, num_shards=4)
+    rows_a = {(r["id"], r["shard"], r["pos"]) for r in a.collect()}
+    rows_b = {(r["id"], r["shard"], r["pos"]) for r in b.collect()}
+    assert rows_a == rows_b  # same epoch -> identical permutation
+
+    c = shard_mod.epoch_shuffle(df, "id", epoch=1, num_shards=4)
+    rows_c = {(r["id"], r["shard"], r["pos"]) for r in c.collect()}
+    assert rows_a != rows_c  # different epoch -> different permutation
+
+    # shards partition the corpus; pos is a dense 1..n_shard rank
+    by_shard = {}
+    for (i, s, p) in rows_a:
+        by_shard.setdefault(s, []).append(p)
+    assert sum(len(v) for v in by_shard.values()) == 200
+    assert set(by_shard) <= set(range(4))
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+
+
+def test_epoch_shuffle_order_is_key_order_within_shard(spark):
+    from elephant_twin_spark.operators.pipeline import shard as shard_mod
+
+    df = spark.createDataFrame([(i,) for i in range(50)], "id long")
+    out = shard_mod.epoch_shuffle(df, "id", epoch=3, num_shards=2).collect()
+    for s in (0, 1):
+        rows = sorted((r for r in out if r["shard"] == s), key=lambda r: r["pos"])
+        keys = [r["shuffle_key"] for r in rows]
+        assert keys == sorted(keys)  # pos follows md5-key order
+
+
+# ---------------------------------------------------- triangle count
+
+def test_triangle_count_known_graphs(spark):
+    from elephant_twin_spark.operators.pipeline import graph
+
+    # K4: 4 triangles; edges given in mixed orientation with a dup + loop
+    k4 = [(1, 2), (1, 3), (1, 4), (3, 2), (2, 4), (3, 4), (2, 1), (2, 2)]
+    out = graph.triangle_count(
+        spark.createDataFrame(k4, "src int, dst int")
+    ).collect()[0]
+    assert (out["n_vertices"], out["n_edges"], out["n_triangles"]) == (4, 6, 4)
+
+    # C5 cycle: no triangles
+    c5 = [(i, (i + 1) % 5) for i in range(5)]
+    out = graph.triangle_count(
+        spark.createDataFrame(c5, "src int, dst int")
+    ).collect()[0]
+    assert (out["n_vertices"], out["n_edges"], out["n_triangles"]) == (5, 5, 0)
+
+
+def test_triangle_count_matches_bruteforce_on_random_graph(spark):
+    import hashlib as _h
+    from itertools import combinations
+
+    from elephant_twin_spark.operators.pipeline import graph
+
+    # deterministic md5 random graph over 40 vertices (~p=0.15)
+    edges = [
+        (a, b)
+        for a, b in combinations(range(40), 2)
+        if int(_h.md5(f"{a}:{b}".encode()).hexdigest()[:8], 16) % 7 == 0
+    ]
+    adj = {v: set() for v in range(40)}
+    for a, b in edges:
+        adj[a].add(b); adj[b].add(a)
+    expected = sum(
+        1 for x, y, z in combinations(range(40), 3)
+        if y in adj[x] and z in adj[x] and z in adj[y]
+    )
+    out = graph.triangle_count(
+        spark.createDataFrame(edges, "src int, dst int")
+    ).collect()[0]
+    assert out["n_triangles"] == expected and out["n_edges"] == len(edges)
+
+
+def test_scd2_matches_python_reference_on_random_changelog(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    seq = 0
+    for uid in range(12):
+        for _ in range(rng.randint(0, 15)):
+            seq += 1
+            rows.append((uid, rng.randint(0, 30), seq, rng.choice(["a", "b", "c", None])))
+    df = spark.createDataFrame(rows, "uid int, ts int, seq int, state string")
+    key = lambda t: (t[0], t[1], t[2] or "")
+    got = sorted(
+        (
+            (r["uid"], r["effective_from"], r["state"], r["n_rows"],
+             r["effective_to"], r["is_current"])
+            for r in temporal.scd2_intervals(
+                df, ["uid"], "ts", ["state"], tiebreak=["seq"]
+            ).collect()
+        ),
+        key=key,
+    )
+
+    # python reference: sort per key by (ts, seq), collapse runs, chain
+    expected = []
+    by_uid = {}
+    for uid, ts, seq_, state in rows:
+        by_uid.setdefault(uid, []).append((ts, seq_, state))
+    for uid, evs in by_uid.items():
+        evs.sort()
+        runs = []
+        for ts, _, state in evs:
+            if runs and runs[-1][0] == state:
+                runs[-1][2] += 1
+            else:
+                runs.append([state, ts, 1])
+        for i, (state, ts, n) in enumerate(runs):
+            nxt = runs[i + 1][1] if i + 1 < len(runs) else None
+            expected.append((uid, ts, state, n, nxt, nxt is None))
+    assert got == sorted(expected, key=key)

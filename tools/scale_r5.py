@@ -62,6 +62,9 @@ CASES = {
 }
 DOC_CASES = {
     "heaps": lambda df: textstats.heaps_slope(df, "text", "doc_id").count(),
+    "epoch_shuffle": lambda df: __import__(
+        "elephant_twin_spark.operators.pipeline.shard", fromlist=["shard"]
+    ).epoch_shuffle(df.select("doc_id"), "doc_id", epoch=0, num_shards=8).count(),
 }
 EMB_CASES = {
     "sq8_stats": lambda df: similarity.scalar_quantize_stats(df, "embedding").count(),
@@ -82,4 +85,22 @@ for name, fn in DOC_CASES.items():
     run(name, fn, docs1, docs10)
 for name, fn in EMB_CASES.items():
     run(name, fn, emb1, emb10)
+
+# triangle count on md5 random graphs at 2 densities (edges ~ n^2 * p):
+# the wedge stage is the quadratic-ish step; orientation bounds it
+from elephant_twin_spark.operators.pipeline import graph as graph_mod
+
+for n in (300, 1200):
+    ids = spark.range(n).selectExpr("id AS a")
+    pairs = ids.crossJoin(spark.range(n).selectExpr("id AS b")).where("a < b")
+    edges = pairs.where(
+        F.expr("CAST(conv(substring(md5(concat(a, ':', b)), 1, 8), 16, 10) AS LONG) % 20 = 0")
+    ).selectExpr("a AS src", "b AS dst").localCheckpoint()
+    m = edges.count()
+    walls = []
+    for rep in range(2):
+        t0 = time.time()
+        row = graph_mod.triangle_count(edges).collect()[0]
+        walls.append(time.time() - t0)
+    print(f"triangles n={n} m={m} tri={row['n_triangles']} rep0={walls[0]:.2f}s rep1={walls[1]:.2f}s")
 spark.stop()
