@@ -2686,16 +2686,62 @@ def _q_covisit_triangles(spark, sf_dir):
     return graph.triangle_count(edges)
 
 
+def _q_novelty_score(spark, sf_dir):
+    """Per-document 3-gram novelty vs a held-out reference slice
+    (doc_id % 10 == 0): fraction of distinct grams unseen in the
+    reference (:func:`ngrams.novelty_score`) — the synthetic-data /
+    memorization gate, complement of decontamination."""
+    from elephant_twin_spark.operators.pipeline import ngrams
+
+    docs = _state(spark, sf_dir).raw("documents")
+    return ngrams.novelty_score(
+        docs.where(F.col("doc_id") % 10 != 0),
+        docs.where(F.col("doc_id") % 10 == 0),
+        "text",
+        "doc_id",
+        n=3,
+    )
+
+
+def _q_mi_event_hour(spark, sf_dir):
+    """Pointwise mutual information between event_type and hour-of-day
+    — the feature-relevance / seasonality audit: one joint count
+    aggregate, margins as windows over the |types| x 24 result, pmi =
+    ln(n*total / (n_type*n_hour)) on exact integer counts."""
+    from pyspark.sql.window import Window
+
+    ev = _state(spark, sf_dir).raw("events")
+    joint = ev.groupBy(
+        "event_type", F.hour("ts").alias("hour")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w_t = Window.partitionBy("event_type")
+    w_h = Window.partitionBy("hour")
+    w_all = Window.partitionBy()
+    return joint.select(
+        "event_type",
+        "hour",
+        "n",
+        F.round(
+            F.ln(
+                (F.col("n") * F.sum("n").over(w_all))
+                / (F.sum("n").over(w_t) * F.sum("n").over(w_h))
+            ),
+            6,
+        ).alias("pmi"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered so queries WITHOUT a green CORRECTNESS row run first: the
     # driver checks exactly the first 50 dict entries per round. Every
     # name declared through r4 has a green row (CORRECTNESS_r04: 0
-    # errors, 0 hash fails), so the r5 window leads with the 11 r5-new
+    # errors, 0 hash fails), so the r5 window leads with the 13 r5-new
     # declarations (ANN recall audit, SCD2 history, Markov transitions,
     # item-item CF cosine, int8 scalar-quantization audit, Heaps-law
     # vocab growth, bucketed co-located join, epoch shuffle, z-order
-    # box scan, streaming windowed rollup, co-activity triangle
-    # census), followed by the 31 r4
+    # box scan, streaming windowed rollup, co-activity triangle census,
+    # n-gram novelty scoring, event/hour mutual information), followed
+    # by the 31 r4
     # declarations (cluster_refresh gained a full oracle and
     # kmv_distinct_users a rebuilt scale-safe synopsis in r5, so their
     # re-verification inside the window is load-bearing; the rest are
@@ -2717,6 +2763,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_box_scan": _q_zorder_box_scan,
         "streaming_windowed_rollup": _q_streaming_windowed_rollup,
         "covisit_triangles": _q_covisit_triangles,
+        "novelty_score": _q_novelty_score,
+        "mi_event_hour": _q_mi_event_hour,
         # --- r4-new declarations (green CORRECTNESS_r04; cluster_refresh
         # and kmv_distinct_users changed in r5 — full oracle / rebuilt
         # synopsis — and sit inside the window for re-verification)
@@ -3092,6 +3140,53 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 2) AS sum_value
             FROM events
             WHERE user_id BETWEEN 100 AND 200 AND value BETWEEN 10.0 AND 20.0
+        """,
+        "novelty_score": f"""
+            WITH t AS (SELECT doc_id, {_TOKSF} AS toks FROM documents),
+            g AS (
+              SELECT doc_id,
+                     CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                     ELSE list_transform(range(0, len(toks) - 2),
+                            i -> concat(toks[i+1], ' ', toks[i+2], ' ', toks[i+3]))
+                     END AS grams
+              FROM t
+            ),
+            dg AS (
+              SELECT DISTINCT doc_id AS id, unnest(grams) AS gram
+              FROM g WHERE doc_id % 10 <> 0
+            ),
+            rg AS (
+              SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 10 = 0
+            ),
+            per AS (
+              SELECT id, CAST(count(*) AS BIGINT) AS n_grams,
+                     CAST(sum(CASE WHEN r.gram IS NULL THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_novel
+              FROM dg LEFT JOIN rg r ON dg.gram = r.gram
+              GROUP BY id
+            )
+            SELECT d.doc_id AS id,
+                   coalesce(n_grams, 0) AS n_grams,
+                   coalesce(n_novel, 0) AS n_novel,
+                   CASE WHEN coalesce(n_grams, 0) > 0 THEN
+                     round(coalesce(n_novel, 0) /
+                           CAST(coalesce(n_grams, 0) AS DOUBLE), 6)
+                   END AS novelty
+            FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 10 <> 0) d
+            LEFT JOIN per ON per.id = d.doc_id
+        """,
+        "mi_event_hour": """
+            WITH joint AS (
+              SELECT event_type, CAST(hour(ts) AS INT) AS hour,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY event_type, hour
+            )
+            SELECT event_type, hour, n,
+                   round(ln((n * sum(n) OVER ()) /
+                            CAST(sum(n) OVER (PARTITION BY event_type) *
+                                 sum(n) OVER (PARTITION BY hour) AS DOUBLE)), 6)
+                       AS pmi
+            FROM joint
         """,
         "covisit_triangles": """
             WITH ua AS (

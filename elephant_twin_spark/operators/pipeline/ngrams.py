@@ -177,3 +177,63 @@ def cdc_chunks(
             ).cast("binary")
         ).alias("chunk_md5"),
     )
+
+
+def novelty_score(
+    docs: DataFrame,
+    reference: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+) -> DataFrame:
+    """Per-document novelty against a reference corpus: the fraction of
+    the document's distinct ``n``-grams that never appear in
+    ``reference`` — ``(id, n_grams, n_novel, novelty)``.
+
+    The synthetic-data / crawl-freshness gate: near-0 novelty means the
+    document is recombined reference content (memorized or templated);
+    near-1 means genuinely new text. The complement of decontamination
+    (which HUNTS overlap, this SCORES its absence); gram totality
+    matches ``ngram_array`` (short docs carry one whole-doc gram; docs
+    with NULL text report 0 grams and NULL novelty).
+
+    Shape: both sides explode to distinct grams (map-side combined);
+    membership is ONE left-anti-style aggregate join keyed on the md5
+    gram digest (fixed-width shuffle keys); the per-doc rollup is a
+    second map-side-combined aggregate. For reference sets too large to
+    shuffle-join comfortably, screen with
+    :func:`.decontaminate.bloom_contamination_report`'s fixed bit array
+    first and reserve this exact join for the flagged subset.
+    """
+    doc_grams = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(ngram_array(F.col(text_col), n)).alias("gram"),
+    ).distinct()
+    ref_grams = (
+        reference.select(F.explode(ngram_array(F.col(text_col), n)).alias("gram"))
+        .distinct()
+        .withColumn("_ref", F.lit(1))
+    )
+    joined = doc_grams.join(ref_grams, "gram", "left")
+    per_doc = joined.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum(F.when(F.col("_ref").isNull(), 1).otherwise(0)).alias("n_novel"),
+    )
+    # gram-less docs (shorter than n tokens): 0 grams, NULL novelty
+    all_ids = docs.select(F.col(id_col).alias("id")).distinct()
+    return (
+        all_ids.join(per_doc, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_novel", F.lit(0)).alias("n_novel"),
+            F.when(
+                F.coalesce("n_grams", F.lit(0)) > 0,
+                F.round(
+                    F.coalesce("n_novel", F.lit(0))
+                    / F.coalesce("n_grams", F.lit(0)).cast("double"),
+                    6,
+                ),
+            ).alias("novelty"),
+        )
+    )

@@ -329,3 +329,28 @@ def test_scd2_matches_python_reference_on_random_changelog(spark):
             nxt = runs[i + 1][1] if i + 1 < len(runs) else None
             expected.append((uid, ts, state, n, nxt, nxt is None))
     assert got == sorted(expected, key=key)
+
+
+# ----------------------------------------------------- novelty score
+
+def test_novelty_score_fractions(spark):
+    from elephant_twin_spark.operators.pipeline import ngrams
+
+    ref = spark.createDataFrame([(100, "a b c d")], "doc_id long, text string")
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),        # all 2 grams seen -> novelty 0
+            (2, "x y z w"),        # nothing seen -> novelty 1
+            (3, "a b c z"),        # 'a b c' seen, 'b c z' new -> 0.5
+            (4, "hi"),             # short doc: one whole-doc gram, unseen
+            (5, None),             # NULL text: 0 grams, NULL novelty
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["id"]: r.asDict() for r in
+           ngrams.novelty_score(docs, ref, "text", "doc_id", n=3).collect()}
+    assert out[1]["novelty"] == 0.0 and out[1]["n_grams"] == 2
+    assert out[2]["novelty"] == 1.0
+    assert out[3]["novelty"] == 0.5
+    assert out[4] == {"id": 4, "n_grams": 1, "n_novel": 1, "novelty": 1.0}
+    assert out[5]["n_grams"] == 0 and out[5]["novelty"] is None
