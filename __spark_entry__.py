@@ -204,7 +204,11 @@ class _SFState:
         no Exchange on either side — the co-located-join layout a
         100-TB warehouse pays for once at write time. The catalog entry is
         per-session (in-memory metastore) but the parquet lives under
-        the work dir; a fresh session just re-registers it."""
+        the work dir; a fresh session re-attaches the existing files
+        via ``layout.register_bucketed_table`` (DDL only — the write
+        really is paid once; only a missing data dir triggers a
+        rewrite). Work dirs are per-sf_dir, single-driver — concurrent
+        sessions sharing one work dir would race on the rewrite."""
         from elephant_twin_spark.operators import layout
 
         suffix = hashlib.md5(self.sf_dir.encode()).hexdigest()[:8]
@@ -213,10 +217,17 @@ class _SFState:
             (names[0], "orders", "o_custkey"),
             (names[1], "customer", "c_custkey"),
         ):
-            if not self.spark.catalog.tableExists(name):
+            if self.spark.catalog.tableExists(name):
+                continue
+            path = f"{self.work}/{name}"
+            if os.path.exists(f"{path}/_SUCCESS"):
+                layout.register_bucketed_table(
+                    self.spark, name, path, [key], 8, sort_cols=[key]
+                )
+            else:
                 layout.bucket_table(
                     self.spark, self.raw(tbl), name, [key], 8,
-                    sort_cols=[key], path=f"{self.work}/{name}",
+                    sort_cols=[key], path=path,
                 )
         return names
 

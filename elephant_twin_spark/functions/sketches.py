@@ -273,26 +273,38 @@ def kmv_synopsis(
     ever sorts a whole key — the high-cardinality-key bottleneck
     VERDICT r4 named is gone. A bounded top-k partial aggregate is not
     expressible with built-in aggregates (collect_set's partial state
-    is unbounded), which is exactly the mapInPandas criterion."""
-    from pyspark.sql.types import DoubleType, StructField, StructType
+    is unbounded), which is exactly the mapInPandas criterion.
 
+    The pandas stage never round-trips the TYPED key: grouping and
+    output use a string serialization (``CAST(key AS STRING)``), and
+    the typed key is restored by a null-safe join against the distinct
+    (key, serialized) map. This sidesteps two Arrow/pandas hazards the
+    naive version has — NaN float keys merging with NULL keys in a
+    pandas groupby, and nullable int64 keys round-tripping through
+    float64 (corrupting values >= 2^53). Caveat: float keys keep their
+    cast-string identity, so ``-0.0`` and ``0.0`` (or distinct NaN
+    payloads) synopsize as separate keys rather than Spark's normalized
+    single group — don't key a synopsis on raw floats."""
     pairs = df.where(F.col(val_col).isNotNull()).select(
-        F.col(key_col).alias("key"), kmv_hash(F.col(val_col)).alias("h")
+        F.col(key_col).alias("key"),
+        F.col(key_col).cast("string").alias("gkey"),
+        kmv_hash(F.col(val_col)).alias("h"),
     )
-    out_schema = StructType([pairs.schema["key"], StructField("h", DoubleType())])
     kk = int(k)
 
     # bound INSIDE the closure (pickle-by-value: executors never import
-    # this package); per-key state is a sorted unique array capped at k
+    # this package); per-key state is a sorted unique array capped at k.
+    # gkey is a string (or None for a true NULL key), so pandas group
+    # labels are unambiguous.
     def partial_topk(batches):
         import numpy as _np
         import pandas as _pd
 
         state: dict = {}
         for pdf in batches:
-            for key, grp in pdf.groupby("key", dropna=False, sort=False):
+            for key, grp in pdf.groupby("gkey", dropna=False, sort=False):
                 if not isinstance(key, str) and _pd.isna(key):
-                    key = None  # normalize NaN group labels to one slot
+                    key = None  # the NULL-key slot
                 cand = _np.unique(grp["h"].to_numpy())[:kk]
                 prev = state.get(key)
                 state[key] = (
@@ -306,11 +318,18 @@ def kmv_synopsis(
             for key, arr in state.items():
                 keys.extend([key] * len(arr))
                 hs.extend(arr.tolist())
-            yield _pd.DataFrame({"key": keys, "h": hs})
+            yield _pd.DataFrame({"gkey": keys, "h": hs})
 
-    part = pairs.mapInPandas(partial_topk, schema=out_schema)
-    return part.groupBy("key").agg(
+    part = pairs.select("gkey", "h").mapInPandas(
+        partial_topk, schema="gkey string, h double"
+    )
+    merged = part.groupBy("gkey").agg(
         F.slice(F.array_sort(F.collect_set("h")), 1, kk).alias("hashes")
+    )
+    keymap = pairs.select("key", "gkey").distinct()
+    return (
+        merged.join(keymap, merged["gkey"].eqNullSafe(keymap["gkey"]), "inner")
+        .select("key", "hashes")
     )
 
 

@@ -117,6 +117,38 @@ def bucket_table(
     return table_name
 
 
+def register_bucketed_table(
+    spark: SparkSession,
+    table_name: str,
+    path: str,
+    bucket_cols: Sequence[str],
+    num_buckets: int,
+    sort_cols: Optional[Sequence[str]] = None,
+) -> str:
+    """Re-register an EXTERNAL bucketed table whose parquet was written
+    earlier by :func:`bucket_table` (with ``path=``) into a catalog that
+    has since been recreated (in-memory metastore, new session) —
+    re-attaching the bucket spec WITHOUT rewriting the data, which is
+    the whole point of the pay-once layout.
+
+    The spec (columns + count + sort) MUST match what the data was
+    written with: Spark trusts the catalog and the per-file bucket-id
+    suffixes; a mismatched spec silently breaks the co-location
+    guarantee. Schema is read from the parquet footers.
+    """
+    cols = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in spark.read.parquet(path).schema.fields
+    )
+    sort = f" SORTED BY ({', '.join(sort_cols)})" if sort_cols else ""
+    spark.sql(
+        f"CREATE TABLE {table_name} ({cols}) USING parquet "
+        f"CLUSTERED BY ({', '.join(bucket_cols)}){sort} "
+        f"INTO {int(num_buckets)} BUCKETS LOCATION '{path}'"
+    )
+    return table_name
+
+
 def overwrite_partitions(
     spark: SparkSession,
     df,

@@ -62,7 +62,8 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     which both its other corners are out-neighbors) and bounds
     per-vertex wedge fan-out by the max out-degree, O(sqrt(m)).
 
-    Joins: orientation = two broadcast-size degree joins (|V| rows);
+    Joins: orientation = two degree equi joins (|V| rows, no broadcast
+    hint — the vertex set is unbounded);
     wedges = self equi-join of the oriented list on the hub; closure =
     equi-join of wedge candidates against the canonical edge set. All
     shuffles hash on vertex / edge keys. The canonical edge list, the
@@ -73,10 +74,20 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     re-derives the whole upstream edge construction.
     """
     e = canonical_edges(edges, src, dst).localCheckpoint()
-    deg = degree_stats(e, "u", "v").localCheckpoint()
+    # degrees directly from the already-canonical list (calling
+    # degree_stats here would redundantly re-canonicalize e)
+    deg = (
+        e.select(F.col("u").alias("vertex"))
+        .unionAll(e.select(F.col("v").alias("vertex")))
+        .groupBy("vertex")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .localCheckpoint()
+    )
     du = deg.select(F.col("vertex").alias("u"), F.col("degree").alias("_du"))
     dv = deg.select(F.col("vertex").alias("v"), F.col("degree").alias("_dv"))
-    ranked = e.join(F.broadcast(du), "u").join(F.broadcast(dv), "v")
+    # plain equi joins: |V| is unbounded (no broadcast hint — AQE still
+    # broadcasts when the degree table happens to be small)
+    ranked = e.join(du, "u").join(dv, "v")
     # orient low (degree, id) -> high (degree, id)
     u_first = (F.col("_du") < F.col("_dv")) | (
         (F.col("_du") == F.col("_dv")) & (F.col("u") < F.col("v"))

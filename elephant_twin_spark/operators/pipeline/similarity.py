@@ -796,6 +796,11 @@ def ann_recall_audit(
         .orderBy("id")
         .collect()
     )
+    if not qrows:
+        raise ValueError(
+            f"no query vectors found: none of {list(query_ids)!r} match "
+            f"{id_col!r} in the input"
+        )
     per_method: dict = {m: [] for m in ("lsh", "ivf", "pq", "ivf_pq")}
     for r in qrows:
         qv = [float(x) for x in r["v"]]
@@ -856,7 +861,8 @@ def cooccurrence_cosine(
 
     Shape (100 TB of interactions): (user, item) counts in one
     map-side-combined aggregate; per-item norms in a second small
-    aggregate (|items| rows, broadcast back); the dot products come
+    aggregate (|items| rows, joined back — plain equi joins, AQE
+    broadcasts them when small); the dot products come
     from the self-join on ``user_col`` — the one genuinely quadratic
     step, bounded per user by that user's item count. Power users are
     the skew hazard (a user with 10k items yields 5*10^7 pairs), so
@@ -869,9 +875,13 @@ def cooccurrence_cosine(
     )
     if max_items_per_user is not None:
         deg = ui.groupBy("u").agg(F.count(F.lit(1)).alias("_deg"))
+        # left-semi shuffle join: the user dimension is unbounded, so no
+        # broadcast hint (AQE still broadcasts small degree tables)
         ui = ui.join(
-            F.broadcast(deg.where(F.col("_deg") <= int(max_items_per_user))), "u"
-        ).drop("_deg")
+            deg.where(F.col("_deg") <= int(max_items_per_user)).select("u"),
+            "u",
+            "left_semi",
+        )
     norms = ui.groupBy("i").agg(F.sqrt(F.sum(F.col("cnt") * F.col("cnt"))).alias("norm"))
     a = ui.select(F.col("u"), F.col("i").alias("item_a"), F.col("cnt").alias("ca"))
     b = ui.select(F.col("u"), F.col("i").alias("item_b"), F.col("cnt").alias("cb"))
@@ -888,8 +898,8 @@ def cooccurrence_cosine(
     na = norms.select(F.col("i").alias("item_a"), F.col("norm").alias("_na"))
     nb = norms.select(F.col("i").alias("item_b"), F.col("norm").alias("_nb"))
     return (
-        pairs.join(F.broadcast(na), "item_a")
-        .join(F.broadcast(nb), "item_b")
+        pairs.join(na, "item_a")
+        .join(nb, "item_b")
         .select(
             "item_a",
             "item_b",

@@ -268,7 +268,9 @@ def winsorized_stats(
         F.expr(f"percentile({value_col}, {lo})").alias("_lo"),
         F.expr(f"percentile({value_col}, {hi})").alias("_hi"),
     )
-    j = df.join(F.broadcast(fences), df[group_col] == fences["grp"])
+    # null-safe match: a NULL group is a real group (mad_outliers keeps
+    # it; a plain equality join would silently drop those rows)
+    j = df.join(F.broadcast(fences), df[group_col].eqNullSafe(fences["grp"]))
     clipped = F.least(
         F.greatest(F.col(value_col).cast("double"), F.col("_lo")), F.col("_hi")
     )

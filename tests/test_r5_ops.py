@@ -354,3 +354,102 @@ def test_novelty_score_fractions(spark):
     assert out[3]["novelty"] == 0.5
     assert out[4] == {"id": 4, "n_grams": 1, "n_novel": 1, "novelty": 1.0}
     assert out[5]["n_grams"] == 0 and out[5]["novelty"] is None
+
+
+# ------------------------------------------- review-pass regressions
+
+def test_kmv_synopsis_keeps_nan_null_and_big_int_keys_distinct(spark):
+    from pyspark.sql import Row
+
+    from elephant_twin_spark.functions import sketches
+
+    # double keys: NaN and NULL are DIFFERENT keys; both must survive
+    rows = [
+        Row(key=float("nan"), v=i) for i in range(5)
+    ] + [Row(key=None, v=i) for i in range(3)] + [Row(key=1.5, v=i) for i in range(4)]
+    df = spark.createDataFrame(rows, "key double, v int")
+    syn = sketches.kmv_synopsis(df, "key", "v", k=8).collect()
+    by_size = sorted(len(r["hashes"]) for r in syn)
+    assert len(syn) == 3 and by_size == [3, 4, 5]
+    import math
+    kinds = {("nan" if r["key"] is not None and math.isnan(r["key"])
+              else ("null" if r["key"] is None else "num")) for r in syn}
+    assert kinds == {"nan", "null", "num"}
+
+    # nullable int64 keys >= 2^53: the float64 pandas round-trip would
+    # corrupt them; the string-keyed build must not
+    big = (1 << 60) + 1
+    rows2 = [Row(key=big, v=1), Row(key=big, v=2), Row(key=None, v=3)]
+    df2 = spark.createDataFrame(rows2, "key long, v int")
+    syn2 = {r["key"]: len(r["hashes"]) for r in
+            sketches.kmv_synopsis(df2, "key", "v", k=8).collect()}
+    assert syn2 == {big: 2, None: 1}
+
+
+def test_register_bucketed_table_reattaches_without_rewrite(spark, workdir):
+    import os
+
+    from conftest import SF_DIR
+
+    from elephant_twin_spark.sources import tables
+
+    ev = tables.load_raw(spark, f"{SF_DIR}/events.parquet").select(
+        "event_id", "user_id", "value"
+    )
+    for t in ("ets_reg_a",):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    dst = f"{workdir}/reg_bkt"
+    layout.bucket_table(spark, ev, "ets_reg_a", ["user_id"], 4,
+                        sort_cols=["user_id"], path=dst)
+    n = spark.table("ets_reg_a").count()
+    mtimes = {f: os.path.getmtime(f"{dst}/{f}") for f in os.listdir(dst)}
+    spark.sql("DROP TABLE ets_reg_a")  # catalog gone, files stay
+    assert os.path.exists(f"{dst}/_SUCCESS")
+    layout.register_bucketed_table(spark, "ets_reg_a", dst, ["user_id"], 4,
+                                   sort_cols=["user_id"])
+    try:
+        assert spark.table("ets_reg_a").count() == n
+        # no rewrite happened
+        assert mtimes == {f: os.path.getmtime(f"{dst}/{f}") for f in os.listdir(dst)}
+        # bucket spec survived: self-join on the bucket key has no Exchange
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        try:
+            a = spark.table("ets_reg_a")
+            b = spark.table("ets_reg_a").groupBy("user_id").count()
+            j = a.join(spark.table("ets_reg_a").selectExpr(
+                "user_id", "value AS v2"), "user_id")
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan
+            assert "Exchange hashpartitioning" not in plan.split("SortMergeJoin")[-1]
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+            spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ets_reg_a")
+
+
+def test_winsorized_stats_keeps_null_group(spark):
+    from elephant_twin_spark.operators.pipeline import stats
+
+    rows = [("a", 1.0), ("a", 2.0), (None, 5.0), (None, 7.0)]
+    df = spark.createDataFrame(rows, "grp_in string, v double")
+    out = {r["grp"]: r.asDict() for r in
+           stats.winsorized_stats(df, "v", "grp_in").collect()}
+    assert None in out and out[None]["n"] == 2
+    assert out[None]["mean_raw"] == 6.0
+
+
+def test_ann_recall_audit_raises_on_empty_query_set(spark):
+    import pytest as _pytest
+
+    from conftest import SF_DIR
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    base = [[0.0] * 64 for _ in range(8)]
+    books = [[[0.0] * 16 for _ in range(8)] for _ in range(4)]
+    with _pytest.raises(ValueError, match="no query vectors"):
+        similarity.ann_recall_audit(
+            emb, "embedding", "vec_id", [10**9], base, books, k=5
+        )
