@@ -316,3 +316,123 @@ def ntile_segments(
     return out.withColumn(
         "segment", F.concat_ws("-", *[F.col(c).cast("string") for c in qcols])
     )
+
+
+def psi_drift(
+    base: DataFrame,
+    current: DataFrame,
+    value_col: str,
+    n_bins: int = 10,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index between two samples of ``value_col``:
+    per-bin ``(bin, lo, hi, p_base, p_cur, contrib)`` plus the
+    convention that PSI = sum(contrib); < 0.1 is stable, > 0.25 is a
+    real shift. THE production drift monitor for a feature/score column
+    between snapshots, sources, or train/serve.
+
+    Bin edges are ``n_bins`` equal-width cuts of the POOLED min/max (a
+    1-row scalar broadcast), so both sides bin identically; each side
+    then needs ONE map-side-combined aggregate — fixed-bin output
+    regardless of data size, the same scale contract as the histogram
+    sketch. ``eps`` floors empty-bin proportions so the log stays
+    finite (standard PSI practice). NULL values are excluded on both
+    sides.
+    """
+    b = base.where(F.col(value_col).isNotNull()).select(
+        F.col(value_col).cast("double").alias("x")
+    )
+    c = current.where(F.col(value_col).isNotNull()).select(
+        F.col(value_col).cast("double").alias("x")
+    )
+    pooled = b.unionAll(c)
+    bounds = pooled.agg(
+        F.min("x").alias("lo"), F.max("x").alias("hi"),
+    )
+    span = F.col("hi") - F.col("lo")
+    bin_of = F.when(span > 0, F.least(
+        F.lit(int(n_bins) - 1),
+        F.floor((F.col("x") - F.col("lo")) * int(n_bins) / span).cast("int"),
+    )).otherwise(F.lit(0))
+
+    def side_counts(df, name):
+        return (
+            df.crossJoin(F.broadcast(bounds))
+            .groupBy(bin_of.alias("bin"))
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    bc = side_counts(b, "n_base")
+    cc = side_counts(c, "n_cur")
+    bins = (
+        bc.join(cc, "bin", "full")
+        .select(
+            "bin",
+            F.coalesce("n_base", F.lit(0)).alias("n_base"),
+            F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+        )
+        .crossJoin(F.broadcast(bounds.select("lo", "hi")))
+    )
+    w_all = Window.partitionBy()
+    p_b = F.greatest(
+        F.col("n_base") / F.sum("n_base").over(w_all), F.lit(float(eps))
+    )
+    p_c = F.greatest(
+        F.col("n_cur") / F.sum("n_cur").over(w_all), F.lit(float(eps))
+    )
+    step = (F.col("hi") - F.col("lo")) / int(n_bins)
+    return bins.select(
+        "bin",
+        F.round(F.col("lo") + F.col("bin") * step, 6).alias("bin_lo"),
+        F.round(F.col("lo") + (F.col("bin") + 1) * step, 6).alias("bin_hi"),
+        F.round(p_b, 6).alias("p_base"),
+        F.round(p_c, 6).alias("p_cur"),
+        F.round((p_c - p_b) * F.ln(p_c / p_b), 6).alias("contrib"),
+    )
+
+
+def ks_statistic(
+    base: DataFrame,
+    current: DataFrame,
+    value_col: str,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic: one row
+    ``(n_base, n_cur, ks)`` with ``ks = max |F_base(x) - F_cur(x)|``
+    over the pooled support. The sharper (binning-free) companion to
+    :func:`psi_drift` for continuous columns.
+
+    Shape: per-side counts per DISTINCT value (map-side combined), a
+    full outer merge, then running sums over the distinct-value
+    sequence. That last window is GLOBALLY ordered — a single sort
+    partition bounded by the number of DISTINCT values, not rows; fine
+    for scores/quantized features (bounded support), unbounded for raw
+    continuous columns at 100 TB — there, quantize to a grid first (or
+    use ``psi_drift``), which bounds the window at grid size and makes
+    the result a grid-exact KS. NULLs excluded.
+    """
+    b = base.where(F.col(value_col).isNotNull()).select(
+        F.col(value_col).cast("double").alias("x")
+    )
+    c = current.where(F.col(value_col).isNotNull()).select(
+        F.col(value_col).cast("double").alias("x")
+    )
+    bc = b.groupBy("x").agg(F.count(F.lit(1)).alias("nb"))
+    cc = c.groupBy("x").agg(F.count(F.lit(1)).alias("nc"))
+    merged = bc.join(cc, "x", "full").select(
+        "x",
+        F.coalesce("nb", F.lit(0)).alias("nb"),
+        F.coalesce("nc", F.lit(0)).alias("nc"),
+    )
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    cdf_b = F.sum("nb").over(w) / F.sum("nb").over(w_all)
+    cdf_c = F.sum("nc").over(w) / F.sum("nc").over(w_all)
+    return (
+        merged.select(
+            F.sum("nb").over(w_all).alias("n_base"),
+            F.sum("nc").over(w_all).alias("n_cur"),
+            F.abs(cdf_b - cdf_c).alias("d"),
+        )
+        .groupBy("n_base", "n_cur")
+        .agg(F.round(F.max("d"), 6).alias("ks"))
+    )

@@ -453,3 +453,38 @@ def test_ann_recall_audit_raises_on_empty_query_set(spark):
         similarity.ann_recall_audit(
             emb, "embedding", "vec_id", [10**9], base, books, k=5
         )
+
+
+# ------------------------------------------------------ drift metrics
+
+def test_psi_drift_zero_for_identical_and_positive_for_shifted(spark):
+    from elephant_twin_spark.operators.pipeline import stats
+
+    a = spark.createDataFrame([(float(i % 100),) for i in range(1000)], "v double")
+    same = stats.psi_drift(a, a, "v").agg(F.sum("contrib")).first()[0]
+    assert same == 0.0  # identical distributions -> every contrib 0
+
+    shifted = spark.createDataFrame(
+        [(float(i % 100) + 50,) for i in range(1000)], "v double"
+    )
+    psi = stats.psi_drift(a, shifted, "v").agg(F.sum("contrib")).first()[0]
+    assert psi > 0.25  # half the mass moved out of shared bins
+
+    out = stats.psi_drift(a, shifted, "v").collect()
+    assert len(out) == 10
+    assert all(r["contrib"] >= 0 for r in out)  # PSI terms are nonnegative
+
+
+def test_ks_statistic_matches_scipy_style_reference(spark):
+    from elephant_twin_spark.operators.pipeline import stats
+
+    xs = [1.0, 2.0, 3.0, 4.0]
+    ys = [3.0, 4.0, 5.0, 6.0]
+    a = spark.createDataFrame([(v,) for v in xs], "v double")
+    b = spark.createDataFrame([(v,) for v in ys], "v double")
+    got = stats.ks_statistic(a, b, "v").collect()[0]
+    # manual: at x=2, F_a=0.5 F_b=0 -> D=0.5 (the max)
+    assert got["ks"] == 0.5 and got["n_base"] == 4 and got["n_cur"] == 4
+
+    same = stats.ks_statistic(a, a, "v").collect()[0]
+    assert same["ks"] == 0.0

@@ -26,6 +26,8 @@ spark.sparkContext.setLogLevel("ERROR")
 
 from elephant_twin_spark.operators import kpi, temporal  # noqa: E402
 from elephant_twin_spark.operators.pipeline import similarity, textstats  # noqa: E402
+from elephant_twin_spark.operators.pipeline import ngrams as ngrams_mod  # noqa: E402
+from elephant_twin_spark.operators.pipeline import stats as stats_mod  # noqa: E402
 from elephant_twin_spark.sources import tables  # noqa: E402
 
 ev1 = tables.load_sf_table(spark, SF_DIR, "events")
@@ -59,9 +61,21 @@ CASES = {
     "item_cf": lambda df: similarity.cooccurrence_cosine(
         df, "user_id", "event_type"
     ).count(),
+    "psi_drift": lambda df: stats_mod.psi_drift(
+        df.where(F.col("event_type") == "view"),
+        df.where(F.col("event_type") == "purchase"), "value"
+    ).count(),
+    "ks_stat": lambda df: stats_mod.ks_statistic(
+        df.where(F.col("event_type") == "view"),
+        df.where(F.col("event_type") == "purchase"), "value"
+    ).count(),
 }
 DOC_CASES = {
     "heaps": lambda df: textstats.heaps_slope(df, "text", "doc_id").count(),
+    "novelty": lambda df: ngrams_mod.novelty_score(
+        df.where(F.col("doc_id") % 10 != 0),
+        df.where(F.col("doc_id") % 10 == 0), "text", "doc_id"
+    ).count(),
     "epoch_shuffle": lambda df: __import__(
         "elephant_twin_spark.operators.pipeline.shard", fromlist=["shard"]
     ).epoch_shuffle(df.select("doc_id"), "doc_id", epoch=0, num_shards=8).count(),
