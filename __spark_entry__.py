@@ -2769,17 +2769,56 @@ def _q_ks_value_drift(spark, sf_dir):
     )
 
 
+def _q_forward_fill_values(spark, sf_dir):
+    """Per-user last-observation-carried-forward
+    (:func:`temporal.forward_fill`): error events report no value
+    (masked to NULL — the sensor-glitch shape), then each user's series
+    is densified from its own most recent reading."""
+    ev = _state(spark, sf_dir).raw("events")
+    masked = ev.withColumn(
+        "value",
+        F.when(F.col("event_type") == "error", F.lit(None)).otherwise(
+            F.col("value")
+        ),
+    )
+    filled = temporal.forward_fill(
+        masked, ["user_id"], "ts", ["value"], tiebreak=["event_id"]
+    )
+    return filled.select("event_id", "user_id", F.round("value", 6).alias("value"))
+
+
+def _q_wow_revenue_change(spark, sf_dir):
+    """Week-over-week revenue deltas: weekly totals from orders, lag
+    window for the previous week, percent change — the standard KPI
+    trend shape (one aggregate + one window over #weeks rows)."""
+    from pyspark.sql.window import Window
+
+    orders = _state(spark, sf_dir).raw("orders")
+    weekly = orders.groupBy(
+        F.date_trunc("week", "o_orderdate").alias("week")
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    w = Window.orderBy("week")
+    prev = F.lag("revenue").over(w)
+    return weekly.select(
+        "week",
+        "revenue",
+        prev.alias("prev_revenue"),
+        F.round((F.col("revenue") - prev) / prev, 6).alias("pct_change"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered so queries WITHOUT a green CORRECTNESS row run first: the
     # driver checks exactly the first 50 dict entries per round. Every
     # name declared through r4 has a green row (CORRECTNESS_r04: 0
-    # errors, 0 hash fails), so the r5 window leads with the 15 r5-new
+    # errors, 0 hash fails), so the r5 window leads with the 17 r5-new
     # declarations (ANN recall audit, SCD2 history, Markov transitions,
     # item-item CF cosine, int8 scalar-quantization audit, Heaps-law
     # vocab growth, bucketed co-located join, epoch shuffle, z-order
     # box scan, streaming windowed rollup, co-activity triangle census,
     # n-gram novelty scoring, event/hour mutual information, PSI and
-    # KS distribution drift — 15 in all), followed by the 31 r4
+    # KS distribution drift, forward fill, week-over-week deltas — 17
+    # in all), followed by the 31 r4
     # declarations (cluster_refresh gained a full oracle and
     # kmv_distinct_users a rebuilt scale-safe synopsis in r5, so their
     # re-verification inside the window is load-bearing; the rest are
@@ -2805,6 +2844,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mi_event_hour": _q_mi_event_hour,
         "psi_value_drift": _q_psi_value_drift,
         "ks_value_drift": _q_ks_value_drift,
+        "forward_fill_values": _q_forward_fill_values,
+        "wow_revenue_change": _q_wow_revenue_change,
         # --- r4-new declarations (green CORRECTNESS_r04; cluster_refresh
         # and kmv_distinct_users changed in r5 — full oracle / rebuilt
         # synopsis — and sit inside the window for re-verification)
@@ -3227,6 +3268,26 @@ def oracle_sql() -> dict[str, str]:
                                  sum(n) OVER (PARTITION BY hour) AS DOUBLE)), 6)
                        AS pmi
             FROM joint
+        """,
+        "forward_fill_values": """
+            SELECT event_id, user_id,
+                   round(last_value(CASE WHEN event_type = 'error' THEN NULL
+                                         ELSE value END IGNORE NULLS)
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING), 6) AS value
+            FROM events
+        """,
+        "wow_revenue_change": """
+            WITH weekly AS (
+              SELECT date_trunc('week', o_orderdate) AS week,
+                     round(sum(o_totalprice), 2) AS revenue
+              FROM orders GROUP BY week
+            )
+            SELECT week, revenue,
+                   lag(revenue) OVER (ORDER BY week) AS prev_revenue,
+                   round((revenue - lag(revenue) OVER (ORDER BY week))
+                         / lag(revenue) OVER (ORDER BY week), 6) AS pct_change
+            FROM weekly
         """,
         "psi_value_drift": """
             WITH b AS (

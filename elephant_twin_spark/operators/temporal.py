@@ -192,3 +192,34 @@ def scd2_intervals(
         .withColumn("is_current", F.col("effective_to").isNull())
         .drop("_run")
     )
+
+
+def forward_fill(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    value_cols: Sequence[str],
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Last-observation-carried-forward per key: NULLs in each of
+    ``value_cols`` are replaced by the most recent non-NULL value
+    earlier in the key's ``(ts_col, *tiebreak)`` order (leading NULLs
+    stay NULL). The sensor-gap / sparse-changelog densifier — the
+    within-series sibling of :func:`asof_join` (which fills from a
+    DIFFERENT table).
+
+    One shuffle: a single key-partitioned window sort serves every
+    filled column via ``last(ignorenulls)``. Pass a unique ``tiebreak``
+    when timestamps can tie, or fill order is nondeterministic.
+    """
+    keys, value_cols = list(keys), list(value_cols)
+    order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in tiebreak]
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = df
+    for c in value_cols:
+        out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return out

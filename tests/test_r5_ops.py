@@ -488,3 +488,21 @@ def test_ks_statistic_matches_scipy_style_reference(spark):
 
     same = stats.ks_statistic(a, a, "v").collect()[0]
     assert same["ks"] == 0.0
+
+
+# ------------------------------------------------------- forward fill
+
+def test_forward_fill_carries_last_non_null_per_key(spark):
+    rows = [
+        (1, 1, 1, None), (1, 2, 2, 10.0), (1, 3, 3, None), (1, 4, 4, None),
+        (1, 5, 5, 20.0),
+        (2, 1, 6, None),  # key with only NULLs stays NULL
+    ]
+    df = spark.createDataFrame(rows, "uid int, ts int, seq int, v double")
+    out = {(r["uid"], r["ts"]): r["v"] for r in temporal.forward_fill(
+        df, ["uid"], "ts", ["v"], tiebreak=["seq"]
+    ).collect()}
+    assert out[(1, 1)] is None          # leading NULL stays
+    assert out[(1, 3)] == 10.0 and out[(1, 4)] == 10.0
+    assert out[(1, 5)] == 20.0
+    assert out[(2, 1)] is None
