@@ -2807,18 +2807,35 @@ def _q_wow_revenue_change(spark, sf_dir):
     )
 
 
+def _q_scd2_point_in_time(spark, sf_dir):
+    """Point-in-time state lookup over the SCD2 history — the consumer
+    pattern the intervals exist for: every user's state as of
+    2024-01-15 00:00:00 is a plain
+    ``effective_from <= t AND (t < effective_to OR open)`` filter, no
+    window re-computation."""
+    ev = _state(spark, sf_dir).raw("events")
+    hist = temporal.scd2_intervals(
+        ev, ["user_id"], "ts", ["event_type"], tiebreak=["event_id"]
+    )
+    t = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    return hist.where(
+        (F.col("effective_from") <= t)
+        & (F.col("effective_to").isNull() | (t < F.col("effective_to")))
+    ).select("user_id", "event_type", "effective_from")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered so queries WITHOUT a green CORRECTNESS row run first: the
     # driver checks exactly the first 50 dict entries per round. Every
     # name declared through r4 has a green row (CORRECTNESS_r04: 0
-    # errors, 0 hash fails), so the r5 window leads with the 17 r5-new
+    # errors, 0 hash fails), so the r5 window leads with the 18 r5-new
     # declarations (ANN recall audit, SCD2 history, Markov transitions,
     # item-item CF cosine, int8 scalar-quantization audit, Heaps-law
     # vocab growth, bucketed co-located join, epoch shuffle, z-order
     # box scan, streaming windowed rollup, co-activity triangle census,
     # n-gram novelty scoring, event/hour mutual information, PSI and
-    # KS distribution drift, forward fill, week-over-week deltas — 17
-    # in all), followed by the 31 r4
+    # KS distribution drift, forward fill, week-over-week deltas,
+    # point-in-time SCD2 lookup — 18 in all), followed by the 31 r4
     # declarations (cluster_refresh gained a full oracle and
     # kmv_distinct_users a rebuilt scale-safe synopsis in r5, so their
     # re-verification inside the window is load-bearing; the rest are
@@ -2846,6 +2863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_value_drift": _q_ks_value_drift,
         "forward_fill_values": _q_forward_fill_values,
         "wow_revenue_change": _q_wow_revenue_change,
+        "scd2_point_in_time": _q_scd2_point_in_time,
         # --- r4-new declarations (green CORRECTNESS_r04; cluster_refresh
         # and kmv_distinct_users changed in r5 — full oracle / rebuilt
         # synopsis — and sit inside the window for re-verification)
@@ -3268,6 +3286,39 @@ def oracle_sql() -> dict[str, str]:
                                  sum(n) OVER (PARTITION BY hour) AS DOUBLE)), 6)
                        AS pmi
             FROM joint
+        """,
+        "scd2_point_in_time": """
+            WITH o AS (
+              SELECT user_id, event_type, ts, event_id,
+                     CASE WHEN event_type IS NOT DISTINCT FROM
+                               lag(event_type) OVER w
+                          THEN 0 ELSE 1 END AS chg
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            r AS (
+              SELECT *, sum(chg) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS run
+              FROM o
+            ),
+            g AS (
+              SELECT user_id, run, any_value(event_type) AS event_type,
+                     min(ts) AS effective_from
+              FROM r GROUP BY user_id, run
+            ),
+            h AS (
+              SELECT user_id, event_type, effective_from,
+                     lead(effective_from) OVER (PARTITION BY user_id
+                                                ORDER BY effective_from, run)
+                         AS effective_to
+              FROM g
+            )
+            SELECT user_id, event_type, effective_from
+            FROM h
+            WHERE effective_from <= TIMESTAMP '2024-01-15 00:00:00'
+              AND (effective_to IS NULL
+                   OR TIMESTAMP '2024-01-15 00:00:00' < effective_to)
         """,
         "forward_fill_values": """
             SELECT event_id, user_id,

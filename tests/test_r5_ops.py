@@ -506,3 +506,63 @@ def test_forward_fill_carries_last_non_null_per_key(spark):
     assert out[(1, 3)] == 10.0 and out[(1, 4)] == 10.0
     assert out[(1, 5)] == 20.0
     assert out[(2, 1)] is None
+
+
+def test_transition_matrix_matches_python_reference_on_random_events(spark):
+    import random
+    from collections import Counter, defaultdict
+
+    rng = random.Random(13)
+    rows = []
+    seq = 0
+    for uid in range(15):
+        for _ in range(rng.randint(0, 20)):
+            seq += 1
+            rows.append((uid, rng.randint(0, 10), seq, rng.choice("abcd")))
+    df = spark.createDataFrame(rows, "uid int, ts int, seq int, state string")
+    got = {(r["from_state"], r["to_state"]): r["n"] for r in kpi.transition_matrix(
+        df, "uid", "ts", "state", tiebreak="seq", include_terminal=True
+    ).collect()}
+
+    expected = Counter()
+    by_uid = defaultdict(list)
+    for uid, ts, s, st in rows:
+        by_uid[uid].append((ts, s, st))
+    for evs in by_uid.values():
+        evs.sort()
+        states = [st for _, _, st in evs]
+        for a, b in zip(states, states[1:]):
+            expected[(a, b)] += 1
+        expected[(states[-1], None)] += 1
+    assert got == dict(expected)
+
+
+def test_cooccurrence_cosine_matches_numpy_reference_on_random_matrix(spark):
+    import math
+    import random
+    from collections import Counter
+
+    rng = random.Random(99)
+    inter = [(rng.randint(0, 20), rng.choice("ABCDEF")) for _ in range(400)]
+    df = spark.createDataFrame(inter, "u int, item string")
+    got = {(r["item_a"], r["item_b"]): (r["n_users"], r["dot"], r["cosine"])
+           for r in similarity.cooccurrence_cosine(df, "u", "item").collect()}
+
+    cnt = Counter(inter)
+    items = sorted({i for _, i in inter})
+    users = sorted({u for u, _ in inter})
+    vec = {i: [cnt[(u, i)] for u in users] for i in items}
+    for ia in items:
+        for ib in items:
+            if ia >= ib:
+                continue
+            dot = sum(a * b for a, b in zip(vec[ia], vec[ib]))
+            n_users = sum(1 for a, b in zip(vec[ia], vec[ib]) if a and b)
+            if n_users == 0:
+                assert (ia, ib) not in got
+                continue
+            na = math.sqrt(sum(a * a for a in vec[ia]))
+            nb = math.sqrt(sum(b * b for b in vec[ib]))
+            g = got[(ia, ib)]
+            assert g[0] == n_users and g[1] == dot
+            assert g[2] == round(dot / (na * nb), 6) or abs(g[2] - dot/(na*nb)) < 2e-6
