@@ -1677,9 +1677,19 @@ def _q_ann_pq_top10(spark, sf_dir):
 
 
 def _q_minhash_near_dup(spark, sf_dir):
+    """End-to-end MinHash-LSH near-dup pair dump with the
+    engine-independent md5 hash family (``hash_fn="md5"`` threads
+    through signatures AND band hashes, `dedup.py` ``_band_hash_exprs``)
+    — which makes the ENTIRE pipeline (16 signature lanes → 4 band
+    buckets → candidate join → exact 3-shingle Jaccard ≥ 0.7)
+    restatable in ANSI SQL: upgraded in r6 from rows-only to a full
+    value-hash oracle, the same algebra that turned ``cluster_refresh``
+    green in r5. The xxhash64 twin stays the bench default (cheaper
+    hash, same plan shape)."""
     docs = _state(spark, sf_dir).raw("documents")
     return dedup.minhash_near_dup_pairs(
-        docs, "text", "doc_id", num_perm=16, num_bands=4, threshold=0.7
+        docs, "text", "doc_id", num_perm=16, num_bands=4, threshold=0.7,
+        hash_fn="md5",
     )
 
 
@@ -2590,11 +2600,16 @@ def _q_sq8_error_stats(spark, sf_dir):
 
 def _q_heaps_vocab_growth(spark, sf_dir):
     """Heaps'-law vocabulary-growth checkpoint curve + log-log slope in
-    doc_id order (:func:`textstats.heaps_slope`; 50 id-range buckets —
-    the synthetic corpus has a closed template vocabulary, so the slope
-    correctly lands at 0: saturation detected)."""
+    doc_id order (:func:`textstats.heaps_slope`; 50 id-range buckets).
+    Measured over 3-token shingles: the synthetic corpus has a closed
+    31-word unigram vocabulary (the unigram curve saturates in the first
+    bucket, making the slope a degenerate 0 of pure float noise — the
+    round-5 driver hash failure), while its 3-shingle vocabulary grows
+    genuinely (~16k distinct at sf0.01 → ~27k at sf0.1), so the slope is
+    a real Heaps exponent. Output is decision-stable via
+    :func:`textstats._stable_slope` on both sides."""
     docs = _state(spark, sf_dir).raw("documents")
-    return textstats.heaps_slope(docs, "text", "doc_id", n_buckets=50)
+    return textstats.heaps_slope(docs, "text", "doc_id", n_buckets=50, shingle_k=3)
 
 
 def _q_bucketed_join_agg(spark, sf_dir):
@@ -2716,29 +2731,14 @@ def _q_novelty_score(spark, sf_dir):
 
 def _q_mi_event_hour(spark, sf_dir):
     """Pointwise mutual information between event_type and hour-of-day
-    — the feature-relevance / seasonality audit: one joint count
-    aggregate, margins as windows over the |types| x 24 result, pmi =
-    ln(n*total / (n_type*n_hour)) on exact integer counts."""
-    from pyspark.sql.window import Window
-
+    — the feature-relevance / seasonality audit, now a thin wrapper over
+    the library surface (:func:`stats.pmi_table`; promoted in r6 per the
+    r5 verdict): one joint count aggregate, margins as windows over the
+    |types| x 24 result, pmi = ln(n*total / (n_type*n_hour)) on exact
+    integer counts."""
     ev = _state(spark, sf_dir).raw("events")
-    joint = ev.groupBy(
-        "event_type", F.hour("ts").alias("hour")
-    ).agg(F.count(F.lit(1)).alias("n"))
-    w_t = Window.partitionBy("event_type")
-    w_h = Window.partitionBy("hour")
-    w_all = Window.partitionBy()
-    return joint.select(
-        "event_type",
-        "hour",
-        "n",
-        F.round(
-            F.ln(
-                (F.col("n") * F.sum("n").over(w_all))
-                / (F.sum("n").over(w_t) * F.sum("n").over(w_h))
-            ),
-            6,
-        ).alias("pmi"),
+    return stats.pmi_table(
+        ev.select("event_type", F.hour("ts").alias("hour")), "event_type", "hour"
     )
 
 
@@ -2757,15 +2757,20 @@ def _q_psi_value_drift(spark, sf_dir):
 
 
 def _q_ks_value_drift(spark, sf_dir):
-    """Exact two-sample Kolmogorov-Smirnov statistic between the same
-    two segments (:func:`stats.ks_statistic`) — the binning-free
-    companion to PSI; the distinct-value window bound is documented in
-    the operator."""
+    """Grid-exact two-sample Kolmogorov-Smirnov statistic between the
+    same two segments (:func:`stats.ks_statistic` with ``grid=0.25``):
+    values snap to a 0.25-wide grid BEFORE the distinct-count merge, so
+    the running-CDF window state is bounded at (range/0.25) rows at ANY
+    data scale — the operator's documented 100-TB path, declared
+    through it (round-6 fix: the r5 declaration fed raw continuous
+    values into the global window, the operator's own documented worst
+    case)."""
     ev = _state(spark, sf_dir).raw("events")
     return stats.ks_statistic(
         ev.where(F.col("event_type") == "view"),
         ev.where(F.col("event_type") == "purchase"),
         "value",
+        grid=0.25,
     )
 
 
@@ -2788,22 +2793,19 @@ def _q_forward_fill_values(spark, sf_dir):
 
 
 def _q_wow_revenue_change(spark, sf_dir):
-    """Week-over-week revenue deltas: weekly totals from orders, lag
-    window for the previous week, percent change — the standard KPI
-    trend shape (one aggregate + one window over #weeks rows)."""
-    from pyspark.sql.window import Window
-
+    """Week-over-week revenue deltas — a thin wrapper over the library
+    surface (:func:`kpi.period_over_period`; promoted in r6 per the r5
+    verdict): weekly sums from orders, lag window for the previous week,
+    percent change — one aggregate + one window over #weeks rows.
+    Columns re-aliased to the r5-declared oracle names."""
     orders = _state(spark, sf_dir).raw("orders")
-    weekly = orders.groupBy(
-        F.date_trunc("week", "o_orderdate").alias("week")
-    ).agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
-    w = Window.orderBy("week")
-    prev = F.lag("revenue").over(w)
-    return weekly.select(
-        "week",
-        "revenue",
-        prev.alias("prev_revenue"),
-        F.round((F.col("revenue") - prev) / prev, 6).alias("pct_change"),
+    return kpi.period_over_period(
+        orders, "o_orderdate", "o_totalprice", period="week", agg="sum"
+    ).select(
+        F.col("period").alias("week"),
+        F.col("value").alias("revenue"),
+        F.col("prev_value").alias("prev_revenue"),
+        "pct_change",
     )
 
 
@@ -2826,43 +2828,46 @@ def _q_scd2_point_in_time(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered so queries WITHOUT a green CORRECTNESS row run first: the
-    # driver checks exactly the first 50 dict entries per round. Every
-    # name declared through r4 has a green row (CORRECTNESS_r04: 0
-    # errors, 0 hash fails), so the r5 window leads with the 18 r5-new
-    # declarations (ANN recall audit, SCD2 history, Markov transitions,
-    # item-item CF cosine, int8 scalar-quantization audit, Heaps-law
-    # vocab growth, bucketed co-located join, epoch shuffle, z-order
-    # box scan, streaming windowed rollup, co-activity triangle census,
-    # n-gram novelty scoring, event/hour mutual information, PSI and
-    # KS distribution drift, forward fill, week-over-week deltas,
-    # point-in-time SCD2 lookup — 18 in all), followed by the 31 r4
-    # declarations (cluster_refresh gained a full oracle and
-    # kmv_distinct_users a rebuilt scale-safe synopsis in r5, so their
-    # re-verification inside the window is load-bearing; the rest are
-    # green re-checks). Everything after position 50 is evidenced in
-    # r1-r4 and deliberately not re-run.
+    # driver checks exactly the first 50 dict entries per round.
+    # The r6 window leads with every query whose SEMANTICS or ORACLE
+    # changed this round and therefore needs (re-)verification:
+    #   - heaps_vocab_growth: the r5 hash-FAIL, rebuilt over 3-shingles
+    #     with the decision-stable slope (must flip to green);
+    #   - minhash_near_dup_pairs: upgraded rows-only -> full md5 oracle;
+    #   - ks_value_drift: now declared through the grid=0.25 scale path;
+    #   - zipf_slope: slope expression now shares _stable_slope;
+    #   - mi_event_hour / wow_revenue_change: rewired as thin wrappers
+    #     over the promoted stats.pmi_table / kpi.period_over_period;
+    #   - psi_value_drift: empty-side ANSI guard touched the proportion
+    #     expressions.
+    # Then the r5 declarations re-check (all green in CORRECTNESS_r05
+    # except heaps), then r4 rows. Everything after position 50 is
+    # evidenced in r1-r5 and deliberately not re-run.
     # test_registry_hygiene enforces the placement invariant;
     # tests/test_advisor_gates.py checks it against the CORRECTNESS
     # files themselves.
     return {
-        # --- r5-new declarations (unevidenced until CORRECTNESS_r05)
+        # --- r6-changed (re-verification load-bearing)
+        "heaps_vocab_growth": _q_heaps_vocab_growth,
+        "minhash_near_dup_pairs": _q_minhash_near_dup,
+        "ks_value_drift": _q_ks_value_drift,
+        "zipf_slope": _q_zipf_slope,
+        "mi_event_hour": _q_mi_event_hour,
+        "wow_revenue_change": _q_wow_revenue_change,
+        "psi_value_drift": _q_psi_value_drift,
+        # --- r5 declarations (green CORRECTNESS_r05 re-checks)
         "ann_recall_stats": _q_ann_recall_stats,
         "scd2_user_state": _q_scd2_user_state,
         "event_transitions": _q_event_transitions,
         "item_cf_cosine": _q_item_cf_cosine,
         "sq8_error_stats": _q_sq8_error_stats,
-        "heaps_vocab_growth": _q_heaps_vocab_growth,
         "bucketed_join_agg": _q_bucketed_join_agg,
         "epoch_shuffle": _q_epoch_shuffle,
         "zorder_box_scan": _q_zorder_box_scan,
         "streaming_windowed_rollup": _q_streaming_windowed_rollup,
         "covisit_triangles": _q_covisit_triangles,
         "novelty_score": _q_novelty_score,
-        "mi_event_hour": _q_mi_event_hour,
-        "psi_value_drift": _q_psi_value_drift,
-        "ks_value_drift": _q_ks_value_drift,
         "forward_fill_values": _q_forward_fill_values,
-        "wow_revenue_change": _q_wow_revenue_change,
         "scd2_point_in_time": _q_scd2_point_in_time,
         # --- r4-new declarations (green CORRECTNESS_r04; cluster_refresh
         # and kmv_distinct_users changed in r5 — full oracle / rebuilt
@@ -2876,7 +2881,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kfold_assign": _q_kfold_assign,
         "paragraph_dedup": _q_paragraph_dedup,
         "cms_heavy_hitters": _q_cms_heavy_hitters,
-        "zipf_slope": _q_zipf_slope,
         "sentence_stats": _q_sentence_stats,
         "quantile_normalize": _q_quantile_normalize,
         "mad_outliers": _q_mad_outliers,
@@ -2927,7 +2931,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_top10": _q_ann_lsh_top10,
         "ann_ivf_top10": _q_ann_ivf_top10,
         "ann_pq_top10": _q_ann_pq_top10,
-        "minhash_near_dup_pairs": _q_minhash_near_dup,
         "embedding_near_dup": _q_embedding_near_dup,
         "knn_join_ivf_top5": _q_ivf_knn_join,
         "streaming_session_counts": _q_streaming_session_counts,
@@ -3082,12 +3085,65 @@ _STOP = {
 
 def oracle_sql() -> dict[str, str]:
     ev = "SELECT event_id, ts, user_id, event_type, value, props FROM events"
+    # md5 MinHash algebra for the minhash_near_dup_pairs full oracle
+    # (r6 upgrade from rows-only): 16 signature lanes, 4 bands of 4
+    mh_lanes = ",\n                   ".join(
+        f"min(md5('{i}|' || s)) AS mh{i}" for i in range(16)
+    )
+    mh_bands = "\n            UNION ALL ".join(
+        "SELECT id, {b} AS band, md5({expr}) AS bh FROM sig".format(
+            b=b,
+            expr=" || '|' || ".join(f"mh{b * 4 + r}" for r in range(4)),
+        )
+        for b in range(4)
+    )
+    # distinct 3-word shingles, word_shingles semantics (dedup.py:68):
+    # docs shorter than 3 tokens contribute one whole-doc shingle
+    shingles_sql = f"""
+              SELECT id, CASE WHEN len(a) < 3 THEN [array_to_string(a, ' ')]
+                   ELSE list_distinct(list_transform(
+                          generate_series(1, len(a) - 2),
+                          i -> array_to_string(list_slice(a, i, i + 2), ' ')))
+              END AS sl
+              FROM (SELECT doc_id AS id, {_TOKSF} AS a FROM documents)
+    """
     lang_hits = ", ".join(
         f"len(list_filter(list_transform({_TOKS}, x -> lower(x)), "
         f"x -> list_contains({_STOP[lang]}, x))) AS h_{lang}"
         for lang in ["de", "en", "es", "fr"]
     )
     return {
+        # --- r6: rows-only -> full oracle upgrade (md5 hash family
+        # threads end-to-end, so signatures, band buckets, candidate
+        # join and exact Jaccard all restate in SQL — the
+        # cluster_refresh algebra generalized to the whole-corpus dump)
+        "minhash_near_dup_pairs": f"""
+            WITH sh AS ({shingles_sql}),
+            ex AS (SELECT id, unnest(sl) AS s FROM sh),
+            sig AS (
+              SELECT id,
+                   {mh_lanes}
+              FROM ex GROUP BY id
+            ),
+            band AS (
+            {mh_bands}
+            ),
+            cand AS (
+              SELECT DISTINCT a.id AS id_a, b.id AS id_b
+              FROM band a JOIN band b
+                ON a.band = b.band AND a.bh = b.bh AND a.id < b.id
+            ),
+            j AS (
+              SELECT c.id_a, c.id_b,
+                     len(list_intersect(x.sl, y.sl))
+                       / len(list_distinct(x.sl || y.sl)) AS jaccard
+              FROM cand c JOIN sh x ON x.id = c.id_a
+                          JOIN sh y ON y.id = c.id_b
+            )
+            SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+                   jaccard
+            FROM j WHERE jaccard >= 0.7
+        """,
         # --- r5-new oracles
         "scd2_user_state": """
             WITH o AS (
@@ -3178,8 +3234,17 @@ def oracle_sql() -> dict[str, str]:
             FROM c GROUP BY dim
         """,
         "heaps_vocab_growth": f"""
-            WITH tk AS (
-              SELECT doc_id AS id, unnest({_TOKSF}) AS term FROM documents
+            WITH ta AS (SELECT doc_id AS id, {_TOKSF} AS a FROM documents),
+            tk AS (
+              -- 3-token shingles, ngram_array semantics: docs shorter
+              -- than 3 tokens contribute one whole-doc gram
+              SELECT id, unnest(
+                CASE WHEN len(a) < 3 THEN [array_to_string(a, ' ')]
+                     ELSE list_transform(
+                            generate_series(1, len(a) - 2),
+                            i -> array_to_string(list_slice(a, i, i + 2), ' '))
+                END) AS term
+              FROM ta
             ),
             bounds AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM documents),
             fo AS (SELECT term, min(id) AS fid FROM tk GROUP BY term),
@@ -3207,7 +3272,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(count(*) AS BIGINT) AS n_points,
                    CAST(max(cum_toks) AS BIGINT) AS total_tokens,
                    CAST(max(cum_vocab) AS BIGINT) AS total_vocab,
-                   round(regr_slope(ln(cum_vocab), ln(cum_toks)), 6) AS slope
+                   CASE WHEN var_pop(ln(cum_toks)) > 0 THEN
+                     CASE WHEN abs(regr_slope(ln(cum_vocab), ln(cum_toks))) < 1e-9
+                          THEN 0.0
+                          ELSE round(regr_slope(ln(cum_vocab), ln(cum_toks)), 6)
+                               + 0.0 END
+                   END AS slope
             FROM pts WHERE cum_vocab > 0 AND cum_toks > 0
         """,
         "bucketed_join_agg": """
@@ -3386,11 +3456,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ks_value_drift": """
             WITH b AS (
-              SELECT CAST(value AS DOUBLE) AS x FROM events
+              SELECT floor(CAST(value AS DOUBLE) / 0.25) * 0.25 AS x FROM events
               WHERE event_type = 'view' AND value IS NOT NULL
             ),
             c AS (
-              SELECT CAST(value AS DOUBLE) AS x FROM events
+              SELECT floor(CAST(value AS DOUBLE) / 0.25) * 0.25 AS x FROM events
               WHERE event_type = 'purchase' AND value IS NOT NULL
             ),
             bc AS (SELECT x, count(*) AS nb FROM b GROUP BY x),
@@ -5390,7 +5460,10 @@ def oracle_sql() -> dict[str, str]:
               FROM f
             )
             SELECT grp, CAST(count(*) AS BIGINT) AS n_terms,
-                   round(regr_slope(ln(cnt), ln(rank)), 6) AS slope
+                   CASE WHEN var_pop(ln(rank)) > 0 THEN
+                     CASE WHEN abs(regr_slope(ln(cnt), ln(rank))) < 1e-9 THEN 0.0
+                          ELSE round(regr_slope(ln(cnt), ln(rank)), 6) + 0.0 END
+                   END AS slope
             FROM r WHERE rank <= 100 GROUP BY grp
         """,
         "sentence_stats": """

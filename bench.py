@@ -61,16 +61,33 @@ def main():
     # cache warm, which is the steady-state a 1000-executor job lives
     # in. Index BUILDS stay reps=1 — a re-build overwrites existing
     # output and measures a different (rewrite) path.
+    from elephant_twin_spark.operators import lifecycle
+
+    # SPARK_GRAFT_BENCH_STORAGE=1: per-key block-manager snapshots to
+    # stderr (the instrumentation that demonstrated the r5 checkpoint
+    # leak and its fix — see SCALE_EXPERIMENTS.md)
+    probe_storage = os.environ.get("SPARK_GRAFT_BENCH_STORAGE") == "1"
+
     def timed(name, reps=2):
         def deco(fn):
             best = None
             out = None
             for _ in range(reps):
                 t0 = time.perf_counter()
-                out = fn()
+                # scope per rep: every localCheckpoint an operator pins
+                # during this key is released once the rep's terminal
+                # action finishes — a long-lived session (48 keys x 2
+                # reps in one JVM, or a real production driver) must not
+                # accumulate dead checkpoint blocks that pressure the
+                # unified memory pool of UNRELATED later queries
+                with lifecycle.checkpoint_scope():
+                    out = fn()
                 dt = time.perf_counter() - t0
                 best = dt if best is None else min(best, dt)
             timings[name] = round(best, 4)
+            if probe_storage:
+                snap = lifecycle.storage_snapshot(spark)
+                print(f"storage after {name}: {snap}", file=sys.stderr)
             return out
 
         return deco

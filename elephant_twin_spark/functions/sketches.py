@@ -326,7 +326,16 @@ def kmv_synopsis(
     merged = part.groupBy("gkey").agg(
         F.slice(F.array_sort(F.collect_set("h")), 1, kk).alias("hashes")
     )
-    keymap = pairs.select("key", "gkey").distinct()
+    # typed-key restore map from a HASH-FREE projection (r5 advice: the
+    # old `pairs.select("key", "gkey").distinct()` re-scanned the source
+    # with the md5 value-hash still in the plan, paying the whole value
+    # hashing a second time; this scan prunes to the key + the null
+    # filter column and computes no hashes)
+    keymap = (
+        df.where(F.col(val_col).isNotNull())
+        .select(F.col(key_col).alias("key"), F.col(key_col).cast("string").alias("gkey"))
+        .distinct()
+    )
     return (
         merged.join(keymap, merged["gkey"].eqNullSafe(keymap["gkey"]), "inner")
         .select("key", "hashes")

@@ -175,3 +175,44 @@ def transition_matrix(
     return counts.withColumn(
         "p", F.round(F.col("n") / F.sum("n").over(w_norm), 6)
     )
+
+
+def period_over_period(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    period: str = "week",
+    agg: str = "sum",
+    round_value: int = 2,
+    round_pct: int = 6,
+) -> DataFrame:
+    """Periodic totals with previous-period deltas: truncate ``ts_col``
+    to ``period`` (any ``date_trunc`` unit — week, day, month, ...),
+    aggregate ``value_col`` per period (``agg`` = sum | avg | count),
+    then ``(period, value, prev_value, pct_change)`` via one lag window.
+    THE standard KPI trend shape (WoW / DoD / MoM revenue, volume,
+    engagement).
+
+    Shape: one map-side-combined aggregate over the raw rows, then a lag
+    window over #periods rows — a single global sort bounded by the
+    number of periods in the data's time span, never by row count.
+    Promoted from the round-5 registry query body (r5 verdict: library
+    surface, queries become wrappers)."""
+    aggs = {
+        "sum": F.sum(value_col),
+        "avg": F.avg(value_col),
+        "count": F.count(F.lit(1)),
+    }
+    if agg not in aggs:
+        raise ValueError(f"agg must be one of {sorted(aggs)}, got {agg!r}")
+    periodic = df.groupBy(F.date_trunc(period, ts_col).alias("period")).agg(
+        F.round(aggs[agg], round_value).alias("value")
+    )
+    w = Window.orderBy("period")
+    prev = F.lag("value").over(w)
+    return periodic.select(
+        "period",
+        "value",
+        prev.alias("prev_value"),
+        F.round((F.col("value") - prev) / prev, round_pct).alias("pct_change"),
+    )

@@ -1,0 +1,107 @@
+"""Checkpoint lifecycle: scoped release of ``localCheckpoint``'ed
+intermediates.
+
+Several operators pin an intermediate with ``localCheckpoint`` so a
+shared subplan is materialized exactly once (minhash candidate tables,
+triangle-count edge sets, connected-components iterations, ANN audit
+inputs). The blocks behind a local checkpoint live in the block manager
+until the JVM garbage-collects the RDD object — which, in a long-lived
+session with a large heap, is effectively never. Across a 48-key bench
+run (or a real multi-query production session) those blocks accumulate,
+pressure the unified memory pool, and turn into execution-memory spills
+in UNRELATED later queries: a genuine long-session leak at 100 TB, not
+just bench hygiene (round-5 verdict finding on ``q_minhash_lsh``).
+
+This module makes the lifecycle explicit and caller-owned:
+
+* operators call :func:`pin` instead of ``df.localCheckpoint()`` — same
+  semantics, plus registration with the innermost active scope (if any;
+  with no scope the behavior is byte-identical to before);
+* callers that know when consumption ends wrap the work in
+  :func:`checkpoint_scope` — on exit every checkpoint pinned inside is
+  released;
+* iterative algorithms call :func:`release` directly on a superseded
+  iteration the moment its successor is materialized (connected
+  components keeps exactly TWO iterations live instead of all of them).
+
+IMPORTANT: a local checkpoint truncates lineage, so after
+:func:`release` the DataFrame CANNOT be recomputed — any further action
+on it raises ``CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND``. Release strictly
+after the last consumption; scopes make that ordering structural.
+"""
+
+from __future__ import annotations
+
+import threading
+from contextlib import contextmanager
+from typing import Iterator, List
+
+from pyspark.sql import DataFrame
+
+# scope stack is thread-local: concurrent query threads (a real pattern
+# on a shared driver) must not release each other's checkpoints
+_local = threading.local()
+
+
+def _scopes() -> List[List[DataFrame]]:
+    if not hasattr(_local, "scopes"):
+        _local.scopes = []
+    return _local.scopes
+
+
+def pin(df: DataFrame, eager: bool = True) -> DataFrame:
+    """``df.localCheckpoint(eager)`` + register the pinned result with
+    the innermost active :func:`checkpoint_scope` (no-op registration
+    when no scope is active)."""
+    out = df.localCheckpoint(eager)
+    scopes = _scopes()
+    if scopes:
+        scopes[-1].append(out)
+    return out
+
+
+def release(df: DataFrame) -> bool:
+    """Free the block-manager blocks behind a ``localCheckpoint``'ed
+    DataFrame NOW (non-blocking unpersist). Returns False if the plan
+    isn't a checkpoint-backed LogicalRDD (nothing to free). The
+    DataFrame must not be used again — lineage is truncated, so the
+    blocks cannot be recomputed."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+        return True
+    except Exception:
+        return False
+
+
+@contextmanager
+def checkpoint_scope() -> Iterator[List[DataFrame]]:
+    """Scope within which every :func:`pin` is tracked; on exit all
+    tracked checkpoints are released. Wrap one query's build-execute-
+    consume span::
+
+        with lifecycle.checkpoint_scope():
+            n = dedup.minhash_near_dup_pairs(docs, "text", "doc_id").count()
+        # candidate/shingle checkpoint blocks are freed here
+
+    Scopes nest; each releases only its own pins."""
+    pinned: List[DataFrame] = []
+    _scopes().append(pinned)
+    try:
+        yield pinned
+    finally:
+        _scopes().pop()
+        for df in pinned:
+            release(df)
+
+
+def storage_snapshot(spark) -> dict:
+    """Block-manager storage totals ``{n_rdds, n_blocks, mem_bytes,
+    disk_bytes}`` — the instrumentation used to demonstrate the leak and
+    its fix (SCALE_EXPERIMENTS.md)."""
+    infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    return {
+        "n_rdds": len(infos),
+        "n_blocks": sum(i.numCachedPartitions() for i in infos),
+        "mem_bytes": sum(i.memSize() for i in infos),
+        "disk_bytes": sum(i.diskSize() for i in infos),
+    }

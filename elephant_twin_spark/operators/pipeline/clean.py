@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from typing import Sequence, Tuple
 
+from elephant_twin_spark.operators import lifecycle
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -49,14 +50,14 @@ def clean_corpus(
         F.col("lang_pred").alias("_lang"),
         F.col("_rep"),
     )
-    gated = feats.withColumn(
+    gated = lifecycle.pin(feats.withColumn(
         "_reason",
         F.when(
             textstats.token_count(F.col("_text")) < min_tokens, F.lit("too_short")
         )
         .when(~F.col("_lang").isin(list(allowed_langs)), F.lit("lang"))
         .when(F.col("_rep") > max_repetition, F.lit("repetitive")),
-    ).localCheckpoint()
+    ))
     # ^ the gate expressions (stopword language ID + n-gram repetition)
     # are the most expensive per-row work in the pipeline, and every
     # downstream branch (sig groups, minhash signatures, jaccard verify,

@@ -22,6 +22,7 @@ from typing import List, Optional
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from elephant_twin_spark.operators import lifecycle
 from elephant_twin_spark.operators.text import whitespace_tokenizer
 
 
@@ -281,14 +282,13 @@ def jaccard_verify_pairs(
         .unionByName(candidates.select(F.col("id_b").alias("id")))
         .distinct()
     )
-    sh = (
+    sh = lifecycle.pin(
         _fan_out(df)
         .select(
             F.col(id_col).alias("id"),
             word_shingles(F.col(text_col), shingle_k).alias("sh"),
         )
         .join(ids, "id", "leftsemi")
-        .localCheckpoint()
     )
     j = (
         candidates.join(sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
@@ -323,9 +323,9 @@ def minhash_near_dup_pairs(
     an exhaustive pair report. ``hash_fn="md5"`` makes the candidate
     graph engine-independent (oracle-reproducible) at higher hash cost."""
     sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_k, hash_fn=hash_fn)
-    cands = lsh_candidate_pairs(
-        sigs, num_perm, num_bands, edge_mode=edge_mode, hash_fn=hash_fn
-    ).localCheckpoint()
+    cands = lifecycle.pin(
+        lsh_candidate_pairs(sigs, num_perm, num_bands, edge_mode=edge_mode, hash_fn=hash_fn)
+    )
     return jaccard_verify_pairs(cands, df, text_col, id_col, shingle_k, threshold)
 
 
@@ -410,7 +410,7 @@ def simhash_near_dup_pairs(
     so candidates come from bucket joins, not a cross product."""
     # pin: the band self-join would otherwise compute the signature
     # aggregation once per side
-    sh = simhash64(df, text_col, id_col).localCheckpoint()
+    sh = lifecycle.pin(simhash64(df, text_col, id_col))
     bands = sh.select(
         "id",
         "simhash",
@@ -450,7 +450,7 @@ def simhash_md5_near_dup_pairs(
     the brute-force all-pairs computation, which is exactly how the
     external oracle verifies it (engine does the bucket join, oracle the
     quadratic check on a bounded slice)."""
-    sh = simhash60_md5(df, text_col, id_col).localCheckpoint()
+    sh = lifecycle.pin(simhash60_md5(df, text_col, id_col))
     bands = sh.select(
         "id",
         "simhash",
@@ -512,14 +512,13 @@ def connected_components(
         .where(F.col("s") != F.col("d"))
         .distinct()
     )
-    edges = edges.union(
-        edges.select(F.col("d").alias("s"), F.col("s").alias("d"))
-    ).localCheckpoint()
-    labels = (
+    edges = lifecycle.pin(
+        edges.union(edges.select(F.col("d").alias("s"), F.col("s").alias("d")))
+    )
+    labels = lifecycle.pin(
         edges.select(F.col("s").alias("node"))
         .distinct()
         .withColumn("comp", F.col("node"))
-        .localCheckpoint()
     )
     # convergence detector: for INTEGRAL/decimal ids the label-sum (exact
     # decimal — no silent long overflow) is componentwise non-increasing
@@ -561,11 +560,10 @@ def connected_components(
             edges.join(labels, edges.d == labels.node)
             .select(F.col("s").alias("node"), "comp")
         )
-        new = (
+        new = lifecycle.pin(
             labels.unionByName(nbr_min)
             .groupBy("node")
             .agg(F.min("comp").alias("comp"))
-            .localCheckpoint()
         )
         if numeric:
             new_sum = label_sum(new)
@@ -579,9 +577,17 @@ def connected_components(
                 .count()
                 == 0
             )
+        # the superseded iteration is dead the moment the convergence
+        # check has consumed it: free its blocks NOW so the loop keeps
+        # exactly two iterations live instead of every one of them (the
+        # round-5 long-session leak)
+        lifecycle.release(labels)
         labels = new
         if converged:
             break
+    # edges are dead once the fixpoint is reached (the result depends
+    # only on the final labels checkpoint)
+    lifecycle.release(edges)
     return labels.select("node", "comp").withColumnsRenamed(
         {"node": "node", "comp": "component"}
     )

@@ -21,6 +21,7 @@ join; every aggregate is map-side combined.
 
 from __future__ import annotations
 
+from elephant_twin_spark.operators import lifecycle
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -73,15 +74,14 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     :func:`.dedup.lsh_candidate_pairs`) — without it every branch
     re-derives the whole upstream edge construction.
     """
-    e = canonical_edges(edges, src, dst).localCheckpoint()
+    e = lifecycle.pin(canonical_edges(edges, src, dst))
     # degrees directly from the already-canonical list (calling
     # degree_stats here would redundantly re-canonicalize e)
-    deg = (
+    deg = lifecycle.pin(
         e.select(F.col("u").alias("vertex"))
         .unionAll(e.select(F.col("v").alias("vertex")))
         .groupBy("vertex")
         .agg(F.count(F.lit(1)).alias("degree"))
-        .localCheckpoint()
     )
     du = deg.select(F.col("vertex").alias("u"), F.col("degree").alias("_du"))
     dv = deg.select(F.col("vertex").alias("v"), F.col("degree").alias("_dv"))
@@ -92,10 +92,10 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     u_first = (F.col("_du") < F.col("_dv")) | (
         (F.col("_du") == F.col("_dv")) & (F.col("u") < F.col("v"))
     )
-    oriented = ranked.select(
+    oriented = lifecycle.pin(ranked.select(
         F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("o_src"),
         F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("o_dst"),
-    ).localCheckpoint()
+    ))
     a = oriented.select(F.col("o_src").alias("hub"), F.col("o_dst").alias("a"))
     b = oriented.select(F.col("o_src").alias("hub"), F.col("o_dst").alias("b"))
     wedges = a.join(b, "hub").where(F.col("a") < F.col("b"))
@@ -107,7 +107,9 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     # every edge once per endpoint
     sizes = deg.agg(
         F.count(F.lit(1)).alias("n_vertices"),
-        (F.sum("degree") / 2).cast("long").alias("n_edges"),
+        # coalesce: sum over an EMPTY edge set is NULL, and n_edges=0
+        # must match n_vertices=0 / n_triangles=0 (r5 advice)
+        F.coalesce((F.sum("degree") / 2).cast("long"), F.lit(0)).alias("n_edges"),
     )
     # 1-row scalar combine (broadcast nested loop by construction, benign)
     return sizes.crossJoin(F.broadcast(n_tri))

@@ -17,6 +17,7 @@ import math
 import random
 from typing import List, Optional, Sequence
 
+from elephant_twin_spark.operators import lifecycle
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -441,10 +442,9 @@ def embedding_near_dup_pairs(
     # pin the bucketed projection: the self-join would otherwise evaluate
     # the bits×dim hyperplane expression tree twice (and pay its codegen
     # cost twice — the literal-heavy plan is expensive to compile)
-    b = (
+    b = lifecycle.pin(
         with_lsh_bucket(df, vec_col, planes)
         .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "bucket")
-        .localCheckpoint()
     )
     x, y = b.alias("x"), b.alias("y")
     cands = x.join(
@@ -787,9 +787,9 @@ def ann_recall_audit(
     cost is query-proportional, never corpus-proportional."""
     spark = df.sparkSession
     planes = md5_sign_planes(len(centroids[0]), bits, seed)
-    assigned = ivf_assign(df, vec_col, centroids).localCheckpoint()
-    codes = pq_encode(df, vec_col, id_col, codebooks).localCheckpoint()
-    bucketed = with_lsh_bucket(df, vec_col, planes).localCheckpoint()
+    assigned = lifecycle.pin(ivf_assign(df, vec_col, centroids))
+    codes = lifecycle.pin(pq_encode(df, vec_col, id_col, codebooks))
+    bucketed = lifecycle.pin(with_lsh_bucket(df, vec_col, planes))
     qrows = (
         df.where(F.col(id_col).isin(list(query_ids)))
         .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))

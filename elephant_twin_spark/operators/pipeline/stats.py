@@ -23,7 +23,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -374,11 +374,17 @@ def psi_drift(
         .crossJoin(F.broadcast(bounds.select("lo", "hi")))
     )
     w_all = Window.partitionBy()
+    # an EMPTY side must fall to the eps floor, not divide by its zero
+    # total (ANSI mode raises DIVIDE_BY_ZERO — r6 degenerate-input fix)
+    tot_b = F.sum("n_base").over(w_all)
+    tot_c = F.sum("n_cur").over(w_all)
     p_b = F.greatest(
-        F.col("n_base") / F.sum("n_base").over(w_all), F.lit(float(eps))
+        F.when(tot_b > 0, F.col("n_base") / tot_b).otherwise(F.lit(0.0)),
+        F.lit(float(eps)),
     )
     p_c = F.greatest(
-        F.col("n_cur") / F.sum("n_cur").over(w_all), F.lit(float(eps))
+        F.when(tot_c > 0, F.col("n_cur") / tot_c).otherwise(F.lit(0.0)),
+        F.lit(float(eps)),
     )
     step = (F.col("hi") - F.col("lo")) / int(n_bins)
     return bins.select(
@@ -395,6 +401,7 @@ def ks_statistic(
     base: DataFrame,
     current: DataFrame,
     value_col: str,
+    grid: Optional[float] = None,
 ) -> DataFrame:
     """Exact two-sample Kolmogorov-Smirnov statistic: one row
     ``(n_base, n_cur, ks)`` with ``ks = max |F_base(x) - F_cur(x)|``
@@ -405,10 +412,15 @@ def ks_statistic(
     full outer merge, then running sums over the distinct-value
     sequence. That last window is GLOBALLY ordered — a single sort
     partition bounded by the number of DISTINCT values, not rows; fine
-    for scores/quantized features (bounded support), unbounded for raw
-    continuous columns at 100 TB — there, quantize to a grid first (or
-    use ``psi_drift``), which bounds the window at grid size and makes
-    the result a grid-exact KS. NULLs excluded.
+    for scores/quantized features (bounded support), UNBOUNDED for raw
+    continuous columns at 100 TB. That is what ``grid`` is for: pass a
+    bucket width and every value is snapped to ``floor(x/grid)*grid``
+    BEFORE the distinct-count merge, bounding the window state at
+    (value range / grid) rows regardless of data size and making the
+    result a grid-exact KS — the documented 100-TB path as a
+    one-argument choice (both ``floor`` and the IEEE mul/div are
+    exactly specified, so gridding is cross-engine deterministic).
+    NULLs excluded.
     """
     b = base.where(F.col(value_col).isNotNull()).select(
         F.col(value_col).cast("double").alias("x")
@@ -416,6 +428,11 @@ def ks_statistic(
     c = current.where(F.col(value_col).isNotNull()).select(
         F.col(value_col).cast("double").alias("x")
     )
+    if grid is not None:
+        snap = lambda d: d.select(
+            (F.floor(F.col("x") / F.lit(float(grid))) * F.lit(float(grid))).alias("x")
+        )
+        b, c = snap(b), snap(c)
     bc = b.groupBy("x").agg(F.count(F.lit(1)).alias("nb"))
     cc = c.groupBy("x").agg(F.count(F.lit(1)).alias("nc"))
     merged = bc.join(cc, "x", "full").select(
@@ -425,8 +442,11 @@ def ks_statistic(
     )
     w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
     w_all = Window.partitionBy()
-    cdf_b = F.sum("nb").over(w) / F.sum("nb").over(w_all)
-    cdf_c = F.sum("nc").over(w) / F.sum("nc").over(w_all)
+    # guard the zero totals of an EMPTY side (ANSI mode raises
+    # DIVIDE_BY_ZERO): an empty side has no CDF, so ks is NULL
+    tot_b, tot_c = F.sum("nb").over(w_all), F.sum("nc").over(w_all)
+    cdf_b = F.when(tot_b > 0, F.sum("nb").over(w) / tot_b)
+    cdf_c = F.when(tot_c > 0, F.sum("nc").over(w) / tot_c)
     return (
         merged.select(
             F.sum("nb").over(w_all).alias("n_base"),
@@ -435,4 +455,34 @@ def ks_statistic(
         )
         .groupBy("n_base", "n_cur")
         .agg(F.round(F.max("d"), 6).alias("ks"))
+    )
+
+
+def pmi_table(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Pointwise mutual information between two categorical columns:
+    ``(col_a, col_b, n, pmi)`` with ``pmi = ln(n * total / (n_a * n_b))``
+    on exact integer counts — the feature-relevance / co-occurrence /
+    seasonality audit (e.g. event_type x hour-of-day).
+
+    Shape: ONE joint count aggregate over the raw rows (map-side
+    combined); the margins are windows over the |A| x |B| joint table,
+    not a second pass over the data — so the only data-sized cost is the
+    single groupBy shuffle, and the window state is bounded by the
+    categorical cross size. Promoted from the round-5 registry query
+    body (r5 verdict: library surface, queries become wrappers)."""
+    joint = df.groupBy(col_a, col_b).agg(F.count(F.lit(1)).alias("n"))
+    w_a = Window.partitionBy(col_a)
+    w_b = Window.partitionBy(col_b)
+    w_all = Window.partitionBy()
+    return joint.select(
+        col_a,
+        col_b,
+        "n",
+        F.round(
+            F.ln(
+                (F.col("n") * F.sum("n").over(w_all))
+                / (F.sum("n").over(w_a) * F.sum("n").over(w_b))
+            ),
+            6,
+        ).alias("pmi"),
     )

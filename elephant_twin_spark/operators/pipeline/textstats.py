@@ -594,6 +594,38 @@ def code_score(df: DataFrame, text_col: str, out_col: str = "code_score") -> Dat
     return df.withColumn(out_col, F.round(score, 6))
 
 
+def _stable_slope(x: str, y: str) -> Column:
+    """Decision-stable least-squares slope aggregate of ``y ~ x``:
+    ``covar_pop/var_pop`` with three guards that make the emitted value
+    hash-identical across engines, thread counts and plans —
+
+    * degenerate regression (``var_pop(x)=0``: fewer than two distinct
+      x points) → NULL, matching SQL ``regr_slope``;
+    * near-zero slope (``|slope| < 1e-9``, i.e. a constant-``y`` input
+      where the unrounded covariance is pure float summation noise
+      whose sign depends on partial-sum order) → snapped to exact 0.0;
+    * otherwise ``round(slope, 6) + 0.0`` — the ``+0.0`` collapses IEEE
+      ``-0.0`` to ``+0.0`` so the sign bit can never differ.
+
+    Added after the round-5 driver hash failure on a closed-vocabulary
+    corpus (slope ≈ ±1e-17 rounding to engine-dependent signed zero)."""
+    slope = F.covar_pop(x, y) / F.var_pop(x)
+    return F.when(
+        F.var_pop(x) > 0,
+        F.when(F.abs(slope) < F.lit(1e-9), F.lit(0.0)).otherwise(
+            F.round(slope, 6) + F.lit(0.0)
+        ),
+    )
+
+
+# the SQL-side mirror of _stable_slope, for oracle restatements
+STABLE_SLOPE_SQL = (
+    "CASE WHEN var_pop({x}) > 0 THEN "
+    "CASE WHEN abs(regr_slope({y}, {x})) < 1e-9 THEN 0.0 "
+    "ELSE round(regr_slope({y}, {x}), 6) + 0.0 END END"
+)
+
+
 def zipf_slope(
     df: DataFrame, text_col: str, group_col: str, top_n: int = 100
 ) -> DataFrame:
@@ -623,7 +655,7 @@ def zipf_slope(
     )
     return ranked.groupBy("grp").agg(
         F.count(F.lit(1)).alias("n_terms"),
-        F.round(F.covar_pop("x", "y") / F.var_pop("x"), 6).alias("slope"),
+        _stable_slope("x", "y").alias("slope"),
     )
 
 
@@ -659,7 +691,11 @@ def sentence_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def heaps_slope(
-    df: DataFrame, text_col: str, id_col: str, n_buckets: int = 50
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_buckets: int = 50,
+    shingle_k: int = 1,
 ) -> DataFrame:
     """Heaps'-law vocabulary-growth exponent: least-squares slope of
     ``ln(vocab) ~ ln(tokens)`` over cumulative (tokens-seen,
@@ -668,6 +704,18 @@ def heaps_slope(
     novel-token churn (serial numbers, hashes — tokenizer poison), near-0
     means a closed vocabulary (template spam). The corpus-level
     companion to per-group ``zipf_slope``.
+
+    ``shingle_k > 1`` measures vocabulary over overlapping k-token
+    shingles (:func:`ngrams.ngram_array` semantics: docs shorter than k
+    tokens contribute one whole-doc gram) instead of unigrams — the
+    right unit for template-heavy corpora whose unigram vocabulary is
+    closed (there the unigram curve saturates immediately and the slope
+    degenerates to 0, evidencing nothing about growth).
+
+    The slope is emitted through :func:`_stable_slope` (NULL when
+    degenerate, exact 0.0 when the input is constant-vocabulary,
+    sign-normalized otherwise) so the value is decision-stable across
+    engines and partitionings.
 
     Shape: the curve is NEVER built doc-by-doc — each term contributes
     only its FIRST occurrence (a ``min(id)`` aggregate), docs contribute
@@ -680,7 +728,13 @@ def heaps_slope(
     """
     from pyspark.sql.window import Window
 
-    toks = df.select(F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("term"))
+    if shingle_k > 1:
+        from elephant_twin_spark.operators.pipeline.ngrams import ngram_array
+
+        unit = ngram_array(F.col(text_col), shingle_k)
+    else:
+        unit = tokens(F.col(text_col))
+    toks = df.select(F.col(id_col).alias("id"), F.explode(unit).alias("term"))
     bounds = df.agg(
         F.min(F.col(id_col)).alias("lo"), F.max(F.col(id_col)).alias("hi")
     )
@@ -718,5 +772,5 @@ def heaps_slope(
         F.count(F.lit(1)).alias("n_points"),
         F.max("cum_toks").alias("total_tokens"),
         F.max("cum_vocab").alias("total_vocab"),
-        F.round(F.covar_pop("x", "y") / F.var_pop("x"), 6).alias("slope"),
+        _stable_slope("x", "y").alias("slope"),
     )

@@ -24,6 +24,7 @@ from typing import Optional
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from elephant_twin_spark.operators import lifecycle
 from elephant_twin_spark.operators.lsh import LshIndex
 from elephant_twin_spark.operators.pipeline import dedup
 
@@ -91,20 +92,27 @@ def stream_near_dup_gate(
             extra = index.spark.read.parquet(accepted_path)
         except Exception:
             extra = None
-        annotated = gate_batch(
-            index, batch_df, text_col, id_col, threshold, extra_corpus=extra
-        )
         # one evaluation, two destinations — cut lineage so the gate's
-        # joins don't recompute per sink
-        annotated = annotated.localCheckpoint(eager=True)
-        survivors = annotated.where(~F.col("is_near_dup")).drop("is_near_dup", "dup_of")
-        survivors.write.mode("append").parquet(accepted_path)
-        if rejected_path is not None:
-            annotated.where(F.col("is_near_dup")).drop("is_near_dup").write.mode(
-                "append"
-            ).parquet(rejected_path)
-        if grow:
-            index.append_docs(survivors, text_col, id_col)
+        # joins don't recompute per sink; the scope frees the batch's
+        # checkpoint blocks once both sinks (and the index append) are
+        # done, so an unbounded stream holds ONE batch of blocks, not
+        # one per micro-batch ever processed
+        with lifecycle.checkpoint_scope():
+            annotated = lifecycle.pin(
+                gate_batch(
+                    index, batch_df, text_col, id_col, threshold, extra_corpus=extra
+                )
+            )
+            survivors = annotated.where(~F.col("is_near_dup")).drop(
+                "is_near_dup", "dup_of"
+            )
+            survivors.write.mode("append").parquet(accepted_path)
+            if rejected_path is not None:
+                annotated.where(F.col("is_near_dup")).drop("is_near_dup").write.mode(
+                    "append"
+                ).parquet(rejected_path)
+            if grow:
+                index.append_docs(survivors, text_col, id_col)
 
     q = (
         stream_docs.writeStream.foreachBatch(on_batch)

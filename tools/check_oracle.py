@@ -7,6 +7,7 @@ Usage: python tools/check_oracle.py [sf_dir] [query_name ...]
 """
 
 import os
+import struct
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -20,6 +21,23 @@ TABLES = [
 ]
 
 
+def _canon_float(x) -> str:
+    """Bit-exact float canonicalization (round-6 fix: the old %.9g form
+    could not see a ±0.0 sign flip or sub-1e-9 divergence that the
+    driver's raw-stringified-value hash catches — it predicted green on
+    the round-5 ``heaps_vocab_growth`` red).  Policy:
+
+    * every NaN (any payload) collapses to the one canonical NaN —
+      payloads don't survive stringification anywhere, so they can't
+      be a real divergence;
+    * −0.0 is PRESERVED as distinct from +0.0 (stringifies differently,
+      so the driver hash differs — exactly the class we must flag);
+    * everything else is the raw IEEE-754 big-endian byte pattern."""
+    if x != x:  # NaN of any payload
+        return "nan"
+    return struct.pack(">d", float(x)).hex()
+
+
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     out = {}
@@ -29,7 +47,7 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
             s = pd.to_datetime(s).dt.floor("us").astype("datetime64[us]")
             s = s.map(lambda x: x.isoformat())
         elif pd.api.types.is_float_dtype(s):
-            s = s.map(lambda x: f"{x:.9g}")
+            s = s.map(_canon_float)
         else:
             s = s.astype(str)
         out[c] = s
