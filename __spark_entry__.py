@@ -2826,6 +2826,47 @@ def _q_scd2_point_in_time(spark, sf_dir):
     ).select("user_id", "event_type", "effective_from")
 
 
+def _q_source_overlap(spark, sf_dir):
+    """Cross-source content-overlap matrix
+    (:func:`dedup.source_overlap_matrix`) over the 40-char document
+    head (the template prefix — the raw texts are unique across
+    sources, the heads genuinely collide): (source_a, source_b,
+    n_shared) distinct shared contents, diagonal = per-source distinct
+    count. One corpus pass + a |sources|^2 aggregate."""
+    docs = _state(spark, sf_dir).raw("documents")
+    heads = docs.select(F.substring("text", 1, 40).alias("head"), "source")
+    return dedup.source_overlap_matrix(heads, "head", "source")
+
+
+def _q_lsh_plan(spark, sf_dir):
+    """MinHash-LSH parameter planner (:func:`dedup.lsh_plan`): the
+    closed-form banding S-curve (threshold s50, recall at the 0.7
+    target, threshold gap) for every (num_perm, bands | num_perm)
+    combination — pure math over a constant grid, no data scan; the
+    planning front-end for lsh_candidate_pairs, same role as
+    index_advisor for the block index."""
+    return dedup.lsh_plan(spark, target_jaccard=0.7)
+
+
+def _q_scd2_merge_incremental(spark, sf_dir):
+    """Incremental SCD2 upsert (:func:`temporal.scd2_merge`): history
+    built from events before 2024-01-20, the rest merged as a CDC
+    batch. The oracle recomputes the FULL history from the whole
+    changelog — the merge's exactness under the watermark contract IS
+    the check (cost stays probe-proportional: untouched keys pass
+    through one anti join)."""
+    ev = _state(spark, sf_dir).raw("events")
+    cutoff = F.lit("2024-01-20 00:00:00").cast("timestamp")
+    hist = temporal.scd2_intervals(
+        ev.where(F.col("ts") < cutoff), ["user_id"], "ts", ["event_type"],
+        tiebreak=["event_id"],
+    )
+    batch = ev.where(F.col("ts") >= cutoff)
+    return temporal.scd2_merge(
+        hist, batch, ["user_id"], "ts", ["event_type"], tiebreak=["event_id"]
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered so queries WITHOUT a green CORRECTNESS row run first: the
     # driver checks exactly the first 50 dict entries per round.
@@ -2847,6 +2888,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tests/test_advisor_gates.py checks it against the CORRECTNESS
     # files themselves.
     return {
+        # --- r6-new declarations (unevidenced until CORRECTNESS_r06)
+        "source_overlap": _q_source_overlap,
+        "lsh_plan": _q_lsh_plan,
+        "scd2_merge_incremental": _q_scd2_merge_incremental,
         # --- r6-changed (re-verification load-bearing)
         "heaps_vocab_growth": _q_heaps_vocab_growth,
         "minhash_near_dup_pairs": _q_minhash_near_dup,
@@ -3113,6 +3158,63 @@ def oracle_sql() -> dict[str, str]:
         for lang in ["de", "en", "es", "fr"]
     )
     return {
+        # --- r6-new oracles
+        "source_overlap": """
+            WITH s AS (
+              SELECT DISTINCT substring(text, 1, 40) AS sig, source
+              FROM documents
+            )
+            SELECT a.source AS source_a, b.source AS source_b,
+                   CAST(count(*) AS BIGINT) AS n_shared
+            FROM s a JOIN s b ON a.sig = b.sig AND a.source <= b.source
+            GROUP BY a.source, b.source
+        """,
+        "lsh_plan": """
+            WITH p AS (SELECT unnest([8, 16, 32, 64, 128]) AS num_perm),
+            g AS (
+              SELECT num_perm, b AS num_bands, num_perm // b AS rows_per_band
+              FROM p, unnest(generate_series(1, num_perm)) AS t(b)
+              WHERE num_perm % b = 0
+            )
+            SELECT CAST(num_perm AS INT) AS num_perm,
+                   CAST(num_bands AS INT) AS num_bands,
+                   CAST(rows_per_band AS INT) AS rows_per_band,
+                   round(pow(1.0 / num_bands, 1.0 / rows_per_band), 6) AS s50,
+                   round(1.0 - pow(1.0 - pow(0.7, rows_per_band),
+                                   num_bands), 6) AS p_at_target,
+                   round(abs(pow(1.0 / num_bands, 1.0 / rows_per_band) - 0.7),
+                         6) AS threshold_gap
+            FROM g
+        """,
+        # the merge's oracle is the FULL-changelog recompute: equality
+        # under the watermark contract is exactly what scd2_merge claims
+        "scd2_merge_incremental": """
+            WITH o AS (
+              SELECT user_id, event_type, ts, event_id,
+                     CASE WHEN event_type IS NOT DISTINCT FROM
+                               lag(event_type) OVER w
+                          THEN 0 ELSE 1 END AS chg
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            r AS (
+              SELECT *, sum(chg) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS run
+              FROM o
+            ),
+            g AS (
+              SELECT user_id, run, any_value(event_type) AS event_type,
+                     min(ts) AS effective_from,
+                     CAST(count(*) AS BIGINT) AS n_rows
+              FROM r GROUP BY user_id, run
+            )
+            SELECT user_id, event_type, effective_from, n_rows,
+                   lead(effective_from) OVER w2 AS effective_to,
+                   lead(effective_from) OVER w2 IS NULL AS is_current
+            FROM g
+            WINDOW w2 AS (PARTITION BY user_id ORDER BY effective_from, run)
+        """,
         # --- r6: rows-only -> full oracle upgrade (md5 hash family
         # threads end-to-end, so signatures, band buckets, candidate
         # join and exact Jaccard all restate in SQL — the

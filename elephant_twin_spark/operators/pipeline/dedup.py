@@ -63,6 +63,55 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return df.join(keep, id_col, "inner")
 
 
+def source_overlap_matrix(
+    df: DataFrame, text_col: str, source_col: str
+) -> DataFrame:
+    """Cross-source exact-content overlap: ``(source_a, source_b,
+    n_shared)`` = number of DISTINCT contents appearing in both sources
+    (``source_a < source_b``), plus the ``(s, s, n_distinct)`` diagonal.
+    THE dataset-curation audit before mixing corpora: two crawls with
+    90% shared content shouldn't both get full mixture weight, and a
+    benchmark-contaminated source shows up as an unexpected overlap
+    edge.
+
+    Scale shape: one (sig, source) distinct aggregate over the corpus
+    (map-side combined — the only data-sized shuffle), then
+    ``collect_set(source)`` per sig — bounded by #sources, a CONSTANT —
+    and an explode of the per-sig source-set into pairs, aggregated to
+    the |sources|² matrix. No self-join of the corpus, no pairwise
+    scan: cost is one pass + one tiny aggregate, whatever the corpus
+    size."""
+    per_sig = (
+        df.select(
+            content_signature(F.col(text_col)).alias("sig"),
+            F.col(source_col).alias("src"),
+        )
+        .groupBy("sig")
+        .agg(F.sort_array(F.collect_set("src")).alias("srcs"))
+    )
+    # pairs within the per-sig source set: (a, b) with a <= b, diagonal
+    # included — all JVM higher-order functions, no UDF
+    pairs = per_sig.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "srcs",
+                    lambda a: F.transform(
+                        F.filter("srcs", lambda b: b >= a),
+                        lambda b: F.struct(
+                            a.alias("source_a"), b.alias("source_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return pairs.groupBy(
+        F.col("p.source_a").alias("source_a"),
+        F.col("p.source_b").alias("source_b"),
+    ).agg(F.count(F.lit(1)).alias("n_shared"))
+
+
 # ---------------------------------------------------------------- shingles
 
 def word_shingles(text: Column, k: int = 3) -> Column:
@@ -945,3 +994,50 @@ def refresh_clusters(
         edge_mode="star", **near_dup_kw,
     ).select("id", "cluster_id", F.lit(True).alias("is_new_cluster"))
     return inherited.unionByName(fresh)
+
+
+def lsh_plan(
+    spark,
+    target_jaccard: float,
+    num_perms: "tuple" = (8, 16, 32, 64, 128),
+) -> DataFrame:
+    """MinHash-LSH parameter planner: for every ``(num_perm, num_bands)``
+    with bands dividing the permutation count, the closed-form banding
+    S-curve characteristics —
+
+    * ``s50`` = ``(1/b)^(1/r)``: the Jaccard similarity at which the
+      collision probability crosses ~0.5 (the curve's THRESHOLD);
+    * ``p_at_target`` = ``1 - (1 - t^r)^b``: recall at the caller's
+      target similarity (probability a truly-``t``-similar pair becomes
+      a candidate);
+    * ``threshold_gap`` = ``|s50 - t|``: how well the curve centers on
+      the target.
+
+    Returned ascending by ``(threshold_gap, num_perm)`` intent — rank in
+    the caller; the first low-gap row with acceptable ``p_at_target``
+    and budget (``num_perm`` = signature width = hash cost per doc) is
+    the plan. Pure closed-form math over a constant-size parameter grid
+    (driver-built rows, one projection, no data scan) — the planning
+    companion to :func:`lsh_candidate_pairs`, same role as the block
+    index's ``index_advisor``."""
+    t = float(target_jaccard)
+    if not 0.0 < t < 1.0:
+        raise ValueError(f"target_jaccard must be in (0, 1), got {t}")
+    grid = [
+        (p, b, p // b)
+        for p in num_perms
+        for b in range(1, p + 1)
+        if p % b == 0
+    ]
+    df = spark.createDataFrame(grid, "num_perm int, num_bands int, rows_per_band int")
+    b, r = F.col("num_bands").cast("double"), F.col("rows_per_band").cast("double")
+    s50 = F.pow(F.lit(1.0) / b, F.lit(1.0) / r)
+    p_at = F.lit(1.0) - F.pow(F.lit(1.0) - F.pow(F.lit(t), r), b)
+    return df.select(
+        "num_perm",
+        "num_bands",
+        "rows_per_band",
+        F.round(s50, 6).alias("s50"),
+        F.round(p_at, 6).alias("p_at_target"),
+        F.round(F.abs(s50 - F.lit(t)), 6).alias("threshold_gap"),
+    )

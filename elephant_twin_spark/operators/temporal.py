@@ -223,3 +223,86 @@ def forward_fill(
     for c in value_cols:
         out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
     return out
+
+
+def scd2_merge(
+    history: DataFrame,
+    batch: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    state_cols: Sequence[str],
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Incremental SCD2: merge a NEW changelog batch into an existing
+    :func:`scd2_intervals` history without recomputing untouched keys —
+    the production upsert path for a CDC feed landing every few minutes
+    against a history table with billions of keys.
+
+    Contract (the standard warehouse-MERGE watermark assumption): each
+    key's batch events are strictly newer than that key's history
+    (``ts > max(effective_from)``). Under it the merge is EXACT:
+    ``scd2_merge(scd2_intervals(prefix), suffix) ==
+    scd2_intervals(prefix + suffix)`` (property-tested). Late events
+    that interleave a key's existing runs need that key recomputed from
+    the raw changelog — an open interval cannot tell which historical
+    rows it absorbed.
+
+    Scale shape — cost proportional to the BATCH, not the history
+    (the same probe-proportional discipline as
+    ``dedup.refresh_clusters``): untouched keys pass through with one
+    left-anti join against the batch's distinct key set (broadcast-
+    sized: one row per batch key); affected keys replay as one event
+    per existing run (weight = its ``n_rows``) unioned with the batch
+    rows, and re-run the run-collapse windows over that slice only.
+    Re-emitted unchanged states collapse into the old run, preserving
+    its original ``effective_from`` and accumulating ``n_rows``."""
+    keys, state_cols, tiebreak = list(keys), list(state_cols), list(tiebreak)
+    affected = batch.select(*keys).distinct()
+    untouched = history.join(affected, keys, "left_anti")
+    hist_events = history.join(affected, keys, "leftsemi").select(
+        *keys,
+        *state_cols,
+        F.col("effective_from").alias(ts_col),
+        F.col("n_rows").alias("_w"),
+        F.lit(0).alias("_src"),
+        *[F.lit(None).cast(batch.schema[c].dataType).alias(c) for c in tiebreak],
+    )
+    batch_events = batch.select(
+        *keys,
+        *state_cols,
+        F.col(ts_col),
+        F.lit(1).cast("long").alias("_w"),
+        F.lit(1).alias("_src"),
+        *tiebreak,
+    )
+    events = hist_events.unionByName(batch_events)
+    # run collapse, scd2_intervals algebra with n_rows carried as _w
+    # (history-replay events sort before batch events at equal ts — under
+    # the watermark contract ties cannot change the result, the order
+    # only keeps the plan deterministic)
+    order = (
+        [F.col(ts_col).asc(), F.col("_src").asc()]
+        + [F.col(c).asc() for c in tiebreak]
+    )
+    w = Window.partitionBy(*keys).orderBy(*order)
+    state = F.struct(*[F.col(c) for c in state_cols])
+    changed = F.when(state.eqNullSafe(F.lag(state).over(w)), F.lit(0)).otherwise(
+        F.lit(1)
+    )
+    runs = events.withColumn("_chg", changed).withColumn(
+        "_run", F.sum("_chg").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    grouped = runs.groupBy(*keys, "_run").agg(
+        *[F.first(c).alias(c) for c in state_cols],
+        F.min(ts_col).alias("effective_from"),
+        F.sum("_w").alias("n_rows"),
+    )
+    w2 = Window.partitionBy(*keys).orderBy(
+        F.col("effective_from").asc(), F.col("_run").asc()
+    )
+    merged = (
+        grouped.withColumn("effective_to", F.lead("effective_from").over(w2))
+        .withColumn("is_current", F.col("effective_to").isNull())
+        .drop("_run")
+    )
+    return untouched.unionByName(merged.select(*untouched.columns))

@@ -115,3 +115,60 @@ def ingest(
         df = df.repartition(num_files)
     df.write.mode("overwrite").parquet(dst_path)
     return dst_path
+
+
+def jsonl_audit(
+    spark: SparkSession,
+    src_path: str,
+    schema: str,
+    sample_bad: int = 5,
+) -> "tuple[DataFrame, DataFrame]":
+    """Schema-enforced JSONL read with a corrupt-record audit — the
+    front door for the dominant raw-training-data interchange format
+    (one JSON document per line, usually gzipped; Spark reads ``.gz``
+    transparently, though each gzip member is one non-splittable task —
+    shard the files upstream).
+
+    Returns ``(good, bad)``:
+
+    * ``good`` — rows matching ``schema`` (DDL string; REQUIRED — schema
+      inference is an extra full read and silently widens types);
+    * ``bad`` — ``(raw)`` corrupt lines, capped at ``sample_bad`` rows
+      (a sample for triage; the full parse pass happens once regardless
+      — the ``good`` side needs every line anyway).
+
+    Mechanics: PERMISSIVE mode with ``columnNameOfCorruptRecord`` keeps
+    malformed lines as a raw-string column instead of dropping them
+    (DROPMALFORMED) or failing the job (FAILFAST) — the triage default:
+    quantify + sample first, then decide. Spark disallows queries that
+    reference ONLY the internal corrupt column
+    (``QUERY_ONLY_CORRUPT_RECORD_COLUMN`` — e.g. ``good.count()`` after
+    column pruning), so the parsed relation is materialized once via
+    ``lifecycle.pin`` (scope-aware: wrap the audit in a
+    ``checkpoint_scope`` to release the blocks when triage is done)."""
+    from elephant_twin_spark.operators import lifecycle
+
+    full_schema = schema + ", _corrupt string"
+    df = lifecycle.pin(
+        spark.read.schema(full_schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(src_path)
+    )
+    good = df.where(F.col("_corrupt").isNull()).drop("_corrupt")
+    bad = (
+        df.where(F.col("_corrupt").isNotNull())
+        .select(F.col("_corrupt").alias("raw"))
+        .limit(int(sample_bad))
+    )
+    return good, bad
+
+
+def write_jsonl(df: DataFrame, dst_path: str, num_files: Optional[int] = None) -> str:
+    """Write a DataFrame as JSONL (one JSON object per line) — the
+    interchange sink for downstream tokenizer/training jobs. Plain
+    ``df.write.json``; ``num_files`` sizes the output layout."""
+    if num_files is not None:
+        df = df.repartition(num_files)
+    df.write.mode("overwrite").json(dst_path)
+    return dst_path

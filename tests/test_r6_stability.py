@@ -258,3 +258,126 @@ def test_triangle_count_empty_edges_all_zero(spark):
     empty = spark.createDataFrame([], "a long, b long")
     row = graph.triangle_count(empty, "a", "b").collect()[0]
     assert (row["n_vertices"], row["n_edges"], row["n_triangles"]) == (0, 0, 0)
+
+
+# ------------------------------------------------ r6-new operators
+
+def test_source_overlap_matrix_brute_force(spark):
+    rows = [
+        (1, "shared one", "a"), (2, "shared one", "b"), (3, "shared one", "c"),
+        (4, "only a", "a"), (5, "shared two", "a"), (6, "shared two", "c"),
+        (7, "only b", "b"), (8, "only b", "b"),  # same content, same source
+    ]
+    from elephant_twin_spark.operators.pipeline import dedup
+
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {
+        (r["source_a"], r["source_b"]): r["n_shared"]
+        for r in dedup.source_overlap_matrix(df, "text", "source").collect()
+    }
+    assert out[("a", "b")] == 1      # "shared one"
+    assert out[("a", "c")] == 2      # "shared one" + "shared two"
+    assert out[("b", "c")] == 1
+    assert out[("a", "a")] == 3      # distinct contents in a
+    assert out[("b", "b")] == 2      # "shared one" + "only b" (distinct)
+    assert out[("c", "c")] == 2
+
+
+def test_lsh_plan_closed_form(spark):
+    from elephant_twin_spark.operators.pipeline import dedup
+
+    out = {
+        (r["num_perm"], r["num_bands"]): r
+        for r in dedup.lsh_plan(spark, 0.8, num_perms=(16,)).collect()
+    }
+    # 16 perms, 4 bands of 4: s50 = (1/4)^(1/4), p = 1-(1-0.8^4)^4
+    r = out[(16, 4)]
+    assert r["rows_per_band"] == 4
+    assert r["s50"] == pytest.approx((1 / 4) ** 0.25, abs=1e-6)
+    assert r["p_at_target"] == pytest.approx(1 - (1 - 0.8**4) ** 4, abs=1e-6)
+    # every divisor of 16 present
+    assert sorted(b for (_, b) in out) == [1, 2, 4, 8, 16]
+    with pytest.raises(ValueError):
+        dedup.lsh_plan(spark, 1.5)
+
+
+def _random_changelog(seed, n_users=30, n_events=400):
+    import random
+
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n_events):
+        rows.append(
+            (rng.randrange(n_users), i, i, rng.choice(["a", "b", "c", None]))
+        )
+    return rows
+
+
+@pytest.mark.parametrize("seed", [1, 7])
+def test_scd2_merge_equals_full_recompute(spark, seed):
+    from elephant_twin_spark.operators import temporal
+
+    rows = _random_changelog(seed)
+    df = spark.createDataFrame(rows, "uid int, ts int, eid int, st string")
+    cut = 250  # global split: every batch event is newer than history
+    full = temporal.scd2_intervals(
+        df, ["uid"], "ts", ["st"], tiebreak=["eid"]
+    )
+    hist = temporal.scd2_intervals(
+        df.where(F.col("ts") < cut), ["uid"], "ts", ["st"], tiebreak=["eid"]
+    )
+    merged = temporal.scd2_merge(
+        hist, df.where(F.col("ts") >= cut), ["uid"], "ts", ["st"],
+        tiebreak=["eid"],
+    )
+    key = lambda r: (r["uid"], r["effective_from"])
+    a = sorted(map(tuple, full.collect()), key=lambda t: (t[0], t[2]))
+    b = sorted(map(tuple, merged.select(*full.columns).collect()), key=lambda t: (t[0], t[2]))
+    assert a == b
+
+
+def test_scd2_merge_batch_only_keys_and_untouched_keys(spark):
+    from elephant_twin_spark.operators import temporal
+
+    hist_log = spark.createDataFrame(
+        [(1, 10, 1, "a"), (1, 20, 2, "b"), (2, 15, 3, "x")],
+        "uid int, ts int, eid int, st string",
+    )
+    hist = temporal.scd2_intervals(hist_log, ["uid"], "ts", ["st"], tiebreak=["eid"])
+    # batch: new key 3, update to key 1 (key 2 untouched)
+    batch = spark.createDataFrame(
+        [(3, 30, 4, "z"), (1, 40, 5, "b")], "uid int, ts int, eid int, st string"
+    )
+    merged = temporal.scd2_merge(hist, batch, ["uid"], "ts", ["st"], tiebreak=["eid"])
+    rows = {(r["uid"], r["st"], r["effective_from"]): r for r in merged.collect()}
+    assert rows[(2, "x", 15)]["is_current"]          # untouched passthrough
+    assert rows[(3, "z", 30)]["is_current"]          # batch-only key
+    # re-emitted current state collapses into the open run: from stays 20
+    assert rows[(1, "b", 20)]["is_current"] and rows[(1, "b", 20)]["n_rows"] == 2
+    assert not rows[(1, "a", 10)]["is_current"]
+
+
+# ------------------------------------------------ JSONL ingest surface
+
+def test_jsonl_roundtrip_and_corrupt_audit(spark, workdir):
+    import os
+
+    from elephant_twin_spark.sources import ingest
+
+    src = f"{workdir}/jsonl_src"
+    os.makedirs(src, exist_ok=True)
+    with open(f"{src}/part-0.jsonl", "w") as f:
+        f.write('{"doc_id": 1, "text": "hello world"}\n')
+        f.write('{"doc_id": 2, "text": "second"}\n')
+        f.write('NOT JSON AT ALL\n')
+        f.write('{"doc_id": "not-an-int", "text": 3}\n')
+        f.write('{"doc_id": 4, "text": "fourth"}\n')
+    good, bad = ingest.jsonl_audit(spark, src, "doc_id long, text string")
+    assert good.count() == 3
+    assert sorted(r["doc_id"] for r in good.collect()) == [1, 2, 4]
+    bad_rows = [r["raw"] for r in bad.collect()]
+    assert len(bad_rows) == 2 and any("NOT JSON" in r for r in bad_rows)
+    # roundtrip: write good rows back out, read them again
+    out = ingest.write_jsonl(good, f"{workdir}/jsonl_out", num_files=2)
+    back, bad2 = ingest.jsonl_audit(spark, out, "doc_id long, text string")
+    assert back.count() == 3 and bad2.count() == 0
