@@ -225,6 +225,32 @@ def main():
         ).count()
     )
 
+    # ---- incremental SCD2 merge: history built once (untimed), the
+    # timed key is the CDC upsert itself (probe-proportional path)
+    ev_all = spark.read.parquet(events)
+    _cut = F.lit("2024-01-30").cast("timestamp")
+    scd2_hist_path = f"{work}/scd2_hist"
+    if not os.path.exists(f"{scd2_hist_path}/_SUCCESS"):
+        temporal_mod.scd2_intervals(
+            ev_all.where(F.col("ts") < _cut), ["user_id"], "ts", ["event_type"],
+            tiebreak=["event_id"],
+        ).write.mode("overwrite").parquet(scd2_hist_path)
+    timed("q_scd2_merge")(
+        lambda: temporal_mod.scd2_merge(
+            spark.read.parquet(scd2_hist_path),
+            ev_all.where(F.col("ts") >= _cut),
+            ["user_id"], "ts", ["event_type"], tiebreak=["event_id"],
+        ).count()
+    )
+
+    # ---- cross-source overlap matrix (one corpus pass + tiny aggregate)
+    timed("q_source_overlap")(
+        lambda: dedup.source_overlap_matrix(
+            docs.select(F.substring("text", 1, 40).alias("head"), "source"),
+            "head", "source",
+        ).count()
+    )
+
     # ---- pipeline ops
     timed("q_dedup_exact")(lambda: dedup.exact_dup_groups(docs, "text", "doc_id").count())
     timed("q_minhash_lsh")(
