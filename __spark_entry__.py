@@ -3509,7 +3509,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT week, revenue,
                    lag(revenue) OVER (ORDER BY week) AS prev_revenue,
                    round((revenue - lag(revenue) OVER (ORDER BY week))
-                         / lag(revenue) OVER (ORDER BY week), 6) AS pct_change
+                         / NULLIF(lag(revenue) OVER (ORDER BY week), 0),
+                         6) AS pct_change
             FROM weekly
         """,
         "psi_value_drift": """

@@ -210,9 +210,14 @@ def period_over_period(
     )
     w = Window.orderBy("period")
     prev = F.lag("value").over(w)
+    # NULL pct_change when the previous period aggregated to 0 (a week of
+    # zero revenue is a real occurrence): a bare division raises
+    # DIVIDE_BY_ZERO under ANSI mode — same guard discipline as the
+    # empty-side handling in stats.psi_drift / stats.ks_statistic
+    pct = F.when(prev != 0, F.round((F.col("value") - prev) / prev, round_pct))
     return periodic.select(
         "period",
         "value",
         prev.alias("prev_value"),
-        F.round((F.col("value") - prev) / prev, round_pct).alias("pct_change"),
+        pct.alias("pct_change"),
     )

@@ -49,14 +49,24 @@ def _scopes() -> List[List[DataFrame]]:
     return _local.scopes
 
 
-def pin(df: DataFrame, eager: bool = True) -> DataFrame:
+def pin(df: DataFrame, eager: bool = True, escape: bool = False) -> DataFrame:
     """``df.localCheckpoint(eager)`` + register the pinned result with
     the innermost active :func:`checkpoint_scope` (no-op registration
-    when no scope is active)."""
+    when no scope is active).
+
+    ``escape=True`` checkpoints WITHOUT registering: the checkpoint that
+    backs an operator's RETURNED DataFrame must survive the operator's
+    (or a caller's) enclosing scope, or consuming the result after the
+    scope exits hard-fails with ``CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND``
+    instead of recomputing (round-6 advisor finding — lineage is
+    truncated, so release is unrecoverable). Escaped checkpoints are
+    caller-owned: free them with :func:`release` when done, or accept
+    that they live until the driver JVM collects the RDD."""
     out = df.localCheckpoint(eager)
-    scopes = _scopes()
-    if scopes:
-        scopes[-1].append(out)
+    if not escape:
+        scopes = _scopes()
+        if scopes:
+            scopes[-1].append(out)
     return out
 
 

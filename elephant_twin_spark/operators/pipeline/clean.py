@@ -50,6 +50,10 @@ def clean_corpus(
         F.col("lang_pred").alias("_lang"),
         F.col("_rep"),
     )
+    # escape=True: this checkpoint backs BOTH returned DataFrames
+    # (cleaned and audit), so it must survive any ambient caller
+    # checkpoint_scope — releasing it there would make consuming the
+    # results hard-fail instead of recompute (r6 advisor finding)
     gated = lifecycle.pin(feats.withColumn(
         "_reason",
         F.when(
@@ -57,7 +61,7 @@ def clean_corpus(
         )
         .when(~F.col("_lang").isin(list(allowed_langs)), F.lit("lang"))
         .when(F.col("_rep") > max_repetition, F.lit("repetitive")),
-    ))
+    ), escape=True)
     # ^ the gate expressions (stopword language ID + n-gram repetition)
     # are the most expensive per-row work in the pipeline, and every
     # downstream branch (sig groups, minhash signatures, jaccard verify,

@@ -609,10 +609,15 @@ def connected_components(
             edges.join(labels, edges.d == labels.node)
             .select(F.col("s").alias("node"), "comp")
         )
+        # escape=True: the final iteration's checkpoint backs the
+        # RETURNED labels, which must outlive any ambient caller scope;
+        # superseded iterations are released explicitly below, so the
+        # loop still keeps exactly two iterations live
         new = lifecycle.pin(
             labels.unionByName(nbr_min)
             .groupBy("node")
-            .agg(F.min("comp").alias("comp"))
+            .agg(F.min("comp").alias("comp")),
+            escape=True,
         )
         if numeric:
             new_sum = label_sum(new)

@@ -145,11 +145,20 @@ def scd2_intervals(
     state_cols: Sequence[str],
     tiebreak: Sequence[str] = (),
     collapse_consecutive: bool = True,
+    carry_last_ts: bool = False,
 ) -> DataFrame:
     """Slowly-changing-dimension type-2 history from a changelog: one
     row per (key, state run) with ``effective_from`` / ``effective_to``
     validity bounds and an ``is_current`` flag (open intervals carry a
     NULL ``effective_to``).
+
+    ``carry_last_ts`` adds a ``last_ts`` column — the max raw event
+    timestamp the run absorbed (>= ``effective_from``; the two differ
+    whenever ``collapse_consecutive`` merged re-emitted rows). It costs
+    one more expression in the existing aggregate and is what makes the
+    :func:`scd2_merge` watermark precondition CHECKABLE: a history that
+    only keeps ``effective_from`` cannot tell whether a late batch event
+    lands inside a closed run (round-6 advisor finding).
 
     The standard snapshot-from-changelog operator a warehouse runs over
     CDC feeds: point-in-time state is then a plain
@@ -181,11 +190,14 @@ def scd2_intervals(
     runs = df.withColumn("_chg", changed).withColumn(
         "_run", F.sum("_chg").over(w.rowsBetween(Window.unboundedPreceding, 0))
     )
-    grouped = runs.groupBy(*keys, "_run").agg(
+    run_aggs = [
         *[F.first(c).alias(c) for c in state_cols],
         F.min(ts_col).alias("effective_from"),
         F.count(F.lit(1)).alias("n_rows"),
-    )
+    ]
+    if carry_last_ts:
+        run_aggs.append(F.max(ts_col).alias("last_ts"))
+    grouped = runs.groupBy(*keys, "_run").agg(*run_aggs)
     w2 = Window.partitionBy(*keys).orderBy(F.col("effective_from").asc(), F.col("_run").asc())
     return (
         grouped.withColumn("effective_to", F.lead("effective_from").over(w2))
@@ -232,6 +244,7 @@ def scd2_merge(
     ts_col: str,
     state_cols: Sequence[str],
     tiebreak: Sequence[str] = (),
+    validate: bool = True,
 ) -> DataFrame:
     """Incremental SCD2: merge a NEW changelog batch into an existing
     :func:`scd2_intervals` history without recomputing untouched keys —
@@ -239,13 +252,30 @@ def scd2_merge(
     against a history table with billions of keys.
 
     Contract (the standard warehouse-MERGE watermark assumption): each
-    key's batch events are strictly newer than that key's history
-    (``ts > max(effective_from)``). Under it the merge is EXACT:
+    key's batch events are strictly newer than ALL of that key's RAW
+    changelog events — not merely newer than ``max(effective_from)``.
+    The distinction matters because ``collapse_consecutive`` runs absorb
+    later re-emitted rows: a batch event newer than an open run's
+    ``effective_from`` but older than rows that run absorbed satisfies
+    the weaker bound yet silently diverges from full recompute (history
+    ``a@10, a@20`` + batch ``b@15`` must give three intervals, but the
+    replay sees one ``a`` event at ts=10 and produces two — round-6
+    advisor finding). Under the strict contract the merge is EXACT:
     ``scd2_merge(scd2_intervals(prefix), suffix) ==
     scd2_intervals(prefix + suffix)`` (property-tested). Late events
     that interleave a key's existing runs need that key recomputed from
     the raw changelog — an open interval cannot tell which historical
     rows it absorbed.
+
+    When the history carries ``last_ts`` (build it with
+    ``scd2_intervals(..., carry_last_ts=True)``) the precondition is
+    CHECKED per affected key: ``validate=True`` (default) raises
+    ``ValueError`` naming sample offenders if any batch event is <= the
+    key's recorded max raw-event timestamp; the check is one
+    batch-proportional aggregate + join, never a history scan. A
+    history without ``last_ts`` cannot express the precondition and is
+    accepted unchecked — prefer carrying the column. ``last_ts`` is
+    maintained through the merge, so merged output remains mergeable.
 
     Scale shape — cost proportional to the BATCH, not the history
     (the same probe-proportional discipline as
@@ -257,12 +287,38 @@ def scd2_merge(
     Re-emitted unchanged states collapse into the old run, preserving
     its original ``effective_from`` and accumulating ``n_rows``."""
     keys, state_cols, tiebreak = list(keys), list(state_cols), list(tiebreak)
+    has_lts = "last_ts" in history.columns
     affected = batch.select(*keys).distinct()
     untouched = history.join(affected, keys, "left_anti")
-    hist_events = history.join(affected, keys, "leftsemi").select(
+    touched = history.join(affected, keys, "leftsemi")
+    if validate and has_lts:
+        # one batch-proportional probe: per affected key, the earliest
+        # batch event must be strictly newer than every raw event the
+        # history absorbed (== its max last_ts)
+        offenders = (
+            batch.groupBy(*keys)
+            .agg(F.min(ts_col).alias("_bmin"))
+            .join(touched.groupBy(*keys).agg(F.max("last_ts").alias("_hmax")), keys)
+            .where(F.col("_bmin") <= F.col("_hmax"))
+            .limit(5)
+            .collect()
+        )
+        if offenders:
+            examples = [
+                {**{k: r[k] for k in keys}, "batch_min_ts": r["_bmin"], "history_max_ts": r["_hmax"]}
+                for r in offenders
+            ]
+            raise ValueError(
+                "scd2_merge watermark contract violated: batch events are "
+                "not strictly newer than the key's recorded raw events — "
+                "recompute these keys from the raw changelog instead "
+                f"(sample offenders: {examples})"
+            )
+    hist_events = touched.select(
         *keys,
         *state_cols,
         F.col("effective_from").alias(ts_col),
+        (F.col("last_ts") if has_lts else F.col("effective_from")).alias("_lts"),
         F.col("n_rows").alias("_w"),
         F.lit(0).alias("_src"),
         *[F.lit(None).cast(batch.schema[c].dataType).alias(c) for c in tiebreak],
@@ -271,6 +327,7 @@ def scd2_merge(
         *keys,
         *state_cols,
         F.col(ts_col),
+        F.col(ts_col).alias("_lts"),
         F.lit(1).cast("long").alias("_w"),
         F.lit(1).alias("_src"),
         *tiebreak,
@@ -292,11 +349,17 @@ def scd2_merge(
     runs = events.withColumn("_chg", changed).withColumn(
         "_run", F.sum("_chg").over(w.rowsBetween(Window.unboundedPreceding, 0))
     )
-    grouped = runs.groupBy(*keys, "_run").agg(
+    merge_aggs = [
         *[F.first(c).alias(c) for c in state_cols],
         F.min(ts_col).alias("effective_from"),
         F.sum("_w").alias("n_rows"),
-    )
+    ]
+    if has_lts:
+        # under the strict contract batch events dominate the replayed
+        # history event, so max over (stored last_ts, batch ts) is the
+        # run's true max raw-event timestamp
+        merge_aggs.append(F.max("_lts").alias("last_ts"))
+    grouped = runs.groupBy(*keys, "_run").agg(*merge_aggs)
     w2 = Window.partitionBy(*keys).orderBy(
         F.col("effective_from").asc(), F.col("_run").asc()
     )
