@@ -2382,15 +2382,28 @@ def _q_hist_quantile_est(spark, sf_dir):
 
 def _q_ann_ivf_pq_top10(spark, sf_dir):
     """Combined IVF+PQ ANN (coarse prune → ADC shortlist → exact
-    re-rank) — the classic billion-scale layout; rows-only (approx
-    path; `ann_cosine_top10` is the exact green twin)."""
+    re-rank) — the classic billion-scale layout.
+
+    r8: FULL oracle (was rows-only since r4 — r7 verdict #5). Fixed
+    deterministic quantizers — centroids = vectors 0..7, codebooks =
+    subvectors of vectors 0..15, the same treatment that turned
+    `ann_recall_stats` hash-green in r5 — let the oracle reproduce the
+    coarse assignment, the 4-probe, the per-subspace codes, the ADC
+    shortlist and the exact re-rank end-to-end. The SEARCH path under
+    test (`similarity.ivf_pq_search`) is byte-identical to the one a
+    trained `ivf_fit`/`pq_fit` would feed."""
     st = _state(spark, sf_dir)
     emb = st.raw("embeddings")
-    qvec = emb.where(F.col("vec_id") == 0).first()["embedding"]
-    cents = similarity.ivf_fit(emb, "embedding", "vec_id", k_clusters=8, max_iter=2)
-    books = similarity.pq_fit(emb, "embedding", "vec_id", m=4, k=16, max_iter=1)
+    base = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.where(F.col("vec_id") < 16).orderBy("vec_id").collect()
+    ]
+    qvec = base[0]
+    cents = base[:8]
+    w = len(base[0]) // 4
+    books = [[v[s * w : (s + 1) * w] for v in base] for s in range(4)]
     top = similarity.ivf_pq_search(
-        emb, "embedding", "vec_id", qvec, cents, books, k=10, nprobe=4, shortlist=100
+        emb, "embedding", "vec_id", qvec, cents, books, k=10, nprobe=4, shortlist=50
     )
     return top.select(F.col("id").alias("vec_id"), F.round("cosine", 4).alias("cosine"))
 
@@ -2854,45 +2867,51 @@ def _q_scd2_merge_incremental(spark, sf_dir):
     batch. The oracle recomputes the FULL history from the whole
     changelog — the merge's exactness under the watermark contract IS
     the check (cost stays probe-proportional: untouched keys pass
-    through one anti join)."""
+    through one anti join).
+
+    r8: the history carries ``last_ts`` so the merge's watermark
+    validation actually EXECUTES on the driver path (r7 verdict #2 —
+    the checked contract previously had no driver evidence); the
+    carried column is internal to the merge and dropped from the
+    compared output, so the oracle is unchanged."""
     ev = _state(spark, sf_dir).raw("events")
     cutoff = F.lit("2024-01-20 00:00:00").cast("timestamp")
     hist = temporal.scd2_intervals(
         ev.where(F.col("ts") < cutoff), ["user_id"], "ts", ["event_type"],
-        tiebreak=["event_id"],
+        tiebreak=["event_id"], carry_last_ts=True,
     )
     batch = ev.where(F.col("ts") >= cutoff)
     return temporal.scd2_merge(
-        hist, batch, ["user_id"], "ts", ["event_type"], tiebreak=["event_id"]
-    )
+        hist, batch, ["user_id"], "ts", ["event_type"], tiebreak=["event_id"],
+        validate=True,
+    ).drop("last_ts")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered so queries WITHOUT a green CORRECTNESS row run first: the
     # driver checks exactly the first 50 dict entries per round.
-    # The r6 window leads with every query whose SEMANTICS or ORACLE
-    # changed this round and therefore needs (re-)verification:
-    #   - heaps_vocab_growth: the r5 hash-FAIL, rebuilt over 3-shingles
-    #     with the decision-stable slope (must flip to green);
-    #   - minhash_near_dup_pairs: upgraded rows-only -> full md5 oracle;
-    #   - ks_value_drift: now declared through the grid=0.25 scale path;
-    #   - zipf_slope: slope expression now shares _stable_slope;
-    #   - mi_event_hour / wow_revenue_change: rewired as thin wrappers
-    #     over the promoted stats.pmi_table / kpi.period_over_period;
-    #   - psi_value_drift: empty-side ANSI guard touched the proportion
-    #     expressions.
-    # Then the r5 declarations re-check (all green in CORRECTNESS_r05
-    # except heaps), then r4 rows. Everything after position 50 is
-    # evidenced in r1-r5 and deliberately not re-run.
+    # The r8 window leads with the two queries whose SEMANTICS or
+    # ORACLE changed this round and therefore need (re-)verification:
+    #   - scd2_merge_incremental: history now built with
+    #     carry_last_ts=True so the merge's watermark validation
+    #     EXECUTES on the driver path (r7 verdict #2); compared output
+    #     unchanged (last_ts dropped);
+    #   - ann_ivf_pq_top10: rows-only -> FULL oracle via fixed
+    #     deterministic quantizers (r7 verdict #5).
+    # Then the r6/r5/r4 blocks re-check (all green in r6/r7).
+    # Everything after position 50 is evidenced in r1-r7 and
+    # deliberately not re-run.
     # test_registry_hygiene enforces the placement invariant;
     # tests/test_advisor_gates.py checks it against the CORRECTNESS
     # files themselves.
     return {
-        # --- r6-new declarations (unevidenced until CORRECTNESS_r06)
+        # --- r8-changed (re-verification load-bearing)
+        "scd2_merge_incremental": _q_scd2_merge_incremental,
+        "ann_ivf_pq_top10": _q_ann_ivf_pq_top10,
+        # --- r6-new declarations (green r6+r7)
         "source_overlap": _q_source_overlap,
         "lsh_plan": _q_lsh_plan,
-        "scd2_merge_incremental": _q_scd2_merge_incremental,
-        # --- r6-changed (re-verification load-bearing)
+        # --- r6-changed (green r6+r7)
         "heaps_vocab_growth": _q_heaps_vocab_growth,
         "minhash_near_dup_pairs": _q_minhash_near_dup,
         "ks_value_drift": _q_ks_value_drift,
@@ -2939,7 +2958,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rfm_segments": _q_rfm_segments,
         "salted_join_revenue": _q_salted_join_revenue,
         "hist_quantile_est": _q_hist_quantile_est,
-        "ann_ivf_pq_top10": _q_ann_ivf_pq_top10,
         "index_advisor": _q_index_advisor,
         "cms_error_stats": _q_cms_error_stats,
         "time_decay_score": _q_time_decay_score,
@@ -5841,8 +5859,85 @@ def oracle_sql() -> dict[str, str]:
                                      ELSE 0 END) * 10.0, 6) AS p50_est
             FROM pick WHERE rn = 1
         """,
-        # ann_ivf_pq_top10: rows-only by design (approx path through the
-        # IVF prune + ADC shortlist; ann_cosine_top10 is the exact twin)
+        # ann_ivf_pq_top10: FULL oracle since r8 (was rows-only r4-r7).
+        # Fixed quantizers (centroids = vectors 0..7, codebooks =
+        # subvectors of vectors 0..15) make every stage reproducible:
+        # assign/probe tie-break toward the HIGHER centroid id (Spark
+        # array_max on struct<sim,idx>), code tie-break toward the LOWER
+        # code (array_min on struct<d,i>), ADC shortlist by (dist, id),
+        # exact cosine re-rank by (cosine DESC, id). Same CTE algebra as
+        # the ivfpq lane inside ann_recall_stats.
+        "ann_ivf_pq_top10": """
+            WITH corpus AS (
+                SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings
+            ),
+            q AS (SELECT id AS qid, v AS qv FROM corpus WHERE id = 0),
+            cents AS (SELECT id AS cid, v AS cv FROM corpus WHERE id < 8),
+            assign AS (
+                SELECT id, cid AS cluster FROM (
+                    SELECT c.id, ct.cid,
+                           row_number() OVER (PARTITION BY c.id
+                               ORDER BY list_cosine_similarity(c.v, ct.cv) DESC,
+                                        ct.cid DESC) AS rn
+                    FROM corpus c CROSS JOIN cents ct
+                ) WHERE rn = 1
+            ),
+            qprobe AS (
+                SELECT cid FROM (
+                    SELECT ct.cid,
+                           row_number() OVER (
+                               ORDER BY list_cosine_similarity(q.qv, ct.cv) DESC,
+                                        ct.cid DESC) AS rn
+                    FROM q CROSS JOIN cents ct
+                ) WHERE rn <= 4
+            ),
+            cb AS (
+                SELECT s.s, c.id AS ci, c.v[s.s*16+1 : (s.s+1)*16] AS cv
+                FROM corpus c CROSS JOIN (SELECT unnest(range(4)) AS s) s
+                WHERE c.id < 16
+            ),
+            codes AS (
+                SELECT id, s, ci AS code FROM (
+                    SELECT c.id, cb.s, cb.ci,
+                           row_number() OVER (PARTITION BY c.id, cb.s
+                               ORDER BY list_sum(list_transform(range(16),
+                                   i -> (c.v[cb.s*16 + i + 1] - cb.cv[i+1])
+                                      * (c.v[cb.s*16 + i + 1] - cb.cv[i+1]))) ASC,
+                                        cb.ci ASC) AS rn
+                    FROM corpus c CROSS JOIN cb
+                ) WHERE rn = 1
+            ),
+            lut AS (
+                SELECT cb.s, cb.ci,
+                       list_sum(list_transform(range(16),
+                           i -> (q.qv[cb.s*16 + i + 1] - cb.cv[i+1])
+                              * (q.qv[cb.s*16 + i + 1] - cb.cv[i+1]))) AS d2
+                FROM q CROSS JOIN cb
+            ),
+            adc AS (
+                SELECT a2.id, list_sum(list(a2.d2 ORDER BY a2.s)) AS dist
+                FROM (
+                    SELECT a.id, co.s, l.d2
+                    FROM qprobe p
+                    JOIN assign a ON a.cluster = p.cid
+                    JOIN codes co ON co.id = a.id
+                    JOIN lut l ON l.s = co.s AND l.ci = co.code
+                ) a2
+                GROUP BY a2.id
+            ),
+            short AS (
+                SELECT id FROM (
+                    SELECT id, row_number() OVER (ORDER BY dist ASC, id ASC) AS rn
+                    FROM adc
+                ) WHERE rn <= 50
+            )
+            SELECT c.id AS vec_id,
+                   round(CAST(list_cosine_similarity(c.v, q.qv) AS DOUBLE), 4) AS cosine
+            FROM short s JOIN corpus c ON c.id = s.id CROSS JOIN q
+            ORDER BY list_cosine_similarity(c.v, q.qv) DESC, c.id ASC
+            LIMIT 10
+        """,
         "rfm_segments": """
             WITH pc AS (
               SELECT o_custkey, max(o_orderdate) AS recency,

@@ -60,8 +60,9 @@ def pin(df: DataFrame, eager: bool = True, escape: bool = False) -> DataFrame:
     scope exits hard-fails with ``CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND``
     instead of recomputing (round-6 advisor finding — lineage is
     truncated, so release is unrecoverable). Escaped checkpoints are
-    caller-owned: free them with :func:`release` when done, or accept
-    that they live until the driver JVM collects the RDD."""
+    caller-owned: free them with :func:`release` when done — release
+    works on the checkpointed DataFrame itself AND on any result
+    derived from it, so operators need not hand the raw handle back."""
     out = df.localCheckpoint(eager)
     if not escape:
         scopes = _scopes()
@@ -71,16 +72,63 @@ def pin(df: DataFrame, eager: bool = True, escape: bool = False) -> DataFrame:
 
 
 def release(df: DataFrame) -> bool:
-    """Free the block-manager blocks behind a ``localCheckpoint``'ed
-    DataFrame NOW (non-blocking unpersist). Returns False if the plan
-    isn't a checkpoint-backed LogicalRDD (nothing to free). The
-    DataFrame must not be used again — lineage is truncated, so the
-    blocks cannot be recomputed."""
+    """Free the block-manager blocks behind EVERY ``localCheckpoint``
+    (and ``cache``) leaf in ``df``'s analyzed plan NOW (non-blocking
+    unpersist). Returns True iff at least one persisted leaf was found.
+
+    Works on the checkpointed DataFrame itself AND on any DataFrame
+    DERIVED from one: operators that escape a checkpoint behind their
+    returned result (``clean_corpus``'s gate relation, the final
+    ``connected_components`` labels) hand back plans layered over the
+    checkpoint, so the caller's only handle IS the derived plan —
+    release walks the plan's leaves and unpersists each RDD-backed one
+    (round-7 verdict: the previous root-only implementation made those
+    escaped checkpoints permanently unreleasable).
+
+    Semantics per leaf kind:
+
+    * checkpoint-backed ``LogicalRDD`` — blocks freed; lineage is
+      truncated, so ANY DataFrame over that checkpoint (not just ``df``)
+      must not be used again;
+    * ``InMemoryRelation`` (``df.cache()``) — materialized buffers
+      freed; the cache entry stays registered, so later use recomputes
+      (and re-caches) instead of failing;
+    * file/local relations — skipped.
+
+    Releases every checkpoint under the plan, including one the CALLER
+    pinned and joined in — release only when all consumers of every
+    underlying checkpoint are done."""
+    released = False
     try:
-        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
-        return True
+        # withCachedData, not analyzed: cache substitution happens there,
+        # so df.cache() leaves surface as InMemoryRelation; checkpoint
+        # LogicalRDD leaves pass through unchanged
+        leaves = df._jdf.queryExecution().withCachedData().collectLeaves()
     except Exception:
         return False
+    for i in range(leaves.size()):
+        leaf = leaves.apply(i)
+        # checkpoint / createDataFrame-from-RDD leaves
+        try:
+            rdd = leaf.rdd()
+        except Exception:
+            rdd = None
+        if rdd is not None:
+            try:
+                if rdd.getStorageLevel().isValid():
+                    rdd.unpersist(False)
+                    released = True
+            except Exception:
+                pass
+            continue
+        # df.cache() leaves: drop the materialized buffers, keep the
+        # cache registration (recompute-on-next-use, never hard-fail)
+        try:
+            leaf.cacheBuilder().clearCache(False)
+            released = True
+        except Exception:
+            pass
+    return released
 
 
 @contextmanager

@@ -41,7 +41,16 @@ def clean_corpus(
     ``audit`` has one row per input: ``(id, reason)`` with reason in
     ``too_short | lang | repetitive | exact_dup | near_dup`` or NULL for
     kept rows. ``cleaned`` is the input restricted to kept ids. Survivor
-    choice in both dedup stages is deterministic (min id)."""
+    choice in both dedup stages is deterministic (min id).
+
+    Memory lifecycle: both results are backed by checkpoints (the gate
+    relation here, the component labels inside ``near_dup_clusters``)
+    that are escaped from ambient scopes so the results survive them.
+    In a long-lived session, free those blocks once BOTH results are
+    consumed with ``lifecycle.release(audit)`` — release walks the
+    derived plan and frees every checkpoint leaf under it (the gate
+    checkpoint is shared by ``cleaned``, so neither result is usable
+    after)."""
     feats = textstats.repetition_ratio(
         textstats.lang_id(dedup._fan_out(df), text_col), text_col, out_col="_rep"
     ).select(
@@ -53,7 +62,9 @@ def clean_corpus(
     # escape=True: this checkpoint backs BOTH returned DataFrames
     # (cleaned and audit), so it must survive any ambient caller
     # checkpoint_scope — releasing it there would make consuming the
-    # results hard-fail instead of recompute (r6 advisor finding)
+    # results hard-fail instead of recompute (r6 advisor finding).
+    # Callers free it afterwards via lifecycle.release(audit) — release
+    # walks the derived plan to this checkpoint (r7 verdict #1).
     gated = lifecycle.pin(feats.withColumn(
         "_reason",
         F.when(

@@ -555,6 +555,12 @@ def connected_components(
     with continent-sized diameter use the large-star/small-star variant
     (Kiveris et al., "Connected Components in MapReduce"); near-dup
     graphs never need it.
+
+    Memory lifecycle: the returned labels are backed by the final
+    iteration's checkpoint (escaped from ambient scopes so the result
+    survives them). In a long-lived session, free its blocks with
+    ``lifecycle.release(result)`` once consumed — release walks the
+    derived plan to the checkpoint leaf; the result is unusable after.
     """
     edges = (
         pairs.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
@@ -604,41 +610,57 @@ def connected_components(
         return l.agg(F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")).first()["s"]
 
     prev_sum = label_sum(labels) if numeric else None
-    for _ in range(max_iter):
-        nbr_min = (
-            edges.join(labels, edges.d == labels.node)
-            .select(F.col("s").alias("node"), "comp")
-        )
-        # escape=True: the final iteration's checkpoint backs the
-        # RETURNED labels, which must outlive any ambient caller scope;
-        # superseded iterations are released explicitly below, so the
-        # loop still keeps exactly two iterations live
-        new = lifecycle.pin(
-            labels.unionByName(nbr_min)
-            .groupBy("node")
-            .agg(F.min("comp").alias("comp")),
-            escape=True,
-        )
-        if numeric:
-            new_sum = label_sum(new)
-            converged = new_sum == prev_sum
-            prev_sum = new_sum
-        else:
-            converged = (
-                new.withColumnRenamed("comp", "comp_new")
-                .join(labels, "node")
-                .where(F.col("comp_new") != F.col("comp"))
-                .count()
-                == 0
+    # the loop's escaped checkpoints are released manually; if an
+    # iteration fails mid-flight (convergence probe, executor loss) no
+    # ambient scope will reclaim them, so free the live ones on the way
+    # out of the error path (round-7 advisor finding)
+    try:
+        for _ in range(max_iter):
+            nbr_min = (
+                edges.join(labels, edges.d == labels.node)
+                .select(F.col("s").alias("node"), "comp")
             )
-        # the superseded iteration is dead the moment the convergence
-        # check has consumed it: free its blocks NOW so the loop keeps
-        # exactly two iterations live instead of every one of them (the
-        # round-5 long-session leak)
+            # escape=True: the final iteration's checkpoint backs the
+            # RETURNED labels, which must outlive any ambient caller
+            # scope; superseded iterations are released explicitly
+            # below, so the loop still keeps exactly two iterations
+            # live. The caller frees the returned labels with
+            # lifecycle.release(result) when done — release walks the
+            # derived plan down to this checkpoint.
+            new = lifecycle.pin(
+                labels.unionByName(nbr_min)
+                .groupBy("node")
+                .agg(F.min("comp").alias("comp")),
+                escape=True,
+            )
+            try:
+                if numeric:
+                    new_sum = label_sum(new)
+                    converged = new_sum == prev_sum
+                    prev_sum = new_sum
+                else:
+                    converged = (
+                        new.withColumnRenamed("comp", "comp_new")
+                        .join(labels, "node")
+                        .where(F.col("comp_new") != F.col("comp"))
+                        .count()
+                        == 0
+                    )
+            except Exception:
+                lifecycle.release(new)
+                raise
+            # the superseded iteration is dead the moment the
+            # convergence check has consumed it: free its blocks NOW so
+            # the loop keeps exactly two iterations live instead of
+            # every one of them (the round-5 long-session leak)
+            lifecycle.release(labels)
+            labels = new
+            if converged:
+                break
+    except Exception:
         lifecycle.release(labels)
-        labels = new
-        if converged:
-            break
+        lifecycle.release(edges)
+        raise
     # edges are dead once the fixpoint is reached (the result depends
     # only on the final labels checkpoint)
     lifecycle.release(edges)

@@ -176,8 +176,19 @@ def scd2_intervals(
     Ordering within a key is ``(ts_col, *tiebreak)`` — pass a unique id
     when timestamps can tie, or run order (and thus the history) is
     nondeterministic.
+
+    ``last_ts`` is a RESERVED output name (:func:`scd2_merge` reads it
+    as the watermark column): a state/tiebreak/ts column by that name
+    would shadow it and mis-trigger the merge's validation path, so it
+    is rejected up front (round-7 advisor finding).
     """
     keys, state_cols, tiebreak = list(keys), list(state_cols), list(tiebreak)
+    reserved = [c for c in (*keys, *state_cols, *tiebreak, ts_col) if c == "last_ts"]
+    if reserved:
+        raise ValueError(
+            "'last_ts' is reserved for the carried watermark column — "
+            "rename the input column before building SCD2 history"
+        )
     order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in tiebreak]
     w = Window.partitionBy(*keys).orderBy(*order)
     state = F.struct(*[F.col(c) for c in state_cols])
@@ -287,6 +298,14 @@ def scd2_merge(
     Re-emitted unchanged states collapse into the old run, preserving
     its original ``effective_from`` and accumulating ``n_rows``."""
     keys, state_cols, tiebreak = list(keys), list(state_cols), list(tiebreak)
+    # 'last_ts' in the history is THE watermark column (scd2_intervals
+    # rejects user columns by that name, so presence here is unambiguous)
+    reserved = [c for c in (*keys, *state_cols, *tiebreak, ts_col) if c == "last_ts"]
+    if reserved:
+        raise ValueError(
+            "'last_ts' is reserved for the carried watermark column — "
+            "rename the input column before merging SCD2 history"
+        )
     has_lts = "last_ts" in history.columns
     affected = batch.select(*keys).distinct()
     untouched = history.join(affected, keys, "left_anti")

@@ -143,17 +143,25 @@ def jsonl_audit(
     quantify + sample first, then decide. Spark disallows queries that
     reference ONLY the internal corrupt column
     (``QUERY_ONLY_CORRUPT_RECORD_COLUMN`` — e.g. ``good.count()`` after
-    column pruning), so the parsed relation is materialized once via
-    ``lifecycle.pin`` (scope-aware: wrap the audit in a
-    ``checkpoint_scope`` to release the blocks when triage is done)."""
-    from elephant_twin_spark.operators import lifecycle
-
+    column pruning), so the parsed relation is ``cache()``'d — the
+    upstream-recommended workaround: once cache substitution replaces
+    the JSON file scan with ``InMemoryRelation`` the corrupt-only-
+    projection check no longer applies. Unlike a checkpoint (the
+    pre-r8 implementation — r6/r7 advisor finding), the cache is LAZY
+    (nothing materializes until the first action), EVICTABLE under
+    memory pressure, and RECOMPUTABLE — consuming ``good``/``bad``
+    after any enclosing ``checkpoint_scope`` exits re-reads instead of
+    hard-failing, and at 100 TB the block manager never holds an
+    unevictable corpus copy. Free the buffers early with
+    ``lifecycle.release(good)`` (recompute-on-next-use, never an
+    error)."""
     full_schema = schema + ", _corrupt string"
-    df = lifecycle.pin(
+    df = (
         spark.read.schema(full_schema)
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", "_corrupt")
         .json(src_path)
+        .cache()
     )
     good = df.where(F.col("_corrupt").isNull()).drop("_corrupt")
     bad = (
