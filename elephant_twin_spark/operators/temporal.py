@@ -282,9 +282,13 @@ def scd2_merge(
     ``scd2_intervals(..., carry_last_ts=True)``) the precondition is
     CHECKED per affected key: ``validate=True`` (default) raises
     ``ValueError`` naming sample offenders if any batch event is <= the
-    key's recorded max raw-event timestamp; the check is one
-    batch-proportional aggregate + join, never a history scan. A
-    history without ``last_ts`` cannot express the precondition and is
+    key's recorded max raw-event timestamp. Probe cost: one batch
+    aggregate plus one column-pruned (keys, last_ts) pass over the
+    TOUCHED keys' history rows — the same slice the replay reads, read
+    once more as its own driver-blocking action (measured ~1.5x merge
+    wall at sf0.1; SCALE_EXPERIMENTS r8). ``validate=False`` skips the
+    probe on feeds whose watermark is enforced upstream. A history
+    without ``last_ts`` cannot express the precondition and is
     accepted unchecked — prefer carrying the column. ``last_ts`` is
     maintained through the merge, so merged output remains mergeable.
 

@@ -49,6 +49,36 @@ def test_release_on_plain_plan_is_noop(spark):
     assert lifecycle.release(df) is False
 
 
+def test_escaped_pin_survives_scope_exit(spark):
+    with lifecycle.checkpoint_scope():
+        kept = lifecycle.pin(spark.range(1000).selectExpr("id", "id+1 as y"), escape=True)
+        scoped = lifecycle.pin(spark.range(1000).selectExpr("id", "id+2 as z"))
+        assert scoped.count() == 1000
+    # the escaped checkpoint is consumable after the scope released its
+    # own pins; then the caller frees it explicitly
+    assert kept.count() == 1000
+    assert lifecycle.release(kept) is True
+
+
+def test_release_frees_every_checkpoint_leaf_including_callers(spark):
+    # documented semantics: release(df) walks ALL leaves — a checkpoint
+    # the CALLER pinned and joined against an operator result is freed
+    # too, so release only once every underlying consumer is done
+    base = lifecycle.storage_snapshot(spark)["n_rdds"]
+    mine = lifecycle.pin(
+        spark.range(100).selectExpr("id", "id * 7 as mine"), escape=True
+    )
+    other = lifecycle.pin(
+        spark.range(100).selectExpr("id", "id * 9 as other"), escape=True
+    )
+    joined = mine.join(other, "id")
+    assert joined.count() == 100
+    assert lifecycle.storage_snapshot(spark)["n_rdds"] >= base + 2
+    assert lifecycle.release(joined) is True
+    snap = _wait_storage(spark, lambda s: s["n_rdds"] <= base)
+    assert snap["n_rdds"] <= base, snap
+
+
 def test_clean_corpus_survives_scope_and_releases(spark, docs_path):
     from elephant_twin_spark.operators.pipeline import clean
 
