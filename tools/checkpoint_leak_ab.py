@@ -6,6 +6,12 @@ Mode A (bare)  — r5 behavior: every localCheckpoint's blocks stay in the
                  block manager for the life of the session.
 Mode B (scoped) — r6 behavior: `lifecycle.checkpoint_scope()` releases a
                  key's pinned blocks once its terminal action finishes.
+                 Since r7, operator RESULTS are backed by checkpoints
+                 that ESCAPE the scope (they must outlive it), so this
+                 mode still accumulates one result checkpoint per iter.
+Mode C (released) — r8 behavior: scoped + `lifecycle.release(result)`
+                 after consumption; release walks the derived plan to
+                 the escaped checkpoint, so storage stays flat.
 
 Usage: python tools/checkpoint_leak_ab.py [sf_dir] [n_iters]
 Prints one JSON line per (mode, iter) with {sec, n_rdds, mem_mb}.
@@ -47,22 +53,27 @@ def main():
     docs = spark.read.parquet(docs_multi)
     docs.limit(100).count()  # warm
 
-    def key():
+    def key(release=False):
         # the two checkpoint-heavy bench keys: pair dump + clustering
         dedup.minhash_near_dup_pairs(
             docs, "text", "doc_id", num_perm=16, num_bands=4, threshold=0.7
         ).count()
-        dedup.near_dup_clusters(
+        clusters = dedup.near_dup_clusters(
             docs, "text", "doc_id", num_perm=16, num_bands=4, threshold=0.7,
             edge_mode="star",
-        ).where("NOT is_canonical").count()
+        )
+        clusters.where("NOT is_canonical").count()
+        if release:
+            # frees the escaped CC-labels checkpoint through the
+            # derived clusters plan (r8)
+            lifecycle.release(clusters)
 
-    for mode in ("bare", "scoped"):
+    for mode in ("bare", "scoped", "released"):
         for i in range(N):
             t0 = time.perf_counter()
-            if mode == "scoped":
+            if mode in ("scoped", "released"):
                 with lifecycle.checkpoint_scope():
-                    key()
+                    key(release=(mode == "released"))
             else:
                 key()
             dt = time.perf_counter() - t0
