@@ -225,6 +225,81 @@ def test_scd2_last_ts_reserved_name_rejected(spark):
         temporal.scd2_merge(hist, batch, ["uid"], "ts", ["st", "last_ts"])
 
 
+@pytest.mark.parametrize("seed", [5, 19])
+def test_scd2_merge_per_key_watermark_split_equals_full_recompute(spark, seed):
+    """Stronger than a global ts split: every key gets its OWN cut
+    point, so the batch holds keys at different history depths
+    (including history-less keys) while still honoring the per-key
+    watermark contract the merge requires."""
+    import random
+
+    rng = random.Random(seed)
+    rows = [
+        (rng.randrange(20), i, i, rng.choice(["a", "b", None]))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "uid int, ts int, eid int, st string")
+    # deterministic per-key cut: key k's batch is its events at/after cut_k
+    cut = (F.col("uid") * 37 % 200) + 50
+    full = temporal.scd2_intervals(
+        df, ["uid"], "ts", ["st"], tiebreak=["eid"], carry_last_ts=True
+    )
+    hist = temporal.scd2_intervals(
+        df.where(F.col("ts") < cut), ["uid"], "ts", ["st"],
+        tiebreak=["eid"], carry_last_ts=True,
+    )
+    merged = temporal.scd2_merge(
+        hist, df.where(F.col("ts") >= cut), ["uid"], "ts", ["st"],
+        tiebreak=["eid"],
+    )
+    key = lambda t: (t[0], t[2])
+    a = sorted(map(tuple, full.collect()), key=key)
+    b = sorted(map(tuple, merged.select(*full.columns).collect()), key=key)
+    assert a == b
+
+
+def test_checkpoint_scopes_are_thread_isolated(spark):
+    """The scope stack is thread-local: a scope exiting on one thread
+    must not release another thread's live pins."""
+    import threading
+
+    a_pinned = {}
+    a_entered = threading.Event()
+    b_done = threading.Event()
+    errors = []
+
+    def thread_a():
+        try:
+            with lifecycle.checkpoint_scope():
+                a_pinned["df"] = lifecycle.pin(
+                    spark.range(50_000).selectExpr("id", "id*2 as v")
+                )
+                assert a_pinned["df"].count() == 50_000
+                a_entered.set()
+                assert b_done.wait(30)
+                # B's scope exit must NOT have released A's pin
+                assert a_pinned["df"].count() == 50_000
+        except Exception as e:  # pragma: no cover - surfaced below
+            errors.append(e)
+            a_entered.set()
+
+    def thread_b():
+        try:
+            assert a_entered.wait(30)
+            with lifecycle.checkpoint_scope():
+                pinned = lifecycle.pin(spark.range(1000).selectExpr("id"))
+                assert pinned.count() == 1000
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+        finally:
+            b_done.set()
+
+    ta, tb = threading.Thread(target=thread_a), threading.Thread(target=thread_b)
+    ta.start(); tb.start()
+    ta.join(60); tb.join(60)
+    assert not errors, errors
+
+
 # ------------------------------------------------ kpi ANSI guard trigger
 
 def test_period_over_period_zero_previous_period_gives_null(spark):
