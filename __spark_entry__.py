@@ -2398,6 +2398,10 @@ def _q_ann_ivf_pq_top10(spark, sf_dir):
         [float(x) for x in r["embedding"]]
         for r in emb.where(F.col("vec_id") < 16).orderBy("vec_id").collect()
     ]
+    # the oracle SQL hardcodes subvector width 16 (dim 64 / m 4); fail
+    # LOUDLY here if the dataset contract ever changes, instead of
+    # letting the oracle slice wrong subvectors and flag a false red
+    assert len(base[0]) == 64, f"embeddings dim {len(base[0])} != 64"
     qvec = base[0]
     cents = base[:8]
     w = len(base[0]) // 4

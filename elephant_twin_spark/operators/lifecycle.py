@@ -71,10 +71,10 @@ def pin(df: DataFrame, eager: bool = True, escape: bool = False) -> DataFrame:
     return out
 
 
-def release(df: DataFrame) -> bool:
+def release(df: DataFrame, caches: bool = False) -> bool:
     """Free the block-manager blocks behind EVERY ``localCheckpoint``
-    (and ``cache``) leaf in ``df``'s analyzed plan NOW (non-blocking
-    unpersist). Returns True iff at least one persisted leaf was found.
+    leaf in ``df``'s plan NOW (non-blocking unpersist). Returns True
+    iff at least one leaf actually holding blocks was freed.
 
     Works on the checkpointed DataFrame itself AND on any DataFrame
     DERIVED from one: operators that escape a checkpoint behind their
@@ -85,49 +85,64 @@ def release(df: DataFrame) -> bool:
     (round-7 verdict: the previous root-only implementation made those
     escaped checkpoints permanently unreleasable).
 
-    Semantics per leaf kind:
-
-    * checkpoint-backed ``LogicalRDD`` — blocks freed; lineage is
-      truncated, so ANY DataFrame over that checkpoint (not just ``df``)
-      must not be used again;
-    * ``InMemoryRelation`` (``df.cache()``) — materialized buffers
-      freed; the cache entry stays registered, so later use recomputes
-      (and re-caches) instead of failing;
-    * file/local relations — skipped.
+    ``caches=True`` additionally drops the materialized buffers of any
+    ``df.cache()`` leaf (``InMemoryRelation``) under the plan; the
+    cache entry stays registered, so later use recomputes (and
+    re-caches) instead of failing. It is OFF by default on ownership
+    grounds: checkpoints under our operator results are created BY the
+    operators (caller-release is the contract), but a cache under a
+    derived plan is usually the CALLER's input cache (``docs.cache()``
+    reused across queries) — clearing it here would silently force
+    re-materialization on every later query over that input. Pass
+    ``caches=True`` only for caches the released result owns (e.g.
+    ``jsonl_audit``'s parsed relation).
 
     Releases every checkpoint under the plan, including one the CALLER
     pinned and joined in — release only when all consumers of every
-    underlying checkpoint are done."""
+    underlying checkpoint are done. Leaf-kind probing catches only the
+    py4j "method does not exist" signal; real JVM failures propagate
+    instead of being silently swallowed as a skipped leaf."""
+    from py4j.protocol import Py4JError, Py4JJavaError
+
     released = False
     try:
         # withCachedData, not analyzed: cache substitution happens there,
         # so df.cache() leaves surface as InMemoryRelation; checkpoint
         # LogicalRDD leaves pass through unchanged
         leaves = df._jdf.queryExecution().withCachedData().collectLeaves()
-    except Exception:
+    except Py4JJavaError:
+        raise
+    except Py4JError:
         return False
     for i in range(leaves.size()):
         leaf = leaves.apply(i)
-        # checkpoint / createDataFrame-from-RDD leaves
+        # checkpoint / createDataFrame-from-RDD leaves expose .rdd();
+        # a missing method is the is-not-that-leaf-kind signal, a JVM
+        # exception is a real failure and must surface
         try:
             rdd = leaf.rdd()
-        except Exception:
+        except Py4JJavaError:
+            raise
+        except Py4JError:
             rdd = None
         if rdd is not None:
-            try:
-                if rdd.getStorageLevel().isValid():
-                    rdd.unpersist(False)
-                    released = True
-            except Exception:
-                pass
+            if rdd.getStorageLevel().isValid():
+                rdd.unpersist(False)
+                released = True
             continue
-        # df.cache() leaves: drop the materialized buffers, keep the
-        # cache registration (recompute-on-next-use, never hard-fail)
+        if not caches:
+            continue
         try:
-            leaf.cacheBuilder().clearCache(False)
+            cb = leaf.cacheBuilder()
+        except Py4JJavaError:
+            raise
+        except Py4JError:
+            continue
+        # only count buffers that were actually materialized — a lazy
+        # never-consumed cache holds nothing to free
+        if cb.isCachedColumnBuffersLoaded():
+            cb.clearCache(False)
             released = True
-        except Exception:
-            pass
     return released
 
 

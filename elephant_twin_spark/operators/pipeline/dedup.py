@@ -627,10 +627,17 @@ def connected_components(
             # live. The caller frees the returned labels with
             # lifecycle.release(result) when done — release walks the
             # derived plan down to this checkpoint.
+            # eager=False: the checkpoint materializes inside the
+            # guarded convergence probe below, so a task failure DURING
+            # materialization (the iteration's likeliest failure point)
+            # still has a handle to release partial blocks through —
+            # an eager pin that dies mid-action leaves unreferencable
+            # partial state
             new = lifecycle.pin(
                 labels.unionByName(nbr_min)
                 .groupBy("node")
                 .agg(F.min("comp").alias("comp")),
+                eager=False,
                 escape=True,
             )
             try:

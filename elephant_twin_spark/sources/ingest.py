@@ -153,8 +153,11 @@ def jsonl_audit(
     after any enclosing ``checkpoint_scope`` exits re-reads instead of
     hard-failing, and at 100 TB the block manager never holds an
     unevictable corpus copy. Free the buffers early with
-    ``lifecycle.release(good)`` (recompute-on-next-use, never an
-    error)."""
+    ``lifecycle.release(good, caches=True)`` (recompute-on-next-use,
+    never an error); when a long-lived session is done with this source
+    entirely, :func:`dispose` unregisters the cache entry too (each
+    audited path otherwise keeps one CacheManager registration for the
+    session's lifetime)."""
     full_schema = schema + ", _corrupt string"
     df = (
         spark.read.schema(full_schema)
@@ -169,7 +172,30 @@ def jsonl_audit(
         .select(F.col("_corrupt").alias("raw"))
         .limit(int(sample_bad))
     )
+    # the cached relation is the only handle that can fully UNREGISTER
+    # the cache (Dataset.unpersist goes through the CacheManager; a
+    # derived plan cannot) — carry it on the results for dispose()
+    good._ets_cache_source = df
+    bad._ets_cache_source = df
     return good, bad
+
+
+def dispose(audit_result: DataFrame) -> bool:
+    """Fully retire the cached parse relation behind a
+    :func:`jsonl_audit` result: drops the buffers AND the CacheManager
+    registration (``lifecycle.release(..., caches=True)`` only drops
+    buffers — the entry would otherwise accumulate per audited path in
+    a long-lived session). Pass either returned DataFrame. Call it when
+    DONE with this source: without the registration the
+    ``QUERY_ONLY_CORRUPT_RECORD_COLUMN`` guard re-applies, so
+    corrupt-only-projection shapes (``good.count()``, ``bad``) raise
+    again; re-audit the path for a fresh handle if needed. Returns
+    False when the DataFrame does not carry an audit cache handle."""
+    src = getattr(audit_result, "_ets_cache_source", None)
+    if src is None:
+        return False
+    src.unpersist(False)
+    return True
 
 
 def write_jsonl(df: DataFrame, dst_path: str, num_files: Optional[int] = None) -> str:

@@ -133,11 +133,37 @@ def test_jsonl_audit_survives_scope_and_is_recomputable(spark, tmp_path):
     # read recomputes instead
     assert good.count() == 50
     assert bad.count() == 1
-    # release drops the materialized buffers but keeps the relation
-    # recomputable — never an error, and the blocks are evictable anyway
-    lifecycle.release(good)
+    # default release leaves the audit's cache alone (cache leaves are
+    # presumed caller-owned); caches=True drops the buffers but keeps
+    # the relation recomputable — never an error
+    assert lifecycle.release(good) is False
+    assert lifecycle.release(good, caches=True) is True
     assert good.count() == 50
-    spark.catalog.clearCache()
+    # full retirement: dispose unregisters the CacheManager entry via
+    # the carried source handle — the audit handles are DONE after this
+    # (the corrupt-only-projection guard re-applies without the cache)
+    assert ingest.dispose(good) is True
+    assert good._ets_cache_source.storageLevel.useMemory is False
+    with pytest.raises(Exception, match="CORRUPT_RECORD"):
+        good.count()
+    # shapes that actually read data columns still work (plain re-read;
+    # a bare count() would prune back down to the corrupt-only scan)
+    assert len(good.select("a", "b").collect()) == 50
+    assert ingest.dispose(spark.range(3)) is False
+
+
+def test_release_default_spares_caller_input_cache(spark):
+    # ownership rule: release(result) frees the operator's checkpoint
+    # but must NOT clear a caller's input cache sitting under the plan
+    inp = spark.range(20_000).selectExpr("id", "id % 5 as k").cache()
+    assert inp.count() == 20_000
+    ck = lifecycle.pin(inp.groupBy("k").count(), escape=True)
+    result = ck.where("count > 0")
+    assert result.count() == 5
+    assert lifecycle.release(result) is True  # checkpoint freed...
+    assert inp.storageLevel.useMemory  # ...the input cache untouched
+    assert inp.count() == 20_000
+    inp.unpersist(False)
 
 
 # ------------------------------------------------ scd2 watermark contract
