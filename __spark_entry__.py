@@ -295,6 +295,25 @@ def _q_idx_no_match(spark, sf_dir):
     return st.engine.query(tbl, col("event_type") == "does_not_exist").select(*_EVENT_COLS)
 
 
+def _q_idx_predicate_string(spark, sf_dir):
+    """String-predicate front door (F2/§3.1 — the reference's flagship
+    Pig entry path, core/retrieval/IndexedPigLoader.java:207-216): a
+    SQL-ish predicate STRING is parsed into the IR
+    (``plans.expr.parse_predicate``), pushdown-negotiated (the EQ/OR
+    side prunes files via postings, the ``value > 10`` comparison
+    becomes a residual row filter) and executed through the same
+    pruned-scan path as the programmatic ``col()`` queries. First
+    driver-oracle evidence for F2 — previously pytest-only (r8)."""
+    from elephant_twin_spark.plans import expr as expr_mod
+
+    st = _state(spark, sf_dir)
+    tbl = st.indexed_events()
+    pred = expr_mod.parse_predicate(
+        "(event_type = 'purchase' OR event_type = 'signup') AND value > 10"
+    )
+    return st.engine.query(tbl, pred).select(*_EVENT_COLS)
+
+
 def _q_idx_per_key_counts(spark, sf_dir):
     """Per-key counts read from the INDEX itself (postings cnt) — must
     equal full-scan GROUP BY (the reference's verification semantics)."""
@@ -2909,9 +2928,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tests/test_advisor_gates.py checks it against the CORRECTNESS
     # files themselves.
     return {
-        # --- r8-changed (re-verification load-bearing)
+        # --- r8-changed/new (re-verification load-bearing)
         "scd2_merge_incremental": _q_scd2_merge_incremental,
         "ann_ivf_pq_top10": _q_ann_ivf_pq_top10,
+        "idx_predicate_string": _q_idx_predicate_string,
         # --- r6-new declarations (green r6+r7)
         "source_overlap": _q_source_overlap,
         "lsh_plan": _q_lsh_plan,
@@ -3632,6 +3652,10 @@ def oracle_sql() -> dict[str, str]:
                    CAST((SELECT c FROM tri) AS BIGINT) AS n_triangles
         """,
         "idx_point_lookup": f"{ev} WHERE event_type = 'click'",
+        "idx_predicate_string": (
+            f"{ev} WHERE (event_type = 'purchase' OR event_type = 'signup') "
+            "AND value > 10"
+        ),
         "idx_and": f"{ev} WHERE event_type = 'click' AND user_id = 7",
         "idx_or": f"{ev} WHERE event_type = 'signup' OR event_type = 'error'",
         "idx_residual": f"{ev} WHERE event_type = 'purchase' AND value > 50.0",
