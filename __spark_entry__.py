@@ -314,6 +314,24 @@ def _q_idx_predicate_string(spark, sf_dir):
     return st.engine.query(tbl, pred).select(*_EVENT_COLS)
 
 
+def _q_day_interval_render(spark, sf_dir):
+    """C4 driver evidence (r8 — previously pytest-only): per (user,
+    day) activity span rendered with the reference's MySQL-format
+    interval string (``functions.scalar.interval_string``,
+    core/util/DateUtil.java:468-471). One map-side-combined aggregate;
+    the render is a scalar concat over the aggregated bounds."""
+    ev = _state(spark, sf_dir).raw("events")
+    return (
+        ev.groupBy("user_id", F.to_date("ts").alias("d"))
+        .agg(F.min("ts").alias("_lo"), F.max("ts").alias("_hi"))
+        .select(
+            "user_id",
+            F.col("d").cast("string").alias("d"),
+            scalar.interval_string(F.col("_lo"), F.col("_hi")).alias("span"),
+        )
+    )
+
+
 def _q_idx_per_key_counts(spark, sf_dir):
     """Per-key counts read from the INDEX itself (postings cnt) — must
     equal full-scan GROUP BY (the reference's verification semantics)."""
@@ -2932,6 +2950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_merge_incremental": _q_scd2_merge_incremental,
         "ann_ivf_pq_top10": _q_ann_ivf_pq_top10,
         "idx_predicate_string": _q_idx_predicate_string,
+        "day_interval_render": _q_day_interval_render,
         # --- r6-new declarations (green r6+r7)
         "source_overlap": _q_source_overlap,
         "lsh_plan": _q_lsh_plan,
@@ -3656,6 +3675,12 @@ def oracle_sql() -> dict[str, str]:
             f"{ev} WHERE (event_type = 'purchase' OR event_type = 'signup') "
             "AND value > 10"
         ),
+        "day_interval_render": """
+            SELECT user_id, CAST(CAST(ts AS DATE) AS VARCHAR) AS d,
+                   '[' || strftime(min(ts), '%Y-%m-%d %H:%M:%S') || ' - '
+                       || strftime(max(ts), '%Y-%m-%d %H:%M:%S') || ']' AS span
+            FROM events GROUP BY user_id, CAST(ts AS DATE)
+        """,
         "idx_and": f"{ev} WHERE event_type = 'click' AND user_id = 7",
         "idx_or": f"{ev} WHERE event_type = 'signup' OR event_type = 'error'",
         "idx_residual": f"{ev} WHERE event_type = 'purchase' AND value > 50.0",
