@@ -314,6 +314,28 @@ def _q_idx_predicate_string(spark, sf_dir):
     return st.engine.query(tbl, pred).select(*_EVENT_COLS)
 
 
+def _q_idx_predicate_serde(spark, sf_dir):
+    """F3 driver evidence (r8 — previously pytest-only): the predicate
+    is SERIALIZED to its JSON wire form and parsed back
+    (``plans.expr.to_json_dict``/``from_json_dict`` — the reference
+    ships expression trees between processes,
+    core/retrieval/Expression.java:78-198) before planning, so the
+    serde round-trip is on the executed path, not just unit-compared.
+    Oracle = the plain WHERE the original predicate denotes."""
+    import json as _json
+
+    from elephant_twin_spark.plans import expr as expr_mod
+
+    st = _state(spark, sf_dir)
+    tbl = st.indexed_events()
+    pred = (col("event_type") == "error") | (
+        (col("event_type") == "click") & (col("user_id") == 3)
+    )
+    wire = _json.dumps(expr_mod.to_json_dict(pred))
+    back = expr_mod.from_json_dict(_json.loads(wire))
+    return st.engine.query(tbl, back).select(*_EVENT_COLS)
+
+
 def _q_day_interval_render(spark, sf_dir):
     """C4 driver evidence (r8 — previously pytest-only): per (user,
     day) activity span rendered with the reference's MySQL-format
@@ -2950,6 +2972,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_merge_incremental": _q_scd2_merge_incremental,
         "ann_ivf_pq_top10": _q_ann_ivf_pq_top10,
         "idx_predicate_string": _q_idx_predicate_string,
+        "idx_predicate_serde": _q_idx_predicate_serde,
         "day_interval_render": _q_day_interval_render,
         # --- r6-new declarations (green r6+r7)
         "source_overlap": _q_source_overlap,
@@ -3674,6 +3697,10 @@ def oracle_sql() -> dict[str, str]:
         "idx_predicate_string": (
             f"{ev} WHERE (event_type = 'purchase' OR event_type = 'signup') "
             "AND value > 10"
+        ),
+        "idx_predicate_serde": (
+            f"{ev} WHERE event_type = 'error' "
+            "OR (event_type = 'click' AND user_id = 3)"
         ),
         "day_interval_render": """
             SELECT user_id, CAST(CAST(ts AS DATE) AS VARCHAR) AS d,
