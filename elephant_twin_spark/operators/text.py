@@ -278,42 +278,49 @@ def build_text_index(
     idx_dir = catalog.index_dir(index_root, table_path, text_column, kind="text")
     df = spark.read.parquet(table_path)
     postings = postings_for(df, text_column, doc_id_column, tokenizer)
-    (
-        postings.repartitionByRange(num_buckets, "term")
-        .sortWithinPartitions("term", "doc_id")
-        .write.mode("overwrite")
-        .option("parquet.bloom.filter.enabled#term", "true")
-        .parquet(f"{idx_dir}/postings")
-    )
-    # doc-length norms for BM25 (the Lucene "norms" analog, T2) plus the
-    # SMART lnc cosine norm for more_like_this: tiny table (one row per
-    # doc) + corpus stats in the descriptor. The lnc norm (1+ln tf,
-    # idf-free) is deliberately corpus-independent so per-file
-    # incremental refresh never invalidates other files' rows; ``file``
-    # is carried for exactly that kept/delta maintenance.
-    #
-    # Derived from the JUST-WRITTEN postings — the per-(doc, term) tf is
-    # already there, so the corpus is tokenized once per build, not
-    # twice. Token-less docs (absent from postings) are restored by an
-    # id anti-join with dl=0/norm NULL, matching doclens_for's
-    # explode_outer semantics (that function still serves the
-    # incremental-refresh delta path).
-    written = spark.read.parquet(f"{idx_dir}/postings")
-    doclens = doclens_agg(written)
-    src_ids = df.select(
-        F.col(doc_id_column).alias("doc_id"),
-        fsio.normalize_path_col(F.col("_metadata.file_path")).alias("file"),
-    )
-    tokenless = src_ids.join(doclens.select("doc_id"), "doc_id", "left_anti").select(
-        "doc_id",
-        F.lit(0).cast("int").alias("dl"),
-        F.lit(None).cast("double").alias("norm"),
-        "file",
-    )
-    doclens = doclens.select("doc_id", "dl", "norm", "file").unionByName(tokenless)
-    doclens.coalesce(max(1, num_buckets // 4)).write.mode("overwrite").parquet(
-        f"{idx_dir}/doclens"
-    )
+    # Pin the aggregated postings once: the range-partitioned write's
+    # boundary sampling, the write itself, AND the doclens derivation
+    # below all read the same materialized blocks, so the corpus is
+    # tokenized + aggregated exactly once per build (previously the
+    # sampling job re-ran the reduce-side aggregate and doclens re-read
+    # the written parquet). Released before returning.
+    from elephant_twin_spark.operators import build as build_mod, lifecycle
+
+    pinned = lifecycle.pin(postings, escape=True)
+    try:
+        build_mod.write_range_partitioned(
+            pinned, num_buckets, "term", ("term", "doc_id"),
+            f"{idx_dir}/postings", bloom_col="term", pin_input=False,
+        )
+        # doc-length norms for BM25 (the Lucene "norms" analog, T2) plus
+        # the SMART lnc cosine norm for more_like_this: tiny table (one
+        # row per doc) + corpus stats in the descriptor. The lnc norm
+        # (1+ln tf, idf-free) is deliberately corpus-independent so
+        # per-file incremental refresh never invalidates other files'
+        # rows; ``file`` is carried for exactly that kept/delta
+        # maintenance. Token-less docs (absent from postings) are
+        # restored by an id anti-join with dl=0/norm NULL, matching
+        # doclens_for's explode_outer semantics (that function still
+        # serves the incremental-refresh delta path).
+        doclens = doclens_agg(pinned)
+        src_ids = df.select(
+            F.col(doc_id_column).alias("doc_id"),
+            fsio.normalize_path_col(F.col("_metadata.file_path")).alias("file"),
+        )
+        tokenless = src_ids.join(
+            doclens.select("doc_id"), "doc_id", "left_anti"
+        ).select(
+            "doc_id",
+            F.lit(0).cast("int").alias("dl"),
+            F.lit(None).cast("double").alias("norm"),
+            "file",
+        )
+        doclens = doclens.select("doc_id", "dl", "norm", "file").unionByName(tokenless)
+        doclens.coalesce(max(1, num_buckets // 4)).write.mode("overwrite").parquet(
+            f"{idx_dir}/doclens"
+        )
+    finally:
+        lifecycle.release(pinned)
     # corpus stats from the just-written table, not the doclens lineage:
     # re-evaluating the lineage would re-tokenize the whole corpus
     stats = spark.read.parquet(f"{idx_dir}/doclens").agg(

@@ -78,12 +78,10 @@ def refresh_block_index(
 
     # rewrite the postings table preserving the bucket layout
     tmp_dir = f"{idx_dir}/postings_tmp"
-    (
-        merged.repartitionByRange(desc.num_buckets, "key")
-        .sortWithinPartitions("key", "file")
-        .write.mode("overwrite")
-        .option("parquet.bloom.filter.enabled#key", "true")
-        .parquet(tmp_dir)
+    # pinned write: the delta's range-merge aggregate runs once instead
+    # of twice (range sampling + write; see build.write_range_partitioned)
+    build_mod.write_range_partitioned(
+        merged, desc.num_buckets, "key", ("key", "file"), tmp_dir, bloom_col="key"
     )
     fsio.delete(spark, data_dir)
     fs, _, _ = fsio._fs_and_path(spark, idx_dir)
@@ -216,12 +214,11 @@ def refresh_text_index(
         merged = kept.unionByName(delta)
 
     tmp_dir = f"{idx_dir}/postings_tmp"
-    (
-        merged.repartitionByRange(desc.num_buckets, "term")
-        .sortWithinPartitions("term", "doc_id")
-        .write.mode("overwrite")
-        .option("parquet.bloom.filter.enabled#term", "true")
-        .parquet(tmp_dir)
+    # pinned write: the delta's tokenize/explode postings aggregate runs
+    # once instead of twice (see build.write_range_partitioned)
+    build_mod.write_range_partitioned(
+        merged, desc.num_buckets, "term", ("term", "doc_id"), tmp_dir,
+        bloom_col="term",
     )
     fsio.delete(spark, data_dir)
     fs, _, _ = fsio._fs_and_path(spark, idx_dir)
@@ -438,11 +435,10 @@ def refresh_lsh_index(
         merged = kept.unionByName(delta)
 
     tmp_dir = f"{idx_dir}/bands_tmp"
-    (
-        merged.repartitionByRange(desc.num_buckets, "band_hash")
-        .sortWithinPartitions("band_hash", "id")
-        .write.mode("overwrite")
-        .parquet(tmp_dir)
+    # pinned write: the delta's banding aggregate runs once instead of
+    # twice (see build.write_range_partitioned)
+    build_mod.write_range_partitioned(
+        merged, desc.num_buckets, "band_hash", ("band_hash", "id"), tmp_dir
     )
     fsio.delete(spark, data_dir)
     fs, _, _ = fsio._fs_and_path(spark, idx_dir)

@@ -345,3 +345,57 @@ def test_period_over_period_zero_previous_period_gives_null(spark):
     # the r7 fix's actual trigger: prev == 0 -> NULL, not DIVIDE_BY_ZERO
     assert out[2]["value"] == 40.0 and out[2]["prev_value"] == 0.0
     assert out[2]["pct_change"] is None
+
+
+# ------------------------------------------------ pinned range-partitioned build
+
+def test_index_builds_leave_no_block_manager_residue(spark, workdir, docs_path):
+    """The pinned-input range-partitioned write (build.write_range_partitioned)
+    must release its localCheckpoint as soon as the write commits — an
+    index build is a one-shot job and must leave block-manager storage
+    exactly where it found it (the r5 leak class, applied to the r8
+    build-path optimization)."""
+    from elephant_twin_spark.operators import build, text
+
+    base = lifecycle.storage_snapshot(spark)["n_rdds"]
+    build.build_block_index(
+        spark, docs_path, "source", f"{workdir}/r8_pin_blockidx", num_buckets=4
+    )
+    text.build_text_index(
+        spark, docs_path, "text", "doc_id", f"{workdir}/r8_pin_textidx", num_buckets=4
+    )
+    snap = _wait_storage(spark, lambda s: s["n_rdds"] <= base)
+    assert snap["n_rdds"] <= base
+
+
+def test_write_range_partitioned_layout_and_content(spark, workdir):
+    """Pinning must not change WHAT is written: same rows, range layout
+    (disjoint per-file key ranges), sorted within files."""
+    from elephant_twin_spark.operators import build
+
+    df = spark.range(10_000).selectExpr(
+        "concat('k', lpad(cast(id % 97 as string), 3, '0')) as key",
+        "cast(id as string) as file",
+    ).groupBy("key", "file").agg(F.count(F.lit(1)).alias("cnt"))
+    path = f"{workdir}/r8_ranged"
+    build.write_range_partitioned(df, 4, "key", ("key", "file"), path, bloom_col="key")
+    back = spark.read.parquet(path)
+    assert back.count() == df.count()
+    assert back.select("key").distinct().count() == 97
+    # disjoint per-file key ranges = the pruning contract the layout exists for
+    import os
+    parts = sorted(
+        f"{path}/{f}" for f in os.listdir(path) if f.endswith(".parquet")
+    )
+    assert len(parts) == 4
+    spans = []
+    for p in parts:
+        r = spark.read.parquet(p).agg(
+            F.min("key").alias("lo"), F.max("key").alias("hi")
+        ).first()
+        spans.append((r["lo"], r["hi"]))
+    for (lo, hi) in spans:
+        assert lo <= hi
+    spans.sort()
+    for (_, hi_prev), (lo_next, _) in zip(spans, spans[1:]):
+        assert hi_prev <= lo_next
