@@ -2453,14 +2453,16 @@ def _q_ann_ivf_pq_top10(spark, sf_dir):
     trained `ivf_fit`/`pq_fit` would feed."""
     st = _state(spark, sf_dir)
     emb = st.raw("embeddings")
-    base = [
-        [float(x) for x in r["embedding"]]
-        for r in emb.where(F.col("vec_id") < 16).orderBy("vec_id").collect()
-    ]
-    # the oracle SQL hardcodes subvector width 16 (dim 64 / m 4); fail
-    # LOUDLY here if the dataset contract ever changes, instead of
-    # letting the oracle slice wrong subvectors and flag a false red
+    rows = emb.where(F.col("vec_id") < 16).orderBy("vec_id").collect()
+    base = [[float(x) for x in r["embedding"]] for r in rows]
+    # the oracle SQL hardcodes subvector width 16 (dim 64 / m 4) AND
+    # addresses centroids/codebook rows BY vec_id while the Spark side
+    # uses list POSITION — both contracts must fail LOUDLY here if the
+    # dataset ever changes (gap or offset in vec_id 0..15 would
+    # otherwise desync position from id and flag a false red)
     assert len(base[0]) == 64, f"embeddings dim {len(base[0])} != 64"
+    ids = [r["vec_id"] for r in rows]
+    assert ids == list(range(16)), f"vec_id 0..15 not contiguous: {ids}"
     qvec = base[0]
     cents = base[:8]
     w = len(base[0]) // 4
@@ -2480,10 +2482,14 @@ def _q_ann_recall_stats(spark, sf_dir):
     oracle reproduces each method's candidate set exactly — the five
     rows-only ANN entries gain a measured-quality green twin."""
     emb = _state(spark, sf_dir).raw("embeddings")
-    base = [
-        [float(x) for x in r["embedding"]]
-        for r in emb.where(F.col("vec_id") < 16).orderBy("vec_id").collect()
-    ]
+    rows = emb.where(F.col("vec_id") < 16).orderBy("vec_id").collect()
+    base = [[float(x) for x in r["embedding"]] for r in rows]
+    # same positional-vs-id contract guard as _q_ann_ivf_pq_top10: the
+    # oracle addresses fixture vectors BY vec_id, the Spark side by
+    # list position — a gap in vec_id 0..15 must fail here, not as a
+    # silent false-red hash mismatch
+    ids = [r["vec_id"] for r in rows]
+    assert ids == list(range(16)), f"vec_id 0..15 not contiguous: {ids}"
     cents = base[:8]
     w = len(base[0]) // 4
     books = [[v[s * w : (s + 1) * w] for v in base] for s in range(4)]

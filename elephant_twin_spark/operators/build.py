@@ -74,23 +74,49 @@ def write_range_partitioned(
     source instead of pinning a corpus-width relation).
 
     ``pin_input=False`` is for callers that already hold a materialized
-    input (``build_text_index`` pins once and reuses it for doclens)."""
-    if pin_input:
-        pinned = lifecycle.pin(df, escape=True)
-    else:
-        pinned = df
-    try:
+    input (``build_text_index`` pins once and reuses it for doclens).
+
+    Fault tolerance: a local checkpoint TRUNCATES lineage, so on a real
+    cluster an executor lost between pin and commit makes the write fail
+    with ``CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND`` where the unpinned plan
+    would have recomputed the lost partitions (the standard
+    localCheckpoint caveat — dynamic allocation / spot nodes). The
+    write is ``mode("overwrite")`` and therefore idempotent, so block
+    loss is caught and the write retried ONCE through the original
+    recomputable plan: the steady state keeps the one-pass saving, the
+    rare lost-block case degrades to the pre-pin cost instead of a
+    failed job."""
+
+    def _attempt(src: DataFrame) -> None:
         w = (
-            pinned.repartitionByRange(num_buckets, range_col)
+            src.repartitionByRange(num_buckets, range_col)
             .sortWithinPartitions(*sort_cols)
             .write.mode("overwrite")
         )
         if bloom_col is not None:
             w = w.option(f"parquet.bloom.filter.enabled#{bloom_col}", "true")
         w.parquet(path)
+
+    if not pin_input:
+        _attempt(df)
+        return
+    pinned = lifecycle.pin(df, escape=True)
+    try:
+        _attempt(pinned)
+    except Exception as exc:  # noqa: BLE001 — classified below
+        if not _is_checkpoint_block_loss(exc):
+            raise
+        lifecycle.release(pinned)
+        _attempt(df)
     finally:
-        if pin_input:
-            lifecycle.release(pinned)
+        lifecycle.release(pinned)
+
+
+def _is_checkpoint_block_loss(exc: BaseException) -> bool:
+    """True iff the failure is a lost localCheckpoint block (the only
+    failure the unpinned retry can actually cure — anything else would
+    just fail identically a second time)."""
+    return "CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND" in str(exc)
 
 
 @dataclass

@@ -114,33 +114,63 @@ def release(df: DataFrame, caches: bool = False) -> bool:
         raise
     except Py4JError:
         return False
-    for i in range(leaves.size()):
-        leaf = leaves.apply(i)
-        # checkpoint / createDataFrame-from-RDD leaves expose .rdd();
+
+    def _probe(obj, method):
         # a missing method is the is-not-that-leaf-kind signal, a JVM
         # exception is a real failure and must surface
         try:
-            rdd = leaf.rdd()
+            return getattr(obj, method)()
         except Py4JJavaError:
             raise
         except Py4JError:
-            rdd = None
+            return None
+
+    work = [leaves.apply(i) for i in range(leaves.size())]
+    while work:
+        leaf = work.pop()
+        # checkpoint / createDataFrame-from-RDD leaves expose .rdd()
+        # (logical LogicalRDD and physical RDDScanExec alike)
+        rdd = _probe(leaf, "rdd")
         if rdd is not None:
             if rdd.getStorageLevel().isValid():
                 rdd.unpersist(False)
                 released = True
             continue
-        if not caches:
+        # cache leaves: logical InMemoryRelation exposes cacheBuilder()
+        # directly, physical InMemoryTableScanExec via relation(). A
+        # cache SUBSTITUTION swallows the subtree it matched, so a
+        # checkpoint under a caller's df.cache() would be invisible to
+        # the top-level walk — recurse into the cached physical plan's
+        # leaves to find it (r8 review finding: without this, caching a
+        # returned result re-created the unreleasable-checkpoint leak
+        # this function exists to close)
+        cb = _probe(leaf, "cacheBuilder")
+        if cb is None:
+            rel = _probe(leaf, "relation")
+            cb = _probe(rel, "cacheBuilder") if rel is not None else None
+        if cb is None:
+            # AQE wraps the real plan in LEAF nodes: AdaptiveSparkPlanExec
+            # (exposes inputPlan/executedPlan) and QueryStageExec
+            # (exposes plan). Recurse through every wrapper accessor the
+            # node answers — inputPlan reaches the pre-AQE tree whose
+            # leaves are the actual scans, executedPlan/plan cover
+            # already-materialized stages; visiting the same RDD twice
+            # is harmless (unpersist is idempotent).
+            for m in ("inputPlan", "executedPlan", "plan"):
+                inner = _probe(leaf, m)
+                if inner is not None:
+                    il = inner.collectLeaves()
+                    work.extend(il.apply(i) for i in range(il.size()))
             continue
-        try:
-            cb = leaf.cacheBuilder()
-        except Py4JJavaError:
-            raise
-        except Py4JError:
-            continue
+        inner = _probe(cb, "cachedPlan")
+        if inner is not None:
+            cached_leaves = inner.collectLeaves()
+            work.extend(
+                cached_leaves.apply(i) for i in range(cached_leaves.size())
+            )
         # only count buffers that were actually materialized — a lazy
         # never-consumed cache holds nothing to free
-        if cb.isCachedColumnBuffersLoaded():
+        if caches and cb.isCachedColumnBuffersLoaded():
             cb.clearCache(False)
             released = True
     return released

@@ -609,12 +609,15 @@ def connected_components(
     def label_sum(l: DataFrame):
         return l.agg(F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")).first()["s"]
 
-    prev_sum = label_sum(labels) if numeric else None
     # the loop's escaped checkpoints are released manually; if an
     # iteration fails mid-flight (convergence probe, executor loss) no
     # ambient scope will reclaim them, so free the live ones on the way
-    # out of the error path (round-7 advisor finding)
+    # out of the error path (round-7 advisor finding). The INITIAL
+    # label-sum probe sits inside the guard too: it is the first action
+    # over the freshly pinned labels/edges, so a failure there would
+    # otherwise leak both checkpoints (r8 review finding)
     try:
+        prev_sum = label_sum(labels) if numeric else None
         for _ in range(max_iter):
             nbr_min = (
                 edges.join(labels, edges.d == labels.node)

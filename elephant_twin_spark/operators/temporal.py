@@ -337,6 +337,7 @@ def scd2_merge(
                 "recompute these keys from the raw changelog instead "
                 f"(sample offenders: {examples})"
             )
+    eto_type = history.schema["effective_to"].dataType
     hist_events = touched.select(
         *keys,
         *state_cols,
@@ -344,6 +345,7 @@ def scd2_merge(
         (F.col("last_ts") if has_lts else F.col("effective_from")).alias("_lts"),
         F.col("n_rows").alias("_w"),
         F.lit(0).alias("_src"),
+        F.col("effective_to").alias("_eto"),
         *[F.lit(None).cast(batch.schema[c].dataType).alias(c) for c in tiebreak],
     )
     batch_events = batch.select(
@@ -353,21 +355,45 @@ def scd2_merge(
         F.col(ts_col).alias("_lts"),
         F.lit(1).cast("long").alias("_w"),
         F.lit(1).alias("_src"),
+        F.lit(None).cast(eto_type).alias("_eto"),
         *tiebreak,
     )
     events = hist_events.unionByName(batch_events)
     # run collapse, scd2_intervals algebra with n_rows carried as _w
     # (history-replay events sort before batch events at equal ts — under
     # the watermark contract ties cannot change the result, the order
-    # only keeps the plan deterministic)
+    # only keeps the plan deterministic). Replayed history events carry
+    # NULL tiebreak columns, so ts-tied runs (zero-width runs produced by
+    # tie-broken same-timestamp changelog events) need their own order
+    # key or the replay reshuffles them nondeterministically and the
+    # merge diverges from full recompute exactly in the case tiebreak
+    # exists for (r8 review finding). The chain order IS recoverable
+    # from the stored intervals: within equal effective_from, a closed
+    # run's effective_to equals its successor's effective_from and the
+    # open run sorts last — so _eto asc NULLS LAST reconstructs it.
+    # Residual ambiguity only among multiple IDENTICAL zero-width runs
+    # (>= 3 state flips at one instant): no stored column distinguishes
+    # those orders, but the forced run boundary below makes every order
+    # yield the same output MULTISET (each zero-width run keeps its own
+    # n_rows/last_ts and all get [t, t) bounds), so the merge stays
+    # exact there too.
     order = (
-        [F.col(ts_col).asc(), F.col("_src").asc()]
+        [F.col(ts_col).asc(), F.col("_src").asc(), F.col("_eto").asc_nulls_last()]
         + [F.col(c).asc() for c in tiebreak]
     )
     w = Window.partitionBy(*keys).orderBy(*order)
     state = F.struct(*[F.col(c) for c in state_cols])
-    changed = F.when(state.eqNullSafe(F.lag(state).over(w)), F.lit(0)).otherwise(
-        F.lit(1)
+    # a history-replay event IS an already-collapsed run: its
+    # predecessor in the replay is always another history run (batch
+    # events sort after, per the watermark contract), and consecutive
+    # history runs differ in state by construction — so forcing a run
+    # boundary is a no-op under correct order and prevents a bogus
+    # merge of equal-state runs under the residual ambiguous order
+    # (it also preserves collapse_consecutive=False histories verbatim
+    # instead of collapsing them). Batch events keep the state compare:
+    # a re-emitted unchanged state must extend the open run.
+    changed = F.when(F.col("_src") == 0, F.lit(1)).otherwise(
+        F.when(state.eqNullSafe(F.lag(state).over(w)), F.lit(0)).otherwise(F.lit(1))
     )
     runs = events.withColumn("_chg", changed).withColumn(
         "_run", F.sum("_chg").over(w.rowsBetween(Window.unboundedPreceding, 0))

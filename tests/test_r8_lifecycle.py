@@ -44,6 +44,34 @@ def test_release_frees_escaped_checkpoint_under_derived_plan(spark):
     assert snap["n_rdds"] <= base_rdds
 
 
+def test_release_finds_checkpoint_under_callers_cache(spark):
+    """A caller that .cache()s a result derived from an escaped
+    checkpoint must still be able to free the checkpoint: cache
+    substitution swallows the matched subtree, so the walk has to
+    recurse into the cached plan's own leaves (r8 review finding —
+    without that, release(derived) returned False and the blocks
+    leaked for the session)."""
+    base = lifecycle.storage_snapshot(spark)["n_rdds"]
+    ck = lifecycle.pin(
+        spark.range(50_000).selectExpr("id", "id * 3 as v"), escape=True
+    )
+    derived = ck.groupBy((F.col("v") % 5).alias("k")).count().cache()
+    try:
+        assert derived.count() == 5
+        # checkpoint blocks found and freed THROUGH the InMemoryRelation;
+        # the cache's own buffers stay (caches=False — caller owns them)
+        assert lifecycle.release(derived) is True
+        snap = _wait_storage(
+            spark, lambda s: s["n_rdds"] <= base + 1  # cache remains
+        )
+        assert snap["n_rdds"] <= base + 1
+        # cached buffers still serve reads (no recompute through the
+        # truncated lineage needed)
+        assert derived.count() == 5
+    finally:
+        derived.unpersist(True)
+
+
 def test_release_on_plain_plan_is_noop(spark):
     df = spark.range(100).groupBy((F.col("id") % 3).alias("k")).count()
     assert lifecycle.release(df) is False
@@ -238,6 +266,67 @@ def test_scd2_merge_with_last_ts_equals_full_recompute_and_remerges(spark, seed)
     assert a == b
 
 
+def test_scd2_merge_replays_ts_tied_runs_in_chain_order(spark):
+    """History runs that share an effective_from (zero-width runs from
+    tie-broken same-timestamp changelog events) must replay in chain
+    order. The replay cannot use the original tiebreak columns (runs
+    carry NULLs for them), so it reconstructs the order from
+    effective_to — without that, the merge reshuffles ts-tied runs
+    nondeterministically and diverges from full recompute exactly in
+    the case tiebreak exists to pin down (r8 review finding)."""
+    df = spark.createDataFrame(
+        [(1, 10, 1, "a"), (1, 10, 2, "b")], "uid int, ts int, eid int, st string"
+    )
+    batch = spark.createDataFrame([(1, 20, 3, "c")], "uid int, ts int, eid int, st string")
+    hist = temporal.scd2_intervals(
+        df, ["uid"], "ts", ["st"], tiebreak=["eid"], carry_last_ts=True
+    )
+    full = temporal.scd2_intervals(
+        df.unionByName(batch), ["uid"], "ts", ["st"],
+        tiebreak=["eid"], carry_last_ts=True,
+    )
+    merged = temporal.scd2_merge(hist, batch, ["uid"], "ts", ["st"], tiebreak=["eid"])
+    key = lambda t: tuple((x is None, x) for x in t)
+    a = sorted(map(tuple, full.collect()), key=key)
+    b = sorted(map(tuple, merged.select(*full.columns).collect()), key=key)
+    assert a == b
+    # the zero-width a-run survived as zero-width; b closed at the batch event
+    by_state = {r["st"]: r for r in merged.collect()}
+    assert by_state["a"]["effective_from"] == by_state["a"]["effective_to"] == 10
+    assert by_state["b"]["effective_to"] == 20 and by_state["c"]["is_current"]
+
+
+@pytest.mark.parametrize("seed", [7, 23])
+def test_scd2_merge_tie_heavy_changelog_equals_full_recompute(spark, seed):
+    """Property run with DENSE ts ties (ts drawn from a 40-value range
+    over 300 events): zero-width runs abound in both history and batch,
+    per-key cut points keep the watermark contract, and the merge must
+    still equal full recompute row-for-row."""
+    import random
+
+    rng = random.Random(seed)
+    rows = [
+        (rng.randrange(15), rng.randrange(40), i, rng.choice(["a", "b", None]))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "uid int, ts int, eid int, st string")
+    cut = (F.col("uid") * 7 % 30) + 5
+    full = temporal.scd2_intervals(
+        df, ["uid"], "ts", ["st"], tiebreak=["eid"], carry_last_ts=True
+    )
+    hist = temporal.scd2_intervals(
+        df.where(F.col("ts") < cut), ["uid"], "ts", ["st"],
+        tiebreak=["eid"], carry_last_ts=True,
+    )
+    merged = temporal.scd2_merge(
+        hist, df.where(F.col("ts") >= cut), ["uid"], "ts", ["st"], tiebreak=["eid"]
+    )
+    key = lambda t: tuple((x is None, x) for x in t)
+    a = sorted(map(tuple, full.collect()), key=key)
+    b = sorted(map(tuple, merged.select(*full.columns).collect()), key=key)
+    assert a == b
+
+
 def test_scd2_last_ts_reserved_name_rejected(spark):
     df = spark.createDataFrame([(1, 10, "a", 99)], "uid int, ts int, st string, last_ts int")
     with pytest.raises(ValueError, match="reserved"):
@@ -366,6 +455,46 @@ def test_index_builds_leave_no_block_manager_residue(spark, workdir, docs_path):
     )
     snap = _wait_storage(spark, lambda s: s["n_rdds"] <= base)
     assert snap["n_rdds"] <= base
+
+
+def test_write_range_partitioned_retries_unpinned_on_block_loss(
+    spark, workdir, monkeypatch
+):
+    """Cluster fault-tolerance contract (r8 review finding): losing the
+    pinned localCheckpoint's blocks mid-build must NOT fail the job —
+    lineage is truncated so Spark cannot recompute them, but the write
+    is overwrite-idempotent, so the helper retries once through the
+    original recomputable plan. Simulated by dropping the checkpoint
+    blocks right after pinning (what executor loss does)."""
+    from elephant_twin_spark.operators import build
+
+    orig_pin = lifecycle.pin
+    dropped = []
+
+    def lossy_pin(df, eager=True, escape=False):
+        out = orig_pin(df, eager=eager, escape=escape)
+        # blocking unpersist = the blocks are gone before the write reads
+        out._jdf.queryExecution().analyzed().rdd().unpersist(True)
+        dropped.append(True)
+        return out
+
+    monkeypatch.setattr(lifecycle, "pin", lossy_pin)
+    df = spark.range(2_000).selectExpr(
+        "concat('k', id % 13) as key", "cast(id as string) as file"
+    ).groupBy("key", "file").agg(F.count(F.lit(1)).alias("cnt"))
+    path = f"{workdir}/r8_lossy_ranged"
+    build.write_range_partitioned(df, 3, "key", ("key", "file"), path)
+    assert dropped, "sabotage hook never ran"
+    assert spark.read.parquet(path).count() == df.count()
+
+
+def test_is_checkpoint_block_loss_classifier():
+    from elephant_twin_spark.operators import build
+
+    assert build._is_checkpoint_block_loss(
+        Exception("[CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND] Checkpoint block rdd_6_0 not found!")
+    )
+    assert not build._is_checkpoint_block_loss(Exception("arbitrary analysis error"))
 
 
 def test_write_range_partitioned_layout_and_content(spark, workdir):
