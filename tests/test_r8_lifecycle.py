@@ -327,6 +327,33 @@ def test_scd2_merge_tie_heavy_changelog_equals_full_recompute(spark, seed):
     assert a == b
 
 
+def test_scd2_merge_preserves_non_collapsed_history_runs(spark):
+    """A history built with collapse_consecutive=False keeps one run per
+    changelog row, including consecutive SAME-state runs. The merge's
+    forced run boundary between replayed history events must preserve
+    them verbatim (the state-compare collapse would silently merge
+    them), while batch events still collapse into the open run."""
+    df = spark.createDataFrame(
+        [(1, 10, 1, "a"), (1, 20, 2, "a"), (1, 30, 3, "b")],
+        "uid int, ts int, eid int, st string",
+    )
+    hist = temporal.scd2_intervals(
+        df, ["uid"], "ts", ["st"], tiebreak=["eid"],
+        collapse_consecutive=False, carry_last_ts=True,
+    )
+    assert hist.count() == 3  # a@10, a@20, b@30 all kept as runs
+    batch = spark.createDataFrame([(1, 40, 4, "b")], "uid int, ts int, eid int, st string")
+    merged = temporal.scd2_merge(hist, batch, ["uid"], "ts", ["st"], tiebreak=["eid"])
+    out = sorted(merged.collect(), key=lambda r: r["effective_from"])
+    # the two same-state history runs survive as separate intervals;
+    # the batch's re-emitted 'b' extends the open run (batch collapse
+    # keeps scd2_intervals' default semantics)
+    assert [(r["st"], r["effective_from"], r["effective_to"]) for r in out] == [
+        ("a", 10, 20), ("a", 20, 30), ("b", 30, None)
+    ]
+    assert out[2]["n_rows"] == 2 and out[2]["last_ts"] == 40
+
+
 def test_scd2_last_ts_reserved_name_rejected(spark):
     df = spark.createDataFrame([(1, 10, "a", 99)], "uid int, ts int, st string, last_ts int")
     with pytest.raises(ValueError, match="reserved"):
