@@ -235,6 +235,22 @@ class _SFState:
 _STATES: dict = {}
 
 
+def _ann_fixture_base(emb, n: int = 16, dim: int = None) -> list:
+    """Vectors ``vec_id 0..n-1`` as plain lists — the fixed-quantizer
+    fixture the deterministic ANN oracles rebuild BY vec_id while the
+    Spark side indexes by list POSITION. Both contracts fail LOUDLY
+    here (contiguity first: an empty/gapped slice must name the gap,
+    not die on base[0]) instead of surfacing as a false-red hash
+    mismatch in the driver gate."""
+    rows = emb.where(F.col("vec_id") < n).orderBy("vec_id").collect()
+    ids = [r["vec_id"] for r in rows]
+    assert ids == list(range(n)), f"vec_id 0..{n-1} not contiguous: {ids}"
+    base = [[float(x) for x in r["embedding"]] for r in rows]
+    if dim is not None:
+        assert len(base[0]) == dim, f"embeddings dim {len(base[0])} != {dim}"
+    return base
+
+
 def _state(spark: SparkSession, sf_dir: str) -> _SFState:
     key = (id(spark), sf_dir)
     if key not in _STATES:
@@ -2453,16 +2469,9 @@ def _q_ann_ivf_pq_top10(spark, sf_dir):
     trained `ivf_fit`/`pq_fit` would feed."""
     st = _state(spark, sf_dir)
     emb = st.raw("embeddings")
-    rows = emb.where(F.col("vec_id") < 16).orderBy("vec_id").collect()
-    base = [[float(x) for x in r["embedding"]] for r in rows]
-    # the oracle SQL hardcodes subvector width 16 (dim 64 / m 4) AND
-    # addresses centroids/codebook rows BY vec_id while the Spark side
-    # uses list POSITION — both contracts must fail LOUDLY here if the
-    # dataset ever changes (gap or offset in vec_id 0..15 would
-    # otherwise desync position from id and flag a false red)
-    assert len(base[0]) == 64, f"embeddings dim {len(base[0])} != 64"
-    ids = [r["vec_id"] for r in rows]
-    assert ids == list(range(16)), f"vec_id 0..15 not contiguous: {ids}"
+    # the oracle SQL hardcodes subvector width 16 (dim 64 / m 4) —
+    # _ann_fixture_base guards both that and the positional contract
+    base = _ann_fixture_base(emb, n=16, dim=64)
     qvec = base[0]
     cents = base[:8]
     w = len(base[0]) // 4
@@ -2482,14 +2491,7 @@ def _q_ann_recall_stats(spark, sf_dir):
     oracle reproduces each method's candidate set exactly — the five
     rows-only ANN entries gain a measured-quality green twin."""
     emb = _state(spark, sf_dir).raw("embeddings")
-    rows = emb.where(F.col("vec_id") < 16).orderBy("vec_id").collect()
-    base = [[float(x) for x in r["embedding"]] for r in rows]
-    # same positional-vs-id contract guard as _q_ann_ivf_pq_top10: the
-    # oracle addresses fixture vectors BY vec_id, the Spark side by
-    # list position — a gap in vec_id 0..15 must fail here, not as a
-    # silent false-red hash mismatch
-    ids = [r["vec_id"] for r in rows]
-    assert ids == list(range(16)), f"vec_id 0..15 not contiguous: {ids}"
+    base = _ann_fixture_base(emb, n=16)
     cents = base[:8]
     w = len(base[0]) // 4
     books = [[v[s * w : (s + 1) * w] for v in base] for s in range(4)]

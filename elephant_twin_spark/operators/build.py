@@ -106,10 +106,19 @@ def write_range_partitioned(
     except Exception as exc:  # noqa: BLE001 — classified below
         if not _is_checkpoint_block_loss(exc):
             raise
-        lifecycle.release(pinned)
+        # best-effort pre-retry release: the same cluster instability
+        # that lost the blocks can make the release walk fail too, and
+        # that must not mask the retry (the finally re-releases)
+        try:
+            lifecycle.release(pinned)
+        except Exception:  # noqa: BLE001
+            pass
         _attempt(df)
     finally:
-        lifecycle.release(pinned)
+        try:
+            lifecycle.release(pinned)
+        except Exception:  # noqa: BLE001
+            pass
 
 
 def _is_checkpoint_block_loss(exc: BaseException) -> bool:

@@ -148,6 +148,15 @@ def release(df: DataFrame, caches: bool = False) -> bool:
         if cb is None:
             rel = _probe(leaf, "relation")
             cb = _probe(rel, "cacheBuilder") if rel is not None else None
+        if cb is not None and not cb.isCachedColumnBuffersLoaded():
+            # a REGISTERED but never-materialized cache is a consumer
+            # that hasn't run yet: its first action must still read the
+            # checkpoint underneath (lineage is truncated — there is
+            # nothing else to materialize from), so do NOT recurse into
+            # it. If the caller abandons the cache unconsumed the
+            # checkpoint stays pinned — release again after
+            # materializing or unpersisting the cache.
+            continue
         if cb is None:
             # AQE wraps the real plan in LEAF nodes: AdaptiveSparkPlanExec
             # (exposes inputPlan/executedPlan) and QueryStageExec

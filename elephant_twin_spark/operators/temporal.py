@@ -256,11 +256,22 @@ def scd2_merge(
     state_cols: Sequence[str],
     tiebreak: Sequence[str] = (),
     validate: bool = True,
+    collapse_consecutive: bool = True,
 ) -> DataFrame:
     """Incremental SCD2: merge a NEW changelog batch into an existing
     :func:`scd2_intervals` history without recomputing untouched keys —
     the production upsert path for a CDC feed landing every few minutes
     against a history table with billions of keys.
+
+    Pass the SAME ``collapse_consecutive`` the history was built with:
+    replayed history runs are always preserved verbatim (they are
+    already collapsed — or deliberately not), but the flag governs the
+    BATCH events, and merging a ``collapse_consecutive=False`` history
+    with the default would collapse new re-emitted rows the history's
+    semantics say to keep. The history must carry the full
+    :func:`scd2_intervals` output columns (``effective_from``,
+    ``effective_to``, ``n_rows``; ``effective_to`` orders ts-tied runs
+    during replay).
 
     Contract (the standard warehouse-MERGE watermark assumption): each
     key's batch events are strictly newer than ALL of that key's RAW
@@ -390,11 +401,17 @@ def scd2_merge(
     # boundary is a no-op under correct order and prevents a bogus
     # merge of equal-state runs under the residual ambiguous order
     # (it also preserves collapse_consecutive=False histories verbatim
-    # instead of collapsing them). Batch events keep the state compare:
-    # a re-emitted unchanged state must extend the open run.
-    changed = F.when(F.col("_src") == 0, F.lit(1)).otherwise(
-        F.when(state.eqNullSafe(F.lag(state).over(w)), F.lit(0)).otherwise(F.lit(1))
-    )
+    # instead of collapsing them). Batch events keep the state compare
+    # under the default — a re-emitted unchanged state must extend the
+    # open run — and open their own run when the history's semantics
+    # are collapse_consecutive=False.
+    if collapse_consecutive:
+        batch_changed = F.when(
+            state.eqNullSafe(F.lag(state).over(w)), F.lit(0)
+        ).otherwise(F.lit(1))
+    else:
+        batch_changed = F.lit(1)
+    changed = F.when(F.col("_src") == 0, F.lit(1)).otherwise(batch_changed)
     runs = events.withColumn("_chg", changed).withColumn(
         "_run", F.sum("_chg").over(w.rowsBetween(Window.unboundedPreceding, 0))
     )

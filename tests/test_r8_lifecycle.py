@@ -72,6 +72,28 @@ def test_release_finds_checkpoint_under_callers_cache(spark):
         derived.unpersist(True)
 
 
+def test_release_skips_checkpoint_under_pending_lazy_cache(spark):
+    """A cache that is REGISTERED but never materialized must still be
+    able to materialize through the checkpoint later: release() must
+    not free blocks its first action will need (r8 review finding —
+    recursing into a pending cache turned the old silent leak into a
+    later CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND)."""
+    ck = lifecycle.pin(
+        spark.range(10_000).selectExpr("id", "id * 5 as v"), escape=True
+    )
+    derived = ck.groupBy((F.col("v") % 4).alias("k")).count().cache()
+    try:
+        # no action yet — the cache is pending
+        assert lifecycle.release(derived) is False
+        # first materialization reads the (still live) checkpoint
+        assert derived.count() == 4
+        # now consumed: release finds and frees the checkpoint
+        assert lifecycle.release(derived) is True
+    finally:
+        derived.unpersist(True)
+        lifecycle.release(ck)
+
+
 def test_release_on_plain_plan_is_noop(spark):
     df = spark.range(100).groupBy((F.col("id") % 3).alias("k")).count()
     assert lifecycle.release(df) is False
@@ -330,28 +352,42 @@ def test_scd2_merge_tie_heavy_changelog_equals_full_recompute(spark, seed):
 def test_scd2_merge_preserves_non_collapsed_history_runs(spark):
     """A history built with collapse_consecutive=False keeps one run per
     changelog row, including consecutive SAME-state runs. The merge's
-    forced run boundary between replayed history events must preserve
-    them verbatim (the state-compare collapse would silently merge
-    them), while batch events still collapse into the open run."""
+    forced run boundary preserves the replayed history verbatim, and
+    passing the SAME flag makes batch events open their own runs too —
+    so the merge stays EXACT against non-collapsed full recompute
+    (r8 review finding: the default flag silently collapsed the batch
+    side of a non-collapsed history)."""
     df = spark.createDataFrame(
         [(1, 10, 1, "a"), (1, 20, 2, "a"), (1, 30, 3, "b")],
         "uid int, ts int, eid int, st string",
     )
+    batch = spark.createDataFrame([(1, 40, 4, "b")], "uid int, ts int, eid int, st string")
     hist = temporal.scd2_intervals(
         df, ["uid"], "ts", ["st"], tiebreak=["eid"],
         collapse_consecutive=False, carry_last_ts=True,
     )
     assert hist.count() == 3  # a@10, a@20, b@30 all kept as runs
-    batch = spark.createDataFrame([(1, 40, 4, "b")], "uid int, ts int, eid int, st string")
-    merged = temporal.scd2_merge(hist, batch, ["uid"], "ts", ["st"], tiebreak=["eid"])
-    out = sorted(merged.collect(), key=lambda r: r["effective_from"])
-    # the two same-state history runs survive as separate intervals;
-    # the batch's re-emitted 'b' extends the open run (batch collapse
-    # keeps scd2_intervals' default semantics)
-    assert [(r["st"], r["effective_from"], r["effective_to"]) for r in out] == [
-        ("a", 10, 20), ("a", 20, 30), ("b", 30, None)
-    ]
-    assert out[2]["n_rows"] == 2 and out[2]["last_ts"] == 40
+    full = temporal.scd2_intervals(
+        df.unionByName(batch), ["uid"], "ts", ["st"], tiebreak=["eid"],
+        collapse_consecutive=False, carry_last_ts=True,
+    )
+    merged = temporal.scd2_merge(
+        hist, batch, ["uid"], "ts", ["st"], tiebreak=["eid"],
+        collapse_consecutive=False,
+    )
+    key = lambda t: tuple((x is None, x) for x in t)
+    a = sorted(map(tuple, full.collect()), key=key)
+    b = sorted(map(tuple, merged.select(*full.columns).collect()), key=key)
+    assert a == b
+    # the re-emitted 'b' is its OWN run, not absorbed into the open one
+    assert merged.count() == 4
+    # while the DEFAULT flag keeps scd2_intervals' default semantics:
+    # batch 'b' extends the open run
+    collapsed = temporal.scd2_merge(
+        hist, batch, ["uid"], "ts", ["st"], tiebreak=["eid"]
+    )
+    open_run = collapsed.where(F.col("is_current")).first()
+    assert collapsed.count() == 3 and open_run["n_rows"] == 2
 
 
 def test_scd2_last_ts_reserved_name_rejected(spark):
