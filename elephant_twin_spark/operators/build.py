@@ -104,21 +104,22 @@ def write_range_partitioned(
     try:
         _attempt(pinned)
     except Exception as exc:  # noqa: BLE001 — classified below
+        # best-effort release inside the exception path ONLY: the same
+        # cluster instability that caused the failure can make the
+        # release walk fail too, and that must mask neither the
+        # original error nor the recomputable retry
+        try:
+            lifecycle.release(pinned)
+        except Exception:  # noqa: BLE001
+            pass
         if not _is_checkpoint_block_loss(exc):
             raise
-        # best-effort pre-retry release: the same cluster instability
-        # that lost the blocks can make the release walk fail too, and
-        # that must not mask the retry (the finally re-releases)
-        try:
-            lifecycle.release(pinned)
-        except Exception:  # noqa: BLE001
-            pass
         _attempt(df)
-    finally:
-        try:
-            lifecycle.release(pinned)
-        except Exception:  # noqa: BLE001
-            pass
+        return
+    # steady state: a real release failure here must SURFACE (a
+    # silently skipped release on every healthy build would be the
+    # documented long-session leak with no signal)
+    lifecycle.release(pinned)
 
 
 def _is_checkpoint_block_loss(exc: BaseException) -> bool:

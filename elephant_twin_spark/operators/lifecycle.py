@@ -148,14 +148,18 @@ def release(df: DataFrame, caches: bool = False) -> bool:
         if cb is None:
             rel = _probe(leaf, "relation")
             cb = _probe(rel, "cacheBuilder") if rel is not None else None
-        if cb is not None and not cb.isCachedColumnBuffersLoaded():
+        if cb is not None and not cb.isCachedColumnBuffersLoaded() and not caches:
             # a REGISTERED but never-materialized cache is a consumer
             # that hasn't run yet: its first action must still read the
             # checkpoint underneath (lineage is truncated — there is
             # nothing else to materialize from), so do NOT recurse into
             # it. If the caller abandons the cache unconsumed the
             # checkpoint stays pinned — release again after
-            # materializing or unpersisting the cache.
+            # materializing or unpersisting the cache, or pass
+            # ``caches=True``: that is the explicit I-own-these-caches
+            # teardown signal, so the walk proceeds and frees the
+            # checkpoint even under a pending cache (which then cannot
+            # materialize later — teardown means no further reads).
             continue
         if cb is None:
             # AQE wraps the real plan in LEAF nodes: AdaptiveSparkPlanExec
@@ -177,8 +181,9 @@ def release(df: DataFrame, caches: bool = False) -> bool:
             work.extend(
                 cached_leaves.apply(i) for i in range(cached_leaves.size())
             )
-        # only count buffers that were actually materialized — a lazy
-        # never-consumed cache holds nothing to free
+        # only count/clear buffers that were actually materialized — a
+        # pending cache reached via the caches=True teardown path above
+        # holds nothing to free
         if caches and cb.isCachedColumnBuffersLoaded():
             cb.clearCache(False)
             released = True

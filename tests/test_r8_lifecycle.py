@@ -94,6 +94,22 @@ def test_release_skips_checkpoint_under_pending_lazy_cache(spark):
         lifecycle.release(ck)
 
 
+def test_release_caches_true_tears_down_through_pending_cache(spark):
+    """caches=True is the explicit teardown signal: it must free the
+    checkpoint even under a never-materialized cache (the caller is
+    discarding the result without ever running an action — otherwise
+    the blocks would be unreleasable through this call forever)."""
+    ck = lifecycle.pin(
+        spark.range(10_000).selectExpr("id", "id * 11 as v"), escape=True
+    )
+    derived = ck.groupBy((F.col("v") % 3).alias("k")).count().cache()
+    try:
+        # pending cache, teardown intent: the checkpoint underneath is freed
+        assert lifecycle.release(derived, caches=True) is True
+    finally:
+        derived.unpersist(True)
+
+
 def test_release_on_plain_plan_is_noop(spark):
     df = spark.range(100).groupBy((F.col("id") % 3).alias("k")).count()
     assert lifecycle.release(df) is False
@@ -388,6 +404,8 @@ def test_scd2_merge_preserves_non_collapsed_history_runs(spark):
     )
     open_run = collapsed.where(F.col("is_current")).first()
     assert collapsed.count() == 3 and open_run["n_rows"] == 2
+    # the absorbed batch event advances the open run's carried watermark
+    assert open_run["last_ts"] == 40
 
 
 def test_scd2_last_ts_reserved_name_rejected(spark):
