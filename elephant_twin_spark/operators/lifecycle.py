@@ -85,17 +85,32 @@ def release(df: DataFrame, caches: bool = False) -> bool:
     (round-7 verdict: the previous root-only implementation made those
     escaped checkpoints permanently unreleasable).
 
-    ``caches=True`` additionally drops the materialized buffers of any
-    ``df.cache()`` leaf (``InMemoryRelation``) under the plan; the
-    cache entry stays registered, so later use recomputes (and
-    re-caches) instead of failing. It is OFF by default on ownership
-    grounds: checkpoints under our operator results are created BY the
-    operators (caller-release is the contract), but a cache under a
-    derived plan is usually the CALLER's input cache (``docs.cache()``
-    reused across queries) — clearing it here would silently force
-    re-materialization on every later query over that input. Pass
-    ``caches=True`` only for caches the released result owns (e.g.
-    ``jsonl_audit``'s parsed relation).
+    A registered ``df.cache()`` leaf (``InMemoryRelation``) is a
+    BARRIER under the default ``caches=False``: the walk does not
+    recurse beneath it, so a checkpoint hidden under a caller's cache
+    is left alone. That is deliberate cluster-safety, not a limitation
+    (r8 advisor): the cache stays registered, and lineage beneath it is
+    truncated at the checkpoint — freeing the checkpoint while keeping
+    the cache turns the cache into a NON-RECOMPUTABLE snapshot. Local
+    mode never notices (buffers stay resident), but on a real cluster
+    any later cached-block loss (executor loss, memory-pressure
+    eviction) recomputes through the truncated lineage and hard-fails
+    with ``CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND`` in a query that looks
+    nowhere near the release. There is no safe way to keep a registered
+    cache over freed truncated lineage, so the default refuses to
+    create one.
+
+    ``caches=True`` is the explicit TEARDOWN signal — "I own every
+    cache under this plan and I am done with this result": the walk
+    proceeds through cache leaves (pending or materialized), frees the
+    checkpoints beneath them, and drops any materialized buffers. The
+    cache entries stay registered; whether later use works depends on
+    what was underneath — a cache over a plain source plan (e.g.
+    ``jsonl_audit``'s parsed relation) recomputes and re-caches, while
+    a cache over a freed checkpoint cannot materialize again (teardown
+    means no further reads). It is OFF by default on ownership grounds:
+    a cache under a derived plan is usually the CALLER's input cache
+    (``docs.cache()`` reused across queries).
 
     Releases every checkpoint under the plan, including one the CALLER
     pinned and joined in — release only when all consumers of every
@@ -108,8 +123,15 @@ def release(df: DataFrame, caches: bool = False) -> bool:
     try:
         # withCachedData, not analyzed: cache substitution happens there,
         # so df.cache() leaves surface as InMemoryRelation; checkpoint
-        # LogicalRDD leaves pass through unchanged
-        leaves = df._jdf.queryExecution().withCachedData().collectLeaves()
+        # LogicalRDD leaves pass through unchanged. Walk a FRESH
+        # QueryExecution (df.alias creates a new Dataset over the same
+        # plan): Dataset memoizes its queryExecution, so walking
+        # df._jdf's own would see the cache registry as of the df's
+        # FIRST action — a cache the caller since unpersisted would
+        # still read as a barrier (silent leak), and a cache registered
+        # later would be missed and freed out from under the caller.
+        probe = df.alias("_ets_release_probe")
+        leaves = probe._jdf.queryExecution().withCachedData().collectLeaves()
     except Py4JJavaError:
         raise
     except Py4JError:
@@ -137,29 +159,25 @@ def release(df: DataFrame, caches: bool = False) -> bool:
                 released = True
             continue
         # cache leaves: logical InMemoryRelation exposes cacheBuilder()
-        # directly, physical InMemoryTableScanExec via relation(). A
-        # cache SUBSTITUTION swallows the subtree it matched, so a
-        # checkpoint under a caller's df.cache() would be invisible to
-        # the top-level walk — recurse into the cached physical plan's
-        # leaves to find it (r8 review finding: without this, caching a
-        # returned result re-created the unreleasable-checkpoint leak
-        # this function exists to close)
+        # directly, physical InMemoryTableScanExec via relation().
         cb = _probe(leaf, "cacheBuilder")
         if cb is None:
             rel = _probe(leaf, "relation")
             cb = _probe(rel, "cacheBuilder") if rel is not None else None
-        if cb is not None and not cb.isCachedColumnBuffersLoaded() and not caches:
-            # a REGISTERED but never-materialized cache is a consumer
-            # that hasn't run yet: its first action must still read the
-            # checkpoint underneath (lineage is truncated — there is
-            # nothing else to materialize from), so do NOT recurse into
-            # it. If the caller abandons the cache unconsumed the
-            # checkpoint stays pinned — release again after
-            # materializing or unpersisting the cache, or pass
-            # ``caches=True``: that is the explicit I-own-these-caches
-            # teardown signal, so the walk proceeds and frees the
-            # checkpoint even under a pending cache (which then cannot
-            # materialize later — teardown means no further reads).
+        if cb is not None and not caches:
+            # a REGISTERED cache is a live consumer of whatever sits
+            # beneath it, in BOTH states: pending (its first action must
+            # still read the checkpoint — lineage is truncated, there is
+            # nothing else to materialize from) and materialized (the
+            # buffers serve reads today, but any cached-block loss on a
+            # real cluster recomputes through the truncated lineage —
+            # freeing the checkpoint would make that a hard failure, see
+            # docstring). Either way the cache is a barrier: do NOT
+            # recurse. To free the checkpoint underneath, either
+            # unpersist the cache first and release again, or pass
+            # ``caches=True`` — the explicit I-own-these-caches teardown
+            # signal (after which the cache cannot materialize again —
+            # teardown means no further reads).
             continue
         if cb is None:
             # AQE wraps the real plan in LEAF nodes: AdaptiveSparkPlanExec
@@ -175,16 +193,15 @@ def release(df: DataFrame, caches: bool = False) -> bool:
                     il = inner.collectLeaves()
                     work.extend(il.apply(i) for i in range(il.size()))
             continue
+        # caches=True teardown: free the checkpoints beneath the cache
+        # and any materialized buffers (a pending cache holds nothing)
         inner = _probe(cb, "cachedPlan")
         if inner is not None:
             cached_leaves = inner.collectLeaves()
             work.extend(
                 cached_leaves.apply(i) for i in range(cached_leaves.size())
             )
-        # only count/clear buffers that were actually materialized — a
-        # pending cache reached via the caches=True teardown path above
-        # holds nothing to free
-        if caches and cb.isCachedColumnBuffersLoaded():
+        if cb.isCachedColumnBuffersLoaded():
             cb.clearCache(False)
             released = True
     return released
@@ -200,15 +217,38 @@ def checkpoint_scope() -> Iterator[List[DataFrame]]:
             n = dedup.minhash_near_dup_pairs(docs, "text", "doc_id").count()
         # candidate/shingle checkpoint blocks are freed here
 
-    Scopes nest; each releases only its own pins."""
+    Scopes nest; each releases only its own pins.
+
+    Exit is all-or-log, never first-failure-stops (r8 advisor): each
+    pin is released in its own try, so one bad release cannot leak
+    every LATER pin for the session's lifetime. Release failures are
+    re-raised as one aggregate ``ExceptionGroup`` AFTER the loop — and
+    only when the scope body completed normally: when the body is
+    already unwinding an exception, release failures must not replace
+    it (the same cluster instability usually caused both), so they are
+    swallowed after the per-pin attempts."""
     pinned: List[DataFrame] = []
     _scopes().append(pinned)
+    body_failed = False
     try:
         yield pinned
+    except BaseException:
+        body_failed = True
+        raise
     finally:
         _scopes().pop()
+        failures: List[Exception] = []
         for df in pinned:
-            release(df)
+            try:
+                release(df)
+            except Exception as exc:  # noqa: BLE001 — aggregated below
+                failures.append(exc)
+        if failures and not body_failed:
+            raise ExceptionGroup(
+                "checkpoint_scope: release failed for "
+                f"{len(failures)}/{len(pinned)} pinned checkpoints",
+                failures,
+            )
 
 
 def storage_snapshot(spark) -> dict:

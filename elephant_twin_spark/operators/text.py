@@ -286,10 +286,9 @@ def build_text_index(
     # the written parquet). Released before returning.
     from elephant_twin_spark.operators import build as build_mod, lifecycle
 
-    pinned = lifecycle.pin(postings, escape=True)
-    try:
+    def _span(src: DataFrame) -> None:
         build_mod.write_range_partitioned(
-            pinned, num_buckets, "term", ("term", "doc_id"),
+            src, num_buckets, "term", ("term", "doc_id"),
             f"{idx_dir}/postings", bloom_col="term", pin_input=False,
         )
         # doc-length norms for BM25 (the Lucene "norms" analog, T2) plus
@@ -302,7 +301,7 @@ def build_text_index(
         # restored by an id anti-join with dl=0/norm NULL, matching
         # doclens_for's explode_outer semantics (that function still
         # serves the incremental-refresh delta path).
-        doclens = doclens_agg(pinned)
+        doclens = doclens_agg(src)
         src_ids = df.select(
             F.col(doc_id_column).alias("doc_id"),
             fsio.normalize_path_col(F.col("_metadata.file_path")).alias("file"),
@@ -315,11 +314,39 @@ def build_text_index(
             F.lit(None).cast("double").alias("norm"),
             "file",
         )
-        doclens = doclens.select("doc_id", "dl", "norm", "file").unionByName(tokenless)
-        doclens.coalesce(max(1, num_buckets // 4)).write.mode("overwrite").parquet(
+        out = doclens.select("doc_id", "dl", "norm", "file").unionByName(tokenless)
+        out.coalesce(max(1, num_buckets // 4)).write.mode("overwrite").parquet(
             f"{idx_dir}/doclens"
         )
-    finally:
+
+    # Same fault-tolerance contract as build.write_range_partitioned's
+    # pin_input=True path (r8 advisor — this caller pins itself, so it
+    # must carry its own retry): a local checkpoint truncates lineage,
+    # so an executor lost between pin and commit fails the span with
+    # CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND instead of recomputing. Both
+    # writes are mode("overwrite") and therefore idempotent — on block
+    # loss, fall back ONCE to the original recomputable postings plan
+    # (steady state keeps the tokenize/aggregate-once saving; the rare
+    # lost-block case degrades to the pre-pin cost, not a failed build).
+    pinned = lifecycle.pin(postings, escape=True)
+    try:
+        _span(pinned)
+    except Exception as exc:  # noqa: BLE001 — classified below
+        # best-effort release inside the exception path ONLY: the same
+        # cluster instability that caused the failure can make the
+        # release walk fail too, and that must mask neither the
+        # original error nor the recomputable retry
+        try:
+            lifecycle.release(pinned)
+        except Exception:  # noqa: BLE001
+            pass
+        if not build_mod._is_checkpoint_block_loss(exc):
+            raise
+        _span(postings)
+    else:
+        # steady state: a real release failure here must SURFACE (a
+        # silently skipped release on every healthy build would be the
+        # documented long-session leak with no signal)
         lifecycle.release(pinned)
     # corpus stats from the just-written table, not the doclens lineage:
     # re-evaluating the lineage would re-tokenize the whole corpus

@@ -44,13 +44,15 @@ def test_release_frees_escaped_checkpoint_under_derived_plan(spark):
     assert snap["n_rdds"] <= base_rdds
 
 
-def test_release_finds_checkpoint_under_callers_cache(spark):
-    """A caller that .cache()s a result derived from an escaped
-    checkpoint must still be able to free the checkpoint: cache
-    substitution swallows the matched subtree, so the walk has to
-    recurse into the cached plan's own leaves (r8 review finding —
-    without that, release(derived) returned False and the blocks
-    leaked for the session)."""
+def test_release_treats_materialized_cache_as_barrier(spark):
+    """A MATERIALIZED caller cache over a checkpoint-derived result is
+    a barrier under caches=False (r8 advisor): freeing the checkpoint
+    while the cache stays registered would leave a non-recomputable
+    snapshot — local reads keep working, but on a real cluster any
+    later cached-block loss recomputes through the truncated lineage
+    and hard-fails. The checkpoint becomes freeable only once the
+    caller unpersists the cache (or signals teardown with
+    caches=True)."""
     base = lifecycle.storage_snapshot(spark)["n_rdds"]
     ck = lifecycle.pin(
         spark.range(50_000).selectExpr("id", "id * 3 as v"), escape=True
@@ -58,18 +60,16 @@ def test_release_finds_checkpoint_under_callers_cache(spark):
     derived = ck.groupBy((F.col("v") % 5).alias("k")).count().cache()
     try:
         assert derived.count() == 5
-        # checkpoint blocks found and freed THROUGH the InMemoryRelation;
-        # the cache's own buffers stay (caches=False — caller owns them)
-        assert lifecycle.release(derived) is True
-        snap = _wait_storage(
-            spark, lambda s: s["n_rdds"] <= base + 1  # cache remains
-        )
-        assert snap["n_rdds"] <= base + 1
-        # cached buffers still serve reads (no recompute through the
-        # truncated lineage needed)
+        # barrier: nothing freed, the cache stays safely recomputable
+        assert lifecycle.release(derived) is False
+        assert lifecycle.storage_snapshot(spark)["n_rdds"] >= base + 2
         assert derived.count() == 5
     finally:
         derived.unpersist(True)
+    # cache gone -> the checkpoint is reachable again and freeable
+    assert lifecycle.release(derived) is True
+    snap = _wait_storage(spark, lambda s: s["n_rdds"] <= base)
+    assert snap["n_rdds"] <= base
 
 
 def test_release_skips_checkpoint_under_pending_lazy_cache(spark):
@@ -77,7 +77,9 @@ def test_release_skips_checkpoint_under_pending_lazy_cache(spark):
     able to materialize through the checkpoint later: release() must
     not free blocks its first action will need (r8 review finding —
     recursing into a pending cache turned the old silent leak into a
-    later CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND)."""
+    later CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND). Materializing does not
+    lift the barrier (r8 advisor — see the barrier test above); only
+    unpersisting the cache does."""
     ck = lifecycle.pin(
         spark.range(10_000).selectExpr("id", "id * 5 as v"), escape=True
     )
@@ -87,11 +89,11 @@ def test_release_skips_checkpoint_under_pending_lazy_cache(spark):
         assert lifecycle.release(derived) is False
         # first materialization reads the (still live) checkpoint
         assert derived.count() == 4
-        # now consumed: release finds and frees the checkpoint
-        assert lifecycle.release(derived) is True
+        # still a barrier while the cache is registered
+        assert lifecycle.release(derived) is False
     finally:
         derived.unpersist(True)
-        lifecycle.release(ck)
+    assert lifecycle.release(derived) is True
 
 
 def test_release_caches_true_tears_down_through_pending_cache(spark):
