@@ -102,11 +102,20 @@ def build_lsh_index(
         df, text_column, id_column,
         num_perm=num_perm, num_bands=num_bands, shingle_k=shingle_k, hash_fn=hash_fn,
     )
-    # pinned write: the banding aggregate (shingle -> minhash -> band)
-    # runs once instead of twice (range sampling + write; see
-    # build.write_range_partitioned)
+    # UNPINNED write (pin_input=False): banding is shuffle-free narrow
+    # compute (shingle -> minhash -> band, all vectorized hashing), so
+    # the double evaluation the pin would avoid (range sampling + write)
+    # costs less than eagerly checkpointing a corpus-cardinality table
+    # (#docs x #bands rows) into the block manager — measured sf0.1
+    # A/B: cold build 4.09 s pinned vs 1.97 s unpinned, steady state a
+    # wash (0.99 vs 1.10 s; SCALE_EXPERIMENTS.md r9). This is the
+    # "don't pin corpus-sized range writes" rule from
+    # build.write_range_partitioned's docstring; pinning pays only when
+    # the input is the OUTPUT of an expensive shuffle aggregate (text
+    # postings, block-index range merges).
     build_mod.write_range_partitioned(
-        bands, num_buckets, "band_hash", ("band_hash", "id"), f"{idx_dir}/bands"
+        bands, num_buckets, "band_hash", ("band_hash", "id"),
+        f"{idx_dir}/bands", pin_input=False,
     )
     files = fsio.list_data_files(spark, table_path)
     desc = catalog.make_descriptor(

@@ -435,10 +435,16 @@ def refresh_lsh_index(
         merged = kept.unionByName(delta)
 
     tmp_dir = f"{idx_dir}/bands_tmp"
-    # pinned write: the delta's banding aggregate runs once instead of
-    # twice (see build.write_range_partitioned)
+    # UNPINNED write: both sides of the merge are cheap to evaluate
+    # twice — `kept` is a parquet re-read of the existing bands table
+    # and the delta's banding is shuffle-free narrow hashing — while
+    # pinning would eagerly checkpoint the ENTIRE merged bands table
+    # (corpus cardinality) to save that; same measured trade as
+    # build_lsh_index (SCALE_EXPERIMENTS.md r9). The postings refreshes
+    # above keep the pin: their deltas are real shuffle aggregates.
     build_mod.write_range_partitioned(
-        merged, desc.num_buckets, "band_hash", ("band_hash", "id"), tmp_dir
+        merged, desc.num_buckets, "band_hash", ("band_hash", "id"), tmp_dir,
+        pin_input=False,
     )
     fsio.delete(spark, data_dir)
     fs, _, _ = fsio._fs_and_path(spark, idx_dir)
