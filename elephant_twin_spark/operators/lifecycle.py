@@ -62,7 +62,9 @@ def pin(df: DataFrame, eager: bool = True, escape: bool = False) -> DataFrame:
     truncated, so release is unrecoverable). Escaped checkpoints are
     caller-owned: free them with :func:`release` when done — release
     works on the checkpointed DataFrame itself AND on any result
-    derived from it, so operators need not hand the raw handle back."""
+    derived from it, so operators need not hand the raw handle back
+    (a caller-registered ``cache()`` over the result is a release
+    barrier, though — see :func:`release`)."""
     out = df.localCheckpoint(eager)
     if not escape:
         scopes = _scopes()

@@ -50,7 +50,10 @@ def clean_corpus(
     consumed with ``lifecycle.release(audit)`` — release walks the
     derived plan and frees every checkpoint leaf under it (the gate
     checkpoint is shared by ``cleaned``, so neither result is usable
-    after)."""
+    after). If you ``cache()`` a result, the registered cache is a
+    release BARRIER (cluster-safety — see ``lifecycle.release``):
+    unpersist it first, or tear down with ``release(..., caches=True)``.
+    """
     feats = textstats.repetition_ratio(
         textstats.lang_id(dedup._fan_out(df), text_col), text_col, out_col="_rep"
     ).select(

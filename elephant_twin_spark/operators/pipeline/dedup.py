@@ -561,6 +561,10 @@ def connected_components(
     survives them). In a long-lived session, free its blocks with
     ``lifecycle.release(result)`` once consumed — release walks the
     derived plan to the checkpoint leaf; the result is unusable after.
+    If you ``cache()`` the result, the registered cache is a release
+    BARRIER (freeing the checkpoint under a live cache would leave a
+    non-recomputable snapshot on a real cluster) — unpersist the cache
+    first, or tear both down with ``release(result, caches=True)``.
     """
     edges = (
         pairs.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
