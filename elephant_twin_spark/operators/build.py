@@ -61,20 +61,28 @@ def write_range_partitioned(
     shuffle MAP stages are reused (skipped stages), the reduce-side
     aggregate above the last shuffle runs twice. For every index build
     that aggregate is the expensive part (tokenize/explode +
-    ``collect_list`` postings, the higher-order range merge, minhash
-    banding), so ``pin_input=True`` localCheckpoints the input first:
-    sampling and write both read the materialized blocks and the
-    aggregate runs exactly once (measured 13.6→4.8 s cold / 3.9→3.1 s
-    warm on the sf0.1 text build). The pinned relation is the POSTINGS
-    table — output of the aggregate, orders of magnitude smaller than
-    the corpus — so materializing it is the cheap side of the trade at
-    any scale; blocks are released as soon as the write commits. Do NOT
-    pin when range-partitioning raw corpus-sized data
-    (``layout.zorder_table``/``compact_table`` deliberately re-scan the
-    source instead of pinning a corpus-width relation).
+    ``collect_list`` postings, the higher-order range merge), so
+    ``pin_input=True`` localCheckpoints the input first: sampling and
+    write both read the materialized blocks and the aggregate runs
+    exactly once (measured 13.6→4.8 s cold / 3.9→3.1 s warm on the
+    sf0.1 text build). The pinned relation is the POSTINGS table —
+    output of the aggregate, orders of magnitude smaller than the
+    corpus — so materializing it is the cheap side of the trade at any
+    scale; blocks are released as soon as the write commits.
 
-    ``pin_input=False`` is for callers that already hold a materialized
-    input (``build_text_index`` pins once and reuses it for doclens).
+    Choosing the flag — pin ONLY when the input is the output of an
+    expensive shuffle aggregate. Pass ``pin_input=False`` when either:
+
+    * the input plan is NARROW (no shuffle above the scan): the double
+      evaluation costs one extra map pass, cheaper than eagerly
+      checkpointing a corpus-cardinality relation into the block
+      manager — LSH banding is pure hashing, measured cold 4.09 s
+      pinned vs 1.97 s unpinned at sf0.1 (SCALE_EXPERIMENTS.md r9);
+      ``layout.zorder_table``/``compact_table`` re-scan the raw source
+      for the same reason; or
+    * the caller already holds a pinned/materialized input and reuses
+      it beyond this write (``build_text_index`` pins once via
+      :func:`run_pinned_with_retry` and reuses it for doclens).
 
     Fault tolerance: a local checkpoint TRUNCATES lineage, so on a real
     cluster an executor lost between pin and commit makes the write fail
@@ -100,9 +108,28 @@ def write_range_partitioned(
     if not pin_input:
         _attempt(df)
         return
+    run_pinned_with_retry(df, _attempt)
+
+
+def run_pinned_with_retry(df: DataFrame, span) -> None:
+    """Run ``span(pinned)`` over a localCheckpoint-pinned copy of
+    ``df``, falling back ONCE to ``span(df)`` (the original
+    recomputable plan) on lost checkpoint blocks.
+
+    This is the shared fault-tolerance scaffold for every pinned
+    write (``write_range_partitioned``'s pin_input=True path,
+    ``text.build_text_index``'s write+doclens span — r9 review: two
+    hand-rolled copies had already drifted once, the text site
+    shipping without the retry): a local checkpoint truncates lineage,
+    so an executor lost between pin and commit fails the span with
+    ``CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND`` where the unpinned plan
+    would have recomputed. ``span`` must be overwrite-idempotent (all
+    call sites are ``mode("overwrite")`` writes); the steady state
+    keeps the evaluate-once saving, the rare lost-block case degrades
+    to the pre-pin cost instead of a failed job."""
     pinned = lifecycle.pin(df, escape=True)
     try:
-        _attempt(pinned)
+        span(pinned)
     except Exception as exc:  # noqa: BLE001 — classified below
         # best-effort release inside the exception path ONLY: the same
         # cluster instability that caused the failure can make the
@@ -114,7 +141,7 @@ def write_range_partitioned(
             pass
         if not _is_checkpoint_block_loss(exc):
             raise
-        _attempt(df)
+        span(df)
         return
     # steady state: a real release failure here must SURFACE (a
     # silently skipped release on every healthy build would be the

@@ -42,6 +42,16 @@ from pyspark.sql import DataFrame
 # on a shared driver) must not release each other's checkpoints
 _local = threading.local()
 
+try:  # ExceptionGroup is a 3.11+ builtin; the repo sets no hard floor
+    _ExceptionGroup = ExceptionGroup
+except NameError:  # pragma: no cover — pre-3.11 interpreters
+    class _ExceptionGroup(Exception):  # type: ignore[no-redef]
+        """Minimal stand-in: carries .exceptions like the builtin."""
+
+        def __init__(self, message, exceptions):
+            super().__init__(f"{message}: {[repr(e) for e in exceptions]}")
+            self.exceptions = tuple(exceptions)
+
 
 def _scopes() -> List[List[DataFrame]]:
     if not hasattr(_local, "scopes"):
@@ -87,25 +97,36 @@ def release(df: DataFrame, caches: bool = False) -> bool:
     (round-7 verdict: the previous root-only implementation made those
     escaped checkpoints permanently unreleasable).
 
-    A registered ``df.cache()`` leaf (``InMemoryRelation``) is a
-    BARRIER under the default ``caches=False``: the walk does not
-    recurse beneath it, so a checkpoint hidden under a caller's cache
-    is left alone. That is deliberate cluster-safety, not a limitation
-    (r8 advisor): the cache stays registered, and lineage beneath it is
-    truncated at the checkpoint — freeing the checkpoint while keeping
-    the cache turns the cache into a NON-RECOMPUTABLE snapshot. Local
-    mode never notices (buffers stay resident), but on a real cluster
-    any later cached-block loss (executor loss, memory-pressure
-    eviction) recomputes through the truncated lineage and hard-fails
-    with ``CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND`` in a query that looks
-    nowhere near the release. There is no safe way to keep a registered
-    cache over freed truncated lineage, so the default refuses to
-    create one.
+    A registered ``df.cache()`` is a BARRIER under the default
+    ``caches=False``: an RDD that any live cache still depends on is
+    never unpersisted. That is deliberate cluster-safety, not a
+    limitation (r8 advisor): the cache stays registered, and lineage
+    beneath it is truncated at the checkpoint — freeing the checkpoint
+    while keeping the cache turns the cache into a NON-RECOMPUTABLE
+    snapshot. Local mode never notices (buffers stay resident), but on
+    a real cluster any later cached-block loss (executor loss,
+    memory-pressure eviction) recomputes through the truncated lineage
+    and hard-fails with ``CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND`` in a
+    query that looks nowhere near the release. There is no safe way to
+    keep a registered cache over freed truncated lineage, so the
+    default refuses to create one.
+
+    The barrier is GLOBAL, not plan-local (r9 review finding): a cache
+    registered on a SIBLING result that shares the checkpoint — e.g.
+    ``clean_corpus`` returns ``(cleaned, audit)`` over one gate
+    checkpoint, and the caller does ``cleaned.cache()`` then
+    ``release(audit)`` — protects the shared checkpoint even though no
+    cache appears anywhere in the released plan. The protected set is
+    read from the session's CacheManager registry; if that (private,
+    reflection-read) registry is unreachable on some future Spark, the
+    walk degrades to the plan-local barrier with a warning.
 
     ``caches=True`` is the explicit TEARDOWN signal — "I own every
     cache under this plan and I am done with this result": the walk
     proceeds through cache leaves (pending or materialized), frees the
-    checkpoints beneath them, and drops any materialized buffers. The
+    checkpoints beneath them, and drops any materialized buffers.
+    Caches NOT under the released plan still protect their RDDs —
+    ownership extends exactly to the plan you pass. The torn-down
     cache entries stay registered; whether later use works depends on
     what was underneath — a cache over a plain source plan (e.g.
     ``jsonl_audit``'s parsed relation) recomputes and re-caches, while
@@ -121,7 +142,6 @@ def release(df: DataFrame, caches: bool = False) -> bool:
     instead of being silently swallowed as a skipped leaf."""
     from py4j.protocol import Py4JError, Py4JJavaError
 
-    released = False
     try:
         # withCachedData, not analyzed: cache substitution happens there,
         # so df.cache() leaves surface as InMemoryRelation; checkpoint
@@ -149,64 +169,126 @@ def release(df: DataFrame, caches: bool = False) -> bool:
         except Py4JError:
             return None
 
-    work = [leaves.apply(i) for i in range(leaves.size())]
-    while work:
-        leaf = work.pop()
-        # checkpoint / createDataFrame-from-RDD leaves expose .rdd()
-        # (logical LogicalRDD and physical RDDScanExec alike)
-        rdd = _probe(leaf, "rdd")
-        if rdd is not None:
-            if rdd.getStorageLevel().isValid():
-                rdd.unpersist(False)
-                released = True
-            continue
-        # cache leaves: logical InMemoryRelation exposes cacheBuilder()
-        # directly, physical InMemoryTableScanExec via relation().
-        cb = _probe(leaf, "cacheBuilder")
-        if cb is None:
-            rel = _probe(leaf, "relation")
-            cb = _probe(rel, "cacheBuilder") if rel is not None else None
-        if cb is not None and not caches:
-            # a REGISTERED cache is a live consumer of whatever sits
-            # beneath it, in BOTH states: pending (its first action must
-            # still read the checkpoint — lineage is truncated, there is
-            # nothing else to materialize from) and materialized (the
-            # buffers serve reads today, but any cached-block loss on a
-            # real cluster recomputes through the truncated lineage —
-            # freeing the checkpoint would make that a hard failure, see
-            # docstring). Either way the cache is a barrier: do NOT
-            # recurse. To free the checkpoint underneath, either
-            # unpersist the cache first and release again, or pass
-            # ``caches=True`` — the explicit I-own-these-caches teardown
-            # signal (after which the cache cannot materialize again —
-            # teardown means no further reads).
-            continue
-        if cb is None:
-            # AQE wraps the real plan in LEAF nodes: AdaptiveSparkPlanExec
-            # (exposes inputPlan/executedPlan) and QueryStageExec
-            # (exposes plan). Recurse through every wrapper accessor the
-            # node answers — inputPlan reaches the pre-AQE tree whose
-            # leaves are the actual scans, executedPlan/plan cover
-            # already-materialized stages; visiting the same RDD twice
-            # is harmless (unpersist is idempotent).
+    def _iter_leaves(nodes, through_caches):
+        """DFS over plan leaves yielding ``("rdd", rdd)`` for RDD-backed
+        leaves (checkpoint LogicalRDD / RDDScanExec) and ``("cache",
+        cacheBuilder)`` for cache leaves (logical InMemoryRelation
+        exposes cacheBuilder() directly, physical InMemoryTableScanExec
+        via relation()). AQE wrapper LEAF nodes (AdaptiveSparkPlanExec
+        exposes inputPlan/executedPlan, QueryStageExec exposes plan)
+        are always traversed — inputPlan reaches the pre-AQE tree whose
+        leaves are the actual scans, executedPlan/plan cover
+        already-materialized stages; visiting an RDD twice is harmless.
+        Cache leaves are traversed only when ``through_caches``."""
+        work = list(nodes)
+        while work:
+            leaf = work.pop()
+            rdd = _probe(leaf, "rdd")
+            if rdd is not None:
+                yield ("rdd", rdd)
+                continue
+            cb = _probe(leaf, "cacheBuilder")
+            if cb is None:
+                rel = _probe(leaf, "relation")
+                cb = _probe(rel, "cacheBuilder") if rel is not None else None
+            if cb is not None:
+                yield ("cache", cb)
+                if through_caches:
+                    inner = _probe(cb, "cachedPlan")
+                    if inner is not None:
+                        il = inner.collectLeaves()
+                        work.extend(il.apply(i) for i in range(il.size()))
+                continue
             for m in ("inputPlan", "executedPlan", "plan"):
                 inner = _probe(leaf, m)
                 if inner is not None:
                     il = inner.collectLeaves()
                     work.extend(il.apply(i) for i in range(il.size()))
-            continue
-        # caches=True teardown: free the checkpoints beneath the cache
-        # and any materialized buffers (a pending cache holds nothing)
-        inner = _probe(cb, "cachedPlan")
-        if inner is not None:
-            cached_leaves = inner.collectLeaves()
-            work.extend(
-                cached_leaves.apply(i) for i in range(cached_leaves.size())
-            )
-        if cb.isCachedColumnBuffersLoaded():
-            cb.clearCache(False)
-            released = True
+
+    top = [leaves.apply(i) for i in range(leaves.size())]
+
+    # caches=True means the caller owns exactly the caches under the
+    # released plan (nested ones included — teardown recurses through
+    # them); everything else in the registry keeps its protection
+    owned_cbs = (
+        [o for kind, o in _iter_leaves(top, through_caches=True) if kind == "cache"]
+        if caches
+        else []
+    )
+    protected = _protected_rdd_ids(df.sparkSession, owned_cbs, _probe, _iter_leaves)
+
+    released = False
+    for kind, obj in _iter_leaves(top, through_caches=caches):
+        if kind == "rdd":
+            if obj.id() in protected:
+                # some live cache OUTSIDE the released plan (a sibling
+                # result sharing this checkpoint, a caller cache over a
+                # different derivation) still depends on this RDD —
+                # barrier, exactly as if the cache sat in this plan
+                # (r9 review finding: the plan-local walk alone misses
+                # the clean_corpus (cleaned, audit) shape)
+                continue
+            if obj.getStorageLevel().isValid():
+                obj.unpersist(False)
+                released = True
+        else:
+            # cache leaf in the released plan. caches=False: barrier —
+            # through_caches was False so nothing beneath was yielded;
+            # unpersist the cache first or pass caches=True to free the
+            # checkpoint underneath. caches=True: teardown — drop any
+            # materialized buffers (a pending cache holds nothing).
+            if caches and obj.isCachedColumnBuffersLoaded():
+                obj.clearCache(False)
+                released = True
     return released
+
+
+def _protected_rdd_ids(spark, owned_cbs, probe, iter_leaves) -> frozenset:
+    """RDD ids that some REGISTERED cache outside ``owned_cbs`` can
+    still need for re-materialization: the union of RDD-backed leaves
+    under every CacheManager entry's cached physical plan, recursing
+    through nested caches (conservative: a non-owned outer cache
+    protects everything beneath it, even under an owned inner one).
+
+    The registry (``CacheManager.cachedData``) is private — read via
+    Java reflection, the only way py4j can enumerate live cache entries
+    (the public surface only answers per-plan lookups). Read-only; if
+    the field moves on a future Spark the walk degrades to the
+    plan-local barrier with a warning rather than failing the release.
+    """
+    from py4j.protocol import Py4JError
+
+    try:
+        cm = spark._jsparkSession.sharedState().cacheManager()
+        if cm.isEmpty():
+            return frozenset()
+        fld = cm.getClass().getDeclaredField("cachedData")
+        fld.setAccessible(True)
+        entries = fld.get(cm)
+        ids = set()
+        for i in range(entries.size()):
+            cb = entries.apply(i).cachedRepresentation().cacheBuilder()
+            if any(cb.equals(o) for o in owned_cbs):
+                continue
+            plan = cb.cachedPlan()
+            pl = plan.collectLeaves()
+            nodes = [pl.apply(j) for j in range(pl.size())]
+            for kind, obj in iter_leaves(nodes, through_caches=True):
+                if kind == "rdd":
+                    ids.add(obj.id())
+        return frozenset(ids)
+    except Py4JError:  # noqa: BLE001 — degrade, don't fail the release
+        import warnings
+
+        warnings.warn(
+            "elephant_twin_spark.lifecycle: CacheManager registry "
+            "unreadable; release() falls back to the plan-local cache "
+            "barrier (caches on sibling plans will not protect shared "
+            "checkpoints)",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+        return frozenset()
 
 
 @contextmanager
@@ -246,7 +328,7 @@ def checkpoint_scope() -> Iterator[List[DataFrame]]:
             except Exception as exc:  # noqa: BLE001 — aggregated below
                 failures.append(exc)
         if failures and not body_failed:
-            raise ExceptionGroup(
+            raise _ExceptionGroup(
                 "checkpoint_scope: release failed for "
                 f"{len(failures)}/{len(pinned)} pinned checkpoints",
                 failures,

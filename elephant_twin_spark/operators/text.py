@@ -284,7 +284,7 @@ def build_text_index(
     # tokenized + aggregated exactly once per build (previously the
     # sampling job re-ran the reduce-side aggregate and doclens re-read
     # the written parquet). Released before returning.
-    from elephant_twin_spark.operators import build as build_mod, lifecycle
+    from elephant_twin_spark.operators import build as build_mod
 
     def _span(src: DataFrame) -> None:
         build_mod.write_range_partitioned(
@@ -319,35 +319,13 @@ def build_text_index(
             f"{idx_dir}/doclens"
         )
 
-    # Same fault-tolerance contract as build.write_range_partitioned's
-    # pin_input=True path (r8 advisor — this caller pins itself, so it
-    # must carry its own retry): a local checkpoint truncates lineage,
-    # so an executor lost between pin and commit fails the span with
-    # CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND instead of recomputing. Both
-    # writes are mode("overwrite") and therefore idempotent — on block
-    # loss, fall back ONCE to the original recomputable postings plan
-    # (steady state keeps the tokenize/aggregate-once saving; the rare
-    # lost-block case degrades to the pre-pin cost, not a failed build).
-    pinned = lifecycle.pin(postings, escape=True)
-    try:
-        _span(pinned)
-    except Exception as exc:  # noqa: BLE001 — classified below
-        # best-effort release inside the exception path ONLY: the same
-        # cluster instability that caused the failure can make the
-        # release walk fail too, and that must mask neither the
-        # original error nor the recomputable retry
-        try:
-            lifecycle.release(pinned)
-        except Exception:  # noqa: BLE001
-            pass
-        if not build_mod._is_checkpoint_block_loss(exc):
-            raise
-        _span(postings)
-    else:
-        # steady state: a real release failure here must SURFACE (a
-        # silently skipped release on every healthy build would be the
-        # documented long-session leak with no signal)
-        lifecycle.release(pinned)
+    # Pin the postings once for the whole span (both writes are
+    # mode("overwrite"), so the span is retry-idempotent); the shared
+    # scaffold handles lost-checkpoint-block fallback and the
+    # release-without-masking discipline (r8 advisor — this caller
+    # pins itself, so it needs the same retry as the pin_input=True
+    # path inside write_range_partitioned).
+    build_mod.run_pinned_with_retry(postings, _span)
     # corpus stats from the just-written table, not the doclens lineage:
     # re-evaluating the lineage would re-tokenize the whole corpus
     stats = spark.read.parquet(f"{idx_dir}/doclens").agg(

@@ -58,6 +58,7 @@ def test_release_treats_materialized_cache_as_barrier(spark):
         spark.range(50_000).selectExpr("id", "id * 3 as v"), escape=True
     )
     derived = ck.groupBy((F.col("v") % 5).alias("k")).count().cache()
+    released_after = None
     try:
         assert derived.count() == 5
         # barrier: nothing freed, the cache stays safely recomputable
@@ -65,9 +66,12 @@ def test_release_treats_materialized_cache_as_barrier(spark):
         assert lifecycle.storage_snapshot(spark)["n_rdds"] >= base + 2
         assert derived.count() == 5
     finally:
+        # unconditional cleanup: even on assertion failure the escaped
+        # checkpoint must not leak into the shared session
         derived.unpersist(True)
+        released_after = lifecycle.release(derived)
     # cache gone -> the checkpoint is reachable again and freeable
-    assert lifecycle.release(derived) is True
+    assert released_after is True
     snap = _wait_storage(spark, lambda s: s["n_rdds"] <= base)
     assert snap["n_rdds"] <= base
 
@@ -84,6 +88,7 @@ def test_release_skips_checkpoint_under_pending_lazy_cache(spark):
         spark.range(10_000).selectExpr("id", "id * 5 as v"), escape=True
     )
     derived = ck.groupBy((F.col("v") % 4).alias("k")).count().cache()
+    released_after = None
     try:
         # no action yet — the cache is pending
         assert lifecycle.release(derived) is False
@@ -93,7 +98,8 @@ def test_release_skips_checkpoint_under_pending_lazy_cache(spark):
         assert lifecycle.release(derived) is False
     finally:
         derived.unpersist(True)
-    assert lifecycle.release(derived) is True
+        released_after = lifecycle.release(derived)
+    assert released_after is True
 
 
 def test_release_caches_true_tears_down_through_pending_cache(spark):

@@ -84,6 +84,61 @@ def test_release_sees_cache_registered_after_first_action(spark):
     assert lifecycle.release(derived) is True
 
 
+def test_release_barrier_covers_sibling_cached_result(spark):
+    """The barrier must be GLOBAL, not plan-local (r9 review finding,
+    verified live before the fix): with two results sharing one escaped
+    checkpoint — the clean_corpus (cleaned, audit) shape — a cache on
+    ONE sibling never appears in the OTHER's plan, so a plan-local walk
+    would free the shared checkpoint out from under the registered
+    cache (the exact non-recomputable-snapshot hazard the barrier
+    exists to prevent)."""
+    ck = lifecycle.pin(
+        spark.range(10_000).selectExpr("id", "id * 3 as v"), escape=True
+    )
+    cleaned = ck.where("v % 2 = 0").cache()
+    audit = ck.selectExpr("id", "v")
+    released_after = None
+    try:
+        assert cleaned.count() == 10_000 // 2
+        # sibling cache protects the shared checkpoint...
+        assert lifecycle.release(audit) is False
+        # ...and caches=True does NOT pierce it either: ownership
+        # extends only to caches under the RELEASED plan
+        assert lifecycle.release(audit, caches=True) is False
+        assert cleaned.count() == 10_000 // 2
+        assert audit.count() == 10_000
+    finally:
+        cleaned.unpersist(True)
+        released_after = lifecycle.release(audit)
+    # sibling cache gone -> the shared checkpoint is freeable
+    assert released_after is True
+
+
+def test_clean_corpus_sibling_cache_blocks_release(spark, docs_path):
+    """The docstring's promise at operator level: cache one clean_corpus
+    result, release through the other — the shared gate checkpoint must
+    survive until the cache is unpersisted."""
+    from elephant_twin_spark.operators.pipeline import clean
+
+    docs = spark.read.parquet(docs_path).limit(200)
+    cleaned, audit = clean.clean_corpus(
+        docs, "text", "doc_id", min_tokens=10, allowed_langs=("en",),
+        num_perm=16, num_bands=4,
+    )
+    cleaned.cache()
+    released_after = None
+    try:
+        n_clean = cleaned.count()
+        assert 0 < n_clean < 200
+        # the gate checkpoint is shared; the sibling cache bars release
+        assert lifecycle.release(audit) is False
+        assert cleaned.count() == n_clean  # cache intact and serving
+    finally:
+        cleaned.unpersist(True)
+        released_after = lifecycle.release(audit)
+    assert released_after is True
+
+
 # ------------------------------------- 2. text build block-loss retry
 
 def test_build_text_index_retries_unpinned_on_block_loss(
