@@ -42,10 +42,13 @@ from pyspark.sql import DataFrame
 # on a shared driver) must not release each other's checkpoints
 _local = threading.local()
 
-try:  # ExceptionGroup is a 3.11+ builtin; the repo sets no hard floor
-    _ExceptionGroup = ExceptionGroup
+try:  # ExceptionGroup is a 3.11+ builtin; the repo sets no hard floor.
+    # Re-exported under the module's own name so callers on ANY
+    # interpreter catch checkpoint_scope's aggregate the same way:
+    # ``except lifecycle.ExceptionGroup`` (on 3.11+ it IS the builtin).
+    ExceptionGroup = ExceptionGroup
 except NameError:  # pragma: no cover — pre-3.11 interpreters
-    class _ExceptionGroup(Exception):  # type: ignore[no-redef]
+    class ExceptionGroup(Exception):  # type: ignore[no-redef]
         """Minimal stand-in: carries .exceptions like the builtin."""
 
         def __init__(self, message, exceptions):
@@ -207,18 +210,19 @@ def release(df: DataFrame, caches: bool = False) -> bool:
 
     top = [leaves.apply(i) for i in range(leaves.size())]
 
+    # one walk serves both passes below: under caches=True the owned-
+    # cache collection would use the identical (through_caches=True)
+    # traversal, so materialize it instead of walking the plan twice
+    items = list(_iter_leaves(top, through_caches=caches))
+
     # caches=True means the caller owns exactly the caches under the
     # released plan (nested ones included — teardown recurses through
     # them); everything else in the registry keeps its protection
-    owned_cbs = (
-        [o for kind, o in _iter_leaves(top, through_caches=True) if kind == "cache"]
-        if caches
-        else []
-    )
-    protected = _protected_rdd_ids(df.sparkSession, owned_cbs, _probe, _iter_leaves)
+    owned_cbs = [o for kind, o in items if kind == "cache"] if caches else []
+    protected = _protected_rdd_ids(df.sparkSession, owned_cbs, _iter_leaves)
 
     released = False
-    for kind, obj in _iter_leaves(top, through_caches=caches):
+    for kind, obj in items:
         if kind == "rdd":
             if obj.id() in protected:
                 # some live cache OUTSIDE the released plan (a sibling
@@ -243,41 +247,42 @@ def release(df: DataFrame, caches: bool = False) -> bool:
     return released
 
 
-def _protected_rdd_ids(spark, owned_cbs, probe, iter_leaves) -> frozenset:
+def _protected_rdd_ids(spark, owned_cbs, iter_leaves) -> frozenset:
     """RDD ids that some REGISTERED cache outside ``owned_cbs`` can
     still need for re-materialization: the union of RDD-backed leaves
-    under every CacheManager entry's cached physical plan, recursing
-    through nested caches (conservative: a non-owned outer cache
-    protects everything beneath it, even under an owned inner one).
+    under every CacheManager entry's cached physical plan (subquery
+    plans included — a scalar-subquery over a checkpoint is a read
+    path like any other), recursing through nested caches
+    (conservative: a non-owned outer cache protects everything beneath
+    it, even under an owned inner one).
 
     The registry (``CacheManager.cachedData``) is private — read via
     Java reflection, the only way py4j can enumerate live cache entries
-    (the public surface only answers per-plan lookups). Read-only; if
-    the field moves on a future Spark the walk degrades to the
-    plan-local barrier with a warning rather than failing the release.
-    """
+    (the public surface only answers per-plan lookups). ONLY the
+    reflection access degrades (field moved/sealed on a future Spark →
+    plan-local barrier + warning); a JVM failure while walking the
+    entries is a real failure and propagates, like every other walk in
+    this module — silently degrading there would drop the barrier in
+    exactly the unstable-cluster conditions it protects against.
+
+    Cost: O(registry entries × their plan leaves) py4j calls per
+    release in sessions that hold caches; gated to zero by
+    ``isEmpty()`` otherwise. Deliberately NOT memoized — the registry
+    mutates with every cache()/unpersist(), and a stale snapshot here
+    recreates the staleness bug the fresh-QueryExecution walk fixed.
+    Iterative releases (connected_components) pay it per iteration,
+    but each iteration also runs full Spark jobs, so the walk is noise
+    unless the session holds hundreds of cached plans."""
     from py4j.protocol import Py4JError
 
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    if cm.isEmpty():
+        return frozenset()
     try:
-        cm = spark._jsparkSession.sharedState().cacheManager()
-        if cm.isEmpty():
-            return frozenset()
         fld = cm.getClass().getDeclaredField("cachedData")
         fld.setAccessible(True)
         entries = fld.get(cm)
-        ids = set()
-        for i in range(entries.size()):
-            cb = entries.apply(i).cachedRepresentation().cacheBuilder()
-            if any(cb.equals(o) for o in owned_cbs):
-                continue
-            plan = cb.cachedPlan()
-            pl = plan.collectLeaves()
-            nodes = [pl.apply(j) for j in range(pl.size())]
-            for kind, obj in iter_leaves(nodes, through_caches=True):
-                if kind == "rdd":
-                    ids.add(obj.id())
-        return frozenset(ids)
-    except Py4JError:  # noqa: BLE001 — degrade, don't fail the release
+    except Py4JError:  # reflection unavailable — degrade loudly
         import warnings
 
         warnings.warn(
@@ -289,6 +294,46 @@ def _protected_rdd_ids(spark, owned_cbs, probe, iter_leaves) -> frozenset:
             stacklevel=3,
         )
         return frozenset()
+    ids = set()
+    for i in range(entries.size()):
+        entry = entries.apply(i)
+        cb = entry.cachedRepresentation().cacheBuilder()
+        if any(cb.equals(o) for o in owned_cbs):
+            continue
+        # walk the entry's LOGICAL plan, not cacheBuilder.cachedPlan():
+        # the stored logical plan is pre-substitution (true leaves, no
+        # nested InMemoryRelation to recurse through) and — unlike the
+        # physical plan, where AQE wraps everything in a leaf whose
+        # subqueries are planned lazily — its subqueriesAll actually
+        # surfaces scalar/IN/EXISTS subquery trees, the one path to a
+        # checkpoint that collectLeaves alone never enters (r9
+        # second-pass review finding).
+        nodes = _leaves_with_subqueries(entry.plan())
+        for kind, obj in iter_leaves(nodes, through_caches=True):
+            if kind == "rdd":
+                ids.add(obj.id())
+    return frozenset(ids)
+
+
+def _leaves_with_subqueries(plan) -> list:
+    """Leaves of a logical ``plan`` plus the leaves of every subquery
+    plan it hosts (``QueryPlan.subqueriesAll`` is recursive — nested
+    subqueries included)."""
+    from py4j.protocol import Py4JError, Py4JJavaError
+
+    nodes = []
+    plans = [plan]
+    try:
+        sq = plan.subqueriesAll()
+        plans.extend(sq.apply(i) for i in range(sq.size()))
+    except Py4JJavaError:
+        raise
+    except Py4JError:  # node kind without subqueriesAll — leaves only
+        pass
+    for p in plans:
+        pl = p.collectLeaves()
+        nodes.extend(pl.apply(j) for j in range(pl.size()))
+    return nodes
 
 
 @contextmanager
@@ -328,7 +373,7 @@ def checkpoint_scope() -> Iterator[List[DataFrame]]:
             except Exception as exc:  # noqa: BLE001 — aggregated below
                 failures.append(exc)
         if failures and not body_failed:
-            raise _ExceptionGroup(
+            raise ExceptionGroup(
                 "checkpoint_scope: release failed for "
                 f"{len(failures)}/{len(pinned)} pinned checkpoints",
                 failures,

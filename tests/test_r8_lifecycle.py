@@ -27,6 +27,21 @@ def _wait_storage(spark, pred, timeout_s=5.0):
     return lifecycle.storage_snapshot(spark)
 
 
+def _final_cleanup(fn):
+    """Run cleanup from a finally block; when the test body is already
+    unwinding an exception, swallow cleanup errors so they do not mask
+    the real failure (cleanup errors surface only on the success path)."""
+    import sys
+
+    unwinding = sys.exc_info()[0] is not None
+    try:
+        return fn()
+    except Exception:  # noqa: BLE001 — suppressed only while unwinding
+        if not unwinding:
+            raise
+        return None
+
+
 # ------------------------------------------------ release through derived plans
 
 def test_release_frees_escaped_checkpoint_under_derived_plan(spark):
@@ -67,9 +82,11 @@ def test_release_treats_materialized_cache_as_barrier(spark):
         assert derived.count() == 5
     finally:
         # unconditional cleanup: even on assertion failure the escaped
-        # checkpoint must not leak into the shared session
-        derived.unpersist(True)
-        released_after = lifecycle.release(derived)
+        # checkpoint must not leak into the shared session (and a
+        # cleanup error must not mask the assertion that failed)
+        released_after = _final_cleanup(
+            lambda: (derived.unpersist(True), lifecycle.release(derived))[1]
+        )
     # cache gone -> the checkpoint is reachable again and freeable
     assert released_after is True
     snap = _wait_storage(spark, lambda s: s["n_rdds"] <= base)
@@ -97,8 +114,9 @@ def test_release_skips_checkpoint_under_pending_lazy_cache(spark):
         # still a barrier while the cache is registered
         assert lifecycle.release(derived) is False
     finally:
-        derived.unpersist(True)
-        released_after = lifecycle.release(derived)
+        released_after = _final_cleanup(
+            lambda: (derived.unpersist(True), lifecycle.release(derived))[1]
+        )
     assert released_after is True
 
 

@@ -31,6 +31,21 @@ def _wait_storage(spark, pred, timeout_s=5.0):
     return lifecycle.storage_snapshot(spark)
 
 
+def _final_cleanup(fn):
+    """Run cleanup from a finally block; when the test body is already
+    unwinding an exception, swallow cleanup errors so they do not mask
+    the real failure (cleanup errors surface only on the success path)."""
+    import sys
+
+    unwinding = sys.exc_info()[0] is not None
+    try:
+        return fn()
+    except Exception:  # noqa: BLE001 — suppressed only while unwinding
+        if not unwinding:
+            raise
+        return None
+
+
 # --------------------------------------------- 1. caches=True teardown
 
 def test_release_caches_true_is_full_teardown_over_materialized_cache(spark):
@@ -58,7 +73,7 @@ def test_release_caches_true_is_full_teardown_over_materialized_cache(spark):
         with pytest.raises(Exception, match="CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND"):
             derived.count()
     finally:
-        derived.unpersist(True)
+        _final_cleanup(lambda: derived.unpersist(True))
 
 
 def test_release_sees_cache_registered_after_first_action(spark):
@@ -108,9 +123,36 @@ def test_release_barrier_covers_sibling_cached_result(spark):
         assert cleaned.count() == 10_000 // 2
         assert audit.count() == 10_000
     finally:
-        cleaned.unpersist(True)
-        released_after = lifecycle.release(audit)
+        released_after = _final_cleanup(
+            lambda: (cleaned.unpersist(True), lifecycle.release(audit))[1]
+        )
     # sibling cache gone -> the shared checkpoint is freeable
+    assert released_after is True
+
+
+def test_release_barrier_sees_checkpoint_behind_subquery(spark):
+    """A cache can reach a checkpoint solely through a scalar-subquery
+    plan, which collectLeaves never enters (r9 second-pass review
+    finding) — the protected-set walk must traverse subqueriesAll so
+    the barrier holds for that shape too."""
+    ck = lifecycle.pin(
+        spark.range(1_000).selectExpr("id", "id * 2 as v"), escape=True
+    )
+    ck.createOrReplaceTempView("r9_sq_ck")
+    spark.range(100).selectExpr("id").createOrReplaceTempView("r9_sq_other")
+    cached = spark.sql(
+        "SELECT id FROM r9_sq_other WHERE id < (SELECT max(v) / 100 FROM r9_sq_ck)"
+    ).cache()
+    audit = ck.selectExpr("id")
+    released_after = None
+    try:
+        assert cached.count() > 0
+        # the only path from the cache to the checkpoint is the subquery
+        assert lifecycle.release(audit) is False
+    finally:
+        released_after = _final_cleanup(
+            lambda: (cached.unpersist(True), lifecycle.release(audit))[1]
+        )
     assert released_after is True
 
 
@@ -134,8 +176,9 @@ def test_clean_corpus_sibling_cache_blocks_release(spark, docs_path):
         assert lifecycle.release(audit) is False
         assert cleaned.count() == n_clean  # cache intact and serving
     finally:
-        cleaned.unpersist(True)
-        released_after = lifecycle.release(audit)
+        released_after = _final_cleanup(
+            lambda: (cleaned.unpersist(True), lifecycle.release(audit))[1]
+        )
     assert released_after is True
 
 
@@ -228,7 +271,7 @@ def test_checkpoint_scope_releases_later_pins_despite_failure(spark, monkeypatch
         return orig_release(df, caches)
 
     monkeypatch.setattr(lifecycle, "release", flaky_release)
-    with pytest.raises(ExceptionGroup, match="release failed for 1/2"):
+    with pytest.raises(lifecycle.ExceptionGroup, match="release failed for 1/2"):
         with lifecycle.checkpoint_scope():
             a = lifecycle.pin(spark.range(5_000).selectExpr("id", "id*2 as v"))
             b = lifecycle.pin(spark.range(5_000).selectExpr("id", "id*3 as v"))
@@ -273,7 +316,7 @@ def test_checkpoint_scope_clean_exit_still_surfaces_single_failure(
         raise RuntimeError("simulated release failure")
 
     monkeypatch.setattr(lifecycle, "release", failing_release)
-    with pytest.raises(ExceptionGroup) as ei:
+    with pytest.raises(lifecycle.ExceptionGroup) as ei:
         with lifecycle.checkpoint_scope():
             lifecycle.pin(spark.range(1_000).selectExpr("id")).count()
     assert len(ei.value.exceptions) == 1
