@@ -769,7 +769,18 @@ def _q_ann_persisted(spark, sf_dir):
 
 def _q_gap_to_prev(spark, sf_dir):
     """lead/lag window shape: seconds since the user's previous event,
-    with per-user p95 of that gap — the think-time distribution."""
+    with per-user p95 of that gap — the think-time distribution.
+
+    p95 is the DISCRETE percentile (SQL-standard percentile_disc: the
+    smallest data value at cumulative distribution >= 0.95), not the
+    interpolated one: a discrete percentile returns an actual gap value
+    — micros/1e6, the bit-identical double in any engine — where
+    interpolation (lo + frac*(hi-lo)) is FP-evaluation-order-sensitive
+    across engines. The r9 sf0.1 full-registry sweep caught exactly
+    that: 1 user in 1500 whose interpolated p95 differed from DuckDB's
+    in the 10th decimal and rounded to opposite sides of 1e-4
+    (126015.7406 vs .7407); percentile_disc matches bit-for-bit on all
+    1500, unrounded."""
     from pyspark.sql.window import Window
 
     ev = _state(spark, sf_dir).raw("events")
@@ -783,7 +794,9 @@ def _q_gap_to_prev(spark, sf_dir):
     return gaps.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_gaps"),
         F.round(F.avg("gap_s"), 4).alias("avg_gap_s"),
-        F.round(F.expr("percentile(gap_s, 0.95)"), 4).alias("p95_gap_s"),
+        F.expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY gap_s)").alias(
+            "p95_gap_s"
+        ),
     )
 
 
@@ -2976,6 +2989,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tests/test_advisor_gates.py checks it against the CORRECTNESS
     # files themselves.
     return {
+        # --- r9-changed (re-verification load-bearing): p95 moved to
+        # percentile_disc after the sf0.1 sweep caught an interpolation
+        # rounding knife-edge (see _q_gap_to_prev docstring)
+        "gap_to_prev": _q_gap_to_prev,
         # --- r8-changed/new (re-verification load-bearing)
         "scd2_merge_incremental": _q_scd2_merge_incremental,
         "ann_ivf_pq_top10": _q_ann_ivf_pq_top10,
@@ -3048,7 +3065,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- errored in r1, fixed in r2 (timeutil epoch seam), never
         # driver-re-verified
         "sessionize": _q_sessionize,
-        "gap_to_prev": _q_gap_to_prev,
         # --- never driver-checked in any round (r2 positions 51-71);
         # zero-setup first, then index-backed (first-touch state builds)
         "error_window_counts": _q_error_window_counts,
@@ -4744,7 +4760,8 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT user_id, count(*) AS n_gaps,
                    round(avg(gap_s), 4) AS avg_gap_s,
-                   round(quantile_cont(gap_s, 0.95), 4) AS p95_gap_s
+                   percentile_disc(0.95) WITHIN GROUP (ORDER BY gap_s)
+                       AS p95_gap_s
             FROM g WHERE gap_s IS NOT NULL
             GROUP BY user_id
         """,
