@@ -43,3 +43,19 @@ def events_multifile(spark, workdir):
 @pytest.fixture(scope="session")
 def docs_path():
     return f"{SF_DIR}/documents.parquet"
+
+
+def wait_storage(spark, pred, timeout_s=5.0):
+    """Poll block-manager storage until ``pred(snapshot)`` holds or the
+    timeout passes (unpersist is async); returns the last snapshot.
+    Shared by the lifecycle test modules."""
+    import time
+
+    from elephant_twin_spark.operators import lifecycle
+
+    for _ in range(int(timeout_s * 10)):
+        snap = lifecycle.storage_snapshot(spark)
+        if pred(snap):
+            return snap
+        time.sleep(0.1)
+    return lifecycle.storage_snapshot(spark)

@@ -8,7 +8,6 @@ enclosing scope and stay evictable; (4) the period_over_period ANSI
 guard's real trigger (a zero-valued previous period).
 """
 
-import time
 
 import pytest
 from pyspark.sql import functions as F
@@ -17,14 +16,7 @@ from elephant_twin_spark.operators import lifecycle, temporal
 from elephant_twin_spark.operators import kpi
 
 
-def _wait_storage(spark, pred, timeout_s=5.0):
-    """Unpersist is async — poll the block manager briefly."""
-    for _ in range(int(timeout_s * 10)):
-        snap = lifecycle.storage_snapshot(spark)
-        if pred(snap):
-            return snap
-        time.sleep(0.1)
-    return lifecycle.storage_snapshot(spark)
+from conftest import wait_storage as _wait_storage  # noqa: E402
 
 
 def _final_cleanup(fn):

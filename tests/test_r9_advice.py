@@ -14,7 +14,6 @@
    in-flight body exception.
 """
 
-import time
 
 import pytest
 from pyspark.sql import functions as F
@@ -22,13 +21,7 @@ from pyspark.sql import functions as F
 from elephant_twin_spark.operators import lifecycle
 
 
-def _wait_storage(spark, pred, timeout_s=5.0):
-    for _ in range(int(timeout_s * 10)):
-        snap = lifecycle.storage_snapshot(spark)
-        if pred(snap):
-            return snap
-        time.sleep(0.1)
-    return lifecycle.storage_snapshot(spark)
+from conftest import wait_storage as _wait_storage  # noqa: E402
 
 
 def _final_cleanup(fn):
