@@ -330,6 +330,27 @@ def build_block_index(
 # contract (core/retrieval/Expression.java:205-227).
 
 
+def zones_for(df: DataFrame, column: str, key_expr: Optional[str] = None) -> DataFrame:
+    """Per-file zone rows ``(file, min_v, max_v, n_null)`` for ``df`` —
+    the ONE definition of the zone aggregation, shared by the full build
+    and the incremental refresh (r9 review: the refresh's hand copy had
+    already drifted, losing ``key_expr`` support — wrong zones silently
+    prune files the expression actually matches)."""
+    key = F.expr(key_expr) if key_expr else F.col(column)
+    return (
+        df.select(
+            fsio.normalize_path_col(F.col("_metadata.file_path")).alias("file"),
+            key.alias("v"),
+        )
+        .groupBy("file")
+        .agg(
+            F.min("v").alias("min_v"),
+            F.max("v").alias("max_v"),
+            F.sum(F.when(F.col("v").isNull(), 1).otherwise(0)).alias("n_null"),
+        )
+    )
+
+
 def build_zone_index(
     spark: SparkSession,
     table_path: str,
@@ -344,21 +365,7 @@ def build_zone_index(
     ``column`` — same contract as the block-index expression support."""
     idx_dir = catalog.index_dir(index_root, table_path, column, kind="zone")
     df = spark.read.parquet(table_path)
-    key = F.expr(key_expr) if key_expr else F.col(column)
-    zones = (
-        df.select(
-            F.regexp_replace(
-                F.col("_metadata.file_path"), r"^file:/(?=[^/])", "file:///"
-            ).alias("file"),
-            key.alias("v"),
-        )
-        .groupBy("file")
-        .agg(
-            F.min("v").alias("min_v"),
-            F.max("v").alias("max_v"),
-            F.sum(F.when(F.col("v").isNull(), 1).otherwise(0)).alias("n_null"),
-        )
-    )
+    zones = zones_for(df, column, key_expr)
     zones.coalesce(1).write.mode("overwrite").parquet(f"{idx_dir}/zones")
     files = fsio.list_data_files(spark, table_path)
     desc = catalog.make_descriptor(

@@ -157,7 +157,16 @@ class LshIndex:
         self.hash_fn = o["hash_fn"]
 
     def bands(self) -> DataFrame:
-        return self.spark.read.parquet(f"{self.idx_dir}/bands")
+        """All band rows: the range-partitioned build/refresh spine plus
+        the ``bands_grown`` sibling where the streaming gate lands its
+        per-batch idempotent appends (see :meth:`append_docs`; the
+        refresh folds grown rows back into the main spine)."""
+        out = self.spark.read.parquet(f"{self.idx_dir}/bands")
+        grown_dir = f"{self.idx_dir}/bands_grown"
+        if fsio.exists(self.spark, grown_dir):
+            grown = self.spark.read.parquet(grown_dir).drop("batch_run")
+            out = out.unionByName(grown)
+        return out
 
     def stale_files(self) -> List[str]:
         """Source files added/changed since the build: their documents
@@ -167,24 +176,41 @@ class LshIndex:
         fresh = self.desc.fresh_files(live)
         return sorted({p for p, _, _ in live} - fresh)
 
-    def _probe_bands(self, docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
-        sigs = dedup.minhash_signatures(
-            docs, text_col, id_col,
-            num_perm=self.num_perm, shingle_k=self.shingle_k, hash_fn=self.hash_fn,
-        )
+    def _probe_bands(
+        self,
+        docs: DataFrame,
+        text_col: str,
+        id_col: str,
+        probe_sigs: Optional[DataFrame] = None,
+    ) -> DataFrame:
+        sigs = probe_sigs
+        if sigs is None:
+            sigs = dedup.minhash_signatures(
+                docs, text_col, id_col,
+                num_perm=self.num_perm, shingle_k=self.shingle_k, hash_fn=self.hash_fn,
+            )
         return dedup.band_table(
             sigs, num_perm=self.num_perm, num_bands=self.num_bands, hash_fn=self.hash_fn
         )
 
-    def candidate_pairs(self, docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    def candidate_pairs(
+        self,
+        docs: DataFrame,
+        text_col: str,
+        id_col: str,
+        probe_sigs: Optional[DataFrame] = None,
+    ) -> DataFrame:
         """``(probe_id, corpus_id)`` — incoming docs sharing any LSH
         bucket with a corpus doc. The join key (band, band_hash) carries
         the probe side (small) against the bucket table (big, but
         min/max-pruned by the range layout); same-id collisions are kept
-        out so re-probing the corpus against itself is meaningful."""
-        probe = self._probe_bands(docs, text_col, id_col).withColumnsRenamed(
-            {"id": "probe_id"}
-        )
+        out so re-probing the corpus against itself is meaningful.
+        ``probe_sigs``: precomputed signatures for ``docs`` (this
+        index's parameters), shared by callers that also band the same
+        batch elsewhere (the streaming gate)."""
+        probe = self._probe_bands(
+            docs, text_col, id_col, probe_sigs=probe_sigs
+        ).withColumnsRenamed({"id": "probe_id"})
         corpus = self.bands().select(F.col("id").alias("corpus_id"), "band", "band_hash")
         return (
             probe.join(corpus, ["band", "band_hash"])
@@ -200,6 +226,7 @@ class LshIndex:
         id_col: str,
         threshold: float = 0.8,
         extra_corpus: Optional[DataFrame] = None,
+        probe_sigs: Optional[DataFrame] = None,
     ) -> DataFrame:
         """The ingest gate: incoming docs annotated with
         ``is_near_dup`` and ``dup_of`` (lowest matching corpus id, null
@@ -211,8 +238,9 @@ class LshIndex:
         probe) supplies verification text for documents whose bands were
         :meth:`append_docs`-ed after the build — the index stores only
         buckets, never text, so grown docs verify against wherever their
-        text was accepted to (one id space across all corpus sources)."""
-        cands = self.candidate_pairs(docs, text_col, id_col)
+        text was accepted to (one id space across all corpus sources).
+        ``probe_sigs``: see :meth:`candidate_pairs`."""
+        cands = self.candidate_pairs(docs, text_col, id_col, probe_sigs=probe_sigs)
         corpus = self.spark.read.parquet(self.table_path).select(
             F.col(self.id_column).alias("corpus_id"),
             F.col(self.text_column).alias("_ctext"),
@@ -253,19 +281,45 @@ class LshIndex:
         )
 
     def append_docs(
-        self, docs: DataFrame, text_col: str, id_col: str, file_label: str = "__grown__"
+        self,
+        docs: DataFrame,
+        text_col: str,
+        id_col: str,
+        file_label: str = "__grown__",
+        batch_tag: Optional[str] = None,
     ) -> None:
         """Grow the bucket table with new documents' bands (the
         streaming gate appends each batch's survivors so later batches
         dedup against them). Grown rows carry ``file_label`` provenance
         so a source-table refresh never drops them. Appended files keep
         the (band_hash, id) sort within their own partitions; min/max
-        pruning still applies per file."""
-        banded_docs(
+        pruning still applies per file.
+
+        ``batch_tag`` makes the append IDEMPOTENT for at-least-once
+        callers (foreachBatch replays a batch whose sink writes
+        committed but whose checkpoint did not — r9 review finding:
+        a plain append duplicated the replayed survivors' bands): the
+        rows land in ``bands_grown/batch_run=<tag>`` with overwrite, so
+        a replay rewrites the same partition instead of doubling it.
+        The tag must be unique per logical batch ACROSS streaming runs
+        — the gate derives it from (checkpoint path, batch id), since
+        bare batch ids restart at 0 under a fresh checkpoint and would
+        silently overwrite an earlier run's partition in a shared sink.
+        The sibling spine keeps partition discovery on the main
+        range-partitioned ``bands`` dir intact (mixing flat files and
+        partition dirs in one root breaks parquet discovery);
+        :meth:`bands` reads both, the LSH refresh folds grown rows back
+        into the main spine. Without ``batch_tag`` (ordinary batch
+        callers) the write appends to the main spine as before."""
+        out = banded_docs(
             docs, text_col, id_col,
             num_perm=self.num_perm, num_bands=self.num_bands,
             shingle_k=self.shingle_k, hash_fn=self.hash_fn,
             file_label=file_label,
-        ).sortWithinPartitions("band_hash", "id").write.mode("append").parquet(
-            f"{self.idx_dir}/bands"
-        )
+        ).sortWithinPartitions("band_hash", "id")
+        if batch_tag is None:
+            out.write.mode("append").parquet(f"{self.idx_dir}/bands")
+        else:
+            out.write.mode("overwrite").parquet(
+                f"{self.idx_dir}/bands_grown/batch_run={batch_tag}"
+            )

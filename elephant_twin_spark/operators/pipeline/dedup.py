@@ -361,6 +361,7 @@ def minhash_near_dup_pairs(
     threshold: float = 0.8,
     edge_mode: str = "all_pairs",
     hash_fn: str = "xxhash64",
+    sigs: Optional[DataFrame] = None,
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-dedup: signature → bands → candidates →
     exact Jaccard filter. The candidate-pair table (tiny: near-dup pairs
@@ -370,8 +371,17 @@ def minhash_near_dup_pairs(
     in duplicate-group size (see :func:`lsh_candidate_pairs`) — the
     right choice when the output feeds connected components rather than
     an exhaustive pair report. ``hash_fn="md5"`` makes the candidate
-    graph engine-independent (oracle-reproducible) at higher hash cost."""
-    sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_k, hash_fn=hash_fn)
+    graph engine-independent (oracle-reproducible) at higher hash cost.
+
+    ``sigs`` accepts precomputed :func:`minhash_signatures` output for
+    ``df`` (MUST be built with the same num_perm/shingle_k/hash_fn) —
+    the streaming gate shares one signature pass between the vs-corpus
+    probe and this intra-batch stage instead of paying the shingle +
+    K-lane-hash cost twice per micro-batch (r9 review finding)."""
+    if sigs is None:
+        sigs = minhash_signatures(
+            df, text_col, id_col, num_perm, shingle_k, hash_fn=hash_fn
+        )
     cands = lifecycle.pin(
         lsh_candidate_pairs(sigs, num_perm, num_bands, edge_mode=edge_mode, hash_fn=hash_fn)
     )

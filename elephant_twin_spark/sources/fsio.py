@@ -91,6 +91,53 @@ def delete(spark: SparkSession, path: str) -> None:
         fs.delete(jpath, True)
 
 
+def publish_dir(spark: SparkSession, tmp_dir: str, final_dir: str) -> None:
+    """Write-then-publish: replace ``final_dir`` with the fully-written
+    ``tmp_dir`` (delete + rename). Raises ``OSError`` when the rename
+    reports failure — Hadoop ``FileSystem.rename`` returns False instead
+    of raising (dest exists because the delete failed, tmp missing,
+    cross-filesystem move), and an unchecked False would let a caller
+    publish a descriptor over missing or stale data (r9 review finding).
+
+    NOT atomic: generic Hadoop filesystems have no directory swap, so a
+    crash between the delete and the rename leaves ``final_dir`` absent
+    while ``tmp_dir`` is complete. That window never publishes WRONG
+    data (the descriptor still describes the old state and reads fail
+    loudly); call :func:`recover_publish` before reading ``final_dir``
+    to complete an interrupted publish."""
+    fs, _, _ = _fs_and_path(spark, final_dir)
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+    if not fs.exists(jvm_path(tmp_dir)):
+        raise OSError(f"publish_dir: staged dir {tmp_dir} does not exist")
+    delete(spark, final_dir)
+    if not fs.rename(jvm_path(tmp_dir), jvm_path(final_dir)):
+        raise OSError(
+            f"publish_dir: rename {tmp_dir} -> {final_dir} failed "
+            "(FileSystem.rename returned false)"
+        )
+
+
+def recover_publish(spark: SparkSession, tmp_dir: str, final_dir: str) -> bool:
+    """Complete a :func:`publish_dir` interrupted between delete and
+    rename: when ``final_dir`` is missing but the fully-written staging
+    dir survives, finish the rename. Returns True iff a recovery
+    happened. A leftover ``tmp_dir`` NEXT TO a live ``final_dir`` is a
+    crashed run's stale staging output (the write preceded the publish)
+    and is removed so the next staged write starts clean."""
+    fs, _, _ = _fs_and_path(spark, final_dir)
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+    if not fs.exists(jvm_path(tmp_dir)):
+        return False
+    if fs.exists(jvm_path(final_dir)):
+        delete(spark, tmp_dir)
+        return False
+    if not fs.rename(jvm_path(tmp_dir), jvm_path(final_dir)):
+        raise OSError(
+            f"recover_publish: rename {tmp_dir} -> {final_dir} failed"
+        )
+    return True
+
+
 def write_text(spark: SparkSession, path: str, text: str) -> None:
     fs, jpath, _ = _fs_and_path(spark, path)
     out = fs.create(jpath, True)

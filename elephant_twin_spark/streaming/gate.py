@@ -7,14 +7,21 @@ against itself, (3) appended — survivors to the corpus sink, their
 bands to the index — so batch N+1 automatically dedups against batch
 N's survivors. MinHash banding needs aggregation, which streaming
 DataFrames can't express stateless-ly, so the gate runs inside
-``foreachBatch`` where each micro-batch is an ordinary batch frame;
-Structured Streaming's sequential batch commit gives the
-read-then-append cycle exactly-once semantics per batch.
+``foreachBatch`` where each micro-batch is an ordinary batch frame.
+
+Replay discipline: foreachBatch is AT-LEAST-ONCE (a crash between a
+sink write and the streaming checkpoint commit re-runs the batch), so
+every write is scoped to its own ``batch_run=<run>-<N>`` partition
+with overwrite (run derived from the checkpoint path, since bare batch
+ids restart under a fresh checkpoint) — accepted sink, rejected sink, and the index's grown bands
+alike. A replayed batch rewrites its partitions instead of appending
+duplicates; combined with Structured Streaming's sequential batch
+commit this yields effective exactly-once output per batch.
 
 State cost: the index grows with *accepted* documents only (num_bands
 rows each); no Spark state store is involved, so restart recovery is
-just the checkpoint's batch id — a batch is either fully appended or
-re-run.
+just the checkpoint's batch id — a batch is either fully written or
+idempotently re-run.
 """
 
 from __future__ import annotations
@@ -40,9 +47,25 @@ def gate_batch(
     """One batch through the full gate: vs-corpus then vs-self.
     Returns the batch annotated with ``is_near_dup`` / ``dup_of``
     (corpus id or lower batch id). Exposed separately so the batch and
-    streaming paths share one implementation (stream == batch)."""
+    streaming paths share one implementation (stream == batch).
+
+    The batch's MinHash signatures are computed ONCE and shared by the
+    vs-corpus probe and the intra-batch candidate stage (r9 review:
+    previously each recomputed shingle + K-lane hashing over the whole
+    batch — the dominant per-batch cost on the hot ingest path). The
+    pin registers with the ambient checkpoint_scope (the streaming
+    wrapper holds one per batch), same discipline as
+    minhash_near_dup_pairs' own candidate pin."""
+    sigs = lifecycle.pin(
+        dedup.minhash_signatures(
+            batch_df, text_col, id_col,
+            num_perm=index.num_perm, shingle_k=index.shingle_k,
+            hash_fn=index.hash_fn,
+        )
+    )
     vs_corpus = index.gate(
-        batch_df, text_col, id_col, threshold=threshold, extra_corpus=extra_corpus
+        batch_df, text_col, id_col, threshold=threshold,
+        extra_corpus=extra_corpus, probe_sigs=sigs,
     )
     # intra-batch: first occurrence (lowest id) wins, same verify measure
     pairs = dedup.minhash_near_dup_pairs(
@@ -53,6 +76,8 @@ def gate_batch(
         num_bands=index.num_bands,
         shingle_k=index.shingle_k,
         threshold=threshold,
+        hash_fn=index.hash_fn,
+        sigs=sigs,
     )
     intra = pairs.groupBy(F.col("id_b").alias(id_col)).agg(
         F.min("id_a").alias("_intra_dup_of")
@@ -77,21 +102,39 @@ def stream_near_dup_gate(
     rejected_path: Optional[str] = None,
     timeout_sec: int = 120,
 ):
-    """Run the gate over a stream of documents. Survivors append to
-    ``accepted_path``; flagged near-dups (with their ``dup_of``
-    attribution) to ``rejected_path`` if given; with ``grow`` the
-    survivors' bands append to the index so later batches gate against
-    them."""
+    """Run the gate over a stream of documents. Survivors land in
+    ``accepted_path`` (one ``batch_run`` partition per micro-batch —
+    readers see an extra ``batch_run`` column); flagged near-dups (with
+    their ``dup_of`` attribution) in ``rejected_path`` if given; with
+    ``grow`` the survivors' bands are added to the index so later
+    batches gate against them. Raises ``TimeoutError`` if the backlog
+    does not drain within ``timeout_sec`` (a silently-partial accepted
+    table would poison downstream determinism)."""
+
+    import hashlib
+
+    from elephant_twin_spark.sources import fsio
+
+    # idempotency key: batch ids restart at 0 under a FRESH checkpoint,
+    # so bare batch_id=N partitions from a second run over the same sink
+    # would overwrite the first run's output. (checkpoint path, batch)
+    # is exactly Structured Streaming's replay domain: a restart of the
+    # SAME checkpoint re-runs a batch under the same tag (idempotent
+    # rewrite), a new checkpoint gets fresh tags (no collision).
+    run_tok = hashlib.md5(checkpoint_path.encode()).hexdigest()[:12]
 
     def on_batch(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.head(1):
             return
         # previously-accepted docs are corpus too: their bands were grown
-        # into the index, their text lives in the accepted sink
-        try:
-            extra = index.spark.read.parquet(accepted_path)
-        except Exception:
-            extra = None
+        # into the index, their text lives in the accepted sink. An
+        # explicit existence check, not a blanket except: a transient
+        # read failure (permissions, corrupt footer) must FAIL the batch
+        # loudly rather than silently verify against nothing and admit
+        # near-duplicates of already-accepted docs (r9 review finding).
+        extra = None
+        if fsio.exists(index.spark, accepted_path):
+            extra = index.spark.read.parquet(accepted_path).select(id_col, text_col)
         # one evaluation, two destinations — cut lineage so the gate's
         # joins don't recompute per sink; the scope frees the batch's
         # checkpoint blocks once both sinks (and the index append) are
@@ -106,13 +149,27 @@ def stream_near_dup_gate(
             survivors = annotated.where(~F.col("is_near_dup")).drop(
                 "is_near_dup", "dup_of"
             )
-            survivors.write.mode("append").parquet(accepted_path)
+            # foreachBatch is AT-LEAST-ONCE: a crash after a sink write
+            # but before the streaming checkpoint commits re-runs the
+            # batch, and a replayed survivor's only LSH collision is its
+            # own grown copy (excluded as a self-match), so it would
+            # survive — and append — AGAIN (r9 review finding). Each
+            # batch therefore writes its own batch_run partition with
+            # overwrite (the cms_rollup_stream discipline): replays
+            # rewrite the same partition instead of duplicating rows.
+            # Readers of accepted_path see an extra batch_run column.
+            tag = f"{run_tok}-{int(batch_id)}"
+            survivors.write.mode("overwrite").parquet(
+                f"{accepted_path}/batch_run={tag}"
+            )
             if rejected_path is not None:
                 annotated.where(F.col("is_near_dup")).drop("is_near_dup").write.mode(
-                    "append"
-                ).parquet(rejected_path)
+                    "overwrite"
+                ).parquet(f"{rejected_path}/batch_run={tag}")
             if grow:
-                index.append_docs(survivors, text_col, id_col)
+                # same idempotence for the index side: per-batch grown
+                # partition, replay-safe (see LshIndex.append_docs)
+                index.append_docs(survivors, text_col, id_col, batch_tag=tag)
 
     q = (
         stream_docs.writeStream.foreachBatch(on_batch)
@@ -120,5 +177,11 @@ def stream_near_dup_gate(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_sec)
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(
+            f"near-dup gate did not drain within {timeout_sec}s; "
+            f"{accepted_path} would be partial (same contract as "
+            "windows.run_to_memory)"
+        )
     return q

@@ -19,6 +19,22 @@ partitioned the same as the full build, so query-time bucket pruning is
 unaffected. Descriptor updates are last (write-then-publish) — a crashed
 refresh leaves the previous descriptor, and un-described files simply
 full-scan (never wrong).
+
+Publish mechanics (r9 review): every rewrite stages into a ``*_tmp``
+dir and goes through ``fsio.publish_dir`` — the rename's boolean result
+is CHECKED (Hadoop returns False instead of raising), so a failed
+publish can never be followed by a descriptor pointing at missing or
+stale data. The delete→rename window is not atomic on generic
+filesystems; each refresher runs ``fsio.recover_publish`` first, which
+completes an interrupted publish from the surviving staged dir (or
+sweeps a stale one), so a crashed refresh self-heals on the next run.
+
+Delta parameters come from the DESCRIPTOR, not caller defaults: the
+block refresh re-applies the recorded ``key_expr`` / ``sample_fraction``
+/ ``max_merged_bytes``, the zone refresh the recorded ``key_expr``
+(via the shared ``build.zones_for``), the text refresh the recorded
+tokenizer — mixing parameterizations within one index table silently
+breaks lookups in exactly the refreshed files (r9 review finding).
 """
 
 from __future__ import annotations
@@ -37,7 +53,7 @@ def refresh_block_index(
     table_path: str,
     column: str,
     index_root: str,
-    max_merged_bytes: int = build_mod.DEFAULT_MAX_MERGED_BYTES,
+    max_merged_bytes: Optional[int] = None,
 ) -> dict:
     """Incrementally index new/changed files; returns a summary dict.
 
@@ -45,7 +61,15 @@ def refresh_block_index(
     - changed files (size/mtime drift) → old postings rows dropped, fresh
       postings appended
     - deleted files → postings rows dropped, descriptor entry removed
-    """
+
+    Delta postings are computed with the parameters THE INDEX WAS BUILT
+    WITH (descriptor options ``key_expr`` / ``sample_fraction`` /
+    ``max_merged_bytes``), mirroring how the text refresh reuses the
+    recorded tokenizer — a raw-column default here would key new files'
+    postings on the wrong expression and silently break lookups in
+    refreshed files (r9 review finding). ``max_merged_bytes`` overrides
+    the recorded value when given (and the new descriptor records the
+    override)."""
     idx_dir = catalog.index_dir(index_root, table_path, column, kind="block")
     desc = catalog.read_descriptor(spark, idx_dir)
     if desc is None:
@@ -63,30 +87,40 @@ def refresh_block_index(
         return {"mode": "noop", "files_indexed": 0}
 
     data_dir = f"{idx_dir}/postings"
+    tmp_dir = f"{idx_dir}/postings_tmp"
+    fsio.recover_publish(spark, tmp_dir, data_dir)
     old = spark.read.parquet(data_dir)
 
     # drop postings of changed/removed files (their byte layout is gone)
     obsolete = set(new_or_changed) | set(removed)
     kept = old.where(~F.col("file").isin([p for p in obsolete]))
 
+    options = dict(desc.options)
+    if max_merged_bytes is not None:
+        options["max_merged_bytes"] = str(max_merged_bytes)
+    mmb = int(options.get("max_merged_bytes", build_mod.DEFAULT_MAX_MERGED_BYTES))
+    key_expr = options.get("key_expr")
+    sample_fraction = options.get("sample_fraction")
     if new_or_changed:
         delta_df = spark.read.parquet(*new_or_changed)
-        delta = build_mod.postings_for(delta_df, column, max_merged_bytes=max_merged_bytes)
+        delta = build_mod.postings_for(
+            delta_df,
+            column,
+            max_merged_bytes=mmb,
+            sample_fraction=float(sample_fraction) if sample_fraction else None,
+            key_col=F.expr(key_expr) if key_expr else None,
+        )
         merged = kept.unionByName(delta)
     else:
         merged = kept
 
     # rewrite the postings table preserving the bucket layout
-    tmp_dir = f"{idx_dir}/postings_tmp"
     # pinned write: the delta's range-merge aggregate runs once instead
     # of twice (range sampling + write; see build.write_range_partitioned)
     build_mod.write_range_partitioned(
         merged, desc.num_buckets, "key", ("key", "file"), tmp_dir, bloom_col="key"
     )
-    fsio.delete(spark, data_dir)
-    fs, _, _ = fsio._fs_and_path(spark, idx_dir)
-    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
-    fs.rename(jvm_path(tmp_dir), jvm_path(data_dir))
+    fsio.publish_dir(spark, tmp_dir, data_dir)
 
     new_desc = catalog.make_descriptor(
         source_path=table_path,
@@ -94,7 +128,7 @@ def refresh_block_index(
         index_type="BLOCK",
         num_buckets=desc.num_buckets,
         files=live,
-        options=desc.options,
+        options=options,
     )
     catalog.write_descriptor(spark, idx_dir, new_desc)
     return {
@@ -131,6 +165,8 @@ def refresh_bloom_index(
     num_bits = int(desc.options["num_bits"])
     num_hashes = int(desc.options["num_hashes"])
     data_dir = f"{idx_dir}/sketch"
+    tmp_dir = f"{idx_dir}/sketch_tmp"
+    fsio.recover_publish(spark, tmp_dir, data_dir)
     kept = spark.read.parquet(data_dir).where(
         ~F.col("file").isin(list(set(new_or_changed) | set(removed)))
     )
@@ -141,12 +177,8 @@ def refresh_bloom_index(
         )
         merged = kept.unionByName(delta)
 
-    tmp_dir = f"{idx_dir}/sketch_tmp"
     merged.coalesce(1).write.mode("overwrite").parquet(tmp_dir)
-    fsio.delete(spark, data_dir)
-    fs, _, _ = fsio._fs_and_path(spark, idx_dir)
-    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
-    fs.rename(jvm_path(tmp_dir), jvm_path(data_dir))
+    fsio.publish_dir(spark, tmp_dir, data_dir)
 
     new_desc = catalog.make_descriptor(
         source_path=table_path,
@@ -201,6 +233,8 @@ def refresh_text_index(
         ) from None
 
     data_dir = f"{idx_dir}/postings"
+    tmp_dir = f"{idx_dir}/postings_tmp"
+    fsio.recover_publish(spark, tmp_dir, data_dir)
     old = spark.read.parquet(data_dir)
     kept = old.where(~F.col("file").isin(list(set(new_or_changed) | set(removed))))
     merged = kept
@@ -213,23 +247,21 @@ def refresh_text_index(
         )
         merged = kept.unionByName(delta)
 
-    tmp_dir = f"{idx_dir}/postings_tmp"
     # pinned write: the delta's tokenize/explode postings aggregate runs
     # once instead of twice (see build.write_range_partitioned)
     build_mod.write_range_partitioned(
         merged, desc.num_buckets, "term", ("term", "doc_id"), tmp_dir,
         bloom_col="term",
     )
-    fsio.delete(spark, data_dir)
-    fs, _, _ = fsio._fs_and_path(spark, idx_dir)
-    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
-    fs.rename(jvm_path(tmp_dir), jvm_path(data_dir))
+    fsio.publish_dir(spark, tmp_dir, data_dir)
 
     # doclens (BM25 length + lnc cosine norms) maintained with the same
     # kept/delta split — norms are per-doc-only by design, so other
     # files' rows stay valid; corpus stats (n_docs, avgdl) re-derive from
     # the merged table, keeping BM25/more_like_this idf honest
     lens_dir = f"{idx_dir}/doclens"
+    lens_tmp = f"{idx_dir}/doclens_tmp"
+    fsio.recover_publish(spark, lens_tmp, lens_dir)
     old_lens = spark.read.parquet(lens_dir)
     kept_lens = old_lens.where(
         ~F.col("file").isin(list(set(new_or_changed) | set(removed)))
@@ -243,12 +275,10 @@ def refresh_text_index(
             tokenizer,
         )
         merged_lens = kept_lens.unionByName(delta_lens)
-    lens_tmp = f"{idx_dir}/doclens_tmp"
     merged_lens.coalesce(max(1, desc.num_buckets // 4)).write.mode(
         "overwrite"
     ).parquet(lens_tmp)
-    fsio.delete(spark, lens_dir)
-    fs.rename(jvm_path(lens_tmp), jvm_path(lens_dir))
+    fsio.publish_dir(spark, lens_tmp, lens_dir)
     stats = spark.read.parquet(lens_dir).agg(
         F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
     ).first()
@@ -296,34 +326,26 @@ def refresh_zone_index(
         return {"mode": "noop", "files_indexed": 0}
 
     data_dir = f"{idx_dir}/zones"
+    tmp_dir = f"{idx_dir}/zones_tmp"
+    fsio.recover_publish(spark, tmp_dir, data_dir)
     kept = spark.read.parquet(data_dir).where(
         ~F.col("file").isin(list(set(new_or_changed) | set(removed)))
     )
     merged = kept
     if new_or_changed:
-        delta_df = spark.read.parquet(*new_or_changed)
-        delta = (
-            delta_df.select(
-                F.regexp_replace(
-                    F.col("_metadata.file_path"), r"^file:/(?=[^/])", "file:///"
-                ).alias("file"),
-                F.col(column).alias("v"),
-            )
-            .groupBy("file")
-            .agg(
-                F.min("v").alias("min_v"),
-                F.max("v").alias("max_v"),
-                F.sum(F.when(F.col("v").isNull(), 1).otherwise(0)).alias("n_null"),
-            )
+        # the SHARED zone aggregation, with the key_expr the index was
+        # built with (r9 review: the inline copy here had lost key_expr —
+        # new files' zones were computed over the raw column, silently
+        # mispruning files at query time)
+        delta = build_mod.zones_for(
+            spark.read.parquet(*new_or_changed),
+            column,
+            desc.options.get("key_expr"),
         )
         merged = kept.unionByName(delta)
 
-    tmp_dir = f"{idx_dir}/zones_tmp"
     merged.coalesce(1).write.mode("overwrite").parquet(tmp_dir)
-    fsio.delete(spark, data_dir)
-    fs, _, _ = fsio._fs_and_path(spark, idx_dir)
-    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
-    fs.rename(jvm_path(tmp_dir), jvm_path(data_dir))
+    fsio.publish_dir(spark, tmp_dir, data_dir)
 
     new_desc = catalog.make_descriptor(
         source_path=table_path,
@@ -419,8 +441,18 @@ def refresh_lsh_index(
 
     o = desc.options
     data_dir = f"{idx_dir}/bands"
+    tmp_dir = f"{idx_dir}/bands_tmp"
+    fsio.recover_publish(spark, tmp_dir, data_dir)
     dropped = list(set(new_or_changed) | set(removed))
-    kept = spark.read.parquet(data_dir).where(~F.col("file").isin(dropped))
+    # read through the index handle, not the bands dir: grown rows live
+    # in the sibling bands_grown spine (per-batch idempotent appends from
+    # the streaming gate) and must fold into the rewrite. Do NOT run this
+    # refresh while a gate stream is mid-batch — the fold below clears
+    # bands_grown, and an uncommitted batch's partition would be lost.
+    from elephant_twin_spark.operators.lsh import LshIndex
+
+    idx = LshIndex(spark, table_path, text_column, index_root)
+    kept = idx.bands().where(~F.col("file").isin(dropped))
     merged = kept
     if new_or_changed:
         delta = lsh_mod.banded_docs(
@@ -434,7 +466,6 @@ def refresh_lsh_index(
         )
         merged = kept.unionByName(delta)
 
-    tmp_dir = f"{idx_dir}/bands_tmp"
     # UNPINNED write: both sides of the merge are cheap to evaluate
     # twice — `kept` is a parquet re-read of the existing bands table
     # and the delta's banding is shuffle-free narrow hashing — while
@@ -446,10 +477,9 @@ def refresh_lsh_index(
         merged, desc.num_buckets, "band_hash", ("band_hash", "id"), tmp_dir,
         pin_input=False,
     )
-    fsio.delete(spark, data_dir)
-    fs, _, _ = fsio._fs_and_path(spark, idx_dir)
-    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
-    fs.rename(jvm_path(tmp_dir), jvm_path(data_dir))
+    fsio.publish_dir(spark, tmp_dir, data_dir)
+    # grown rows are folded into the main spine now
+    fsio.delete(spark, f"{idx_dir}/bands_grown")
 
     new_desc = catalog.make_descriptor(
         source_path=table_path,
@@ -504,6 +534,8 @@ def refresh_ann_index(
         )
     ]
     data_dir = f"{idx_dir}/vectors"
+    tmp_dir = f"{idx_dir}/vectors_tmp"
+    fsio.recover_publish(spark, tmp_dir, data_dir)
     kept = spark.read.parquet(data_dir).where(
         ~F.col("file").isin(list(set(new_or_changed) | set(removed)))
     )
@@ -514,24 +546,18 @@ def refresh_ann_index(
         delta = sim.ivf_assign(delta_df, vec_column, centroids).select(
             F.col(id_col).alias("id"),
             F.transform(F.col(vec_column), lambda x: x.cast("double")).alias("vec"),
-            F.regexp_replace(
-                F.col("_metadata.file_path"), r"^file:/(?=[^/])", "file:///"
-            ).alias("file"),
+            fsio.normalize_path_col(F.col("_metadata.file_path")).alias("file"),
             "cluster",
         )
         merged = kept.unionByName(delta)
 
-    tmp_dir = f"{idx_dir}/vectors_tmp"
     (
         merged.repartition("cluster")
         .write.mode("overwrite")
         .partitionBy("cluster")
         .parquet(tmp_dir)
     )
-    fsio.delete(spark, data_dir)
-    fs, _, _ = fsio._fs_and_path(spark, idx_dir)
-    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
-    fs.rename(jvm_path(tmp_dir), jvm_path(data_dir))
+    fsio.publish_dir(spark, tmp_dir, data_dir)
 
     new_desc = catalog.make_descriptor(
         source_path=table_path,

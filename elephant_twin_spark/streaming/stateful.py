@@ -91,7 +91,14 @@ def _session_fn(gap_us: int):
         consumed = 0
         sessions = _sessions(buf, gap_us)
         for start, end, n in sessions:
-            if end + gap_us <= wm_us:
+            # STRICT comparison (r9 review): a session is final only
+            # when no admissible event can still extend it. Admissible
+            # events have t >= wm (the lateness filter above keeps
+            # t == wm), and extension needs t - end <= gap, so at
+            # end + gap == wm an on-time event at exactly the watermark
+            # could still merge in — emitting then would split one
+            # batch-semantics session into two.
+            if end + gap_us < wm_us:
                 emitted["user_id"].append(user_id)
                 emitted["session_start"].append(pd.Timestamp(start, unit="us"))
                 emitted["session_end"].append(pd.Timestamp(end, unit="us"))
@@ -102,8 +109,10 @@ def _session_fn(gap_us: int):
 
         if keep:
             state.update((keep,))
-            # wake up once the watermark (ms) can close the earliest open session
-            first_close_ms = (_sessions(keep, gap_us)[0][1] + gap_us + 999) // 1000
+            # wake up once the watermark (ms) can close the earliest open
+            # session: closure needs wm STRICTLY past end+gap (see above),
+            # so the first closing ms is ceil past that boundary
+            first_close_ms = (_sessions(keep, gap_us)[0][1] + gap_us) // 1000 + 1
             state.setTimeoutTimestamp(max(first_close_ms, state.getCurrentWatermarkMs() + 1))
         else:
             state.remove()

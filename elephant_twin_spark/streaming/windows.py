@@ -163,13 +163,18 @@ def sketch_rollup_stream(
     This is the append-only alternative to stateful streaming
     aggregation: no state store at all (sketches are mergeable, so
     partials need no read-modify-write), no watermark needed (late rows
-    just append another partial that the merge absorbs), restart-safe
-    via the sink's exactly-once file commit. State cost moves to
-    merge-on-read, bounded by partials-per-window — compaction
+    just append another partial that the merge absorbs). State cost
+    moves to merge-on-read, bounded by partials-per-window — compaction
     (re-writing merged sketches) is the same ``hll_union_agg`` applied
     to the table itself. The batch twin is a plain
     ``groupBy(window, key).agg(hll_sketch)`` rollup — identical
     estimates by sketch mergeability.
+
+    Replay safety (r9 review): foreachBatch is at-least-once, and while
+    the HLL register-max merge is replay-idempotent, ``n_rows``'s
+    SUM-merge is not — a replayed batch's plain append would double the
+    count. Each batch therefore writes its own ``batch_id=N`` partition
+    with overwrite, the same discipline as :func:`cms_rollup_stream`.
     """
     from elephant_twin_spark.functions import sketches
 
@@ -190,8 +195,8 @@ def sketch_rollup_stream(
                 "sketch",
                 "n_rows",
             )
-            .write.mode("append")
-            .parquet(sink_path)
+            .write.mode("overwrite")
+            .parquet(f"{sink_path}/batch_id={int(batch_id)}")
         )
 
     return (
@@ -228,6 +233,10 @@ def compact_sketch_rollup(spark: SparkSession, sink_path: str) -> int:
     Returns the compacted row count."""
     from elephant_twin_spark.functions import sketches
 
+    from elephant_twin_spark.sources import fsio
+
+    tmp = sink_path.rstrip("/") + "_compact_tmp"
+    fsio.recover_publish(spark, tmp, sink_path)
     compacted = (
         spark.read.parquet(sink_path)
         .groupBy("win_start", "win_end", "key")
@@ -236,14 +245,12 @@ def compact_sketch_rollup(spark: SparkSession, sink_path: str) -> int:
             F.sum("n_rows").alias("n_rows"),
         )
     )
-    tmp = sink_path.rstrip("/") + "_compact_tmp"
-    compacted.write.mode("overwrite").parquet(tmp)
-    from elephant_twin_spark.sources import fsio
-
-    fsio.delete(spark, sink_path)
-    fs, _, _ = fsio._fs_and_path(spark, tmp)
-    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
-    fs.rename(jvm_path(tmp), jvm_path(sink_path))
+    # compacted rows keep the batch_id=N layout (under the reserved id
+    # -1): the NEXT micro-batch writes another batch_id=N subdir, and
+    # parquet partition discovery cannot mix flat files with partition
+    # dirs in one root
+    compacted.write.mode("overwrite").parquet(f"{tmp}/batch_id=-1")
+    fsio.publish_dir(spark, tmp, sink_path)
     return spark.read.parquet(sink_path).count()
 
 
