@@ -29,6 +29,36 @@ from elephant_twin_spark.plans import expr as E
 from elephant_twin_spark.sources import catalog, fsio
 
 
+def _split_top_level(s: str, sep: str = ",") -> List[str]:
+    """Split on ``sep`` at paren depth 0 only, respecting quoted strings
+    — the projection/ORDER BY item splitter for the mini SQL front door."""
+    out, buf, depth, quote = [], [], 0, None
+    for ch in s:
+        if quote:
+            buf.append(ch)
+            if ch == quote:
+                quote = None
+            continue
+        if ch in ("'", '"'):
+            quote = ch
+            buf.append(ch)
+        elif ch == "(":
+            depth += 1
+            buf.append(ch)
+        elif ch == ")":
+            depth -= 1
+            buf.append(ch)
+        elif ch == sep and depth == 0:
+            out.append("".join(buf).strip())
+            buf = []
+        else:
+            buf.append(ch)
+    tail = "".join(buf).strip()
+    if tail:
+        out.append(tail)
+    return out
+
+
 class Engine:
     def __init__(self, spark: SparkSession, index_root: str):
         self.spark = spark
@@ -85,27 +115,15 @@ class Engine:
     def drop_index(self, table_path: str, column: str, kind: str = "block") -> None:
         fsio.delete(self.spark, catalog.index_dir(self.index_root, table_path, column, kind))
 
-    def list_indexes(self, table_path: str) -> List[Dict]:
-        out = []
-        for kind in ("block", "bloom", "zone", "text", "ivf", "lsh"):
-            base = f"{self.index_root}/{catalog.table_id(table_path)}/{kind}"
-            if not fsio.exists(self.spark, base):
-                continue
-            fs, jpath, _ = fsio._fs_and_path(self.spark, base)
-            for st in fs.listStatus(jpath):
-                if st.isDirectory():
-                    d = catalog.read_descriptor(self.spark, f"{base}/{st.getPath().getName()}")
-                    if d is not None:
-                        out.append(d.to_json())
-        return out
+    INDEX_KINDS = ("block", "bloom", "zone", "text", "ivf", "lsh")
 
-    def stats(self, table_path: str) -> List[Dict]:
-        """Operational summary per index of the table: kind, column,
-        bucket count, on-disk bytes, covered-file freshness."""
-        live = fsio.list_data_files(self.spark, table_path)
-        live_paths = {p for p, _, _ in live}
-        out = []
-        for kind in ("block", "bloom", "zone", "text", "ivf", "lsh"):
+    def _iter_descriptors(self, table_path: str):
+        """Yield ``(kind, idx_dir, descriptor)`` for every readable index
+        of the table — the ONE directory enumeration shared by
+        :meth:`list_indexes` and :meth:`stats` (r9 review: two hand
+        copies of the kind tuple + listStatus walk had already drifted
+        in structure)."""
+        for kind in self.INDEX_KINDS:
             base = f"{self.index_root}/{catalog.table_id(table_path)}/{kind}"
             if not fsio.exists(self.spark, base):
                 continue
@@ -115,22 +133,33 @@ class Engine:
                     continue
                 idx_dir = f"{base}/{st.getPath().getName()}"
                 desc = catalog.read_descriptor(self.spark, idx_dir)
-                if desc is None:
-                    continue
-                idx_bytes = sum(s for _, s, _ in fsio.list_data_files(self.spark, idx_dir))
-                fresh = desc.fresh_files(live)
-                out.append(
-                    {
-                        "kind": kind,
-                        "column": desc.column,
-                        "num_buckets": desc.num_buckets,
-                        "index_bytes": idx_bytes,
-                        "covered_files": len(desc.files),
-                        "fresh_files": len(fresh),
-                        "stale_or_new_files": len(live_paths - fresh),
-                        "options": dict(desc.options),
-                    }
-                )
+                if desc is not None:
+                    yield kind, idx_dir, desc
+
+    def list_indexes(self, table_path: str) -> List[Dict]:
+        return [d.to_json() for _, _, d in self._iter_descriptors(table_path)]
+
+    def stats(self, table_path: str) -> List[Dict]:
+        """Operational summary per index of the table: kind, column,
+        bucket count, on-disk bytes, covered-file freshness."""
+        live = fsio.list_data_files(self.spark, table_path)
+        live_paths = {p for p, _, _ in live}
+        out = []
+        for kind, idx_dir, desc in self._iter_descriptors(table_path):
+            idx_bytes = sum(s for _, s, _ in fsio.list_data_files(self.spark, idx_dir))
+            fresh = desc.fresh_files(live)
+            out.append(
+                {
+                    "kind": kind,
+                    "column": desc.column,
+                    "num_buckets": desc.num_buckets,
+                    "index_bytes": idx_bytes,
+                    "covered_files": len(desc.files),
+                    "fresh_files": len(fresh),
+                    "stale_or_new_files": len(live_paths - fresh),
+                    "options": dict(desc.options),
+                }
+            )
         return out
 
     # ------------------------------------------------------------- query
@@ -220,18 +249,36 @@ class Engine:
             alias = count_alias.group("a") or "count"
             return self.spark.createDataFrame([(n,)], f"{alias} bigint")
         df = self.query(tbl, m.group("where")) if m.group("where") else self.scan(tbl)
-        cols = [c.strip() for c in m.group("cols").split(",")]
+        # top-level split only: a naive split(",") broke multi-argument
+        # calls like concat(a, b) into two invalid expressions
+        # (r9 review finding)
+        cols = _split_top_level(m.group("cols"))
         if cols != ["*"]:
             df = df.selectExpr(*cols)
         if m.group("order"):
             from pyspark.sql import functions as F
 
             order_cols = []
-            for item in m.group("order").split(","):
-                parts = item.split()
-                c = F.expr(parts[0])
-                if len(parts) > 1 and parts[1].upper() == "DESC":
-                    c = c.desc()
+            for item in _split_top_level(m.group("order")):
+                # whole expression + optional modifiers, not item.split()[0]
+                # (which silently ordered by 'a' for 'a * 2 DESC' and
+                # dropped NULLS FIRST/LAST — r9 review finding)
+                om = re.match(
+                    r"^(?P<e>.+?)(?:\s+(?P<dir>ASC|DESC))?"
+                    r"(?:\s+NULLS\s+(?P<nulls>FIRST|LAST))?\s*$",
+                    item,
+                    re.IGNORECASE | re.DOTALL,
+                )
+                expr_sql, direction, nulls = om.group("e", "dir", "nulls")
+                desc = (direction or "").upper() == "DESC"
+                nulls = (nulls or "").upper()
+                c = F.expr(expr_sql)
+                if nulls == "FIRST":
+                    c = c.desc_nulls_first() if desc else c.asc_nulls_first()
+                elif nulls == "LAST":
+                    c = c.desc_nulls_last() if desc else c.asc_nulls_last()
+                else:
+                    c = c.desc() if desc else c.asc()
                 order_cols.append(c)
             df = df.orderBy(*order_cols)
         if m.group("limit"):

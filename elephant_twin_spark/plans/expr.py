@@ -241,11 +241,30 @@ def parse_predicate(s: str) -> Expr:
     """
     import re
 
-    tokens = re.findall(
-        r"""\(|\)|!=|>=|<=|==|=|>|<|AND\b|OR\b|'[^']*'|"[^"]*"|[\w.]+""",
-        s,
+    # negative numeric literals tokenize as one unit (placed before the
+    # generic word pattern); any character the tokenizer cannot claim is
+    # a LOUD error — the previous findall silently dropped unmatched
+    # characters, so ``value > -5`` became ``value > 5`` and returned
+    # wrong rows with no signal (r9 review finding)
+    token_re = re.compile(
+        r"""\(|\)|,|!=|>=|<=|==|=|>|<|AND\b|OR\b|'[^']*'|"[^"]*"|"""
+        r"""-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?|[\w.]+""",
         flags=re.IGNORECASE,
     )
+    tokens = []
+    last = 0
+    for m in token_re.finditer(s):
+        gap = s[last:m.start()]
+        if gap.strip():
+            raise ValueError(
+                f"unparsable characters {gap.strip()!r} in predicate {s!r}"
+            )
+        tokens.append(m.group())
+        last = m.end()
+    if s[last:].strip():
+        raise ValueError(
+            f"unparsable trailing characters {s[last:].strip()!r} in predicate {s!r}"
+        )
     pos = 0
 
     def peek():
@@ -288,6 +307,9 @@ def parse_predicate(s: str) -> Expr:
                 raise ValueError(f"expected '(' after IN in {s!r}")
             values = []
             while peek() is not None and peek() != ")":
+                if peek() == ",":
+                    take()
+                    continue
                 values.append(unquote(take()))
             if peek() != ")":
                 raise ValueError(f"unterminated IN list in {s!r}")

@@ -106,7 +106,24 @@ def read_descriptor(spark: SparkSession, idx_dir: str) -> Optional[IndexDescript
     p = descriptor_path(idx_dir)
     if not fsio.exists(spark, p):
         return None
-    return IndexDescriptor.from_json(fsio.read_json(spark, p))
+    try:
+        return IndexDescriptor.from_json(fsio.read_json(spark, p))
+    except (ValueError, KeyError) as exc:
+        # a torn/corrupt descriptor (crash mid-write on a filesystem
+        # where even the staged rename isn't atomic) must degrade the
+        # way staleness does — no descriptor, full scan, never wrong;
+        # builders treat None as rebuild-needed, which self-heals it
+        # (r9 review finding: a JSONDecodeError here broke every query
+        # on the table until manual deletion)
+        import warnings
+
+        warnings.warn(
+            f"elephant_twin_spark: unreadable index descriptor at {p} "
+            f"({exc!r}); treating the index as absent — rebuild to heal",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        return None
 
 
 def make_descriptor(

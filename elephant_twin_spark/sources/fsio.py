@@ -21,12 +21,22 @@ FileStat = Tuple[str, int, int]
 
 def normalize_path(p: str) -> str:
     """Canonical URI form so paths from ``_metadata.file_path`` (file:///x),
-    Hadoop FileStatus (file:/x) and user input (/x) compare equal."""
+    Hadoop FileStatus (file:/x) and user input (/x, relative) compare
+    equal. Relative paths are absolutized first — ``file://data/events``
+    would make ``data`` the URI authority, so the same table referenced
+    relatively vs absolutely would hash to different table ids and the
+    index would be invisible under one spelling (r9 review finding);
+    a bare-bucket URI keeps an empty path instead of normpath's ``.``."""
     u = urlparse(p)
     if not u.scheme:
-        return "file://" + posixpath.normpath(p)
+        import os
+
+        return "file://" + posixpath.normpath(os.path.abspath(p))
     netloc = u.netloc or ""
-    return f"{u.scheme}://{netloc}{posixpath.normpath(u.path)}"
+    path = posixpath.normpath(u.path) if u.path else ""
+    if path == ".":
+        path = ""
+    return f"{u.scheme}://{netloc}{path}"
 
 
 def normalize_path_col(col):
@@ -139,12 +149,26 @@ def recover_publish(spark: SparkSession, tmp_dir: str, final_dir: str) -> bool:
 
 
 def write_text(spark: SparkSession, path: str, text: str) -> None:
+    """Write-then-rename, never in place: descriptors and markers are
+    read by every later query, and an in-place create truncates the old
+    content FIRST — a crash mid-write used to leave a torn JSON file
+    that broke the index until manual deletion (r9 review finding).
+    The staged file makes a crash leave either the old content or the
+    new, and the rename result is checked like :func:`publish_dir`'s."""
     fs, jpath, _ = _fs_and_path(spark, path)
-    out = fs.create(jpath, True)
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+    tmp = jvm_path(path + "._tmp")
+    if fs.exists(tmp):
+        fs.delete(tmp, False)
+    out = fs.create(tmp, True)
     try:
         out.write(bytearray(text.encode("utf-8")))
     finally:
         out.close()
+    if fs.exists(jpath):
+        fs.delete(jpath, False)
+    if not fs.rename(tmp, jpath):
+        raise OSError(f"write_text: rename {path}._tmp -> {path} failed")
 
 
 def read_text(spark: SparkSession, path: str) -> str:

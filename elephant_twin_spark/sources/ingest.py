@@ -91,10 +91,11 @@ def ingest(
     ``line_id`` for ``text`` sources — content-hash based (md5 of the
     line + its duplicate ordinal), NOT a zipWithIndex global sort, so
     it's stable under re-ingest and needs no single-partition pass."""
-    if fmt not in _KNOWN:
-        # permit any registered datasource, but be loud in the common typo case
-        if "." not in fmt:
-            raise ValueError(f"unknown format {fmt!r}; expected one of {sorted(_KNOWN)} or a datasource class")
+    # any registered datasource is allowed (the read_foreign contract):
+    # third-party connectors register SHORT names too (delta, xml, ...),
+    # so an unknown-short-name ValueError here rejected working formats
+    # (r9 review finding). Spark itself raises a clear
+    # ClassNotFoundException for a genuinely unknown format, naming it.
     df = read_foreign(spark, src_path, fmt, options, schema)
     if fmt == "text" and line_id:
         from pyspark.sql.window import Window

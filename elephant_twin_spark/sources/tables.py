@@ -19,27 +19,25 @@ from pyspark.sql import functions as F
 _NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
 
 
-def _nanos_timestamp_cols(path: str) -> List[str]:
-    """Column names stored as parquet TIMESTAMP(NANOS), from the footer."""
-    import pyarrow.parquet as pq
-
-    p = path
+def _local(p: str) -> str:
     if p.startswith("file:"):
         p = p[len("file:"):]
         while p.startswith("//"):
             p = p[1:]
+    return p
+
+
+def _nanos_timestamp_cols(path: str) -> List[str]:
+    """Column names stored as parquet TIMESTAMP(NANOS), from the footer."""
+    import pyarrow.parquet as pq
+
+    p = _local(path)
     if os.path.isdir(p):
         parts = [f for f in sorted(os.listdir(p)) if f.endswith(".parquet")]
         if not parts:
             return []
         p = os.path.join(p, parts[0])
     schema = pq.read_schema(p)
-    # Spark-written files (Spark 4 emits TIMESTAMP(NANOS) natively) carry
-    # writer metadata and round-trip through spark.read without help; the
-    # shim is only for pandas/pyarrow-written fixtures whose nanos columns
-    # Spark surfaces as LONG under nanosAsLong
-    if schema.metadata and b"org.apache.spark.version" in schema.metadata:
-        return []
     out = []
     for field in schema:
         t = field.type
@@ -49,16 +47,32 @@ def _nanos_timestamp_cols(path: str) -> List[str]:
 
 
 def load_raw(spark: SparkSession, path: str) -> DataFrame:
-    """Read a parquet table, transparently handling nanos timestamps."""
-    ns_cols = _nanos_timestamp_cols(path)
-    if not ns_cols:
-        return spark.read.parquet(path)
-    spark.conf.set(_NANOS_CONF, "true")
+    """Read a parquet table, transparently handling nanos timestamps.
+
+    The legacy conf is session-global and deliberately left set once a
+    nanos table has been read (flipping it back would desync the
+    already-planned scan). Conversion is therefore keyed on the READ
+    type, not the writer: any footer-nanos column that Spark surfaced
+    as LONG (under the conf) is converted to micros timestamps, while
+    one Spark read natively as a timestamp passes through — so a
+    Spark-written nanos table read after the conf leaked gets the SAME
+    micros timestamps as a pandas-written one, instead of silently
+    surfacing epoch-nanos longs (r9 review finding; the previous
+    writer-metadata check skipped exactly those columns)."""
+    ns_cols = set(_nanos_timestamp_cols(path))
+    if ns_cols:
+        spark.conf.set(_NANOS_CONF, "true")
     df = spark.read.parquet(path)
-    for c in ns_cols:
-        # integer division: `/` would go through double and lose precision
-        # at epoch-nanos magnitude (2^60), shifting some values by 1us
-        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    from pyspark.sql.types import LongType
+
+    for f in df.schema.fields:
+        if f.name in ns_cols and isinstance(f.dataType, LongType):
+            # integer division: `/` would go through double and lose
+            # precision at epoch-nanos magnitude (2^60), shifting some
+            # values by 1us
+            df = df.withColumn(
+                f.name, F.timestamp_micros(F.expr(f"`{f.name}` div 1000"))
+            )
     return df
 
 
@@ -80,21 +94,17 @@ def materialize(
     ``num_files`` parquet parts) — used to make file-level index pruning
     observable on the driver's single-file fixtures, and as the engine's
     canonical on-disk layout for tests/bench."""
-    marker = os.path.join(_local(dst_path), "_ETS_DONE")
-    if not force and os.path.exists(marker):
-        with open(marker) as fh:
-            if fh.read().strip() == LAYOUT_VERSION:
-                return dst_path
+    # Hadoop-FS marker IO, not os.path: a non-local dst (hdfs://, s3a://)
+    # would otherwise crash AFTER the expensive write and re-copy on
+    # every call because the local-path existence check never matches
+    # (r9 review finding)
+    from elephant_twin_spark.sources import fsio
+
+    marker = f"{dst_path.rstrip('/')}/_ETS_DONE"
+    if not force and fsio.exists(spark, marker):
+        if fsio.read_text(spark, marker).strip() == LAYOUT_VERSION:
+            return dst_path
     df = load_raw(spark, src_path)
     df.repartition(num_files).write.mode("overwrite").parquet(dst_path)
-    with open(marker, "w") as fh:
-        fh.write(LAYOUT_VERSION)
+    fsio.write_text(spark, marker, LAYOUT_VERSION)
     return dst_path
-
-
-def _local(p: str) -> str:
-    if p.startswith("file:"):
-        p = p[len("file:"):]
-        while p.startswith("//"):
-            p = p[1:]
-    return p

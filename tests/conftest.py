@@ -59,3 +59,25 @@ def wait_storage(spark, pred, timeout_s=5.0):
             return snap
         time.sleep(0.1)
     return lifecycle.storage_snapshot(spark)
+
+
+def settled_rdd_count(spark, timeout_s=5.0) -> int:
+    """Block-manager RDD count once it stops changing (two identical
+    consecutive snapshots). Tests that capture a BASELINE before
+    asserting relative storage growth must settle first: a previous
+    test's non-blocking release may still be draining, and a baseline
+    captured mid-drain inflates `base` so a later `>= base + k` assert
+    fails flakily in long shared-session runs."""
+    import time
+
+    from elephant_twin_spark.operators import lifecycle
+
+    prev = lifecycle.storage_snapshot(spark)["n_rdds"]
+    deadline = time.time() + timeout_s
+    while time.time() < deadline:
+        time.sleep(0.2)
+        cur = lifecycle.storage_snapshot(spark)["n_rdds"]
+        if cur == prev:
+            return cur
+        prev = cur
+    return prev

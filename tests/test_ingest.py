@@ -58,8 +58,12 @@ def test_text_ingest_stable_line_ids(spark, workdir):
 
 
 def test_unknown_format_rejected(spark, workdir):
+    """Short names are allowed through to Spark (registered third-party
+    datasources like delta use them — r9 review), so the loud failure
+    for a genuinely unknown format is Spark's own DATA_SOURCE_NOT_FOUND,
+    which names the format."""
     eng = Engine(spark, f"{workdir}/ing_idx")
-    with pytest.raises(ValueError):
+    with pytest.raises(Exception, match="(?i)xlsx"):
         eng.ingest("/nope", "xlsx", f"{workdir}/ing_bad")
 
 

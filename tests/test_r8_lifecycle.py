@@ -16,7 +16,7 @@ from elephant_twin_spark.operators import lifecycle, temporal
 from elephant_twin_spark.operators import kpi
 
 
-from conftest import wait_storage as _wait_storage  # noqa: E402
+from conftest import settled_rdd_count, wait_storage as _wait_storage  # noqa: E402
 
 
 def _final_cleanup(fn):
@@ -37,7 +37,7 @@ def _final_cleanup(fn):
 # ------------------------------------------------ release through derived plans
 
 def test_release_frees_escaped_checkpoint_under_derived_plan(spark):
-    base_rdds = lifecycle.storage_snapshot(spark)["n_rdds"]
+    base_rdds = settled_rdd_count(spark)
     ck = lifecycle.pin(
         spark.range(100_000).selectExpr("id", "id * 2 as v"), escape=True
     )
@@ -60,7 +60,7 @@ def test_release_treats_materialized_cache_as_barrier(spark):
     and hard-fails. The checkpoint becomes freeable only once the
     caller unpersists the cache (or signals teardown with
     caches=True)."""
-    base = lifecycle.storage_snapshot(spark)["n_rdds"]
+    base = settled_rdd_count(spark)
     ck = lifecycle.pin(
         spark.range(50_000).selectExpr("id", "id * 3 as v"), escape=True
     )
@@ -148,7 +148,7 @@ def test_release_frees_every_checkpoint_leaf_including_callers(spark):
     # documented semantics: release(df) walks ALL leaves — a checkpoint
     # the CALLER pinned and joined against an operator result is freed
     # too, so release only once every underlying consumer is done
-    base = lifecycle.storage_snapshot(spark)["n_rdds"]
+    base = settled_rdd_count(spark)
     mine = lifecycle.pin(
         spark.range(100).selectExpr("id", "id * 7 as mine"), escape=True
     )
@@ -167,7 +167,7 @@ def test_clean_corpus_survives_scope_and_releases(spark, docs_path):
     from elephant_twin_spark.operators.pipeline import clean
 
     docs = spark.read.parquet(docs_path).limit(400)
-    base = lifecycle.storage_snapshot(spark)["n_rdds"]
+    base = settled_rdd_count(spark)
     with lifecycle.checkpoint_scope():
         cleaned, audit = clean.clean_corpus(
             docs, "text", "doc_id", min_tokens=10, allowed_langs=("en",),
@@ -192,7 +192,7 @@ def test_connected_components_survives_scope_and_releases(spark):
         [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
         "id_a long, id_b long",
     )
-    base = lifecycle.storage_snapshot(spark)["n_rdds"]
+    base = settled_rdd_count(spark)
     with lifecycle.checkpoint_scope():
         comp = dedup.connected_components(pairs)
     got = {r["node"]: r["component"] for r in comp.collect()}
@@ -545,7 +545,7 @@ def test_index_builds_leave_no_block_manager_residue(spark, workdir, docs_path):
     build-path optimization)."""
     from elephant_twin_spark.operators import build, text
 
-    base = lifecycle.storage_snapshot(spark)["n_rdds"]
+    base = settled_rdd_count(spark)
     build.build_block_index(
         spark, docs_path, "source", f"{workdir}/r8_pin_blockidx", num_buckets=4
     )

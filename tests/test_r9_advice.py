@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from elephant_twin_spark.operators import lifecycle
 
 
-from conftest import wait_storage as _wait_storage  # noqa: E402
+from conftest import settled_rdd_count, wait_storage as _wait_storage  # noqa: E402
 
 
 def _final_cleanup(fn):
@@ -53,7 +53,7 @@ def test_release_caches_true_is_full_teardown_over_materialized_cache(spark):
     without ever touching the freed checkpoint — exactly the
     local-masks-the-cluster-failure effect the r8 advisor flagged for
     the caches=False case."""
-    base = lifecycle.storage_snapshot(spark)["n_rdds"]
+    base = settled_rdd_count(spark)
     ck = lifecycle.pin(
         spark.range(20_000).selectExpr("id", "id * 7 as v"), escape=True
     )

@@ -20,7 +20,7 @@ import random
 
 import pytest
 
-from conftest import wait_storage
+from conftest import settled_rdd_count, wait_storage
 from elephant_twin_spark.operators import lifecycle
 
 
@@ -113,7 +113,7 @@ class _Model:
 
 @pytest.mark.parametrize("seed", [1, 17, 42])
 def test_lifecycle_random_sequences_hold_invariants(spark, seed):
-    base = lifecycle.storage_snapshot(spark)["n_rdds"]
+    base = settled_rdd_count(spark)
     rng = random.Random(seed)
     m = _Model(spark)
     ops = [m.pin]  # always start with one checkpoint
