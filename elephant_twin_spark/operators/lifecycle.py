@@ -282,6 +282,16 @@ def _protected_rdd_ids(spark, owned_cbs, iter_leaves) -> frozenset:
         fld = cm.getClass().getDeclaredField("cachedData")
         fld.setAccessible(True)
         entries = fld.get(cm)
+        # the iteration shape (IndexedSeq.size/apply) is as
+        # reflection-fragile as the field itself: on a Spark where
+        # cachedData is a different collection (the older
+        # java.util.LinkedList shape), apply() raises Py4JError and —
+        # outside this try — every release() in a cache-holding session
+        # would hard-fail instead of degrading (r10 advice). Enumerate
+        # here so shape incompatibility degrades with the warning; the
+        # per-entry PLAN WALK below stays outside and propagates, as the
+        # contract requires.
+        jentries = [entries.apply(i) for i in range(entries.size())]
     except Py4JError:  # reflection unavailable — degrade loudly
         import warnings
 
@@ -295,8 +305,7 @@ def _protected_rdd_ids(spark, owned_cbs, iter_leaves) -> frozenset:
         )
         return frozenset()
     ids = set()
-    for i in range(entries.size()):
-        entry = entries.apply(i)
+    for entry in jentries:
         cb = entry.cachedRepresentation().cacheBuilder()
         if any(cb.equals(o) for o in owned_cbs):
             continue

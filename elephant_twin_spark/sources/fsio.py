@@ -148,13 +148,44 @@ def recover_publish(spark: SparkSession, tmp_dir: str, final_dir: str) -> bool:
     return True
 
 
+def require_published(spark: SparkSession, final_dir: str) -> None:
+    """Reader-side diagnosis for :func:`publish_dir`'s delete→rename
+    window: when ``final_dir`` is missing but its staged ``_tmp``
+    sibling survives, a refresh is mid-publish or crashed there — the
+    data is complete in the staged dir, and the raw parquet
+    path-not-found a reader would otherwise hit says none of that (r9
+    verdict item 6). Raises ``FileNotFoundError`` naming the recovery;
+    a missing dir with NO staged sibling falls through to the reader's
+    normal error. One ``exists()`` metadata call on the happy path —
+    the same order of driver-side cost as the descriptor read every
+    index query already performs."""
+    if exists(spark, final_dir):
+        return
+    tmp_dir = final_dir.rstrip("/") + "_tmp"
+    if exists(spark, tmp_dir):
+        raise FileNotFoundError(
+            f"{final_dir} is missing but its staged sibling {tmp_dir} "
+            "exists: a refresh is publishing right now, or crashed between "
+            "delete and rename. The staged data is complete — re-run the "
+            "index's refresh, or call fsio.recover_publish(spark, "
+            f"{tmp_dir!r}, {final_dir!r}) to finish the publish."
+        )
+
+
 def write_text(spark: SparkSession, path: str, text: str) -> None:
     """Write-then-rename, never in place: descriptors and markers are
     read by every later query, and an in-place create truncates the old
     content FIRST — a crash mid-write used to leave a torn JSON file
     that broke the index until manual deletion (r9 review finding).
-    The staged file makes a crash leave either the old content or the
-    new, and the rename result is checked like :func:`publish_dir`'s."""
+
+    Crash guarantee: OLD, NEW, or ABSENT — never torn (r10 advice: the
+    earlier docstring over-promised "old or new"). The rename is tried
+    FIRST without deleting the destination: POSIX-backed filesystems
+    (RawLocalFileSystem's ``File.renameTo``) replace atomically, so the
+    absent window only exists on stores whose rename refuses an existing
+    destination (HDFS) — there we fall back to delete-then-rename, and
+    readers already treat an absent descriptor as staleness (full scan,
+    never wrong)."""
     fs, jpath, _ = _fs_and_path(spark, path)
     jvm_path = spark._jvm.org.apache.hadoop.fs.Path
     tmp = jvm_path(path + "._tmp")
@@ -165,6 +196,8 @@ def write_text(spark: SparkSession, path: str, text: str) -> None:
         out.write(bytearray(text.encode("utf-8")))
     finally:
         out.close()
+    if fs.rename(tmp, jpath):
+        return
     if fs.exists(jpath):
         fs.delete(jpath, False)
     if not fs.rename(tmp, jpath):

@@ -36,6 +36,31 @@ from elephant_twin_spark.operators.lsh import LshIndex
 from elephant_twin_spark.operators.pipeline import dedup
 
 
+def run_token(checkpoint_path: str) -> str:
+    """Idempotency token for per-batch ``batch_run=<run>-<N>`` sink
+    partitions: batch ids restart at 0 under a FRESH checkpoint, so bare
+    ``batch_id=N`` partitions from a second run over the same sink would
+    overwrite the first run's output. (checkpoint path, batch) is exactly
+    Structured Streaming's replay domain: a restart of the SAME
+    checkpoint re-runs a batch under the same tag (idempotent rewrite),
+    a new checkpoint gets fresh tags (no collision).
+
+    The path is NORMALIZED before hashing (r10 advice): the same logical
+    checkpoint spelled with a trailing slash / relative path / ``file:``
+    URI across restarts must map to the SAME token, else a replayed
+    batch writes a NEW partition and the duplicate-survivor bug
+    reappears despite the partition scheme. Shared by every per-batch
+    partitioned sink (this gate, the sketch/CMS rollup streams,
+    ``LshIndex.append_docs`` tags)."""
+    import hashlib
+
+    from elephant_twin_spark.sources import fsio
+
+    return hashlib.md5(
+        fsio.normalize_path(checkpoint_path).encode()
+    ).hexdigest()[:12]
+
+
 def gate_batch(
     index: LshIndex,
     batch_df: DataFrame,
@@ -111,17 +136,9 @@ def stream_near_dup_gate(
     does not drain within ``timeout_sec`` (a silently-partial accepted
     table would poison downstream determinism)."""
 
-    import hashlib
-
     from elephant_twin_spark.sources import fsio
 
-    # idempotency key: batch ids restart at 0 under a FRESH checkpoint,
-    # so bare batch_id=N partitions from a second run over the same sink
-    # would overwrite the first run's output. (checkpoint path, batch)
-    # is exactly Structured Streaming's replay domain: a restart of the
-    # SAME checkpoint re-runs a batch under the same tag (idempotent
-    # rewrite), a new checkpoint gets fresh tags (no collision).
-    run_tok = hashlib.md5(checkpoint_path.encode()).hexdigest()[:12]
+    run_tok = run_token(checkpoint_path)
 
     def on_batch(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.head(1):

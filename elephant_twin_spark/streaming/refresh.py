@@ -453,6 +453,19 @@ def refresh_lsh_index(
 
     idx = LshIndex(spark, table_path, text_column, index_root)
     kept = idx.bands().where(~F.col("file").isin(dropped))
+    # fold idempotency (r10 advice): a crash between the publish below
+    # and the bands_grown delete leaves the folded rows in BOTH the new
+    # spine and bands_grown — bands() then yields each grown row twice,
+    # and without this the re-fold would write the duplicates into the
+    # spine permanently (monotonic growth per crashed refresh;
+    # candidate_pairs' .distinct() hides it from gating). Only rows NOT
+    # from a live source file can collide (source-file rows exist once
+    # in the spine by construction), so the dedup shuffle is sized by
+    # the grown slice, not the corpus.
+    from_source = F.col("file").isin(sorted(fresh))
+    kept = kept.where(from_source).unionByName(
+        kept.where(~from_source).dropDuplicates(["id", "band", "band_hash", "file"])
+    )
     merged = kept
     if new_or_changed:
         delta = lsh_mod.banded_docs(

@@ -173,10 +173,17 @@ def sketch_rollup_stream(
     Replay safety (r9 review): foreachBatch is at-least-once, and while
     the HLL register-max merge is replay-idempotent, ``n_rows``'s
     SUM-merge is not — a replayed batch's plain append would double the
-    count. Each batch therefore writes its own ``batch_id=N`` partition
-    with overwrite, the same discipline as :func:`cms_rollup_stream`.
+    count. Each batch therefore writes its own partition with overwrite,
+    the same discipline as :func:`cms_rollup_stream` — tagged
+    ``batch_run=<run>-<N>`` (:func:`gate.run_token`), not bare
+    ``batch_id=N``: batch ids restart at 0 under a fresh checkpoint, so
+    a second run over the same sink would silently overwrite the first
+    run's partials (r10 advice).
     """
     from elephant_twin_spark.functions import sketches
+    from elephant_twin_spark.streaming.gate import run_token
+
+    run_tok = run_token(checkpoint_path)
 
     def append_partials(batch_df: DataFrame, batch_id: int):
         (
@@ -196,7 +203,7 @@ def sketch_rollup_stream(
                 "n_rows",
             )
             .write.mode("overwrite")
-            .parquet(f"{sink_path}/batch_id={int(batch_id)}")
+            .parquet(f"{sink_path}/batch_run={run_tok}-{int(batch_id)}")
         )
 
     return (
@@ -245,11 +252,12 @@ def compact_sketch_rollup(spark: SparkSession, sink_path: str) -> int:
             F.sum("n_rows").alias("n_rows"),
         )
     )
-    # compacted rows keep the batch_id=N layout (under the reserved id
-    # -1): the NEXT micro-batch writes another batch_id=N subdir, and
-    # parquet partition discovery cannot mix flat files with partition
-    # dirs in one root
-    compacted.write.mode("overwrite").parquet(f"{tmp}/batch_id=-1")
+    # compacted rows keep the batch_run=<tag> layout (under the reserved
+    # tag "compact--1", which no run token can produce — tokens are 12
+    # hex chars): the NEXT micro-batch writes another batch_run subdir,
+    # and parquet partition discovery cannot mix flat files with
+    # partition dirs in one root
+    compacted.write.mode("overwrite").parquet(f"{tmp}/batch_run=compact--1")
     fsio.publish_dir(spark, tmp, sink_path)
     return spark.read.parquet(sink_path).count()
 
@@ -274,16 +282,21 @@ def cms_rollup_stream(
 
     Replay safety: foreachBatch is at-least-once, and unlike the HLL
     register-max merge, SUM-merge is NOT idempotent — so each batch
-    writes (overwrite) its own ``batch_id=N`` directory instead of
-    appending; a replayed batch rewrites the same partition and the
-    read-side sum never double-counts."""
+    writes (overwrite) its own ``batch_run=<run>-<N>`` directory instead
+    of appending; a replayed batch rewrites the same partition and the
+    read-side sum never double-counts, and a SECOND run over the same
+    sink (fresh checkpoint → batch ids restart at 0) gets fresh tags
+    instead of clobbering the first run's partials (r10 advice)."""
     from elephant_twin_spark.functions import sketches
+    from elephant_twin_spark.streaming.gate import run_token
+
+    run_tok = run_token(checkpoint_path)
 
     def append_partials(batch_df: DataFrame, batch_id: int):
         (
             sketches.cms_table(batch_df, key_col, depth=depth, width=width)
             .write.mode("overwrite")
-            .parquet(f"{sink_path}/batch_id={batch_id}")
+            .parquet(f"{sink_path}/batch_run={run_tok}-{int(batch_id)}")
         )
 
     return (
