@@ -128,6 +128,7 @@ class AnnIndex:
             return sum(a * b for a, b in zip(q, c)) / (qn * cn)
 
         probes = sorted(range(len(cents)), key=lambda i: -cos(cents[i]))[:nprobe]
+        fsio.require_published(self.spark, f"{self.idx_dir}/vectors")
         vecs = self.spark.read.parquet(f"{self.idx_dir}/vectors").where(
             F.col("cluster").isin(probes)
         )
@@ -164,6 +165,7 @@ class AnnIndex:
         probed_clusters = [
             r["cluster"] for r in q_probed.select("cluster").distinct().collect()
         ]
+        fsio.require_published(self.spark, f"{self.idx_dir}/vectors")
         vecs = (
             self.spark.read.parquet(f"{self.idx_dir}/vectors")
             .where(F.col("cluster").isin(probed_clusters))

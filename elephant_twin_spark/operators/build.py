@@ -381,6 +381,7 @@ def build_zone_index(
 
 
 def read_zones(spark: SparkSession, idx_dir: str) -> DataFrame:
+    fsio.require_published(spark, f"{idx_dir}/zones")
     return spark.read.parquet(f"{idx_dir}/zones")
 
 
@@ -541,4 +542,5 @@ def build_block_indexes(
 def read_postings(spark: SparkSession, idx_dir: str) -> DataFrame:
     """The index as a first-class table (reference S10: index files are
     themselves scannable input, core/retrieval/ScanUsingIndexJob.java:163-240)."""
+    fsio.require_published(spark, f"{idx_dir}/postings")
     return spark.read.parquet(f"{idx_dir}/postings")

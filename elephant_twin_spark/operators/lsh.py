@@ -161,6 +161,7 @@ class LshIndex:
         the ``bands_grown`` sibling where the streaming gate lands its
         per-batch idempotent appends (see :meth:`append_docs`; the
         refresh folds grown rows back into the main spine)."""
+        fsio.require_published(self.spark, f"{self.idx_dir}/bands")
         out = self.spark.read.parquet(f"{self.idx_dir}/bands")
         grown_dir = f"{self.idx_dir}/bands_grown"
         if fsio.exists(self.spark, grown_dir):

@@ -27,14 +27,14 @@ from elephant_twin_spark.operators.text import whitespace_tokenizer
 
 
 def _fan_out(df: DataFrame) -> DataFrame:
-    """Repartition up-front when the source has fewer partitions than
-    cores (single-file tables): shingling/hashing multiplies work per
-    row ~100×, so starting from a 1-partition scan serializes the whole
-    map side into one task."""
-    sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() < sc.defaultParallelism // 2:
-        df = df.repartition(sc.defaultParallelism)
-    return df
+    """Repartition up-front when the source has fewer files than half
+    the cores (single-file tables): shingling/hashing multiplies work
+    per row ~100×, so starting from a 1-partition scan serializes the
+    whole map side into one task. See :func:`layout.fan_out` for the
+    probe's cost rationale."""
+    from elephant_twin_spark.operators import layout
+
+    return layout.fan_out(df)
 
 
 # ------------------------------------------------------------------ exact

@@ -189,7 +189,8 @@ def postings_for(
     fan out before the explode so tokenization parallelizes — the explode
     multiplies rows ~100×, so starting single-threaded wastes the cluster.
     """
-    sc = df.sparkSession.sparkContext
+    from elephant_twin_spark.operators import layout
+
     # resolve the metadata column before any repartition (it only
     # resolves directly over the file-source relation)
     src = df.select(
@@ -197,8 +198,7 @@ def postings_for(
         F.col(text_column).alias("_text"),
         fsio.normalize_path_col(F.col("_metadata.file_path")).alias("file"),
     )
-    if src.rdd.getNumPartitions() < sc.defaultParallelism // 2:
-        src = src.repartition(sc.defaultParallelism)
+    src = layout.fan_out(src)
     toks = src.select(
         "doc_id",
         "file",
@@ -669,9 +669,11 @@ class TextIndex:
         self.doc_id_column = self.desc.options["doc_id_column"]
 
     def postings(self) -> DataFrame:
+        fsio.require_published(self.spark, f"{self.idx_dir}/postings")
         return self.spark.read.parquet(f"{self.idx_dir}/postings")
 
     def doclens(self) -> DataFrame:
+        fsio.require_published(self.spark, f"{self.idx_dir}/doclens")
         return self.spark.read.parquet(f"{self.idx_dir}/doclens")
 
     def matches(self, query: Union[str, object], scoring: str = "tf") -> DataFrame:
