@@ -63,6 +63,54 @@ def test_unevidenced_queries_sit_in_driver_window():
     )
 
 
+def test_driver_window_fully_hash_checkable():
+    """Every first-50 entry must have an oracle_sql twin (r9 verdict
+    item 3): a rows-only query in the window burns a slot on evidence
+    the pytest suite already provides — `streaming_windowed_rollup` sat
+    there returning `no_oracle` for two rounds. Rotations must keep the
+    window 50/50 hash-checkable."""
+    import __spark_entry__ as entrymod
+
+    oracle_names = set(entrymod.oracle_sql())
+    window = list(entrymod.queries())[:DRIVER_BUDGET]
+    rows_only = [n for n in window if n not in oracle_names]
+    assert not rows_only, (
+        f"rows-only queries occupy driver-window slots: {rows_only}"
+    )
+
+
+def test_rotation_window_prioritizes_oldest_evidence():
+    """The non-pinned window slots must hold hash-green queries whose
+    last driver evidence is OLDEST (r9 verdict item 2) — concretely: no
+    window entry may have NEWER evidence than some oracle-backed query
+    outside the window that is ≥2 rounds staler (the slack allows
+    hygiene-rule pins, which sit in the window regardless of vintage)."""
+    import __spark_entry__ as entrymod
+
+    last = {}
+    for path in sorted(glob.glob(f"{REPO}/CORRECTNESS_r*.json")):
+        rnd = int(re.search(r"r(\d+)", os.path.basename(path)).group(1))
+        with open(path) as f:
+            for name, r in json.load(f).items():
+                if r.get("hash_match"):
+                    last[name] = rnd
+    oracle_names = set(entrymod.oracle_sql())
+    names = list(entrymod.queries())
+    window, tail = names[:DRIVER_BUDGET], names[DRIVER_BUDGET:]
+    stalest_outside = min(
+        (last.get(n, 0) for n in tail if n in oracle_names), default=99
+    )
+    offenders = [
+        (n, last.get(n, 0))
+        for n in window
+        if last.get(n, 0) > stalest_outside + 2
+    ]
+    assert not offenders, (
+        f"window entries with fresh evidence while r{stalest_outside}-vintage "
+        f"queries wait outside: {offenders}"
+    )
+
+
 def test_registry_and_oracles_consistent():
     """Every oracle_sql key names a declared query, and column aliases
     exist for both sides to compare (spot structural check only)."""
