@@ -2988,6 +2988,13 @@ def _q_scd2_merge_incremental(spark, sf_dir):
 # probe/diagnostic plumbing — none alter a registry query's output), so
 # all 50 slots rotate: the 48 r1-vintage oracle queries plus the 2
 # oldest r2 ones. Next rotation continues from shard_assignment(r2).
+# _ROTATION_ROUND pins WHICH rounds' evidence the rotation was computed
+# from (everything before it): the hygiene test must ignore evidence
+# from this round onward, else the round's own driver run — which
+# freshens exactly the window entries — would flag the unchanged
+# registry as stale-ordered (r10 review finding). Bump both together
+# when rotating.
+_ROTATION_ROUND = 10
 _ROTATION_R10 = [
     "idx_point_lookup", "idx_and", "idx_or", "idx_residual", "idx_no_match",
     "idx_per_key_counts", "sql_front_door", "bloom_user_lookup",

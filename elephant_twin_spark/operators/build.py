@@ -496,6 +496,7 @@ def bloom_sketch_for(
 
 
 def read_bloom_sketch(spark: SparkSession, idx_dir: str) -> DataFrame:
+    fsio.require_published(spark, f"{idx_dir}/sketch")
     return spark.read.parquet(f"{idx_dir}/sketch")
 
 

@@ -40,12 +40,17 @@ def fan_out(df: DataFrame) -> DataFrame:
     probe did not — that extra shuffle buys guaranteed map-side
     parallelism for the expansion that follows, and real 100 TB tables
     are many files, so the guard only ever fires for genuinely
-    small/single-file sources. Non-file sources (in-memory test frames,
-    rate streams: no input files) pass through untouched — they already
-    parallelize to ``defaultParallelism``."""
+    small/single-file sources. Non-file relations (foreachBatch frames
+    from Kafka/rate sources, in-memory frames) report zero input files
+    and fall back to the split-aware RDD probe — a 2-partition Kafka
+    topic on a 32-core cluster NEEDS the fan-out (r10 review finding),
+    and the fallback only pays the RDD-conversion cost where no cheaper
+    metadata exists."""
     sc = df.sparkSession.sparkContext
-    n_files = len(df.inputFiles())
-    if 0 < n_files < sc.defaultParallelism // 2:
+    n = len(df.inputFiles())
+    if n == 0:
+        n = df.rdd.getNumPartitions()
+    if n < sc.defaultParallelism // 2:
         df = df.repartition(sc.defaultParallelism)
     return df
 

@@ -273,26 +273,12 @@ def _protected_rdd_ids(spark, owned_cbs, iter_leaves) -> frozenset:
     Iterative releases (connected_components) pay it per iteration,
     but each iteration also runs full Spark jobs, so the walk is noise
     unless the session holds hundreds of cached plans."""
-    from py4j.protocol import Py4JError
+    from py4j.protocol import Py4JError, Py4JJavaError
 
     cm = spark._jsparkSession.sharedState().cacheManager()
     if cm.isEmpty():
         return frozenset()
-    try:
-        fld = cm.getClass().getDeclaredField("cachedData")
-        fld.setAccessible(True)
-        entries = fld.get(cm)
-        # the iteration shape (IndexedSeq.size/apply) is as
-        # reflection-fragile as the field itself: on a Spark where
-        # cachedData is a different collection (the older
-        # java.util.LinkedList shape), apply() raises Py4JError and —
-        # outside this try — every release() in a cache-holding session
-        # would hard-fail instead of degrading (r10 advice). Enumerate
-        # here so shape incompatibility degrades with the warning; the
-        # per-entry PLAN WALK below stays outside and propagates, as the
-        # contract requires.
-        jentries = [entries.apply(i) for i in range(entries.size())]
-    except Py4JError:  # reflection unavailable — degrade loudly
+    def _degrade() -> frozenset:
         import warnings
 
         warnings.warn(
@@ -301,9 +287,34 @@ def _protected_rdd_ids(spark, owned_cbs, iter_leaves) -> frozenset:
             "barrier (caches on sibling plans will not protect shared "
             "checkpoints)",
             RuntimeWarning,
-            stacklevel=3,
+            stacklevel=4,
         )
         return frozenset()
+
+    try:
+        fld = cm.getClass().getDeclaredField("cachedData")
+        fld.setAccessible(True)
+        entries = fld.get(cm)
+    except Py4JError:
+        # reflection unavailable (field moved/sealed — Java-side
+        # NoSuchFieldException arrives as Py4JJavaError, also caught
+        # here: a missing field IS the degrade case, not a failure)
+        return _degrade()
+    # the iteration shape (IndexedSeq.size/apply) is as reflection-
+    # fragile as the field itself: on a Spark where cachedData is a
+    # different collection (the older java.util.LinkedList shape),
+    # apply() raises the plain "method does not exist" Py4JError and —
+    # without this guard — every release() in a cache-holding session
+    # would hard-fail instead of degrading (r10 advice). A genuine JVM
+    # failure MID-ITERATION is Py4JJavaError and propagates, per the
+    # contract above; the per-entry plan walk below stays outside any
+    # guard for the same reason.
+    try:
+        jentries = [entries.apply(i) for i in range(entries.size())]
+    except Py4JJavaError:
+        raise
+    except Py4JError:  # wrong collection shape — degrade loudly
+        return _degrade()
     ids = set()
     for entry in jentries:
         cb = entry.cachedRepresentation().cacheBuilder()

@@ -458,14 +458,24 @@ def refresh_lsh_index(
     # spine and bands_grown — bands() then yields each grown row twice,
     # and without this the re-fold would write the duplicates into the
     # spine permanently (monotonic growth per crashed refresh;
-    # candidate_pairs' .distinct() hides it from gating). Only rows NOT
-    # from a live source file can collide (source-file rows exist once
-    # in the spine by construction), so the dedup shuffle is sized by
-    # the grown slice, not the corpus.
-    from_source = F.col("file").isin(sorted(fresh))
-    kept = kept.where(from_source).unionByName(
-        kept.where(~from_source).dropDuplicates(["id", "band", "band_hash", "file"])
-    )
+    # candidate_pairs' .distinct() hides it from gating). Only GROWN
+    # rows can collide (source-file rows exist once in the spine by
+    # construction), and duplicates exist only while a bands_grown
+    # sibling does — so the guard costs nothing on the no-sibling path,
+    # and otherwise splits on the sibling's distinct file_labels (a
+    # handful of values — never the O(table files) live-path list,
+    # which at 100 TB would put ~10^5 literals into the plan) and
+    # dedups just that slice.
+    grown_dir = f"{idx_dir}/bands_grown"
+    if fsio.exists(spark, grown_dir):
+        labels = [
+            r["file"]
+            for r in spark.read.parquet(grown_dir).select("file").distinct().collect()
+        ]
+        is_grown = F.col("file").isin(labels)
+        kept = kept.where(~is_grown).unionByName(
+            kept.where(is_grown).dropDuplicates(["id", "band", "band_hash", "file"])
+        )
     merged = kept
     if new_or_changed:
         delta = lsh_mod.banded_docs(

@@ -146,6 +146,46 @@ def run_to_memory(
     return q
 
 
+def _migrate_legacy_batch_partitions(spark, sink_path: str) -> int:
+    """Upgrade a pre-r10 rollup sink in place: those were partitioned by
+    bare ``batch_id=N``, and the r10 scheme writes ``batch_run=<tok>-<N>``
+    — mixed partition-column names in one root fail Spark's partition
+    inference ("Conflicting partition column names"), breaking every
+    read of the sink after the first post-upgrade batch (r10 review
+    finding). Renames ``batch_id=N`` → ``batch_run=legacy-N`` (reserved
+    prefix — run tokens are 12 hex chars, so no collision with any
+    future run, and a fresh-checkpoint rerun can never clobber the
+    migrated partials); the reserved compaction id ``-1`` maps to the
+    reserved ``compact--1`` tag. Residual window, documented not fixed:
+    a batch that was MID-REPLAY across the upgrade (crashed after its
+    pre-upgrade sink write, resumed post-upgrade from the same
+    checkpoint) re-lands under its run token next to its ``legacy-N``
+    copy and double-counts once — the writer's identity is not
+    recoverable from a bare batch id, and preserving every completed
+    run's partials outweighs that one-batch crash-spanning-upgrade
+    corner. Returns the number of partitions migrated."""
+    from elephant_twin_spark.sources import fsio
+
+    fs, jroot, jvm = fsio._fs_and_path(spark, sink_path)
+    if not fs.exists(jroot):
+        return 0
+    jpath = jvm.org.apache.hadoop.fs.Path
+    n = 0
+    for status in fs.listStatus(jroot):
+        name = status.getPath().getName()
+        if status.isDirectory() and name.startswith("batch_id="):
+            bid = name[len("batch_id=") :]
+            tag = "compact--1" if bid == "-1" else f"legacy-{bid}"
+            dest = jpath(f"{sink_path}/batch_run={tag}")
+            if not fs.rename(status.getPath(), dest):
+                raise OSError(
+                    f"rollup sink migration: rename {name} -> "
+                    f"batch_run={tag} failed under {sink_path}"
+                )
+            n += 1
+    return n
+
+
 def sketch_rollup_stream(
     stream: DataFrame,
     sink_path: str,
@@ -184,6 +224,7 @@ def sketch_rollup_stream(
     from elephant_twin_spark.streaming.gate import run_token
 
     run_tok = run_token(checkpoint_path)
+    _migrate_legacy_batch_partitions(stream.sparkSession, sink_path)
 
     def append_partials(batch_df: DataFrame, batch_id: int):
         (
@@ -291,6 +332,7 @@ def cms_rollup_stream(
     from elephant_twin_spark.streaming.gate import run_token
 
     run_tok = run_token(checkpoint_path)
+    _migrate_legacy_batch_partitions(stream.sparkSession, sink_path)
 
     def append_partials(batch_df: DataFrame, batch_id: int):
         (

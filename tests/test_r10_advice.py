@@ -348,11 +348,134 @@ def test_fan_out_repartitions_single_file_scan(spark, workdir):
     )
 
 
-def test_fan_out_leaves_parallel_and_inmemory_sources_alone(spark, workdir, events_multifile):
+def test_fan_out_leaves_parallel_sources_alone(spark, workdir, events_multifile):
     from elephant_twin_spark.operators import layout
 
     multi = spark.read.parquet(events_multifile)
     assert len(multi.inputFiles()) >= spark.sparkContext.defaultParallelism // 2
     assert layout.fan_out(multi) is multi
-    local = spark.createDataFrame([Row(a=1), Row(a=2)])
-    assert layout.fan_out(local) is local  # no input files -> untouched
+
+
+def test_fan_out_still_guards_non_file_sources(spark):
+    """Non-file relations (foreachBatch frames from Kafka/rate sources)
+    report zero input files — they must fall back to the split-aware
+    RDD probe, not pass through: a 1-partition batch feeding the ~100×
+    shingle expansion serializes the whole map side (r10 review
+    finding)."""
+    from elephant_twin_spark.operators import layout
+
+    narrow = spark.createDataFrame([Row(a=i) for i in range(100)]).coalesce(1)
+    assert len(narrow.inputFiles()) == 0
+    out = layout.fan_out(narrow)
+    assert out.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+
+
+def test_rollup_sink_batch_id_migration(spark, workdir, events_multifile):
+    """A pre-r10 sink (bare batch_id=N partitions) resumed under the
+    batch_run scheme must be migrated in place: mixed partition-column
+    names fail Spark's partition inference, and a replayed batch would
+    double-count next to its legacy copy (r10 review finding)."""
+    from elephant_twin_spark.functions import sketches
+
+    sink = f"{workdir}/cms_migrate"
+    # fabricate the legacy layout: one pre-upgrade micro-batch partial
+    batch_df = spark.read.parquet(events_multifile)
+    sketches.cms_table(batch_df, "event_type", depth=2, width=64).write.mode(
+        "overwrite"
+    ).parquet(f"{sink}/batch_id=0")
+    legacy = {
+        (r["row"], r["bucket"]): r["cnt"]
+        for r in windows.read_cms_rollup(spark, sink).collect()
+    }
+    # post-upgrade run over the same source with a fresh checkpoint
+    stream = (
+        spark.readStream.schema(batch_df.schema)
+        .option("maxFilesPerTrigger", 3)
+        .parquet(events_multifile)
+    )
+    q = windows.cms_rollup_stream(
+        stream, sink, f"{workdir}/cms_migrate_ck", key_col="event_type", depth=2, width=64
+    )
+    q.awaitTermination(120)
+    merged = {
+        (r["row"], r["bucket"]): r["cnt"]
+        for r in windows.read_cms_rollup(spark, sink).collect()
+    }
+    assert merged == {k: 2 * v for k, v in legacy.items()}
+    # the migrated partition carries the reserved legacy tag, next to
+    # the new run's token-tagged partitions
+    tags = {
+        r["batch_run"]
+        for r in spark.read.parquet(sink).select("batch_run").distinct().collect()
+    }
+    assert "legacy-0" in tags and len(tags) >= 2
+
+
+def test_cache_registry_jvm_failure_mid_iteration_propagates():
+    """A GENUINE JVM failure (Py4JJavaError) during the registry
+    enumeration must propagate, not degrade — only the plain
+    method-does-not-exist shape signal may fall back (r10 review
+    finding: the first fix swallowed both)."""
+    from py4j.protocol import Py4JJavaError
+
+    boom = Py4JJavaError.__new__(Py4JJavaError)
+    Exception.__init__(boom, "simulated driver JVM failure")
+
+    class FakeEntries:
+        def size(self):
+            raise boom
+
+        def apply(self, i):
+            raise AssertionError("unreachable")
+
+    class FakeField:
+        def setAccessible(self, flag):
+            pass
+
+        def get(self, cm):
+            return FakeEntries()
+
+    class FakeClass:
+        def getDeclaredField(self, name):
+            return FakeField()
+
+    class FakeCM:
+        def isEmpty(self):
+            return False
+
+        def getClass(self):
+            return FakeClass()
+
+    class FakeShared:
+        def cacheManager(self):
+            return FakeCM()
+
+    class FakeJSession:
+        def sharedState(self):
+            return FakeShared()
+
+    class FakeSpark:
+        _jsparkSession = FakeJSession()
+
+    with pytest.raises(Py4JJavaError):
+        lifecycle._protected_rdd_ids(FakeSpark(), [], lambda n, through_caches: iter(()))
+
+
+def test_bloom_sketch_reader_publish_window(spark, workdir, events_multifile):
+    """read_bloom_sketch reads a publish_dir-managed dir too — it gets
+    the same mid-publish diagnosis as postings/zones/bands/vectors
+    (r10 review finding: it was the one reader missed)."""
+    from elephant_twin_spark.operators import build as build_mod
+    from elephant_twin_spark.sources import catalog
+
+    eng = Engine(spark, f"{workdir}/pubwin_bloom_root")
+    eng.build_bloom_index(events_multifile, "user_id")
+    idx_dir = catalog.index_dir(
+        f"{workdir}/pubwin_bloom_root", events_multifile, "user_id", kind="bloom"
+    )
+    sketch_dir = idx_dir.replace("file://", "") + "/sketch"
+    shutil.move(sketch_dir, sketch_dir + "_tmp")
+    with pytest.raises(FileNotFoundError, match="staged sibling"):
+        build_mod.read_bloom_sketch(spark, idx_dir).count()
+    fsio.recover_publish(spark, sketch_dir + "_tmp", sketch_dir)
+    assert build_mod.read_bloom_sketch(spark, idx_dir).count() > 0

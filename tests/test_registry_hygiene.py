@@ -84,12 +84,22 @@ def test_rotation_window_prioritizes_oldest_evidence():
     last driver evidence is OLDEST (r9 verdict item 2) — concretely: no
     window entry may have NEWER evidence than some oracle-backed query
     outside the window that is ≥2 rounds staler (the slack allows
-    hygiene-rule pins, which sit in the window regardless of vintage)."""
+    hygiene-rule pins, which sit in the window regardless of vintage).
+
+    Vintages are computed from evidence BEFORE `_ROTATION_ROUND` — the
+    rounds the rotation could actually see. The rotation round's own
+    driver run freshens exactly the window entries, so counting it (or
+    later rounds, until the next rotation bumps the constant) would
+    flag the unchanged registry as stale-ordered (r10 review finding:
+    the test went red the moment CORRECTNESS_r10.json landed)."""
     import __spark_entry__ as entrymod
 
+    cutoff = entrymod._ROTATION_ROUND
     last = {}
     for path in sorted(glob.glob(f"{REPO}/CORRECTNESS_r*.json")):
         rnd = int(re.search(r"r(\d+)", os.path.basename(path)).group(1))
+        if rnd >= cutoff:
+            continue
         with open(path) as f:
             for name, r in json.load(f).items():
                 if r.get("hash_match"):
