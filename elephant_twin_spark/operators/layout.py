@@ -45,9 +45,15 @@ def fan_out(df: DataFrame) -> DataFrame:
     and fall back to the split-aware RDD probe — a 2-partition Kafka
     topic on a 32-core cluster NEEDS the fan-out (r10 review finding),
     and the fallback only pays the RDD-conversion cost where no cheaper
-    metadata exists."""
+    metadata exists.
+
+    The COUNT is taken JVM-side (``len`` on the Java array is one py4j
+    round trip): python ``df.inputFiles()`` materializes every path
+    string element-by-element over py4j — ~0.26 ms/file measured, which
+    at a 100 TB table's ~10^5 files is tens of seconds to answer a
+    question whose answer is 'plenty' (r10 second-pass review)."""
     sc = df.sparkSession.sparkContext
-    n = len(df.inputFiles())
+    n = len(df._jdf.inputFiles())
     if n == 0:
         n = df.rdd.getNumPartitions()
     if n < sc.defaultParallelism // 2:

@@ -273,7 +273,7 @@ def _protected_rdd_ids(spark, owned_cbs, iter_leaves) -> frozenset:
     Iterative releases (connected_components) pay it per iteration,
     but each iteration also runs full Spark jobs, so the walk is noise
     unless the session holds hundreds of cached plans."""
-    from py4j.protocol import Py4JError, Py4JJavaError
+    from py4j.protocol import Py4JError, Py4JJavaError, Py4JNetworkError
 
     cm = spark._jsparkSession.sharedState().cacheManager()
     if cm.isEmpty():
@@ -295,6 +295,12 @@ def _protected_rdd_ids(spark, owned_cbs, iter_leaves) -> frozenset:
         fld = cm.getClass().getDeclaredField("cachedData")
         fld.setAccessible(True)
         entries = fld.get(cm)
+    except Py4JNetworkError:
+        # dead JVM / py4j connection is never a shape signal — propagate
+        # (r10 second-pass review: Py4JNetworkError subclasses Py4JError
+        # but not Py4JJavaError, so the shape guards would silently
+        # swallow it into plan-local degrade)
+        raise
     except Py4JError:
         # reflection unavailable (field moved/sealed — Java-side
         # NoSuchFieldException arrives as Py4JJavaError, also caught
@@ -311,7 +317,7 @@ def _protected_rdd_ids(spark, owned_cbs, iter_leaves) -> frozenset:
     # guard for the same reason.
     try:
         jentries = [entries.apply(i) for i in range(entries.size())]
-    except Py4JJavaError:
+    except (Py4JJavaError, Py4JNetworkError):
         raise
     except Py4JError:  # wrong collection shape — degrade loudly
         return _degrade()

@@ -51,7 +51,10 @@ def run_token(checkpoint_path: str) -> str:
     batch writes a NEW partition and the duplicate-survivor bug
     reappears despite the partition scheme. Shared by every per-batch
     partitioned sink (this gate, the sketch/CMS rollup streams,
-    ``LshIndex.append_docs`` tags)."""
+    ``LshIndex.append_docs`` tags). A RELATIVE spelling resolves
+    against the current working directory — the same resolution Spark
+    applies to the checkpoint itself, so the token tracks the real
+    checkpoint identity either way."""
     import hashlib
 
     from elephant_twin_spark.sources import fsio
@@ -59,6 +62,50 @@ def run_token(checkpoint_path: str) -> str:
     return hashlib.md5(
         fsio.normalize_path(checkpoint_path).encode()
     ).hexdigest()[:12]
+
+
+def _legacy_run_token(checkpoint_path: str) -> str:
+    """The pre-r10 token (md5 of the RAW spelling) — kept only so
+    :func:`_retag_run_partitions` can migrate sinks written before the
+    normalization fix."""
+    import hashlib
+
+    return hashlib.md5(checkpoint_path.encode()).hexdigest()[:12]
+
+
+def _retag_run_partitions(spark, root: str, old_tok: str, new_tok: str) -> int:
+    """Rename ``batch_run=<old_tok>-N`` partitions under ``root`` to the
+    new token. Normalizing the checkpoint path changed EVERY pre-r10
+    sink's token (md5('/x') != md5('file:///x')), so without this a
+    same-checkpoint resume that replays its in-flight batch would write
+    the batch under the new token NEXT TO its old copy — the
+    duplicate-survivor bug reappearing exactly once per upgrade (r10
+    second-pass review). Retagging keeps the replay domain contiguous:
+    the replayed batch overwrites its migrated partition. Destination
+    collisions keep the later write (same logical batch either way),
+    mirroring the rollup sinks' batch_id migration."""
+    from elephant_twin_spark.sources import fsio
+
+    fs, jroot, jvm = fsio._fs_and_path(spark, root)
+    if old_tok == new_tok or not fs.exists(jroot):
+        return 0
+    jpath = jvm.org.apache.hadoop.fs.Path
+    prefix = f"batch_run={old_tok}-"
+    n = 0
+    for status in fs.listStatus(jroot):
+        name = status.getPath().getName()
+        if status.isDirectory() and name.startswith(prefix):
+            bid = name[len(prefix) :]
+            dest = jpath(f"{root}/batch_run={new_tok}-{bid}")
+            if fs.exists(dest):
+                fs.delete(dest, True)
+            if not fs.rename(status.getPath(), dest):
+                raise OSError(
+                    f"run-token migration: rename {name} -> "
+                    f"batch_run={new_tok}-{bid} failed under {root}"
+                )
+            n += 1
+    return n
 
 
 def gate_batch(
@@ -139,6 +186,16 @@ def stream_near_dup_gate(
     from elephant_twin_spark.sources import fsio
 
     run_tok = run_token(checkpoint_path)
+    # migrate partitions a pre-r10 run of this SAME checkpoint tagged
+    # with the un-normalized token (see _retag_run_partitions)
+    legacy_tok = _legacy_run_token(checkpoint_path)
+    for root in (
+        accepted_path,
+        rejected_path,
+        f"{index.idx_dir}/bands_grown",
+    ):
+        if root is not None:
+            _retag_run_partitions(index.spark, root, legacy_tok, run_tok)
 
     def on_batch(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.head(1):

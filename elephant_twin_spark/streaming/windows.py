@@ -177,11 +177,47 @@ def _migrate_legacy_batch_partitions(spark, sink_path: str) -> int:
             bid = name[len("batch_id=") :]
             tag = "compact--1" if bid == "-1" else f"legacy-{bid}"
             dest = jpath(f"{sink_path}/batch_run={tag}")
+            # dest can already exist: a migration that crashed mid-loop,
+            # then a rollback whose replayed batch re-created batch_id=N.
+            # Hadoop rename would MOVE the source INSIDE the existing
+            # dir (nested partition dirs -> every read fails inference;
+            # r10 second-pass review). Both copies hold the same logical
+            # batch (the old scheme's replay overwrote whole partitions)
+            # — keep the later write.
+            if fs.exists(dest):
+                fs.delete(dest, True)
             if not fs.rename(status.getPath(), dest):
                 raise OSError(
                     f"rollup sink migration: rename {name} -> "
                     f"batch_run={tag} failed under {sink_path}"
                 )
+            n += 1
+    return n
+
+
+def drop_rollup_run(spark, sink_path: str, checkpoint_path: str) -> int:
+    """Checkpoint-loss recovery for the rollup sinks. The batch_run
+    scheme deliberately preserves other runs' partials (a fresh
+    checkpoint must never clobber a different run's data), which means
+    restarting a rollup stream with a NEW checkpoint over the same
+    source + sink reprocesses everything and DOUBLES every historical
+    count unless the lost run's partials are removed first (r10
+    second-pass review: the old bare-batch_id scheme hid this by
+    silently overwriting). Call this with the LOST checkpoint's path
+    before restarting — it drops exactly that run's partitions — or
+    point the restart at a fresh sink. Returns the number of partitions
+    dropped."""
+    from elephant_twin_spark.sources import fsio
+    from elephant_twin_spark.streaming.gate import run_token
+
+    fs, jroot, _ = fsio._fs_and_path(spark, sink_path)
+    if not fs.exists(jroot):
+        return 0
+    prefix = f"batch_run={run_token(checkpoint_path)}-"
+    n = 0
+    for status in fs.listStatus(jroot):
+        if status.isDirectory() and status.getPath().getName().startswith(prefix):
+            fs.delete(status.getPath(), True)
             n += 1
     return n
 
@@ -218,7 +254,10 @@ def sketch_rollup_stream(
     ``batch_run=<run>-<N>`` (:func:`gate.run_token`), not bare
     ``batch_id=N``: batch ids restart at 0 under a fresh checkpoint, so
     a second run over the same sink would silently overwrite the first
-    run's partials (r10 advice).
+    run's partials (r10 advice). Flip side: restarting after checkpoint
+    LOSS reprocesses the source and ADDS a second copy of every partial
+    — run :func:`drop_rollup_run` with the lost checkpoint's path
+    first, or restart into a fresh sink.
     """
     from elephant_twin_spark.functions import sketches
     from elephant_twin_spark.streaming.gate import run_token
@@ -327,7 +366,10 @@ def cms_rollup_stream(
     of appending; a replayed batch rewrites the same partition and the
     read-side sum never double-counts, and a SECOND run over the same
     sink (fresh checkpoint → batch ids restart at 0) gets fresh tags
-    instead of clobbering the first run's partials (r10 advice)."""
+    instead of clobbering the first run's partials (r10 advice). After
+    checkpoint LOSS, drop the lost run's partitions first
+    (:func:`drop_rollup_run`) or restart into a fresh sink — a rerun
+    over the same source otherwise adds a second copy of every cell."""
     from elephant_twin_spark.functions import sketches
     from elephant_twin_spark.streaming.gate import run_token
 

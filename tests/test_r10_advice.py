@@ -134,6 +134,92 @@ def test_sketch_rollup_second_run_preserves_partials_and_compacts(
     assert three == {k: 3 * v for k, v in one.items()}
 
 
+def test_drop_rollup_run_recovers_checkpoint_loss(spark, workdir, events_multifile):
+    """Checkpoint loss → fresh-checkpoint restart reprocesses the source
+    and would double every count; drop_rollup_run removes exactly the
+    lost run's partitions so the restart lands clean (r10 second-pass
+    review)."""
+    sink = f"{workdir}/cms_ckloss"
+    batch_df = spark.read.parquet(events_multifile)
+    stream_of = lambda: (
+        spark.readStream.schema(batch_df.schema)
+        .option("maxFilesPerTrigger", 3)
+        .parquet(events_multifile)
+    )
+    lost_ck = f"{workdir}/cms_ckloss_ck1"
+    q = windows.cms_rollup_stream(stream_of(), sink, lost_ck, key_col="event_type", depth=2, width=64)
+    q.awaitTermination(120)
+    one = {
+        (r["row"], r["bucket"]): r["cnt"]
+        for r in windows.read_cms_rollup(spark, sink).collect()
+    }
+    # simulate checkpoint loss, then the documented recovery
+    shutil.rmtree(lost_ck)
+    assert windows.drop_rollup_run(spark, sink, lost_ck) > 0
+    q2 = windows.cms_rollup_stream(
+        stream_of(), sink, f"{workdir}/cms_ckloss_ck2", key_col="event_type", depth=2, width=64
+    )
+    q2.awaitTermination(120)
+    after = {
+        (r["row"], r["bucket"]): r["cnt"]
+        for r in windows.read_cms_rollup(spark, sink).collect()
+    }
+    assert after == one  # clean restart, no doubling
+
+
+def test_gate_run_token_migration_keeps_replay_domain(spark, workdir):
+    """Normalizing the checkpoint path changed every pre-r10 gate
+    sink's token; on stream start the old-token partitions are retagged
+    so a replayed batch still overwrites its own partition instead of
+    duplicating survivors (r10 second-pass review)."""
+    from elephant_twin_spark.streaming.gate import (
+        _legacy_run_token,
+        _retag_run_partitions,
+        run_token,
+        stream_near_dup_gate,
+    )
+
+    corpus = f"{workdir}/tokmig_corpus"
+    spark.createDataFrame(
+        [Row(doc_id=1, text="the quick brown fox jumps over the lazy dog today")]
+    ).write.mode("overwrite").parquet(corpus)
+    eng = Engine(spark, f"{workdir}/tokmig_root")
+    eng.build_lsh_index(corpus, "text", "doc_id", **LSH_PARAMS)
+    idx = eng.lsh_index(corpus, "text")
+
+    ck = f"{workdir}/tokmig_ck"
+    accepted = f"{workdir}/tokmig_accepted"
+    old_tok, new_tok = _legacy_run_token(ck), run_token(ck)
+    assert old_tok != new_tok
+    # fabricate a pre-r10 sink partition under the un-normalized token
+    spark.createDataFrame(
+        [Row(doc_id=900, text="a batch committed by the pre-upgrade run")]
+    ).write.mode("overwrite").parquet(f"{accepted}/batch_run={old_tok}-0")
+
+    src = f"{workdir}/tokmig_src"
+    spark.createDataFrame(
+        [Row(doc_id=901, text="novel content about shuffle partition coalescing")]
+    ).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    stream_near_dup_gate(stream, idx, "text", "doc_id", accepted, ck, threshold=0.5)
+
+    tags = {
+        r["batch_run"]
+        for r in spark.read.parquet(accepted).select("batch_run").distinct().collect()
+    }
+    # the legacy partition now lives under the new token; batch 0 of the
+    # resumed checkpoint overwrote it (same replay domain), batch ids
+    # continue from there — no old-token partition remains
+    assert all(t.startswith(new_tok) for t in tags), tags
+    assert not any(t.startswith(old_tok) for t in tags)
+    # ...and the replayed batch 0 OVERWROTE its migrated partition (the
+    # idempotent-rewrite semantics, not a duplicate next to it)
+    docs = {r["doc_id"] for r in spark.read.parquet(accepted).collect()}
+    assert docs == {901}
+    # idempotent: retag again is a no-op
+    assert _retag_run_partitions(spark, accepted, old_tok, new_tok) == 0
+
+
 # ------------------------------------------- LSH refresh fold idempotency
 
 def test_refresh_lsh_fold_idempotent_after_crash(spark, workdir, monkeypatch):
