@@ -628,21 +628,34 @@ def _q_knn_join(spark, sf_dir):
 
 
 def _q_ivf_knn_join(spark, sf_dir):
-    """IVF-pruned batch kNN join (rows-only: approximate candidates)."""
+    """IVF-pruned batch kNN join, FULL oracle (r10 — was rows-only
+    r2-r9): fixed centroids = corpus vectors 0..7 (`_ann_fixture_base`)
+    make the corpus assignment (tie toward the HIGHER centroid id), each
+    query's 4-probe set (`probe_queries` array_sort/reverse — same
+    tie-break) and the per-query exact-cosine top-5 all
+    oracle-reproducible. This is also the production shape: fit the
+    quantizer once, serve many join batches against it — the Lloyd fit
+    itself stays covered by `test_ivf_knn_join_recall`."""
     emb = _state(spark, sf_dir).raw("embeddings")
     qs = emb.where(F.col("vec_id") < 5)
+    cents = _ann_fixture_base(emb, n=8)
     return similarity.ivf_knn_join(
         qs, emb, "vec_id", "embedding", "vec_id", "embedding",
-        k=5, nlist=8, nprobe=4, max_iter=2,
+        k=5, nprobe=4, centroids=cents,
     ).select("query_id", "id", F.round("cosine", 6).alias("cosine"), "rank")
 
 
 def _q_embedding_near_dup(spark, sf_dir):
-    """Embedding-cosine near-dup pairs, SRP-bucketed (rows-only: the
-    random-hyperplane buckets are engine-side; candidates-only verify).
-    The corpus is salted with slightly-perturbed copies of the first 50
-    vectors so the gate demonstrably recovers planted near-dups (the
-    random synthetic embeddings alone contain none above threshold)."""
+    """Embedding-cosine near-dup pairs, SRP-bucketed, FULL oracle (r10
+    — was rows-only r2-r9): md5-parity sign planes
+    (`similarity.md5_sign_planes`) make the 6-bit buckets
+    engine-reproducible, and the operator now thresholds on the
+    ROUNDED cosine (round 4 — the `range_search` convention), so the
+    oracle reproduces candidates AND the keep/drop decision. The corpus
+    is salted with slightly-perturbed copies of the first 50 vectors
+    (float32 `x*1.001` — IEEE-exact in any engine) so the gate
+    demonstrably recovers planted near-dups (the random synthetic
+    embeddings alone contain none above threshold)."""
     emb = _state(spark, sf_dir).raw("embeddings")
     planted = emb.where(F.col("vec_id") < 50).select(
         (F.col("vec_id") + 1_000_000).alias("vec_id"),
@@ -651,9 +664,12 @@ def _q_embedding_near_dup(spark, sf_dir):
         ).alias("embedding"),
     )
     both = emb.select("vec_id", "embedding").unionByName(planted)
+    # the oracle SQL hardcodes dim 64 in its plane/bucket CTEs
+    dim = len(_ann_fixture_base(emb, n=1, dim=64)[0])
+    planes = similarity.md5_sign_planes(dim, bits=6, seed=42)
     return similarity.embedding_near_dup_pairs(
-        both, "embedding", "vec_id", threshold=0.98, bits=6
-    ).select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+        both, "embedding", "vec_id", threshold=0.98, planes=planes
+    ).select("id_a", "id_b", "cosine")
 
 
 def _q_domain_cap(spark, sf_dir):
@@ -1729,34 +1745,61 @@ def _q_winnowing_md5(spark, sf_dir):
 
 
 def _q_ann_lsh_top10(spark, sf_dir):
+    """SRP-LSH ANN with multiprobe, FULL oracle (r10 — was rows-only
+    r2-r9): md5-parity sign planes (`similarity.md5_sign_planes`, the
+    same engine-independent family that made `ann_recall_stats`'s lsh
+    lane hash-green in r5) replace the Python-RNG Gaussian planes, so
+    the oracle reproduces every bucket, the hamming≤2 probe set, and
+    the exact cosine re-rank. The SEARCH path (`lsh_cosine_topk`) is
+    identical to the Gaussian-plane one — only the plane source
+    changes; Gaussian recall behavior stays covered by
+    `test_lsh_topk_recall`."""
     st = _state(spark, sf_dir)
     emb = st.raw("embeddings")
-    qvec = emb.where(F.col("vec_id") == 0).first()["embedding"]
+    # the oracle SQL hardcodes dim 64 in its plane/bucket CTEs — fail
+    # loudly here rather than as a false-red hash mismatch
+    qvec = _ann_fixture_base(emb, n=1, dim=64)[0]
+    planes = similarity.md5_sign_planes(len(qvec), bits=4, seed=42)
     top = similarity.lsh_cosine_topk(
-        emb, "embedding", "vec_id", qvec, k=10, bits=4, multiprobe_hamming=2
+        emb, "embedding", "vec_id", qvec, k=10, multiprobe_hamming=2, planes=planes
     )
     return top.select(F.col("id").alias("vec_id"), F.round("cosine", 4).alias("cosine"))
 
 
 def _q_ann_ivf_top10(spark, sf_dir):
-    """IVF ANN: spherical-kmeans coarse quantizer + nprobe cluster scan."""
+    """IVF ANN (coarse quantizer + nprobe cluster scan), FULL oracle
+    (r10 — was rows-only r2-r9): fixed centroids = corpus vectors 0..7
+    (`_ann_fixture_base`, the r8 `ann_ivf_pq_top10` treatment) let the
+    oracle reproduce assignment (tie toward the HIGHER centroid id),
+    the 3-probe ranking and the exact cosine top-10. The trained-
+    quantizer path (`ivf_fit`, Lloyd) stays covered by
+    `test_ivf_topk_exact_when_probing_all` / `test_ivf_knn_join_recall`
+    — kmeans iterations are not SQL-expressible, the SEARCH operator
+    under gate (`ivf_topk`) is byte-identical either way."""
     st = _state(spark, sf_dir)
     emb = st.raw("embeddings")
-    qvec = emb.where(F.col("vec_id") == 0).first()["embedding"]
-    cents = similarity.ivf_fit(emb, "embedding", "vec_id", k_clusters=8, max_iter=2)
+    cents = _ann_fixture_base(emb, n=8)
+    qvec = cents[0]
     top = similarity.ivf_topk(emb, "embedding", "vec_id", qvec, cents, k=10, nprobe=3)
     return top.select(F.col("id").alias("vec_id"), F.round("cosine", 4).alias("cosine"))
 
 
 def _q_ann_pq_top10(spark, sf_dir):
-    """Product-quantization ANN: per-subspace codebooks, ADC shortlist
-    over compressed codes, exact cosine re-rank."""
+    """Product-quantization ANN (per-subspace codebooks, ADC shortlist
+    over compressed codes, exact cosine re-rank), FULL oracle (r10 —
+    was rows-only r2-r9): fixed codebooks = subvectors of corpus
+    vectors 0..15 (the r8 `ann_ivf_pq_top10` treatment) make encode
+    (tie toward the LOWER code), the ADC distance table, the
+    (dist, id) shortlist and the re-rank all oracle-reproducible. The
+    trained-codebook path (`pq_fit`) stays covered by
+    `test_pq_encode_and_adc_topk`; the SEARCH path under gate
+    (`pq_encode`/`pq_search`) is byte-identical either way."""
     st = _state(spark, sf_dir)
     emb = st.raw("embeddings")
-    qvec = emb.where(F.col("vec_id") == 0).first()["embedding"]
-    # modest codebook params: the gate checks plumbing/determinism, the
-    # recall-sensitive parameter sweep lives in tests
-    books = similarity.pq_fit(emb, "embedding", "vec_id", m=4, k=16, max_iter=1)
+    base = _ann_fixture_base(emb, n=16, dim=64)
+    qvec = base[0]
+    w = len(base[0]) // 4
+    books = [[v[s * w : (s + 1) * w] for v in base] for s in range(4)]
     codes = similarity.pq_encode(emb, "embedding", "vec_id", books)
     top = similarity.pq_search(
         emb, codes, "embedding", "vec_id", qvec, books, k=10, shortlist=100
@@ -2983,11 +3026,16 @@ def _q_scd2_merge_incremental(spark, sf_dir):
 # streaming_windowed_rollup's permanent `no_oracle` row is evicted
 # (its evidence is the batch-twin test, COVERAGE.md).
 #
-# r10 window: NO query semantics/oracle changed this round (the r10
-# fixes are streaming-sink partitioning, refresh fold idempotency, and
-# probe/diagnostic plumbing — none alter a registry query's output), so
-# all 50 slots rotate: the 48 r1-vintage oracle queries plus the 2
-# oldest r2 ones. Next rotation continues from shard_assignment(r2).
+# r10 window: FIVE queries changed semantics/oracle this round — the
+# rows-only ANN/near-dup family was promoted to full oracles
+# (md5-parity sign planes / fixed fixture quantizers, the r8
+# `ann_ivf_pq_top10` treatment): ann_lsh_top10, ann_ivf_top10,
+# ann_pq_top10, embedding_near_dup, knn_join_ivf_top5. Per the hygiene
+# rule they lead the window (their old `no_oracle` rows stop counting
+# as evidence the moment an oracle exists). The remaining 45 slots
+# rotate the oldest-evidence hash-green queries: r1-vintage oracle
+# queries in registry order. Next rotation continues from
+# clean_corpus_audit (r1), then shard_assignment (r2).
 # _ROTATION_ROUND pins WHICH rounds' evidence the rotation was computed
 # from (everything before it): the hygiene test must ignore evidence
 # from this round onward, else the round's own driver run — which
@@ -2996,6 +3044,8 @@ def _q_scd2_merge_incremental(spark, sf_dir):
 # when rotating.
 _ROTATION_ROUND = 10
 _ROTATION_R10 = [
+    "ann_lsh_top10", "ann_ivf_top10", "ann_pq_top10",
+    "embedding_near_dup", "knn_join_ivf_top5",
     "idx_point_lookup", "idx_and", "idx_or", "idx_residual", "idx_no_match",
     "idx_per_key_counts", "sql_front_door", "bloom_user_lookup",
     "expr_index_day", "zone_range_scan", "agg_lineitem_pricing",
@@ -3008,8 +3058,7 @@ _ROTATION_R10 = [
     "label_centroid_component", "date_partition_range", "user_event_types",
     "date_parse_roundtrip", "ngram_jaccard_pairs", "near_dup_components",
     "containment_pairs", "char_entropy", "knn_join_top5",
-    "repetition_ratio", "ann_persisted_top10", "clean_corpus_audit",
-    "decontaminate_report", "pii_scrub", "pack_docs", "chunk_docs",
+    "repetition_ratio", "ann_persisted_top10",
 ]
 
 
@@ -6076,6 +6125,225 @@ def oracle_sql() -> dict[str, str]:
             FROM short s JOIN corpus c ON c.id = s.id CROSS JOIN q
             ORDER BY list_cosine_similarity(c.v, q.qv) DESC, c.id ASC
             LIMIT 10
+        """,
+        # ann_lsh_top10: FULL oracle since r10 (was rows-only r2-r9).
+        # md5-parity sign planes ('42|p|d', first hex digit >= 8 -> +1)
+        # — identical CTE algebra to the lsh lane inside
+        # ann_recall_stats, with hamming <= 2 multiprobe and qid 0.
+        "ann_lsh_top10": """
+            WITH corpus AS (
+                SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings
+            ),
+            q AS (SELECT v AS qv FROM corpus WHERE id = 0),
+            planes AS (
+                SELECT p, list_transform(range(64), d ->
+                    CASE WHEN strpos('89abcdef',
+                             substring(md5('42|' || p || '|' || d), 1, 1)) > 0
+                         THEN 1.0 ELSE -1.0 END) AS w
+                FROM (SELECT unnest(range(4)) AS p)
+            ),
+            buckets AS (
+                SELECT c.id,
+                       CAST(sum(CASE WHEN list_sum(list_transform(range(64),
+                                        i -> c.v[i+1] * pl.w[i+1])) >= 0
+                                     THEN 1 << pl.p ELSE 0 END) AS INT) AS bucket
+                FROM corpus c CROSS JOIN planes pl GROUP BY c.id
+            ),
+            qb AS (
+                SELECT CAST(sum(CASE WHEN list_sum(list_transform(range(64),
+                                        i -> q.qv[i+1] * pl.w[i+1])) >= 0
+                                     THEN 1 << pl.p ELSE 0 END) AS INT) AS qb
+                FROM q CROSS JOIN planes pl
+            )
+            SELECT c.id AS vec_id,
+                   round(CAST(list_cosine_similarity(c.v, q.qv) AS DOUBLE), 4)
+                       AS cosine
+            FROM buckets b
+            JOIN qb ON bit_count(xor(b.bucket, qb.qb)) <= 2
+            JOIN corpus c ON c.id = b.id
+            CROSS JOIN q
+            ORDER BY list_cosine_similarity(c.v, q.qv) DESC, c.id ASC
+            LIMIT 10
+        """,
+        # ann_ivf_top10: FULL oracle since r10 (was rows-only r2-r9).
+        # Fixed centroids = vectors 0..7; assignment ties toward the
+        # HIGHER centroid id (Spark array_max on struct<sim,idx>), the
+        # query's probe ranking likewise (driver-side reverse tuple
+        # sort) — same CTE algebra as ann_ivf_pq_top10 minus PQ.
+        "ann_ivf_top10": """
+            WITH corpus AS (
+                SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings
+            ),
+            q AS (SELECT v AS qv FROM corpus WHERE id = 0),
+            cents AS (SELECT id AS cid, v AS cv FROM corpus WHERE id < 8),
+            assign AS (
+                SELECT id, cid AS cluster FROM (
+                    SELECT c.id, ct.cid,
+                           row_number() OVER (PARTITION BY c.id
+                               ORDER BY list_cosine_similarity(c.v, ct.cv) DESC,
+                                        ct.cid DESC) AS rn
+                    FROM corpus c CROSS JOIN cents ct
+                ) WHERE rn = 1
+            ),
+            qprobe AS (
+                SELECT cid FROM (
+                    SELECT ct.cid,
+                           row_number() OVER (
+                               ORDER BY list_cosine_similarity(q.qv, ct.cv) DESC,
+                                        ct.cid DESC) AS rn
+                    FROM q CROSS JOIN cents ct
+                ) WHERE rn <= 3
+            )
+            SELECT c.id AS vec_id,
+                   round(CAST(list_cosine_similarity(c.v, q.qv) AS DOUBLE), 4)
+                       AS cosine
+            FROM qprobe p
+            JOIN assign a ON a.cluster = p.cid
+            JOIN corpus c ON c.id = a.id
+            CROSS JOIN q
+            ORDER BY list_cosine_similarity(c.v, q.qv) DESC, c.id ASC
+            LIMIT 10
+        """,
+        # ann_pq_top10: FULL oracle since r10 (was rows-only r2-r9).
+        # Fixed codebooks = subvectors of vectors 0..15; code ties
+        # toward the LOWER code (array_min on struct<d,i>), ADC
+        # shortlist 100 by (dist, id), exact cosine re-rank — the
+        # ann_ivf_pq_top10 CTE algebra minus the coarse quantizer.
+        "ann_pq_top10": """
+            WITH corpus AS (
+                SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings
+            ),
+            q AS (SELECT v AS qv FROM corpus WHERE id = 0),
+            cb AS (
+                SELECT s.s, c.id AS ci, c.v[s.s*16+1 : (s.s+1)*16] AS cv
+                FROM corpus c CROSS JOIN (SELECT unnest(range(4)) AS s) s
+                WHERE c.id < 16
+            ),
+            codes AS (
+                SELECT id, s, ci AS code FROM (
+                    SELECT c.id, cb.s, cb.ci,
+                           row_number() OVER (PARTITION BY c.id, cb.s
+                               ORDER BY list_sum(list_transform(range(16),
+                                   i -> (c.v[cb.s*16 + i + 1] - cb.cv[i+1])
+                                      * (c.v[cb.s*16 + i + 1] - cb.cv[i+1]))) ASC,
+                                        cb.ci ASC) AS rn
+                    FROM corpus c CROSS JOIN cb
+                ) WHERE rn = 1
+            ),
+            lut AS (
+                SELECT cb.s, cb.ci,
+                       list_sum(list_transform(range(16),
+                           i -> (q.qv[cb.s*16 + i + 1] - cb.cv[i+1])
+                              * (q.qv[cb.s*16 + i + 1] - cb.cv[i+1]))) AS d2
+                FROM q CROSS JOIN cb
+            ),
+            adc AS (
+                SELECT co.id, list_sum(list(l.d2 ORDER BY l.s)) AS dist
+                FROM codes co
+                JOIN lut l ON l.s = co.s AND l.ci = co.code
+                GROUP BY co.id
+            ),
+            short AS (
+                SELECT id FROM (
+                    SELECT id, row_number() OVER (ORDER BY dist ASC, id ASC) AS rn
+                    FROM adc
+                ) WHERE rn <= 100
+            )
+            SELECT c.id AS vec_id,
+                   round(CAST(list_cosine_similarity(c.v, q.qv) AS DOUBLE), 4)
+                       AS cosine
+            FROM short s JOIN corpus c ON c.id = s.id CROSS JOIN q
+            ORDER BY list_cosine_similarity(c.v, q.qv) DESC, c.id ASC
+            LIMIT 10
+        """,
+        # embedding_near_dup: FULL oracle since r10 (was rows-only
+        # r2-r9). md5-parity planes (6 bits), planted float32
+        # perturbations (x*1.001 rounded to float — IEEE-exact in both
+        # engines), threshold on the ROUNDED cosine (round 4, the
+        # range_search convention).
+        "embedding_near_dup": """
+            WITH corpus AS (
+                SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings
+                UNION ALL
+                SELECT vec_id + 1000000 AS id,
+                       list_transform(CAST(embedding AS DOUBLE[]),
+                           x -> CAST(CAST(x * CAST(1.001 AS DOUBLE) AS FLOAT)
+                                     AS DOUBLE)) AS v
+                FROM embeddings WHERE vec_id < 50
+            ),
+            planes AS (
+                SELECT p, list_transform(range(64), d ->
+                    CASE WHEN strpos('89abcdef',
+                             substring(md5('42|' || p || '|' || d), 1, 1)) > 0
+                         THEN 1.0 ELSE -1.0 END) AS w
+                FROM (SELECT unnest(range(6)) AS p)
+            ),
+            buckets AS (
+                SELECT c.id,
+                       CAST(sum(CASE WHEN list_sum(list_transform(range(64),
+                                        i -> c.v[i+1] * pl.w[i+1])) >= 0
+                                     THEN 1 << pl.p ELSE 0 END) AS INT) AS bucket
+                FROM corpus c CROSS JOIN planes pl GROUP BY c.id
+            ),
+            cand AS (
+                SELECT ba.id AS id_a, bb.id AS id_b,
+                       round(CAST(list_cosine_similarity(a.v, b.v) AS DOUBLE), 4)
+                           AS cosine
+                FROM buckets ba
+                JOIN buckets bb ON ba.bucket = bb.bucket AND ba.id < bb.id
+                JOIN corpus a ON a.id = ba.id
+                JOIN corpus b ON b.id = bb.id
+            )
+            SELECT id_a, id_b, cosine FROM cand WHERE cosine >= 0.98
+        """,
+        # knn_join_ivf_top5: FULL oracle since r10 (was rows-only
+        # r2-r9). Fixed centroids = vectors 0..7; per-query 4-probe
+        # (ties toward the higher centroid id, matching
+        # probe_queries' array_sort/reverse), per-query exact-cosine
+        # top-5 over candidates with (cosine DESC, id ASC) — the
+        # knn_join_top5 output convention (round 6).
+        "knn_join_ivf_top5": """
+            WITH corpus AS (
+                SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings
+            ),
+            q AS (SELECT id AS query_id, v AS qv FROM corpus WHERE id < 5),
+            cents AS (SELECT id AS cid, v AS cv FROM corpus WHERE id < 8),
+            assign AS (
+                SELECT id, cid AS cluster FROM (
+                    SELECT c.id, ct.cid,
+                           row_number() OVER (PARTITION BY c.id
+                               ORDER BY list_cosine_similarity(c.v, ct.cv) DESC,
+                                        ct.cid DESC) AS rn
+                    FROM corpus c CROSS JOIN cents ct
+                ) WHERE rn = 1
+            ),
+            qprobe AS (
+                SELECT query_id, cid FROM (
+                    SELECT q.query_id, ct.cid,
+                           row_number() OVER (PARTITION BY q.query_id
+                               ORDER BY list_cosine_similarity(q.qv, ct.cv) DESC,
+                                        ct.cid DESC) AS rn
+                    FROM q CROSS JOIN cents ct
+                ) WHERE rn <= 4
+            ),
+            ranked AS (
+                SELECT q.query_id, c.id,
+                       list_cosine_similarity(q.qv, c.v) AS cos_raw,
+                       row_number() OVER (PARTITION BY q.query_id
+                           ORDER BY list_cosine_similarity(q.qv, c.v) DESC,
+                                    c.id ASC) AS rank
+                FROM qprobe p
+                JOIN q ON q.query_id = p.query_id
+                JOIN assign a ON a.cluster = p.cid
+                JOIN corpus c ON c.id = a.id
+            )
+            SELECT query_id, id, round(cos_raw, 6) + 0.0 AS cosine, rank
+            FROM ranked WHERE rank <= 5
         """,
         "rfm_segments": """
             WITH pc AS (

@@ -98,6 +98,7 @@ def lsh_cosine_topk(
     bits: int = 4,
     seed: int = 42,
     multiprobe_hamming: int = 1,
+    planes: Optional[List[List[float]]] = None,
 ) -> DataFrame:
     """Approximate top-k: restrict the brute-force scan to rows whose LSH
     bucket is within ``multiprobe_hamming`` bits of the query's bucket
@@ -106,9 +107,16 @@ def lsh_cosine_topk(
     At scale the bucketed table would be *written* partitioned by bucket
     so this becomes partition pruning; here it is a filter the parquet
     reader can still push down when the bucket column is materialized.
+
+    Pass explicit ``planes`` (e.g. :func:`md5_sign_planes`) when the
+    bucket assignment itself must be reproducible by an external engine
+    — Gaussian planes from a Python RNG cannot be; md5-parity planes
+    can. ``bits``/``seed`` are ignored when ``planes`` is given.
     """
     dim = len(query_vec)
-    planes = random_hyperplanes(dim, bits, seed)
+    if planes is None:
+        planes = random_hyperplanes(dim, bits, seed)
+    bits = len(planes)
     q_bucket = 0
     for i, p in enumerate(planes):
         if sum(a * b for a, b in zip(p, query_vec)) >= 0:
@@ -433,12 +441,22 @@ def embedding_near_dup_pairs(
     threshold: float = 0.95,
     bits: int = 8,
     seed: int = 42,
+    planes: Optional[List[List[float]]] = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH bucketing: candidate
     pairs share a bucket, then exact cosine filters ≥ threshold.
-    ``(id_a, id_b, cosine)``."""
-    dim = df.select(F.size(vec_col).alias("d")).first()["d"]
-    planes = random_hyperplanes(dim, bits, seed)
+    ``(id_a, id_b, cosine)`` with cosine ROUNDED to 4 decimals and the
+    threshold applied to the rounded value (same convention as
+    :func:`range_search` / :func:`semantic_dedup_pairs`: an external
+    oracle summing floats in a different order reaches the identical
+    keep/drop decision for pairs within float noise of the threshold).
+
+    Pass explicit ``planes`` (e.g. :func:`md5_sign_planes`) to make the
+    candidate buckets themselves engine-reproducible; ``bits``/``seed``
+    are ignored when ``planes`` is given."""
+    if planes is None:
+        dim = df.select(F.size(vec_col).alias("d")).first()["d"]
+        planes = random_hyperplanes(dim, bits, seed)
     # pin the bucketed projection: the self-join would otherwise evaluate
     # the bits×dim hyperplane expression tree twice (and pay its codegen
     # cost twice — the literal-heavy plan is expensive to compile)
@@ -459,8 +477,10 @@ def embedding_near_dup_pairs(
     va = F.transform("va", lambda v: v.cast("double"))
     vb = F.transform("vb", lambda v: v.cast("double"))
     sim = _dot(va, vb) / (_norm(va) * _norm(vb))
-    return cands.withColumn("cosine", sim).where(F.col("cosine") >= threshold).select(
-        "id_a", "id_b", "cosine"
+    return (
+        cands.withColumn("cosine", F.round(sim, 4))
+        .where(F.col("cosine") >= F.lit(float(threshold)))
+        .select("id_a", "id_b", "cosine")
     )
 
 
@@ -520,23 +540,30 @@ def ivf_knn_join(
     nprobe: int = 4,
     max_iter: int = 5,
     seed: int = 42,
+    centroids: Optional[List[List[float]]] = None,
 ) -> DataFrame:
     """Approximate batch kNN join at scale: fit an IVF coarse quantizer
     on the corpus, assign corpus rows to their cluster and queries to
     their ``nprobe`` nearest clusters, equi-join on cluster id, exact
     cosine + windowed top-k on the candidates only. Candidate volume is
     ~|Q|·nprobe/nlist·|corpus| instead of |Q|×|corpus| — the same
-    recall/cost dial as single-query IVF search."""
+    recall/cost dial as single-query IVF search.
+
+    Pass pre-fit ``centroids`` to skip the Lloyd fit — reusing a
+    quantizer across batches (the production shape: fit once, serve
+    many joins) or fixing it for engine-independent verification;
+    ``nlist``/``max_iter``/``seed`` are ignored when given."""
     from pyspark.sql.window import Window
 
-    centroids = ivf_fit(
-        corpus,
-        corpus_vec_col,
-        corpus_id_col,
-        k_clusters=nlist,
-        max_iter=max_iter,
-        seed=seed,
-    )
+    if centroids is None:
+        centroids = ivf_fit(
+            corpus,
+            corpus_vec_col,
+            corpus_id_col,
+            k_clusters=nlist,
+            max_iter=max_iter,
+            seed=seed,
+        )
     c_assigned = ivf_assign(corpus, corpus_vec_col, centroids).select(
         F.col(corpus_id_col).alias("id"),
         F.transform(F.col(corpus_vec_col), lambda x: x.cast("double")).alias("_cv"),
