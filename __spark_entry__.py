@@ -3032,10 +3032,17 @@ def _q_scd2_merge_incremental(spark, sf_dir):
 # `ann_ivf_pq_top10` treatment): ann_lsh_top10, ann_ivf_top10,
 # ann_pq_top10, embedding_near_dup, knn_join_ivf_top5. Per the hygiene
 # rule they lead the window (their old `no_oracle` rows stop counting
-# as evidence the moment an oracle exists). The remaining 45 slots
-# rotate the oldest-evidence hash-green queries: r1-vintage oracle
-# queries in registry order. Next rotation continues from
-# clean_corpus_audit (r1), then shard_assignment (r2).
+# as evidence the moment an oracle exists). FIVE more queries changed
+# implementation in the r10 review pass (bounded-state rewrites with
+# identical declared output — verified value-exact at sf0.01+sf0.1
+# before landing) and are pinned for driver re-verification:
+# funnel_stages (n-pass min-chain replaces the per-user collect_list
+# fold), time_rollup_hourly (rank-bounded samples), simhash_near_dup
+# (+ simhash_md5_docs, already rotated in: conditional-sum lanes),
+# value_histogram / hist_quantile_est (top-edge bin clamp). The
+# remaining 40 slots rotate the oldest-evidence hash-green queries:
+# r1-vintage oracle queries in registry order. Next rotation continues
+# from containment_pairs (r1), then shard_assignment (r2).
 # _ROTATION_ROUND pins WHICH rounds' evidence the rotation was computed
 # from (everything before it): the hygiene test must ignore evidence
 # from this round onward, else the round's own driver run — which
@@ -3043,9 +3050,21 @@ def _q_scd2_merge_incremental(spark, sf_dir):
 # registry as stale-ordered (r10 review finding). Bump both together
 # when rotating.
 _ROTATION_ROUND = 10
+# Queries PINNED into the window this round because their semantics,
+# oracle, or implementation hot path changed (hygiene rule) — exempt
+# from the oldest-evidence ordering check, which otherwise flags any
+# recently-verified query occupying a slot while r1-vintage ones wait.
+_ROTATION_PINS = [
+    "ann_lsh_top10", "ann_ivf_top10", "ann_pq_top10",
+    "embedding_near_dup", "knn_join_ivf_top5",
+    "funnel_stages", "time_rollup_hourly", "simhash_near_dup",
+    "simhash_md5_docs", "value_histogram", "hist_quantile_est",
+]
 _ROTATION_R10 = [
     "ann_lsh_top10", "ann_ivf_top10", "ann_pq_top10",
     "embedding_near_dup", "knn_join_ivf_top5",
+    "funnel_stages", "time_rollup_hourly", "simhash_near_dup",
+    "value_histogram", "hist_quantile_est",
     "idx_point_lookup", "idx_and", "idx_or", "idx_residual", "idx_no_match",
     "idx_per_key_counts", "sql_front_door", "bloom_user_lookup",
     "expr_index_day", "zone_range_scan", "agg_lineitem_pricing",
@@ -3057,8 +3076,6 @@ _ROTATION_R10 = [
     "token_stats", "lang_id", "fingerprint", "ann_cosine_top10",
     "label_centroid_component", "date_partition_range", "user_event_types",
     "date_parse_roundtrip", "ngram_jaccard_pairs", "near_dup_components",
-    "containment_pairs", "char_entropy", "knn_join_top5",
-    "repetition_ratio", "ann_persisted_top10",
 ]
 
 

@@ -181,9 +181,18 @@ def histogram_sketch(col, num_bins: int, lo: float, hi: float) -> Column:
     the shuffle carries one small array per group per partition."""
     w = (hi - lo) / num_bins
     c = F.col(col) if isinstance(col, str) else col
+    # least(): when w is not exactly representable, floor((c-lo)/w) for
+    # c just below hi can round to num_bins (e.g. num_bins=3, hi=0.1,
+    # c=nextafter(0.1,0) -> 3) — which is the UNDERFLOW slot. The c<hi
+    # branch guarantees the value is in-range, so clamp to the top bin.
     idx = F.when(c < F.lit(lo), F.lit(num_bins)).when(
         c >= F.lit(hi), F.lit(num_bins + 1)
-    ).otherwise(F.floor((c - F.lit(lo)) / F.lit(w)).cast("int"))
+    ).otherwise(
+        F.least(
+            F.floor((c - F.lit(lo)) / F.lit(w)).cast("int"),
+            F.lit(num_bins - 1),
+        )
+    )
     return F.array(
         *[
             F.coalesce(

@@ -390,39 +390,55 @@ def minhash_near_dup_pairs(
 
 # ----------------------------------------------------------------- simhash
 
+def _simhash_from_token_hashes(per_tok: DataFrame, nbits: int) -> DataFrame:
+    """``(id, simhash)`` from ``(id, h, tf)``: collect the compact
+    ``(h, tf)`` pairs per doc, expand to ±tf bit-lanes INSIDE the final
+    fold.
+
+    State shape (r10 review fix): the aggregation buffer holds the
+    doc's distinct-token (hash, tf) pairs — 16 bytes each, the same
+    order as the document's own text — instead of the previous
+    per-token nbits-long lane ARRAYS (nbits×8 bytes per token: ~512 MB
+    buffered for a 10^6-distinct-token doc at 64 bits, a 32×
+    amplification of the doc's size). The lanes now exist only
+    transiently inside the fold. Measured alternatives (sf0.1 docs,
+    local[32], steady-state): this shape 0.61-0.70 s — equal to the
+    old lane-array fold; the O(nbits)-state shape (nbits conditional
+    SUM aggregates, the theoretical minimum) 2.5-3.0 s, ~4× slower from
+    per-row aggregate-expression overhead, codegen-maxFields
+    independent (SCALE_EXPERIMENTS.md r10). Integer lane sums are
+    order-free, so the output is bit-identical across all three."""
+    fold = f"""
+    aggregate(
+      collect_list(struct(h, tf)),
+      cast(array_repeat(0L, {nbits}) as array<bigint>),
+      (acc, x) -> zip_with(acc, sequence(0, {nbits - 1}),
+          (a, b) -> a + IF((shiftright(x.h, cast(b as int)) & 1) = 1, x.tf, -x.tf))
+    )"""
+    agg = per_tok.groupBy("id").agg(F.expr(fold).alias("bitsums"))
+    return agg.select(
+        "id",
+        F.expr(
+            f"aggregate(transform(sequence(0, {nbits - 1}),"
+            f" b -> IF(bitsums[b] > 0, shiftleft(1L, b), 0L)),"
+            f" 0L, (acc, x) -> acc | x)"
+        ).alias("simhash"),
+    )
+
+
 def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """64-bit SimHash per doc: per-bit weighted sums of token hashes.
 
-    ``(id, simhash)`` — explode to (id, token, tf), then ONE groupBy with a
-    64-lane bit-count vector built by JVM higher-order functions (no
-    Python, no 64 separate aggregates)."""
+    ``(id, simhash)`` — explode to (id, token, tf), then ONE groupBy
+    with 64 conditional-sum lanes (bounded per-group state; see
+    :func:`_simhash_from_token_hashes`)."""
     toks = _fan_out(df).select(
         F.col(id_col).alias("id"),
         F.explode(whitespace_tokenizer(F.col(text_col))).alias("tok"),
     )
     per_tok = toks.groupBy("id", "tok").agg(F.count(F.lit(1)).alias("tf"))
     h = per_tok.withColumn("h", F.xxhash64("tok"))
-    # vector of +tf/-tf per bit, summed element-wise across tokens
-    lanes = h.withColumn(
-        "lanes",
-        F.expr(
-            "transform(sequence(0, 63), b -> CASE WHEN ((h >> b) & 1) = 1 THEN tf ELSE -tf END)"
-        ),
-    )
-    agg = lanes.groupBy("id").agg(
-        F.aggregate(
-            F.collect_list("lanes"),
-            F.expr("cast(array_repeat(0L, 64) as array<bigint>)"),
-            lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
-        ).alias("bitsums")
-    )
-    return agg.select(
-        "id",
-        F.expr(
-            "aggregate(transform(sequence(0, 63), b -> IF(bitsums[b] > 0, shiftleft(1L, b), 0L)),"
-            " 0L, (acc, x) -> acc | x)"
-        ).alias("simhash"),
-    )
+    return _simhash_from_token_hashes(h, 64)
 
 
 def simhash60_md5(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -439,26 +455,7 @@ def simhash60_md5(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         "h",
         F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long"),
     )
-    lanes = h.withColumn(
-        "lanes",
-        F.expr(
-            "transform(sequence(0, 59), b -> CASE WHEN ((h >> b) & 1) = 1 THEN tf ELSE -tf END)"
-        ),
-    )
-    agg = lanes.groupBy("id").agg(
-        F.aggregate(
-            F.collect_list("lanes"),
-            F.expr("cast(array_repeat(0L, 60) as array<bigint>)"),
-            lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
-        ).alias("bitsums")
-    )
-    return agg.select(
-        "id",
-        F.expr(
-            "aggregate(transform(sequence(0, 59), b -> IF(bitsums[b] > 0, shiftleft(1L, b), 0L)),"
-            " 0L, (acc, x) -> acc | x)"
-        ).alias("simhash"),
-    )
+    return _simhash_from_token_hashes(h, 60)
 
 
 def simhash_near_dup_pairs(

@@ -90,36 +90,55 @@ def funnel(
     that matched the previous stage (the greedy earliest-chain, i.e.
     min(view) → min(click > that) → …).
 
-    One shuffle: groupBy(user) + sorted-struct fold entirely JVM-side —
-    the per-user state is (stage, ts-of-last-match), never the event
-    list on the driver."""
+    Bounded state (r10 review fix): the greedy chain is computed as
+    ``n`` min-aggregation passes — ``t1 = min(t | y=s1)``, ``ti =
+    min(t | y=si AND t > t(i-1))`` — which is provably the same chain
+    the sequential scan produces (each pass's min IS the fold's match
+    for that stage). The previous implementation sorted and folded a
+    ``collect_list`` of EVERY event per user; the aggregation buffer
+    held a hot user's entire event history in memory (a 10^8-event bot
+    key = executor OOM), even though the fold itself only carried
+    (stage, last_ts). Now per-group state is one timestamp per pass,
+    map-side combined; the candidate passes scan only stage-typed rows
+    (the ``y`` filter pushes to the source scan), and every join/agg is
+    keyed on ``user``. Cost: n user-keyed passes instead of one — the
+    trade that keeps the hot-key bound.
+
+    NULL users group as stage-1-only evidence (equi-joins drop them
+    from later passes) — the same semantics as the SQL oracle's
+    ``JOIN ... ON e.user_id = s.user_id`` chain."""
+    from functools import reduce
+
     from pyspark.sql import functions as F
 
-    # single array literal, element types preserved (str() coercion
-    # would silently cast non-string stages and change match semantics)
-    stage_arr = F.lit(list(stages))
-    ev = F.sort_array(
-        F.collect_list(F.struct(F.col(ts_col).alias("t"), F.col(type_col).alias("y")))
-    )
-    init = F.struct(
-        F.lit(0).alias("stage"), F.lit(None).cast("timestamp").alias("last")
-    )
+    if not stages:
+        raise ValueError("stages must name at least one event type")
     n = len(stages)
-
-    def step(acc, x):
-        is_next = (acc["stage"] < n) & (
-            x["y"] == F.element_at(stage_arr, acc["stage"] + 1)
-        )
-        strictly_later = F.when(acc["stage"] == 0, F.lit(True)).otherwise(
-            x["t"] > acc["last"]
-        )
-        return F.when(
-            is_next & strictly_later,
-            F.struct((acc["stage"] + 1).alias("stage"), x["t"].alias("last")),
-        ).otherwise(acc)
-
-    folded = F.aggregate(ev, init, step)
-    return (
-        df.groupBy(F.col(user_col).alias("user"))
-        .agg(folded["stage"].alias("stage_reached"))
+    ev = df.select(
+        F.col(user_col).alias("user"),
+        F.col(ts_col).alias("t"),
+        F.col(type_col).alias("y"),
     )
+    # pass 1 doubles as the all-users spine: every user appears, with
+    # NULL _t1 when they never reached stage 1 (stage_reached = 0)
+    state = ev.groupBy("user").agg(
+        F.min(F.when(F.col("y") == F.lit(stages[0]), F.col("t"))).alias("_t1")
+    )
+    for i in range(2, n + 1):
+        prev = f"_t{i - 1}"
+        cand = (
+            ev.where(F.col("y") == F.lit(stages[i - 1]))
+            .join(state.select("user", prev), "user")
+            .where(F.col("t") > F.col(prev))
+            .groupBy("user")
+            .agg(F.min("t").alias(f"_t{i}"))
+        )
+        state = state.join(cand, "user", "left")
+    reached = reduce(
+        lambda a, b: a + b,
+        [
+            F.when(F.col(f"_t{i}").isNotNull(), F.lit(1)).otherwise(F.lit(0))
+            for i in range(1, n + 1)
+        ],
+    )
+    return state.select("user", reached.alias("stage_reached"))

@@ -60,7 +60,25 @@ def salted_join(
 
     Use only when broadcast is impossible AND AQE skew handling is
     insufficient (e.g. a single key larger than one executor's memory).
+
+    Join types that preserve UNMATCHED RIGHT rows are rejected: the
+    right side is replicated once per salt, so an unmatched right row
+    would surface ``num_salts`` times null-extended instead of once —
+    silently wrong output, not a performance problem. Left-preserving
+    types (inner/left/leftsemi/leftanti) are unaffected: every left row
+    carries exactly one salt and its key's right matches exist in every
+    salt bucket.
     """
+    right_preserving = {
+        "right", "rightouter", "right_outer",
+        "outer", "full", "fullouter", "full_outer",
+    }
+    if how.lower().replace(" ", "") in right_preserving:
+        raise ValueError(
+            f"salted_join(how={how!r}) would duplicate unmatched right rows "
+            f"{num_salts}x (the right side is replicated per salt); salt the "
+            "right side instead, or use AQE skew-join for outer joins"
+        )
     l = left.withColumn("_salt", (F.rand(seed=0) * num_salts).cast("int"))
     r = right.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(num_salts - 1)))

@@ -195,7 +195,13 @@ def test_tpch_q21_single_fact_pass(spark):
     assert plan.count("lineitem.parquet") <= 1, plan
 
 
-def test_funnel_single_shuffle(spark, events):
+def test_funnel_bounded_state_plan(spark, events):
+    """r10 review fix: funnel no longer collect_lists a hot user's
+    entire event history into one aggregation buffer — the plan must
+    contain NO collect_list, only min/sum aggregates (state = one
+    timestamp per stage pass), and every non-broadcast exchange must
+    hash on the user key. The trade is n user-keyed passes instead of
+    the old single shuffle; the bound on per-group state is the point."""
     from elephant_twin_spark.operators import sessionize
 
     out = sessionize.funnel(
@@ -204,10 +210,9 @@ def test_funnel_single_shuffle(spark, events):
     plan = plan_of(out)
     import re
 
-    exchanges = len(re.findall(r"\bExchange\b", plan)) - len(
-        re.findall(r"BroadcastExchange", plan)
-    )
-    assert exchanges == 1, plan
+    assert "collect_list" not in plan, plan
+    shuffles = re.findall(r"Exchange hashpartitioning\(([^,]+)", plan)
+    assert shuffles and all(s.startswith("user") for s in shuffles), plan
 
 
 def test_lsh_gate_bucket_join_stays_hash_equi_join(spark, workdir):

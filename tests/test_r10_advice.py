@@ -565,3 +565,22 @@ def test_bloom_sketch_reader_publish_window(spark, workdir, events_multifile):
         build_mod.read_bloom_sketch(spark, idx_dir).count()
     fsio.recover_publish(spark, sketch_dir + "_tmp", sketch_dir)
     assert build_mod.read_bloom_sketch(spark, idx_dir).count() > 0
+
+
+def test_salted_join_rejects_right_preserving_types(spark):
+    """salted_join replicates the right side once per salt, so join
+    types that preserve unmatched RIGHT rows would emit them num_salts
+    times null-extended — silently wrong output. The guard raises."""
+    import pytest
+
+    from elephant_twin_spark.operators import skew
+
+    l = spark.range(10).withColumnRenamed("id", "k")
+    r = spark.range(20).withColumnRenamed("id", "k")
+    for how in ("right", "full", "outer", "full_outer"):
+        with pytest.raises(ValueError, match="unmatched right rows"):
+            skew.salted_join(l, r, "k", num_salts=4, how=how)
+    # left-preserving types stay accepted and correct on the hot path:
+    # every right k in [0,10) matches, none duplicates
+    got = skew.salted_join(l, r, "k", num_salts=4, how="left").collect()
+    assert len(got) == 10

@@ -110,10 +110,13 @@ def test_rotation_window_prioritizes_oldest_evidence():
     stalest_outside = min(
         (last.get(n, 0) for n in tail if n in oracle_names), default=99
     )
+    # hygiene-rule pins (semantics/oracle/hot-path changed this round)
+    # occupy window slots regardless of their evidence vintage
+    pins = set(getattr(entrymod, "_ROTATION_PINS", ()))
     offenders = [
         (n, last.get(n, 0))
         for n in window
-        if last.get(n, 0) > stalest_outside + 2
+        if n not in pins and last.get(n, 0) > stalest_outside + 2
     ]
     assert not offenders, (
         f"window entries with fresh evidence while r{stalest_outside}-vintage "
@@ -129,3 +132,14 @@ def test_registry_and_oracles_consistent():
     qs = set(entrymod.queries())
     extra = set(entrymod.oracle_sql()) - qs
     assert not extra, f"oracle_sql entries without a queries() entry: {sorted(extra)}"
+
+
+def test_rotation_pins_sit_in_window():
+    """A declared hygiene-rule pin that is NOT in the first-50 window is
+    a contradiction: the pin list exists to justify window slots."""
+    import __spark_entry__ as entrymod
+
+    window = set(list(entrymod.queries())[:DRIVER_BUDGET])
+    pins = set(getattr(entrymod, "_ROTATION_PINS", ()))
+    missing = pins - window
+    assert not missing, f"pinned queries missing from the driver window: {missing}"

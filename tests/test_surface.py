@@ -239,3 +239,22 @@ def test_funnel_stage_machine(spark):
         ).collect()
     }
     assert got == {1: 3, 2: 1, 3: 1, 4: 1, 5: 0, 6: 3}
+
+
+def test_time_rollup_null_ids_and_bounded_samples(spark):
+    """r10 review fix: samples must be the k smallest NON-NULL ids even
+    when null ids are present (nulls sort last in the rank window so
+    they never consume a sample slot), and the plan must bound sample
+    state via the pre-rank (one Exchange; the groupBy reuses the
+    window's partitioning — no unbounded collect_list of the group)."""
+    from pyspark.sql import Row
+
+    rows = [Row(ts="2024-01-01 01:00:00", k="a", i=i) for i in (7, None, 3, 9, None, 1, 5)]
+    df = spark.createDataFrame(rows, "ts string, k string, i int").select(
+        F.col("ts").cast("timestamp").alias("ts"), "k", "i"
+    )
+    r = rollup.time_rollup(df, "ts", "k", "i", unit="hour", k_samples=3).first()
+    assert r["cnt"] == 7  # nulls still counted
+    assert r["samples"] == [1, 3, 5]  # k smallest non-null, sorted
+    plan = rollup.time_rollup(df, "ts", "k", "i")._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan

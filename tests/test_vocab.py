@@ -114,3 +114,21 @@ def test_histogram_sketch_merge_and_quantile(spark):
         sketches.histogram_sketch("v", 4, 0.0, 100.0).alias("h")
     ).first()["h"]
     assert oob[4] == 1 and oob[5] == 1 and sum(oob[:4]) == 0
+
+
+def test_histogram_sketch_top_edge_rounding(spark):
+    """A value one ulp below `hi` must land in the TOP in-range bin, not
+    the underflow slot: with an inexactly-representable bin width
+    (num_bins=3, hi=0.1 -> w=0.0333...), floor((c-lo)/w) rounds to
+    num_bins for c=nextafter(hi, 0) — which indexes the `< lo` slot.
+    The clamp in histogram_sketch pins it to bin num_bins-1."""
+    import math
+
+    from elephant_twin_spark.functions import sketches
+
+    c = math.nextafter(0.1, 0.0)
+    assert c < 0.1  # the crafted knife-edge input
+    h = spark.createDataFrame([Row(v=c)]).agg(
+        sketches.histogram_sketch("v", 3, 0.0, 0.1).alias("h")
+    ).first()["h"]
+    assert h == [0, 0, 1, 0, 0], h  # top bin, not underflow
