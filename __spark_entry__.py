@@ -3059,12 +3059,16 @@ _ROTATION_PINS = [
     "embedding_near_dup", "knn_join_ivf_top5",
     "funnel_stages", "time_rollup_hourly", "simhash_near_dup",
     "simhash_md5_docs", "value_histogram", "hist_quantile_est",
+    # r10 review: outlier audits joined their fence/median tables with
+    # plain equality, silently dropping NULL groups; engine + oracle
+    # both now null-safe (IS NOT DISTINCT FROM)
+    "mad_outliers", "iqr_outliers",
 ]
 _ROTATION_R10 = [
     "ann_lsh_top10", "ann_ivf_top10", "ann_pq_top10",
     "embedding_near_dup", "knn_join_ivf_top5",
     "funnel_stages", "time_rollup_hourly", "simhash_near_dup",
-    "value_histogram", "hist_quantile_est",
+    "value_histogram", "hist_quantile_est", "mad_outliers", "iqr_outliers",
     "idx_point_lookup", "idx_and", "idx_or", "idx_residual", "idx_no_match",
     "idx_per_key_counts", "sql_front_door", "bloom_user_lookup",
     "expr_index_day", "zone_range_scan", "agg_lineitem_pricing",
@@ -3075,7 +3079,7 @@ _ROTATION_R10 = [
     "dedup_exact_groups", "simhash_md5_docs", "minhash_signatures",
     "token_stats", "lang_id", "fingerprint", "ann_cosine_top10",
     "label_centroid_component", "date_partition_range", "user_event_types",
-    "date_parse_roundtrip", "ngram_jaccard_pairs", "near_dup_components",
+    "date_parse_roundtrip",
 ]
 
 
@@ -5495,7 +5499,9 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN e.value < b.lo OR e.value > b.hi
                                  THEN 1 ELSE 0 END) AS BIGINT) AS n_outlier,
                    round(b.lo, 6) AS lo, round(b.hi, 6) AS hi
-            FROM events e JOIN b ON e.event_type = b.grp
+            -- IS NOT DISTINCT FROM: the engine joins fences null-safely
+            -- since r10 (a NULL group is a real audit population)
+            FROM events e JOIN b ON e.event_type IS NOT DISTINCT FROM b.grp
             WHERE e.value IS NOT NULL
             GROUP BY b.grp, b.lo, b.hi
         """,
@@ -5824,7 +5830,9 @@ def oracle_sql() -> dict[str, str]:
             j AS (
               SELECT d.lang AS grp, d.n_chars, m.med,
                      abs(d.n_chars - m.med) AS adev
-              FROM documents d JOIN med m ON d.lang = m.grp
+              -- IS NOT DISTINCT FROM: the engine joins medians/MAD
+              -- null-safely since r10 (a NULL group is a real population)
+              FROM documents d JOIN med m ON d.lang IS NOT DISTINCT FROM m.grp
             ),
             madt AS (SELECT grp, quantile_cont(adev, 0.5) AS mad FROM j GROUP BY grp)
             SELECT j.grp, CAST(count(*) AS BIGINT) AS n,
@@ -5832,7 +5840,8 @@ def oracle_sql() -> dict[str, str]:
                    round(any_value(madt.mad), 6) AS mad,
                    CAST(sum(CASE WHEN abs(j.n_chars - j.med) > 3.0 * madt.mad
                                  THEN 1 ELSE 0 END) AS BIGINT) AS n_outlier
-            FROM j JOIN madt USING (grp) GROUP BY j.grp
+            FROM j JOIN madt ON j.grp IS NOT DISTINCT FROM madt.grp
+            GROUP BY j.grp
         """,
         "truncate_tokens": f"""
             -- coalesce mirrors the Spark side's NULL-text totality

@@ -105,8 +105,12 @@ def iqr_outliers(
         (F.col("_q1") - (F.col("_q3") - F.col("_q1")) * k).alias("lo"),
         (F.col("_q3") + (F.col("_q3") - F.col("_q1")) * k).alias("hi"),
     )
+    # null-safe: a NULL group (untagged language/source) is a real
+    # population in a data-quality audit — a plain equality join
+    # silently dropped it (r10 review finding; winsorized_stats already
+    # kept it, the three audits now agree)
     joined = df.join(
-        F.broadcast(fences), df[group_col] == fences["grp"], "inner"
+        F.broadcast(fences), df[group_col].eqNullSafe(fences["grp"]), "inner"
     )
     out_flag = (F.col(value_col) < F.col("lo")) | (F.col(value_col) > F.col("hi"))
     return (
@@ -229,13 +233,20 @@ def mad_outliers(
     base = df.select(
         F.col(group_col).alias("_g"), F.col(value_col).alias("_v")
     )
+    # null-safe joins throughout: groupBy keeps a NULL group but a
+    # USING/equality join drops its rows on the way back — the audit
+    # silently lost the untagged population (r10 review finding)
     med = base.groupBy("_g").agg(F.expr("percentile(_v, 0.5)").alias("med"))
-    j = base.join(F.broadcast(med), "_g").withColumn(
-        "_adev", F.abs(F.col("_v") - F.col("med"))
-    )
+    j = base.join(
+        F.broadcast(med.withColumnRenamed("_g", "_gm")),
+        F.col("_g").eqNullSafe(F.col("_gm")),
+    ).drop("_gm").withColumn("_adev", F.abs(F.col("_v") - F.col("med")))
     madt = j.groupBy("_g").agg(F.expr("percentile(_adev, 0.5)").alias("mad"))
     # final count reuses j's _adev (two fact-table passes total, not three)
-    out = j.join(F.broadcast(madt), "_g")
+    out = j.join(
+        F.broadcast(madt.withColumnRenamed("_g", "_gm")),
+        F.col("_g").eqNullSafe(F.col("_gm")),
+    ).drop("_gm")
     return out.groupBy(F.col("_g").alias("grp")).agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.first("med"), 6).alias("med"),

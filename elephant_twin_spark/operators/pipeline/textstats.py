@@ -280,7 +280,13 @@ def apply_score_gate(
     keep rows with ``score >= threshold(group)``. Pure per-row decision
     (broadcast join against the tiny threshold table; plain filter when
     ungrouped) — safe on batch and streaming frames alike. Groups
-    without a threshold are dropped (no cutoff → not accepted)."""
+    without a threshold are dropped (no cutoff → not accepted).
+
+    The threshold join is NULL-SAFE (r10 review fix):
+    :func:`quality_thresholds` groups with groupBy, which emits a
+    cutoff row for a NULL group, but a plain equality join could never
+    match it back — the untagged population was silently dropped
+    despite having a declared threshold."""
     groups = list(group_cols or [])
     if not groups:
         return df.where(F.col(score_col) >= F.lit(thresholds[None]))
@@ -293,10 +299,17 @@ def apply_score_gate(
     tdf = spark.createDataFrame(
         rows, schema.add("_thr", "double", False)
     )
+    tdf = tdf.select(
+        *[F.col(g).alias(f"_thr_{g}") for g in groups], "_thr"
+    )
+    cond = None
+    for g in groups:
+        c = df[g].eqNullSafe(tdf[f"_thr_{g}"])
+        cond = c if cond is None else (cond & c)
     return (
-        df.join(F.broadcast(tdf), groups)
+        df.join(F.broadcast(tdf), cond)
         .where(F.col(score_col) >= F.col("_thr"))
-        .drop("_thr")
+        .drop("_thr", *[f"_thr_{g}" for g in groups])
     )
 
 

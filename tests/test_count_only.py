@@ -169,3 +169,27 @@ def test_count_distributed_matches_driver(spark, workdir, events_multifile):
     assert scan.count(spark, events_multifile, pred_in, eng.index_root,
                       distributed_threshold=0) == scan.count(
         spark, events_multifile, pred_in, eng.index_root, distributed_threshold=10**9)
+
+
+def test_apply_score_gate_null_group(spark):
+    """r10 review fix: quality_thresholds emits a cutoff for a NULL
+    group (groupBy keeps it), but the equality join in apply_score_gate
+    could never match it back — the untagged population was silently
+    dropped despite having a declared threshold. The join is now
+    null-safe."""
+    from elephant_twin_spark.operators.pipeline import textstats
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame(
+        [Row(g="a", id=i, s=float(i)) for i in range(4)]
+        + [Row(g=None, id=10 + i, s=float(i)) for i in range(4)],
+        "g string, id long, s double",
+    )
+    thr = textstats.quality_thresholds(df, "s", 0.5, group_cols=["g"])
+    assert None in thr  # the NULL group HAS a declared cutoff
+    kept = textstats.apply_score_gate(df, "s", thr, ["g"])
+    by_group = {}
+    for r in kept.collect():
+        by_group.setdefault(r["g"], set()).add(r["id"])
+    assert by_group.get("a"), by_group
+    assert by_group.get(None), by_group  # null group passes its own gate

@@ -584,3 +584,27 @@ def test_salted_join_rejects_right_preserving_types(spark):
     # every right k in [0,10) matches, none duplicates
     got = skew.salted_join(l, r, "k", num_salts=4, how="left").collect()
     assert len(got) == 10
+
+
+def test_outlier_audits_keep_null_group(spark):
+    """r10 review fix: a NULL group (untagged language/source) is a real
+    audit population — iqr_outliers and mad_outliers joined their
+    fence/median tables with plain equality and silently dropped it,
+    while winsorized_stats (the documented pair) kept it. All three now
+    agree."""
+    from pyspark.sql import Row
+
+    from elephant_twin_spark.operators.pipeline import stats
+
+    df = spark.createDataFrame(
+        [Row(g="a", v=float(i)) for i in range(10)]
+        + [Row(g=None, v=float(i)) for i in range(10)],
+        "g string, v double",
+    )
+    for fn in (
+        lambda: stats.iqr_outliers(df, "v", "g"),
+        lambda: stats.mad_outliers(df, "v", "g"),
+        lambda: stats.winsorized_stats(df, "v", "g"),
+    ):
+        rows = {r["grp"]: r["n"] for r in fn().collect()}
+        assert rows == {"a": 10, None: 10}, rows
