@@ -48,6 +48,13 @@ def asof_join(
     ordered by (ts, side). On equal timestamps the right row sorts
     before the left row so it is visible (inclusive semantics) unless
     ``strict``, where it sorts after.
+
+    Determinism caveat: when TWO RIGHT rows of the same key share a
+    timestamp, which one "wins" is partition-order-dependent (the
+    window orders by (ts, side) only). Dedupe or pre-pick the right
+    side (e.g. keep max by a tiebreak column) when right timestamps
+    can tie — the same rule every tiebreak-taking operator here
+    documents.
     """
     keys = list(keys)
     right_values = list(right_values)
