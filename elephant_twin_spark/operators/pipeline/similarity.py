@@ -74,6 +74,12 @@ def with_lsh_bucket(
     bucket-0 row. Filter ``vec_col IS NOT NULL`` upstream to assert
     completeness instead.
 
+    The planes' dimension MUST match the vector dimension: ``zip_with``
+    NULL-pads the shorter side, so a mismatched plane matrix NULLs the
+    per-plane dot products and every row silently lands in the NULL
+    bucket (callers that fix planes externally — the md5-parity oracle
+    paths — guard the dimension up front via their fixture asserts).
+
     The plane matrix rides as ONE nested-array literal folded with
     higher-order functions — a per-element-literal expression tree
     (bits × dim `Literal` nodes) costs seconds of codegen/compile before
