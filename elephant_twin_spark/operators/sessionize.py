@@ -101,8 +101,13 @@ def funnel(
     (stage, last_ts). Now per-group state is one timestamp per pass,
     map-side combined; the candidate passes scan only stage-typed rows
     (the ``y`` filter pushes to the source scan), and every join/agg is
-    keyed on ``user``. Cost: n user-keyed passes instead of one — the
-    trade that keeps the hot-key bound.
+    keyed on ``user``. Cost: n user-keyed passes instead of one — pass 1
+    scans the table once (it doubles as the all-users spine), each later
+    pass re-scans it under an ``event_type = stage_i`` pushdown filter
+    (parquet row-group stats / a type-partitioned layout reduce those to
+    near-index reads). The trade that keeps the hot-key bound; for a
+    funnel over a pre-filtered, REUSED stage-event frame, filter to
+    ``y IN stages`` once upstream and hand that in.
 
     NULL users group as stage-1-only evidence (equi-joins drop them
     from later passes) — the same semantics as the SQL oracle's
