@@ -99,22 +99,29 @@ def funnel(
     held a hot user's entire event history in memory (a 10^8-event bot
     key = executor OOM), even though the fold itself only carried
     (stage, last_ts). Now per-group state is one timestamp per pass,
-    map-side combined; the candidate passes scan only stage-typed rows
-    (the ``y`` filter pushes to the source scan), and every join/agg is
-    keyed on ``user``. Cost: n user-keyed passes instead of one — pass 1
-    scans the table once (it doubles as the all-users spine), each later
-    pass re-scans it under an ``event_type = stage_i`` pushdown filter
-    (parquet row-group stats / a type-partitioned layout reduce those to
-    near-index reads). The trade that keeps the hot-key bound; for a
-    funnel over a pre-filtered, REUSED stage-event frame, filter to
-    ``y IN stages`` once upstream and hand that in.
+    map-side combined, and every join/agg is keyed on ``user``.
 
-    NULL users group as stage-1-only evidence (equi-joins drop them
-    from later passes) — the same semantics as the SQL oracle's
-    ``JOIN ... ON e.user_id = s.user_id`` chain."""
+    Scan shape (r11): the FULL table is scanned exactly once — pass 1's
+    groupBy, which doubles as the all-users spine. Passes 2..n run over
+    a ``lifecycle.pin``'d frame of just the later-stage rows
+    (``y IN stages[1:] AND user IS NOT NULL``), materialized by ONE
+    additional pushdown-filtered read sized by the stages' selectivity,
+    so no pass re-scans the base table (the r10 shape re-read it under
+    an ``event_type = stage_i`` filter once per later stage). The pin is
+    a local checkpoint behind the returned plan: consume the result
+    inside a ``lifecycle.checkpoint_scope`` (or ``release`` it) to free
+    the blocks.
+
+    NULL users report stage_reached = 0 regardless of their events —
+    the exact semantics of the SQL oracle's non-null-safe
+    ``LEFT JOIN ... ON u.user_id = s1.user_id`` spine, where a NULL
+    user matches no stage CTE (r10 advisor: pass 1's groupBy used to
+    keep the NULL group's stage-1 evidence and report 1)."""
     from functools import reduce
 
     from pyspark.sql import functions as F
+
+    from elephant_twin_spark.operators import lifecycle
 
     if not stages:
         raise ValueError("stages must name at least one event type")
@@ -125,14 +132,27 @@ def funnel(
         F.col(type_col).alias("y"),
     )
     # pass 1 doubles as the all-users spine: every user appears, with
-    # NULL _t1 when they never reached stage 1 (stage_reached = 0)
+    # NULL _t1 when they never reached stage 1 (stage_reached = 0).
+    # NULL users are masked to no-evidence here — oracle spine parity.
     state = ev.groupBy("user").agg(
-        F.min(F.when(F.col("y") == F.lit(stages[0]), F.col("t"))).alias("_t1")
+        F.min(
+            F.when(
+                (F.col("y") == F.lit(stages[0])) & F.col("user").isNotNull(),
+                F.col("t"),
+            )
+        ).alias("_t1")
     )
+    if n > 1:
+        later = lifecycle.pin(
+            ev.where(
+                F.col("y").isin(list(dict.fromkeys(stages[1:])))
+                & F.col("user").isNotNull()
+            )
+        )
     for i in range(2, n + 1):
         prev = f"_t{i - 1}"
         cand = (
-            ev.where(F.col("y") == F.lit(stages[i - 1]))
+            later.where(F.col("y") == F.lit(stages[i - 1]))
             .join(state.select("user", prev), "user")
             .where(F.col("t") > F.col(prev))
             .groupBy("user")

@@ -27,6 +27,12 @@ def _funnel_reference(events, stages):
         by_user.setdefault(u, []).append((ts, y))
     out = {}
     for u, evs in by_user.items():
+        if u is None:
+            # oracle spine parity: the non-null-safe LEFT JOIN chain
+            # never matches a NULL user, so it reports 0 regardless of
+            # the NULL group's stage evidence (r10 advisor finding)
+            out[u] = 0
+            continue
         prev = None
         stage = 0
         for s in stages:
@@ -53,8 +59,13 @@ def test_funnel_matches_reference_on_random_inputs(spark):
                 # tight minute range => many exact timestamp ties, the
                 # order-sensitivity hazard the n-pass chain must shrug off
                 events.append((u, _ts(rng.randint(0, 6)), rng.choice(types)))
+        # NULL user with full stage-1..n evidence: must report 0, the
+        # oracle's non-null-safe spine semantics (r11 alignment)
+        for s in stages:
+            events.append((None, _ts(rng.randint(0, 6)), s))
         df = spark.createDataFrame(
-            [Row(user_id=u, ts=t, event_type=y) for u, t, y in events]
+            [Row(user_id=u, ts=t, event_type=y) for u, t, y in events],
+            "user_id long, ts timestamp, event_type string",
         )
         got = {
             r["user"]: r["stage_reached"]
