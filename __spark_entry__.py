@@ -622,8 +622,13 @@ def _q_knn_join(spark, sf_dir):
     out = similarity.knn_join(
         qs, emb, "vec_id", "embedding", "vec_id", "embedding", k=5
     )
+    # + 0.0 collapses IEEE -0.0 (raw cosine in (-5e-7, 0)) to +0.0,
+    # mirroring the oracle's `round(cos_raw, 6) + 0.0` exactly
     return out.select(
-        "query_id", "id", F.round("cosine", 6).alias("cosine"), "rank"
+        "query_id",
+        "id",
+        (F.round("cosine", 6) + F.lit(0.0)).alias("cosine"),
+        "rank",
     )
 
 
@@ -639,10 +644,17 @@ def _q_ivf_knn_join(spark, sf_dir):
     emb = _state(spark, sf_dir).raw("embeddings")
     qs = emb.where(F.col("vec_id") < 5)
     cents = _ann_fixture_base(emb, n=8)
+    # + 0.0 mirrors the oracle's -0.0 normalization (r10 advisor: a raw
+    # cosine in (-5e-7, 0) rounds to -0.0 here but +0.0 in the oracle)
     return similarity.ivf_knn_join(
         qs, emb, "vec_id", "embedding", "vec_id", "embedding",
         k=5, nprobe=4, centroids=cents,
-    ).select("query_id", "id", F.round("cosine", 6).alias("cosine"), "rank")
+    ).select(
+        "query_id",
+        "id",
+        (F.round("cosine", 6) + F.lit(0.0)).alias("cosine"),
+        "rank",
+    )
 
 
 def _q_embedding_near_dup(spark, sf_dir):
@@ -3038,7 +3050,8 @@ def _q_scd2_merge_incremental(spark, sf_dir):
 # before landing) and are pinned for driver re-verification:
 # funnel_stages (n-pass min-chain replaces the per-user collect_list
 # fold), time_rollup_hourly (rank-bounded samples), simhash_near_dup
-# (+ simhash_md5_docs, already rotated in: conditional-sum lanes),
+# (+ simhash_md5_docs, already rotated in: compact (hash,tf) struct
+# fold, O(distinct-tokens) state, lanes expanded only in the final fold),
 # value_histogram / hist_quantile_est (top-edge bin clamp). The
 # remaining 40 slots rotate the oldest-evidence hash-green queries:
 # r1-vintage oracle queries in registry order. Next rotation continues

@@ -430,8 +430,11 @@ def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """64-bit SimHash per doc: per-bit weighted sums of token hashes.
 
     ``(id, simhash)`` — explode to (id, token, tf), then ONE groupBy
-    with 64 conditional-sum lanes (bounded per-group state; see
-    :func:`_simhash_from_token_hashes`)."""
+    collecting compact ``(hash, tf)`` structs (16 B per DISTINCT token —
+    O(distinct-tokens) state, input-proportional rather than bounded;
+    the 64 lanes are expanded only transiently inside the final fold;
+    see :func:`_simhash_from_token_hashes` for the measured A/B against
+    the truly-bounded conditional-sum shape, which was 4× slower)."""
     toks = _fan_out(df).select(
         F.col(id_col).alias("id"),
         F.explode(whitespace_tokenizer(F.col(text_col))).alias("tok"),

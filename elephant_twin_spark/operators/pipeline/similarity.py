@@ -122,6 +122,14 @@ def lsh_cosine_topk(
     dim = len(query_vec)
     if planes is None:
         planes = random_hyperplanes(dim, bits, seed)
+    elif planes and len(planes[0]) != dim:
+        # fail loudly: zip(p, query_vec) would silently truncate the
+        # query-side dot product while the engine-side zip_with
+        # NULL-pads — two different silent wrong answers for the same
+        # caller error (r10 advisor)
+        raise ValueError(
+            f"planes dimension {len(planes[0])} != query_vec dimension {dim}"
+        )
     bits = len(planes)
     q_bucket = 0
     for i, p in enumerate(planes):
@@ -460,9 +468,15 @@ def embedding_near_dup_pairs(
     Pass explicit ``planes`` (e.g. :func:`md5_sign_planes`) to make the
     candidate buckets themselves engine-reproducible; ``bits``/``seed``
     are ignored when ``planes`` is given."""
+    dim_row = df.select(F.size(vec_col).alias("d")).first()
+    dim = dim_row["d"] if dim_row is not None else None
     if planes is None:
-        dim = df.select(F.size(vec_col).alias("d")).first()["d"]
-        planes = random_hyperplanes(dim, bits, seed)
+        planes = random_hyperplanes(dim or 0, bits, seed)
+    elif planes and dim is not None and len(planes[0]) != dim:
+        # fail loudly instead of NULL-padding every bucket (r10 advisor)
+        raise ValueError(
+            f"planes dimension {len(planes[0])} != vector column dimension {dim}"
+        )
     # pin the bucketed projection: the self-join would otherwise evaluate
     # the bits×dim hyperplane expression tree twice (and pay its codegen
     # cost twice — the literal-heavy plan is expensive to compile)

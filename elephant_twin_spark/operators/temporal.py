@@ -26,6 +26,7 @@ from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
 from pyspark.sql.window import Window
 
 
@@ -37,24 +38,31 @@ def asof_join(
     right_ts: str,
     right_values: Sequence[str],
     strict: bool = False,
+    tiebreak: Optional[str] = None,
 ) -> DataFrame:
     """Backward as-of join: every left row, annotated with the most
     recent right row's ``right_values`` where ``right_ts <= left_ts``
     (``<`` when ``strict``), matching on ``keys``; nulls when no prior
     right row exists (left-outer semantics).
 
-    Single shuffle: tag + union both sides, then
-    ``last(value, ignorenulls=True)`` over a key-partitioned window
-    ordered by (ts, side). On equal timestamps the right row sorts
-    before the left row so it is visible (inclusive semantics) unless
-    ``strict``, where it sorts after.
+    Single shuffle: tag + union both sides, then one
+    ``last(struct(right_values), ignorenulls=True)`` over a
+    key-partitioned window ordered by (ts, side, tiebreak). On equal
+    timestamps the right row sorts before the left row so it is visible
+    (inclusive semantics) unless ``strict``, where it sorts after. The
+    winning right row is carried as ONE struct, so the annotated values
+    always come from the same right row (a per-column fill would mix
+    columns across tied or NULL-holed right rows).
 
-    Determinism caveat: when TWO RIGHT rows of the same key share a
-    timestamp, which one "wins" is partition-order-dependent (the
-    window orders by (ts, side) only). Dedupe or pre-pick the right
-    side (e.g. keep max by a tiebreak column) when right timestamps
-    can tie — the same rule every tiebreak-taking operator here
-    documents.
+    Tie determinism (r10 verdict fix): when two right rows of one key
+    share a timestamp, the window's third order key picks the winner —
+    by default the full ``struct(right_values)`` ascending, i.e.
+    keep-max over the value tuple, which makes the OUTPUT fully
+    deterministic (rows that tie on the tuple are output-identical).
+    Pass ``tiebreak=<right column>`` to keep-max by that column instead
+    (also required when a right_value type is not orderable, e.g. a
+    map); a non-unique explicit tiebreak reintroduces the hazard for
+    rows that also tie on it.
     """
     keys = list(keys)
     right_values = list(right_values)
@@ -62,36 +70,48 @@ def asof_join(
     if dup:
         raise ValueError(f"right_values collide with left columns: {sorted(dup)}")
     rtypes = {f.name: f.dataType for f in right.schema.fields}
+    if tiebreak is not None and tiebreak not in rtypes:
+        raise ValueError(f"tiebreak {tiebreak!r} is not a right column")
 
+    rv_type = StructType([StructField(c, rtypes[c]) for c in right_values])
+    tb_rhs = F.col(tiebreak) if tiebreak is not None else F.struct(
+        *[F.col(c) for c in right_values]
+    )
+    tb_lhs = (
+        F.lit(None).cast(rtypes[tiebreak]) if tiebreak is not None
+        else F.lit(None).cast(rv_type)
+    )
     lhs = left.select(
         *[F.col(k) for k in keys],
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_side"),
         F.struct(*[F.col(c) for c in left.columns]).alias("_left"),
-        *[F.lit(None).cast(rtypes[c]).alias(c) for c in right_values],
+        F.lit(None).cast(rv_type).alias("_rv"),
+        tb_lhs.alias("_tb"),
     )
     rhs = right.select(
         *[F.col(k) for k in keys],
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_side"),
         F.lit(None).cast(left.schema).alias("_left"),
-        *[F.col(c) for c in right_values],
+        F.struct(*[F.col(c) for c in right_values]).alias("_rv"),
+        tb_rhs.alias("_tb"),
     )
 
     side_order = F.col("_side").desc() if strict else F.col("_side").asc()
     w = (
         Window.partitionBy(*keys)
-        .orderBy(F.col("_ts").asc(), side_order)
+        .orderBy(F.col("_ts").asc(), side_order, F.col("_tb").asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = lhs.unionByName(rhs).select(
         "_side",
         "_left",
-        *[F.last(c, ignorenulls=True).over(w).alias(f"_f_{c}") for c in right_values],
+        F.last("_rv", ignorenulls=True).over(w).alias("_rv"),
     )
     return filled.where(F.col("_side") == 1).select(
         *[F.col(f"_left.{c}").alias(c) for c in left.columns],
-        *[F.col(f"_f_{c}").alias(c) for c in right_values],
+        *[F.col(f"_rv.{c}").alias(c) for c in right_values],
     )
 
 

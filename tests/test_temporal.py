@@ -107,3 +107,50 @@ def test_interval_join_subsecond_interval_covers_start_bucket(spark):
     ).select("iv_id", F.to_timestamp("s").alias("start"), F.to_timestamp("e").alias("end"))
     got = temporal.interval_join(points, iv, "ts", "start", "end", bucket_width_s=60)
     assert [(r["pt_id"], r["iv_id"]) for r in got.collect()] == [(1, 7)]
+
+
+def test_asof_join_right_ts_ties_deterministic(spark):
+    """r10 verdict fix: two right rows of one key sharing a timestamp
+    must yield a stable winner (keep-max over the right_values struct
+    by default; keep-max by `tiebreak=` when given) regardless of how
+    the right side is partitioned or ordered on input."""
+    left = spark.createDataFrame([(1, 20)], "k int, t int")
+    tied = [(1, 10, "a", 100), (1, 10, "b", 50), (1, 10, "b", 49)]
+    outs = set()
+    for seed in range(4):
+        right = spark.createDataFrame(
+            sorted(tied, key=lambda r: hash((seed, r))),
+            "k int, t2 int, v string, w int",
+        ).repartition(2 + seed)
+        r = temporal.asof_join(
+            left, right, ["k"], "t", "t2", ["v", "w"]
+        ).collect()[0]
+        outs.add((r["v"], r["w"]))
+    # default: max over struct(v, w) -> ("b", 50)
+    assert outs == {("b", 50)}
+
+    outs_tb = set()
+    for seed in range(4):
+        right = spark.createDataFrame(
+            sorted(tied, key=lambda r: hash((seed, r))),
+            "k int, t2 int, v string, w int",
+        ).repartition(2 + seed)
+        r = temporal.asof_join(
+            left, right, ["k"], "t", "t2", ["v"], tiebreak="w"
+        ).collect()[0]
+        outs_tb.add(r["v"])
+    # keep-max by w=100 -> "a"
+    assert outs_tb == {"a"}
+
+
+def test_asof_join_null_holed_right_row_wins_as_a_row(spark):
+    """Row-level semantics: the winning (latest) right row's values are
+    emitted as a unit — a NULL field in the latest row must NOT be
+    back-filled from an older row (the old per-column fill did that)."""
+    left = spark.createDataFrame([(1, 30)], "k int, t int")
+    right = spark.createDataFrame(
+        [(1, 10, "old", 7), (1, 20, None, 9)],
+        "k int, t2 int, v string, w int",
+    )
+    r = temporal.asof_join(left, right, ["k"], "t", "t2", ["v", "w"]).collect()[0]
+    assert (r["v"], r["w"]) == (None, 9)
