@@ -3038,61 +3038,55 @@ def _q_scd2_merge_incremental(spark, sf_dir):
 # streaming_windowed_rollup's permanent `no_oracle` row is evicted
 # (its evidence is the batch-twin test, COVERAGE.md).
 #
-# r10 window: FIVE queries changed semantics/oracle this round — the
-# rows-only ANN/near-dup family was promoted to full oracles
-# (md5-parity sign planes / fixed fixture quantizers, the r8
-# `ann_ivf_pq_top10` treatment): ann_lsh_top10, ann_ivf_top10,
-# ann_pq_top10, embedding_near_dup, knn_join_ivf_top5. Per the hygiene
-# rule they lead the window (their old `no_oracle` rows stop counting
-# as evidence the moment an oracle exists). FIVE more queries changed
-# implementation in the r10 review pass (bounded-state rewrites with
-# identical declared output — verified value-exact at sf0.01+sf0.1
-# before landing) and are pinned for driver re-verification:
-# funnel_stages (n-pass min-chain replaces the per-user collect_list
-# fold), time_rollup_hourly (rank-bounded samples), simhash_near_dup
-# (+ simhash_md5_docs, already rotated in: compact (hash,tf) struct
-# fold, O(distinct-tokens) state, lanes expanded only in the final fold),
-# value_histogram / hist_quantile_est (top-edge bin clamp). The
-# remaining 40 slots rotate the oldest-evidence hash-green queries:
-# r1-vintage oracle queries in registry order. Next rotation continues
-# from containment_pairs (r1), then shard_assignment (r2).
+# r11 window: FIVE queries changed implementation/semantics this round
+# and are pinned per the hygiene rule — funnel_stages (NULL users now
+# report stage 0, matching the oracle's non-null-safe spine; passes
+# 2..n run over a pinned later-stage frame so the table is scanned
+# once), asof_last_click (asof_join now carries the winning right row
+# as one struct with a deterministic keep-max tiebreak),
+# knn_join_top5 + knn_join_ivf_top5 (engine-side -0.0 normalization
+# mirroring the oracle's `+ 0.0`), embedding_near_dup (dimension probe
+# + ValueError guard on plane/vector mismatch). The remaining 45 slots
+# finish the oldest-evidence rotation: every r1-vintage oracle query
+# not yet recycled, then r2-vintage in registry order through
+# unpivot_order_measures. Next rotation continues from
+# salted_distinct_users (r2), then the r3 cohort (market_share ...).
 # _ROTATION_ROUND pins WHICH rounds' evidence the rotation was computed
 # from (everything before it): the hygiene test must ignore evidence
 # from this round onward, else the round's own driver run — which
 # freshens exactly the window entries — would flag the unchanged
 # registry as stale-ordered (r10 review finding). Bump both together
 # when rotating.
-_ROTATION_ROUND = 10
+_ROTATION_ROUND = 11
 # Queries PINNED into the window this round because their semantics,
 # oracle, or implementation hot path changed (hygiene rule) — exempt
 # from the oldest-evidence ordering check, which otherwise flags any
 # recently-verified query occupying a slot while r1-vintage ones wait.
 _ROTATION_PINS = [
-    "ann_lsh_top10", "ann_ivf_top10", "ann_pq_top10",
-    "embedding_near_dup", "knn_join_ivf_top5",
-    "funnel_stages", "time_rollup_hourly", "simhash_near_dup",
-    "simhash_md5_docs", "value_histogram", "hist_quantile_est",
-    # r10 review: outlier audits joined their fence/median tables with
-    # plain equality, silently dropping NULL groups; engine + oracle
-    # both now null-safe (IS NOT DISTINCT FROM)
-    "mad_outliers", "iqr_outliers",
+    "funnel_stages", "asof_last_click",
+    "knn_join_top5", "knn_join_ivf_top5", "embedding_near_dup",
 ]
-_ROTATION_R10 = [
-    "ann_lsh_top10", "ann_ivf_top10", "ann_pq_top10",
-    "embedding_near_dup", "knn_join_ivf_top5",
-    "funnel_stages", "time_rollup_hourly", "simhash_near_dup",
-    "value_histogram", "hist_quantile_est", "mad_outliers", "iqr_outliers",
-    "idx_point_lookup", "idx_and", "idx_or", "idx_residual", "idx_no_match",
-    "idx_per_key_counts", "sql_front_door", "bloom_user_lookup",
-    "expr_index_day", "zone_range_scan", "agg_lineitem_pricing",
-    "events_hourly", "top_users_by_value", "date_functions", "md5_digests",
-    "text_count", "text_topn", "text_bool_and", "text_bool_or",
-    "text_phrase", "text_phrase_near", "text_bm25_top", "text_prefix",
-    "text_wildcard", "text_fuzzy", "text_not", "text_more_like_this",
-    "dedup_exact_groups", "simhash_md5_docs", "minhash_signatures",
-    "token_stats", "lang_id", "fingerprint", "ann_cosine_top10",
-    "label_centroid_component", "date_partition_range", "user_event_types",
-    "date_parse_roundtrip",
+_ROTATION_R11 = [
+    # hygiene-rule pins (changed this round; see _ROTATION_PINS)
+    "funnel_stages", "asof_last_click",
+    "knn_join_top5", "knn_join_ivf_top5", "embedding_near_dup",
+    # r1-vintage evidence (oldest cohort, registry order)
+    "ngram_jaccard_pairs", "near_dup_components", "containment_pairs",
+    "char_entropy", "repetition_ratio", "ann_persisted_top10",
+    "clean_corpus_audit", "decontaminate_report", "pii_scrub",
+    # r2-vintage evidence, registry order through unpivot_order_measures
+    "pack_docs", "chunk_docs", "shard_assignment", "unigram_logprob",
+    "mixture_resample", "weighted_sample", "temperature_weights",
+    "normalized_docs", "vocab_top100", "doc_token_ids",
+    "edit_distance_join", "weekly_retention", "stratified_sample",
+    "term_pmi", "doc_keywords", "cosine_pairs", "join_revenue_by_nation",
+    "rollup_orders", "click_not_purchase_users", "grouping_sets_orders",
+    "forecast_revenue", "top_unshipped_orders", "above_avg_orders",
+    "priority_fulfilment", "volume_shipping", "profit_by_nation",
+    "returned_items", "customer_distribution", "promo_revenue",
+    "top_supplier", "small_qty_revenue", "large_volume_orders",
+    "disjunctive_revenue", "late_sole_supplier", "dormant_customers",
+    "unpivot_order_measures",
 ]
 
 
@@ -3325,7 +3319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_report": _q_decontaminate_report,
         "pii_scrub": _q_pii_scrub,
     }
-    out = {name: cat.pop(name) for name in _ROTATION_R10}  # KeyError = typo, loud
+    out = {name: cat.pop(name) for name in _ROTATION_R11}  # KeyError = typo, loud
     out.update(cat)
     return out
 
