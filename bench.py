@@ -53,38 +53,93 @@ def main():
 
     timings: dict[str, float] = {}
 
-    # best-of-2 for read-only query keys (r5 re-baseline): single-shot
-    # timings on this box swing 2x on untouched code (r3 mixture, r4
-    # sql_front_door/knn_join/star-clustering — every case resolved as
-    # first-touch/GC noise by solo A/B reps). Two runs, keep the min:
-    # the second run measures the OPERATOR with its state/codegen/page
-    # cache warm, which is the steady-state a 1000-executor job lives
-    # in. Index BUILDS stay reps=1 — a re-build overwrites existing
-    # output and measures a different (rewrite) path.
+    # Per-key reps/aggregation policy + expected bands live in
+    # BANDS.json (r10 verdict item 2 — the solo steady bands from
+    # SCALE_EXPERIMENTS made machine-readable). Default = best-of-2
+    # (r5 re-baseline: single-shot timings on this box swing 2x on
+    # untouched code; the min measures the operator with codegen/page
+    # cache warm — the steady state a 1000-executor job lives in).
+    # Keys marked policy=median3 (builds + the documented noisy keys)
+    # run 3 reps and keep the MEDIAN, so the recorded number stops
+    # carrying first-touch; builds additionally take a `reset` callable
+    # that drops the index between reps, making every rep measure the
+    # same fresh-build path (reps>1 would otherwise measure rewrite).
+    # Keys read outside their shared_band are reported in the JSON
+    # (`out_of_band`) and on stderr — the self-triage replacing the
+    # every-round manual solo-rep ritual.
     from elephant_twin_spark.operators import lifecycle
+
+    bands_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BANDS.json")
+    try:
+        with open(bands_path) as _f:
+            _bands_doc = json.load(_f)
+    except OSError:
+        _bands_doc = {}
+    BANDS = _bands_doc.get("keys", {})
+    # bands were measured at the driver's bench scale factor; at any
+    # other SF the reps policy still applies but out-of-band reporting
+    # would be pure noise
+    bands_sf_ok = SF_DIR.endswith(f"sf{_bands_doc.get('sf', 0.1)}")
+    out_of_band: dict[str, dict] = {}
 
     # SPARK_GRAFT_BENCH_STORAGE=1: per-key block-manager snapshots to
     # stderr (the instrumentation that demonstrated the r5 checkpoint
     # leak and its fix — see SCALE_EXPERIMENTS.md)
     probe_storage = os.environ.get("SPARK_GRAFT_BENCH_STORAGE") == "1"
 
-    def timed(name, reps=2):
+    def timed(name, reps=2, reset=None):
+        pol = BANDS.get(name, {})
+        policy = pol.get("policy", "min2" if reps == 2 else f"min{reps}")
+        if policy == "median3":
+            n_reps, agg = 3, "median"
+        elif policy == "min1":
+            n_reps, agg = 1, "min"
+        else:
+            n_reps, agg = reps, "min"
+        if reset is None and reps == 1:
+            # reps=1 marks a build key: without a reset, a re-build
+            # measures the rewrite path — stay single-rep unless the
+            # caller provides one (queries re-run safely, so their
+            # policy reps apply as-is)
+            n_reps = 1
+
         def deco(fn):
-            best = None
+            samples = []
             out = None
-            for _ in range(reps):
+            for i in range(n_reps):
+                if i and reset is not None:
+                    reset()
                 t0 = time.perf_counter()
                 # scope per rep: every localCheckpoint an operator pins
                 # during this key is released once the rep's terminal
-                # action finishes — a long-lived session (48 keys x 2
+                # action finishes — a long-lived session (50 keys x N
                 # reps in one JVM, or a real production driver) must not
                 # accumulate dead checkpoint blocks that pressure the
                 # unified memory pool of UNRELATED later queries
                 with lifecycle.checkpoint_scope():
                     out = fn()
-                dt = time.perf_counter() - t0
-                best = dt if best is None else min(best, dt)
-            timings[name] = round(best, 4)
+                samples.append(time.perf_counter() - t0)
+            if agg == "median":
+                val = sorted(samples)[len(samples) // 2]
+            else:
+                val = min(samples)
+            timings[name] = round(val, 4)
+            band = pol.get("shared_band")
+            if bands_sf_ok and band and not (band[0] <= val <= band[1]):
+                info = {
+                    "value": round(val, 4),
+                    "shared_band": band,
+                    "samples": [round(s, 4) for s in samples],
+                }
+                if "solo_steady" in pol:
+                    info["solo_steady"] = pol["solo_steady"]
+                out_of_band[name] = info
+                print(
+                    f"OUT OF BAND {name}: {val:.2f}s vs shared_band "
+                    f"{band} (samples {info['samples']}, "
+                    f"solo_steady {pol.get('solo_steady', 'n/a')})",
+                    file=sys.stderr,
+                )
             if probe_storage:
                 snap = lifecycle.storage_snapshot(spark)
                 print(f"storage after {name}: {snap}", file=sys.stderr)
@@ -123,11 +178,26 @@ def main():
     )
 
     # ---- index build (the reference's write path)
-    timed("build_block_index_event_type", reps=1)(
-        lambda: eng.build_index(events, "event_type", num_buckets=8)
-    )
-    timed("build_block_index_user_id", reps=1)(lambda: eng.build_index(events, "user_id", num_buckets=8))
-    timed("build_text_index_docs", reps=1)(lambda: eng.build_text_index(docs_path, "text", "doc_id"))
+    # reps come from BANDS.json (median3): the reset drops the index so
+    # every rep measures the fresh-build path, and the median sheds the
+    # first rep's JIT/page-cache first-touch that single-rep builds
+    # used to record (SCALE_EXPERIMENTS r10: "the shared number always
+    # carries first-touch")
+    timed(
+        "build_block_index_event_type",
+        reps=1,
+        reset=lambda: eng.drop_index(events, "event_type", "block"),
+    )(lambda: eng.build_index(events, "event_type", num_buckets=8))
+    timed(
+        "build_block_index_user_id",
+        reps=1,
+        reset=lambda: eng.drop_index(events, "user_id", "block"),
+    )(lambda: eng.build_index(events, "user_id", num_buckets=8))
+    timed(
+        "build_text_index_docs",
+        reps=1,
+        reset=lambda: eng.drop_index(docs_path, "text", "text"),
+    )(lambda: eng.build_text_index(docs_path, "text", "doc_id"))
 
     # ---- index-accelerated queries (the reference's read path)
     timed("q_idx_point")(lambda: eng.query(events, col("event_type") == "click").count())
@@ -326,7 +396,11 @@ def main():
     # ---- training-data ops: persisted near-dup gate, vocab, sampling
     from elephant_twin_spark.operators.pipeline import vocab as vocab_mod
 
-    timed("build_lsh_index_docs", reps=1)(
+    timed(
+        "build_lsh_index_docs",
+        reps=1,
+        reset=lambda: eng.drop_index(docs_multi, "text", "lsh"),
+    )(
         lambda: eng.build_lsh_index(docs_multi, "text", "doc_id", num_perm=16, num_bands=4)
     )
     lsh_idx = eng.lsh_index(docs_multi, "text")
@@ -377,14 +451,22 @@ def main():
 
     # ---- bloom index: high-cardinality point lookup (no block index on
     # ---- this column, so the probe exercises the bloom path)
-    timed("build_bloom_index_suppkey", reps=1)(lambda: eng.build_bloom_index(lineitem, "l_suppkey"))
+    timed(
+        "build_bloom_index_suppkey",
+        reps=1,
+        reset=lambda: eng.drop_index(lineitem, "l_suppkey", "bloom"),
+    )(lambda: eng.build_bloom_index(lineitem, "l_suppkey"))
     timed("q_bloom_point")(lambda: eng.query(lineitem, col("l_suppkey") == 17).count())
 
     # ---- zone index: range pushdown on a time-clustered copy
     ts_clustered = f"{work}/events_ts_clustered"
     if not os.path.exists(f"{ts_clustered}/_SUCCESS"):
         layout.cluster_table(spark, events, ts_clustered, ["ts"], num_files=32)
-    timed("build_zone_index_ts", reps=1)(lambda: eng.build_zone_index(ts_clustered, "ts"))
+    timed(
+        "build_zone_index_ts",
+        reps=1,
+        reset=lambda: eng.drop_index(ts_clustered, "ts", "zone"),
+    )(lambda: eng.build_zone_index(ts_clustered, "ts"))
     timed("q_zone_range")(
         lambda: eng.query(
             ts_clustered, "ts BETWEEN '2024-01-10' AND '2024-01-12'"
@@ -467,6 +549,7 @@ def main():
                 "bytes_ratio_clustered_point": bytes_ratio,
                 "bytes_ratio_zone_range": zone_bytes_ratio,
                 "bytes_ratio_distplan": dist_bytes_ratio,
+                "out_of_band": out_of_band,
             }
         )
     )

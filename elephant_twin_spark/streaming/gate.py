@@ -185,9 +185,13 @@ def stream_near_dup_gate(
 
     from elephant_twin_spark.sources import fsio
 
+    from elephant_twin_spark.streaming import sinkfmt
+
     run_tok = run_token(checkpoint_path)
-    # migrate partitions a pre-r10 run of this SAME checkpoint tagged
-    # with the un-normalized token (see _retag_run_partitions)
+    # unmarked sink = fresh or pre-marker: migrate partitions a pre-r10
+    # run of this SAME checkpoint tagged with the un-normalized token
+    # (see _retag_run_partitions), then stamp the format marker so every
+    # later start branches on the marker instead of re-probing
     legacy_tok = _legacy_run_token(checkpoint_path)
     for root in (
         accepted_path,
@@ -195,7 +199,13 @@ def stream_near_dup_gate(
         f"{index.idx_dir}/bands_grown",
     ):
         if root is not None:
-            _retag_run_partitions(index.spark, root, legacy_tok, run_tok)
+            sinkfmt.ensure_sink_format(
+                index.spark,
+                root,
+                migrate=lambda r=root: _retag_run_partitions(
+                    index.spark, r, legacy_tok, run_tok
+                ),
+            )
 
     def on_batch(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.head(1):

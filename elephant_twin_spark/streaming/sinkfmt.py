@@ -1,0 +1,112 @@
+"""Sink-format version marker for per-batch partitioned streaming sinks.
+
+Three upgrade schemes accreted around the ``batch_run=`` partition
+layout, each INFERRED from partition names on every stream start:
+``batch_id=N`` → ``batch_run=legacy-N`` (``windows._migrate_legacy_
+batch_partitions``), the raw→normalized run-token retag
+(``gate._retag_run_partitions``), and checkpoint-loss cleanup
+(``windows.drop_rollup_run``). Inference works, but every future format
+change would add a fourth listing-based heuristic to every start path
+(r10 verdict item 5).
+
+This module makes the format EXPLICIT: a ``_sink_format`` marker file
+(leading underscore — Spark's partition inference and file listings
+ignore it, like ``_SUCCESS``) stamped ``v<N>`` on first write.
+
+* marker == current: fast path — one file read, NO partition listing,
+  no migration probes.
+* marker absent: the sink is either fresh or pre-marker; the caller's
+  legacy migrations run once, then the marker is stamped.
+* marker from the future: hard error — a downgraded reader must not
+  "migrate" (i.e. corrupt) a newer layout it cannot interpret.
+
+Format history (bump ``CURRENT_SINK_FORMAT`` on layout change and add
+the new migration to the caller's ``migrate`` closure):
+
+* (unmarked, pre-r10) — bare ``batch_id=N`` partitions.
+* (unmarked, r10 early) — ``batch_run=<raw-token>-<N>``.
+* v2 (r10 final, marked since r11) — ``batch_run=<normalized-token>-<N>``
+  with reserved ``legacy-*`` / ``compact--1`` tags.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+CURRENT_SINK_FORMAT = 2
+MARKER_NAME = "_sink_format"
+
+
+def read_sink_format(spark, sink_path: str) -> Optional[int]:
+    """The sink's stamped format version, or None when unmarked (fresh
+    sink, or one written before markers existed)."""
+    from elephant_twin_spark.sources import fsio
+
+    fs, _, jvm = fsio._fs_and_path(spark, sink_path)
+    jpath = jvm.org.apache.hadoop.fs.Path(f"{sink_path}/{MARKER_NAME}")
+    if not fs.exists(jpath):
+        return None
+    stream = fs.open(jpath)
+    try:
+        raw = bytes(stream.readNBytes(64)).decode("ascii", "replace").strip()
+    finally:
+        stream.close()
+    if not raw.startswith("v") or not raw[1:].isdigit():
+        raise ValueError(
+            f"unreadable sink-format marker {raw!r} under {sink_path} — "
+            "refusing to guess the layout; fix or remove the marker"
+        )
+    return int(raw[1:])
+
+
+def write_sink_format(spark, sink_path: str, version: int = CURRENT_SINK_FORMAT) -> None:
+    from elephant_twin_spark.sources import fsio
+
+    fs, _, jvm = fsio._fs_and_path(spark, sink_path)
+    jpath = jvm.org.apache.hadoop.fs.Path(f"{sink_path}/{MARKER_NAME}")
+    out = fs.create(jpath, True)
+    try:
+        out.write(bytearray(f"v{int(version)}\n".encode("ascii")))
+    finally:
+        out.close()
+
+
+def ensure_sink_format(
+    spark,
+    sink_path: str,
+    migrate: Optional[Callable[[], int]] = None,
+) -> int:
+    """Branch on the marker instead of inferring from partition names.
+
+    Returns the number of partitions the ``migrate`` closure touched
+    (0 on the fast path). ``migrate`` runs ONLY for an unmarked
+    EXISTING sink — a marked-current sink skips straight through, and a
+    marker from a NEWER format raises instead of letting an old reader
+    rewrite a layout it does not understand.
+
+    A sink that does not exist yet is left alone entirely (no dir, no
+    marker): several consumers gate their reads on the sink directory's
+    EXISTENCE (the gate's previously-accepted corpus read, the LSH
+    index's grown-bands read), and materializing an empty directory
+    holding only the marker would flip those probes onto an
+    unreadable zero-file parquet path. The sink gets stamped by the
+    first ensure() that finds it written — i.e. the next stream start."""
+    from elephant_twin_spark.sources import fsio
+
+    found = read_sink_format(spark, sink_path)
+    if found is not None:
+        if found > CURRENT_SINK_FORMAT:
+            raise RuntimeError(
+                f"sink {sink_path} is format v{found}, newer than this "
+                f"library's v{CURRENT_SINK_FORMAT} — upgrade the library "
+                "or point the stream at a fresh sink"
+            )
+        # == current: fast path. < current: future migrations chain here
+        # (none yet below v2 carry a marker).
+        return 0
+    fs, jroot, _ = fsio._fs_and_path(spark, sink_path)
+    if not fs.exists(jroot):
+        return 0
+    n = migrate() if migrate is not None else 0
+    write_sink_format(spark, sink_path)
+    return n

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from elephant_twin_spark.functions.timeutil import ensure_event_time
+from elephant_twin_spark.streaming import sinkfmt
 
 
 def streaming_windowed_counts(
@@ -263,7 +264,15 @@ def sketch_rollup_stream(
     from elephant_twin_spark.streaming.gate import run_token
 
     run_tok = run_token(checkpoint_path)
-    _migrate_legacy_batch_partitions(stream.sparkSession, sink_path)
+    # unmarked sink => run the legacy batch_id migration once, then
+    # stamp the _sink_format marker; marked sinks skip the listing probe
+    sinkfmt.ensure_sink_format(
+        stream.sparkSession,
+        sink_path,
+        migrate=lambda: _migrate_legacy_batch_partitions(
+            stream.sparkSession, sink_path
+        ),
+    )
 
     def append_partials(batch_df: DataFrame, batch_id: int):
         (
@@ -374,7 +383,15 @@ def cms_rollup_stream(
     from elephant_twin_spark.streaming.gate import run_token
 
     run_tok = run_token(checkpoint_path)
-    _migrate_legacy_batch_partitions(stream.sparkSession, sink_path)
+    # unmarked sink => run the legacy batch_id migration once, then
+    # stamp the _sink_format marker; marked sinks skip the listing probe
+    sinkfmt.ensure_sink_format(
+        stream.sparkSession,
+        sink_path,
+        migrate=lambda: _migrate_legacy_batch_partitions(
+            stream.sparkSession, sink_path
+        ),
+    )
 
     def append_partials(batch_df: DataFrame, batch_id: int):
         (

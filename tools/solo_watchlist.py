@@ -1,12 +1,16 @@
-"""Solo-rep triage for the r9 bench watch list (VERDICT r9 item 1).
+"""Solo-rep triage for bench watch-list keys (VERDICT r9 item 1, made
+key-generic in r11 for the recurring ritual).
 
-Runs the 5 suspect keys — q_idx_point, q_idx_count_only, q_text_count,
-build_block_index_event_type, build_text_index_docs — 5 reps each in ONE
-JVM with bench.py's exact warm-up, and prints per-rep timings. Builds get
-a FRESH index_root per rep (each rep is a genuine cold build; rep1 still
-shows first-touch effects vs reps 2-5 steady state).
+Runs the named keys N reps each in ONE JVM with bench.py's exact
+warm-up and prints per-rep timings — the house discipline for deciding
+"box noise vs real regression" on a shared-bench riser. Builds get a
+FRESH index_root per rep (each rep is a genuine cold build; rep 1 still
+shows first-touch effects vs the steady later reps).
 
-Usage: python tools/solo_watchlist.py [sf_dir]
+Usage: python tools/solo_watchlist.py [sf_dir] [key ...]
+Default keys = the r9 watch list. Supported keys beyond it:
+q_minhash_lsh, q_mixture_resample, q_mixture_hash_sample, q_lsh_gate,
+q_near_dup_clusters, q_simhash, q_scd2_merge, q_dedup_exact.
 """
 
 from __future__ import annotations
@@ -20,7 +24,15 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-SF_DIR = (sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1").rstrip("/")
+_args = [a for a in sys.argv[1:]]
+SF_DIR = (_args.pop(0) if _args and os.path.sep in _args[0] else "/root/testdata/sf0.1").rstrip("/")
+KEYS = _args or [
+    "build_block_index_event_type",
+    "build_text_index_docs",
+    "q_idx_point",
+    "q_idx_count_only",
+    "q_text_count",
+]
 CPUS = 32
 
 
@@ -42,14 +54,16 @@ def main():
 
     from elephant_twin_spark import Engine, col
     from elephant_twin_spark.operators import lifecycle
+    from elephant_twin_spark.operators.pipeline import dedup, mixture
     from elephant_twin_spark.sources import tables
 
-    work = "/tmp/ets_solo_r10_work"
+    work = "/tmp/ets_solo_work"
     shutil.rmtree(work, ignore_errors=True)
     os.makedirs(work, exist_ok=True)
-
     events = tables.materialize(spark, f"{SF_DIR}/events.parquet", f"{work}/events", 32)
     docs_path = f"{SF_DIR}/documents.parquet"
+    docs_multi = tables.materialize(spark, docs_path, f"{work}/documents", CPUS)
+    docs = spark.read.parquet(docs_multi)
 
     # bench.py's exact warm-up
     spark.range(1_000_000).groupBy((F.col("id") % 7).alias("k")).count().collect()
@@ -73,29 +87,82 @@ def main():
         results[name] = ts
         print(f"{name}: {ts}", file=sys.stderr, flush=True)
 
-    # builds: fresh engine root per rep = genuine cold build each time
-    reps(
-        "build_block_index_event_type",
-        lambda i: Engine(spark, f"{work}/idxroot_b{i}").build_index(
-            events, "event_type", num_buckets=8
-        ),
-    )
-    reps(
-        "build_text_index_docs",
-        lambda i: Engine(spark, f"{work}/idxroot_t{i}").build_text_index(
-            docs_path, "text", "doc_id"
-        ),
-    )
+    # shared query-side state, built lazily only for keys that need it
+    _state: dict = {}
 
-    # queries: one engine, indexes built untimed, then solo reps
-    eng = Engine(spark, f"{work}/index_root")
-    eng.build_index(events, "event_type", num_buckets=8)
-    eng.build_text_index(docs_path, "text", "doc_id")
-    ti = eng.text_index(docs_path, "text")
+    def engine():
+        if "eng" not in _state:
+            eng = Engine(spark, f"{work}/index_root")
+            eng.build_index(events, "event_type", num_buckets=8)
+            _state["eng"] = eng
+        return _state["eng"]
 
-    reps("q_idx_point", lambda i: eng.query(events, col("event_type") == "click").count())
-    reps("q_idx_count_only", lambda i: eng.count(events, col("event_type") == "click"))
-    reps("q_text_count", lambda i: ti.count("spark"))
+    def text_index():
+        if "ti" not in _state:
+            engine().build_text_index(docs_path, "text", "doc_id")
+            _state["ti"] = engine().text_index(docs_path, "text")
+        return _state["ti"]
+
+    def lsh_gate_setup():
+        if "lsh" not in _state:
+            engine().build_lsh_index(docs_multi, "text", "doc_id", num_perm=16, num_bands=4)
+            _state["lsh"] = engine().lsh_index(docs_multi, "text")
+            _state["probe"] = docs.limit(500).select(
+                (F.col("doc_id") + 10_000_000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" probe")).alias("text"),
+            )
+        return _state["lsh"], _state["probe"]
+
+    _mix_w = {"en": 0.5, "de": 0.15, "es": 0.15, "fr": 0.1, "zh": 0.1}
+
+    KEY_FNS = {
+        # builds: fresh engine root per rep = genuine cold build each time
+        "build_block_index_event_type": lambda i: Engine(
+            spark, f"{work}/idxroot_b{i}"
+        ).build_index(events, "event_type", num_buckets=8),
+        "build_text_index_docs": lambda i: Engine(
+            spark, f"{work}/idxroot_t{i}"
+        ).build_text_index(docs_path, "text", "doc_id"),
+        "q_idx_point": lambda i: engine()
+        .query(events, col("event_type") == "click")
+        .count(),
+        "q_idx_count_only": lambda i: engine().count(
+            events, col("event_type") == "click"
+        ),
+        "q_text_count": lambda i: text_index().count("spark"),
+        "q_minhash_lsh": lambda i: dedup.minhash_near_dup_pairs(
+            docs, "text", "doc_id", num_perm=16, num_bands=4, threshold=0.7
+        ).count(),
+        "q_mixture_resample": lambda i: mixture.mixture_resample(
+            docs, "lang", _mix_w, "doc_id"
+        ).count(),
+        "q_mixture_hash_sample": lambda i: mixture.hash_sample(
+            docs, "lang", _mix_w, "doc_id"
+        ).count(),
+        "q_simhash": lambda i: dedup.simhash64(docs, "text", "doc_id").count(),
+        "q_dedup_exact": lambda i: dedup.exact_dup_groups(docs, "text", "doc_id").count(),
+        "q_near_dup_clusters": lambda i: _consume_near_dup(),
+        "q_lsh_gate": lambda i: _lsh_gate(),
+    }
+
+    def _consume_near_dup():
+        df = dedup.near_dup_clusters(
+            docs, "text", "doc_id", num_perm=16, num_bands=4, threshold=0.7,
+            edge_mode="all_pairs",
+        )
+        out = df.where("NOT is_canonical").count()
+        lifecycle.release(df)
+        return out
+
+    def _lsh_gate():
+        idx, probe = lsh_gate_setup()
+        return idx.gate(probe, "text", "doc_id", threshold=0.6).where("is_near_dup").count()
+
+    unknown = [k for k in KEYS if k not in KEY_FNS]
+    if unknown:
+        raise SystemExit(f"unknown keys (extend KEY_FNS): {unknown}")
+    for k in KEYS:
+        reps(k, KEY_FNS[k])
 
     print(json.dumps(results))
     spark.stop()
