@@ -82,6 +82,7 @@ def funnel(
     ts_col: str,
     type_col: str,
     stages,
+    prefilter: bool = False,
 ):
     """Funnel analysis: per user, how far through the ordered ``stages``
     sequence their events progress — ``(user, stage_reached)`` with
@@ -101,16 +102,27 @@ def funnel(
     (stage, last_ts). Now per-group state is one timestamp per pass,
     map-side combined, and every join/agg is keyed on ``user``.
 
-    Scan shape (r11): the FULL table is scanned exactly once — pass 1's
-    groupBy, which doubles as the all-users spine. Passes 2..n run over
-    a ``lifecycle.pin``'d frame of just the later-stage rows
-    (``y IN stages[1:] AND user IS NOT NULL``), materialized by ONE
-    additional pushdown-filtered read sized by the stages' selectivity,
-    so no pass re-scans the base table (the r10 shape re-read it under
-    an ``event_type = stage_i`` filter once per later stage). The pin is
-    a local checkpoint behind the returned plan: consume the result
-    inside a ``lifecycle.checkpoint_scope`` (or ``release`` it) to free
-    the blocks.
+    Scan shape: pass 1 scans the full table (it doubles as the
+    all-users spine); with the default ``prefilter=False`` each later
+    pass re-reads ``df`` under an ``event_type = stage_i`` pushdown
+    filter — on a base-table input those re-reads are pruned column
+    scans, near-index reads on a type-clustered layout. With
+    ``prefilter=True`` passes 2..n instead run over ONE
+    ``lifecycle.pin``'d frame of the later-stage rows
+    (``y IN stages[1:] AND user IS NOT NULL``); the pin is a local
+    checkpoint behind the returned plan (consume inside a
+    ``lifecycle.checkpoint_scope`` or ``release`` it).
+
+    The default is the MEASURED winner, not the assumed one
+    (tools/ab_funnel.py, 3M-row 10x corpus + 2M-event hot key, 13%
+    later-stage selectivity, local[32]): re-scan steady 0.78-0.90 s vs
+    pinned steady 1.18-1.38 s — materializing the stage frame through
+    the block manager costs more than two pushdown-filtered parquet
+    re-reads, and both bound per-group state identically. Pass
+    ``prefilter=True`` when ``df`` is an EXPENSIVE DERIVED plan (a
+    join/transform, not a table scan): there each "re-scan" would
+    recompute the whole upstream lineage once per stage, and one pinned
+    materialization wins.
 
     NULL users report stage_reached = 0 regardless of their events —
     the exact semantics of the SQL oracle's non-null-safe
@@ -143,12 +155,12 @@ def funnel(
         ).alias("_t1")
     )
     if n > 1:
-        later = lifecycle.pin(
-            ev.where(
-                F.col("y").isin(list(dict.fromkeys(stages[1:])))
-                & F.col("user").isNotNull()
-            )
+        later = ev.where(
+            F.col("y").isin(list(dict.fromkeys(stages[1:])))
+            & F.col("user").isNotNull()
         )
+        if prefilter:
+            later = lifecycle.pin(later)
     for i in range(2, n + 1):
         prev = f"_t{i - 1}"
         cand = (
