@@ -3046,11 +3046,12 @@ def _q_scd2_merge_incremental(spark, sf_dir):
 # as one struct with a deterministic keep-max tiebreak),
 # knn_join_top5 + knn_join_ivf_top5 (engine-side -0.0 normalization
 # mirroring the oracle's `+ 0.0`), embedding_near_dup (dimension probe
-# + ValueError guard on plane/vector mismatch). The remaining 45 slots
+# + ValueError guard on plane/vector mismatch), snapshot_diff
+# (presence-based status, engine + oracle). The remaining 44 slots
 # finish the oldest-evidence rotation: every r1-vintage oracle query
 # not yet recycled, then r2-vintage in registry order through
-# unpivot_order_measures. Next rotation continues from
-# salted_distinct_users (r2), then the r3 cohort (market_share ...).
+# dormant_customers. Next rotation continues from
+# unpivot_order_measures (r2), then the r3 cohort (market_share ...).
 # _ROTATION_ROUND pins WHICH rounds' evidence the rotation was computed
 # from (everything before it): the hygiene test must ignore evidence
 # from this round onward, else the round's own driver run — which
@@ -3065,11 +3066,15 @@ _ROTATION_ROUND = 11
 _ROTATION_PINS = [
     "funnel_stages", "asof_last_click",
     "knn_join_top5", "knn_join_ivf_top5", "embedding_near_dup",
+    # r11 review: status now decided by id presence (engine + oracle);
+    # md5(NULL text) misfiled NULL-text rows as added/removed before
+    "snapshot_diff",
 ]
 _ROTATION_R11 = [
     # hygiene-rule pins (changed this round; see _ROTATION_PINS)
     "funnel_stages", "asof_last_click",
     "knn_join_top5", "knn_join_ivf_top5", "embedding_near_dup",
+    "snapshot_diff",
     # r1-vintage evidence (oldest cohort, registry order)
     "ngram_jaccard_pairs", "near_dup_components", "containment_pairs",
     "char_entropy", "repetition_ratio", "ann_persisted_top10",
@@ -3086,7 +3091,6 @@ _ROTATION_R11 = [
     "returned_items", "customer_distribution", "promo_revenue",
     "top_supplier", "small_qty_revenue", "large_volume_orders",
     "disjunctive_revenue", "late_sole_supplier", "dormant_customers",
-    "unpivot_order_measures",
 ]
 
 
@@ -5715,11 +5719,15 @@ def oracle_sql() -> dict[str, str]:
               FROM documents WHERE doc_id % 5 <> 0
             ),
             j AS (
-              SELECT CASE WHEN o.sig_o IS NULL THEN 'added'
-                          WHEN n.sig_n IS NULL THEN 'removed'
-                          WHEN o.sig_o = n.sig_n THEN 'unchanged'
+              -- presence-based status (r11): id presence decides
+              -- added/removed; signatures compare null-safely, so a
+              -- NULL-text row is never misfiled as added/removed
+              SELECT CASE WHEN o.id IS NULL THEN 'added'
+                          WHEN n.id IS NULL THEN 'removed'
+                          WHEN o.sig_o IS NOT DISTINCT FROM n.sig_n
+                               THEN 'unchanged'
                           ELSE 'changed' END AS status
-              FROM old o FULL OUTER JOIN new n USING (id)
+              FROM old o FULL OUTER JOIN new n ON o.id = n.id
             )
             SELECT status, CAST(count(*) AS BIGINT) AS n FROM j GROUP BY status
         """,

@@ -252,7 +252,12 @@ def upsert_partitioned(
     for v in vals:
         this = None
         for c, x in zip(partition_cols, v):
-            e = F.col(c) == F.lit(x)
+            # eqNullSafe: a NULL partition value in `updates` must still
+            # select the existing __HIVE_DEFAULT_PARTITION__ rows —
+            # plain == never matches NULL, so `kept` would come out
+            # empty and the dynamic overwrite would drop every
+            # non-updated key in that partition (r11 review)
+            e = F.col(c).eqNullSafe(F.lit(x))
             this = e if this is None else (this & e)
         cond = this if cond is None else (cond | this)
     if cond is None:

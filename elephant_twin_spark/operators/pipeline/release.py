@@ -157,22 +157,32 @@ def snapshot_diff(
 
     One full-outer join keyed by id, comparing md5 content signatures —
     scale-safe: both sides reduce to (id, sig) before the join, and the
-    output is 4 rows."""
+    output is 4 rows.
+
+    added/removed are decided by ID PRESENCE (explicit side flags), not
+    by signature nullness: md5(NULL text) is NULL, so the old shape
+    misfiled an existing NULL-text row as "added"/"removed" (r11
+    review). NULL-text rows now compare null-safely — two NULL texts
+    are "unchanged", NULL vs text is "changed"."""
     from pyspark.sql import functions as F
 
     from elephant_twin_spark.operators.pipeline.dedup import content_signature
 
     o = old_df.select(
-        F.col(id_col).alias("id"), content_signature(F.col(text_col)).alias("_sig_o")
+        F.col(id_col).alias("id"),
+        content_signature(F.col(text_col)).alias("_sig_o"),
+        F.lit(True).alias("_in_o"),
     )
     n = new_df.select(
-        F.col(id_col).alias("id"), content_signature(F.col(text_col)).alias("_sig_n")
+        F.col(id_col).alias("id"),
+        content_signature(F.col(text_col)).alias("_sig_n"),
+        F.lit(True).alias("_in_n"),
     )
     j = o.join(n, "id", "full_outer")
     status = (
-        F.when(F.col("_sig_o").isNull(), F.lit("added"))
-        .when(F.col("_sig_n").isNull(), F.lit("removed"))
-        .when(F.col("_sig_o") == F.col("_sig_n"), F.lit("unchanged"))
+        F.when(F.col("_in_o").isNull(), F.lit("added"))
+        .when(F.col("_in_n").isNull(), F.lit("removed"))
+        .when(F.col("_sig_o").eqNullSafe(F.col("_sig_n")), F.lit("unchanged"))
         .otherwise(F.lit("changed"))
     )
     return j.groupBy(status.alias("status")).agg(F.count(F.lit(1)).alias("n"))

@@ -110,3 +110,38 @@ def test_snapshot_diff_statuses(spark):
     )
     got = {r["status"]: r["n"] for r in release.snapshot_diff(old, new, "id", "text").collect()}
     assert got == {"removed": 1, "unchanged": 1, "changed": 1, "added": 1}
+
+
+def test_snapshot_diff_null_text_rows_classified_by_presence(spark):
+    """r11 review fix: status is decided by id presence, not signature
+    nullness — md5(NULL text) is NULL, and the old shape misfiled an
+    existing NULL-text row as 'added' (or 'removed'). NULL vs NULL is
+    unchanged; NULL vs text is changed."""
+    from elephant_twin_spark.operators.pipeline import release
+
+    old = spark.createDataFrame(
+        [(1, None), (2, None), (3, "x")], "id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(1, None), (2, "now has text"), (3, None)], "id long, text string"
+    )
+    got = {r["status"]: r["n"] for r in release.snapshot_diff(old, new, "id", "text").collect()}
+    assert got == {"unchanged": 1, "changed": 2}
+
+
+def test_upsert_partitioned_null_partition_keeps_unmatched_keys(spark, workdir):
+    """r11 review fix: an update row with a NULL partition value must
+    upsert INTO the existing NULL partition (__HIVE_DEFAULT_PARTITION__),
+    not replace it wholesale — plain == never matches NULL, so `kept`
+    came out empty and every non-updated key in that partition was
+    silently dropped by the dynamic overwrite."""
+    dst = f"{workdir}/ups_null_tbl"
+    base = spark.createDataFrame(
+        [Row(id=0, day=None, v=1), Row(id=1, day=None, v=1), Row(id=2, day="d1", v=1)]
+    )
+    layout.upsert_partitioned(spark, base, dst, ["id", "day"], ["day"])
+    ups = spark.createDataFrame([(0, None, 9)], "id bigint, day string, v bigint")
+    layout.upsert_partitioned(spark, ups, dst, ["id", "day"], ["day"])
+    out = spark.read.parquet(dst)
+    got = {r["id"]: (r["day"], r["v"]) for r in out.collect()}
+    assert got == {0: (None, 9), 1: (None, 1), 2: ("d1", 1)}
