@@ -116,13 +116,16 @@ def funnel(
     The default is the MEASURED winner, not the assumed one
     (tools/ab_funnel.py, 3M-row 10x corpus + 2M-event hot key, 13%
     later-stage selectivity, local[32]): re-scan steady 0.78-0.90 s vs
-    pinned steady 1.18-1.38 s — materializing the stage frame through
-    the block manager costs more than two pushdown-filtered parquet
-    re-reads, and both bound per-group state identically. Pass
-    ``prefilter=True`` when ``df`` is an EXPENSIVE DERIVED plan (a
-    join/transform, not a table scan): there each "re-scan" would
-    recompute the whole upstream lineage once per stage, and one pinned
-    materialization wins.
+    pinned steady 1.18-1.38 s on a base-table input, and re-scan
+    5.5 s vs pinned 10.0-11.1 s even on an EXPENSIVE window-derived
+    input — the pin's eager materialization is itself one full
+    evaluation of the upstream plan plus block-manager I/O, which
+    exceeded the (n-1) re-evaluations it replaces in every shape
+    tested. Both shapes bound per-group state identically. Keep
+    ``prefilter=True`` for inputs the re-scan CANNOT replay (a
+    non-deterministic or already-consumed source) or when your own A/B
+    at your selectivity says otherwise; it is a measured knob, not a
+    free win.
 
     NULL users report stage_reached = 0 regardless of their events —
     the exact semantics of the SQL oracle's non-null-safe

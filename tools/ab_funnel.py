@@ -141,4 +141,37 @@ for name, fn in SHAPES.items():
             fn().count()
         ts.append(round(time.perf_counter() - t0, 3))
     print(f"{name}: {ts}")
+
+
+# ---- derived-input A/B: the prefilter=True recommendation, measured.
+# Input = an EXPENSIVE derived plan (window rank over the 10x corpus),
+# so every later-pass re-read recomputes the shuffle+sort lineage.
+from pyspark.sql.window import Window as _W
+
+derived = ev.withColumn(
+    "_rk", F.row_number().over(_W.partitionBy("user_id").orderBy("ts", "event_id"))
+).where(F.col("_rk") > 0)
+
+DERIVED_SHAPES = {
+    "derived_rescan": lambda: sessionize.funnel(derived, "user_id", "ts", "event_type", STAGES),
+    "derived_prefilter": lambda: sessionize.funnel(
+        derived, "user_id", "ts", "event_type", STAGES, prefilter=True
+    ),
+}
+ref2 = None
+for name, fn in DERIVED_SHAPES.items():
+    with lifecycle.checkpoint_scope():
+        got = {r["user"]: r["stage_reached"] for r in fn().collect()}
+    if ref2 is None:
+        ref2 = got
+    else:
+        assert got == ref2, name
+for name, fn in DERIVED_SHAPES.items():
+    ts = []
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        with lifecycle.checkpoint_scope():
+            fn().count()
+        ts.append(round(time.perf_counter() - t0, 3))
+    print(f"{name}: {ts}")
 spark.stop()
