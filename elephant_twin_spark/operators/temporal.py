@@ -43,7 +43,10 @@ def asof_join(
     """Backward as-of join: every left row, annotated with the most
     recent right row's ``right_values`` where ``right_ts <= left_ts``
     (``<`` when ``strict``), matching on ``keys``; nulls when no prior
-    right row exists (left-outer semantics).
+    right row exists (left-outer semantics). Key matching is JOIN
+    semantics, not window-group semantics: a NULL key matches nothing
+    (the row is kept, null-annotated), exactly like the SQL equi-join
+    restatement of this operator.
 
     Single shuffle: tag + union both sides, then one
     ``last(struct(right_values), ignorenulls=True)`` over a
@@ -89,7 +92,17 @@ def asof_join(
         F.lit(None).cast(rv_type).alias("_rv"),
         tb_lhs.alias("_tb"),
     )
-    rhs = right.select(
+    # NULL-key right rows are excluded: the window PARTITION BY groups
+    # NULLs together, so without this a NULL-key left row would be
+    # annotated from NULL-key right rows — group semantics, where the
+    # operator's contract (and any SQL equi-join restatement) is
+    # non-null-safe join semantics: a NULL key matches nothing and the
+    # left row comes back null-annotated (r11 review, the same class as
+    # the funnel NULL-user alignment).
+    rhs_nonnull = right
+    for k in keys:
+        rhs_nonnull = rhs_nonnull.where(F.col(k).isNotNull())
+    rhs = rhs_nonnull.select(
         *[F.col(k) for k in keys],
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_side"),

@@ -154,3 +154,16 @@ def test_asof_join_null_holed_right_row_wins_as_a_row(spark):
     )
     r = temporal.asof_join(left, right, ["k"], "t", "t2", ["v", "w"]).collect()[0]
     assert (r["v"], r["w"]) == (None, 9)
+
+
+def test_asof_join_null_keys_match_nothing(spark):
+    """r11 review: join semantics, not window-group semantics — a
+    NULL-key left row is kept (left-outer) but never annotated from
+    NULL-key right rows, exactly like the SQL equi-join restatement."""
+    left = spark.createDataFrame([(None, 20), (1, 20)], "k int, t int")
+    right = spark.createDataFrame(
+        [(None, 10, "null-key"), (1, 10, "real")], "k int, t2 int, v string"
+    )
+    got = {r["k"]: r["v"] for r in
+           temporal.asof_join(left, right, ["k"], "t", "t2", ["v"]).collect()}
+    assert got == {None: None, 1: "real"}
