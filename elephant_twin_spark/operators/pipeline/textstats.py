@@ -395,9 +395,24 @@ def top_fraction(
                 "_thr"
             )
         )
-        joined = (
-            df.join(F.broadcast(agg), groups) if groups else df.crossJoin(F.broadcast(agg))
-        )
+        if groups:
+            # null-safe: groupBy emits a threshold row for a NULL group,
+            # but a USING equality join could never match it back — the
+            # untagged population silently vanished from the approx path
+            # while the exact path's window kept it (r11 review; the
+            # same class as the r10 apply_score_gate/iqr/mad fix)
+            agg = agg.select(
+                *[F.col(g).alias(f"_thr_{g}") for g in groups], "_thr"
+            )
+            cond = None
+            for g in groups:
+                c = df[g].eqNullSafe(agg[f"_thr_{g}"])
+                cond = c if cond is None else (cond & c)
+            joined = df.join(F.broadcast(agg), cond).drop(
+                *[f"_thr_{g}" for g in groups]
+            )
+        else:
+            joined = df.crossJoin(F.broadcast(agg))
         return joined.where(F.col(score_col) >= F.col("_thr")).drop("_thr")
     if id_col is None:
         raise ValueError("exact top_fraction needs id_col as a deterministic tiebreaker")

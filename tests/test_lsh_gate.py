@@ -247,3 +247,22 @@ def test_refresh_clusters_incremental(spark, lsh_setup):
     assert out[102]["cluster_id"] == out[103]["cluster_id"] == 102
     assert out[102]["is_new_cluster"] and out[103]["is_new_cluster"]
     assert out[104]["cluster_id"] == 104 and out[104]["is_new_cluster"]
+
+
+def test_top_fraction_approx_keeps_null_group(spark):
+    """r11 review fix: the approx path's threshold join is null-safe —
+    a NULL group has a percentile threshold like any other group and
+    must not silently vanish (the exact path's window always kept it)."""
+    from elephant_twin_spark.operators.pipeline import textstats
+
+    rows = [(i, None if i < 10 else "a", float(i)) for i in range(20)]
+    df = spark.createDataFrame(rows, "id long, grp string, score double")
+    exact = textstats.top_fraction(
+        df, "score", 0.5, group_cols=["grp"], id_col="id"
+    )
+    approx = textstats.top_fraction(df, "score", 0.5, group_cols=["grp"], approx=True)
+    exact_null = exact.where(F.col("grp").isNull()).count()
+    approx_null = approx.where(F.col("grp").isNull()).count()
+    assert exact_null == 5
+    # approx keeps >= the exact count at this tiny accuracy-exact scale
+    assert approx_null >= 5
