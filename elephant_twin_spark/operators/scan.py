@@ -586,7 +586,18 @@ def distinct_keys(
     idx = _load_indexes(spark, table_path, index_root, live, kind="block").get(column)
     if idx is None:
         raise FileNotFoundError(f"no block index on {column!r}; use df.select(col).distinct()")
-    keys = build_mod.read_postings(spark, idx.idx_dir).select("key")
+    # fresh-file semi-join (r11 review): postings may hold rows for files
+    # since DELETED, and a stale (modified) file's OLD values — without
+    # the filter those obsolete keys survive into the "distinct values"
+    # answer even though no live row carries them (the stale file itself
+    # is re-scanned below, so its CURRENT values are never lost).
+    fresh_df = spark.createDataFrame([(f,) for f in sorted(idx.fresh)], "file string")
+    keys = (
+        build_mod.read_postings(spark, idx.idx_dir)
+        .select(_norm_file_col(), "key")
+        .join(F.broadcast(fresh_df), "file", "leftsemi")
+        .select("key")
+    )
     if idx.not_covered:
         extra = (
             spark.read.parquet(*sorted(idx.not_covered))

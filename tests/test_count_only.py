@@ -193,3 +193,50 @@ def test_apply_score_gate_null_group(spark):
         by_group.setdefault(r["g"], set()).add(r["id"])
     assert by_group.get("a"), by_group
     assert by_group.get(None), by_group  # null group passes its own gate
+
+
+def test_distinct_values_drops_stale_and_deleted_file_keys(spark, events_multifile, workdir):
+    """r11 review fix: obsolete postings keys must NOT survive into the
+    distinct answer — a modified file's OLD values (its current values
+    come from the not-covered re-scan) and a deleted file's values both
+    disappear, keeping the 'equals the full-scan answer' contract."""
+    import glob
+    import os
+    import shutil
+
+    tbl = f"{workdir}/distinct_mut_tbl"
+    shutil.copytree(events_multifile.replace("file://", ""), tbl)
+    eng = Engine(spark, f"{workdir}/distinct_mut_idx")
+    eng.build_index(tbl, "event_type", num_buckets=4)
+
+    parts = sorted(glob.glob(f"{tbl}/part-*.parquet"))
+    # make every row of part 0 a unique type, then REWRITE it mutated and
+    # DELETE part 1 — 'only_in_part0'/'only_in_part1' become obsolete keys
+    df = spark.read.parquet(parts[0]).withColumn("event_type", F.lit("only_in_part0"))
+    df.write.mode("overwrite").parquet(f"{workdir}/_p0_tagged")
+    shutil.copyfile(
+        sorted(glob.glob(f"{workdir}/_p0_tagged/part-*.parquet"))[0], parts[0]
+    )
+    for crc in glob.glob(f"{tbl}/.*.crc"):
+        os.remove(crc)
+    spark.catalog.refreshByPath(tbl)
+    eng2 = Engine(spark, f"{workdir}/distinct_mut_idx2")
+    eng2.build_index(tbl, "event_type", num_buckets=4)  # postings now know the tag
+
+    # mutate part 0 again (tag vanishes) and delete part 1 entirely
+    df2 = spark.read.parquet(parts[0]).withColumn("event_type", F.lit("replacement"))
+    df2.write.mode("overwrite").parquet(f"{workdir}/_p0_replaced")
+    shutil.copyfile(
+        sorted(glob.glob(f"{workdir}/_p0_replaced/part-*.parquet"))[0], parts[0]
+    )
+    os.remove(parts[1])
+    for crc in glob.glob(f"{tbl}/.*.crc"):
+        os.remove(crc)
+    spark.catalog.refreshByPath(tbl)
+
+    want = {
+        r["event_type"]
+        for r in spark.read.parquet(tbl).select("event_type").distinct().collect()
+    }
+    got = {r["key"] for r in eng2.distinct_values(tbl, "event_type").collect()}
+    assert "only_in_part0" not in got and got == want
