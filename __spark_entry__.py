@@ -3047,11 +3047,12 @@ def _q_scd2_merge_incremental(spark, sf_dir):
 # knn_join_top5 + knn_join_ivf_top5 (engine-side -0.0 normalization
 # mirroring the oracle's `+ 0.0`), embedding_near_dup (dimension probe
 # + ValueError guard on plane/vector mismatch), snapshot_diff
-# (presence-based status, engine + oracle). The remaining 44 slots
-# finish the oldest-evidence rotation: every r1-vintage oracle query
-# not yet recycled, then r2-vintage in registry order through
-# dormant_customers. Next rotation continues from
-# unpivot_order_measures (r2), then the r3 cohort (market_share ...).
+# (presence-based status, engine + oracle), idx_distinct_values
+# (fresh-file-filtered postings read). The remaining 43 slots finish
+# the oldest-evidence rotation: every r1-vintage oracle query not yet
+# recycled, then r2-vintage in registry order through
+# late_sole_supplier. Next rotation continues from dormant_customers
+# (r2), then the r3 cohort (market_share ...).
 # _ROTATION_ROUND pins WHICH rounds' evidence the rotation was computed
 # from (everything before it): the hygiene test must ignore evidence
 # from this round onward, else the round's own driver run — which
@@ -3069,12 +3070,15 @@ _ROTATION_PINS = [
     # r11 review: status now decided by id presence (engine + oracle);
     # md5(NULL text) misfiled NULL-text rows as added/removed before
     "snapshot_diff",
+    # r11 review: postings read now fresh-file-filtered (stale/deleted
+    # files' obsolete keys no longer leak into the distinct answer)
+    "idx_distinct_values",
 ]
 _ROTATION_R11 = [
     # hygiene-rule pins (changed this round; see _ROTATION_PINS)
     "funnel_stages", "asof_last_click",
     "knn_join_top5", "knn_join_ivf_top5", "embedding_near_dup",
-    "snapshot_diff",
+    "snapshot_diff", "idx_distinct_values",
     # r1-vintage evidence (oldest cohort, registry order)
     "ngram_jaccard_pairs", "near_dup_components", "containment_pairs",
     "char_entropy", "repetition_ratio", "ann_persisted_top10",
@@ -3090,7 +3094,7 @@ _ROTATION_R11 = [
     "priority_fulfilment", "volume_shipping", "profit_by_nation",
     "returned_items", "customer_distribution", "promo_revenue",
     "top_supplier", "small_qty_revenue", "large_volume_orders",
-    "disjunctive_revenue", "late_sole_supplier", "dormant_customers",
+    "disjunctive_revenue", "late_sole_supplier",
 ]
 
 
