@@ -48,6 +48,11 @@ def build_ann_index(
 ) -> str:
     """Fit the coarse quantizer, assign every vector, persist both."""
     idx_dir = catalog.index_dir(index_root, table_path, vec_column, kind="ivf")
+    # pre-listing: see build.build_block_index (mid-build file-add race —
+    # for ANN especially, a file claimed covered but absent from the
+    # vector table would make its vectors silently unsearchable with no
+    # stale_files() signal)
+    files = fsio.list_data_files(spark, table_path)
     df = spark.read.parquet(table_path)
     centroids = sim.ivf_fit(
         df, vec_column, id_column, k_clusters=nlist, max_iter=max_iter, seed=seed
@@ -71,7 +76,6 @@ def build_ann_index(
         .partitionBy("cluster")
         .parquet(f"{idx_dir}/vectors")
     )
-    files = fsio.list_data_files(spark, table_path)
     desc = catalog.make_descriptor(
         source_path=table_path,
         column=vec_column,

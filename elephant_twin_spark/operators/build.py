@@ -281,6 +281,15 @@ def build_block_index(
         desc = catalog.read_descriptor(spark, idx_dir)
         return BuildResult(idx_dir, column, len(desc.files), -1)
 
+    # List the source BEFORE the scan (r11 review): a file landing
+    # between the indexing scan and a post-write listing would be
+    # recorded as covered with a valid checksum while its rows are
+    # absent from the postings — queries would silently prune it. The
+    # pre-listing errs the safe way in both directions: a file added
+    # mid-build is missing from the descriptor (not_covered → always
+    # scanned), and a file modified mid-build fails the query-time
+    # checksum (stale → full scan). Same ordering in every builder.
+    files = fsio.list_data_files(spark, table_path)
     if df is None:
         df = spark.read.parquet(table_path)
     postings = postings_for(
@@ -299,7 +308,6 @@ def build_block_index(
 
     # Descriptor AFTER a successful data write (write-then-publish, so a
     # failed build never yields a descriptor pointing at garbage).
-    files = fsio.list_data_files(spark, table_path)
     desc = catalog.make_descriptor(
         source_path=table_path,
         column=column,
@@ -364,10 +372,11 @@ def build_zone_index(
     ``key_expr`` zones an arbitrary SQL expression under the virtual name
     ``column`` — same contract as the block-index expression support."""
     idx_dir = catalog.index_dir(index_root, table_path, column, kind="zone")
+    # pre-listing: see build_block_index (mid-build file-add race)
+    files = fsio.list_data_files(spark, table_path)
     df = spark.read.parquet(table_path)
     zones = zones_for(df, column, key_expr)
     zones.coalesce(1).write.mode("overwrite").parquet(f"{idx_dir}/zones")
-    files = fsio.list_data_files(spark, table_path)
     desc = catalog.make_descriptor(
         source_path=table_path,
         column=column,
@@ -435,10 +444,10 @@ def build_bloom_index(
     if num_bits % 64:
         raise ValueError("num_bits must be a multiple of 64")
     idx_dir = catalog.index_dir(index_root, table_path, column, kind="bloom")
+    # pre-listing: see build_block_index (mid-build file-add race)
+    files = fsio.list_data_files(spark, table_path)
     sketch = bloom_sketch_for(spark.read.parquet(table_path), column, num_bits, num_hashes)
     sketch.coalesce(1).write.mode("overwrite").parquet(f"{idx_dir}/sketch")
-
-    files = fsio.list_data_files(spark, table_path)
     desc = catalog.make_descriptor(
         source_path=table_path,
         column=column,

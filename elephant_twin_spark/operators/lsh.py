@@ -97,6 +97,8 @@ def build_lsh_index(
     if num_perm % num_bands:
         raise ValueError(f"num_perm={num_perm} not divisible by num_bands={num_bands}")
     idx_dir = catalog.index_dir(index_root, table_path, text_column, kind="lsh")
+    # pre-listing: see build.build_block_index (mid-build file-add race)
+    files = fsio.list_data_files(spark, table_path)
     df = spark.read.parquet(table_path)
     bands = banded_docs(
         df, text_column, id_column,
@@ -117,7 +119,6 @@ def build_lsh_index(
         bands, num_buckets, "band_hash", ("band_hash", "id"),
         f"{idx_dir}/bands", pin_input=False,
     )
-    files = fsio.list_data_files(spark, table_path)
     desc = catalog.make_descriptor(
         source_path=table_path,
         column=text_column,

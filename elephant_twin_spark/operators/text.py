@@ -276,6 +276,8 @@ def build_text_index(
                 f"{sorted(_TOKENIZERS)}"
             ) from None
     idx_dir = catalog.index_dir(index_root, table_path, text_column, kind="text")
+    # pre-listing: see build.build_block_index (mid-build file-add race)
+    files = fsio.list_data_files(spark, table_path)
     df = spark.read.parquet(table_path)
     postings = postings_for(df, text_column, doc_id_column, tokenizer)
     # Pin the aggregated postings once: the range-partitioned write's
@@ -331,7 +333,6 @@ def build_text_index(
     stats = spark.read.parquet(f"{idx_dir}/doclens").agg(
         F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
     ).first()
-    files = fsio.list_data_files(spark, table_path)
     desc = catalog.make_descriptor(
         source_path=table_path,
         column=text_column,

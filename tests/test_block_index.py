@@ -424,3 +424,55 @@ def test_distributed_planner_stale_file_equivalence(spark, workdir, events_multi
         assert mc.scanned_files == md.scanned_files, repr(pred)
         assert mc.scanned_bytes == md.scanned_bytes, repr(pred)
         assert mc.stale_files == md.stale_files == 1, repr(pred)
+
+
+def test_file_landing_mid_build_is_not_claimed_covered(spark, workdir, monkeypatch):
+    """r11 review fix: a file appended AFTER the builder's source
+    listing (simulating concurrent ingest during the index job) must
+    NOT be recorded as covered — it has no postings, so claiming it
+    fresh would silently prune it. The pre-listing ordering leaves it
+    out of the descriptor → not_covered → always scanned; the query
+    still returns the full-scan answer."""
+    import shutil
+
+    from elephant_twin_spark.operators import build as build_mod
+    from elephant_twin_spark.sources import fsio, tables
+
+    tbl = tables.materialize(
+        spark, f"{SF_DIR}/events.parquet", f"{workdir}/midbuild_tbl", 4
+    )
+    eng = Engine(spark, f"{workdir}/midbuild_idx")
+
+    late_src = f"{workdir}/_late_rows"
+    spark.read.parquet(tbl).limit(5).withColumn(
+        "event_type", F.lit("landed_mid_build")
+    ).coalesce(1).write.mode("overwrite").parquet(late_src)
+
+    real_write = build_mod.write_range_partitioned
+    dropped = {"done": False}
+
+    def write_and_land_file(*args, **kwargs):
+        real_write(*args, **kwargs)
+        if not dropped["done"]:
+            # the "concurrent ingest": a new part lands after the scan
+            # but before the descriptor listing would have run post-write
+            import glob
+
+            part = sorted(glob.glob(f"{late_src.replace('file://','')}/part-*.parquet"))[0]
+            shutil.copy(part, f"{tbl.replace('file://','')}/part-late-landed.parquet")
+            spark.catalog.refreshByPath(tbl)
+            dropped["done"] = True
+
+    monkeypatch.setattr(build_mod, "write_range_partitioned", write_and_land_file)
+    eng.build_index(tbl, "event_type", num_buckets=4)
+
+    late_file = fsio.normalize_path(f"{tbl}/part-late-landed.parquet")
+    from elephant_twin_spark.sources import catalog as cat
+
+    desc = cat.read_descriptor(
+        spark, cat.index_dir(eng.index_root, tbl, "event_type", "block")
+    )
+    assert late_file not in set(desc.files)
+
+    got = eng.query(tbl, col("event_type") == "landed_mid_build").count()
+    assert got == 5  # not_covered → scanned; nothing silently pruned
