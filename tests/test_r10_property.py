@@ -152,3 +152,72 @@ def test_simhash_md5_matches_reference_on_random_inputs(spark):
     }
     for r in rows:
         assert got[r.doc_id] == _simhash_reference(r.text, 60, md5_60), r
+
+
+def _asof_reference(left_rows, right_rows, strict=False):
+    """Brute force: per left row, among NON-NULL-key right rows of the
+    same key with t2 <= t (or < when strict), pick max t2; among ties
+    pick max (v, w) tuple (the keep-max struct tiebreak)."""
+    out = []
+    for k, t in left_rows:
+        cands = [
+            (t2, v, w)
+            for (k2, t2, v, w) in right_rows
+            if k2 is not None and k2 == k and (t2 < t if strict else t2 <= t)
+        ]
+        if not cands:
+            out.append((k, t, None, None))
+            continue
+        mt = max(c[0] for c in cands)
+        tied = [(v, w) for (t2, v, w) in cands if t2 == mt]
+        # keep-max over the right_values tuple, NULLs first (lose ties)
+        best = max(tied, key=lambda x: ((x[0] is not None, x[0] or ""),
+                                        (x[1] is not None, x[1] or 0)))
+        out.append((k, t, best[0], best[1]))
+    return sorted(out, key=lambda r: (r[0] or -1, r[1]))
+
+
+def test_asof_join_matches_reference_on_random_inputs(spark):
+    """Randomized equivalence for the r11 asof rewrite: tie-heavy
+    timestamps, NULL keys (must match nothing), NULL value fields
+    (row-level fill — never mixed across rows), both strictness modes,
+    varying partitioning."""
+    from elephant_twin_spark.operators import temporal
+
+    rng = random.Random(31337)
+    for trial in range(5):
+        keys = [None, 1, 2, 3]
+        left_rows = [
+            (rng.choice(keys[1:] + [None]), rng.randint(0, 8))
+            for _ in range(rng.randint(1, 10))
+        ]
+        right_rows = [
+            (
+                rng.choice(keys),
+                rng.randint(0, 8),
+                rng.choice([None, "a", "b", "c"]),
+                rng.choice([None, 1, 2, 9]),
+            )
+            for _ in range(rng.randint(1, 14))
+        ]
+        strict = trial % 2 == 1
+        left = spark.createDataFrame(left_rows, "k int, t int").repartition(
+            2 + trial
+        )
+        right = spark.createDataFrame(
+            right_rows, "k int, t2 int, v string, w int"
+        ).repartition(3 + trial)
+        got = sorted(
+            (
+                (r["k"], r["t"], r["v"], r["w"])
+                for r in temporal.asof_join(
+                    left, right, ["k"], "t", "t2", ["v", "w"], strict=strict
+                ).collect()
+            ),
+            key=lambda r: (r[0] if r[0] is not None else -1, r[1], r[2] or "", r[3] or 0),
+        )
+        want = sorted(
+            _asof_reference(left_rows, right_rows, strict),
+            key=lambda r: (r[0] if r[0] is not None else -1, r[1], r[2] or "", r[3] or 0),
+        )
+        assert got == want, (trial, got, want)
