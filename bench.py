@@ -535,6 +535,25 @@ def main():
         ).count()
     )
 
+    # bytes-ratio self-triage: the pruning selectivity metrics are
+    # DETERMINISTIC at a given SF (same data, same layout, same planner),
+    # so any drift is a real planner/layout regression, not noise
+    if bands_sf_ok:
+        for mname, mval in (
+            ("bytes_ratio_clustered_point", bytes_ratio),
+            ("bytes_ratio_zone_range", zone_bytes_ratio),
+            ("bytes_ratio_distplan", dist_bytes_ratio),
+        ):
+            mband = _bands_doc.get("metrics", {}).get(mname, {}).get("band")
+            if mband and not (mband[0] <= mval <= mband[1]):
+                out_of_band[mname] = {"value": mval, "shared_band": mband}
+                print(
+                    f"OUT OF BAND {mname}: {mval} vs {mband} — pruning "
+                    "selectivity is deterministic; this is a REGRESSION, "
+                    "not noise",
+                    file=sys.stderr,
+                )
+
     sf = SF_DIR.rsplit("sf", 1)[-1]
     total = round(sum(timings.values()), 4)
     print(

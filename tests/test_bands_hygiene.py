@@ -30,6 +30,12 @@ def test_bands_are_well_formed():
             assert len(solo) == 2 and 0 < solo[0] <= solo[1], (k, solo)
         assert pol.get("policy", "min2") in ("min1", "min2", "median3"), (k, pol)
         assert "source" in pol, f"{k}: every band needs a provenance note"
+    src = open(f"{REPO}/bench.py").read()
+    for m, pol in _bands().get("metrics", {}).items():
+        band = pol.get("band")
+        assert band and len(band) == 2 and 0 < band[0] <= band[1], (m, band)
+        assert "source" in pol, f"{m}: every band needs a provenance note"
+        assert f'"{m}"' in src, f"{m}: bench.py never reports this metric"
 
 
 def test_median3_build_keys_have_reset_in_bench():
