@@ -3038,63 +3038,63 @@ def _q_scd2_merge_incremental(spark, sf_dir):
 # streaming_windowed_rollup's permanent `no_oracle` row is evicted
 # (its evidence is the batch-twin test, COVERAGE.md).
 #
-# r11 window: FIVE queries changed implementation/semantics this round
-# and are pinned per the hygiene rule — funnel_stages (NULL users now
-# report stage 0, matching the oracle's non-null-safe spine; passes
-# 2..n run over a pinned later-stage frame so the table is scanned
-# once), asof_last_click (asof_join now carries the winning right row
-# as one struct with a deterministic keep-max tiebreak),
-# knn_join_top5 + knn_join_ivf_top5 (engine-side -0.0 normalization
-# mirroring the oracle's `+ 0.0`), embedding_near_dup (dimension probe
-# + ValueError guard on plane/vector mismatch), snapshot_diff
-# (presence-based status, engine + oracle), idx_distinct_values
-# (fresh-file-filtered postings read). The remaining 43 slots finish
-# the oldest-evidence rotation: every r1-vintage oracle query not yet
-# recycled, then r2-vintage in registry order through
-# late_sole_supplier. Next rotation continues from dormant_customers
-# (r2), then the r3 cohort (market_share ...).
+# r12 window: ONE query changed its hot path this round and is pinned
+# per the hygiene rule — embedding_near_dup (the LSH dimension probe
+# now reads non-null vectors only; a NULL vector in the first row
+# previously built zero-dim planes — bucket-0 collapse — or raised a
+# spurious mismatch against valid explicit planes; r11 advisor). The
+# remaining 49 slots FINISH the oldest-evidence rotation: the complete
+# pre-r6 evidence tail (9 r2-vintage from dormant_customers, 20 r3, 13
+# r4, 4 r5 — every hash-checkable registry query whose last driver
+# green predates r6), then the next-oldest cohort (r7: cms_error_stats,
+# time_decay_score, winsorized_stats) fills the tail slots. After this
+# round every registry query has post-r5 driver witness and the
+# standing policy in COVERAGE.md §evidence-rotation takes over.
+# (Correction for r11 audits: the r11 note here misdescribed
+# funnel_stages — the SHIPPED default is prefilter=False, the re-scan
+# shape the tools/ab_funnel.py A/B measured as the winner; the pinned
+# later-stage frame runs only behind prefilter=True.)
 # _ROTATION_ROUND pins WHICH rounds' evidence the rotation was computed
 # from (everything before it): the hygiene test must ignore evidence
 # from this round onward, else the round's own driver run — which
 # freshens exactly the window entries — would flag the unchanged
 # registry as stale-ordered (r10 review finding). Bump both together
 # when rotating.
-_ROTATION_ROUND = 11
+_ROTATION_ROUND = 12
 # Queries PINNED into the window this round because their semantics,
 # oracle, or implementation hot path changed (hygiene rule) — exempt
 # from the oldest-evidence ordering check, which otherwise flags any
-# recently-verified query occupying a slot while r1-vintage ones wait.
+# recently-verified query occupying a slot while older ones wait.
 _ROTATION_PINS = [
-    "funnel_stages", "asof_last_click",
-    "knn_join_top5", "knn_join_ivf_top5", "embedding_near_dup",
-    # r11 review: status now decided by id presence (engine + oracle);
-    # md5(NULL text) misfiled NULL-text rows as added/removed before
-    "snapshot_diff",
-    # r11 review: postings read now fresh-file-filtered (stale/deleted
-    # files' obsolete keys no longer leak into the distinct answer)
-    "idx_distinct_values",
+    # r12: NULL-safe LSH dimension probe (hot path of the bucketing)
+    "embedding_near_dup",
 ]
-_ROTATION_R11 = [
-    # hygiene-rule pins (changed this round; see _ROTATION_PINS)
-    "funnel_stages", "asof_last_click",
-    "knn_join_top5", "knn_join_ivf_top5", "embedding_near_dup",
-    "snapshot_diff", "idx_distinct_values",
-    # r1-vintage evidence (oldest cohort, registry order)
-    "ngram_jaccard_pairs", "near_dup_components", "containment_pairs",
-    "char_entropy", "repetition_ratio", "ann_persisted_top10",
-    "clean_corpus_audit", "decontaminate_report", "pii_scrub",
-    # r2-vintage evidence, registry order through unpivot_order_measures
-    "pack_docs", "chunk_docs", "shard_assignment", "unigram_logprob",
-    "mixture_resample", "weighted_sample", "temperature_weights",
-    "normalized_docs", "vocab_top100", "doc_token_ids",
-    "edit_distance_join", "weekly_retention", "stratified_sample",
-    "term_pmi", "doc_keywords", "cosine_pairs", "join_revenue_by_nation",
-    "rollup_orders", "click_not_purchase_users", "grouping_sets_orders",
-    "forecast_revenue", "top_unshipped_orders", "above_avg_orders",
-    "priority_fulfilment", "volume_shipping", "profit_by_nation",
-    "returned_items", "customer_distribution", "promo_revenue",
-    "top_supplier", "small_qty_revenue", "large_volume_orders",
-    "disjunctive_revenue", "late_sole_supplier",
+_ROTATION_R12 = [
+    # hygiene-rule pin (changed this round; see _ROTATION_PINS)
+    "embedding_near_dup",
+    # r2-vintage evidence (oldest remaining cohort, registry order)
+    "dormant_customers", "unpivot_order_measures",
+    "salted_distinct_users", "semi_join_customers", "anti_join_customers",
+    "window_top_orders", "running_revenue", "cube_orders",
+    "group_percentiles",
+    # r3-vintage evidence, registry order
+    "market_share", "top_bigrams", "exact_substring_dups",
+    "repeated_ngram_coverage", "cdc_chunks", "gopher_quality_flags",
+    "perplexity_buckets", "ann_range_search", "kmeans_assign",
+    "lsh_bucket_stats", "dup_rate_by_source", "keep_best_per_group",
+    "corr_stats", "token_len_histogram", "bucket_skew_stats",
+    "tfidf_top_terms", "pack_efficiency", "consecutive_dedup",
+    "minhash_jaccard_error", "semantic_dedup",
+    # r4-vintage evidence, registry order
+    "table_profile", "pivot_user_events", "json_props_stats",
+    "sessionize", "error_window_counts", "quality_top_fraction",
+    "domain_cap", "media_features", "winnowing_md5", "idx_count_only",
+    "zone_min_max", "text_retrieve", "lsh_gate",
+    # r5-vintage evidence (last of the pre-r6 tail)
+    "kmv_distinct_users", "cluster_refresh", "session_duration_stats",
+    "oov_stats",
+    # next-oldest fill (r7-vintage, registry order)
+    "cms_error_stats", "time_decay_score", "winsorized_stats",
 ]
 
 
@@ -3327,7 +3327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_report": _q_decontaminate_report,
         "pii_scrub": _q_pii_scrub,
     }
-    out = {name: cat.pop(name) for name in _ROTATION_R11}  # KeyError = typo, loud
+    out = {name: cat.pop(name) for name in _ROTATION_R12}  # KeyError = typo, loud
     out.update(cat)
     return out
 

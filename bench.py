@@ -10,6 +10,7 @@ join, dedup (minhash-LSH), ANN cosine top-k, quality stats.
 from __future__ import annotations
 
 import json
+import re
 import os
 import sys
 import time
@@ -78,8 +79,19 @@ def main():
     BANDS = _bands_doc.get("keys", {})
     # bands were measured at the driver's bench scale factor; at any
     # other SF the reps policy still applies but out-of-band reporting
-    # would be pure noise
-    bands_sf_ok = SF_DIR.endswith(f"sf{_bands_doc.get('sf', 0.1)}")
+    # would be pure noise. Compare NUMERICALLY: string-formatting the
+    # JSON float against the directory name (sf recorded as 1 vs dir
+    # sf1.0, or 0.10) would silently disable all triage (r11 advisor).
+    _sf_m = re.search(r"sf([0-9]*\.?[0-9]+)/*$", SF_DIR)
+    try:
+        _bands_sf = float(_bands_doc.get("sf", 0.1))
+    except (TypeError, ValueError):
+        _bands_sf = None
+    bands_sf_ok = (
+        _sf_m is not None
+        and _bands_sf is not None
+        and abs(float(_sf_m.group(1)) - _bands_sf) < 1e-9
+    )
     out_of_band: dict[str, dict] = {}
 
     # SPARK_GRAFT_BENCH_STORAGE=1: per-key block-manager snapshots to

@@ -468,10 +468,30 @@ def embedding_near_dup_pairs(
     Pass explicit ``planes`` (e.g. :func:`md5_sign_planes`) to make the
     candidate buckets themselves engine-reproducible; ``bits``/``seed``
     are ignored when ``planes`` is given."""
-    dim_row = df.select(F.size(vec_col).alias("d")).first()
+    # Probe the vector dimension on NON-NULL rows only: a NULL vector in
+    # the first row makes size() return -1/NULL, which would either build
+    # zero-dim planes (=> every row in bucket 0 => quadratic self-join)
+    # or raise a spurious mismatch against valid explicit planes (r11
+    # advisor). dim <= 0 means "no non-null vector found" = unknown.
+    dim_row = (
+        df.where(F.col(vec_col).isNotNull())
+        .select(F.size(vec_col).alias("d"))
+        .first()
+    )
     dim = dim_row["d"] if dim_row is not None else None
+    if dim is not None and dim <= 0:
+        dim = None
     if planes is None:
-        planes = random_hyperplanes(dim or 0, bits, seed)
+        if dim is None:
+            # No non-null vectors: there are no candidate pairs, and no
+            # dimension to build planes from. Return the empty pair frame
+            # with the contract schema instead of crashing the pipeline.
+            return df.select(
+                F.col(id_col).alias("id_a"),
+                F.col(id_col).alias("id_b"),
+                F.lit(0.0).alias("cosine"),
+            ).where(F.lit(False))
+        planes = random_hyperplanes(dim, bits, seed)
     elif planes and dim is not None and len(planes[0]) != dim:
         # fail loudly instead of NULL-padding every bucket (r10 advisor)
         raise ValueError(

@@ -59,16 +59,31 @@ def read_sink_format(spark, sink_path: str) -> Optional[int]:
     return int(raw[1:])
 
 
-def write_sink_format(spark, sink_path: str, version: int = CURRENT_SINK_FORMAT) -> None:
+def write_sink_format(
+    spark,
+    sink_path: str,
+    version: int = CURRENT_SINK_FORMAT,
+    overwrite: bool = True,
+) -> bool:
+    """Stamp the marker. With ``overwrite=False`` the create is ATOMIC
+    (HDFS create-no-overwrite): returns False when another writer won the
+    race, True when this call stamped. Overwriting callers always get
+    True."""
     from elephant_twin_spark.sources import fsio
 
     fs, _, jvm = fsio._fs_and_path(spark, sink_path)
     jpath = jvm.org.apache.hadoop.fs.Path(f"{sink_path}/{MARKER_NAME}")
-    out = fs.create(jpath, True)
+    try:
+        out = fs.create(jpath, bool(overwrite))
+    except Exception as exc:  # py4j wraps FileAlreadyExistsException
+        if not overwrite and "AlreadyExists" in type(exc).__name__ + str(exc):
+            return False
+        raise
     try:
         out.write(bytearray(f"v{int(version)}\n".encode("ascii")))
     finally:
         out.close()
+    return True
 
 
 def ensure_sink_format(
@@ -90,7 +105,16 @@ def ensure_sink_format(
     index's grown-bands read), and materializing an empty directory
     holding only the marker would flip those probes onto an
     unreadable zero-file parquet path. The sink gets stamped by the
-    first ensure() that finds it written — i.e. the next stream start."""
+    first ensure() that finds it written — i.e. the next stream start.
+
+    Concurrency: the marker stamp is ATOMIC (create-no-overwrite), so a
+    lost stamp race is treated as already-migrated, never an error. The
+    one-time ``migrate`` window itself assumes a SINGLE concurrent
+    starter per unmarked sink (the same single-writer contract as
+    ``layout.upsert_partitioned``): Structured Streaming's checkpoint lock
+    provides this for a given query, and the migrations are idempotent
+    partition renames, but two different unmarked-sink starters racing
+    through ``migrate`` concurrently can interleave renames."""
     from elephant_twin_spark.sources import fsio
 
     found = read_sink_format(spark, sink_path)
@@ -108,5 +132,7 @@ def ensure_sink_format(
     if not fs.exists(jroot):
         return 0
     n = migrate() if migrate is not None else 0
-    write_sink_format(spark, sink_path)
+    # atomic claim: a concurrent starter that stamped first already ran
+    # (or is finishing) the same idempotent migration — not an error
+    write_sink_format(spark, sink_path, overwrite=False)
     return n

@@ -139,6 +139,45 @@ def test_lsh_bucket_null_vector_drops_out(spark):
     assert got == {(1, 2)}  # the NULL row pairs with nothing
 
 
+def test_near_dup_null_first_vector_dim_probe(spark):
+    """r12 advisor fix: the dimension probe must skip NULL vectors. With
+    a NULL vector in the FIRST row, the old probe read size()=-1/NULL and
+    either built zero-dim planes (all rows → bucket 0 → quadratic join)
+    or raised a spurious mismatch against valid explicit planes."""
+    from pyspark.sql import Row
+
+    emb = spark.createDataFrame(
+        [
+            Row(vec_id=0, embedding=None),  # NULL first — the trap
+            Row(vec_id=1, embedding=[1.0, 0.0]),
+            Row(vec_id=2, embedding=[1.0, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    ).coalesce(1)
+    # planes=None: dim inferred from the non-null rows, pair found
+    pairs = similarity.embedding_near_dup_pairs(emb, "embedding", "vec_id", threshold=0.9)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert got == {(1, 2)}
+    # explicit valid planes: must NOT raise on the NULL-first input
+    planes = similarity.md5_sign_planes(dim=2, bits=2)
+    pairs2 = similarity.embedding_near_dup_pairs(
+        emb, "embedding", "vec_id", threshold=0.9, planes=planes
+    )
+    assert {(r["id_a"], r["id_b"]) for r in pairs2.collect()} == {(1, 2)}
+    # mismatched explicit planes still fail loudly (r10 guard preserved)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="dimension"):
+        similarity.embedding_near_dup_pairs(
+            emb, "embedding", "vec_id", planes=similarity.md5_sign_planes(dim=5, bits=2)
+        )
+    # all-NULL vectors + planes=None: empty pair frame, contract schema
+    all_null = emb.where(F.col("vec_id") == 0)
+    out = similarity.embedding_near_dup_pairs(all_null, "embedding", "vec_id")
+    assert out.columns == ["id_a", "id_b", "cosine"]
+    assert out.count() == 0
+
+
 def test_quality_and_langid(docs):
     q = textstats.quality_score(docs, "text")
     row = q.first()

@@ -100,3 +100,25 @@ def test_rollup_stream_stamps_marker_end_to_end(spark, workdir, events_multifile
         for r in spark.read.parquet(sink).select("batch_run").distinct().collect()
     }
     assert "legacy-0" in tags and len(tags) >= 2
+
+
+def test_atomic_stamp_lost_race_is_already_migrated(spark, workdir):
+    """r12 advisor fix: the marker stamp is create-no-overwrite. A
+    concurrent starter that stamped first wins; the loser's
+    write_sink_format(overwrite=False) returns False WITHOUT clobbering
+    the winner's version, and ensure() on the now-marked sink fast-paths
+    instead of racing the migration again."""
+    sink = f"{workdir}/fmt_race"
+    spark.range(2).write.parquet(f"{sink}/batch_run=abc-0")
+    assert sinkfmt.write_sink_format(spark, sink, overwrite=False) is True
+    # the losing racer: atomic create fails, version is preserved
+    assert (
+        sinkfmt.write_sink_format(
+            spark, sink, sinkfmt.CURRENT_SINK_FORMAT + 7, overwrite=False
+        )
+        is False
+    )
+    assert sinkfmt.read_sink_format(spark, sink) == sinkfmt.CURRENT_SINK_FORMAT
+    calls = []
+    assert sinkfmt.ensure_sink_format(spark, sink, migrate=lambda: calls.append(1) or 0) == 0
+    assert calls == []
