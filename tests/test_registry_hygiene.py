@@ -143,3 +143,35 @@ def test_rotation_pins_sit_in_window():
     pins = set(getattr(entrymod, "_ROTATION_PINS", ()))
     missing = pins - window
     assert not missing, f"pinned queries missing from the driver window: {missing}"
+
+
+def test_rotation_fill_order_is_oldest_first():
+    """COVERAGE.md §evidence-rotation, rule 2 made structural: the
+    NON-PINNED window slots must be filled oldest-vintage-first — their
+    evidence vintages (computed from rounds before `_ROTATION_ROUND`)
+    must be non-decreasing as the window is walked. The existing
+    prioritizes-oldest test bounds window-vs-outside freshness; this one
+    pins the ORDER of the fill itself, so a rotation that grabs the
+    right cohort but shuffles it (leaving the very oldest for "next
+    round" forever at the tail boundary) still fails."""
+    import __spark_entry__ as entrymod
+
+    cutoff = entrymod._ROTATION_ROUND
+    last = {}
+    for path in sorted(glob.glob(f"{REPO}/CORRECTNESS_r*.json")):
+        rnd = int(re.search(r"r(\d+)", os.path.basename(path)).group(1))
+        if rnd >= cutoff:
+            continue
+        with open(path) as f:
+            for name, r in json.load(f).items():
+                if r.get("hash_match"):
+                    last[name] = rnd
+    pins = set(getattr(entrymod, "_ROTATION_PINS", ()))
+    window = list(entrymod.queries())[:DRIVER_BUDGET]
+    fill = [(n, last.get(n, 0)) for n in window if n not in pins]
+    out_of_order = [
+        (a, b) for a, b in zip(fill, fill[1:]) if a[1] > b[1]
+    ]
+    assert not out_of_order, (
+        f"non-pinned window slots not oldest-evidence-first: {out_of_order}"
+    )
