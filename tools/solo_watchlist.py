@@ -103,6 +103,16 @@ def main():
             _state["ti"] = engine().text_index(docs_path, "text")
         return _state["ti"]
 
+    def clustered_events():
+        if "clustered" not in _state:
+            from elephant_twin_spark.operators import layout
+
+            dst = f"{work}/events_clustered"
+            layout.cluster_table(spark, events, dst, ["event_type"], num_files=32)
+            engine().build_index(dst, "event_type", num_buckets=8)
+            _state["clustered"] = dst
+        return _state["clustered"]
+
     def lsh_gate_setup():
         if "lsh" not in _state:
             engine().build_lsh_index(docs_multi, "text", "doc_id", num_perm=16, num_bands=4)
@@ -143,6 +153,18 @@ def main():
         "q_dedup_exact": lambda i: dedup.exact_dup_groups(docs, "text", "doc_id").count(),
         "q_near_dup_clusters": lambda i: _consume_near_dup(),
         "q_lsh_gate": lambda i: _lsh_gate(),
+        # distributed-planner watch keys (r11 verdict item 2): same
+        # clustered layout + predicate as bench.py; _distplan forces the
+        # cluster-side evaluator via distributed_threshold=0
+        "q_idx_clustered_point": lambda i: engine()
+        .query(clustered_events(), col("event_type") == "click")
+        .count(),
+        "q_idx_clustered_point_distplan": lambda i: engine()
+        .query(
+            clustered_events(), col("event_type") == "click",
+            distributed_threshold=0,
+        )
+        .count(),
     }
 
     def _consume_near_dup():
