@@ -36,7 +36,9 @@ def unigram_model(df: DataFrame, text_col: str) -> Tuple[DataFrame, int, int]:
     row = freq.agg(
         F.sum("cnt").alias("total"), F.count("*").alias("v")
     ).first()
-    return freq, int(row["total"]), int(row["v"])
+    # empty corpus: sum() is NULL — return (empty freq, 0, 0) instead of
+    # TypeError'ing on int(None) (the r12 empty-input probe class)
+    return freq, int(row["total"] or 0), int(row["v"] or 0)
 
 
 def unigram_logprob(

@@ -79,7 +79,9 @@ def publish_release(
                 )
             ).alias("h")
         ).first()["h"]
-        manifest["content_hash"] = str(h)
+        # empty release: sum() is NULL — record a real zero hash so two
+        # empty snapshots compare equal by value, not by the "None" string
+        manifest["content_hash"] = str(h if h is not None else 0)
     fsio.write_text(spark, _manifest_path(root, version), json.dumps(manifest, indent=2))
     return manifest
 

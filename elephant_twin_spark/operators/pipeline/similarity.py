@@ -197,13 +197,22 @@ def ivf_fit(
     Init = k deterministic pseudo-random rows (hash-of-id order). Each
     iteration is one assign (narrow map) + one shuffle
     (posexplode → groupBy(cluster, dim) mean); only k×dim small numbers
-    ever reach the driver, so the fit scales to any row count."""
+    ever reach the driver, so the fit scales to any row count.
+
+    NULL vectors carry no training signal and are dropped up front —
+    sampled into ``init`` they would TypeError the centroid unpack
+    (the r12 NULL-probe class)."""
+    df = df.where(F.col(vec_col).isNotNull())
     init = (
         df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
         .orderBy(F.md5(F.concat_ws("|", F.lit(str(seed)), F.col("id").cast("string"))))
         .limit(k_clusters)
         .collect()
     )
+    if not init:
+        raise ValueError(
+            f"ivf_fit: no non-null {vec_col!r} vectors to train on"
+        )
     centroids = [[float(x) for x in r["v"]] for r in init]
     for _ in range(max_iter):
         assigned = ivf_assign(df, vec_col, centroids, metric=metric)
@@ -278,7 +287,19 @@ def pq_fit(
     select, explode to (subspace, cluster, dim, x), one groupBy for all
     means. Only m*k*(d/m) small numbers reach the driver per iteration,
     so the fit costs O(max_iter) jobs regardless of m."""
-    dim = df.select(F.size(vec_col).alias("d")).first()["d"]
+    # non-null probe (same class as embedding_near_dup_pairs' r12 fix):
+    # a NULL vector in the first row would read dim -1/None and either
+    # TypeError below or build degenerate subspaces
+    dim_row = (
+        df.where(F.col(vec_col).isNotNull())
+        .select(F.size(vec_col).alias("d"))
+        .first()
+    )
+    dim = dim_row["d"] if dim_row is not None else None
+    if dim is None or dim <= 0:
+        raise ValueError(
+            f"pq_fit: no non-null {vec_col!r} vectors to infer dimension from"
+        )
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     w = dim // m
