@@ -222,7 +222,8 @@ class _SFState:
             path = f"{self.work}/{name}"
             if os.path.exists(f"{path}/_SUCCESS"):
                 layout.register_bucketed_table(
-                    self.spark, name, path, [key], 8, sort_cols=[key]
+                    self.spark, name, path, [key], 8, sort_cols=[key],
+                    schema=self.raw(tbl).schema,
                 )
             else:
                 layout.bucket_table(
@@ -249,6 +250,17 @@ def _ann_fixture_base(emb, n: int = 16, dim: int = None) -> list:
     if dim is not None:
         assert len(base[0]) == dim, f"embeddings dim {len(base[0])} != {dim}"
     return base
+
+
+def _query_vec(emb, vec_id: int = 0) -> list:
+    """The fixed query-vector fixture (``vec_id == 0`` by convention).
+    Same LOUD-failure contract as :func:`_ann_fixture_base`: an absent
+    row must name the missing fixture, not surface as a ``'NoneType'
+    object is not subscriptable`` three frames deep (the r12
+    empty-input sweep caught exactly that at four probe sites)."""
+    row = emb.where(F.col("vec_id") == vec_id).first()
+    assert row is not None, f"query-vector fixture vec_id={vec_id} absent"
+    return [float(x) for x in row["embedding"]]
 
 
 def _state(spark: SparkSession, sf_dir: str) -> _SFState:
@@ -596,7 +608,7 @@ def _q_fingerprint(spark, sf_dir):
 def _q_ann_cosine_top10(spark, sf_dir):
     st = _state(spark, sf_dir)
     emb = st.raw("embeddings")
-    qvec = emb.where(F.col("vec_id") == 0).first()["embedding"]
+    qvec = _query_vec(emb)
     top = similarity.cosine_topk(emb, "embedding", "vec_id", qvec, k=10)
     return top.select(
         F.col("id").alias("vec_id"), F.round("cosine", 4).alias("cosine")
@@ -790,7 +802,7 @@ def _q_ann_persisted(spark, sf_dir):
     tests/test_pipeline.py::test_ann_index_persisted."""
     ai = _state(spark, sf_dir).emb_ann_index()
     emb = _state(spark, sf_dir).raw("embeddings")
-    q = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    q = _query_vec(emb)
     out = ai.topk(q, k=10, nprobe=8)
     return out.select("id", (F.round("cosine", 4) + F.lit(0.0)).alias("cosine"))
 
@@ -894,9 +906,18 @@ def _q_near_dup_components(spark, sf_dir):
 
 
 def _q_date_partition_range(spark, sf_dir):
-    """S13: partition-pruned date-range scan on the date-partitioned copy."""
+    """S13: partition-pruned date-range scan on the date-partitioned copy.
+
+    Read with an EXPLICIT schema — the at-scale habit (no footer
+    sampling on a million-file table) and the defined-empty behavior: a
+    zero-row write creates no partition directories, so schema
+    inference on the bare root throws UNABLE_TO_INFER_SCHEMA (r12
+    empty-input sweep)."""
     st = _state(spark, sf_dir)
-    df = spark.read.parquet(st.events_partitioned)
+    part_schema = (
+        st.raw("events").withColumn("event_date", F.to_date("ts")).schema
+    )
+    df = spark.read.schema(part_schema).parquet(st.events_partitioned)
     return df.where(
         (F.col("event_date") >= F.lit("2024-01-10")) & (F.col("event_date") <= F.lit("2024-01-20"))
     ).select(*_EVENT_COLS)
@@ -1617,7 +1638,12 @@ def _q_zone_min_max(spark, sf_dir):
     tbl = st.events_time_clustered
     st.ensure_zone_index(tbl, "value")
     mn, mx = st.engine.min_max(tbl, "value")
-    return spark.createDataFrame([(float(mn), float(mx))], "mn double, mx double")
+    # Empty table → (None, None), matching the SQL twin's one-row
+    # NULL/NULL aggregate (r12 empty-input sweep: float(None) TypeError'd)
+    return spark.createDataFrame(
+        [(None if mn is None else float(mn), None if mx is None else float(mx))],
+        "mn double, mx double",
+    )
 
 
 def _q_value_histogram(spark, sf_dir):
@@ -2016,7 +2042,7 @@ def _q_ann_range_search(spark, sf_dir):
     query (scan-shaped, predicate prunes before any exchange)."""
     st = _state(spark, sf_dir)
     emb = st.raw("embeddings")
-    qvec = emb.where(F.col("vec_id") == 0).first()["embedding"]
+    qvec = _query_vec(emb)
     out = similarity.range_search(emb, "embedding", "vec_id", qvec, 0.2)
     return out.select(
         F.col("id").alias("vec_id"), F.round("cosine", 4).alias("cosine")
@@ -2454,7 +2480,7 @@ def _q_rrf_fusion(spark, sf_dir):
         F.col("doc_id").alias("id"), F.row_number().over(wb).alias("rank")
     )
     emb = st.raw("embeddings")
-    qvec = emb.where(F.col("vec_id") == 0).first()["embedding"]
+    qvec = _query_vec(emb)
     cos = similarity.cosine_topk(emb, "embedding", "vec_id", qvec, k=50).select(
         "id", F.round("cosine", 4).alias("_c")
     )
@@ -3038,17 +3064,20 @@ def _q_scd2_merge_incremental(spark, sf_dir):
 # streaming_windowed_rollup's permanent `no_oracle` row is evicted
 # (its evidence is the batch-twin test, COVERAGE.md).
 #
-# r12 window: ONE query changed its hot path this round and is pinned
-# per the hygiene rule — embedding_near_dup (the LSH dimension probe
-# now reads non-null vectors only; a NULL vector in the first row
+# r12 window: TWO queries changed their hot path this round and are
+# pinned per the hygiene rule — embedding_near_dup (the LSH dimension
+# probe now reads non-null vectors only; a NULL vector in the first row
 # previously built zero-dim planes — bucket-0 collapse — or raised a
-# spurious mismatch against valid explicit planes; r11 advisor). The
-# remaining 49 slots FINISH the oldest-evidence rotation: the complete
+# spurious mismatch against valid explicit planes; r11 advisor) and
+# date_partition_range (the partitioned read carries an explicit
+# schema after the empty-input sweep — same values, changed scan plan).
+# The remaining 48 slots CONTINUE the oldest-evidence rotation: the complete
 # pre-r6 evidence tail (9 r2-vintage from dormant_customers, 20 r3, 13
 # r4, 4 r5 — every hash-checkable registry query whose last driver
 # green predates r6), then the next-oldest cohort (r7: cms_error_stats,
-# time_decay_score, winsorized_stats) fills the tail slots. After this
-# round every registry query has post-r5 driver witness and the
+# time_decay_score; winsorized_stats spilled to the r13 window by the
+# date_partition_range pin) fills the tail slots. After r13's first
+# fill slot every registry query has post-r5 driver witness and the
 # standing policy in COVERAGE.md §evidence-rotation takes over.
 # (Correction for r11 audits: the r11 note here misdescribed
 # funnel_stages — the SHIPPED default is prefilter=False, the re-scan
@@ -3068,10 +3097,17 @@ _ROTATION_ROUND = 12
 _ROTATION_PINS = [
     # r12: NULL-safe LSH dimension probe (hot path of the bucketing)
     "embedding_near_dup",
+    # r12 empty-input sweep: the partitioned read now carries an
+    # EXPLICIT schema (no footer inference) — values identical on any
+    # non-empty input, but the scan plan changed, so the hygiene rule
+    # applies. Displaces winsorized_stats (r7-vintage next-oldest
+    # fill) to the r13 window.
+    "date_partition_range",
 ]
 _ROTATION_R12 = [
-    # hygiene-rule pin (changed this round; see _ROTATION_PINS)
+    # hygiene-rule pins (changed this round; see _ROTATION_PINS)
     "embedding_near_dup",
+    "date_partition_range",
     # r2-vintage evidence (oldest remaining cohort, registry order)
     "dormant_customers", "unpivot_order_measures",
     "salted_distinct_users", "semi_join_customers", "anti_join_customers",
@@ -3093,8 +3129,9 @@ _ROTATION_R12 = [
     # r5-vintage evidence (last of the pre-r6 tail)
     "kmv_distinct_users", "cluster_refresh", "session_duration_stats",
     "oov_stats",
-    # next-oldest fill (r7-vintage, registry order)
-    "cms_error_stats", "time_decay_score", "winsorized_stats",
+    # next-oldest fill (r7-vintage, registry order; winsorized_stats
+    # spilled to r13 by the date_partition_range pin)
+    "cms_error_stats", "time_decay_score",
 ]
 
 

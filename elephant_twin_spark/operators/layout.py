@@ -159,6 +159,7 @@ def register_bucketed_table(
     bucket_cols: Sequence[str],
     num_buckets: int,
     sort_cols: Optional[Sequence[str]] = None,
+    schema=None,
 ) -> str:
     """Re-register an EXTERNAL bucketed table whose parquet was written
     earlier by :func:`bucket_table` (with ``path=``) into a catalog that
@@ -169,11 +170,15 @@ def register_bucketed_table(
     The spec (columns + count + sort) MUST match what the data was
     written with: Spark trusts the catalog and the per-file bucket-id
     suffixes; a mismatched spec silently breaks the co-location
-    guarantee. Schema is read from the parquet footers.
+    guarantee. Schema is read from the parquet footers unless an
+    explicit ``schema`` (StructType) is given — a ZERO-ROW bucketed
+    table leaves no footers to sample, so re-registering after a
+    restart throws UNABLE_TO_INFER_SCHEMA without it (r12 empty-input
+    sweep); callers that can see the source schema should pass it.
     """
+    fields = (schema or spark.read.parquet(path).schema).fields
     cols = ", ".join(
-        f"`{f.name}` {f.dataType.simpleString()}"
-        for f in spark.read.parquet(path).schema.fields
+        f"`{f.name}` {f.dataType.simpleString()}" for f in fields
     )
     sort = f" SORTED BY ({', '.join(sort_cols)})" if sort_cols else ""
     spark.sql(

@@ -32,6 +32,12 @@ def _norm(a):
 
 def with_cosine(df: DataFrame, vec_col: str, query_vec: Sequence[float], out_col: str = "cosine") -> DataFrame:
     """Add cosine similarity to a constant query vector (double precision)."""
+    if query_vec is None or len(query_vec) == 0:
+        # Probing an empty table for the query row yields None/[] —
+        # name the contract violation here instead of letting F.lit([])
+        # produce a void-typed array and a cryptic zip_with
+        # AnalysisException (r12 empty-input sweep).
+        raise ValueError("with_cosine: query_vec is empty/None")
     q = F.lit([float(x) for x in query_vec])
     qn = math.sqrt(sum(float(x) * float(x) for x in query_vec))
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
@@ -119,6 +125,8 @@ def lsh_cosine_topk(
     — Gaussian planes from a Python RNG cannot be; md5-parity planes
     can. ``bits``/``seed`` are ignored when ``planes`` is given.
     """
+    if query_vec is None or len(query_vec) == 0:
+        raise ValueError("lsh_cosine_topk: query_vec is empty/None")
     dim = len(query_vec)
     if planes is None:
         planes = random_hyperplanes(dim, bits, seed)
@@ -147,6 +155,12 @@ def _centroid_struct_array(vec_col, centroids: List[List[float]], metric: str = 
     higher-order functions: per-element literal trees (k × dim `Literal`
     nodes) cost seconds of plan compile at realistic k·dim, the
     single-literal form milliseconds — same arithmetic, same sum order."""
+    if not centroids:
+        # An empty centroid list (a fit that was skipped, or a collect
+        # over an empty table) must fail by name: F.lit([]) is a
+        # void-typed array literal whose zip_with raises a cryptic
+        # DATATYPE_MISMATCH instead (r12 empty-input sweep).
+        raise ValueError("empty centroid list (fit on an empty table?)")
     v = F.transform(vec_col, lambda x: x.cast("double"))
     cmat = F.lit([[float(x) for x in c] for c in centroids])
     idxs = F.lit(list(range(len(centroids))))
@@ -357,6 +371,8 @@ def pq_encode(
 ) -> DataFrame:
     """``(id, codes array<int>)`` — nearest centroid per subspace, all
     JVM expressions (argmin of squared L2 via inline struct arrays)."""
+    if not codebooks or not codebooks[0]:
+        raise ValueError("pq_encode: empty codebooks (fit on an empty table?)")
     m = len(codebooks)
     w = len(codebooks[0][0])
     code_cols = []
@@ -390,6 +406,10 @@ def pq_topk(
     centroid; each row's approximate distance is m array lookups summed
     JVM-side — no vector math per row, no shuffle
     (TakeOrderedAndProject)."""
+    if not codebooks or not codebooks[0]:
+        raise ValueError("pq_topk: empty codebooks (fit on an empty table?)")
+    if query_vec is None or len(query_vec) == 0:
+        raise ValueError("pq_topk: query_vec is empty/None")
     m = len(codebooks)
     w = len(codebooks[0][0])
     tables = []
