@@ -44,7 +44,14 @@ Tokenizer = Callable[[Column], Column]
 
 
 def whitespace_tokenizer(text: Column) -> Column:
-    """Whitespace analyzer: split on runs of whitespace, drop empties."""
+    """Whitespace analyzer: split on runs of whitespace, drop empties.
+
+    Contract: JAVA-regex ``\\s`` semantics — ``[ \\t\\n\\x0B\\f\\r]``.
+    This is the one place the engine and its DuckDB validation twins
+    can disagree: RE2's ``\\s`` omits VERTICAL TAB (\\x0B), so a corpus
+    containing it tokenizes differently under ``regexp_split_to_array``.
+    Parity on ASCII-whitespace corpora is exact; the known dialect
+    deltas are pinned in tests/test_r12_regex_parity.py."""
     return F.filter(F.split(text, r"\s+"), lambda t: t != F.lit(""))
 
 
