@@ -58,9 +58,14 @@ def build_ann_index(
         df, vec_column, id_column, k_clusters=nlist, max_iter=max_iter, seed=seed
     )
     cent_rows = [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
+    # Stage both data dirs, publish back-to-back before the descriptor
+    # (see build.build_block_index: mid-rebuild reader race) — vectors
+    # are assigned AGAINST these centroids, so publishing centroids
+    # first would pair new centroids with old vectors for the whole
+    # assignment pass.
     spark.createDataFrame(
         cent_rows, "cluster int, centroid array<double>"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{idx_dir}/centroids")
+    ).coalesce(1).write.mode("overwrite").parquet(f"{idx_dir}/centroids.staging")
     assigned = sim.ivf_assign(df, vec_column, centroids).select(
         F.col(id_column).alias("id"),
         F.transform(F.col(vec_column), lambda x: x.cast("double")).alias("vec"),
@@ -74,8 +79,10 @@ def build_ann_index(
         assigned.repartition("cluster")
         .write.mode("overwrite")
         .partitionBy("cluster")
-        .parquet(f"{idx_dir}/vectors")
+        .parquet(f"{idx_dir}/vectors.staging")
     )
+    fsio.publish_dir(spark, f"{idx_dir}/centroids.staging", f"{idx_dir}/centroids")
+    fsio.publish_dir(spark, f"{idx_dir}/vectors.staging", f"{idx_dir}/vectors")
     desc = catalog.make_descriptor(
         source_path=table_path,
         column=vec_column,

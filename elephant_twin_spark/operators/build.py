@@ -301,10 +301,20 @@ def build_block_index(
         key_col=F.expr(key_expr) if key_expr else None,
     )
 
+    # Stage + publish (r12 review): a REBUILD that overwrites the live
+    # postings dir in place hands a concurrent reader — whose old
+    # descriptor still claims full coverage with valid checksums — a
+    # partially-deleted/partially-committed postings table, and missing
+    # postings rows prune files silently. Writing to .staging and
+    # publishing via delete+rename shrinks the reader-visible window to
+    # two metadata ops that fail LOUDLY (absent dir), never silently
+    # wrong; a crash mid-publish is completed by fsio.recover_publish.
     data_dir = f"{idx_dir}/postings"
+    staging = f"{data_dir}.staging"
     write_range_partitioned(
-        postings, num_buckets, "key", ("key", "file"), data_dir, bloom_col="key"
+        postings, num_buckets, "key", ("key", "file"), staging, bloom_col="key"
     )
+    fsio.publish_dir(spark, staging, data_dir)
 
     # Descriptor AFTER a successful data write (write-then-publish, so a
     # failed build never yields a descriptor pointing at garbage).
@@ -376,7 +386,9 @@ def build_zone_index(
     files = fsio.list_data_files(spark, table_path)
     df = spark.read.parquet(table_path)
     zones = zones_for(df, column, key_expr)
-    zones.coalesce(1).write.mode("overwrite").parquet(f"{idx_dir}/zones")
+    # stage + publish: see build_block_index (mid-rebuild reader race)
+    zones.coalesce(1).write.mode("overwrite").parquet(f"{idx_dir}/zones.staging")
+    fsio.publish_dir(spark, f"{idx_dir}/zones.staging", f"{idx_dir}/zones")
     desc = catalog.make_descriptor(
         source_path=table_path,
         column=column,
@@ -447,7 +459,9 @@ def build_bloom_index(
     # pre-listing: see build_block_index (mid-build file-add race)
     files = fsio.list_data_files(spark, table_path)
     sketch = bloom_sketch_for(spark.read.parquet(table_path), column, num_bits, num_hashes)
-    sketch.coalesce(1).write.mode("overwrite").parquet(f"{idx_dir}/sketch")
+    # stage + publish: see build_block_index (mid-rebuild reader race)
+    sketch.coalesce(1).write.mode("overwrite").parquet(f"{idx_dir}/sketch.staging")
+    fsio.publish_dir(spark, f"{idx_dir}/sketch.staging", f"{idx_dir}/sketch")
     desc = catalog.make_descriptor(
         source_path=table_path,
         column=column,

@@ -115,10 +115,12 @@ def build_lsh_index(
     # build.write_range_partitioned's docstring; pinning pays only when
     # the input is the OUTPUT of an expensive shuffle aggregate (text
     # postings, block-index range merges).
+    # stage + publish: see build.build_block_index (mid-rebuild reader race)
     build_mod.write_range_partitioned(
         bands, num_buckets, "band_hash", ("band_hash", "id"),
-        f"{idx_dir}/bands", pin_input=False,
+        f"{idx_dir}/bands.staging", pin_input=False,
     )
+    fsio.publish_dir(spark, f"{idx_dir}/bands.staging", f"{idx_dir}/bands")
     desc = catalog.make_descriptor(
         source_path=table_path,
         column=text_column,

@@ -296,9 +296,15 @@ def build_text_index(
     from elephant_twin_spark.operators import build as build_mod
 
     def _span(src: DataFrame) -> None:
+        # Stage both data dirs, publish both back-to-back at the end of
+        # the span (see build.build_block_index: mid-rebuild reader
+        # race) — publishing postings before doclens are even computed
+        # would hand a concurrent BM25 reader new postings with OLD
+        # doclens for seconds; the paired publish shrinks that to two
+        # metadata renames.
         build_mod.write_range_partitioned(
             src, num_buckets, "term", ("term", "doc_id"),
-            f"{idx_dir}/postings", bloom_col="term", pin_input=False,
+            f"{idx_dir}/postings.staging", bloom_col="term", pin_input=False,
         )
         # doc-length norms for BM25 (the Lucene "norms" analog, T2) plus
         # the SMART lnc cosine norm for more_like_this: tiny table (one
@@ -325,8 +331,10 @@ def build_text_index(
         )
         out = doclens.select("doc_id", "dl", "norm", "file").unionByName(tokenless)
         out.coalesce(max(1, num_buckets // 4)).write.mode("overwrite").parquet(
-            f"{idx_dir}/doclens"
+            f"{idx_dir}/doclens.staging"
         )
+        fsio.publish_dir(spark, f"{idx_dir}/postings.staging", f"{idx_dir}/postings")
+        fsio.publish_dir(spark, f"{idx_dir}/doclens.staging", f"{idx_dir}/doclens")
 
     # Pin the postings once for the whole span (both writes are
     # mode("overwrite"), so the span is retry-idempotent); the shared
