@@ -278,6 +278,15 @@ def build_block_index(
     """
     idx_dir = catalog.index_dir(index_root, table_path, column, kind="block")
     if not overwrite and catalog.read_descriptor(spark, idx_dir) is not None:
+        # Self-heal a publish crashed between delete and rename (r12):
+        # the descriptor survives while the postings dir is absent and
+        # its complete .staging sibling sits next to it — without this,
+        # the early return would pin the broken state and every query
+        # on the indexed column would keep raising require_published's
+        # FileNotFoundError until a manual overwrite=True rebuild.
+        fsio.recover_publish(
+            spark, f"{idx_dir}/postings.staging", f"{idx_dir}/postings"
+        )
         desc = catalog.read_descriptor(spark, idx_dir)
         return BuildResult(idx_dir, column, len(desc.files), -1)
 

@@ -150,26 +150,31 @@ def recover_publish(spark: SparkSession, tmp_dir: str, final_dir: str) -> bool:
 
 def require_published(spark: SparkSession, final_dir: str) -> None:
     """Reader-side diagnosis for :func:`publish_dir`'s delete→rename
-    window: when ``final_dir`` is missing but its staged ``_tmp``
-    sibling survives, a refresh is mid-publish or crashed there — the
-    data is complete in the staged dir, and the raw parquet
-    path-not-found a reader would otherwise hit says none of that (r9
-    verdict item 6). Raises ``FileNotFoundError`` naming the recovery;
-    a missing dir with NO staged sibling falls through to the reader's
-    normal error. One ``exists()`` metadata call on the happy path —
-    the same order of driver-side cost as the descriptor read every
-    index query already performs."""
+    window: when ``final_dir`` is missing but a staged sibling survives
+    (``_tmp`` — the refreshers' convention — or ``.staging`` — the full
+    builders', r12), a publish is in flight or crashed there — the data
+    is complete in the staged dir, and the raw parquet path-not-found a
+    reader would otherwise hit says none of that (r9 verdict item 6).
+    Raises ``FileNotFoundError`` naming the recovery; a missing dir
+    with NO staged sibling falls through to the reader's normal error.
+    One ``exists()`` metadata call on the happy path — the same order
+    of driver-side cost as the descriptor read every index query
+    already performs."""
     if exists(spark, final_dir):
         return
-    tmp_dir = final_dir.rstrip("/") + "_tmp"
-    if exists(spark, tmp_dir):
-        raise FileNotFoundError(
-            f"{final_dir} is missing but its staged sibling {tmp_dir} "
-            "exists: a refresh is publishing right now, or crashed between "
-            "delete and rename. The staged data is complete — re-run the "
-            "index's refresh, or call fsio.recover_publish(spark, "
-            f"{tmp_dir!r}, {final_dir!r}) to finish the publish."
-        )
+    for tmp_dir in (
+        final_dir.rstrip("/") + "_tmp",
+        final_dir.rstrip("/") + ".staging",
+    ):
+        if exists(spark, tmp_dir):
+            raise FileNotFoundError(
+                f"{final_dir} is missing but its staged sibling {tmp_dir} "
+                "exists: a build/refresh is publishing right now, or "
+                "crashed between delete and rename. The staged data is "
+                "complete — re-run the build/refresh, or call "
+                f"fsio.recover_publish(spark, {tmp_dir!r}, {final_dir!r}) "
+                "to finish the publish."
+            )
 
 
 def write_text(spark: SparkSession, path: str, text: str) -> None:

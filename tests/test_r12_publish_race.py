@@ -96,6 +96,36 @@ def test_block_rebuild_reader_sees_complete_old_index(
     assert not glob.glob(f"{workdir}/pubrace_idx/**/*.staging", recursive=True)
 
 
+def test_crashed_publish_fails_loudly_then_self_heals(spark, workdir):
+    """Crash simulated between publish_dir's delete and rename: the
+    postings dir is gone, its complete .staging sibling remains, the
+    descriptor still points at the index. Contract: readers raise the
+    NAMED FileNotFoundError (require_published — never a silent wrong
+    answer, never a bare path-not-found), and the next build call —
+    even a default overwrite=False ensure — recovers the publish
+    instead of early-returning the broken state forever."""
+    import os
+
+    import pytest
+
+    tbl = tables.materialize(
+        spark, f"{SF_DIR}/events.parquet", f"{workdir}/pubcrash_events"
+    )
+    eng = Engine(spark, f"{workdir}/pubcrash_idx")
+    res = eng.build_index(tbl, "event_type", num_buckets=4)
+    truth = eng.query(tbl, col("event_type") == "click").count()
+
+    postings = f"{res.index_dir}/postings"
+    os.rename(postings, f"{postings}.staging")  # the crashed state
+
+    with pytest.raises(FileNotFoundError, match="recover_publish"):
+        eng.query(tbl, col("event_type") == "click").count()
+
+    eng.build_index(tbl, "event_type", num_buckets=4, overwrite=False)
+    assert eng.query(tbl, col("event_type") == "click").count() == truth
+    assert not os.path.exists(f"{postings}.staging")
+
+
 def test_text_rebuild_reader_sees_complete_old_index(
     spark, workdir, monkeypatch
 ):
