@@ -114,7 +114,14 @@ def publish_dir(spark: SparkSession, tmp_dir: str, final_dir: str) -> None:
     while ``tmp_dir`` is complete. That window never publishes WRONG
     data (the descriptor still describes the old state and reads fail
     loudly); call :func:`recover_publish` before reading ``final_dir``
-    to complete an interrupted publish."""
+    to complete an interrupted publish.
+
+    SINGLE WRITER assumed (the house-wide build/refresh contract —
+    same note as ``sinkfmt.ensure_sink_format`` and the bucketed-table
+    work dirs): two concurrent builds of the SAME index share one
+    staged path, so writer B's overwrite can gut the dir writer A is
+    about to rename. Concurrent builds of different indexes (different
+    ``final_dir``) are fine."""
     fs, _, _ = _fs_and_path(spark, final_dir)
     jvm_path = spark._jvm.org.apache.hadoop.fs.Path
     if not fs.exists(jvm_path(tmp_dir)):
