@@ -152,6 +152,7 @@ def main():
         "q_simhash": lambda i: dedup.simhash64(docs, "text", "doc_id").count(),
         "q_dedup_exact": lambda i: dedup.exact_dup_groups(docs, "text", "doc_id").count(),
         "q_near_dup_clusters": lambda i: _consume_near_dup(),
+        "q_near_dup_clusters_star": lambda i: _consume_near_dup("star"),
         "q_lsh_gate": lambda i: _lsh_gate(),
         # distributed-planner watch keys (r11 verdict item 2): same
         # clustered layout + predicate as bench.py; _distplan forces the
@@ -167,10 +168,10 @@ def main():
         .count(),
     }
 
-    def _consume_near_dup():
+    def _consume_near_dup(edge_mode="all_pairs"):
         df = dedup.near_dup_clusters(
             docs, "text", "doc_id", num_perm=16, num_bands=4, threshold=0.7,
-            edge_mode="all_pairs",
+            edge_mode=edge_mode,
         )
         out = df.where("NOT is_canonical").count()
         lifecycle.release(df)
