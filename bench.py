@@ -18,6 +18,20 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1").rstrip("/")
+
+
+def bands_sf_matches(sf_dir: str, bands_sf) -> bool:
+    """True iff the bench SF (parsed from the directory name) equals the
+    SF the bands were measured at, compared NUMERICALLY: a string
+    comparison of the JSON float against the dir name (sf recorded as 1
+    vs dir sf1.0, or 0.10 vs 0.1) silently disables ALL out-of-band
+    triage at that SF (r11 advisor; pinned in test_bands_hygiene)."""
+    m = re.search(r"sf([0-9]*\.?[0-9]+)/*$", sf_dir)
+    try:
+        sf = float(bands_sf)
+    except (TypeError, ValueError):
+        return False
+    return m is not None and abs(float(m.group(1)) - sf) < 1e-9
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
@@ -82,16 +96,7 @@ def main():
     # would be pure noise. Compare NUMERICALLY: string-formatting the
     # JSON float against the directory name (sf recorded as 1 vs dir
     # sf1.0, or 0.10) would silently disable all triage (r11 advisor).
-    _sf_m = re.search(r"sf([0-9]*\.?[0-9]+)/*$", SF_DIR)
-    try:
-        _bands_sf = float(_bands_doc.get("sf", 0.1))
-    except (TypeError, ValueError):
-        _bands_sf = None
-    bands_sf_ok = (
-        _sf_m is not None
-        and _bands_sf is not None
-        and abs(float(_sf_m.group(1)) - _bands_sf) < 1e-9
-    )
+    bands_sf_ok = bands_sf_matches(SF_DIR, _bands_doc.get("sf", 0.1))
     out_of_band: dict[str, dict] = {}
 
     # SPARK_GRAFT_BENCH_STORAGE=1: per-key block-manager snapshots to

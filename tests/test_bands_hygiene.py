@@ -52,3 +52,21 @@ def test_median3_build_keys_have_reset_in_bench():
         assert call and "reset=" in call.group(1), (
             f"{k} is median3 but its bench.py call passes no reset"
         )
+
+
+def test_bands_sf_gate_compares_numerically():
+    """r11 advisor item 4, pinned: the out-of-band gate must survive
+    float-formatting drift between BANDS.json's `sf` and the directory
+    name — a string comparison silently disabled all triage."""
+    import bench
+
+    assert bench.bands_sf_matches("/root/testdata/sf0.1", 0.1)
+    assert bench.bands_sf_matches("/root/testdata/sf0.1/", 0.1)
+    assert bench.bands_sf_matches("/data/sf0.10", 0.1)   # dir formats differ
+    assert bench.bands_sf_matches("/data/sf1.0", 1)       # int-recorded sf
+    assert bench.bands_sf_matches("/data/sf1", 1.0)
+    assert bench.bands_sf_matches("/data/sf0.1", "0.1")   # string-recorded sf
+    assert not bench.bands_sf_matches("/data/sf0.01", 0.1)
+    assert not bench.bands_sf_matches("/data/no_sf_here", 0.1)
+    assert not bench.bands_sf_matches("/data/sf0.1", None)
+    assert not bench.bands_sf_matches("/data/sf0.1", "not-a-number")
