@@ -308,7 +308,9 @@ def read_sketch_rollup(spark: SparkSession, sink_path: str) -> DataFrame:
     distinct_estimate, n_rows)`` — re-aggregation without rescanning
     the stream."""
     from elephant_twin_spark.functions import sketches
+    from elephant_twin_spark.sources import fsio
 
+    fsio.require_published(spark, sink_path)
     return (
         spark.read.parquet(sink_path)
         .groupBy("win_start", "win_end", "key")
@@ -326,12 +328,24 @@ def compact_sketch_rollup(spark: SparkSession, sink_path: str) -> int:
     (window, key): the same ``hll_union_agg`` that serves reads, applied
     once to the table itself. Bounds merge-on-read cost after many
     micro-batches; correctness unchanged (sketch union is associative).
-    Returns the compacted row count."""
+    Returns the compacted row count.
+
+    SINGLE WRITER: run with the stream STOPPED (the house build/refresh
+    contract — fsio.publish_dir's note). The publish replaces the whole
+    sink root, so a micro-batch landing between the compaction's read
+    and its publish would be deleted with the pre-compaction partials.
+
+    The staged dir uses the house ``_tmp`` sibling convention so a
+    publish crashed between delete and rename is DIAGNOSED by name on
+    the next read (``fsio.require_published`` in the readers) and
+    healed by the next compaction's ``recover_publish`` (r12 review —
+    the old ``_compact_tmp`` name matched neither convention, so a
+    crashed publish surfaced as a bare parquet path-not-found)."""
     from elephant_twin_spark.functions import sketches
 
     from elephant_twin_spark.sources import fsio
 
-    tmp = sink_path.rstrip("/") + "_compact_tmp"
+    tmp = sink_path.rstrip("/") + "_tmp"
     fsio.recover_publish(spark, tmp, sink_path)
     compacted = (
         spark.read.parquet(sink_path)
@@ -412,6 +426,9 @@ def read_cms_rollup(spark: SparkSession, sink_path: str) -> DataFrame:
     """Merge the partial CMS cells: ``(row, bucket, cnt)`` summed —
     exactly the sketch :func:`~elephant_twin_spark.functions.sketches.cms_table`
     would build over all streamed rows."""
+    from elephant_twin_spark.sources import fsio
+
+    fsio.require_published(spark, sink_path)
     return (
         spark.read.parquet(sink_path)
         .groupBy("row", "bucket")

@@ -558,3 +558,53 @@ def test_cms_rollup_stream_equals_batch_sketch(spark, workdir, events_multifile)
     }
     for k, t in truth.items():
         assert est_m[k] >= t  # CMS never undercounts
+
+
+def test_crashed_compaction_publish_is_diagnosed_and_healed(spark, workdir):
+    """r12 review: the compaction staging dir now uses the house _tmp
+    sibling convention, so a publish crashed between delete and rename
+    is DIAGNOSED by name on read (require_published — previously a
+    bare parquet path-not-found) and HEALED by the next compaction's
+    recover_publish."""
+    import os
+
+    import pytest
+
+    from elephant_twin_spark.streaming import windows as w
+
+    sink = f"{workdir}/sketch_crash_sink"
+    # hand-built partials (two batch_run dirs), no stream needed
+    rows = spark.createDataFrame(
+        [(i, f"u{i % 7}") for i in range(200)], "event_id long, user_id string"
+    ).withColumn("ts", F.lit("2024-01-01 00:30:00").cast("timestamp")) \
+     .withColumn("event_type", F.lit("click"))
+    from elephant_twin_spark.functions import sketches
+
+    part = (
+        rows.groupBy(F.window("ts", "1 hour").alias("window"), F.col("event_type").alias("key"))
+        .agg(sketches.hll_sketch(F.col("user_id"), 12).alias("sketch"),
+             F.count(F.lit(1)).alias("n_rows"))
+        .select(F.col("window.start").alias("win_start"),
+                F.col("window.end").alias("win_end"), "key", "sketch", "n_rows")
+    )
+    part.write.parquet(f"{sink}/batch_run=aaaaaaaaaaaa-0")
+    part.write.parquet(f"{sink}/batch_run=aaaaaaaaaaaa-1")
+    truth = {
+        (r["win_start"], r["key"]): r["n_rows"]
+        for r in w.read_sketch_rollup(spark, sink).collect()
+    }
+
+    w.compact_sketch_rollup(spark, sink)
+    os.rename(sink, f"{sink}_tmp")  # the crashed delete->rename state
+
+    with pytest.raises(FileNotFoundError, match="recover_publish"):
+        w.read_sketch_rollup(spark, sink).collect()
+
+    w.compact_sketch_rollup(spark, sink)  # recover_publish heals first
+    spark.catalog.refreshByPath(sink)
+    healed = {
+        (r["win_start"], r["key"]): r["n_rows"]
+        for r in w.read_sketch_rollup(spark, sink).collect()
+    }
+    assert healed == truth
+    assert not os.path.exists(f"{sink}_tmp")
