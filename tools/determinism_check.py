@@ -22,17 +22,19 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from check_oracle import canon  # noqa: E402  (tools/ sibling import)
 
 
-def _run_all(shuffle_partitions: int, sf_dir: str, only):
+def _run_all(shuffle_partitions: int, sf_dir: str, only, extra_conf=None):
     from pyspark.sql import SparkSession
 
-    spark = (
+    b = (
         SparkSession.builder.master("local[16]")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .appName(f"ets-determinism-{shuffle_partitions}")
-        .getOrCreate()
     )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
     import __spark_entry__ as entrymod
 
     # fresh per-session registry state: _STATES keys on id(spark), and a
@@ -54,8 +56,16 @@ def _run_all(shuffle_partitions: int, sf_dir: str, only):
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
-    a = _run_all(5, sf_dir, only)   # odd low count: maximally different merge order
-    b = _run_all(32, sf_dir, only)  # the bench/test default
+    axis = os.environ.get("ETS_DETERMINISM_AXIS", "partitions")
+    if axis == "aqe":
+        # second axis (same class): AQE rewrites physical plans at
+        # runtime — coalesced shuffle reads, skew splits — so an
+        # AQE-sensitive result is the same latent driver-gate red
+        a = _run_all(32, sf_dir, only, {"spark.sql.adaptive.enabled": "false"})
+        b = _run_all(32, sf_dir, only, {"spark.sql.adaptive.enabled": "true"})
+    else:
+        a = _run_all(5, sf_dir, only)   # odd low count: maximally different merge order
+        b = _run_all(32, sf_dir, only)  # the bench/test default
     diffs, errs = [], []
     for name in a:
         ra, rb = a[name], b.get(name)
@@ -73,7 +83,7 @@ def main():
     for name, msg in diffs:
         print(f"DIFF {name}: {msg}")
     n = len(a)
-    print(f"\n{n - len(diffs) - len(errs)}/{n} partition-count invariant; "
+    print(f"\n{n - len(diffs) - len(errs)}/{n} {axis}-invariant; "
           f"{len(diffs)} diffs, {len(errs)} errors")
     sys.exit(1 if diffs else 0)
 
