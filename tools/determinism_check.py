@@ -63,6 +63,12 @@ def main():
         # AQE-sensitive result is the same latent driver-gate red
         a = _run_all(32, sf_dir, only, {"spark.sql.adaptive.enabled": "false"})
         b = _run_all(32, sf_dir, only, {"spark.sql.adaptive.enabled": "true"})
+    elif axis == "splits":
+        # third axis: input-split sizing moves MAP-side partial-combine
+        # order (file → many splits), the lever shuffle-partition and
+        # AQE variation leave untouched
+        a = _run_all(32, sf_dir, only, {"spark.sql.files.maxPartitionBytes": "65536"})
+        b = _run_all(32, sf_dir, only)
     else:
         a = _run_all(5, sf_dir, only)   # odd low count: maximally different merge order
         b = _run_all(32, sf_dir, only)  # the bench/test default
