@@ -40,7 +40,73 @@ COMPOSITE = {
         "exchange carries DISTINCT-support rows, not events; the operator "
         "docstring names the grid-quantize path for unbounded supports"
     ),
+    # --- r13: rows surfaced by the exchange-counter fix (the old
+    # subtraction under-counted every broadcasting plan); each re-reviewed
+    # against its implementation, not waved through
+    "lsh_gate": (
+        "composite: probe signatures -> band-hash bucket join vs the "
+        "persisted index -> exact-Jaccard verify -> winner election; every "
+        "exchange after the index read is PROBE-batch-bounded (the corpus "
+        "enters only through the pre-built bands), and the 4 broadcasts "
+        "are candidate/fence joins (r12 judge plan audit)"
+    ),
+    "scd2_merge_incremental": (
+        "composite: affected-key history slice + batch union + re-interval "
+        "window + validate; exchanges carry BATCH- and affected-key-bounded "
+        "rows, never the full history twice"
+    ),
+    "heaps_vocab_growth": (
+        "composite: one corpus-sized shingle-distinct exchange (the "
+        "operator's single unavoidable big shuffle), then 50-bucket-bounded "
+        "curve/slope stages; the BNLJ is the documented 1-row scalar "
+        "broadcast"
+    ),
+    "psi_value_drift": (
+        "composite: two segment aggregations (map-side combined) + pooled-"
+        "range scalar broadcast + fixed-10-bin join; every post-aggregate "
+        "exchange is n_bins-bounded at any scale"
+    ),
+    "item_cf_cosine": (
+        "composite: (user,item) interaction counts -> item norms -> "
+        "shared-user pair join -> pair aggregation; exchanges are keyed on "
+        "the sparse interaction support / item pairs, the matrix is never "
+        "materialized, no stage re-scans the fact table"
+    ),
+    "js_divergence_by_source": (
+        "composite: per-source and global unigram aggregates (map-side "
+        "combined) joined TERM-keyed, then per-source sum; every exchange "
+        "after tokenization carries vocabulary-bounded rows"
+    ),
+    "paragraph_dedup": (
+        "composite: ~3 of the exchanges belong to the TEST FIXTURE (the "
+        "query synthesizes its multi-paragraph corpus with a join+groupBy); "
+        "the operator itself is posexplode -> span-hash winner election -> "
+        "semi-join -> reassemble, all paragraph-keyed"
+    ),
+    "edit_distance_join": (
+        "composite: q-gram explode -> gram-keyed candidate join -> "
+        "Levenshtein verify; exchanges carry gram-bucket candidate pairs "
+        "(cost proportional to shared-gram pairs, not n^2); the BNLJ flag "
+        "stays — it is the documented bounded exact-oracle twin of the "
+        "scale path"
+    ),
+    "funnel_stages": (
+        "composite: n user-keyed min-aggregation passes (map-side combined, "
+        "one timestamp of state per group per pass) + user-keyed spine "
+        "joins — the MEASURED winner shape (tools/ab_funnel.py); no "
+        "exchange carries raw events past its pass aggregation"
+    ),
 }
+
+def count_shuffle_exchanges(plan: str) -> int:
+    """Shuffle exchanges in an executed-plan string. ``\\bExchange\\b``
+    already fails to match inside ``BroadcastExchange`` (no word boundary
+    between ``t`` and ``E``), so no broadcast subtraction is needed — the
+    old ``- count(BroadcastExchange)`` double-discounted and drove counts
+    NEGATIVE on any plan with broadcasts, and could mask a genuinely
+    shuffle-heavy query from the ``exchanges>4`` flag (r12 verdict #3)."""
+    return len(re.findall(r"\bExchange\b", plan))
+
 
 # 1-row scalar broadcasts (corpus max-ts / global stats) compile to a
 # BroadcastNestedLoopJoin by construction — benign, the standard
@@ -74,9 +140,7 @@ def main():
         except Exception as exc:  # audit must list, not die
             rows.append((name, "-", "-", "-", f"ERROR {type(exc).__name__}"))
             continue
-        n_exch = len(re.findall(r"\bExchange\b", plan)) - len(
-            re.findall(r"BroadcastExchange", plan)
-        )
+        n_exch = count_shuffle_exchanges(plan)
         n_bcast = len(re.findall(r"BroadcastHashJoin|BroadcastNestedLoopJoin", plan))
         cartesian = "CartesianProduct" in plan
         pushed = "PushedFilters: \[" in plan and not re.search(
