@@ -81,8 +81,19 @@ def build_ann_index(
         .partitionBy("cluster")
         .parquet(f"{idx_dir}/vectors.staging")
     )
-    fsio.publish_dir(spark, f"{idx_dir}/centroids.staging", f"{idx_dir}/centroids")
-    fsio.publish_dir(spark, f"{idx_dir}/vectors.staging", f"{idx_dir}/vectors")
+    # paired publish (r12 advisor): one shared epoch stamped into both
+    # staged dirs before the renames — a crash BETWEEN the two publishes
+    # used to leave new centroids probing old cluster assignments,
+    # silently skewing results until the next full rebuild; now readers
+    # cross-check the epochs (require_pair_published) and recover_pair
+    # finishes the interrupted half from its staged sibling
+    fsio.publish_pair(
+        spark,
+        [
+            (f"{idx_dir}/centroids.staging", f"{idx_dir}/centroids"),
+            (f"{idx_dir}/vectors.staging", f"{idx_dir}/vectors"),
+        ],
+    )
     desc = catalog.make_descriptor(
         source_path=table_path,
         column=vec_column,
@@ -110,6 +121,9 @@ class AnnIndex:
         if self.desc is None:
             raise FileNotFoundError(f"no IVF index at {self.idx_dir}; build_ann_index first")
         self._centroids = None
+
+    def _pair_dirs(self):
+        return [f"{self.idx_dir}/centroids", f"{self.idx_dir}/vectors"]
 
     def centroids(self) -> List[List[float]]:
         if self._centroids is None:
@@ -139,7 +153,10 @@ class AnnIndex:
             return sum(a * b for a, b in zip(q, c)) / (qn * cn)
 
         probes = sorted(range(len(cents)), key=lambda i: -cos(cents[i]))[:nprobe]
-        fsio.require_published(self.spark, f"{self.idx_dir}/vectors")
+        # pair gate: vectors must carry the SAME epoch as the centroids
+        # that just chose the probes — mixing generations is the silent-
+        # skew state the epoch markers exist to catch (r12 advisor)
+        fsio.require_pair_published(self.spark, self._pair_dirs())
         vecs = self.spark.read.parquet(f"{self.idx_dir}/vectors").where(
             F.col("cluster").isin(probes)
         )
@@ -176,7 +193,7 @@ class AnnIndex:
         probed_clusters = [
             r["cluster"] for r in q_probed.select("cluster").distinct().collect()
         ]
-        fsio.require_published(self.spark, f"{self.idx_dir}/vectors")
+        fsio.require_pair_published(self.spark, self._pair_dirs())
         vecs = (
             self.spark.read.parquet(f"{self.idx_dir}/vectors")
             .where(F.col("cluster").isin(probed_clusters))

@@ -277,7 +277,11 @@ def build_block_index(
     the table; it must be a file-source read of ``table_path``.
     """
     idx_dir = catalog.index_dir(index_root, table_path, column, kind="block")
-    if not overwrite and catalog.read_descriptor(spark, idx_dir) is not None:
+    # one descriptor read, reused after the self-heal (r12 advisor: the
+    # recovered postings dir cannot change the descriptor, so a re-read
+    # is a redundant driver-side metadata round trip per ensure call)
+    desc = None if overwrite else catalog.read_descriptor(spark, idx_dir)
+    if desc is not None:
         # Self-heal a publish crashed between delete and rename (r12):
         # the descriptor survives while the postings dir is absent and
         # its complete .staging sibling sits next to it — without this,
@@ -287,7 +291,6 @@ def build_block_index(
         fsio.recover_publish(
             spark, f"{idx_dir}/postings.staging", f"{idx_dir}/postings"
         )
-        desc = catalog.read_descriptor(spark, idx_dir)
         return BuildResult(idx_dir, column, len(desc.files), -1)
 
     # List the source BEFORE the scan (r11 review): a file landing

@@ -333,8 +333,16 @@ def build_text_index(
         out.coalesce(max(1, num_buckets // 4)).write.mode("overwrite").parquet(
             f"{idx_dir}/doclens.staging"
         )
-        fsio.publish_dir(spark, f"{idx_dir}/postings.staging", f"{idx_dir}/postings")
-        fsio.publish_dir(spark, f"{idx_dir}/doclens.staging", f"{idx_dir}/doclens")
+        # one shared pair epoch across both renames (r12 advisor): a
+        # crash between them left new postings with OLD BM25 norms
+        # undetected; readers of the pair now cross-check the markers
+        fsio.publish_pair(
+            spark,
+            [
+                (f"{idx_dir}/postings.staging", f"{idx_dir}/postings"),
+                (f"{idx_dir}/doclens.staging", f"{idx_dir}/doclens"),
+            ],
+        )
 
     # Pin the postings once for the whole span (both writes are
     # mode("overwrite"), so the span is retry-idempotent); the shared
@@ -689,7 +697,14 @@ class TextIndex:
         return self.spark.read.parquet(f"{self.idx_dir}/postings")
 
     def doclens(self) -> DataFrame:
-        fsio.require_published(self.spark, f"{self.idx_dir}/doclens")
+        # every doclens consumer (BM25 norms, more_like_this) pairs them
+        # with postings from the SAME build/refresh generation — the
+        # epoch cross-check turns the crashed-between-renames state from
+        # silently-skewed scores into a named, recoverable error
+        fsio.require_pair_published(
+            self.spark,
+            [f"{self.idx_dir}/postings", f"{self.idx_dir}/doclens"],
+        )
         return self.spark.read.parquet(f"{self.idx_dir}/doclens")
 
     def matches(self, query: Union[str, object], scoring: str = "tf") -> DataFrame:

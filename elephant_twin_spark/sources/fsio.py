@@ -184,6 +184,168 @@ def require_published(spark: SparkSession, final_dir: str) -> None:
             )
 
 
+# ---------------------------------------------------------------- pair epochs
+#
+# Some indexes publish TWO data dirs that are only correct TOGETHER:
+# IVF centroids + cluster-partitioned vectors (probing new centroids
+# against old assignments silently skews ANN results), text postings +
+# doclens (new postings with old BM25 norms). publish_dir is per-dir,
+# so a crash between the two renames leaves both dirs PRESENT but
+# mismatched — the one state require_published cannot see (r12 advisor,
+# medium). Each staged dir is therefore stamped with a shared epoch
+# token BEFORE its publish; the rename carries the marker atomically
+# with the data, readers cross-check the live markers, and
+# recover_pair can finish an interrupted pair publish because the
+# surviving staged sibling carries the epoch that names its partner.
+# Markers are `_`-prefixed files, invisible to parquet readers and
+# partition discovery (same class as _SUCCESS). Indexes built before
+# the marker existed have none on either dir — consistent by absence;
+# EXACTLY ONE marker present can only arise from a crashed
+# first-stamped publish and is treated as a mismatch.
+
+PAIR_EPOCH_NAME = "_pair_epoch"
+
+
+def _pair_epoch_path(dir_path: str) -> str:
+    return dir_path.rstrip("/") + "/" + PAIR_EPOCH_NAME
+
+
+def read_pair_epoch(spark: SparkSession, dir_path: str):
+    """Epoch token of a published/staged dir, or None (pre-marker)."""
+    p = _pair_epoch_path(dir_path)
+    if not exists(spark, p):
+        return None
+    return read_text(spark, p).strip()
+
+
+def stamp_pair_epoch(spark: SparkSession, dir_path: str, epoch: str) -> None:
+    write_text(spark, _pair_epoch_path(dir_path), epoch)
+
+
+def publish_pair(spark: SparkSession, pairs, epoch: str = None) -> str:
+    """Stamp every staged dir with one shared epoch, then publish them
+    back-to-back. ``pairs`` is a sequence of ``(staged_dir, final_dir)``.
+    Returns the epoch. The window between the renames still exists —
+    but a crash inside it is now DETECTED by ``require_pair_published``
+    and HEALED by ``recover_pair`` instead of silently serving a
+    mismatched pair until the next full rebuild."""
+    if epoch is None:
+        import uuid
+
+        epoch = uuid.uuid4().hex
+    for tmp_dir, _ in pairs:
+        stamp_pair_epoch(spark, tmp_dir, epoch)
+    for tmp_dir, final_dir in pairs:
+        publish_dir(spark, tmp_dir, final_dir)
+    return epoch
+
+
+def _staged_siblings(final_dir: str):
+    # both house staging conventions: `_tmp` (refreshers), `.staging`
+    # (full builders)
+    base = final_dir.rstrip("/")
+    return (base + "_tmp", base + ".staging")
+
+
+def pair_mismatch(spark: SparkSession, final_dirs) -> bool:
+    """True when the live dirs' epoch markers disagree (or exactly one
+    half carries a marker — the crashed-upgrade state)."""
+    epochs = [read_pair_epoch(spark, d) for d in final_dirs if exists(spark, d)]
+    present = [e for e in epochs if e is not None]
+    if not present:
+        return False
+    return len(present) != len(epochs) or len(set(present)) > 1
+
+
+def recover_pair(spark: SparkSession, final_dirs) -> bool:
+    """Heal a pair publish interrupted between its renames. Steps:
+
+    1. finish any half whose final dir is missing but a staged sibling
+       survives (the mid-rename crash ``recover_publish`` also heals);
+    2. if the live epochs mismatch, publish the staged sibling whose
+       epoch matches another live dir's epoch — the surviving half of
+       the interrupted pair — until consistent (raises if no staged
+       data can reach consistency: only a rebuild can);
+    3. once consistent, delete leftover staged siblings (aborted
+       pre-publish runs, same cleanup contract as ``recover_publish``).
+
+    Returns True iff any rename was performed. NEVER deletes a staged
+    dir while the pair is inconsistent — that staged dir may be the
+    only copy of the missing half (the reason paired indexes must call
+    this instead of per-dir ``recover_publish``)."""
+    healed = False
+    # 1: complete missing finals
+    for final in final_dirs:
+        if exists(spark, final):
+            continue
+        for tmp in _staged_siblings(final):
+            if exists(spark, tmp):
+                publish_dir(spark, tmp, final)
+                healed = True
+                break
+    # 2: resolve epoch mismatch via surviving staged halves
+    if pair_mismatch(spark, final_dirs):
+        live = {d: read_pair_epoch(spark, d) for d in final_dirs}
+        staged = {}
+        for final in final_dirs:
+            for tmp in _staged_siblings(final):
+                if exists(spark, tmp):
+                    staged[final] = (tmp, read_pair_epoch(spark, tmp))
+                    break
+        # target epoch: reachable by every dir (live==T or staged==T),
+        # preferring one that requires publishing staged data (the
+        # interrupted NEW generation)
+        candidates = {e for e in live.values() if e is not None} | {
+            e for _, e in staged.values() if e is not None
+        }
+        target = None
+        for t in sorted(candidates):
+            ok = all(
+                live[d] == t or (d in staged and staged[d][1] == t)
+                for d in final_dirs
+            )
+            if ok and (
+                target is None
+                or any(live[d] != t for d in final_dirs)  # needs a publish
+            ):
+                target = t
+        if target is None:
+            raise OSError(
+                f"recover_pair: dirs {list(final_dirs)} have mismatched "
+                "pair epochs and no staged sibling can complete the pair "
+                "— rebuild the index"
+            )
+        for final in final_dirs:
+            if live[final] != target:
+                tmp, _ = staged[final]
+                publish_dir(spark, tmp, final)
+                healed = True
+    # 3: consistent — clean aborted-run staging leftovers
+    for final in final_dirs:
+        for tmp in _staged_siblings(final):
+            if exists(spark, tmp):
+                delete(spark, tmp)
+    return healed
+
+
+def require_pair_published(spark: SparkSession, final_dirs) -> None:
+    """Reader-side gate for paired indexes: every dir published (the
+    ``require_published`` diagnosis) AND the pair epochs consistent.
+    Raises instead of letting a query silently mix generations — e.g.
+    BM25 over new postings with old doclens, or nprobe over new
+    centroids with old cluster assignments."""
+    for d in final_dirs:
+        require_published(spark, d)
+    if pair_mismatch(spark, final_dirs):
+        raise RuntimeError(
+            f"paired index dirs {list(final_dirs)} carry MISMATCHED pair "
+            "epochs: a paired publish is in flight or crashed between its "
+            "renames, and querying would mix index generations. Re-run "
+            "the build/refresh, or call fsio.recover_pair(spark, "
+            f"{list(final_dirs)!r}) to finish the interrupted publish."
+        )
+
+
 def write_text(spark: SparkSession, path: str, text: str) -> None:
     """Write-then-rename, never in place: descriptors and markers are
     read by every later query, and an in-place create truncates the old

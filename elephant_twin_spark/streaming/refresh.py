@@ -234,7 +234,12 @@ def refresh_text_index(
 
     data_dir = f"{idx_dir}/postings"
     tmp_dir = f"{idx_dir}/postings_tmp"
-    fsio.recover_publish(spark, tmp_dir, data_dir)
+    lens_dir = f"{idx_dir}/doclens"
+    lens_tmp = f"{idx_dir}/doclens_tmp"
+    # pair-aware recovery (r12 advisor): per-dir recover_publish would
+    # DELETE a doclens_tmp that is the only copy of the missing half of
+    # an interrupted paired publish; recover_pair heals that state first
+    fsio.recover_pair(spark, [data_dir, lens_dir])
     old = spark.read.parquet(data_dir)
     kept = old.where(~F.col("file").isin(list(set(new_or_changed) | set(removed))))
     merged = kept
@@ -253,15 +258,14 @@ def refresh_text_index(
         merged, desc.num_buckets, "term", ("term", "doc_id"), tmp_dir,
         bloom_col="term",
     )
-    fsio.publish_dir(spark, tmp_dir, data_dir)
 
     # doclens (BM25 length + lnc cosine norms) maintained with the same
     # kept/delta split — norms are per-doc-only by design, so other
     # files' rows stay valid; corpus stats (n_docs, avgdl) re-derive from
-    # the merged table, keeping BM25/more_like_this idf honest
-    lens_dir = f"{idx_dir}/doclens"
-    lens_tmp = f"{idx_dir}/doclens_tmp"
-    fsio.recover_publish(spark, lens_tmp, lens_dir)
+    # the merged table, keeping BM25/more_like_this idf honest. BOTH
+    # staged writes complete before the paired publish below — the old
+    # postings-then-doclens ordering served new postings with old norms
+    # for the whole doclens compute (r12 advisor)
     old_lens = spark.read.parquet(lens_dir)
     kept_lens = old_lens.where(
         ~F.col("file").isin(list(set(new_or_changed) | set(removed)))
@@ -278,7 +282,9 @@ def refresh_text_index(
     merged_lens.coalesce(max(1, desc.num_buckets // 4)).write.mode(
         "overwrite"
     ).parquet(lens_tmp)
-    fsio.publish_dir(spark, lens_tmp, lens_dir)
+    fsio.publish_pair(
+        spark, [(tmp_dir, data_dir), (lens_tmp, lens_dir)]
+    )
     stats = spark.read.parquet(lens_dir).agg(
         F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
     ).first()
@@ -549,16 +555,20 @@ def refresh_ann_index(
     if not new_or_changed and not removed:
         return {"mode": "noop", "files_indexed": 0}
 
+    data_dir = f"{idx_dir}/vectors"
+    tmp_dir = f"{idx_dir}/vectors_tmp"
+    cent_dir = f"{idx_dir}/centroids"
+    # pair-aware recovery BEFORE the centroid collect (see
+    # refresh_text_index) — healing after it could assign the delta
+    # against centroids a recovery just replaced
+    fsio.recover_pair(spark, [cent_dir, data_dir])
     centroids = [
         list(r["centroid"])
         for r in sorted(
-            spark.read.parquet(f"{idx_dir}/centroids").collect(),
+            spark.read.parquet(cent_dir).collect(),
             key=lambda r: r["cluster"],
         )
     ]
-    data_dir = f"{idx_dir}/vectors"
-    tmp_dir = f"{idx_dir}/vectors_tmp"
-    fsio.recover_publish(spark, tmp_dir, data_dir)
     kept = spark.read.parquet(data_dir).where(
         ~F.col("file").isin(list(set(new_or_changed) | set(removed)))
     )
@@ -580,6 +590,13 @@ def refresh_ann_index(
         .partitionBy("cluster")
         .parquet(tmp_dir)
     )
+    # the refresh assigns against the EXISTING centroids, so the
+    # refreshed vectors stay in that generation: carry the centroids'
+    # pair epoch into the staged dir (the rename would otherwise drop
+    # the marker and read as a crashed-upgrade mismatch)
+    epoch = fsio.read_pair_epoch(spark, cent_dir)
+    if epoch is not None:
+        fsio.stamp_pair_epoch(spark, tmp_dir, epoch)
     fsio.publish_dir(spark, tmp_dir, data_dir)
 
     new_desc = catalog.make_descriptor(

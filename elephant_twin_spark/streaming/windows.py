@@ -347,6 +347,11 @@ def compact_sketch_rollup(spark: SparkSession, sink_path: str) -> int:
 
     tmp = sink_path.rstrip("/") + "_tmp"
     fsio.recover_publish(spark, tmp, sink_path)
+    # one-time legacy probe (r12 advisor): a publish that crashed under
+    # the pre-r12 staging name leaves the sink absent with data stranded
+    # at <sink>_compact_tmp — a state neither require_published nor the
+    # `_tmp` recovery above can see after the rename of the convention
+    fsio.recover_publish(spark, sink_path.rstrip("/") + "_compact_tmp", sink_path)
     compacted = (
         spark.read.parquet(sink_path)
         .groupBy("win_start", "win_end", "key")

@@ -91,7 +91,11 @@ def main():
     n = len(a)
     print(f"\n{n - len(diffs) - len(errs)}/{n} {axis}-invariant; "
           f"{len(diffs)} diffs, {len(errs)} errors")
-    sys.exit(1 if diffs else 0)
+    # exit 2 on error-only runs (r12 advisor): an ERROR skips the
+    # invariance comparison entirely, so exiting 0 would let a run where
+    # queries crashed read as green in automation despite having
+    # verified nothing for them
+    sys.exit(1 if diffs else (2 if errs else 0))
 
 
 if __name__ == "__main__":
