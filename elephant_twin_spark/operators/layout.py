@@ -74,9 +74,20 @@ def compact_table(
     table ingested in many micro-batches needs periodic compaction).
     With ``cluster_cols`` the rewrite also range-clusters (see
     :func:`cluster_table`), folding two maintenance passes into one
-    shuffle. Returns the output file count."""
+    shuffle. Returns the output file count.
+
+    Staged write + publish (r12 verdict #7): re-layout of a BASE table
+    is exactly the read-while-rewrite case the index builders closed —
+    an in-place ``mode("overwrite")`` of a live ``dst`` hands a
+    concurrent reader partial data with no failure for the whole write.
+    Staging shrinks the reader-visible window to the two publish
+    metadata ops (absent dir = loud error, see
+    :func:`fsio.publish_dir`), and makes ``src == dst`` in-place
+    re-layout safe. A crashed publish self-heals on the next call."""
     from elephant_twin_spark.sources import fsio
 
+    staging = dst_path.rstrip("/") + ".staging"
+    fsio.recover_publish(spark, staging, dst_path)
     total = sum(size for _, size, _ in fsio.list_data_files(spark, src_path))
     n = max(1, -(-total // (target_file_mb * 1024 * 1024)))
     df = spark.read.parquet(src_path)
@@ -86,7 +97,8 @@ def compact_table(
         )
     else:
         out = df.repartition(n)
-    out.write.mode("overwrite").parquet(dst_path)
+    out.write.mode("overwrite").parquet(staging)
+    fsio.publish_dir(spark, staging, dst_path)
     return int(n)
 
 
@@ -101,12 +113,21 @@ def cluster_table(
     """Rewrite ``src`` at ``dst`` range-partitioned by ``cluster_cols``
     (each output file covers a contiguous key range → parquet footer
     min/max prune whole files) and sorted within files (→ row-group stats
-    prune within files)."""
+    prune within files).
+
+    Staged write + publish — see :func:`compact_table` (the same
+    read-while-rewrite contract; also makes in-place ``src == dst``
+    re-clustering safe)."""
+    from elephant_twin_spark.sources import fsio
+
+    staging = dst_path.rstrip("/") + ".staging"
+    fsio.recover_publish(spark, staging, dst_path)
     df = spark.read.parquet(src_path)
     out = df.repartitionByRange(num_files, *[F.col(c) for c in cluster_cols])
     if sort_within:
         out = out.sortWithinPartitions(*cluster_cols)
-    out.write.mode("overwrite").parquet(dst_path)
+    out.write.mode("overwrite").parquet(staging)
+    fsio.publish_dir(spark, staging, dst_path)
     return dst_path
 
 
@@ -313,9 +334,18 @@ def zorder_table(
     into the Z-value; the rewrite range-partitions + sorts by it.
 
     ``bits * len(zorder_cols)`` must fit in 63 bits.
+
+    Staged write + publish — see :func:`compact_table` (the same
+    read-while-rewrite contract). The driver-side ``approxQuantile``
+    passes read ``src`` BEFORE the publish touches ``dst``, so
+    ``src == dst`` in-place re-ordering is safe too.
     """
+    from elephant_twin_spark.sources import fsio
+
     if bits * len(zorder_cols) > 63:
         raise ValueError("bits * len(zorder_cols) must be <= 63")
+    staging = dst_path.rstrip("/") + ".staging"
+    fsio.recover_publish(spark, staging, dst_path)
     df = spark.read.parquet(src_path)
     n_buckets = 1 << bits
     dtypes = dict(df.dtypes)
@@ -353,6 +383,7 @@ def zorder_table(
         .sortWithinPartitions("_z")
         .drop("_z")
         .write.mode("overwrite")
-        .parquet(dst_path)
+        .parquet(staging)
     )
+    fsio.publish_dir(spark, staging, dst_path)
     return dst_path
