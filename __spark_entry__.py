@@ -3064,74 +3064,64 @@ def _q_scd2_merge_incremental(spark, sf_dir):
 # streaming_windowed_rollup's permanent `no_oracle` row is evicted
 # (its evidence is the batch-twin test, COVERAGE.md).
 #
-# r12 window: TWO queries changed their hot path this round and are
-# pinned per the hygiene rule — embedding_near_dup (the LSH dimension
-# probe now reads non-null vectors only; a NULL vector in the first row
-# previously built zero-dim planes — bucket-0 collapse — or raised a
-# spurious mismatch against valid explicit planes; r11 advisor) and
-# date_partition_range (the partitioned read carries an explicit
-# schema after the empty-input sweep — same values, changed scan plan).
-# The remaining 48 slots CONTINUE the oldest-evidence rotation: the complete
-# pre-r6 evidence tail (9 r2-vintage from dormant_customers, 20 r3, 13
-# r4, 4 r5 — every hash-checkable registry query whose last driver
-# green predates r6), then the next-oldest cohort (r7: cms_error_stats,
-# time_decay_score; winsorized_stats spilled to the r13 window by the
-# date_partition_range pin) fills the tail slots. After r13's first
-# fill slot every registry query has post-r5 driver witness and the
-# standing policy in COVERAGE.md §evidence-rotation takes over.
-# (Correction for r11 audits: the r11 note here misdescribed
-# funnel_stages — the SHIPPED default is prefilter=False, the re-scan
-# shape the tools/ab_funnel.py A/B measured as the winner; the pinned
-# later-stage frame runs only behind prefilter=True.)
+# r13 window: THREE queries gained a changed read hot path this round
+# and are pinned per the hygiene rule — the paired-publish epoch gate
+# (fsio.require_pair_published, r12 advisor medium) now runs inside
+# AnnIndex.topk (ann_persisted_top10) and TextIndex.doclens
+# (text_bm25_top, text_more_like_this): same values on a healthy
+# index, but every call crosses new driver-side metadata checks, so
+# the driver should re-witness them. The remaining 47 slots CONTINUE
+# the oldest-evidence rotation per COVERAGE.md §evidence-rotation:
+# winsorized_stats (r7 — the slot the r12 pin displaced),
+# index_advisor (r8), then the r9-vintage cohort in its
+# CORRECTNESS_r09 order (46 queries; the last, salted_join_revenue,
+# spills to r14 by the third pin). After this window the oldest
+# evidence anywhere is r9 (one query) and the r10 cohort is next due.
 # _ROTATION_ROUND pins WHICH rounds' evidence the rotation was computed
 # from (everything before it): the hygiene test must ignore evidence
 # from this round onward, else the round's own driver run — which
 # freshens exactly the window entries — would flag the unchanged
 # registry as stale-ordered (r10 review finding). Bump both together
 # when rotating.
-_ROTATION_ROUND = 12
+_ROTATION_ROUND = 13
 # Queries PINNED into the window this round because their semantics,
 # oracle, or implementation hot path changed (hygiene rule) — exempt
 # from the oldest-evidence ordering check, which otherwise flags any
 # recently-verified query occupying a slot while older ones wait.
 _ROTATION_PINS = [
-    # r12: NULL-safe LSH dimension probe (hot path of the bucketing)
-    "embedding_near_dup",
-    # r12 empty-input sweep: the partitioned read now carries an
-    # EXPLICIT schema (no footer inference) — values identical on any
-    # non-empty input, but the scan plan changed, so the hygiene rule
-    # applies. Displaces winsorized_stats (r7-vintage next-oldest
-    # fill) to the r13 window.
-    "date_partition_range",
+    # r13 pair-epoch gate in the persisted-ANN read path
+    "ann_persisted_top10",
+    # r13 pair-epoch gate in the doclens (BM25 norms / lnc) read path
+    "text_bm25_top",
+    "text_more_like_this",
 ]
-_ROTATION_R12 = [
+_ROTATION_R13 = [
     # hygiene-rule pins (changed this round; see _ROTATION_PINS)
-    "embedding_near_dup",
-    "date_partition_range",
-    # r2-vintage evidence (oldest remaining cohort, registry order)
-    "dormant_customers", "unpivot_order_measures",
-    "salted_distinct_users", "semi_join_customers", "anti_join_customers",
-    "window_top_orders", "running_revenue", "cube_orders",
-    "group_percentiles",
-    # r3-vintage evidence, registry order
-    "market_share", "top_bigrams", "exact_substring_dups",
-    "repeated_ngram_coverage", "cdc_chunks", "gopher_quality_flags",
-    "perplexity_buckets", "ann_range_search", "kmeans_assign",
-    "lsh_bucket_stats", "dup_rate_by_source", "keep_best_per_group",
-    "corr_stats", "token_len_histogram", "bucket_skew_stats",
-    "tfidf_top_terms", "pack_efficiency", "consecutive_dedup",
-    "minhash_jaccard_error", "semantic_dedup",
-    # r4-vintage evidence, registry order
-    "table_profile", "pivot_user_events", "json_props_stats",
-    "sessionize", "error_window_counts", "quality_top_fraction",
-    "domain_cap", "media_features", "winnowing_md5", "idx_count_only",
-    "zone_min_max", "text_retrieve", "lsh_gate",
-    # r5-vintage evidence (last of the pre-r6 tail)
-    "kmv_distinct_users", "cluster_refresh", "session_duration_stats",
-    "oov_stats",
-    # next-oldest fill (r7-vintage, registry order; winsorized_stats
-    # spilled to r13 by the date_partition_range pin)
-    "cms_error_stats", "time_decay_score",
+    "ann_persisted_top10",
+    "text_bm25_top",
+    "text_more_like_this",
+    # r7-vintage (displaced from the r12 window by its second pin)
+    "winsorized_stats",
+    # r8-vintage
+    "index_advisor",
+    # r9-vintage cohort, CORRECTNESS_r09 order (salted_join_revenue
+    # spills to r14 — the window is exactly 50)
+    "gap_to_prev", "scd2_merge_incremental", "ann_ivf_pq_top10",
+    "idx_predicate_string", "idx_predicate_serde", "day_interval_render",
+    "source_overlap", "lsh_plan", "heaps_vocab_growth",
+    "minhash_near_dup_pairs", "ks_value_drift", "zipf_slope",
+    "mi_event_hour", "wow_revenue_change", "psi_value_drift",
+    "ann_recall_stats", "scd2_user_state", "event_transitions",
+    "item_cf_cosine", "sq8_error_stats", "bucketed_join_agg",
+    "epoch_shuffle", "zorder_box_scan", "covisit_triangles",
+    "novelty_score", "forward_fill_values", "scd2_point_in_time",
+    "bigram_logprob", "js_divergence_by_source", "tokenizer_fertility",
+    "code_score", "bloom_decontaminate_screen", "kfold_assign",
+    "paragraph_dedup", "cms_heavy_hitters", "sentence_stats",
+    "quantile_normalize", "truncate_tokens", "label_centroids",
+    "curriculum_interleave", "sliding_distinct_users",
+    "rolling_avg_value", "error_rate_anomaly", "rrf_fusion",
+    "rfm_segments",
 ]
 
 
@@ -3364,7 +3354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_report": _q_decontaminate_report,
         "pii_scrub": _q_pii_scrub,
     }
-    out = {name: cat.pop(name) for name in _ROTATION_R12}  # KeyError = typo, loud
+    out = {name: cat.pop(name) for name in _ROTATION_R13}  # KeyError = typo, loud
     out.update(cat)
     return out
 
