@@ -150,6 +150,12 @@ def main():
             docs, "lang", _mix_w, "doc_id"
         ).count(),
         "q_simhash": lambda i: dedup.simhash64(docs, "text", "doc_id").count(),
+        # r12 bench watch item: untouched implementation read 1.53x on
+        # the shared riser — same frame + body as bench.py's key
+        "q_source_overlap": lambda i: dedup.source_overlap_matrix(
+            docs.select(F.substring("text", 1, 40).alias("head"), "source"),
+            "head", "source",
+        ).count(),
         "q_dedup_exact": lambda i: dedup.exact_dup_groups(docs, "text", "doc_id").count(),
         "q_near_dup_clusters": lambda i: _consume_near_dup(),
         "q_near_dup_clusters_star": lambda i: _consume_near_dup("star"),
