@@ -125,6 +125,17 @@ class AnnIndex:
     def _pair_dirs(self):
         return [f"{self.idx_dir}/centroids", f"{self.idx_dir}/vectors"]
 
+    def _ensure_pair(self) -> None:
+        """Pair-epoch gate, checked ONCE per handle: the handle already
+        snapshots the descriptor (and caches centroids), so re-probing
+        the markers on every call would spend ~6 driver-side FS
+        metadata RPCs per search for a state the handle's other cached
+        reads could not react to anyway. A new handle (the way every
+        caller reacts to refresh/rebuild) re-checks."""
+        if not getattr(self, "_pair_ok", False):
+            fsio.require_pair_published(self.spark, self._pair_dirs())
+            self._pair_ok = True
+
     def centroids(self) -> List[List[float]]:
         if self._centroids is None:
             rows = self.spark.read.parquet(f"{self.idx_dir}/centroids").collect()
@@ -156,7 +167,7 @@ class AnnIndex:
         # pair gate: vectors must carry the SAME epoch as the centroids
         # that just chose the probes — mixing generations is the silent-
         # skew state the epoch markers exist to catch (r12 advisor)
-        fsio.require_pair_published(self.spark, self._pair_dirs())
+        self._ensure_pair()
         vecs = self.spark.read.parquet(f"{self.idx_dir}/vectors").where(
             F.col("cluster").isin(probes)
         )
@@ -193,7 +204,7 @@ class AnnIndex:
         probed_clusters = [
             r["cluster"] for r in q_probed.select("cluster").distinct().collect()
         ]
-        fsio.require_pair_published(self.spark, self._pair_dirs())
+        self._ensure_pair()
         vecs = (
             self.spark.read.parquet(f"{self.idx_dir}/vectors")
             .where(F.col("cluster").isin(probed_clusters))

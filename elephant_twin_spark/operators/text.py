@@ -700,11 +700,16 @@ class TextIndex:
         # every doclens consumer (BM25 norms, more_like_this) pairs them
         # with postings from the SAME build/refresh generation — the
         # epoch cross-check turns the crashed-between-renames state from
-        # silently-skewed scores into a named, recoverable error
-        fsio.require_pair_published(
-            self.spark,
-            [f"{self.idx_dir}/postings", f"{self.idx_dir}/doclens"],
-        )
+        # silently-skewed scores into a named, recoverable error.
+        # Checked ONCE per handle (the handle already snapshots the
+        # descriptor; a new handle — the way callers react to a
+        # rebuild — re-checks; see AnnIndex._ensure_pair)
+        if not getattr(self, "_pair_ok", False):
+            fsio.require_pair_published(
+                self.spark,
+                [f"{self.idx_dir}/postings", f"{self.idx_dir}/doclens"],
+            )
+            self._pair_ok = True
         return self.spark.read.parquet(f"{self.idx_dir}/doclens")
 
     def matches(self, query: Union[str, object], scoring: str = "tf") -> DataFrame:

@@ -176,11 +176,13 @@ def test_premarker_pair_passes_the_gate(spark, workdir):
     assert len(ai.topk(qvec, k=3, nprobe=4).collect()) == 3
 
     # crashed upgrade: the first marker-stamped rebuild published only
-    # centroids before dying
+    # centroids before dying. Probe through a FRESH handle — the pair
+    # gate is checked once per handle (like the descriptor snapshot),
+    # and a new handle is how every caller reacts to a rebuild
     fsio.stamp_pair_epoch(spark, pair[0], "deadbeef")
     assert fsio.pair_mismatch(spark, pair)
     with pytest.raises(RuntimeError, match="recover_pair"):
-        ai.topk(qvec, k=3, nprobe=4).collect()
+        eng.ann_index(src, "embedding").topk(qvec, k=3, nprobe=4).collect()
     # no staged sibling can complete this pair — recovery refuses
     # loudly instead of guessing
     with pytest.raises(OSError, match="rebuild the index"):

@@ -55,6 +55,21 @@ def test_broadcast_only_plan_counts_zero_never_negative():
     assert count_shuffle_exchanges(PLAN_BROADCAST_ONLY) == 0
 
 
+def test_whitelists_name_real_registry_queries():
+    """A typo'd (or since-renamed) name in ITERATIVE / COMPOSITE /
+    SCALAR_BNLJ silently stops suppressing nothing — or keeps a
+    hand-written rationale attached to a query that no longer exists.
+    Every whitelisted name must be a declared registry query."""
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __spark_entry__ as entrymod
+    import scale_audit
+
+    declared = set(entrymod.queries())
+    for setname in ("ITERATIVE", "COMPOSITE", "SCALAR_BNLJ"):
+        stale = set(getattr(scale_audit, setname)) - declared
+        assert not stale, f"scale_audit.{setname} names unknown queries: {sorted(stale)}"
+
+
 def test_reused_exchange_counts_the_mention_sites():
     # ReusedExchange has no boundary before Exchange either; the line's
     # trailing "Exchange hashpartitioning" reference DOES match — the
