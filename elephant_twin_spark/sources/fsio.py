@@ -134,18 +134,54 @@ def publish_dir(spark: SparkSession, tmp_dir: str, final_dir: str) -> None:
         )
 
 
+def staging_committed(spark: SparkSession, tmp_dir: str) -> bool:
+    """Was the staged write COMMITTED? A staging dir can also be the
+    leftover of a build killed MID-WRITE (a rebuild after an earlier
+    crashed publish writes into the staging while the final dir is
+    already absent): it then holds ``_temporary`` task scratch and a
+    partial part-file set, and renaming it into place would serve
+    silently incomplete data (r13 review — the recovery paths assumed
+    "staging exists ⇒ staging complete"). The committer keeps
+    ``_temporary`` under the write's output root until job commit, so
+    its presence — at the staged root or in an immediate child (the
+    ``batch_run=`` partition-subdir layout) — is a reliable
+    uncommitted witness; an empty dir likewise. Cost: one listing of
+    the staged root, recovery-path only."""
+    fs, jpath, _ = _fs_and_path(spark, tmp_dir)
+    entries = list(fs.listStatus(jpath))
+    if not entries:
+        return False
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+    for st in entries:
+        name = st.getPath().getName()
+        if name == "_temporary":
+            return False
+        if st.isDirectory() and fs.exists(
+            jvm_path(f"{tmp_dir.rstrip('/')}/{name}/_temporary")
+        ):
+            return False
+    return True
+
+
 def recover_publish(spark: SparkSession, tmp_dir: str, final_dir: str) -> bool:
     """Complete a :func:`publish_dir` interrupted between delete and
     rename: when ``final_dir`` is missing but the fully-written staging
     dir survives, finish the rename. Returns True iff a recovery
     happened. A leftover ``tmp_dir`` NEXT TO a live ``final_dir`` is a
     crashed run's stale staging output (the write preceded the publish)
-    and is removed so the next staged write starts clean."""
+    and is removed so the next staged write starts clean — as is an
+    UNCOMMITTED staging next to a missing final (a write killed
+    mid-flight; renaming it would serve partial data, see
+    :func:`staging_committed`), which leaves the missing final to
+    surface as the loud rebuild-needed error instead."""
     fs, _, _ = _fs_and_path(spark, final_dir)
     jvm_path = spark._jvm.org.apache.hadoop.fs.Path
     if not fs.exists(jvm_path(tmp_dir)):
         return False
     if fs.exists(jvm_path(final_dir)):
+        delete(spark, tmp_dir)
+        return False
+    if not staging_committed(spark, tmp_dir):
         delete(spark, tmp_dir)
         return False
     if not fs.rename(jvm_path(tmp_dir), jvm_path(final_dir)):
@@ -174,13 +210,20 @@ def require_published(spark: SparkSession, final_dir: str) -> None:
         final_dir.rstrip("/") + ".staging",
     ):
         if exists(spark, tmp_dir):
+            if staging_committed(spark, tmp_dir):
+                raise FileNotFoundError(
+                    f"{final_dir} is missing but its staged sibling "
+                    f"{tmp_dir} exists: a build/refresh is publishing "
+                    "right now, or crashed between delete and rename. "
+                    "The staged data is complete — re-run the "
+                    "build/refresh, or call fsio.recover_publish(spark, "
+                    f"{tmp_dir!r}, {final_dir!r}) to finish the publish."
+                )
             raise FileNotFoundError(
-                f"{final_dir} is missing but its staged sibling {tmp_dir} "
-                "exists: a build/refresh is publishing right now, or "
-                "crashed between delete and rename. The staged data is "
-                "complete — re-run the build/refresh, or call "
-                f"fsio.recover_publish(spark, {tmp_dir!r}, {final_dir!r}) "
-                "to finish the publish."
+                f"{final_dir} is missing and its staged sibling "
+                f"{tmp_dir} is INCOMPLETE (a rebuild was killed "
+                "mid-write): there is no recoverable copy — re-run the "
+                "build/refresh to rebuild the index."
             )
 
 
@@ -274,12 +317,17 @@ def recover_pair(spark: SparkSession, final_dirs) -> bool:
     only copy of the missing half (the reason paired indexes must call
     this instead of per-dir ``recover_publish``)."""
     healed = False
-    # 1: complete missing finals
+    # 1: complete missing finals (committed stagings only — an
+    # uncommitted one is a killed write, not an interrupted publish;
+    # renaming it would serve partial data)
     for final in final_dirs:
         if exists(spark, final):
             continue
         for tmp in _staged_siblings(final):
             if exists(spark, tmp):
+                if not staging_committed(spark, tmp):
+                    delete(spark, tmp)
+                    continue
                 publish_dir(spark, tmp, final)
                 healed = True
                 break
@@ -289,7 +337,7 @@ def recover_pair(spark: SparkSession, final_dirs) -> bool:
         staged = {}
         for final in final_dirs:
             for tmp in _staged_siblings(final):
-                if exists(spark, tmp):
+                if exists(spark, tmp) and staging_committed(spark, tmp):
                     staged[final] = (tmp, read_pair_epoch(spark, tmp))
                     break
         # target epoch: reachable by every dir (live==T or staged==T),

@@ -193,6 +193,59 @@ def test_premarker_pair_passes_the_gate(spark, workdir):
     assert len(eng.ann_index(src, "embedding").topk(qvec, k=3, nprobe=4).collect()) == 3
 
 
+def test_uncommitted_staging_is_never_published(spark, workdir):
+    """r13 review: the recovery paths assumed "staging exists ⇒ staging
+    complete". A rebuild killed MID-WRITE (after an earlier crashed
+    publish removed the live dir) leaves an UNCOMMITTED staging —
+    `_temporary` scratch + a partial part-file set. Renaming that into
+    place would serve silently incomplete data; recovery must refuse,
+    clean it, and let the missing dir surface as rebuild-needed."""
+    import os
+
+    import pandas as pd
+
+    d = f"{workdir}/uncommitted"
+    final, tmp = f"{d}/postings", f"{d}/postings.staging"
+    # the killed-mid-write state: partial part file + _temporary scratch
+    os.makedirs(f"{tmp}/_temporary/0", exist_ok=True)
+    pd.DataFrame({"k": [1]}).to_parquet(f"{tmp}/part-00000.parquet")
+    assert not fsio.staging_committed(spark, tmp)
+
+    with pytest.raises(FileNotFoundError, match="INCOMPLETE"):
+        fsio.require_published(spark, final)
+    assert fsio.recover_publish(spark, tmp, final) is False
+    assert not os.path.exists(final), "incomplete staging was published"
+    assert not os.path.exists(tmp), "junk staging not cleaned"
+    # same refusal through the pair path: the uncommitted half cannot
+    # complete the pair — recovery cleans it, heals nothing, and the
+    # missing dir surfaces through the reader gate as rebuild-needed
+    os.makedirs(f"{tmp}/_temporary/0", exist_ok=True)
+    pd.DataFrame({"k": [1]}).to_parquet(f"{tmp}/part-00000.parquet")
+    os.makedirs(f"{d}/doclens", exist_ok=True)
+    fsio.stamp_pair_epoch(spark, f"{d}/doclens", "feedc0de")
+    assert fsio.recover_pair(spark, [final, f"{d}/doclens"]) is False
+    assert not os.path.exists(final), "incomplete staging was pair-published"
+    # the junk staging is cleaned, so the gate falls through to the
+    # reader's normal path-not-found (documented require_published
+    # behavior for a missing dir with no staged sibling)
+    assert not os.path.exists(tmp)
+    fsio.require_pair_published(spark, [final, f"{d}/doclens"])
+    with pytest.raises(Exception, match="PATH_NOT_FOUND|does not exist"):
+        spark.read.parquet(final).count()
+
+    # committed-staging layouts still recover: _SUCCESS-style direct
+    # write AND the partition-subdir (batch_run=) layout, whose
+    # _temporary lives one level down while writing
+    ok = f"{d}/ok.staging"
+    os.makedirs(f"{ok}/batch_run=compact--1", exist_ok=True)
+    pd.DataFrame({"k": [2]}).to_parquet(
+        f"{ok}/batch_run=compact--1/part-00000.parquet"
+    )
+    assert fsio.staging_committed(spark, ok)
+    os.makedirs(f"{ok}/batch_run=compact--1/_temporary", exist_ok=True)
+    assert not fsio.staging_committed(spark, ok)
+
+
 def test_legacy_compact_staging_name_is_recovered(spark, workdir):
     """r12 renamed the sketch-rollup compaction staging dir from
     '_compact_tmp' to '_tmp'; a publish that crashed under the OLD name
