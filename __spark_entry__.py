@@ -3077,6 +3077,13 @@ def _q_scd2_merge_incremental(spark, sf_dir):
 # CORRECTNESS_r09 order (46 queries; the last, salted_join_revenue,
 # spills to r14 by the third pin). After this window the oldest
 # evidence anywhere is r9 (one query) and the r10 cohort is next due.
+# (r13 also changed every builder's file column to
+# fsio.file_path_col — URI-decoding of _metadata.file_path. On the
+# driver's space-free fixture paths the decode is the identity
+# transform, so stored postings are bit-identical and no further pins
+# are needed; the spacey-path behavior is pinned by
+# tests/test_r13_path_encoding.py, and the idx/text/ann/lsh window
+# members re-witness the built artifacts anyway.)
 # _ROTATION_ROUND pins WHICH rounds' evidence the rotation was computed
 # from (everything before it): the hygiene test must ignore evidence
 # from this round onward, else the round's own driver run — which

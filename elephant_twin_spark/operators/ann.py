@@ -70,9 +70,7 @@ def build_ann_index(
         F.col(id_column).alias("id"),
         F.transform(F.col(vec_column), lambda x: x.cast("double")).alias("vec"),
         # source file carried for incremental refresh (kept/delta drop)
-        F.regexp_replace(
-            F.col("_metadata.file_path"), r"^file:/(?=[^/])", "file:///"
-        ).alias("file"),
+        fsio.file_path_col(F.col("_metadata.file_path")).alias("file"),
         "cluster",
     )
     (

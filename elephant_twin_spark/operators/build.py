@@ -233,9 +233,7 @@ def postings_for(
         (key_col if key_col is not None else F.col(column)).cast("string").alias("key"),
         # canonical URI form (local paths render as file:/x here but as
         # file:///x in FS listings; JVM-side regexp, no Python UDF)
-        F.regexp_replace(
-            F.col("_metadata.file_path"), r"^file:/(?=[^/])", "file:///"
-        ).alias("file"),
+        fsio.file_path_col(F.col("_metadata.file_path")).alias("file"),
         F.col("_metadata.file_block_start").alias("start"),
         (F.col("_metadata.file_block_start") + F.col("_metadata.file_block_length")).alias("end"),
     ).where(F.col("key").isNotNull())
@@ -369,7 +367,7 @@ def zones_for(df: DataFrame, column: str, key_expr: Optional[str] = None) -> Dat
     key = F.expr(key_expr) if key_expr else F.col(column)
     return (
         df.select(
-            fsio.normalize_path_col(F.col("_metadata.file_path")).alias("file"),
+            fsio.file_path_col(F.col("_metadata.file_path")).alias("file"),
             key.alias("v"),
         )
         .groupBy("file")
@@ -499,9 +497,7 @@ def bloom_sketch_for(
     key = F.col(column).cast("string")
     src = df.select(
         key.alias("key"),
-        F.regexp_replace(
-            F.col("_metadata.file_path"), r"^file:/(?=[^/])", "file:///"
-        ).alias("file"),
+        fsio.file_path_col(F.col("_metadata.file_path")).alias("file"),
     ).where(key.isNotNull())
     pos = src.select(
         "file",

@@ -67,7 +67,7 @@ def banded_docs(
         src = df.withColumn("file", F.lit(file_label))
     else:
         src = df.withColumn(
-            "file", fsio.normalize_path_col(F.col("_metadata.file_path"))
+            "file", fsio.file_path_col(F.col("_metadata.file_path"))
         )
     sigs = dedup.minhash_signatures(
         src, text_column, id_column,

@@ -203,7 +203,7 @@ def postings_for(
     src = df.select(
         F.col(doc_id_column).alias("doc_id"),
         F.col(text_column).alias("_text"),
-        fsio.normalize_path_col(F.col("_metadata.file_path")).alias("file"),
+        fsio.file_path_col(F.col("_metadata.file_path")).alias("file"),
     )
     src = layout.fan_out(src)
     toks = src.select(
@@ -244,7 +244,7 @@ def doclens_for(
     corpus statistics → refreshable file-by-file)."""
     toks = df.select(
         F.col(doc_id_column).alias("doc_id"),
-        fsio.normalize_path_col(F.col("_metadata.file_path")).alias("file"),
+        fsio.file_path_col(F.col("_metadata.file_path")).alias("file"),
         F.explode_outer(tokenizer(F.col(text_column))).alias("term"),
     )
     tf = toks.groupBy("doc_id", "term").agg(
@@ -319,7 +319,7 @@ def build_text_index(
         doclens = doclens_agg(src)
         src_ids = df.select(
             F.col(doc_id_column).alias("doc_id"),
-            fsio.normalize_path_col(F.col("_metadata.file_path")).alias("file"),
+            fsio.file_path_col(F.col("_metadata.file_path")).alias("file"),
         )
         tokenless = src_ids.join(
             doclens.select("doc_id"), "doc_id", "left_anti"
@@ -657,7 +657,7 @@ def file_value_sets(df: DataFrame, columns: Sequence[str]) -> DataFrame:
     aggs = [F.sort_array(F.collect_set(c)).alias(f"{c}_values") for c in columns]
     return (
         df.select(
-            fsio.normalize_path_col(F.col("_metadata.file_path")).alias("file"),
+            fsio.file_path_col(F.col("_metadata.file_path")).alias("file"),
             *columns,
         )
         .groupBy("file")

@@ -67,9 +67,9 @@ def assert_index_consistent(
 
 
 def _norm_file_col():
-    return F.regexp_replace(
-        F.col("_metadata.file_path"), r"^file:/(?=[^/])", "file:///"
-    ).alias("file")
+    from elephant_twin_spark.sources import fsio
+
+    return fsio.file_path_col(F.col("_metadata.file_path")).alias("file")
 
 
 def zone_violations(

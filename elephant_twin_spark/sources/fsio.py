@@ -54,6 +54,36 @@ def normalize_path_col(col):
     return F.regexp_replace(c, r"^file:/(?=[^/])", "file:///")
 
 
+def file_path_col(col):
+    """Canonicalize ``_metadata.file_path`` — and ONLY that column.
+
+    ``_metadata.file_path`` renders the URI-ENCODED form (a space in a
+    table path becomes ``%20``), while Hadoop listings — the other side
+    of every file-set comparison — render the LITERAL disk path. Before
+    r13 the mismatch made every index over a path containing a space
+    (or any URI-special character) prune to an EMPTY file set: the
+    descriptor claimed full coverage in literal form, the postings
+    referenced ``%20`` spellings no listing ever produced, and queries
+    silently returned zero rows (r13 review probe).
+
+    Decoding: ``url_decode`` is form-decoding, which also folds ``+``
+    into a space — but ``+`` is a legal, UNENCODED path character in
+    ``_metadata.file_path``, so a literal ``+`` is first re-protected
+    as ``%2B`` (pre-existing ``%2B`` sequences already MEAN ``+``, so
+    the rewrite is idempotent on them). All pure Column ops, JVM-side.
+
+    Stored ``file`` columns (postings written by the builders) hold the
+    DECODED literal form this function produces — normalize THOSE with
+    :func:`normalize_path_col`; decoding twice would corrupt a literal
+    ``%xx`` sequence in a file name (e.g. Spark's own partition-value
+    escaping)."""
+    from pyspark.sql import functions as F
+
+    c = F.col(col) if isinstance(col, str) else col
+    decoded = F.url_decode(F.regexp_replace(c, r"\+", "%2B"))
+    return F.regexp_replace(decoded, r"^file:/(?=[^/])", "file:///")
+
+
 def _fs_and_path(spark: SparkSession, path: str):
     jvm = spark._jvm
     jpath = jvm.org.apache.hadoop.fs.Path(path)

@@ -579,7 +579,7 @@ def refresh_ann_index(
         delta = sim.ivf_assign(delta_df, vec_column, centroids).select(
             F.col(id_col).alias("id"),
             F.transform(F.col(vec_column), lambda x: x.cast("double")).alias("vec"),
-            fsio.normalize_path_col(F.col("_metadata.file_path")).alias("file"),
+            fsio.file_path_col(F.col("_metadata.file_path")).alias("file"),
             "cluster",
         )
         merged = kept.unionByName(delta)
