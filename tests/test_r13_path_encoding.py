@@ -70,6 +70,18 @@ def test_index_over_path_with_spaces(spark, workdir):
     assert eng.query(tbl, col("event_type") == "click").count() == truth2 > truth
 
 
+def test_index_over_unicode_path(spark, workdir):
+    """Non-ASCII path segments URI-encode as multi-byte %XX runs in
+    _metadata.file_path (é -> %C3%A9) — same mechanism, own pin."""
+    base = f"{workdir}/tablé ünïcode"
+    tbl = tables.materialize(spark, f"{SF_DIR}/events.parquet", f"{base}/événements")
+    eng = Engine(spark, f"{base}/idx")
+    eng.build_index(tbl, "event_type", num_buckets=4)
+    truth = spark.read.parquet(tbl).where(F.col("event_type") == "click").count()
+    assert eng.query(tbl, col("event_type") == "click").count() == truth > 0
+    assert eng.last_metrics.as_dict()["stale_files"] == 0
+
+
 def test_text_and_ann_over_path_with_spaces(spark, workdir):
     base = f"{workdir}/space dir2"
     docs = tables.materialize(spark, f"{SF_DIR}/documents.parquet", f"{base}/my docs")
