@@ -70,6 +70,31 @@ def test_index_over_path_with_spaces(spark, workdir):
     assert eng.query(tbl, col("event_type") == "click").count() == truth2 > truth
 
 
+def test_spelling_equivalence_and_spacey_column(spark, workdir):
+    """Companion probes (r13): (1) the same table queried under
+    trailing-slash / file:// URI / doubled-slash spellings resolves to
+    the SAME index (r9 normalize_path holds); (2) a column literally
+    named with a space indexes and prunes end-to-end."""
+    tbl = tables.materialize(
+        spark, f"{SF_DIR}/events.parquet", f"{workdir}/spellings_tbl"
+    )
+    eng = Engine(spark, f"{workdir}/spellings_idx")
+    eng.build_index(tbl, "event_type", num_buckets=4)
+    truth = spark.read.parquet(tbl).where(F.col("event_type") == "click").count()
+    for spelling in (tbl + "/", "file://" + tbl, tbl.replace("/spellings_tbl", "//spellings_tbl")):
+        assert eng.query(spelling, col("event_type") == "click").count() == truth
+        # resolved the EXISTING index, not a fresh full-scan identity
+        assert eng.last_metrics.as_dict()["planner"] == "driver"
+
+    spaced = f"{workdir}/spacey_col_tbl"
+    tables.load_raw(spark, f"{SF_DIR}/events.parquet").withColumnRenamed(
+        "event_type", "event type"
+    ).write.mode("overwrite").parquet(spaced)
+    eng.build_index(spaced, "event type", num_buckets=4)
+    t2 = spark.read.parquet(spaced).where(F.col("`event type`") == "click").count()
+    assert eng.query(spaced, col("event type") == "click").count() == t2 > 0
+
+
 def test_index_over_unicode_path(spark, workdir):
     """Non-ASCII path segments URI-encode as multi-byte %XX runs in
     _metadata.file_path (é -> %C3%A9) — same mechanism, own pin."""
