@@ -3064,71 +3064,54 @@ def _q_scd2_merge_incremental(spark, sf_dir):
 # streaming_windowed_rollup's permanent `no_oracle` row is evicted
 # (its evidence is the batch-twin test, COVERAGE.md).
 #
-# r13 window: THREE queries gained a changed read hot path this round
-# and are pinned per the hygiene rule — the paired-publish epoch gate
-# (fsio.require_pair_published, r12 advisor medium) now runs inside
-# AnnIndex.topk (ann_persisted_top10) and TextIndex.doclens
-# (text_bm25_top, text_more_like_this): same values on a healthy
-# index, but every call crosses new driver-side metadata checks, so
-# the driver should re-witness them. The remaining 47 slots CONTINUE
-# the oldest-evidence rotation per COVERAGE.md §evidence-rotation:
-# winsorized_stats (r7 — the slot the r12 pin displaced),
-# index_advisor (r8), then the r9-vintage cohort in its
-# CORRECTNESS_r09 order (46 queries; the last, salted_join_revenue,
-# spills to r14 by the third pin). After this window the oldest
-# evidence anywhere is r9 (one query) and the r10 cohort is next due.
-# (r13 also changed every builder's file column to
-# fsio.file_path_col — URI-decoding of _metadata.file_path. On the
-# driver's space-free fixture paths the decode is the identity
-# transform, so stored postings are bit-identical and no further pins
-# are needed; the spacey-path behavior is pinned by
-# tests/test_r13_path_encoding.py, and the idx/text/ann/lsh window
-# members re-witness the built artifacts anyway.)
+# r14 window: no pins — no query's semantics, oracle, or read hot
+# path changed this round (the r14 work is publish-race hardening, a
+# measured sub-file-pruning experiment behind a default-off flag, and
+# harness axes), so all 50 slots continue the oldest-evidence rotation
+# per COVERAGE.md §evidence-rotation: salted_join_revenue (r9 — the
+# oldest witness anywhere in the registry, spilled from the r13 window
+# by its third pin), then the 44 still-r10-vintage queries of the
+# CORRECTNESS_r10 cohort in that file's order (text_bm25_top,
+# text_more_like_this, funnel_stages, knn_join_ivf_top5 and
+# embedding_near_dup left the cohort — refreshed r11/r13), then the
+# first five r11-vintage queries in CORRECTNESS_r11 order
+# (funnel_stages, asof_last_click, knn_join_top5, knn_join_ivf_top5,
+# snapshot_diff). After this window the oldest evidence anywhere is
+# r11 and the remainder of the r11 cohort is next due.
 # _ROTATION_ROUND pins WHICH rounds' evidence the rotation was computed
 # from (everything before it): the hygiene test must ignore evidence
 # from this round onward, else the round's own driver run — which
 # freshens exactly the window entries — would flag the unchanged
 # registry as stale-ordered (r10 review finding). Bump both together
 # when rotating.
-_ROTATION_ROUND = 13
+_ROTATION_ROUND = 14
 # Queries PINNED into the window this round because their semantics,
 # oracle, or implementation hot path changed (hygiene rule) — exempt
 # from the oldest-evidence ordering check, which otherwise flags any
 # recently-verified query occupying a slot while older ones wait.
-_ROTATION_PINS = [
-    # r13 pair-epoch gate in the persisted-ANN read path
-    "ann_persisted_top10",
-    # r13 pair-epoch gate in the doclens (BM25 norms / lnc) read path
-    "text_bm25_top",
-    "text_more_like_this",
-]
-_ROTATION_R13 = [
-    # hygiene-rule pins (changed this round; see _ROTATION_PINS)
-    "ann_persisted_top10",
-    "text_bm25_top",
-    "text_more_like_this",
-    # r7-vintage (displaced from the r12 window by its second pin)
-    "winsorized_stats",
-    # r8-vintage
-    "index_advisor",
-    # r9-vintage cohort, CORRECTNESS_r09 order (salted_join_revenue
-    # spills to r14 — the window is exactly 50)
-    "gap_to_prev", "scd2_merge_incremental", "ann_ivf_pq_top10",
-    "idx_predicate_string", "idx_predicate_serde", "day_interval_render",
-    "source_overlap", "lsh_plan", "heaps_vocab_growth",
-    "minhash_near_dup_pairs", "ks_value_drift", "zipf_slope",
-    "mi_event_hour", "wow_revenue_change", "psi_value_drift",
-    "ann_recall_stats", "scd2_user_state", "event_transitions",
-    "item_cf_cosine", "sq8_error_stats", "bucketed_join_agg",
-    "epoch_shuffle", "zorder_box_scan", "covisit_triangles",
-    "novelty_score", "forward_fill_values", "scd2_point_in_time",
-    "bigram_logprob", "js_divergence_by_source", "tokenizer_fertility",
-    "code_score", "bloom_decontaminate_screen", "kfold_assign",
-    "paragraph_dedup", "cms_heavy_hitters", "sentence_stats",
-    "quantile_normalize", "truncate_tokens", "label_centroids",
-    "curriculum_interleave", "sliding_distinct_users",
-    "rolling_avg_value", "error_rate_anomaly", "rrf_fusion",
-    "rfm_segments",
+_ROTATION_PINS: list = []
+_ROTATION_R14 = [
+    # r9-vintage (the single oldest witness in the registry)
+    "salted_join_revenue",
+    # r10-vintage cohort, CORRECTNESS_r10 order (44 queries still at
+    # r10 vintage; the cohort's other six were refreshed since)
+    "ann_lsh_top10", "ann_ivf_top10", "ann_pq_top10",
+    "time_rollup_hourly", "simhash_near_dup", "value_histogram",
+    "hist_quantile_est", "mad_outliers", "iqr_outliers",
+    "idx_point_lookup", "idx_and", "idx_or", "idx_residual",
+    "idx_no_match", "idx_per_key_counts", "sql_front_door",
+    "bloom_user_lookup", "expr_index_day", "zone_range_scan",
+    "agg_lineitem_pricing", "events_hourly", "top_users_by_value",
+    "date_functions", "md5_digests", "text_count", "text_topn",
+    "text_bool_and", "text_bool_or", "text_phrase", "text_phrase_near",
+    "text_prefix", "text_wildcard", "text_fuzzy", "text_not",
+    "dedup_exact_groups", "simhash_md5_docs", "minhash_signatures",
+    "token_stats", "lang_id", "fingerprint", "ann_cosine_top10",
+    "label_centroid_component", "user_event_types",
+    "date_parse_roundtrip",
+    # r11-vintage head, CORRECTNESS_r11 order (fills the window to 50)
+    "funnel_stages", "asof_last_click", "knn_join_top5",
+    "knn_join_ivf_top5", "snapshot_diff",
 ]
 
 
@@ -3361,7 +3344,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_report": _q_decontaminate_report,
         "pii_scrub": _q_pii_scrub,
     }
-    out = {name: cat.pop(name) for name in _ROTATION_R13}  # KeyError = typo, loud
+    out = {name: cat.pop(name) for name in _ROTATION_R14}  # KeyError = typo, loud
     out.update(cat)
     return out
 

@@ -230,7 +230,10 @@ def _leaf_file_sets(
             )
             by_key = {}
             for r in rows:
-                # _metadata.file_path renders file:/x, FS listing file:///x
+                # stored "file" values hold the DECODED literal path form
+                # (fsio.file_path_col un-URI-encodes _metadata.file_path at
+                # build time); only file:/x vs file:///x scheme spelling
+                # remains to normalize against FS listings here
                 by_key.setdefault(r["key"], {})[fsio.normalize_path(r["file"])] = (
                     iv.normalize([(x["start"], x["end"]) for x in r["ranges"]])
                 )

@@ -143,7 +143,7 @@ def main():
         n_exch = count_shuffle_exchanges(plan)
         n_bcast = len(re.findall(r"BroadcastHashJoin|BroadcastNestedLoopJoin", plan))
         cartesian = "CartesianProduct" in plan
-        pushed = "PushedFilters: \[" in plan and not re.search(
+        pushed = "PushedFilters: [" in plan and not re.search(
             r"PushedFilters: \[\]", plan
         )
         flags = []
