@@ -62,54 +62,68 @@ def build_ann_index(
     # (see build.build_block_index: mid-rebuild reader race) — vectors
     # are assigned AGAINST these centroids, so publishing centroids
     # first would pair new centroids with old vectors for the whole
-    # assignment pass.
-    spark.createDataFrame(
-        cent_rows, "cluster int, centroid array<double>"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{idx_dir}/centroids.staging")
-    assigned = sim.ivf_assign(df, vec_column, centroids).select(
-        F.col(id_column).alias("id"),
-        F.transform(F.col(vec_column), lambda x: x.cast("double")).alias("vec"),
-        # source file carried for incremental refresh (kept/delta drop)
-        fsio.file_path_col(F.col("_metadata.file_path")).alias("file"),
-        "cluster",
-    )
-    (
-        assigned.repartition("cluster")
-        .write.mode("overwrite")
-        .partitionBy("cluster")
-        .parquet(f"{idx_dir}/vectors.staging")
-    )
-    # paired publish (r12 advisor): one shared epoch stamped into both
-    # staged dirs before the renames — a crash BETWEEN the two publishes
-    # used to leave new centroids probing old cluster assignments,
-    # silently skewing results until the next full rebuild; now readers
-    # cross-check the epochs (require_pair_published) and recover_pair
-    # finishes the interrupted half from its staged sibling
-    fsio.publish_pair(
-        spark,
-        [
-            (f"{idx_dir}/centroids.staging", f"{idx_dir}/centroids"),
-            (f"{idx_dir}/vectors.staging", f"{idx_dir}/vectors"),
-        ],
-    )
-    desc = catalog.make_descriptor(
-        source_path=table_path,
-        column=vec_column,
-        index_type="IVF",
-        num_buckets=nlist,
-        files=files,
-        options={
-            "id_column": id_column,
-            "nlist": str(nlist),
-            "seed": str(seed),
-        },
-    )
-    catalog.write_descriptor(spark, idx_dir, desc)
+    # assignment pass. The build lease (r13 verdict item 4) matters
+    # MOST here: two interleaved pair-builders could publish halves
+    # from different epochs, the exact mixed-generation state the
+    # epoch markers exist to catch.
+    with fsio.build_lease(spark, idx_dir):
+        spark.createDataFrame(
+            cent_rows, "cluster int, centroid array<double>"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{idx_dir}/centroids.staging")
+        assigned = sim.ivf_assign(df, vec_column, centroids).select(
+            F.col(id_column).alias("id"),
+            F.transform(F.col(vec_column), lambda x: x.cast("double")).alias("vec"),
+            # source file carried for incremental refresh (kept/delta drop)
+            fsio.file_path_col(F.col("_metadata.file_path")).alias("file"),
+            "cluster",
+        )
+        (
+            assigned.repartition("cluster")
+            .write.mode("overwrite")
+            .partitionBy("cluster")
+            .parquet(f"{idx_dir}/vectors.staging")
+        )
+        # paired publish (r12 advisor): one shared epoch stamped into both
+        # staged dirs before the renames — a crash BETWEEN the two publishes
+        # used to leave new centroids probing old cluster assignments,
+        # silently skewing results until the next full rebuild; now readers
+        # cross-check the epochs (require_pair_published) and recover_pair
+        # finishes the interrupted half from its staged sibling
+        fsio.publish_pair(
+            spark,
+            [
+                (f"{idx_dir}/centroids.staging", f"{idx_dir}/centroids"),
+                (f"{idx_dir}/vectors.staging", f"{idx_dir}/vectors"),
+            ],
+        )
+        desc = catalog.make_descriptor(
+            source_path=table_path,
+            column=vec_column,
+            index_type="IVF",
+            num_buckets=nlist,
+            files=files,
+            options={
+                "id_column": id_column,
+                "nlist": str(nlist),
+                "seed": str(seed),
+            },
+        )
+        catalog.write_descriptor(spark, idx_dir, desc)
     return idx_dir
 
 
 class AnnIndex:
-    """Query handle over a persisted IVF index."""
+    """Query handle over a persisted IVF index.
+
+    FRESH-HANDLE CONTRACT (r13 advisor): a handle snapshots the
+    descriptor at construction, caches centroids on first use, and
+    checks the pair-epoch markers ONCE (:meth:`_ensure_pair`). After a
+    rebuild/refresh, construct a NEW handle (what every caller already
+    does) or call :meth:`revalidate` — a live handle kept across a
+    publish would otherwise mix its cached old centroids with freshly
+    re-read new vectors, precisely the skew the markers exist to
+    catch. Single writer per index is assumed throughout (enforced by
+    the build lease, ``fsio.build_lease``)."""
 
     def __init__(self, spark: SparkSession, table_path: str, vec_column: str, index_root: str):
         self.spark = spark
@@ -133,6 +147,20 @@ class AnnIndex:
         if not getattr(self, "_pair_ok", False):
             fsio.require_pair_published(self.spark, self._pair_dirs())
             self._pair_ok = True
+
+    def revalidate(self) -> "AnnIndex":
+        """Drop every cached read (descriptor, centroids, pair gate) so
+        the next call observes the CURRENT published generation —
+        equivalent to constructing a fresh handle, for callers that hold
+        one long-lived handle across refreshes."""
+        self.desc = catalog.read_descriptor(self.spark, self.idx_dir)
+        if self.desc is None:
+            raise FileNotFoundError(
+                f"no IVF index at {self.idx_dir}; build_ann_index first"
+            )
+        self._centroids = None
+        self._pair_ok = False
+        return self
 
     def centroids(self) -> List[List[float]]:
         if self._centroids is None:

@@ -321,26 +321,30 @@ def build_block_index(
     # wrong; a crash mid-publish is completed by fsio.recover_publish.
     data_dir = f"{idx_dir}/postings"
     staging = f"{data_dir}.staging"
-    write_range_partitioned(
-        postings, num_buckets, "key", ("key", "file"), staging, bloom_col="key"
-    )
-    fsio.publish_dir(spark, staging, data_dir)
+    # Build lease (r13 verdict item 4): two concurrent builds of one
+    # index share the staged path — B's overwrite can gut the dir A is
+    # renaming. Create-exclusive marker + ttl takeover; see fsio.
+    with fsio.build_lease(spark, idx_dir):
+        write_range_partitioned(
+            postings, num_buckets, "key", ("key", "file"), staging, bloom_col="key"
+        )
+        fsio.publish_dir(spark, staging, data_dir)
 
-    # Descriptor AFTER a successful data write (write-then-publish, so a
-    # failed build never yields a descriptor pointing at garbage).
-    desc = catalog.make_descriptor(
-        source_path=table_path,
-        column=column,
-        index_type="BLOCK",
-        num_buckets=num_buckets,
-        files=files,
-        options={
-            "max_merged_bytes": str(max_merged_bytes),
-            **({"sample_fraction": str(sample_fraction)} if sample_fraction else {}),
-            **({"key_expr": key_expr} if key_expr else {}),
-        },
-    )
-    catalog.write_descriptor(spark, idx_dir, desc)
+        # Descriptor AFTER a successful data write (write-then-publish, so a
+        # failed build never yields a descriptor pointing at garbage).
+        desc = catalog.make_descriptor(
+            source_path=table_path,
+            column=column,
+            index_type="BLOCK",
+            num_buckets=num_buckets,
+            files=files,
+            options={
+                "max_merged_bytes": str(max_merged_bytes),
+                **({"sample_fraction": str(sample_fraction)} if sample_fraction else {}),
+                **({"key_expr": key_expr} if key_expr else {}),
+            },
+        )
+        catalog.write_descriptor(spark, idx_dir, desc)
 
     n_keys = -1  # cheap: do not force a count; callers can count the postings table
     return BuildResult(idx_dir, column, len(files), n_keys)
@@ -396,18 +400,19 @@ def build_zone_index(
     files = fsio.list_data_files(spark, table_path)
     df = spark.read.parquet(table_path)
     zones = zones_for(df, column, key_expr)
-    # stage + publish: see build_block_index (mid-rebuild reader race)
-    zones.coalesce(1).write.mode("overwrite").parquet(f"{idx_dir}/zones.staging")
-    fsio.publish_dir(spark, f"{idx_dir}/zones.staging", f"{idx_dir}/zones")
-    desc = catalog.make_descriptor(
-        source_path=table_path,
-        column=column,
-        index_type="ZONE",
-        num_buckets=1,
-        files=files,
-        options={"key_expr": key_expr} if key_expr else {},
-    )
-    catalog.write_descriptor(spark, idx_dir, desc)
+    # stage + publish + lease: see build_block_index
+    with fsio.build_lease(spark, idx_dir):
+        zones.coalesce(1).write.mode("overwrite").parquet(f"{idx_dir}/zones.staging")
+        fsio.publish_dir(spark, f"{idx_dir}/zones.staging", f"{idx_dir}/zones")
+        desc = catalog.make_descriptor(
+            source_path=table_path,
+            column=column,
+            index_type="ZONE",
+            num_buckets=1,
+            files=files,
+            options={"key_expr": key_expr} if key_expr else {},
+        )
+        catalog.write_descriptor(spark, idx_dir, desc)
     return BuildResult(idx_dir, column, len(files), -1)
 
 
@@ -469,18 +474,19 @@ def build_bloom_index(
     # pre-listing: see build_block_index (mid-build file-add race)
     files = fsio.list_data_files(spark, table_path)
     sketch = bloom_sketch_for(spark.read.parquet(table_path), column, num_bits, num_hashes)
-    # stage + publish: see build_block_index (mid-rebuild reader race)
-    sketch.coalesce(1).write.mode("overwrite").parquet(f"{idx_dir}/sketch.staging")
-    fsio.publish_dir(spark, f"{idx_dir}/sketch.staging", f"{idx_dir}/sketch")
-    desc = catalog.make_descriptor(
-        source_path=table_path,
-        column=column,
-        index_type="BLOOM",
-        num_buckets=1,
-        files=files,
-        options={"num_bits": str(num_bits), "num_hashes": str(num_hashes)},
-    )
-    catalog.write_descriptor(spark, idx_dir, desc)
+    # stage + publish + lease: see build_block_index
+    with fsio.build_lease(spark, idx_dir):
+        sketch.coalesce(1).write.mode("overwrite").parquet(f"{idx_dir}/sketch.staging")
+        fsio.publish_dir(spark, f"{idx_dir}/sketch.staging", f"{idx_dir}/sketch")
+        desc = catalog.make_descriptor(
+            source_path=table_path,
+            column=column,
+            index_type="BLOOM",
+            num_buckets=1,
+            files=files,
+            options={"num_bits": str(num_bits), "num_hashes": str(num_hashes)},
+        )
+        catalog.write_descriptor(spark, idx_dir, desc)
     return BuildResult(idx_dir, column, len(files), -1)
 
 

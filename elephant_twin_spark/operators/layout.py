@@ -109,16 +109,23 @@ def cluster_table(
     cluster_cols: Sequence[str],
     num_files: int = 32,
     sort_within: bool = True,
+    bloom_columns: Optional[Sequence[str]] = None,
 ) -> str:
     """Rewrite ``src`` at ``dst`` range-partitioned by ``cluster_cols``
     (each output file covers a contiguous key range → parquet footer
     min/max prune whole files) and sorted within files (→ row-group stats
     prune within files).
 
+    ``bloom_columns``: parquet bloom filters for SECONDARY point-lookup
+    keys — clustering serves exactly one sort order, and a key that is
+    unclustered in this layout gets no min/max pruning at any level;
+    the write-time bloom restores row-group skipping for it (measured
+    17.5x bytes reduction, ``tables.bloom_filter_options``).
+
     Staged write + publish — see :func:`compact_table` (the same
     read-while-rewrite contract; also makes in-place ``src == dst``
     re-clustering safe)."""
-    from elephant_twin_spark.sources import fsio
+    from elephant_twin_spark.sources import fsio, tables
 
     staging = dst_path.rstrip("/") + ".staging"
     fsio.recover_publish(spark, staging, dst_path)
@@ -126,7 +133,10 @@ def cluster_table(
     out = df.repartitionByRange(num_files, *[F.col(c) for c in cluster_cols])
     if sort_within:
         out = out.sortWithinPartitions(*cluster_cols)
-    out.write.mode("overwrite").parquet(staging)
+    w = out.write.mode("overwrite")
+    if bloom_columns:
+        w = w.options(**tables.bloom_filter_options(bloom_columns))
+    w.parquet(staging)
     fsio.publish_dir(spark, staging, dst_path)
     return dst_path
 

@@ -349,27 +349,31 @@ def build_text_index(
     # scaffold handles lost-checkpoint-block fallback and the
     # release-without-masking discipline (r8 advisor — this caller
     # pins itself, so it needs the same retry as the pin_input=True
-    # path inside write_range_partitioned).
-    build_mod.run_pinned_with_retry(postings, _span)
-    # corpus stats from the just-written table, not the doclens lineage:
-    # re-evaluating the lineage would re-tokenize the whole corpus
-    stats = spark.read.parquet(f"{idx_dir}/doclens").agg(
-        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
-    ).first()
-    desc = catalog.make_descriptor(
-        source_path=table_path,
-        column=text_column,
-        index_type="TEXT",
-        num_buckets=num_buckets,
-        files=files,
-        options={
-            "doc_id_column": doc_id_column,
-            "tokenizer": tokenizer_name,
-            "n_docs": str(stats["n"]),
-            "avgdl": str(float(stats["avgdl"] or 0.0)),
-        },
-    )
-    catalog.write_descriptor(spark, idx_dir, desc)
+    # path inside write_range_partitioned). Build lease around the
+    # whole staged-write + publish + descriptor span: see
+    # build.build_block_index (r13 verdict item 4 — interleaved
+    # pair-builders could otherwise publish halves of different epochs).
+    with fsio.build_lease(spark, idx_dir):
+        build_mod.run_pinned_with_retry(postings, _span)
+        # corpus stats from the just-written table, not the doclens
+        # lineage: re-evaluating the lineage would re-tokenize the corpus
+        stats = spark.read.parquet(f"{idx_dir}/doclens").agg(
+            F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+        ).first()
+        desc = catalog.make_descriptor(
+            source_path=table_path,
+            column=text_column,
+            index_type="TEXT",
+            num_buckets=num_buckets,
+            files=files,
+            options={
+                "doc_id_column": doc_id_column,
+                "tokenizer": tokenizer_name,
+                "n_docs": str(stats["n"]),
+                "avgdl": str(float(stats["avgdl"] or 0.0)),
+            },
+        )
+        catalog.write_descriptor(spark, idx_dir, desc)
     return idx_dir
 
 
@@ -680,7 +684,12 @@ _TOKENIZERS = {
 
 
 class TextIndex:
-    """Query handle over a built text index (HDFSQueryEngine analog)."""
+    """Query handle over a built text index (HDFSQueryEngine analog).
+
+    FRESH-HANDLE CONTRACT: the handle snapshots the descriptor (corpus
+    stats n_docs/avgdl included) and checks the postings/doclens pair
+    epochs once; after a rebuild/refresh construct a new handle or call
+    :meth:`revalidate` (see ``AnnIndex`` — same rationale)."""
 
     def __init__(self, spark: SparkSession, table_path: str, text_column: str, index_root: str):
         self.spark = spark
@@ -691,6 +700,18 @@ class TextIndex:
         if self.desc is None:
             raise FileNotFoundError(f"no text index at {self.idx_dir}; build_text_index first")
         self.doc_id_column = self.desc.options["doc_id_column"]
+
+    def revalidate(self) -> "TextIndex":
+        """Re-read the descriptor and re-arm the pair-epoch gate so the
+        next call observes the current published generation."""
+        self.desc = catalog.read_descriptor(self.spark, self.idx_dir)
+        if self.desc is None:
+            raise FileNotFoundError(
+                f"no text index at {self.idx_dir}; build_text_index first"
+            )
+        self.doc_id_column = self.desc.options["doc_id_column"]
+        self._pair_ok = False
+        return self
 
     def postings(self) -> DataFrame:
         fsio.require_published(self.spark, f"{self.idx_dir}/postings")

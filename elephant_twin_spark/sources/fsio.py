@@ -257,6 +257,122 @@ def require_published(spark: SparkSession, final_dir: str) -> None:
             )
 
 
+# ---------------------------------------------------------------- build lease
+#
+# publish_dir documents SINGLE WRITER per index dir; nothing enforced
+# it (r13 verdict item 4): two simultaneous builds of one index share
+# the staged path, so writer B's overwrite can gut the dir writer A is
+# renaming — and for PAIRED indexes the two halves can end up written
+# by different builders under different epochs. The lease is a
+# create-EXCLUSIVE marker file next to the index data (Hadoop
+# ``create(path, overwrite=false)`` raises if the file exists — the
+# same primitive HDFS leases and Delta's S3 mutual-exclusion files
+# build on; on a plain local FS the check-then-create window is not
+# perfectly atomic, which narrows but does not void the protection).
+# A crashed builder's lease is taken over after ``ttl_ms`` (staleness
+# takeover), so no manual cleanup is ever needed. Reference analog:
+# the per-file job's hasPreviousIndex overwrite-skip
+# (core/indexing/AbstractBlockIndexingJob.java:176-312) — coarse
+# mutual exclusion at the index level, not row locking.
+
+BUILD_LEASE_NAME = "_build_lease"
+DEFAULT_LEASE_TTL_MS = 30 * 60 * 1000
+
+
+class BuildLeaseHeld(RuntimeError):
+    """Another builder holds the index's build lease (and it is not
+    stale). Loud-by-default: the caller chose to run two builds of the
+    SAME index concurrently, which the publish contract forbids."""
+
+
+def _lease_path(idx_dir: str) -> str:
+    return idx_dir.rstrip("/") + "/" + BUILD_LEASE_NAME
+
+
+def _try_create_exclusive(spark: SparkSession, path: str, payload: str) -> bool:
+    """Create ``path`` with ``overwrite=false``; False if it exists."""
+    fs, jpath, _ = _fs_and_path(spark, path)
+    # parent must exist for create() on some stores
+    fs.mkdirs(jpath.getParent())
+    try:
+        out = fs.create(jpath, False)
+    except Exception:
+        return False
+    try:
+        out.write(bytearray(payload.encode("utf-8")))
+    finally:
+        out.close()
+    return True
+
+
+def acquire_build_lease(
+    spark: SparkSession,
+    idx_dir: str,
+    ttl_ms: int = DEFAULT_LEASE_TTL_MS,
+) -> str:
+    """Acquire the index's build lease; returns the owner token to pass
+    to :func:`release_build_lease`. One stale-takeover retry: if the
+    existing lease is older than its ttl, it belongs to a crashed
+    builder and is removed — losing the post-delete re-create race to
+    another taker still raises, never double-grants."""
+    import time as _time
+    import uuid as _uuid
+
+    owner = _uuid.uuid4().hex
+    payload = json.dumps(
+        {"owner": owner, "acquired_ms": int(_time.time() * 1000), "ttl_ms": int(ttl_ms)}
+    )
+    path = _lease_path(idx_dir)
+    for attempt in (1, 2):
+        if _try_create_exclusive(spark, path, payload):
+            return owner
+        try:
+            held = json.loads(read_text(spark, path))
+        except Exception:
+            # torn/vanished marker: treat as stale and retry
+            held = {"acquired_ms": 0, "ttl_ms": 0}
+        age = int(_time.time() * 1000) - int(held.get("acquired_ms", 0))
+        if attempt == 1 and age > int(held.get("ttl_ms", ttl_ms)):
+            delete(spark, path)  # stale takeover; loser of the re-create raises
+            continue
+        raise BuildLeaseHeld(
+            f"index build already in flight for {idx_dir} (lease "
+            f"{path} held by {held.get('owner', '?')}, age {age} ms). "
+            "Wait for it, or delete the lease file if its builder is "
+            "known dead."
+        )
+    raise BuildLeaseHeld(f"lost the lease re-create race for {idx_dir}")
+
+
+def release_build_lease(spark: SparkSession, idx_dir: str, owner: str) -> None:
+    """Release iff still owned: after a ttl takeover the lease belongs
+    to the new builder, and deleting it out from under them would
+    re-open the double-build window this machinery closes."""
+    path = _lease_path(idx_dir)
+    try:
+        held = json.loads(read_text(spark, path))
+    except Exception:
+        return
+    if held.get("owner") == owner:
+        delete(spark, path)
+
+
+class build_lease:
+    """``with fsio.build_lease(spark, idx_dir):`` — scoped acquire/release."""
+
+    def __init__(self, spark: SparkSession, idx_dir: str, ttl_ms: int = DEFAULT_LEASE_TTL_MS):
+        self._spark, self._idx_dir, self._ttl_ms = spark, idx_dir, ttl_ms
+        self._owner = None
+
+    def __enter__(self):
+        self._owner = acquire_build_lease(self._spark, self._idx_dir, self._ttl_ms)
+        return self._owner
+
+    def __exit__(self, *exc):
+        release_build_lease(self._spark, self._idx_dir, self._owner)
+        return False
+
+
 # ---------------------------------------------------------------- pair epochs
 #
 # Some indexes publish TWO data dirs that are only correct TOGETHER:
@@ -361,26 +477,38 @@ def recover_pair(spark: SparkSession, final_dirs) -> bool:
                 publish_dir(spark, tmp, final)
                 healed = True
                 break
-    # 2: resolve epoch mismatch via surviving staged halves
+    # 2: resolve epoch mismatch via surviving staged halves. ALL
+    # committed staged siblings are collected per final dir (r13
+    # advisor): a stale committed `_tmp` left by an aborted refresh
+    # must not SHADOW the `.staging` that carries the epoch completing
+    # the pair — with first-sibling-wins, that state raised "rebuild
+    # the index" although recovery was possible.
     if pair_mismatch(spark, final_dirs):
         live = {d: read_pair_epoch(spark, d) for d in final_dirs}
-        staged = {}
+        staged: Dict[str, List[Tuple[str, object]]] = {}
         for final in final_dirs:
             for tmp in _staged_siblings(final):
                 if exists(spark, tmp) and staging_committed(spark, tmp):
-                    staged[final] = (tmp, read_pair_epoch(spark, tmp))
-                    break
-        # target epoch: reachable by every dir (live==T or staged==T),
-        # preferring one that requires publishing staged data (the
-        # interrupted NEW generation)
+                    staged.setdefault(final, []).append(
+                        (tmp, read_pair_epoch(spark, tmp))
+                    )
+        # target epoch: reachable by every dir (live==T or a staged
+        # sibling carries T), preferring one that requires publishing
+        # staged data (the interrupted NEW generation)
         candidates = {e for e in live.values() if e is not None} | {
-            e for _, e in staged.values() if e is not None
+            e for sibs in staged.values() for _, e in sibs if e is not None
         }
+
+        def _staged_with(final: str, epoch) -> str:
+            for tmp, e in staged.get(final, ()):
+                if e == epoch:
+                    return tmp
+            return ""
+
         target = None
         for t in sorted(candidates):
             ok = all(
-                live[d] == t or (d in staged and staged[d][1] == t)
-                for d in final_dirs
+                live[d] == t or _staged_with(d, t) for d in final_dirs
             )
             if ok and (
                 target is None
@@ -395,8 +523,7 @@ def recover_pair(spark: SparkSession, final_dirs) -> bool:
             )
         for final in final_dirs:
             if live[final] != target:
-                tmp, _ = staged[final]
-                publish_dir(spark, tmp, final)
+                publish_dir(spark, _staged_with(final, target), final)
                 healed = True
     # 3: consistent — clean aborted-run staging leftovers
     for final in final_dirs:

@@ -83,17 +83,50 @@ def load_sf_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 LAYOUT_VERSION = "2"  # bump to invalidate previously-materialized copies
 
 
+def bloom_filter_options(columns, expected_ndv: int = None) -> dict:
+    """Writer options enabling a parquet BLOOM FILTER on ``columns`` —
+    the measured sub-file pruning mechanism for UNCLUSTERED point-lookup
+    keys (r14 A/B, tools/subfile_prune_ab.py + SCALE_EXPERIMENTS.md):
+    row-group min/max can't prune a key that's uniform across the file,
+    and ``_metadata.file_block_start`` range filters save NOTHING (they
+    run per row, after the read — 410.7 vs 411.9 MB measured), but a
+    write-time bloom lets the parquet reader skip whole row groups on
+    the pushed Eq filter: 46.8 MB vs 818.9 MB on the same lookup, and
+    42.1 MB composed with the block index (file-level pruning first).
+
+    ``expected_ndv`` is PER ROW GROUP (distinct keys in one row group,
+    NOT the table-wide domain — parquet allocates the bitset up front
+    per open row group, so a domain-sized ndv over many small row
+    groups OOMs the writer). Default: parquet's own sizing (bounded by
+    ``parquet.bloom.filter.max.bytes``, 1 MiB).
+
+    Use with any DataFrameWriter: ``df.write.options(
+    **bloom_filter_options(["user_id"]))`` — or through
+    ``materialize`` / ``layout.cluster_table``'s ``bloom_columns``."""
+    out = {}
+    for c in columns:
+        out[f"parquet.bloom.filter.enabled#{c}"] = "true"
+        if expected_ndv is not None:
+            out[f"parquet.bloom.filter.expected.ndv#{c}"] = str(int(expected_ndv))
+    return out
+
+
 def materialize(
     spark: SparkSession,
     src_path: str,
     dst_path: str,
     num_files: int = 8,
     force: bool = False,
+    bloom_columns=None,
 ) -> str:
     """Normalized multi-file copy of a table (proper micros timestamps,
     ``num_files`` parquet parts) — used to make file-level index pruning
     observable on the driver's single-file fixtures, and as the engine's
-    canonical on-disk layout for tests/bench."""
+    canonical on-disk layout for tests/bench.
+
+    ``bloom_columns`` writes parquet bloom filters on those columns —
+    the measured row-group pruning mechanism for unclustered point
+    lookups (see :func:`bloom_filter_options`)."""
     # Hadoop-FS marker IO, not os.path: a non-local dst (hdfs://, s3a://)
     # would otherwise crash AFTER the expensive write and re-copy on
     # every call because the local-path existence check never matches
@@ -105,6 +138,9 @@ def materialize(
         if fsio.read_text(spark, marker).strip() == LAYOUT_VERSION:
             return dst_path
     df = load_raw(spark, src_path)
-    df.repartition(num_files).write.mode("overwrite").parquet(dst_path)
+    w = df.repartition(num_files).write.mode("overwrite")
+    if bloom_columns:
+        w = w.options(**bloom_filter_options(bloom_columns))
+    w.parquet(dst_path)
     fsio.write_text(spark, marker, LAYOUT_VERSION)
     return dst_path

@@ -1,0 +1,217 @@
+"""Concurrent-writer protection for index builds (r13 verdict item 4).
+
+The publish contract always documented SINGLE WRITER per index dir;
+nothing enforced it. Two simultaneous ``build_block_index`` calls on
+one idx_dir share the staged path, so writer B's overwrite can gut the
+dir writer A is renaming — and for paired indexes the halves could be
+published by DIFFERENT builders under different epochs. The build
+lease (``fsio.acquire_build_lease``: create-exclusive marker + ttl
+staleness takeover) turns that interleaving into a loud
+``BuildLeaseHeld``. Reference analog: the per-file indexing job's
+hasPreviousIndex overwrite-skip
+(core/indexing/AbstractBlockIndexingJob.java:176-312).
+
+Also pins the r13-advisor recover_pair fix: a stale committed ``_tmp``
+sibling must not SHADOW the ``.staging`` that carries the epoch which
+completes an interrupted pair publish.
+"""
+
+import json
+import time
+
+import pyspark.sql.functions as F
+import pytest
+
+from elephant_twin_spark import Engine, col
+from elephant_twin_spark.operators import build as build_mod
+from elephant_twin_spark.sources import fsio, tables
+
+from conftest import SF_DIR
+
+
+# ------------------------------------------------------------ lease unit
+
+def test_lease_is_exclusive_and_released(spark, workdir):
+    d = f"{workdir}/lease_unit"
+    owner = fsio.acquire_build_lease(spark, d)
+    with pytest.raises(fsio.BuildLeaseHeld):
+        fsio.acquire_build_lease(spark, d)
+    fsio.release_build_lease(spark, d, owner)
+    # released → a new builder acquires
+    owner2 = fsio.acquire_build_lease(spark, d)
+    fsio.release_build_lease(spark, d, owner2)
+
+
+def test_stale_lease_takeover(spark, workdir):
+    d = f"{workdir}/lease_stale"
+    # a crashed builder's marker, older than its ttl
+    fsio.write_text(
+        spark,
+        f"{d}/{fsio.BUILD_LEASE_NAME}",
+        json.dumps(
+            {"owner": "dead", "acquired_ms": int(time.time() * 1000) - 10_000,
+             "ttl_ms": 1_000}
+        ),
+    )
+    owner = fsio.acquire_build_lease(spark, d, ttl_ms=1_000)
+    assert owner != "dead"
+    fsio.release_build_lease(spark, d, owner)
+
+
+def test_release_is_owner_checked(spark, workdir):
+    """After a ttl takeover, the ORIGINAL builder's release must not
+    delete the new holder's lease (that would re-open the window)."""
+    d = f"{workdir}/lease_owner"
+    stale = fsio.acquire_build_lease(spark, d, ttl_ms=1)
+    time.sleep(0.01)
+    fresh = fsio.acquire_build_lease(spark, d, ttl_ms=60_000)
+    fsio.release_build_lease(spark, d, stale)  # no-op: not the owner
+    with pytest.raises(fsio.BuildLeaseHeld):
+        fsio.acquire_build_lease(spark, d, ttl_ms=60_000)
+    fsio.release_build_lease(spark, d, fresh)
+
+
+# ------------------------------------------- interleaved builders (block)
+
+def test_interleaved_builders_second_raises(spark, workdir, monkeypatch):
+    """Builder B starting while builder A is between its staged write
+    and its publish must fail LOUD — previously B's staging overwrite
+    could gut the dir A was about to rename (last-writer-wins, or worse
+    a half-A half-B hybrid)."""
+    tbl = tables.materialize(
+        spark, f"{SF_DIR}/events.parquet", f"{workdir}/ilv_events"
+    )
+    eng = Engine(spark, f"{workdir}/ilv_idx")
+    eng.build_index(tbl, "event_type", num_buckets=4)
+    truth = spark.read.parquet(tbl).where(F.col("event_type") == "purchase").count()
+
+    real_publish = fsio.publish_dir
+    state = {"inner": None}
+
+    def publish_with_second_builder(spark_, tmp_dir, final_dir):
+        if state["inner"] is None:
+            # A holds the lease mid-build; B must be refused here
+            with pytest.raises(fsio.BuildLeaseHeld):
+                eng.build_index(tbl, "event_type", num_buckets=4)
+            state["inner"] = "refused"
+        real_publish(spark_, tmp_dir, final_dir)
+
+    monkeypatch.setattr(fsio, "publish_dir", publish_with_second_builder)
+    eng.build_index(tbl, "event_type", num_buckets=4)
+    monkeypatch.undo()
+
+    assert state["inner"] == "refused"
+    # A's build completed and serves the correct answer; lease released
+    assert eng.query(tbl, col("event_type") == "purchase").count() == truth
+    eng.build_index(tbl, "event_type", num_buckets=4)  # no leftover lease
+
+
+def test_crashed_builder_leaves_recoverable_lease(spark, workdir, monkeypatch):
+    """A builder that DIES mid-build releases via finally when it can;
+    when it can't (hard kill), the marker ages out via ttl takeover —
+    either way the next build eventually proceeds."""
+    tbl = tables.materialize(
+        spark, f"{SF_DIR}/events.parquet", f"{workdir}/crash_events"
+    )
+    idx_root = f"{workdir}/crash_idx"
+
+    def boom(*a, **kw):
+        raise RuntimeError("simulated mid-build crash")
+
+    monkeypatch.setattr(build_mod, "write_range_partitioned", boom)
+    with pytest.raises(RuntimeError, match="simulated"):
+        build_mod.build_block_index(spark, tbl, "event_type", idx_root)
+    monkeypatch.undo()
+
+    # the exception path released the lease — an immediate rebuild works
+    res = build_mod.build_block_index(spark, tbl, "event_type", idx_root)
+    assert res.index_dir
+
+
+# ------------------------------------------ recover_pair sibling shadow
+
+def _write_tiny(spark, path: str, tag: str) -> None:
+    spark.createDataFrame([(tag,)], "tag string").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def test_recover_pair_stale_tmp_does_not_shadow_staging(spark, workdir):
+    """ADVICE r13: pair (A, B); a full rebuild published A at epoch E2
+    and crashed between the renames, so B still serves the OLD epoch E1
+    while ``B.staging`` (committed, epoch E2) holds the missing half.
+    An ABORTED earlier refresh also left a committed stale ``B_tmp`` at
+    epoch E1. First-sibling-wins used to pick the ``_tmp``, find no
+    epoch path to consistency, and raise "rebuild the index" although
+    ``B.staging`` could heal the pair."""
+    a, b = f"{workdir}/pair_shadow/a", f"{workdir}/pair_shadow/b"
+    _write_tiny(spark, a, "a-new")
+    _write_tiny(spark, b, "b-old")
+    _write_tiny(spark, f"{b}.staging", "b-new")
+    _write_tiny(spark, f"{b}_tmp", "b-stale-refresh")
+    fsio.stamp_pair_epoch(spark, a, "E2")
+    fsio.stamp_pair_epoch(spark, b, "E1")
+    fsio.stamp_pair_epoch(spark, f"{b}.staging", "E2")
+    fsio.stamp_pair_epoch(spark, f"{b}_tmp", "E1")
+
+    assert fsio.pair_mismatch(spark, [a, b])
+    assert fsio.recover_pair(spark, [a, b]) is True
+    assert not fsio.pair_mismatch(spark, [a, b])
+    assert fsio.read_pair_epoch(spark, b) == "E2"
+    assert spark.read.parquet(b).first()["tag"] == "b-new"
+    # consistent state cleans every leftover staged sibling
+    assert not fsio.exists(spark, f"{b}_tmp")
+    assert not fsio.exists(spark, f"{b}.staging")
+
+
+def test_recover_pair_still_raises_when_unhealable(spark, workdir):
+    """No staged sibling carries the epoch that could complete the pair
+    → recover_pair must still refuse (rebuild is the only way out)."""
+    a, b = f"{workdir}/pair_dead/a", f"{workdir}/pair_dead/b"
+    _write_tiny(spark, a, "a-new")
+    _write_tiny(spark, b, "b-old")
+    _write_tiny(spark, f"{b}_tmp", "b-stale-refresh")
+    fsio.stamp_pair_epoch(spark, a, "E2")
+    fsio.stamp_pair_epoch(spark, b, "E1")
+    fsio.stamp_pair_epoch(spark, f"{b}_tmp", "E0")
+
+    with pytest.raises(OSError, match="rebuild the index"):
+        fsio.recover_pair(spark, [a, b])
+
+
+# ----------------------------------------------- fresh-handle revalidate
+
+def test_ann_handle_revalidate_after_rebuild(spark, workdir):
+    """r13 advisor: a long-lived AnnIndex handle can re-arm its cached
+    generation with revalidate() instead of being reconstructed."""
+    src = f"{workdir}/reval_emb"
+    emb = tables.load_raw(spark, f"{SF_DIR}/embeddings.parquet")
+    emb.where(F.col("vec_id") < 200).coalesce(2).write.mode("overwrite").parquet(src)
+    eng = Engine(spark, f"{workdir}/reval_idx")
+    eng.build_ann_index(src, "embedding", "vec_id", nlist=4, max_iter=2)
+    handle = eng.ann_index(src, "embedding")
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == 7).first()["embedding"]]
+    assert handle.topk(qvec, k=5, nprobe=4).count() == 5
+    # rebuild publishes a new epoch; the old handle re-arms and serves it
+    eng.build_ann_index(src, "embedding", "vec_id", nlist=4, max_iter=2)
+    fresh_ids = [
+        r["id"] for r in
+        eng.ann_index(src, "embedding").topk(qvec, k=5, nprobe=4).collect()
+    ]
+    reval_ids = [
+        r["id"] for r in
+        handle.revalidate().topk(qvec, k=5, nprobe=4).collect()
+    ]
+    assert reval_ids == fresh_ids
+
+
+def test_text_handle_revalidate_after_rebuild(spark, workdir):
+    tbl = tables.materialize(
+        spark, f"{SF_DIR}/documents.parquet", f"{workdir}/reval_docs"
+    )
+    eng = Engine(spark, f"{workdir}/reval_tidx")
+    eng.build_text_index(tbl, "text", "doc_id")
+    handle = eng.text_index(tbl, "text")
+    n0 = handle.doclens().count()
+    eng.build_text_index(tbl, "text", "doc_id")
+    assert handle.revalidate().doclens().count() == n0
