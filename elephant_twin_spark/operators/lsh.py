@@ -115,27 +115,28 @@ def build_lsh_index(
     # build.write_range_partitioned's docstring; pinning pays only when
     # the input is the OUTPUT of an expensive shuffle aggregate (text
     # postings, block-index range merges).
-    # stage + publish: see build.build_block_index (mid-rebuild reader race)
-    build_mod.write_range_partitioned(
-        bands, num_buckets, "band_hash", ("band_hash", "id"),
-        f"{idx_dir}/bands.staging", pin_input=False,
-    )
-    fsio.publish_dir(spark, f"{idx_dir}/bands.staging", f"{idx_dir}/bands")
-    desc = catalog.make_descriptor(
-        source_path=table_path,
-        column=text_column,
-        index_type="LSH",
-        num_buckets=num_buckets,
-        files=files,
-        options={
-            "id_column": id_column,
-            "num_perm": str(num_perm),
-            "num_bands": str(num_bands),
-            "shingle_k": str(shingle_k),
-            "hash_fn": hash_fn,
-        },
-    )
-    catalog.write_descriptor(spark, idx_dir, desc)
+    # stage + publish + lease: see build.build_block_index
+    with fsio.build_lease(spark, idx_dir):
+        build_mod.write_range_partitioned(
+            bands, num_buckets, "band_hash", ("band_hash", "id"),
+            f"{idx_dir}/bands.staging", pin_input=False,
+        )
+        fsio.publish_dir(spark, f"{idx_dir}/bands.staging", f"{idx_dir}/bands")
+        desc = catalog.make_descriptor(
+            source_path=table_path,
+            column=text_column,
+            index_type="LSH",
+            num_buckets=num_buckets,
+            files=files,
+            options={
+                "id_column": id_column,
+                "num_perm": str(num_perm),
+                "num_bands": str(num_bands),
+                "shingle_k": str(shingle_k),
+                "hash_fn": hash_fn,
+            },
+        )
+        catalog.write_descriptor(spark, idx_dir, desc)
     return idx_dir
 
 

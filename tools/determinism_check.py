@@ -69,6 +69,16 @@ def main():
         # AQE variation leave untouched
         a = _run_all(32, sf_dir, only, {"spark.sql.files.maxPartitionBytes": "65536"})
         b = _run_all(32, sf_dir, only)
+    elif axis == "timezone":
+        # fourth axis (r13 verdict item 6): C1–C3 date parse/format/
+        # trunc, week/hour bucketing and timestamp→string rendering are
+        # session-TZ-sensitive. A diff here means the query's ANSWER
+        # depends on spark.sql.session.timeZone — fine iff the oracle
+        # twin pins the same zone; the sweep names every query where
+        # that contract is load-bearing (ledgered in COVERAGE.md).
+        a = _run_all(32, sf_dir, only,
+                     {"spark.sql.session.timeZone": "America/New_York"})
+        b = _run_all(32, sf_dir, only)  # builder default: UTC
     else:
         a = _run_all(5, sf_dir, only)   # odd low count: maximally different merge order
         b = _run_all(32, sf_dir, only)  # the bench/test default
