@@ -86,56 +86,60 @@ def refresh_block_index(
     if not new_or_changed and not removed:
         return {"mode": "noop", "files_indexed": 0}
 
-    data_dir = f"{idx_dir}/postings"
-    tmp_dir = f"{idx_dir}/postings_tmp"
-    fsio.recover_publish(spark, tmp_dir, data_dir)
-    old = spark.read.parquet(data_dir)
+    # writer lease: same exclusion as the full builders (r14) —
+    # two concurrent refreshes share the *_tmp staged path, and a
+    # refresh interleaving a full build could publish over it
+    with fsio.build_lease(spark, idx_dir):
+        data_dir = f"{idx_dir}/postings"
+        tmp_dir = f"{idx_dir}/postings_tmp"
+        fsio.recover_publish(spark, tmp_dir, data_dir)
+        old = spark.read.parquet(data_dir)
 
-    # drop postings of changed/removed files (their byte layout is gone)
-    obsolete = set(new_or_changed) | set(removed)
-    kept = old.where(~F.col("file").isin([p for p in obsolete]))
+        # drop postings of changed/removed files (their byte layout is gone)
+        obsolete = set(new_or_changed) | set(removed)
+        kept = old.where(~F.col("file").isin([p for p in obsolete]))
 
-    options = dict(desc.options)
-    if max_merged_bytes is not None:
-        options["max_merged_bytes"] = str(max_merged_bytes)
-    mmb = int(options.get("max_merged_bytes", build_mod.DEFAULT_MAX_MERGED_BYTES))
-    key_expr = options.get("key_expr")
-    sample_fraction = options.get("sample_fraction")
-    if new_or_changed:
-        delta_df = spark.read.parquet(*new_or_changed)
-        delta = build_mod.postings_for(
-            delta_df,
-            column,
-            max_merged_bytes=mmb,
-            sample_fraction=float(sample_fraction) if sample_fraction else None,
-            key_col=F.expr(key_expr) if key_expr else None,
+        options = dict(desc.options)
+        if max_merged_bytes is not None:
+            options["max_merged_bytes"] = str(max_merged_bytes)
+        mmb = int(options.get("max_merged_bytes", build_mod.DEFAULT_MAX_MERGED_BYTES))
+        key_expr = options.get("key_expr")
+        sample_fraction = options.get("sample_fraction")
+        if new_or_changed:
+            delta_df = spark.read.parquet(*new_or_changed)
+            delta = build_mod.postings_for(
+                delta_df,
+                column,
+                max_merged_bytes=mmb,
+                sample_fraction=float(sample_fraction) if sample_fraction else None,
+                key_col=F.expr(key_expr) if key_expr else None,
+            )
+            merged = kept.unionByName(delta)
+        else:
+            merged = kept
+
+        # rewrite the postings table preserving the bucket layout
+        # pinned write: the delta's range-merge aggregate runs once instead
+        # of twice (range sampling + write; see build.write_range_partitioned)
+        build_mod.write_range_partitioned(
+            merged, desc.num_buckets, "key", ("key", "file"), tmp_dir, bloom_col="key"
         )
-        merged = kept.unionByName(delta)
-    else:
-        merged = kept
+        fsio.publish_dir(spark, tmp_dir, data_dir)
 
-    # rewrite the postings table preserving the bucket layout
-    # pinned write: the delta's range-merge aggregate runs once instead
-    # of twice (range sampling + write; see build.write_range_partitioned)
-    build_mod.write_range_partitioned(
-        merged, desc.num_buckets, "key", ("key", "file"), tmp_dir, bloom_col="key"
-    )
-    fsio.publish_dir(spark, tmp_dir, data_dir)
-
-    new_desc = catalog.make_descriptor(
-        source_path=table_path,
-        column=column,
-        index_type="BLOCK",
-        num_buckets=desc.num_buckets,
-        files=live,
-        options=options,
-    )
-    catalog.write_descriptor(spark, idx_dir, new_desc)
-    return {
-        "mode": "incremental",
-        "files_indexed": len(new_or_changed),
-        "files_removed": len(removed),
-    }
+        new_desc = catalog.make_descriptor(
+            source_path=table_path,
+            column=column,
+            index_type="BLOCK",
+            num_buckets=desc.num_buckets,
+            files=live,
+            options=options,
+        )
+        catalog.write_descriptor(spark, idx_dir, new_desc)
+        return {
+            "mode": "incremental",
+            "files_indexed": len(new_or_changed),
+            "files_removed": len(removed),
+        }
 
 
 def refresh_bloom_index(
@@ -164,36 +168,40 @@ def refresh_bloom_index(
 
     num_bits = int(desc.options["num_bits"])
     num_hashes = int(desc.options["num_hashes"])
-    data_dir = f"{idx_dir}/sketch"
-    tmp_dir = f"{idx_dir}/sketch_tmp"
-    fsio.recover_publish(spark, tmp_dir, data_dir)
-    kept = spark.read.parquet(data_dir).where(
-        ~F.col("file").isin(list(set(new_or_changed) | set(removed)))
-    )
-    merged = kept
-    if new_or_changed:
-        delta = build_mod.bloom_sketch_for(
-            spark.read.parquet(*new_or_changed), column, num_bits, num_hashes
+    # writer lease: same exclusion as the full builders (r14) —
+    # two concurrent refreshes share the *_tmp staged path, and a
+    # refresh interleaving a full build could publish over it
+    with fsio.build_lease(spark, idx_dir):
+        data_dir = f"{idx_dir}/sketch"
+        tmp_dir = f"{idx_dir}/sketch_tmp"
+        fsio.recover_publish(spark, tmp_dir, data_dir)
+        kept = spark.read.parquet(data_dir).where(
+            ~F.col("file").isin(list(set(new_or_changed) | set(removed)))
         )
-        merged = kept.unionByName(delta)
+        merged = kept
+        if new_or_changed:
+            delta = build_mod.bloom_sketch_for(
+                spark.read.parquet(*new_or_changed), column, num_bits, num_hashes
+            )
+            merged = kept.unionByName(delta)
 
-    merged.coalesce(1).write.mode("overwrite").parquet(tmp_dir)
-    fsio.publish_dir(spark, tmp_dir, data_dir)
+        merged.coalesce(1).write.mode("overwrite").parquet(tmp_dir)
+        fsio.publish_dir(spark, tmp_dir, data_dir)
 
-    new_desc = catalog.make_descriptor(
-        source_path=table_path,
-        column=column,
-        index_type="BLOOM",
-        num_buckets=1,
-        files=live,
-        options=desc.options,
-    )
-    catalog.write_descriptor(spark, idx_dir, new_desc)
-    return {
-        "mode": "incremental",
-        "files_indexed": len(new_or_changed),
-        "files_removed": len(removed),
-    }
+        new_desc = catalog.make_descriptor(
+            source_path=table_path,
+            column=column,
+            index_type="BLOOM",
+            num_buckets=1,
+            files=live,
+            options=desc.options,
+        )
+        catalog.write_descriptor(spark, idx_dir, new_desc)
+        return {
+            "mode": "incremental",
+            "files_indexed": len(new_or_changed),
+            "files_removed": len(removed),
+        }
 
 
 def refresh_text_index(
@@ -232,80 +240,84 @@ def refresh_text_index(
             f"registry has {sorted(text_mod._TOKENIZERS)}"
         ) from None
 
-    data_dir = f"{idx_dir}/postings"
-    tmp_dir = f"{idx_dir}/postings_tmp"
-    lens_dir = f"{idx_dir}/doclens"
-    lens_tmp = f"{idx_dir}/doclens_tmp"
-    # pair-aware recovery (r12 advisor): per-dir recover_publish would
-    # DELETE a doclens_tmp that is the only copy of the missing half of
-    # an interrupted paired publish; recover_pair heals that state first
-    fsio.recover_pair(spark, [data_dir, lens_dir])
-    old = spark.read.parquet(data_dir)
-    kept = old.where(~F.col("file").isin(list(set(new_or_changed) | set(removed))))
-    merged = kept
-    if new_or_changed:
-        delta = text_mod.postings_for(
-            spark.read.parquet(*new_or_changed),
-            text_column,
-            desc.options["doc_id_column"],
-            tokenizer,
+    # writer lease: same exclusion as the full builders (r14) —
+    # two concurrent refreshes share the *_tmp staged path, and a
+    # refresh interleaving a full build could publish over it
+    with fsio.build_lease(spark, idx_dir):
+        data_dir = f"{idx_dir}/postings"
+        tmp_dir = f"{idx_dir}/postings_tmp"
+        lens_dir = f"{idx_dir}/doclens"
+        lens_tmp = f"{idx_dir}/doclens_tmp"
+        # pair-aware recovery (r12 advisor): per-dir recover_publish would
+        # DELETE a doclens_tmp that is the only copy of the missing half of
+        # an interrupted paired publish; recover_pair heals that state first
+        fsio.recover_pair(spark, [data_dir, lens_dir])
+        old = spark.read.parquet(data_dir)
+        kept = old.where(~F.col("file").isin(list(set(new_or_changed) | set(removed))))
+        merged = kept
+        if new_or_changed:
+            delta = text_mod.postings_for(
+                spark.read.parquet(*new_or_changed),
+                text_column,
+                desc.options["doc_id_column"],
+                tokenizer,
+            )
+            merged = kept.unionByName(delta)
+
+        # pinned write: the delta's tokenize/explode postings aggregate runs
+        # once instead of twice (see build.write_range_partitioned)
+        build_mod.write_range_partitioned(
+            merged, desc.num_buckets, "term", ("term", "doc_id"), tmp_dir,
+            bloom_col="term",
         )
-        merged = kept.unionByName(delta)
 
-    # pinned write: the delta's tokenize/explode postings aggregate runs
-    # once instead of twice (see build.write_range_partitioned)
-    build_mod.write_range_partitioned(
-        merged, desc.num_buckets, "term", ("term", "doc_id"), tmp_dir,
-        bloom_col="term",
-    )
-
-    # doclens (BM25 length + lnc cosine norms) maintained with the same
-    # kept/delta split — norms are per-doc-only by design, so other
-    # files' rows stay valid; corpus stats (n_docs, avgdl) re-derive from
-    # the merged table, keeping BM25/more_like_this idf honest. BOTH
-    # staged writes complete before the paired publish below — the old
-    # postings-then-doclens ordering served new postings with old norms
-    # for the whole doclens compute (r12 advisor)
-    old_lens = spark.read.parquet(lens_dir)
-    kept_lens = old_lens.where(
-        ~F.col("file").isin(list(set(new_or_changed) | set(removed)))
-    )
-    merged_lens = kept_lens
-    if new_or_changed:
-        delta_lens = text_mod.doclens_for(
-            spark.read.parquet(*new_or_changed),
-            text_column,
-            desc.options["doc_id_column"],
-            tokenizer,
+        # doclens (BM25 length + lnc cosine norms) maintained with the same
+        # kept/delta split — norms are per-doc-only by design, so other
+        # files' rows stay valid; corpus stats (n_docs, avgdl) re-derive from
+        # the merged table, keeping BM25/more_like_this idf honest. BOTH
+        # staged writes complete before the paired publish below — the old
+        # postings-then-doclens ordering served new postings with old norms
+        # for the whole doclens compute (r12 advisor)
+        old_lens = spark.read.parquet(lens_dir)
+        kept_lens = old_lens.where(
+            ~F.col("file").isin(list(set(new_or_changed) | set(removed)))
         )
-        merged_lens = kept_lens.unionByName(delta_lens)
-    merged_lens.coalesce(max(1, desc.num_buckets // 4)).write.mode(
-        "overwrite"
-    ).parquet(lens_tmp)
-    fsio.publish_pair(
-        spark, [(tmp_dir, data_dir), (lens_tmp, lens_dir)]
-    )
-    stats = spark.read.parquet(lens_dir).agg(
-        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
-    ).first()
-    options = dict(desc.options)
-    options["n_docs"] = str(stats["n"])
-    options["avgdl"] = str(float(stats["avgdl"] or 0.0))
+        merged_lens = kept_lens
+        if new_or_changed:
+            delta_lens = text_mod.doclens_for(
+                spark.read.parquet(*new_or_changed),
+                text_column,
+                desc.options["doc_id_column"],
+                tokenizer,
+            )
+            merged_lens = kept_lens.unionByName(delta_lens)
+        merged_lens.coalesce(max(1, desc.num_buckets // 4)).write.mode(
+            "overwrite"
+        ).parquet(lens_tmp)
+        fsio.publish_pair(
+            spark, [(tmp_dir, data_dir), (lens_tmp, lens_dir)]
+        )
+        stats = spark.read.parquet(lens_dir).agg(
+            F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+        ).first()
+        options = dict(desc.options)
+        options["n_docs"] = str(stats["n"])
+        options["avgdl"] = str(float(stats["avgdl"] or 0.0))
 
-    new_desc = catalog.make_descriptor(
-        source_path=table_path,
-        column=text_column,
-        index_type="TEXT",
-        num_buckets=desc.num_buckets,
-        files=live,
-        options=options,
-    )
-    catalog.write_descriptor(spark, idx_dir, new_desc)
-    return {
-        "mode": "incremental",
-        "files_indexed": len(new_or_changed),
-        "files_removed": len(removed),
-    }
+        new_desc = catalog.make_descriptor(
+            source_path=table_path,
+            column=text_column,
+            index_type="TEXT",
+            num_buckets=desc.num_buckets,
+            files=live,
+            options=options,
+        )
+        catalog.write_descriptor(spark, idx_dir, new_desc)
+        return {
+            "mode": "incremental",
+            "files_indexed": len(new_or_changed),
+            "files_removed": len(removed),
+        }
 
 
 def refresh_zone_index(
@@ -331,42 +343,46 @@ def refresh_zone_index(
     if not new_or_changed and not removed:
         return {"mode": "noop", "files_indexed": 0}
 
-    data_dir = f"{idx_dir}/zones"
-    tmp_dir = f"{idx_dir}/zones_tmp"
-    fsio.recover_publish(spark, tmp_dir, data_dir)
-    kept = spark.read.parquet(data_dir).where(
-        ~F.col("file").isin(list(set(new_or_changed) | set(removed)))
-    )
-    merged = kept
-    if new_or_changed:
-        # the SHARED zone aggregation, with the key_expr the index was
-        # built with (r9 review: the inline copy here had lost key_expr —
-        # new files' zones were computed over the raw column, silently
-        # mispruning files at query time)
-        delta = build_mod.zones_for(
-            spark.read.parquet(*new_or_changed),
-            column,
-            desc.options.get("key_expr"),
+    # writer lease: same exclusion as the full builders (r14) —
+    # two concurrent refreshes share the *_tmp staged path, and a
+    # refresh interleaving a full build could publish over it
+    with fsio.build_lease(spark, idx_dir):
+        data_dir = f"{idx_dir}/zones"
+        tmp_dir = f"{idx_dir}/zones_tmp"
+        fsio.recover_publish(spark, tmp_dir, data_dir)
+        kept = spark.read.parquet(data_dir).where(
+            ~F.col("file").isin(list(set(new_or_changed) | set(removed)))
         )
-        merged = kept.unionByName(delta)
+        merged = kept
+        if new_or_changed:
+            # the SHARED zone aggregation, with the key_expr the index was
+            # built with (r9 review: the inline copy here had lost key_expr —
+            # new files' zones were computed over the raw column, silently
+            # mispruning files at query time)
+            delta = build_mod.zones_for(
+                spark.read.parquet(*new_or_changed),
+                column,
+                desc.options.get("key_expr"),
+            )
+            merged = kept.unionByName(delta)
 
-    merged.coalesce(1).write.mode("overwrite").parquet(tmp_dir)
-    fsio.publish_dir(spark, tmp_dir, data_dir)
+        merged.coalesce(1).write.mode("overwrite").parquet(tmp_dir)
+        fsio.publish_dir(spark, tmp_dir, data_dir)
 
-    new_desc = catalog.make_descriptor(
-        source_path=table_path,
-        column=column,
-        index_type="ZONE",
-        num_buckets=1,
-        files=live,
-        options=desc.options,
-    )
-    catalog.write_descriptor(spark, idx_dir, new_desc)
-    return {
-        "mode": "incremental",
-        "files_indexed": len(new_or_changed),
-        "files_removed": len(removed),
-    }
+        new_desc = catalog.make_descriptor(
+            source_path=table_path,
+            column=column,
+            index_type="ZONE",
+            num_buckets=1,
+            files=live,
+            options=desc.options,
+        )
+        catalog.write_descriptor(spark, idx_dir, new_desc)
+        return {
+            "mode": "incremental",
+            "files_indexed": len(new_or_changed),
+            "files_removed": len(removed),
+        }
 
 
 _REFRESHERS = {
@@ -446,84 +462,88 @@ def refresh_lsh_index(
         return {"mode": "noop", "files_indexed": 0}
 
     o = desc.options
-    data_dir = f"{idx_dir}/bands"
-    tmp_dir = f"{idx_dir}/bands_tmp"
-    fsio.recover_publish(spark, tmp_dir, data_dir)
-    dropped = list(set(new_or_changed) | set(removed))
-    # read through the index handle, not the bands dir: grown rows live
-    # in the sibling bands_grown spine (per-batch idempotent appends from
-    # the streaming gate) and must fold into the rewrite. Do NOT run this
-    # refresh while a gate stream is mid-batch — the fold below clears
-    # bands_grown, and an uncommitted batch's partition would be lost.
-    from elephant_twin_spark.operators.lsh import LshIndex
+    # writer lease: same exclusion as the full builders (r14) —
+    # two concurrent refreshes share the *_tmp staged path, and a
+    # refresh interleaving a full build could publish over it
+    with fsio.build_lease(spark, idx_dir):
+        data_dir = f"{idx_dir}/bands"
+        tmp_dir = f"{idx_dir}/bands_tmp"
+        fsio.recover_publish(spark, tmp_dir, data_dir)
+        dropped = list(set(new_or_changed) | set(removed))
+        # read through the index handle, not the bands dir: grown rows live
+        # in the sibling bands_grown spine (per-batch idempotent appends from
+        # the streaming gate) and must fold into the rewrite. Do NOT run this
+        # refresh while a gate stream is mid-batch — the fold below clears
+        # bands_grown, and an uncommitted batch's partition would be lost.
+        from elephant_twin_spark.operators.lsh import LshIndex
 
-    idx = LshIndex(spark, table_path, text_column, index_root)
-    kept = idx.bands().where(~F.col("file").isin(dropped))
-    # fold idempotency (r10 advice): a crash between the publish below
-    # and the bands_grown delete leaves the folded rows in BOTH the new
-    # spine and bands_grown — bands() then yields each grown row twice,
-    # and without this the re-fold would write the duplicates into the
-    # spine permanently (monotonic growth per crashed refresh;
-    # candidate_pairs' .distinct() hides it from gating). Only GROWN
-    # rows can collide (source-file rows exist once in the spine by
-    # construction), and duplicates exist only while a bands_grown
-    # sibling does — so the guard costs nothing on the no-sibling path,
-    # and otherwise splits on the sibling's distinct file_labels (a
-    # handful of values — never the O(table files) live-path list,
-    # which at 100 TB would put ~10^5 literals into the plan) and
-    # dedups just that slice.
-    grown_dir = f"{idx_dir}/bands_grown"
-    if fsio.exists(spark, grown_dir):
-        labels = [
-            r["file"]
-            for r in spark.read.parquet(grown_dir).select("file").distinct().collect()
-        ]
-        is_grown = F.col("file").isin(labels)
-        kept = kept.where(~is_grown).unionByName(
-            kept.where(is_grown).dropDuplicates(["id", "band", "band_hash", "file"])
+        idx = LshIndex(spark, table_path, text_column, index_root)
+        kept = idx.bands().where(~F.col("file").isin(dropped))
+        # fold idempotency (r10 advice): a crash between the publish below
+        # and the bands_grown delete leaves the folded rows in BOTH the new
+        # spine and bands_grown — bands() then yields each grown row twice,
+        # and without this the re-fold would write the duplicates into the
+        # spine permanently (monotonic growth per crashed refresh;
+        # candidate_pairs' .distinct() hides it from gating). Only GROWN
+        # rows can collide (source-file rows exist once in the spine by
+        # construction), and duplicates exist only while a bands_grown
+        # sibling does — so the guard costs nothing on the no-sibling path,
+        # and otherwise splits on the sibling's distinct file_labels (a
+        # handful of values — never the O(table files) live-path list,
+        # which at 100 TB would put ~10^5 literals into the plan) and
+        # dedups just that slice.
+        grown_dir = f"{idx_dir}/bands_grown"
+        if fsio.exists(spark, grown_dir):
+            labels = [
+                r["file"]
+                for r in spark.read.parquet(grown_dir).select("file").distinct().collect()
+            ]
+            is_grown = F.col("file").isin(labels)
+            kept = kept.where(~is_grown).unionByName(
+                kept.where(is_grown).dropDuplicates(["id", "band", "band_hash", "file"])
+            )
+        merged = kept
+        if new_or_changed:
+            delta = lsh_mod.banded_docs(
+                spark.read.parquet(*new_or_changed),
+                desc.column,
+                o["id_column"],
+                num_perm=int(o["num_perm"]),
+                num_bands=int(o["num_bands"]),
+                shingle_k=int(o["shingle_k"]),
+                hash_fn=o["hash_fn"],
+            )
+            merged = kept.unionByName(delta)
+
+        # UNPINNED write: both sides of the merge are cheap to evaluate
+        # twice — `kept` is a parquet re-read of the existing bands table
+        # and the delta's banding is shuffle-free narrow hashing — while
+        # pinning would eagerly checkpoint the ENTIRE merged bands table
+        # (corpus cardinality) to save that; same measured trade as
+        # build_lsh_index (SCALE_EXPERIMENTS.md r9). The postings refreshes
+        # above keep the pin: their deltas are real shuffle aggregates.
+        build_mod.write_range_partitioned(
+            merged, desc.num_buckets, "band_hash", ("band_hash", "id"), tmp_dir,
+            pin_input=False,
         )
-    merged = kept
-    if new_or_changed:
-        delta = lsh_mod.banded_docs(
-            spark.read.parquet(*new_or_changed),
-            desc.column,
-            o["id_column"],
-            num_perm=int(o["num_perm"]),
-            num_bands=int(o["num_bands"]),
-            shingle_k=int(o["shingle_k"]),
-            hash_fn=o["hash_fn"],
+        fsio.publish_dir(spark, tmp_dir, data_dir)
+        # grown rows are folded into the main spine now
+        fsio.delete(spark, f"{idx_dir}/bands_grown")
+
+        new_desc = catalog.make_descriptor(
+            source_path=table_path,
+            column=text_column,
+            index_type="LSH",
+            num_buckets=desc.num_buckets,
+            files=live,
+            options=desc.options,
         )
-        merged = kept.unionByName(delta)
-
-    # UNPINNED write: both sides of the merge are cheap to evaluate
-    # twice — `kept` is a parquet re-read of the existing bands table
-    # and the delta's banding is shuffle-free narrow hashing — while
-    # pinning would eagerly checkpoint the ENTIRE merged bands table
-    # (corpus cardinality) to save that; same measured trade as
-    # build_lsh_index (SCALE_EXPERIMENTS.md r9). The postings refreshes
-    # above keep the pin: their deltas are real shuffle aggregates.
-    build_mod.write_range_partitioned(
-        merged, desc.num_buckets, "band_hash", ("band_hash", "id"), tmp_dir,
-        pin_input=False,
-    )
-    fsio.publish_dir(spark, tmp_dir, data_dir)
-    # grown rows are folded into the main spine now
-    fsio.delete(spark, f"{idx_dir}/bands_grown")
-
-    new_desc = catalog.make_descriptor(
-        source_path=table_path,
-        column=text_column,
-        index_type="LSH",
-        num_buckets=desc.num_buckets,
-        files=live,
-        options=desc.options,
-    )
-    catalog.write_descriptor(spark, idx_dir, new_desc)
-    return {
-        "mode": "incremental",
-        "files_indexed": len(new_or_changed),
-        "files_removed": len(removed),
-    }
+        catalog.write_descriptor(spark, idx_dir, new_desc)
+        return {
+            "mode": "incremental",
+            "files_indexed": len(new_or_changed),
+            "files_removed": len(removed),
+        }
 
 
 def refresh_ann_index(
@@ -555,61 +575,65 @@ def refresh_ann_index(
     if not new_or_changed and not removed:
         return {"mode": "noop", "files_indexed": 0}
 
-    data_dir = f"{idx_dir}/vectors"
-    tmp_dir = f"{idx_dir}/vectors_tmp"
-    cent_dir = f"{idx_dir}/centroids"
-    # pair-aware recovery BEFORE the centroid collect (see
-    # refresh_text_index) — healing after it could assign the delta
-    # against centroids a recovery just replaced
-    fsio.recover_pair(spark, [cent_dir, data_dir])
-    centroids = [
-        list(r["centroid"])
-        for r in sorted(
-            spark.read.parquet(cent_dir).collect(),
-            key=lambda r: r["cluster"],
+    # writer lease: same exclusion as the full builders (r14) —
+    # two concurrent refreshes share the *_tmp staged path, and a
+    # refresh interleaving a full build could publish over it
+    with fsio.build_lease(spark, idx_dir):
+        data_dir = f"{idx_dir}/vectors"
+        tmp_dir = f"{idx_dir}/vectors_tmp"
+        cent_dir = f"{idx_dir}/centroids"
+        # pair-aware recovery BEFORE the centroid collect (see
+        # refresh_text_index) — healing after it could assign the delta
+        # against centroids a recovery just replaced
+        fsio.recover_pair(spark, [cent_dir, data_dir])
+        centroids = [
+            list(r["centroid"])
+            for r in sorted(
+                spark.read.parquet(cent_dir).collect(),
+                key=lambda r: r["cluster"],
+            )
+        ]
+        kept = spark.read.parquet(data_dir).where(
+            ~F.col("file").isin(list(set(new_or_changed) | set(removed)))
         )
-    ]
-    kept = spark.read.parquet(data_dir).where(
-        ~F.col("file").isin(list(set(new_or_changed) | set(removed)))
-    )
-    merged = kept
-    if new_or_changed:
-        delta_df = spark.read.parquet(*new_or_changed)
-        id_col = desc.options["id_column"]
-        delta = sim.ivf_assign(delta_df, vec_column, centroids).select(
-            F.col(id_col).alias("id"),
-            F.transform(F.col(vec_column), lambda x: x.cast("double")).alias("vec"),
-            fsio.file_path_col(F.col("_metadata.file_path")).alias("file"),
-            "cluster",
+        merged = kept
+        if new_or_changed:
+            delta_df = spark.read.parquet(*new_or_changed)
+            id_col = desc.options["id_column"]
+            delta = sim.ivf_assign(delta_df, vec_column, centroids).select(
+                F.col(id_col).alias("id"),
+                F.transform(F.col(vec_column), lambda x: x.cast("double")).alias("vec"),
+                fsio.file_path_col(F.col("_metadata.file_path")).alias("file"),
+                "cluster",
+            )
+            merged = kept.unionByName(delta)
+
+        (
+            merged.repartition("cluster")
+            .write.mode("overwrite")
+            .partitionBy("cluster")
+            .parquet(tmp_dir)
         )
-        merged = kept.unionByName(delta)
+        # the refresh assigns against the EXISTING centroids, so the
+        # refreshed vectors stay in that generation: carry the centroids'
+        # pair epoch into the staged dir (the rename would otherwise drop
+        # the marker and read as a crashed-upgrade mismatch)
+        epoch = fsio.read_pair_epoch(spark, cent_dir)
+        if epoch is not None:
+            fsio.stamp_pair_epoch(spark, tmp_dir, epoch)
+        fsio.publish_dir(spark, tmp_dir, data_dir)
 
-    (
-        merged.repartition("cluster")
-        .write.mode("overwrite")
-        .partitionBy("cluster")
-        .parquet(tmp_dir)
-    )
-    # the refresh assigns against the EXISTING centroids, so the
-    # refreshed vectors stay in that generation: carry the centroids'
-    # pair epoch into the staged dir (the rename would otherwise drop
-    # the marker and read as a crashed-upgrade mismatch)
-    epoch = fsio.read_pair_epoch(spark, cent_dir)
-    if epoch is not None:
-        fsio.stamp_pair_epoch(spark, tmp_dir, epoch)
-    fsio.publish_dir(spark, tmp_dir, data_dir)
-
-    new_desc = catalog.make_descriptor(
-        source_path=table_path,
-        column=vec_column,
-        index_type="IVF",
-        num_buckets=desc.num_buckets,
-        files=live,
-        options=desc.options,
-    )
-    catalog.write_descriptor(spark, idx_dir, new_desc)
-    return {
-        "mode": "incremental",
-        "files_indexed": len(new_or_changed),
-        "files_removed": len(removed),
-    }
+        new_desc = catalog.make_descriptor(
+            source_path=table_path,
+            column=vec_column,
+            index_type="IVF",
+            num_buckets=desc.num_buckets,
+            files=live,
+            options=desc.options,
+        )
+        catalog.write_descriptor(spark, idx_dir, new_desc)
+        return {
+            "mode": "incremental",
+            "files_indexed": len(new_or_changed),
+            "files_removed": len(removed),
+        }

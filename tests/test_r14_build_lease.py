@@ -215,3 +215,61 @@ def test_text_handle_revalidate_after_rebuild(spark, workdir):
     n0 = handle.doclens().count()
     eng.build_text_index(tbl, "text", "doc_id")
     assert handle.revalidate().doclens().count() == n0
+
+
+# ------------------------------------------------- refresher writer lease
+
+def test_refresh_refused_while_builder_holds_lease(spark, workdir):
+    """Refreshers take the same writer lease as full builders: a refresh
+    starting while a build (or another refresh) is mid-publish must fail
+    loudly — both refreshes share one *_tmp staged path, and a refresh
+    interleaving a build could publish stale-generation postings over
+    the build's output."""
+    from elephant_twin_spark.streaming import refresh as refresh_mod
+    from elephant_twin_spark.operators import build as bm
+    from elephant_twin_spark.sources import catalog
+
+    tbl = tables.materialize(
+        spark, f"{SF_DIR}/events.parquet", f"{workdir}/rlease_events"
+    )
+    idx_root = f"{workdir}/rlease_idx"
+    bm.build_block_index(spark, tbl, "event_type", idx_root)
+    idx_dir = catalog.index_dir(idx_root, tbl, "event_type", kind="block")
+
+    # make the table dirty so the refresh reaches its mutating span
+    extra = spark.createDataFrame(
+        [(999999, 10**18, "purchase", 1.0, "{}")],
+        "event_id long, user_id long, event_type string, value double, properties string",
+    ).withColumn("ts", F.lit("2024-02-01 00:00:00").cast("timestamp"))
+    extra.coalesce(1).write.mode("append").parquet(tbl)
+
+    owner = fsio.acquire_build_lease(spark, idx_dir)
+    try:
+        with pytest.raises(fsio.BuildLeaseHeld):
+            refresh_mod.refresh_block_index(spark, tbl, "event_type", idx_root)
+    finally:
+        fsio.release_build_lease(spark, idx_dir, owner)
+    # lease released → the refresh proceeds and indexes the new file
+    out = refresh_mod.refresh_block_index(spark, tbl, "event_type", idx_root)
+    assert out["mode"] == "incremental" and out["files_indexed"] >= 1
+
+
+def test_refresh_noop_does_not_need_lease(spark, workdir):
+    """The clean-table early return stays lease-free: a held lease must
+    not block pure no-op refresh polls (the cron deployment mode)."""
+    from elephant_twin_spark.streaming import refresh as refresh_mod
+    from elephant_twin_spark.operators import build as bm
+    from elephant_twin_spark.sources import catalog
+
+    tbl = tables.materialize(
+        spark, f"{SF_DIR}/events.parquet", f"{workdir}/rnoop_events"
+    )
+    idx_root = f"{workdir}/rnoop_idx"
+    bm.build_block_index(spark, tbl, "event_type", idx_root)
+    idx_dir = catalog.index_dir(idx_root, tbl, "event_type", kind="block")
+    owner = fsio.acquire_build_lease(spark, idx_dir)
+    try:
+        out = refresh_mod.refresh_block_index(spark, tbl, "event_type", idx_root)
+        assert out["mode"] == "noop"
+    finally:
+        fsio.release_build_lease(spark, idx_dir, owner)
