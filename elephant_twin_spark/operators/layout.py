@@ -327,6 +327,7 @@ def zorder_table(
     num_files: int = 32,
     bits: int = 8,
     quantile_error: float = 0.01,
+    bloom_columns: Optional[Sequence[str]] = None,
 ) -> str:
     """Rewrite ``src`` at ``dst`` clustered on a Z-order (Morton) curve
     over ``zorder_cols`` — the multi-column locality layout: a single
@@ -344,6 +345,10 @@ def zorder_table(
     into the Z-value; the rewrite range-partitions + sorts by it.
 
     ``bits * len(zorder_cols)`` must fit in 63 bits.
+
+    ``bloom_columns``: parquet bloom filters for point-lookup keys NOT
+    on the curve — same secondary-key rationale as
+    :func:`cluster_table` (measured in SCALE_EXPERIMENTS r14).
 
     Staged write + publish — see :func:`compact_table` (the same
     read-while-rewrite contract). The driver-side ``approxQuantile``
@@ -387,13 +392,17 @@ def zorder_table(
             raw = raw * F.lit(scale)
         buckets.append(raw.cast("long"))
     z = _interleave_bits(buckets, bits)
-    (
+    w = (
         df.withColumn("_z", z)
         .repartitionByRange(num_files, "_z")
         .sortWithinPartitions("_z")
         .drop("_z")
         .write.mode("overwrite")
-        .parquet(staging)
     )
+    if bloom_columns:
+        from elephant_twin_spark.sources import tables
+
+        w = w.options(**tables.bloom_filter_options(bloom_columns))
+    w.parquet(staging)
     fsio.publish_dir(spark, staging, dst_path)
     return dst_path

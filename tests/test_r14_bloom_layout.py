@@ -132,3 +132,19 @@ def test_materialize_bloom_columns(spark, workdir):
     )
     raw = tables.load_raw(spark, f"{SF_DIR}/events.parquet")
     assert spark.read.parquet(dst).count() == raw.count()
+
+
+def test_zorder_table_bloom_columns(spark, workdir):
+    """zorder_table(bloom_columns=...): curve locality for the listed
+    columns, write-time bloom for an off-curve point-lookup key."""
+    src = tables.materialize(
+        spark, f"{SF_DIR}/events.parquet", f"{workdir}/blz_src"
+    )
+    dst = layout.zorder_table(
+        spark, src, f"{workdir}/blz_dst", ["ts", "value"], num_files=4,
+        bloom_columns=["user_id"],
+    )
+    uid = int(spark.read.parquet(src).first()["user_id"])
+    want = spark.read.parquet(src).where(F.col("user_id") == uid).count()
+    got = spark.read.parquet(dst).where(F.col("user_id") == uid).count()
+    assert got == want and want > 0
