@@ -87,18 +87,21 @@ def compact_table(
     from elephant_twin_spark.sources import fsio
 
     staging = dst_path.rstrip("/") + ".staging"
-    fsio.recover_publish(spark, staging, dst_path)
-    total = sum(size for _, size, _ in fsio.list_data_files(spark, src_path))
-    n = max(1, -(-total // (target_file_mb * 1024 * 1024)))
-    df = spark.read.parquet(src_path)
-    if cluster_cols:
-        out = df.repartitionByRange(n, *[F.col(c) for c in cluster_cols]).sortWithinPartitions(
-            *cluster_cols
-        )
-    else:
-        out = df.repartition(n)
-    out.write.mode("overwrite").parquet(staging)
-    fsio.publish_dir(spark, staging, dst_path)
+    # writer lease (r14): two concurrent re-layouts of one dst share the
+    # .staging path — same gutting risk the index builders' lease closed
+    with fsio.writer_lease(spark, dst_path):
+        fsio.recover_publish(spark, staging, dst_path)
+        total = sum(size for _, size, _ in fsio.list_data_files(spark, src_path))
+        n = max(1, -(-total // (target_file_mb * 1024 * 1024)))
+        df = spark.read.parquet(src_path)
+        if cluster_cols:
+            out = df.repartitionByRange(n, *[F.col(c) for c in cluster_cols]).sortWithinPartitions(
+                *cluster_cols
+            )
+        else:
+            out = df.repartition(n)
+        out.write.mode("overwrite").parquet(staging)
+        fsio.publish_dir(spark, staging, dst_path)
     return int(n)
 
 
@@ -128,16 +131,18 @@ def cluster_table(
     from elephant_twin_spark.sources import fsio, tables
 
     staging = dst_path.rstrip("/") + ".staging"
-    fsio.recover_publish(spark, staging, dst_path)
-    df = spark.read.parquet(src_path)
-    out = df.repartitionByRange(num_files, *[F.col(c) for c in cluster_cols])
-    if sort_within:
-        out = out.sortWithinPartitions(*cluster_cols)
-    w = out.write.mode("overwrite")
-    if bloom_columns:
-        w = w.options(**tables.bloom_filter_options(bloom_columns))
-    w.parquet(staging)
-    fsio.publish_dir(spark, staging, dst_path)
+    # writer lease: see compact_table
+    with fsio.writer_lease(spark, dst_path):
+        fsio.recover_publish(spark, staging, dst_path)
+        df = spark.read.parquet(src_path)
+        out = df.repartitionByRange(num_files, *[F.col(c) for c in cluster_cols])
+        if sort_within:
+            out = out.sortWithinPartitions(*cluster_cols)
+        w = out.write.mode("overwrite")
+        if bloom_columns:
+            w = w.options(**tables.bloom_filter_options(bloom_columns))
+        w.parquet(staging)
+        fsio.publish_dir(spark, staging, dst_path)
     return dst_path
 
 
@@ -360,49 +365,51 @@ def zorder_table(
     if bits * len(zorder_cols) > 63:
         raise ValueError("bits * len(zorder_cols) must be <= 63")
     staging = dst_path.rstrip("/") + ".staging"
-    fsio.recover_publish(spark, staging, dst_path)
-    df = spark.read.parquet(src_path)
-    n_buckets = 1 << bits
-    dtypes = dict(df.dtypes)
-    buckets = []
-    for c in zorder_cols:
-        dt = dtypes[c]
-        if dt in ("timestamp", "date", "timestamp_ntz"):
-            num = F.col(c).cast("timestamp").cast("double")
-        elif dt in ("string", "binary", "boolean"):
-            buckets.append(
-                F.coalesce(
-                    F.pmod(F.xxhash64(F.col(c)), F.lit(n_buckets)), F.lit(0)
-                ).cast("long")
-            )
-            continue
-        else:
-            num = F.col(c).cast("double")
-        probs = [i / n_buckets for i in range(1, n_buckets)]
-        qs = df.select(num.alias("_q")).approxQuantile("_q", probs, quantile_error)
-        bounds = sorted(set(qs))
-        arr = F.lit([float(b) for b in bounds]).cast("array<double>")
-        raw = F.coalesce(F.size(F.filter(arr, lambda b: b <= num)), F.lit(0))
-        # low-cardinality columns fill few buckets; rescale the rank to
-        # span the full 2**bits range so this column's bits interleave at
-        # the same significance as its peers' (otherwise its zero high
-        # bits let the other columns dominate the curve entirely)
-        scale = n_buckets // (len(bounds) + 1)
-        if scale > 1:
-            raw = raw * F.lit(scale)
-        buckets.append(raw.cast("long"))
-    z = _interleave_bits(buckets, bits)
-    w = (
-        df.withColumn("_z", z)
-        .repartitionByRange(num_files, "_z")
-        .sortWithinPartitions("_z")
-        .drop("_z")
-        .write.mode("overwrite")
-    )
-    if bloom_columns:
-        from elephant_twin_spark.sources import tables
+    # writer lease: see compact_table
+    with fsio.writer_lease(spark, dst_path):
+        fsio.recover_publish(spark, staging, dst_path)
+        df = spark.read.parquet(src_path)
+        n_buckets = 1 << bits
+        dtypes = dict(df.dtypes)
+        buckets = []
+        for c in zorder_cols:
+            dt = dtypes[c]
+            if dt in ("timestamp", "date", "timestamp_ntz"):
+                num = F.col(c).cast("timestamp").cast("double")
+            elif dt in ("string", "binary", "boolean"):
+                buckets.append(
+                    F.coalesce(
+                        F.pmod(F.xxhash64(F.col(c)), F.lit(n_buckets)), F.lit(0)
+                    ).cast("long")
+                )
+                continue
+            else:
+                num = F.col(c).cast("double")
+            probs = [i / n_buckets for i in range(1, n_buckets)]
+            qs = df.select(num.alias("_q")).approxQuantile("_q", probs, quantile_error)
+            bounds = sorted(set(qs))
+            arr = F.lit([float(b) for b in bounds]).cast("array<double>")
+            raw = F.coalesce(F.size(F.filter(arr, lambda b: b <= num)), F.lit(0))
+            # low-cardinality columns fill few buckets; rescale the rank to
+            # span the full 2**bits range so this column's bits interleave at
+            # the same significance as its peers' (otherwise its zero high
+            # bits let the other columns dominate the curve entirely)
+            scale = n_buckets // (len(bounds) + 1)
+            if scale > 1:
+                raw = raw * F.lit(scale)
+            buckets.append(raw.cast("long"))
+        z = _interleave_bits(buckets, bits)
+        w = (
+            df.withColumn("_z", z)
+            .repartitionByRange(num_files, "_z")
+            .sortWithinPartitions("_z")
+            .drop("_z")
+            .write.mode("overwrite")
+        )
+        if bloom_columns:
+            from elephant_twin_spark.sources import tables
 
-        w = w.options(**tables.bloom_filter_options(bloom_columns))
-    w.parquet(staging)
-    fsio.publish_dir(spark, staging, dst_path)
+            w = w.options(**tables.bloom_filter_options(bloom_columns))
+        w.parquet(staging)
+        fsio.publish_dir(spark, staging, dst_path)
     return dst_path

@@ -357,6 +357,15 @@ def release_build_lease(spark: SparkSession, idx_dir: str, owner: str) -> None:
         delete(spark, path)
 
 
+def writer_lease(spark: SparkSession, data_dir: str, ttl_ms: int = DEFAULT_LEASE_TTL_MS):
+    """Lease scope for writers whose TARGET dir is itself replaced by
+    the publish (the re-layout writers): a marker inside ``data_dir``
+    would be deleted by the owner's own delete+rename, so it lives in a
+    hidden sibling (``<dst>.lease/``) that survives the publish and is
+    invisible to data listings (dot-prefixed)."""
+    return build_lease(spark, data_dir.rstrip("/") + ".lease", ttl_ms)
+
+
 class build_lease:
     """``with fsio.build_lease(spark, idx_dir):`` — scoped acquire/release."""
 

@@ -273,3 +273,30 @@ def test_refresh_noop_does_not_need_lease(spark, workdir):
         assert out["mode"] == "noop"
     finally:
         fsio.release_build_lease(spark, idx_dir, owner)
+
+
+def test_relayout_writer_lease(spark, workdir):
+    """Re-layout writers (compact/cluster/zorder) take a sibling-dir
+    writer lease: the marker must survive the publish's delete+rename
+    of the TARGET dir, and a second writer must be refused mid-span."""
+    from elephant_twin_spark.operators import layout
+
+    src = tables.materialize(
+        spark, f"{SF_DIR}/events.parquet", f"{workdir}/wl_src"
+    )
+    dst = f"{workdir}/wl_dst"
+    layout.cluster_table(spark, src, dst, ["ts"], num_files=2)
+    lease_dir = dst + ".lease"
+    owner = fsio.acquire_build_lease(spark, lease_dir)
+    try:
+        with pytest.raises(fsio.BuildLeaseHeld):
+            layout.cluster_table(spark, src, dst, ["ts"], num_files=2)
+        with pytest.raises(fsio.BuildLeaseHeld):
+            layout.compact_table(spark, src, dst)
+    finally:
+        fsio.release_build_lease(spark, lease_dir, owner)
+    # released → both proceed; counts preserved
+    layout.compact_table(spark, src, dst)
+    assert (
+        spark.read.parquet(dst).count() == spark.read.parquet(src).count()
+    )
