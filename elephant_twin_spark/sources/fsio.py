@@ -323,16 +323,28 @@ def acquire_build_lease(
         {"owner": owner, "acquired_ms": int(_time.time() * 1000), "ttl_ms": int(ttl_ms)}
     )
     path = _lease_path(idx_dir)
-    for attempt in (1, 2):
+    for attempt in (1, 2, 3):
         if _try_create_exclusive(spark, path, payload):
             return owner
         try:
             held = json.loads(read_text(spark, path))
         except Exception:
-            # torn/vanished marker: treat as stale and retry
-            held = {"acquired_ms": 0, "ttl_ms": 0}
+            # Read failed. VANISHED (holder released between our failed
+            # create and the read) → retry the create. Existing but
+            # unreadable/unparsable → refuse WITHOUT deleting: write_text
+            # publishes markers by atomic rename, so a torn lease should
+            # not occur, and deleting on a transient read error could
+            # evict a healthy holder — the one state this lease exists
+            # to prevent (ttl takeover still clears real crashes).
+            if not exists(spark, path):
+                continue
+            raise BuildLeaseHeld(
+                f"writer lease {path} exists but cannot be read — "
+                "refusing to take over; retry, or delete it manually if "
+                "its writer is known dead."
+            )
         age = int(_time.time() * 1000) - int(held.get("acquired_ms", 0))
-        if attempt == 1 and age > int(held.get("ttl_ms", ttl_ms)):
+        if attempt < 3 and age > int(held.get("ttl_ms", ttl_ms)):
             delete(spark, path)  # stale takeover; loser of the re-create raises
             continue
         raise BuildLeaseHeld(

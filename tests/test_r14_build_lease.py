@@ -300,3 +300,27 @@ def test_relayout_writer_lease(spark, workdir):
     assert (
         spark.read.parquet(dst).count() == spark.read.parquet(src).count()
     )
+
+
+def test_unreadable_lease_is_never_deleted(spark, workdir, monkeypatch):
+    """A transient marker-read failure must NOT be treated as a torn
+    lease and deleted — that would evict a healthy holder and re-open
+    the double-writer window. Unreadable-but-existing → refuse."""
+    d = f"{workdir}/lease_unreadable"
+    owner = fsio.acquire_build_lease(spark, d)
+
+    real_read = fsio.read_text
+
+    def flaky_read(spark_, path):
+        if path.endswith(fsio.BUILD_LEASE_NAME):
+            raise IOError("transient storage hiccup")
+        return real_read(spark_, path)
+
+    monkeypatch.setattr(fsio, "read_text", flaky_read)
+    with pytest.raises(fsio.BuildLeaseHeld, match="cannot be read"):
+        fsio.acquire_build_lease(spark, d)
+    monkeypatch.undo()
+    # the healthy holder's lease survived the failed acquire
+    with pytest.raises(fsio.BuildLeaseHeld, match="in flight"):
+        fsio.acquire_build_lease(spark, d)
+    fsio.release_build_lease(spark, d, owner)
