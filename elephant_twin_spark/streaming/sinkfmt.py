@@ -109,12 +109,11 @@ def ensure_sink_format(
 
     Concurrency: the marker stamp is ATOMIC (create-no-overwrite), so a
     lost stamp race is treated as already-migrated, never an error. The
-    one-time ``migrate`` window itself assumes a SINGLE concurrent
-    starter per unmarked sink (the same single-writer contract as
-    ``layout.upsert_partitioned``): Structured Streaming's checkpoint lock
-    provides this for a given query, and the migrations are idempotent
-    partition renames, but two different unmarked-sink starters racing
-    through ``migrate`` concurrently can interleave renames."""
+    one-time ``migrate`` window itself runs under the house writer
+    lease (r14 — previously it assumed a single concurrent starter per
+    unmarked sink, and two unmarked-sink starters racing through
+    ``migrate`` could interleave renames); the marked fast path stays
+    lease-free, so steady-state stream starts pay nothing."""
     from elephant_twin_spark.sources import fsio
 
     found = read_sink_format(spark, sink_path)
@@ -131,8 +130,17 @@ def ensure_sink_format(
     fs, jroot, _ = fsio._fs_and_path(spark, sink_path)
     if not fs.exists(jroot):
         return 0
-    n = migrate() if migrate is not None else 0
-    # atomic claim: a concurrent starter that stamped first already ran
-    # (or is finishing) the same idempotent migration — not an error
-    write_sink_format(spark, sink_path, overwrite=False)
+    # short ttl: migrations are a handful of renames, and a stream
+    # supervisor restarting a crashed starter should not wait the
+    # builders' 30-minute default to take the stale lease over
+    with fsio.writer_lease(spark, sink_path, ttl_ms=5 * 60 * 1000):
+        # re-probe under the lease: the racer that held it may have
+        # migrated + stamped while we waited for our acquire to fail
+        # theirs — or this acquire succeeded after their release
+        if read_sink_format(spark, sink_path) is not None:
+            return 0
+        n = migrate() if migrate is not None else 0
+        # atomic claim: a concurrent starter that stamped first already ran
+        # (or is finishing) the same idempotent migration — not an error
+        write_sink_format(spark, sink_path, overwrite=False)
     return n

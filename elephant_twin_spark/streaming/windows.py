@@ -346,27 +346,31 @@ def compact_sketch_rollup(spark: SparkSession, sink_path: str) -> int:
     from elephant_twin_spark.sources import fsio
 
     tmp = sink_path.rstrip("/") + "_tmp"
-    fsio.recover_publish(spark, tmp, sink_path)
-    # one-time legacy probe (r12 advisor): a publish that crashed under
-    # the pre-r12 staging name leaves the sink absent with data stranded
-    # at <sink>_compact_tmp — a state neither require_published nor the
-    # `_tmp` recovery above can see after the rename of the convention
-    fsio.recover_publish(spark, sink_path.rstrip("/") + "_compact_tmp", sink_path)
-    compacted = (
-        spark.read.parquet(sink_path)
-        .groupBy("win_start", "win_end", "key")
-        .agg(
-            sketches.hll_merge(F.col("sketch")).alias("sketch"),
-            F.sum("n_rows").alias("n_rows"),
+    # writer lease (r14): two concurrent compactions share the `_tmp`
+    # staged path — same exclusion the index builders/refreshers take.
+    # (The stream-stopped contract above still governs compact-vs-batch.)
+    with fsio.writer_lease(spark, sink_path):
+        fsio.recover_publish(spark, tmp, sink_path)
+        # one-time legacy probe (r12 advisor): a publish that crashed under
+        # the pre-r12 staging name leaves the sink absent with data stranded
+        # at <sink>_compact_tmp — a state neither require_published nor the
+        # `_tmp` recovery above can see after the rename of the convention
+        fsio.recover_publish(spark, sink_path.rstrip("/") + "_compact_tmp", sink_path)
+        compacted = (
+            spark.read.parquet(sink_path)
+            .groupBy("win_start", "win_end", "key")
+            .agg(
+                sketches.hll_merge(F.col("sketch")).alias("sketch"),
+                F.sum("n_rows").alias("n_rows"),
+            )
         )
-    )
-    # compacted rows keep the batch_run=<tag> layout (under the reserved
-    # tag "compact--1", which no run token can produce — tokens are 12
-    # hex chars): the NEXT micro-batch writes another batch_run subdir,
-    # and parquet partition discovery cannot mix flat files with
-    # partition dirs in one root
-    compacted.write.mode("overwrite").parquet(f"{tmp}/batch_run=compact--1")
-    fsio.publish_dir(spark, tmp, sink_path)
+        # compacted rows keep the batch_run=<tag> layout (under the reserved
+        # tag "compact--1", which no run token can produce — tokens are 12
+        # hex chars): the NEXT micro-batch writes another batch_run subdir,
+        # and parquet partition discovery cannot mix flat files with
+        # partition dirs in one root
+        compacted.write.mode("overwrite").parquet(f"{tmp}/batch_run=compact--1")
+        fsio.publish_dir(spark, tmp, sink_path)
     return spark.read.parquet(sink_path).count()
 
 
