@@ -66,7 +66,7 @@ def build_ann_index(
     # MOST here: two interleaved pair-builders could publish halves
     # from different epochs, the exact mixed-generation state the
     # epoch markers exist to catch.
-    with fsio.build_lease(spark, idx_dir):
+    with fsio.build_lease(spark, idx_dir) as lease_owner:
         spark.createDataFrame(
             cent_rows, "cluster int, centroid array<double>"
         ).coalesce(1).write.mode("overwrite").parquet(f"{idx_dir}/centroids.staging")
@@ -89,6 +89,7 @@ def build_ann_index(
         # silently skewing results until the next full rebuild; now readers
         # cross-check the epochs (require_pair_published) and recover_pair
         # finishes the interrupted half from its staged sibling
+        fsio.renew_build_lease(spark, idx_dir, lease_owner)
         fsio.publish_pair(
             spark,
             [

@@ -324,10 +324,13 @@ def build_block_index(
     # Build lease (r13 verdict item 4): two concurrent builds of one
     # index share the staged path — B's overwrite can gut the dir A is
     # renaming. Create-exclusive marker + ttl takeover; see fsio.
-    with fsio.build_lease(spark, idx_dir):
+    with fsio.build_lease(spark, idx_dir) as lease_owner:
         write_range_partitioned(
             postings, num_buckets, "key", ("key", "file"), staging, bloom_col="key"
         )
+        # heartbeat + fence: a build that outlived its ttl aborts here,
+        # BEFORE the destructive publish (fsio.renew_build_lease)
+        fsio.renew_build_lease(spark, idx_dir, lease_owner)
         fsio.publish_dir(spark, staging, data_dir)
 
         # Descriptor AFTER a successful data write (write-then-publish, so a
@@ -401,8 +404,9 @@ def build_zone_index(
     df = spark.read.parquet(table_path)
     zones = zones_for(df, column, key_expr)
     # stage + publish + lease: see build_block_index
-    with fsio.build_lease(spark, idx_dir):
+    with fsio.build_lease(spark, idx_dir) as lease_owner:
         zones.coalesce(1).write.mode("overwrite").parquet(f"{idx_dir}/zones.staging")
+        fsio.renew_build_lease(spark, idx_dir, lease_owner)
         fsio.publish_dir(spark, f"{idx_dir}/zones.staging", f"{idx_dir}/zones")
         desc = catalog.make_descriptor(
             source_path=table_path,
@@ -475,8 +479,9 @@ def build_bloom_index(
     files = fsio.list_data_files(spark, table_path)
     sketch = bloom_sketch_for(spark.read.parquet(table_path), column, num_bits, num_hashes)
     # stage + publish + lease: see build_block_index
-    with fsio.build_lease(spark, idx_dir):
+    with fsio.build_lease(spark, idx_dir) as lease_owner:
         sketch.coalesce(1).write.mode("overwrite").parquet(f"{idx_dir}/sketch.staging")
+        fsio.renew_build_lease(spark, idx_dir, lease_owner)
         fsio.publish_dir(spark, f"{idx_dir}/sketch.staging", f"{idx_dir}/sketch")
         desc = catalog.make_descriptor(
             source_path=table_path,

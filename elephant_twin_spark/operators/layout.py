@@ -89,7 +89,7 @@ def compact_table(
     staging = dst_path.rstrip("/") + ".staging"
     # writer lease (r14): two concurrent re-layouts of one dst share the
     # .staging path — same gutting risk the index builders' lease closed
-    with fsio.writer_lease(spark, dst_path):
+    with fsio.writer_lease(spark, dst_path) as lease_owner:
         fsio.recover_publish(spark, staging, dst_path)
         total = sum(size for _, size, _ in fsio.list_data_files(spark, src_path))
         n = max(1, -(-total // (target_file_mb * 1024 * 1024)))
@@ -101,6 +101,7 @@ def compact_table(
         else:
             out = df.repartition(n)
         out.write.mode("overwrite").parquet(staging)
+        fsio.renew_build_lease(spark, dst_path.rstrip("/") + ".lease", lease_owner)
         fsio.publish_dir(spark, staging, dst_path)
     return int(n)
 
@@ -132,7 +133,7 @@ def cluster_table(
 
     staging = dst_path.rstrip("/") + ".staging"
     # writer lease: see compact_table
-    with fsio.writer_lease(spark, dst_path):
+    with fsio.writer_lease(spark, dst_path) as lease_owner:
         fsio.recover_publish(spark, staging, dst_path)
         df = spark.read.parquet(src_path)
         out = df.repartitionByRange(num_files, *[F.col(c) for c in cluster_cols])
@@ -142,6 +143,7 @@ def cluster_table(
         if bloom_columns:
             w = w.options(**tables.bloom_filter_options(bloom_columns))
         w.parquet(staging)
+        fsio.renew_build_lease(spark, dst_path.rstrip("/") + ".lease", lease_owner)
         fsio.publish_dir(spark, staging, dst_path)
     return dst_path
 
@@ -366,7 +368,7 @@ def zorder_table(
         raise ValueError("bits * len(zorder_cols) must be <= 63")
     staging = dst_path.rstrip("/") + ".staging"
     # writer lease: see compact_table
-    with fsio.writer_lease(spark, dst_path):
+    with fsio.writer_lease(spark, dst_path) as lease_owner:
         fsio.recover_publish(spark, staging, dst_path)
         df = spark.read.parquet(src_path)
         n_buckets = 1 << bits
@@ -411,5 +413,6 @@ def zorder_table(
 
             w = w.options(**tables.bloom_filter_options(bloom_columns))
         w.parquet(staging)
+        fsio.renew_build_lease(spark, dst_path.rstrip("/") + ".lease", lease_owner)
         fsio.publish_dir(spark, staging, dst_path)
     return dst_path

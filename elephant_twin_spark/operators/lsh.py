@@ -116,11 +116,12 @@ def build_lsh_index(
     # the input is the OUTPUT of an expensive shuffle aggregate (text
     # postings, block-index range merges).
     # stage + publish + lease: see build.build_block_index
-    with fsio.build_lease(spark, idx_dir):
+    with fsio.build_lease(spark, idx_dir) as lease_owner:
         build_mod.write_range_partitioned(
             bands, num_buckets, "band_hash", ("band_hash", "id"),
             f"{idx_dir}/bands.staging", pin_input=False,
         )
+        fsio.renew_build_lease(spark, idx_dir, lease_owner)
         fsio.publish_dir(spark, f"{idx_dir}/bands.staging", f"{idx_dir}/bands")
         desc = catalog.make_descriptor(
             source_path=table_path,

@@ -336,6 +336,9 @@ def build_text_index(
         # one shared pair epoch across both renames (r12 advisor): a
         # crash between them left new postings with OLD BM25 norms
         # undetected; readers of the pair now cross-check the markers
+        # heartbeat + fence (closure reads lease_owner bound by the
+        # with-statement below before run_pinned_with_retry runs us)
+        fsio.renew_build_lease(spark, idx_dir, lease_owner)
         fsio.publish_pair(
             spark,
             [
@@ -353,7 +356,7 @@ def build_text_index(
     # whole staged-write + publish + descriptor span: see
     # build.build_block_index (r13 verdict item 4 — interleaved
     # pair-builders could otherwise publish halves of different epochs).
-    with fsio.build_lease(spark, idx_dir):
+    with fsio.build_lease(spark, idx_dir) as lease_owner:
         build_mod.run_pinned_with_retry(postings, _span)
         # corpus stats from the just-written table, not the doclens
         # lineage: re-evaluating the lineage would re-tokenize the corpus

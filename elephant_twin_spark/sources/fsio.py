@@ -356,6 +356,32 @@ def acquire_build_lease(
     raise BuildLeaseHeld(f"lost the lease re-create race for {idx_dir}")
 
 
+def renew_build_lease(spark: SparkSession, idx_dir: str, owner: str) -> None:
+    """Heartbeat + fencing, called by writers immediately BEFORE their
+    publish: re-stamps ``acquired_ms`` so a build longer than the ttl
+    keeps its lease, and — the load-bearing half — raises if the lease
+    is no longer ours (a ttl takeover happened while this build ran).
+    Aborting HERE means a zombie writer that outlived its ttl can never
+    clobber the takeover writer's published output: the fence sits
+    between the staged write and the destructive delete+rename."""
+    import time as _time
+
+    path = _lease_path(idx_dir)
+    try:
+        held = json.loads(read_text(spark, path))
+    except Exception:
+        held = None
+    if held is None or held.get("owner") != owner:
+        raise BuildLeaseHeld(
+            f"writer lease for {idx_dir} is no longer held by this "
+            f"builder (now: {held.get('owner', 'absent') if held else 'absent'}) "
+            "— the build outlived its ttl and was taken over; aborting "
+            "BEFORE publish so the new writer's output is not clobbered."
+        )
+    held["acquired_ms"] = int(_time.time() * 1000)
+    write_text(spark, path, json.dumps(held))
+
+
 def release_build_lease(spark: SparkSession, idx_dir: str, owner: str) -> None:
     """Release iff still owned: after a ttl takeover the lease belongs
     to the new builder, and deleting it out from under them would

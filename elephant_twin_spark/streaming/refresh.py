@@ -89,7 +89,7 @@ def refresh_block_index(
     # writer lease: same exclusion as the full builders (r14) —
     # two concurrent refreshes share the *_tmp staged path, and a
     # refresh interleaving a full build could publish over it
-    with fsio.build_lease(spark, idx_dir):
+    with fsio.build_lease(spark, idx_dir) as lease_owner:
         data_dir = f"{idx_dir}/postings"
         tmp_dir = f"{idx_dir}/postings_tmp"
         fsio.recover_publish(spark, tmp_dir, data_dir)
@@ -124,6 +124,7 @@ def refresh_block_index(
         build_mod.write_range_partitioned(
             merged, desc.num_buckets, "key", ("key", "file"), tmp_dir, bloom_col="key"
         )
+        fsio.renew_build_lease(spark, idx_dir, lease_owner)
         fsio.publish_dir(spark, tmp_dir, data_dir)
 
         new_desc = catalog.make_descriptor(
@@ -171,7 +172,7 @@ def refresh_bloom_index(
     # writer lease: same exclusion as the full builders (r14) —
     # two concurrent refreshes share the *_tmp staged path, and a
     # refresh interleaving a full build could publish over it
-    with fsio.build_lease(spark, idx_dir):
+    with fsio.build_lease(spark, idx_dir) as lease_owner:
         data_dir = f"{idx_dir}/sketch"
         tmp_dir = f"{idx_dir}/sketch_tmp"
         fsio.recover_publish(spark, tmp_dir, data_dir)
@@ -186,6 +187,7 @@ def refresh_bloom_index(
             merged = kept.unionByName(delta)
 
         merged.coalesce(1).write.mode("overwrite").parquet(tmp_dir)
+        fsio.renew_build_lease(spark, idx_dir, lease_owner)
         fsio.publish_dir(spark, tmp_dir, data_dir)
 
         new_desc = catalog.make_descriptor(
@@ -243,7 +245,7 @@ def refresh_text_index(
     # writer lease: same exclusion as the full builders (r14) —
     # two concurrent refreshes share the *_tmp staged path, and a
     # refresh interleaving a full build could publish over it
-    with fsio.build_lease(spark, idx_dir):
+    with fsio.build_lease(spark, idx_dir) as lease_owner:
         data_dir = f"{idx_dir}/postings"
         tmp_dir = f"{idx_dir}/postings_tmp"
         lens_dir = f"{idx_dir}/doclens"
@@ -294,6 +296,7 @@ def refresh_text_index(
         merged_lens.coalesce(max(1, desc.num_buckets // 4)).write.mode(
             "overwrite"
         ).parquet(lens_tmp)
+        fsio.renew_build_lease(spark, idx_dir, lease_owner)
         fsio.publish_pair(
             spark, [(tmp_dir, data_dir), (lens_tmp, lens_dir)]
         )
@@ -346,7 +349,7 @@ def refresh_zone_index(
     # writer lease: same exclusion as the full builders (r14) —
     # two concurrent refreshes share the *_tmp staged path, and a
     # refresh interleaving a full build could publish over it
-    with fsio.build_lease(spark, idx_dir):
+    with fsio.build_lease(spark, idx_dir) as lease_owner:
         data_dir = f"{idx_dir}/zones"
         tmp_dir = f"{idx_dir}/zones_tmp"
         fsio.recover_publish(spark, tmp_dir, data_dir)
@@ -367,6 +370,7 @@ def refresh_zone_index(
             merged = kept.unionByName(delta)
 
         merged.coalesce(1).write.mode("overwrite").parquet(tmp_dir)
+        fsio.renew_build_lease(spark, idx_dir, lease_owner)
         fsio.publish_dir(spark, tmp_dir, data_dir)
 
         new_desc = catalog.make_descriptor(
@@ -414,6 +418,12 @@ def stream_index_updates(
     The stream itself is only the *signal* (which files arrived); the
     refresh recomputes index rows from the files directly, so restarts
     and reprocessing are idempotent.
+
+    Each micro-batch's refresh runs under the index's writer lease
+    (r14): a second maintenance stream — or a manual build — racing the
+    same index raises ``BuildLeaseHeld`` inside ``foreachBatch`` and
+    fails the query loudly, instead of the old silent staged-path
+    interleaving. Run ONE maintenance stream per index.
     """
     refresher = _REFRESHERS[kind]
     if schema is None:
@@ -465,7 +475,7 @@ def refresh_lsh_index(
     # writer lease: same exclusion as the full builders (r14) —
     # two concurrent refreshes share the *_tmp staged path, and a
     # refresh interleaving a full build could publish over it
-    with fsio.build_lease(spark, idx_dir):
+    with fsio.build_lease(spark, idx_dir) as lease_owner:
         data_dir = f"{idx_dir}/bands"
         tmp_dir = f"{idx_dir}/bands_tmp"
         fsio.recover_publish(spark, tmp_dir, data_dir)
@@ -526,6 +536,7 @@ def refresh_lsh_index(
             merged, desc.num_buckets, "band_hash", ("band_hash", "id"), tmp_dir,
             pin_input=False,
         )
+        fsio.renew_build_lease(spark, idx_dir, lease_owner)
         fsio.publish_dir(spark, tmp_dir, data_dir)
         # grown rows are folded into the main spine now
         fsio.delete(spark, f"{idx_dir}/bands_grown")
@@ -578,7 +589,7 @@ def refresh_ann_index(
     # writer lease: same exclusion as the full builders (r14) —
     # two concurrent refreshes share the *_tmp staged path, and a
     # refresh interleaving a full build could publish over it
-    with fsio.build_lease(spark, idx_dir):
+    with fsio.build_lease(spark, idx_dir) as lease_owner:
         data_dir = f"{idx_dir}/vectors"
         tmp_dir = f"{idx_dir}/vectors_tmp"
         cent_dir = f"{idx_dir}/centroids"
@@ -621,6 +632,7 @@ def refresh_ann_index(
         epoch = fsio.read_pair_epoch(spark, cent_dir)
         if epoch is not None:
             fsio.stamp_pair_epoch(spark, tmp_dir, epoch)
+        fsio.renew_build_lease(spark, idx_dir, lease_owner)
         fsio.publish_dir(spark, tmp_dir, data_dir)
 
         new_desc = catalog.make_descriptor(

@@ -349,7 +349,7 @@ def compact_sketch_rollup(spark: SparkSession, sink_path: str) -> int:
     # writer lease (r14): two concurrent compactions share the `_tmp`
     # staged path — same exclusion the index builders/refreshers take.
     # (The stream-stopped contract above still governs compact-vs-batch.)
-    with fsio.writer_lease(spark, sink_path):
+    with fsio.writer_lease(spark, sink_path) as lease_owner:
         fsio.recover_publish(spark, tmp, sink_path)
         # one-time legacy probe (r12 advisor): a publish that crashed under
         # the pre-r12 staging name leaves the sink absent with data stranded
@@ -370,6 +370,7 @@ def compact_sketch_rollup(spark: SparkSession, sink_path: str) -> int:
         # and parquet partition discovery cannot mix flat files with
         # partition dirs in one root
         compacted.write.mode("overwrite").parquet(f"{tmp}/batch_run=compact--1")
+        fsio.renew_build_lease(spark, sink_path.rstrip("/") + ".lease", lease_owner)
         fsio.publish_dir(spark, tmp, sink_path)
     return spark.read.parquet(sink_path).count()
 

@@ -324,3 +324,52 @@ def test_unreadable_lease_is_never_deleted(spark, workdir, monkeypatch):
     with pytest.raises(fsio.BuildLeaseHeld, match="in flight"):
         fsio.acquire_build_lease(spark, d)
     fsio.release_build_lease(spark, d, owner)
+
+
+# -------------------------------------------- renew fence (zombie writer)
+
+def test_renew_heartbeats_and_fences(spark, workdir):
+    """renew_build_lease re-stamps a held lease (heartbeat, so builds
+    longer than the ttl keep it) and raises for an owner whose lease was
+    taken over (fencing — the zombie must abort BEFORE its publish)."""
+    d = f"{workdir}/lease_renew"
+    a = fsio.acquire_build_lease(spark, d, ttl_ms=1)
+    time.sleep(0.01)
+    b = fsio.acquire_build_lease(spark, d, ttl_ms=60_000)  # ttl takeover
+    with pytest.raises(fsio.BuildLeaseHeld, match="taken over"):
+        fsio.renew_build_lease(spark, d, a)
+    fsio.renew_build_lease(spark, d, b)  # holder heartbeat succeeds
+    fsio.release_build_lease(spark, d, b)
+
+
+def test_zombie_builder_aborts_before_publish(spark, workdir, monkeypatch):
+    """A build whose lease is taken over MID-STAGED-WRITE (it outlived
+    its ttl) must abort at the pre-publish fence, leaving the live index
+    exactly as the takeover writer published it — never clobbered."""
+    from elephant_twin_spark.sources import catalog
+
+    tbl = tables.materialize(
+        spark, f"{SF_DIR}/events.parquet", f"{workdir}/zomb_events"
+    )
+    idx_root = f"{workdir}/zomb_idx"
+    build_mod.build_block_index(spark, tbl, "event_type", idx_root)
+    idx_dir = catalog.index_dir(idx_root, tbl, "event_type", kind="block")
+
+    real_write = build_mod.write_range_partitioned
+
+    def write_then_lose_lease(*a, **kw):
+        real_write(*a, **kw)
+        # simulate the ttl takeover: another builder replaced the lease
+        # while our staged write ran
+        fsio.delete(spark, f"{idx_dir}/{fsio.BUILD_LEASE_NAME}")
+        fsio.acquire_build_lease(spark, idx_dir)
+
+    monkeypatch.setattr(build_mod, "write_range_partitioned", write_then_lose_lease)
+    with pytest.raises(fsio.BuildLeaseHeld, match="taken over"):
+        build_mod.build_block_index(spark, tbl, "event_type", idx_root)
+    monkeypatch.undo()
+
+    # the zombie never published: live postings still serve correctly
+    eng = Engine(spark, idx_root)
+    truth = spark.read.parquet(tbl).where(F.col("event_type") == "purchase").count()
+    assert eng.query(tbl, col("event_type") == "purchase").count() == truth
