@@ -101,7 +101,7 @@ def compact_table(
         else:
             out = df.repartition(n)
         out.write.mode("overwrite").parquet(staging)
-        fsio.renew_build_lease(spark, dst_path.rstrip("/") + ".lease", lease_owner)
+        fsio.renew_writer_lease(spark, dst_path, lease_owner)
         fsio.publish_dir(spark, staging, dst_path)
     return int(n)
 
@@ -143,7 +143,7 @@ def cluster_table(
         if bloom_columns:
             w = w.options(**tables.bloom_filter_options(bloom_columns))
         w.parquet(staging)
-        fsio.renew_build_lease(spark, dst_path.rstrip("/") + ".lease", lease_owner)
+        fsio.renew_writer_lease(spark, dst_path, lease_owner)
         fsio.publish_dir(spark, staging, dst_path)
     return dst_path
 
@@ -413,6 +413,6 @@ def zorder_table(
 
             w = w.options(**tables.bloom_filter_options(bloom_columns))
         w.parquet(staging)
-        fsio.renew_build_lease(spark, dst_path.rstrip("/") + ".lease", lease_owner)
+        fsio.renew_writer_lease(spark, dst_path, lease_owner)
         fsio.publish_dir(spark, staging, dst_path)
     return dst_path

@@ -331,17 +331,31 @@ def acquire_build_lease(
         except Exception:
             # Read failed. VANISHED (holder released between our failed
             # create and the read) → retry the create. Existing but
-            # unreadable/unparsable → refuse WITHOUT deleting: write_text
-            # publishes markers by atomic rename, so a torn lease should
-            # not occur, and deleting on a transient read error could
-            # evict a healthy holder — the one state this lease exists
-            # to prevent (ttl takeover still clears real crashes).
+            # UNPARSABLE → the creator crashed between its
+            # create-exclusive and its payload write (the one non-atomic
+            # window in the claim protocol — the lease is claimed by raw
+            # create, not write_text): fall back to the FILE's mtime for
+            # staleness so the wedge self-heals after the ttl instead of
+            # permanently requiring manual deletion (r14 review). A
+            # healthy holder's marker is parsable, so this branch never
+            # evicts one; within the ttl the torn marker is refused
+            # loudly, same as a held lease.
             if not exists(spark, path):
                 continue
+            fs, jpath, _ = _fs_and_path(spark, path)
+            try:
+                mtime = int(fs.getFileStatus(jpath).getModificationTime())
+            except Exception:
+                continue  # vanished between exists() and stat → re-create
+            age = int(_time.time() * 1000) - mtime
+            if attempt < 3 and age > int(ttl_ms):
+                delete(spark, path)  # torn AND stale: safe takeover
+                continue
             raise BuildLeaseHeld(
-                f"writer lease {path} exists but cannot be read — "
-                "refusing to take over; retry, or delete it manually if "
-                "its writer is known dead."
+                f"writer lease {path} exists but cannot be parsed (a "
+                f"creator likely crashed mid-claim; age {age} ms). It "
+                "becomes stale-takeable after the ttl; retry then, or "
+                "delete it manually if its writer is known dead."
             )
         age = int(_time.time() * 1000) - int(held.get("acquired_ms", 0))
         if attempt < 3 and age > int(held.get("ttl_ms", ttl_ms)):
@@ -363,7 +377,16 @@ def renew_build_lease(spark: SparkSession, idx_dir: str, owner: str) -> None:
     is no longer ours (a ttl takeover happened while this build ran).
     Aborting HERE means a zombie writer that outlived its ttl can never
     clobber the takeover writer's published output: the fence sits
-    between the staged write and the destructive delete+rename."""
+    between the staged write and the destructive delete+rename.
+
+    A lease that has ALREADY gone stale is refused even when the owner
+    still matches (r14 review): re-stamping a stale lease races the
+    takeover's delete+create — the zombie's rename could replace the
+    new holder's marker undetectably. Refusing keeps the protocol
+    one-sided: takeover only ever arms against stale leases, and renew
+    only ever re-stamps fresh ones, so the two cannot interleave
+    (modulo clock skew on the order of a read round-trip — the honest
+    residual on filesystems without compare-and-swap)."""
     import time as _time
 
     path = _lease_path(idx_dir)
@@ -378,14 +401,25 @@ def renew_build_lease(spark: SparkSession, idx_dir: str, owner: str) -> None:
             "— the build outlived its ttl and was taken over; aborting "
             "BEFORE publish so the new writer's output is not clobbered."
         )
-    held["acquired_ms"] = int(_time.time() * 1000)
+    now = int(_time.time() * 1000)
+    if now - int(held.get("acquired_ms", 0)) > int(held.get("ttl_ms", 0)):
+        raise BuildLeaseHeld(
+            f"writer lease for {idx_dir} went STALE during this build "
+            "(ttl exceeded without a heartbeat): a takeover may be in "
+            "flight, so re-stamping would race it — aborting before "
+            "publish. Renew more often than the ttl, or raise ttl_ms."
+        )
+    held["acquired_ms"] = now
     write_text(spark, path, json.dumps(held))
 
 
 def release_build_lease(spark: SparkSession, idx_dir: str, owner: str) -> None:
     """Release iff still owned: after a ttl takeover the lease belongs
     to the new builder, and deleting it out from under them would
-    re-open the double-build window this machinery closes."""
+    re-open the double-build window this machinery closes. A released
+    ``<dst>.lease`` sibling scope (see :func:`writer_lease`) is removed
+    too when empty, so re-layout targets don't accrue empty marker dirs
+    next to their data."""
     path = _lease_path(idx_dir)
     try:
         held = json.loads(read_text(spark, path))
@@ -393,15 +427,32 @@ def release_build_lease(spark: SparkSession, idx_dir: str, owner: str) -> None:
         return
     if held.get("owner") == owner:
         delete(spark, path)
+        scope = idx_dir.rstrip("/")
+        if scope.endswith(".lease"):
+            fs, jscope, _ = _fs_and_path(spark, scope)
+            try:
+                if fs.exists(jscope) and not list(fs.listStatus(jscope)):
+                    fs.delete(jscope, False)
+            except Exception:
+                pass  # cleanup only — never fail a release over it
 
 
 def writer_lease(spark: SparkSession, data_dir: str, ttl_ms: int = DEFAULT_LEASE_TTL_MS):
     """Lease scope for writers whose TARGET dir is itself replaced by
     the publish (the re-layout writers): a marker inside ``data_dir``
     would be deleted by the owner's own delete+rename, so it lives in a
-    hidden sibling (``<dst>.lease/``) that survives the publish and is
-    invisible to data listings (dot-prefixed)."""
+    sibling dir (``<dst>.lease/``) that survives the publish. The
+    sibling IS visible in a parent listing while a write is in flight
+    (only its inner ``_build_lease`` file is underscore-hidden from
+    recursive data listings); release removes the empty sibling."""
     return build_lease(spark, data_dir.rstrip("/") + ".lease", ttl_ms)
+
+
+def renew_writer_lease(spark: SparkSession, data_dir: str, owner: str) -> None:
+    """:func:`renew_build_lease` for a :func:`writer_lease` scope — ONE
+    place derives the sibling path, so call sites can't drift from the
+    acquire-side naming."""
+    renew_build_lease(spark, data_dir.rstrip("/") + ".lease", owner)
 
 
 class build_lease:

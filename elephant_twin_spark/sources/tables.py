@@ -134,13 +134,21 @@ def materialize(
     from elephant_twin_spark.sources import fsio
 
     marker = f"{dst_path.rstrip('/')}/_ETS_DONE"
+    # the marker value encodes the bloom configuration (r14 review): a
+    # plain pre-existing copy must NOT satisfy a bloom_columns request —
+    # the caller would silently get a layout without the row-group
+    # pruning they asked for. Bare LAYOUT_VERSION == plain layout, so
+    # old markers stay valid for plain requests.
+    want = LAYOUT_VERSION + (
+        "+bloom=" + ",".join(sorted(bloom_columns)) if bloom_columns else ""
+    )
     if not force and fsio.exists(spark, marker):
-        if fsio.read_text(spark, marker).strip() == LAYOUT_VERSION:
+        if fsio.read_text(spark, marker).strip() == want:
             return dst_path
     df = load_raw(spark, src_path)
     w = df.repartition(num_files).write.mode("overwrite")
     if bloom_columns:
         w = w.options(**bloom_filter_options(bloom_columns))
     w.parquet(dst_path)
-    fsio.write_text(spark, marker, LAYOUT_VERSION)
+    fsio.write_text(spark, marker, want)
     return dst_path

@@ -48,6 +48,34 @@ from elephant_twin_spark.operators import build as build_mod
 from elephant_twin_spark.sources import catalog, fsio
 
 
+def _revalidate_under_lease(spark: SparkSession, idx_dir: str, table_path: str):
+    """Re-read the descriptor + re-diff the live files UNDER the writer
+    lease (r14 review): the pre-lease read is a lock-free snapshot used
+    only for the noop/full-build fast paths, and a full rebuild can
+    complete between that read and our acquire — computing the delta
+    with the OLD parameters (key_expr / tokenizer / num_buckets)
+    against the NEW index data would mix keyings within one table and
+    then publish a descriptor reverting the rebuild's options (the r9
+    bug class, via a new route). Returns
+    ``(desc, live, new_or_changed, removed)`` from the post-acquire
+    state; raises loudly if the index vanished while we waited."""
+    desc = catalog.read_descriptor(spark, idx_dir)
+    if desc is None:
+        raise FileNotFoundError(
+            f"index at {idx_dir} disappeared while acquiring its writer "
+            "lease (concurrent teardown?) — rebuild, then re-run the refresh"
+        )
+    live = fsio.list_data_files(spark, table_path)
+    live_paths = {p for p, _, _ in live}
+    fresh = desc.fresh_files(live)
+    return (
+        desc,
+        live,
+        sorted(live_paths - fresh),
+        sorted(set(desc.files) - live_paths),
+    )
+
+
 def refresh_block_index(
     spark: SparkSession,
     table_path: str,
@@ -90,6 +118,12 @@ def refresh_block_index(
     # two concurrent refreshes share the *_tmp staged path, and a
     # refresh interleaving a full build could publish over it
     with fsio.build_lease(spark, idx_dir) as lease_owner:
+        # re-snapshot under the lease — see _revalidate_under_lease
+        desc, live, new_or_changed, removed = _revalidate_under_lease(
+            spark, idx_dir, table_path
+        )
+        if not new_or_changed and not removed:
+            return {"mode": "noop", "files_indexed": 0}
         data_dir = f"{idx_dir}/postings"
         tmp_dir = f"{idx_dir}/postings_tmp"
         fsio.recover_publish(spark, tmp_dir, data_dir)
@@ -173,6 +207,12 @@ def refresh_bloom_index(
     # two concurrent refreshes share the *_tmp staged path, and a
     # refresh interleaving a full build could publish over it
     with fsio.build_lease(spark, idx_dir) as lease_owner:
+        # re-snapshot under the lease — see _revalidate_under_lease
+        desc, live, new_or_changed, removed = _revalidate_under_lease(
+            spark, idx_dir, table_path
+        )
+        if not new_or_changed and not removed:
+            return {"mode": "noop", "files_indexed": 0}
         data_dir = f"{idx_dir}/sketch"
         tmp_dir = f"{idx_dir}/sketch_tmp"
         fsio.recover_publish(spark, tmp_dir, data_dir)
@@ -246,6 +286,12 @@ def refresh_text_index(
     # two concurrent refreshes share the *_tmp staged path, and a
     # refresh interleaving a full build could publish over it
     with fsio.build_lease(spark, idx_dir) as lease_owner:
+        # re-snapshot under the lease — see _revalidate_under_lease
+        desc, live, new_or_changed, removed = _revalidate_under_lease(
+            spark, idx_dir, table_path
+        )
+        if not new_or_changed and not removed:
+            return {"mode": "noop", "files_indexed": 0}
         data_dir = f"{idx_dir}/postings"
         tmp_dir = f"{idx_dir}/postings_tmp"
         lens_dir = f"{idx_dir}/doclens"
@@ -350,6 +396,12 @@ def refresh_zone_index(
     # two concurrent refreshes share the *_tmp staged path, and a
     # refresh interleaving a full build could publish over it
     with fsio.build_lease(spark, idx_dir) as lease_owner:
+        # re-snapshot under the lease — see _revalidate_under_lease
+        desc, live, new_or_changed, removed = _revalidate_under_lease(
+            spark, idx_dir, table_path
+        )
+        if not new_or_changed and not removed:
+            return {"mode": "noop", "files_indexed": 0}
         data_dir = f"{idx_dir}/zones"
         tmp_dir = f"{idx_dir}/zones_tmp"
         fsio.recover_publish(spark, tmp_dir, data_dir)
@@ -471,11 +523,17 @@ def refresh_lsh_index(
     if not new_or_changed and not removed:
         return {"mode": "noop", "files_indexed": 0}
 
-    o = desc.options
     # writer lease: same exclusion as the full builders (r14) —
     # two concurrent refreshes share the *_tmp staged path, and a
     # refresh interleaving a full build could publish over it
     with fsio.build_lease(spark, idx_dir) as lease_owner:
+        # re-snapshot under the lease — see _revalidate_under_lease
+        desc, live, new_or_changed, removed = _revalidate_under_lease(
+            spark, idx_dir, table_path
+        )
+        if not new_or_changed and not removed:
+            return {"mode": "noop", "files_indexed": 0}
+        o = desc.options
         data_dir = f"{idx_dir}/bands"
         tmp_dir = f"{idx_dir}/bands_tmp"
         fsio.recover_publish(spark, tmp_dir, data_dir)
@@ -590,6 +648,12 @@ def refresh_ann_index(
     # two concurrent refreshes share the *_tmp staged path, and a
     # refresh interleaving a full build could publish over it
     with fsio.build_lease(spark, idx_dir) as lease_owner:
+        # re-snapshot under the lease — see _revalidate_under_lease
+        desc, live, new_or_changed, removed = _revalidate_under_lease(
+            spark, idx_dir, table_path
+        )
+        if not new_or_changed and not removed:
+            return {"mode": "noop", "files_indexed": 0}
         data_dir = f"{idx_dir}/vectors"
         tmp_dir = f"{idx_dir}/vectors_tmp"
         cent_dir = f"{idx_dir}/centroids"

@@ -132,15 +132,38 @@ def ensure_sink_format(
         return 0
     # short ttl: migrations are a handful of renames, and a stream
     # supervisor restarting a crashed starter should not wait the
-    # builders' 30-minute default to take the stale lease over
-    with fsio.writer_lease(spark, sink_path, ttl_ms=5 * 60 * 1000):
-        # re-probe under the lease: the racer that held it may have
-        # migrated + stamped while we waited for our acquire to fail
-        # theirs — or this acquire succeeded after their release
+    # builders' 30-minute default to take the stale lease over. A
+    # migration slower than this ttl aborts at the pre-stamp renew
+    # fence below rather than risking a sanctioned-takeover overlap.
+    _MIGRATE_TTL_MS = 5 * 60 * 1000
+    try:
+        lease = fsio.writer_lease(spark, sink_path, ttl_ms=_MIGRATE_TTL_MS)
+        lease_owner = lease.__enter__()
+    except fsio.BuildLeaseHeld:
+        # a concurrent starter is migrating RIGHT NOW (acquire fails
+        # fast — it never waits): poll briefly for its marker instead
+        # of failing this stream start over an idempotent migration
+        # that someone else is already running (r14 review)
+        import time as _time
+
+        for _ in range(30):
+            _time.sleep(1.0)
+            if read_sink_format(spark, sink_path) is not None:
+                return 0
+        raise
+    try:
+        # re-probe under the lease: a strictly-earlier holder may have
+        # migrated + stamped before releasing
         if read_sink_format(spark, sink_path) is not None:
             return 0
         n = migrate() if migrate is not None else 0
+        # fence before the claim (same contract as the builders'
+        # pre-publish renew): a migration that outlived the ttl and got
+        # taken over must NOT stamp the marker over the new runner
+        fsio.renew_writer_lease(spark, sink_path, lease_owner)
         # atomic claim: a concurrent starter that stamped first already ran
         # (or is finishing) the same idempotent migration — not an error
         write_sink_format(spark, sink_path, overwrite=False)
+    finally:
+        lease.__exit__(None, None, None)
     return n

@@ -370,7 +370,7 @@ def compact_sketch_rollup(spark: SparkSession, sink_path: str) -> int:
         # and parquet partition discovery cannot mix flat files with
         # partition dirs in one root
         compacted.write.mode("overwrite").parquet(f"{tmp}/batch_run=compact--1")
-        fsio.renew_build_lease(spark, sink_path.rstrip("/") + ".lease", lease_owner)
+        fsio.renew_writer_lease(spark, sink_path, lease_owner)
         fsio.publish_dir(spark, tmp, sink_path)
     return spark.read.parquet(sink_path).count()
 

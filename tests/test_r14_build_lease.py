@@ -303,9 +303,9 @@ def test_relayout_writer_lease(spark, workdir):
 
 
 def test_unreadable_lease_is_never_deleted(spark, workdir, monkeypatch):
-    """A transient marker-read failure must NOT be treated as a torn
-    lease and deleted — that would evict a healthy holder and re-open
-    the double-writer window. Unreadable-but-existing → refuse."""
+    """A transient marker-read failure within the ttl must NOT evict a
+    healthy holder (that would re-open the double-writer window): an
+    existing-but-unparsable FRESH marker is refused via its mtime."""
     d = f"{workdir}/lease_unreadable"
     owner = fsio.acquire_build_lease(spark, d)
 
@@ -317,12 +317,31 @@ def test_unreadable_lease_is_never_deleted(spark, workdir, monkeypatch):
         return real_read(spark_, path)
 
     monkeypatch.setattr(fsio, "read_text", flaky_read)
-    with pytest.raises(fsio.BuildLeaseHeld, match="cannot be read"):
+    with pytest.raises(fsio.BuildLeaseHeld, match="cannot be parsed"):
         fsio.acquire_build_lease(spark, d)
     monkeypatch.undo()
     # the healthy holder's lease survived the failed acquire
     with pytest.raises(fsio.BuildLeaseHeld, match="in flight"):
         fsio.acquire_build_lease(spark, d)
+    fsio.release_build_lease(spark, d, owner)
+
+
+def test_torn_lease_self_heals_after_ttl(spark, workdir):
+    """A creator crashed between its create-exclusive and its payload
+    write leaves a 0-byte marker no one can parse. Within the ttl it
+    refuses loudly; past the ttl (by the FILE's mtime) the next acquire
+    takes it over — no manual cleanup (r14 review: the first cut wedged
+    such an index permanently)."""
+    d = f"{workdir}/lease_torn"
+    path = f"{d}/{fsio.BUILD_LEASE_NAME}"
+    fs, jpath, _ = fsio._fs_and_path(spark, path)
+    fs.mkdirs(jpath.getParent())
+    fs.create(jpath, False).close()  # 0-byte torn claim
+
+    with pytest.raises(fsio.BuildLeaseHeld, match="cannot be parsed"):
+        fsio.acquire_build_lease(spark, d, ttl_ms=60_000)
+    time.sleep(0.05)
+    owner = fsio.acquire_build_lease(spark, d, ttl_ms=10)  # mtime-stale
     fsio.release_build_lease(spark, d, owner)
 
 
@@ -370,6 +389,58 @@ def test_zombie_builder_aborts_before_publish(spark, workdir, monkeypatch):
     monkeypatch.undo()
 
     # the zombie never published: live postings still serve correctly
+    eng = Engine(spark, idx_root)
+    truth = spark.read.parquet(tbl).where(F.col("event_type") == "purchase").count()
+    assert eng.query(tbl, col("event_type") == "purchase").count() == truth
+
+
+def test_refresh_revalidates_descriptor_under_lease(spark, workdir, monkeypatch):
+    """r14 review: a full rebuild completing between the refresh's
+    lock-free descriptor snapshot and its lease acquire must not make
+    the refresh mix old build parameters with new index data. The
+    refresh re-snapshots under the lease, so the descriptor it publishes
+    carries the REBUILD's options."""
+    from elephant_twin_spark.streaming import refresh as refresh_mod
+    from elephant_twin_spark.operators import build as bm
+    from elephant_twin_spark.sources import catalog
+
+    tbl = tables.materialize(
+        spark, f"{SF_DIR}/events.parquet", f"{workdir}/reval_lease_events"
+    )
+    idx_root = f"{workdir}/reval_lease_idx"
+    bm.build_block_index(spark, tbl, "event_type", idx_root, num_buckets=4)
+    idx_dir = catalog.index_dir(idx_root, tbl, "event_type", kind="block")
+
+    # dirty the table so the refresh passes its fast path
+    extra = spark.read.parquet(tbl).limit(3).withColumn(
+        "event_type", F.lit("purchase")
+    )
+    extra.coalesce(1).write.mode("append").parquet(tbl)
+
+    # interpose on the lease acquire: a REBUILD with different options
+    # completes in the window between the refresh's pre-lease snapshot
+    # and its acquire
+    real_acquire = fsio.acquire_build_lease
+    state = {"fired": False}
+
+    def rebuild_then_acquire(spark_, scope, *a, **kw):
+        if not state["fired"] and scope == idx_dir:
+            state["fired"] = True
+            bm.build_block_index(spark, tbl, "event_type", idx_root, num_buckets=8)
+            # dirty again so the refresh still has a delta to process
+            extra.coalesce(1).write.mode("append").parquet(tbl)
+        return real_acquire(spark_, scope, *a, **kw)
+
+    monkeypatch.setattr(fsio, "acquire_build_lease", rebuild_then_acquire)
+    out = refresh_mod.refresh_block_index(spark, tbl, "event_type", idx_root)
+    monkeypatch.undo()
+
+    assert state["fired"] and out["mode"] == "incremental"
+    # the published descriptor carries the rebuild's num_buckets, not
+    # the refresh's stale pre-lease snapshot
+    desc = catalog.read_descriptor(spark, idx_dir)
+    assert desc.num_buckets == 8, desc.num_buckets
+    # and the index still answers exactly
     eng = Engine(spark, idx_root)
     truth = spark.read.parquet(tbl).where(F.col("event_type") == "purchase").count()
     assert eng.query(tbl, col("event_type") == "purchase").count() == truth
