@@ -3064,54 +3064,52 @@ def _q_scd2_merge_incremental(spark, sf_dir):
 # streaming_windowed_rollup's permanent `no_oracle` row is evicted
 # (its evidence is the batch-twin test, COVERAGE.md).
 #
-# r14 window: no pins — no query's semantics, oracle, or read hot
-# path changed this round (the r14 work is publish-race hardening, a
-# measured sub-file-pruning experiment behind a default-off flag, and
-# harness axes), so all 50 slots continue the oldest-evidence rotation
-# per COVERAGE.md §evidence-rotation: salted_join_revenue (r9 — the
-# oldest witness anywhere in the registry, spilled from the r13 window
-# by its third pin), then the 44 still-r10-vintage queries of the
-# CORRECTNESS_r10 cohort in that file's order (text_bm25_top,
-# text_more_like_this, funnel_stages, knn_join_ivf_top5 and
-# embedding_near_dup left the cohort — refreshed r11/r13), then the
-# first five r11-vintage queries in CORRECTNESS_r11 order
-# (funnel_stages, asof_last_click, knn_join_top5, knn_join_ivf_top5,
-# snapshot_diff). After this window the oldest evidence anywhere is
-# r11 and the remainder of the r11 cohort is next due.
+# r15 window: no pins — no query's semantics, oracle, or read hot
+# path changed this round (the r15 work is lease-heartbeat hardening,
+# the text-refresh tokenizer-rebinding fix, bench anchoring, and
+# loud-guards on the two opt-in global windows — vocab_top100 and
+# pack_docs pass explicit bounds, so their query paths are untouched),
+# so all 50 slots continue the oldest-evidence rotation per
+# COVERAGE.md §evidence-rotation: the full 43-query r11-vintage cohort
+# in CORRECTNESS_r11 order (the r13 verdict's standing order; the
+# cohort's other 7 members were refreshed r12–r14), then the first
+# seven r12-vintage queries in CORRECTNESS_r12 order
+# (embedding_near_dup .. anti_join_customers) to fill the window to
+# 50. After this window the oldest evidence anywhere is r12 and the
+# remainder of the r12 cohort is next due.
 # _ROTATION_ROUND pins WHICH rounds' evidence the rotation was computed
 # from (everything before it): the hygiene test must ignore evidence
 # from this round onward, else the round's own driver run — which
 # freshens exactly the window entries — would flag the unchanged
 # registry as stale-ordered (r10 review finding). Bump both together
 # when rotating.
-_ROTATION_ROUND = 14
+_ROTATION_ROUND = 15
 # Queries PINNED into the window this round because their semantics,
 # oracle, or implementation hot path changed (hygiene rule) — exempt
 # from the oldest-evidence ordering check, which otherwise flags any
 # recently-verified query occupying a slot while older ones wait.
 _ROTATION_PINS: list = []
-_ROTATION_R14 = [
-    # r9-vintage (the single oldest witness in the registry)
-    "salted_join_revenue",
-    # r10-vintage cohort, CORRECTNESS_r10 order (44 queries still at
-    # r10 vintage; the cohort's other six were refreshed since)
-    "ann_lsh_top10", "ann_ivf_top10", "ann_pq_top10",
-    "time_rollup_hourly", "simhash_near_dup", "value_histogram",
-    "hist_quantile_est", "mad_outliers", "iqr_outliers",
-    "idx_point_lookup", "idx_and", "idx_or", "idx_residual",
-    "idx_no_match", "idx_per_key_counts", "sql_front_door",
-    "bloom_user_lookup", "expr_index_day", "zone_range_scan",
-    "agg_lineitem_pricing", "events_hourly", "top_users_by_value",
-    "date_functions", "md5_digests", "text_count", "text_topn",
-    "text_bool_and", "text_bool_or", "text_phrase", "text_phrase_near",
-    "text_prefix", "text_wildcard", "text_fuzzy", "text_not",
-    "dedup_exact_groups", "simhash_md5_docs", "minhash_signatures",
-    "token_stats", "lang_id", "fingerprint", "ann_cosine_top10",
-    "label_centroid_component", "user_event_types",
-    "date_parse_roundtrip",
-    # r11-vintage head, CORRECTNESS_r11 order (fills the window to 50)
-    "funnel_stages", "asof_last_click", "knn_join_top5",
-    "knn_join_ivf_top5", "snapshot_diff",
+_ROTATION_R15 = [
+    # r11-vintage cohort, CORRECTNESS_r11 order (all 43 queries still
+    # at r11 vintage — the oldest driver evidence in the registry)
+    "idx_distinct_values", "ngram_jaccard_pairs", "near_dup_components",
+    "containment_pairs", "char_entropy", "repetition_ratio",
+    "clean_corpus_audit", "decontaminate_report", "pii_scrub",
+    "pack_docs", "chunk_docs", "shard_assignment", "unigram_logprob",
+    "mixture_resample", "weighted_sample", "temperature_weights",
+    "normalized_docs", "vocab_top100", "doc_token_ids",
+    "edit_distance_join", "weekly_retention", "stratified_sample",
+    "term_pmi", "doc_keywords", "cosine_pairs", "join_revenue_by_nation",
+    "rollup_orders", "click_not_purchase_users", "grouping_sets_orders",
+    "forecast_revenue", "top_unshipped_orders", "above_avg_orders",
+    "priority_fulfilment", "volume_shipping", "profit_by_nation",
+    "returned_items", "customer_distribution", "promo_revenue",
+    "top_supplier", "small_qty_revenue", "large_volume_orders",
+    "disjunctive_revenue", "late_sole_supplier",
+    # r12-vintage head, CORRECTNESS_r12 order (fills the window to 50)
+    "embedding_near_dup", "date_partition_range", "dormant_customers",
+    "unpivot_order_measures", "salted_distinct_users",
+    "semi_join_customers", "anti_join_customers",
 ]
 
 
@@ -3344,7 +3342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_report": _q_decontaminate_report,
         "pii_scrub": _q_pii_scrub,
     }
-    out = {name: cat.pop(name) for name in _ROTATION_R14}  # KeyError = typo, loud
+    out = {name: cat.pop(name) for name in _ROTATION_R15}  # KeyError = typo, loud
     out.update(cat)
     return out
 
