@@ -270,18 +270,6 @@ def refresh_text_index(
     if not new_or_changed and not removed:
         return {"mode": "noop", "files_indexed": 0}
 
-    # delta files must be analyzed with the SAME tokenizer the index was
-    # built with (recorded in the descriptor) — a whitespace default here
-    # would silently mix analyzers within one postings table
-    tok_name = desc.options.get("tokenizer", "whitespace")
-    try:
-        tokenizer = text_mod._TOKENIZERS[tok_name]
-    except KeyError:
-        raise ValueError(
-            f"index descriptor names unknown tokenizer {tok_name!r}; "
-            f"registry has {sorted(text_mod._TOKENIZERS)}"
-        ) from None
-
     # writer lease: same exclusion as the full builders (r14) —
     # two concurrent refreshes share the *_tmp staged path, and a
     # refresh interleaving a full build could publish over it
@@ -292,6 +280,22 @@ def refresh_text_index(
         )
         if not new_or_changed and not removed:
             return {"mode": "noop", "files_indexed": 0}
+        # delta files must be analyzed with the SAME tokenizer the index
+        # was built with (recorded in the descriptor) — a whitespace
+        # default here would silently mix analyzers within one postings
+        # table. Resolved from the UNDER-LEASE descriptor snapshot (r15
+        # advisor): a full rebuild with a different tokenizer completing
+        # between the pre-lease read and the lease acquire would
+        # otherwise leave the delta tokenized with the superseded
+        # analyzer while the published descriptor claims the new one.
+        tok_name = desc.options.get("tokenizer", "whitespace")
+        try:
+            tokenizer = text_mod._TOKENIZERS[tok_name]
+        except KeyError:
+            raise ValueError(
+                f"index descriptor names unknown tokenizer {tok_name!r}; "
+                f"registry has {sorted(text_mod._TOKENIZERS)}"
+            ) from None
         data_dir = f"{idx_dir}/postings"
         tmp_dir = f"{idx_dir}/postings_tmp"
         lens_dir = f"{idx_dir}/doclens"
