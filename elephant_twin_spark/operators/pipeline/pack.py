@@ -28,17 +28,43 @@ from pyspark.sql import functions as F
 from elephant_twin_spark.operators.pipeline.textstats import token_count
 
 
+# Global-ordering guard (r14 verdict item 5): with
+# ``partition_col=None`` the prefix-sum window globally orders the
+# corpus through one partition. Opt-in and fine for bounded runs; at
+# 100 TB it is a silent job-killer, so the path counts first and fails
+# LOUDLY above this threshold instead of degrading quietly.
+MAX_GLOBAL_PACK_ROWS = 5_000_000
+
+
 def pack_sequences(
     df: DataFrame,
     text_col: str,
     id_col: str,
     budget: int,
     partition_col: str | None = None,
+    max_global_rows: int | None = MAX_GLOBAL_PACK_ROWS,
 ) -> DataFrame:
     """Append `n_tokens`, `offset` (tokens before this doc within its
-    partition) and `pack_id` (offset // budget, per partition)."""
+    partition) and `pack_id` (offset // budget, per partition).
+
+    With ``partition_col=None`` the whole corpus flows through ONE
+    window partition: the guard counts it first (one extra scan, on
+    this opt-in path only) and raises above ``max_global_rows`` with
+    the remedy in the message; pass ``max_global_rows=None`` to
+    explicitly accept the global-ordering bottleneck."""
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
+    if partition_col is None and max_global_rows is not None:
+        n = df.count()
+        if n > max_global_rows:
+            raise ValueError(
+                f"pack_sequences(partition_col=None) would globally order "
+                f"{n:,} documents through ONE window partition "
+                f"(> max_global_rows={max_global_rows:,}). Pass "
+                "partition_col (a date or source shard — packing is then "
+                "independent per partition value, the 100 TB path), or "
+                "max_global_rows=None to accept the bottleneck knowingly."
+            )
     w = Window.orderBy(id_col) if partition_col is None else (
         Window.partitionBy(partition_col).orderBy(id_col)
     )

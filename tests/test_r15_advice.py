@@ -212,3 +212,47 @@ def test_acquire_confirms_own_marker_after_create(spark, workdir, monkeypatch):
     monkeypatch.undo()
     # the rival's grant is intact — no double grant, no clobbered marker
     assert json.loads(fsio.read_text(spark, path))["owner"] == "rival"
+
+
+# ------------------------------------- loud guards on opt-in global windows
+
+def test_build_vocab_unbounded_guard(spark):
+    """vocab_size=None row_numbers the whole vocabulary through one
+    partition — loud above the threshold, accepted explicitly with
+    max_unbounded_rows=None, and never triggered on the bounded path."""
+    from elephant_twin_spark.operators.pipeline import vocab
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} shared") for i in range(20)], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="ONE partition"):
+        vocab.build_vocab(docs, "text", max_unbounded_rows=5)
+    # explicit acceptance still works, ids deterministic
+    v = vocab.build_vocab(docs, "text", max_unbounded_rows=None)
+    rows = {r["token"]: r["token_id"] for r in v.collect()}
+    assert rows["shared"] == 0 and len(rows) == 21
+    # the bounded (training) path never counts, never raises
+    top = vocab.build_vocab(docs, "text", vocab_size=3, max_unbounded_rows=5)
+    assert top.count() == 3
+
+
+def test_pack_sequences_global_order_guard(spark):
+    """partition_col=None globally orders the corpus — loud above the
+    threshold; the per-partition (100 TB) path is untouched."""
+    from elephant_twin_spark.operators.pipeline import pack
+
+    df = spark.createDataFrame(
+        [(i, "a b c", "s") for i in range(20)],
+        "doc_id long, text string, src string",
+    )
+    with pytest.raises(ValueError, match="ONE window partition"):
+        pack.pack_sequences(df, "text", "doc_id", budget=10, max_global_rows=5)
+    out = pack.pack_sequences(
+        df, "text", "doc_id", budget=10, max_global_rows=None
+    )
+    assert out.count() == 20
+    # partitioned path: no count job, no guard
+    part = pack.pack_sequences(
+        df, "text", "doc_id", budget=10, partition_col="src", max_global_rows=5
+    )
+    assert part.count() == 20
