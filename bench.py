@@ -475,6 +475,79 @@ def main():
     )(lambda: eng.build_bloom_index(lineitem, "l_suppkey"))
     timed("q_bloom_point")(lambda: eng.query(lineitem, col("l_suppkey") == 17).count())
 
+    # ---- bloom-composed probe (the r14 sub-file-pruning measurement
+    # ---- promoted to a benched metric, r14 verdict item 3): write-time
+    # ---- parquet blooms on an UNCLUSTERED point-lookup key composed
+    # ---- with the block index — files pruned first (postings), then
+    # ---- row groups within the survivors (bloom). The sf tables are
+    # ---- too small/dense for row-group pruning to register (one row
+    # ---- group per file, every key in every file), so the probe uses
+    # ---- the same deterministic adversarial layout shape as
+    # ---- tools/subfile_prune_ab.py, scaled to bench time: 1.2M rows /
+    # ---- 8 files / 4 row groups per file / ~130 MB, key uniform over
+    # ---- 600k values (~2 rows per key, row-group min/max useless
+    # ---- everywhere). Bytes are measured at the OS level (/proc rchar
+    # ---- — Hadoop's Statistics undercounts Spark 4's vectored-IO path,
+    # ---- SCALE_EXPERIMENTS.md r14), so the ratio includes footer,
+    # ---- bloom, and postings read overhead: honest end-to-end bytes,
+    # ---- min over the timed reps.
+    bloom_ab = f"{work}/bloom_ab"
+    if not os.path.exists(f"{bloom_ab}/_SUCCESS"):
+        (
+            spark.range(1_200_000)
+            .select(
+                (F.xxhash64(F.col("id")) % 600_000).cast("long").alias("k"),
+                F.col("id"),
+                F.concat(
+                    F.md5(F.col("id").cast("string")),
+                    F.md5((F.col("id") + 1).cast("string")),
+                    F.md5((F.col("id") + 2).cast("string")),
+                ).alias("payload"),
+            )
+            .repartition(8)
+            .write.mode("overwrite")
+            .option("parquet.block.size", str(4 * 1024 * 1024))
+            .option("parquet.bloom.filter.enabled#k", "true")
+            .option("parquet.bloom.filter.expected.ndv#k", "65536")
+            .option("parquet.bloom.filter.max.bytes", str(512 * 1024))
+            .parquet(bloom_ab)
+        )
+    eng.build_index(bloom_ab, "k", num_buckets=8)
+    _jvm_pid = spark._jvm.java.lang.ProcessHandle.current().pid()
+
+    def _rchar() -> int:
+        with open(f"/proc/{_jvm_pid}/io") as f:
+            return int(
+                dict(l.split(": ") for l in f.read().strip().splitlines())["rchar"]
+            )
+
+    bloom_ab_total = sum(
+        os.path.getsize(f"{bloom_ab}/{f}")
+        for f in os.listdir(bloom_ab)
+        if f.endswith(".parquet")
+    )
+    # the probed key: k of id=0 — deterministic (fixed xxhash64 seed)
+    _k0 = spark.range(1).select(
+        (F.xxhash64(F.col("id")) % 600_000).cast("long")
+    ).first()[0]
+    _bloom_bytes: list = []
+
+    def _bloom_composed_point():
+        b0 = _rchar()
+        # the payload is aggregated so the probe READS data pages — a
+        # bare count() would be column-pruned to near-free and measure
+        # nothing (SCALE_EXPERIMENTS.md r14 measurement note)
+        out = (
+            eng.query(bloom_ab, col("k") == _k0)
+            .agg(F.count(F.lit(1)).alias("n"), F.sum(F.length("payload")).alias("b"))
+            .collect()
+        )
+        _bloom_bytes.append(_rchar() - b0)
+        return out
+
+    timed("q_bloom_composed_point")(_bloom_composed_point)
+    bloom_composed_ratio = round(bloom_ab_total / min(_bloom_bytes), 2)
+
     # ---- zone index: range pushdown on a time-clustered copy
     ts_clustered = f"{work}/events_ts_clustered"
     if not os.path.exists(f"{ts_clustered}/_SUCCESS"):
@@ -560,6 +633,10 @@ def main():
             ("bytes_ratio_clustered_point", bytes_ratio),
             ("bytes_ratio_zone_range", zone_bytes_ratio),
             ("bytes_ratio_distplan", dist_bytes_ratio),
+            # rchar-measured (not planner-planned): deterministic layout
+            # and plan, but the reading includes JVM incidental I/O —
+            # min-of-reps, band wider than the planner ratios'
+            ("bytes_ratio_bloom_composed", bloom_composed_ratio),
         ):
             mband = _bands_doc.get("metrics", {}).get(mname, {}).get("band")
             if mband and not (mband[0] <= mval <= mband[1]):
@@ -585,6 +662,7 @@ def main():
                 "bytes_ratio_clustered_point": bytes_ratio,
                 "bytes_ratio_zone_range": zone_bytes_ratio,
                 "bytes_ratio_distplan": dist_bytes_ratio,
+                "bytes_ratio_bloom_composed": bloom_composed_ratio,
                 "out_of_band": out_of_band,
             }
         )

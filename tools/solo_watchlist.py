@@ -130,6 +130,12 @@ def main():
         "build_block_index_event_type": lambda i: Engine(
             spark, f"{work}/idxroot_b{i}"
         ).build_index(events, "event_type", num_buckets=8),
+        # r14 out-of-band key: its BANDS entry was an r7-r10 shared
+        # envelope with no solo anchor — this gives it one (measured on
+        # the leased+heartbeat build path, so the fence cost is inside)
+        "build_block_index_user_id": lambda i: Engine(
+            spark, f"{work}/idxroot_u{i}"
+        ).build_index(events, "user_id", num_buckets=8),
         "build_text_index_docs": lambda i: Engine(
             spark, f"{work}/idxroot_t{i}"
         ).build_text_index(docs_path, "text", "doc_id"),
