@@ -586,12 +586,19 @@ class build_lease:
                 while not self._stop.wait(interval):
                     try:
                         renew_build_lease(self._spark, self._idx_dir, self._owner)
-                    except BaseException as exc:  # noqa: BLE001 — recorded, fence decides
-                        # the lease is lost (or the FS failed): stop
-                        # beating; the main thread's pre-publish fence
-                        # re-checks ownership and aborts loudly.
+                    except BuildLeaseHeld as exc:
+                        # definitive: the lease is no longer renewable
+                        # (taken over, or stale past the refuse point).
+                        # Stop beating; the main thread's pre-publish
+                        # fence re-checks ownership and aborts loudly.
                         self.heartbeat_errors.append(exc)
                         return
+                    except BaseException as exc:  # noqa: BLE001 — transient FS/py4j hiccup
+                        # a single failed beat must not doom a long
+                        # write that still holds the lease — record it
+                        # and keep beating (the next beat either renews
+                        # or hits the definitive refusal above).
+                        self.heartbeat_errors.append(exc)
 
             self._thread = threading.Thread(
                 target=_beat, daemon=True,

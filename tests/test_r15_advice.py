@@ -106,11 +106,16 @@ def test_renewing_writer_survives_ttl(spark, workdir):
     (ttl/3 cadence) keeps the lease fresh, so the pre-publish fence
     passes. Before r15 this deterministically aborted at the fence."""
     d = f"{workdir}/hb_survives"
-    lease = fsio.build_lease(spark, d, ttl_ms=600)
+    # ttl chosen with slack: the beat cadence is ttl/3, so a beat must
+    # slip by >2/3 ttl (≈0.8s) for the lease to go momentarily stale —
+    # loose enough to stay deterministic on a loaded host
+    lease = fsio.build_lease(spark, d, ttl_ms=1_200)
     with lease as owner:
-        time.sleep(2.0)  # > 3× ttl — dead without the heartbeat
+        time.sleep(4.0)  # > 3× ttl — dead without the heartbeat
         fsio.renew_build_lease(spark, d, owner)  # the fence: must pass
-    assert not lease.heartbeat_errors
+    assert not any(
+        isinstance(e, fsio.BuildLeaseHeld) for e in lease.heartbeat_errors
+    ), lease.heartbeat_errors
 
 
 def test_silent_slow_writer_still_fenced(spark, workdir):
@@ -135,13 +140,13 @@ def test_slow_build_with_heartbeat_publishes_end_to_end(spark, workdir, monkeypa
     real_lease = fsio.build_lease
 
     def short_ttl_lease(spark_, scope, *a, **kw):
-        kw["ttl_ms"] = 800
+        kw["ttl_ms"] = 1_200
         return real_lease(spark_, scope, **kw)
 
     real_write = build_mod.write_range_partitioned
 
     def slow_write(*a, **kw):
-        time.sleep(2.0)  # > 2× ttl
+        time.sleep(3.0)  # staged write far outlives the ttl
         return real_write(*a, **kw)
 
     monkeypatch.setattr(fsio, "build_lease", short_ttl_lease)
