@@ -201,8 +201,6 @@ def refresh_bloom_index(
     if not new_or_changed and not removed:
         return {"mode": "noop", "files_indexed": 0}
 
-    num_bits = int(desc.options["num_bits"])
-    num_hashes = int(desc.options["num_hashes"])
     # writer lease: same exclusion as the full builders (r14) —
     # two concurrent refreshes share the *_tmp staged path, and a
     # refresh interleaving a full build could publish over it
@@ -213,6 +211,14 @@ def refresh_bloom_index(
         )
         if not new_or_changed and not removed:
             return {"mode": "noop", "files_indexed": 0}
+        # sketch geometry from the UNDER-LEASE snapshot (r15, same hole
+        # as the text tokenizer): a rebuild changing num_bits/num_hashes
+        # between the pre-lease read and the acquire would otherwise
+        # leave the delta sketched at the OLD width while the published
+        # descriptor claims the new one — and a wrong-width bloom probe
+        # can FALSE-NEGATIVE, i.e. wrongly skip a file at query time.
+        num_bits = int(desc.options["num_bits"])
+        num_hashes = int(desc.options["num_hashes"])
         data_dir = f"{idx_dir}/sketch"
         tmp_dir = f"{idx_dir}/sketch_tmp"
         fsio.recover_publish(spark, tmp_dir, data_dir)

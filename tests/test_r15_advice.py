@@ -261,3 +261,61 @@ def test_pack_sequences_global_order_guard(spark):
         df, "text", "doc_id", budget=10, partition_col="src", max_global_rows=5
     )
     assert part.count() == 20
+
+
+def test_refresh_bloom_rebinds_geometry_under_lease(spark, workdir, monkeypatch):
+    """Same hole as the tokenizer, in the bloom refresher: a rebuild
+    changing num_bits/num_hashes lands between the refresh's pre-lease
+    snapshot and its acquire; the delta must be sketched at the
+    REBUILD's width (a wrong-width probe can false-negative — i.e.
+    wrongly skip a file at query time), and the published table must be
+    width-consistent."""
+    from elephant_twin_spark.streaming import refresh as refresh_mod
+    from elephant_twin_spark import Engine, col
+
+    tbl = tables.materialize(
+        spark, f"{SF_DIR}/events.parquet", f"{workdir}/bloomgeo_events"
+    )
+    idx_root = f"{workdir}/bloomgeo_idx"
+    build_mod.build_bloom_index(spark, tbl, "user_id", idx_root, num_bits=1024)
+    idx_dir = catalog.index_dir(idx_root, tbl, "user_id", kind="bloom")
+
+    extra = spark.read.parquet(tbl).limit(5).withColumn(
+        "user_id", F.lit(987_654_321).cast("long")
+    )
+    extra.coalesce(1).write.mode("append").parquet(tbl)
+
+    state = {"fired": False}
+    real_acquire = fsio.acquire_build_lease
+
+    def rebuild_then_acquire(spark_, scope, *a, **kw):
+        if not state["fired"] and scope == idx_dir:
+            state["fired"] = True
+            build_mod.build_bloom_index(spark, tbl, "user_id", idx_root, num_bits=2048)
+            # dirty again so the refresh still has a delta — the marker
+            # user only exists in this post-rebuild file
+            extra.withColumn("user_id", F.lit(987_654_322).cast("long")) \
+                .coalesce(1).write.mode("append").parquet(tbl)
+        return real_acquire(spark_, scope, *a, **kw)
+
+    monkeypatch.setattr(fsio, "acquire_build_lease", rebuild_then_acquire)
+    out = refresh_mod.refresh_bloom_index(spark, tbl, "user_id", idx_root)
+    monkeypatch.undo()
+    assert state["fired"] and out["mode"] == "incremental"
+
+    desc = catalog.read_descriptor(spark, idx_dir)
+    assert int(desc.options["num_bits"]) == 2048
+    # every sketch row — including the delta's — is at the rebuild width
+    widths = {
+        r["w"]
+        for r in spark.read.parquet(f"{idx_dir}/sketch")
+        .select(F.size("bits").alias("w"))
+        .distinct()
+        .collect()
+    }
+    assert widths == {2048 // 64}, widths
+    # and the post-rebuild marker key is found exactly (no false skip)
+    eng = Engine(spark, idx_root)
+    truth = spark.read.parquet(tbl).where(F.col("user_id") == 987_654_322).count()
+    assert truth == 5
+    assert eng.query(tbl, col("user_id") == 987_654_322).count() == truth
