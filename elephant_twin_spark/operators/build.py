@@ -328,8 +328,9 @@ def build_block_index(
         write_range_partitioned(
             postings, num_buckets, "key", ("key", "file"), staging, bloom_col="key"
         )
-        # heartbeat + fence: a build that outlived its ttl aborts here,
-        # BEFORE the destructive publish (fsio.renew_build_lease)
+        # fence: a build whose lease was TAKEN OVER (paused past the
+        # ttl despite the scope's heartbeat — fsio.build_lease) aborts
+        # here, BEFORE the destructive publish (fsio.renew_build_lease)
         fsio.renew_build_lease(spark, idx_dir, lease_owner)
         fsio.publish_dir(spark, staging, data_dir)
 

@@ -336,8 +336,10 @@ def build_text_index(
         # one shared pair epoch across both renames (r12 advisor): a
         # crash between them left new postings with OLD BM25 norms
         # undetected; readers of the pair now cross-check the markers
-        # heartbeat + fence (closure reads lease_owner bound by the
-        # with-statement below before run_pinned_with_retry runs us)
+        # takeover fence (closure reads lease_owner bound by the
+        # with-statement below before run_pinned_with_retry runs us);
+        # liveness during the staged write comes from the lease scope's
+        # heartbeat (r15, fsio.build_lease)
         fsio.renew_build_lease(spark, idx_dir, lease_owner)
         fsio.publish_pair(
             spark,

@@ -133,8 +133,10 @@ def ensure_sink_format(
     # short ttl: migrations are a handful of renames, and a stream
     # supervisor restarting a crashed starter should not wait the
     # builders' 30-minute default to take the stale lease over. A
-    # migration slower than this ttl aborts at the pre-stamp renew
-    # fence below rather than risking a sanctioned-takeover overlap.
+    # healthy slow migration stays fresh via the lease scope's
+    # heartbeat (r15); one whose lease was genuinely taken over (a
+    # pause past the ttl) aborts at the pre-stamp renew fence below
+    # rather than stamping over the new runner.
     _MIGRATE_TTL_MS = 5 * 60 * 1000
     try:
         lease = fsio.writer_lease(spark, sink_path, ttl_ms=_MIGRATE_TTL_MS)
