@@ -641,10 +641,15 @@ def main():
             mband = _bands_doc.get("metrics", {}).get(mname, {}).get("band")
             if mband and not (mband[0] <= mval <= mband[1]):
                 out_of_band[mname] = {"value": mval, "shared_band": mband}
+                hint = (
+                    "rchar-measured (≈10% incidental-read noise is in the "
+                    "band); beyond it, suspect a layout/bloom regression"
+                    if mname == "bytes_ratio_bloom_composed"
+                    else "pruning selectivity is deterministic; this is a "
+                    "REGRESSION, not noise"
+                )
                 print(
-                    f"OUT OF BAND {mname}: {mval} vs {mband} — pruning "
-                    "selectivity is deterministic; this is a REGRESSION, "
-                    "not noise",
+                    f"OUT OF BAND {mname}: {mval} vs {mband} — {hint}",
                     file=sys.stderr,
                 )
 
