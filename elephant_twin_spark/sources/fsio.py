@@ -506,20 +506,30 @@ def release_build_lease(spark: SparkSession, idx_dir: str, owner: str) -> None:
     too when empty, so re-layout targets don't accrue empty marker dirs
     next to their data."""
     path = _lease_path(idx_dir)
-    try:
-        held = json.loads(read_text(spark, path))
-    except Exception:
-        return
-    if held.get("owner") == owner:
+    # under the renew lock (r15): build_lease.__exit__ stops and joins
+    # the heartbeat before releasing, but with a bounded join a renew
+    # hung in a slow FS call could still be in flight — unserialized,
+    # its read-then-write could straddle this delete and RESURRECT the
+    # marker with a fresh stamp, wedging the next builder for a full
+    # ttl. The lock forces order: either the renew lands first (and its
+    # re-stamp is deleted here), or the delete lands first (and the
+    # renew's read fails loudly inside the heartbeat, which exits).
+    with _renew_lock(path):
+        try:
+            held = json.loads(read_text(spark, path))
+        except Exception:
+            return
+        if held.get("owner") != owner:
+            return
         delete(spark, path)
-        scope = idx_dir.rstrip("/")
-        if scope.endswith(".lease"):
-            fs, jscope, _ = _fs_and_path(spark, scope)
-            try:
-                if fs.exists(jscope) and not list(fs.listStatus(jscope)):
-                    fs.delete(jscope, False)
-            except Exception:
-                pass  # cleanup only — never fail a release over it
+    scope = idx_dir.rstrip("/")
+    if scope.endswith(".lease"):
+        fs, jscope, _ = _fs_and_path(spark, scope)
+        try:
+            if fs.exists(jscope) and not list(fs.listStatus(jscope)):
+                fs.delete(jscope, False)
+        except Exception:
+            pass  # cleanup only — never fail a release over it
 
 
 def writer_lease(spark: SparkSession, data_dir: str, ttl_ms: int = DEFAULT_LEASE_TTL_MS):
