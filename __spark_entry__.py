@@ -3064,52 +3064,51 @@ def _q_scd2_merge_incremental(spark, sf_dir):
 # streaming_windowed_rollup's permanent `no_oracle` row is evicted
 # (its evidence is the batch-twin test, COVERAGE.md).
 #
-# r15 window: no pins — no query's semantics, oracle, or read hot
-# path changed this round (the r15 work is lease-heartbeat hardening,
-# the text-refresh tokenizer-rebinding fix, bench anchoring, and
-# loud-guards on the two opt-in global windows — vocab_top100 and
-# pack_docs pass explicit bounds, so their query paths are untouched),
-# so all 50 slots continue the oldest-evidence rotation per
-# COVERAGE.md §evidence-rotation: the full 43-query r11-vintage cohort
-# in CORRECTNESS_r11 order (the r13 verdict's standing order; the
-# cohort's other 7 members were refreshed r12–r14), then the first
-# seven r12-vintage queries in CORRECTNESS_r12 order
-# (embedding_near_dup .. anti_join_customers) to fill the window to
-# 50. After this window the oldest evidence anywhere is r12 and the
-# remainder of the r12 cohort is next due.
+# r16 window: no pins — no query's semantics, oracle, or read hot
+# path changed this round (the r16 work is the fsio release-lock
+# bounded wait + ADVICE hardening, bench load/rusage triage fields,
+# solo-anchoring two envelope-only bands, and the contended-heartbeat
+# probe — none touch any query path), so all 50 slots continue the
+# oldest-evidence rotation per COVERAGE.md §evidence-rotation: the
+# full 43-query r12-vintage cohort in CORRECTNESS_r12 order (the r15
+# verdict's standing order; the cohort's other 7 members were
+# refreshed in r15), then the first seven r13-vintage queries in
+# CORRECTNESS_r13 order (ann_persisted_top10 .. scd2_merge_incremental)
+# to fill the window to 50. After this window the oldest evidence
+# anywhere is r13 and the remainder of the r13 cohort is next due.
 # _ROTATION_ROUND pins WHICH rounds' evidence the rotation was computed
 # from (everything before it): the hygiene test must ignore evidence
 # from this round onward, else the round's own driver run — which
 # freshens exactly the window entries — would flag the unchanged
 # registry as stale-ordered (r10 review finding). Bump both together
 # when rotating.
-_ROTATION_ROUND = 15
+_ROTATION_ROUND = 16
 # Queries PINNED into the window this round because their semantics,
 # oracle, or implementation hot path changed (hygiene rule) — exempt
 # from the oldest-evidence ordering check, which otherwise flags any
 # recently-verified query occupying a slot while older ones wait.
 _ROTATION_PINS: list = []
-_ROTATION_R15 = [
-    # r11-vintage cohort, CORRECTNESS_r11 order (all 43 queries still
-    # at r11 vintage — the oldest driver evidence in the registry)
-    "idx_distinct_values", "ngram_jaccard_pairs", "near_dup_components",
-    "containment_pairs", "char_entropy", "repetition_ratio",
-    "clean_corpus_audit", "decontaminate_report", "pii_scrub",
-    "pack_docs", "chunk_docs", "shard_assignment", "unigram_logprob",
-    "mixture_resample", "weighted_sample", "temperature_weights",
-    "normalized_docs", "vocab_top100", "doc_token_ids",
-    "edit_distance_join", "weekly_retention", "stratified_sample",
-    "term_pmi", "doc_keywords", "cosine_pairs", "join_revenue_by_nation",
-    "rollup_orders", "click_not_purchase_users", "grouping_sets_orders",
-    "forecast_revenue", "top_unshipped_orders", "above_avg_orders",
-    "priority_fulfilment", "volume_shipping", "profit_by_nation",
-    "returned_items", "customer_distribution", "promo_revenue",
-    "top_supplier", "small_qty_revenue", "large_volume_orders",
-    "disjunctive_revenue", "late_sole_supplier",
-    # r12-vintage head, CORRECTNESS_r12 order (fills the window to 50)
-    "embedding_near_dup", "date_partition_range", "dormant_customers",
-    "unpivot_order_measures", "salted_distinct_users",
-    "semi_join_customers", "anti_join_customers",
+_ROTATION_R16 = [
+    # r12-vintage cohort, CORRECTNESS_r12 order (all 43 queries still
+    # at r12 vintage — the oldest driver evidence in the registry)
+    "window_top_orders", "running_revenue", "cube_orders",
+    "group_percentiles", "market_share", "top_bigrams",
+    "exact_substring_dups", "repeated_ngram_coverage", "cdc_chunks",
+    "gopher_quality_flags", "perplexity_buckets", "ann_range_search",
+    "kmeans_assign", "lsh_bucket_stats", "dup_rate_by_source",
+    "keep_best_per_group", "corr_stats", "token_len_histogram",
+    "bucket_skew_stats", "tfidf_top_terms", "pack_efficiency",
+    "consecutive_dedup", "minhash_jaccard_error", "semantic_dedup",
+    "table_profile", "pivot_user_events", "json_props_stats",
+    "sessionize", "error_window_counts", "quality_top_fraction",
+    "domain_cap", "media_features", "winnowing_md5", "idx_count_only",
+    "zone_min_max", "text_retrieve", "lsh_gate", "kmv_distinct_users",
+    "cluster_refresh", "session_duration_stats", "oov_stats",
+    "cms_error_stats", "time_decay_score",
+    # r13-vintage head, CORRECTNESS_r13 order (fills the window to 50)
+    "ann_persisted_top10", "text_bm25_top", "text_more_like_this",
+    "winsorized_stats", "index_advisor", "gap_to_prev",
+    "scd2_merge_incremental",
 ]
 
 
@@ -3342,7 +3341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_report": _q_decontaminate_report,
         "pii_scrub": _q_pii_scrub,
     }
-    out = {name: cat.pop(name) for name in _ROTATION_R15}  # KeyError = typo, loud
+    out = {name: cat.pop(name) for name in _ROTATION_R16}  # KeyError = typo, loud
     out.update(cat)
     return out
 

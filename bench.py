@@ -99,6 +99,45 @@ def main():
     bands_sf_ok = bands_sf_matches(SF_DIR, _bands_doc.get("sf", 0.1))
     out_of_band: dict[str, dict] = {}
 
+    # Host-load self-triage probes (r15 verdict item 4): wall time alone
+    # cannot distinguish a code regression from host load — the r14→r15
+    # q_minhash_lsh dispute cost two rounds of solo re-anchoring over a
+    # same-tree shared-host spread of 33–76 s. Every rep therefore also
+    # records the 1-minute /proc/loadavg and the driver-JVM CPU-seconds
+    # delta: an above-band reading with load1 well past this bench's own
+    # parallelism, or a cpu/wall ratio far below the key's other reps,
+    # is host contention, not code. Linux-only; absent /proc the bench
+    # degrades to wall-only (no crash — r16 advisor on the rchar probe).
+    def _load1():
+        try:
+            with open("/proc/loadavg") as f:
+                return float(f.read().split()[0])
+        except (OSError, ValueError):
+            return None
+
+    try:
+        _JVM_PID = int(spark._jvm.java.lang.ProcessHandle.current().pid())
+    except Exception:
+        _JVM_PID = None
+    try:
+        _CLK_TCK = os.sysconf("SC_CLK_TCK") or 100
+    except (AttributeError, ValueError, OSError):
+        _CLK_TCK = 100
+
+    def _jvm_cpu_s():
+        if _JVM_PID is None:
+            return None
+        try:
+            with open(f"/proc/{_JVM_PID}/stat") as f:
+                # fields after the ')'-terminated comm: [0]=state, utime
+                # and stime are kernel fields 14/15 → indices 11/12 here
+                parts = f.read().rsplit(")", 1)[1].split()
+            return (int(parts[11]) + int(parts[12])) / _CLK_TCK
+        except (OSError, IndexError, ValueError):
+            return None
+
+    rep_stats: dict[str, dict] = {}
+
     # SPARK_GRAFT_BENCH_STORAGE=1: per-key block-manager snapshots to
     # stderr (the instrumentation that demonstrated the r5 checkpoint
     # leak and its fix — see SCALE_EXPERIMENTS.md)
@@ -122,10 +161,13 @@ def main():
 
         def deco(fn):
             samples = []
+            loads: list = []
+            cpus_s: list = []
             out = None
             for i in range(n_reps):
                 if i and reset is not None:
                     reset()
+                c0 = _jvm_cpu_s()
                 t0 = time.perf_counter()
                 # scope per rep: every localCheckpoint an operator pins
                 # during this key is released once the rep's terminal
@@ -136,6 +178,13 @@ def main():
                 with lifecycle.checkpoint_scope():
                     out = fn()
                 samples.append(time.perf_counter() - t0)
+                c1 = _jvm_cpu_s()
+                cpus_s.append(
+                    round(c1 - c0, 2) if c0 is not None and c1 is not None else None
+                )
+                loads.append(_load1())
+            if any(v is not None for v in loads + cpus_s):
+                rep_stats[name] = {"load1": loads, "jvm_cpu_s": cpus_s}
             if agg == "median":
                 val = sorted(samples)[len(samples) // 2]
             else:
@@ -147,14 +196,31 @@ def main():
                     "value": round(val, 4),
                     "shared_band": band,
                     "samples": [round(s, 4) for s in samples],
+                    "load1": loads,
+                    "jvm_cpu_s": cpus_s,
                 }
                 if "solo_steady" in pol:
                     info["solo_steady"] = pol["solo_steady"]
+                # auto-annotation (r15 verdict item 4): below the floor
+                # is a fast quiet-host reading by construction; above the
+                # ceiling with more runnable tasks than cores (load1 >
+                # CPUS — this local[CPUS] bench alone cannot sustain
+                # that) is host contention, not code.
+                if val < band[0]:
+                    info["triage"] = "below floor: fast quiet-host reading"
+                elif any(l is not None and l > CPUS for l in loads):
+                    info["triage"] = (
+                        f"host_load_suspect: load1 {loads} exceeds the "
+                        f"{CPUS} cores this bench can saturate alone — "
+                        "re-read against solo_steady before calling it a "
+                        "regression"
+                    )
                 out_of_band[name] = info
                 print(
                     f"OUT OF BAND {name}: {val:.2f}s vs shared_band "
                     f"{band} (samples {info['samples']}, "
-                    f"solo_steady {pol.get('solo_steady', 'n/a')})",
+                    f"solo_steady {pol.get('solo_steady', 'n/a')}, "
+                    f"load1 {loads}, jvm_cpu_s {cpus_s})",
                     file=sys.stderr,
                 )
             if probe_storage:
@@ -513,10 +579,26 @@ def main():
             .parquet(bloom_ab)
         )
     eng.build_index(bloom_ab, "k", num_buckets=8)
-    _jvm_pid = spark._jvm.java.lang.ProcessHandle.current().pid()
+    # rchar probe guard (r16 advisor): the probe assumes Linux /proc AND
+    # local-mode Spark (all reads in the driver JVM — in any multi-node
+    # deployment executor reads are invisible to the driver's rchar and
+    # the ratio would be meaningless). When either fails, the timed key
+    # still runs; only the bytes metric is skipped, with a stderr note.
+    _rchar_ok = (
+        _JVM_PID is not None
+        and os.path.exists(f"/proc/{_JVM_PID}/io")
+        and spark.sparkContext.master.startswith("local")
+    )
+    if not _rchar_ok:
+        print(
+            "bytes_ratio_bloom_composed skipped: /proc/<jvm>/io probe "
+            "unavailable (non-Linux) or Spark not in local mode (executor "
+            "reads invisible to the driver's rchar)",
+            file=sys.stderr,
+        )
 
     def _rchar() -> int:
-        with open(f"/proc/{_jvm_pid}/io") as f:
+        with open(f"/proc/{_JVM_PID}/io") as f:
             return int(
                 dict(l.split(": ") for l in f.read().strip().splitlines())["rchar"]
             )
@@ -533,7 +615,7 @@ def main():
     _bloom_bytes: list = []
 
     def _bloom_composed_point():
-        b0 = _rchar()
+        b0 = _rchar() if _rchar_ok else None
         # the payload is aggregated so the probe READS data pages — a
         # bare count() would be column-pruned to near-free and measure
         # nothing (SCALE_EXPERIMENTS.md r14 measurement note)
@@ -542,11 +624,14 @@ def main():
             .agg(F.count(F.lit(1)).alias("n"), F.sum(F.length("payload")).alias("b"))
             .collect()
         )
-        _bloom_bytes.append(_rchar() - b0)
+        if b0 is not None:
+            _bloom_bytes.append(_rchar() - b0)
         return out
 
     timed("q_bloom_composed_point")(_bloom_composed_point)
-    bloom_composed_ratio = round(bloom_ab_total / min(_bloom_bytes), 2)
+    bloom_composed_ratio = (
+        round(bloom_ab_total / min(_bloom_bytes), 2) if _bloom_bytes else None
+    )
 
     # ---- zone index: range pushdown on a time-clustered copy
     ts_clustered = f"{work}/events_ts_clustered"
@@ -638,6 +723,8 @@ def main():
             # min-of-reps, band wider than the planner ratios'
             ("bytes_ratio_bloom_composed", bloom_composed_ratio),
         ):
+            if mval is None:
+                continue  # probe unavailable on this host (stderr-noted)
             mband = _bands_doc.get("metrics", {}).get(mname, {}).get("band")
             if mband and not (mband[0] <= mval <= mband[1]):
                 out_of_band[mname] = {"value": mval, "shared_band": mband}
@@ -655,23 +742,26 @@ def main():
 
     sf = SF_DIR.rsplit("sf", 1)[-1]
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "ets_headline_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "cpus": CPUS,
-                "bytes_ratio_clustered_point": bytes_ratio,
-                "bytes_ratio_zone_range": zone_bytes_ratio,
-                "bytes_ratio_distplan": dist_bytes_ratio,
-                "bytes_ratio_bloom_composed": bloom_composed_ratio,
-                "out_of_band": out_of_band,
-            }
-        )
-    )
+    doc = {
+        "metric": "ets_headline_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cpus": CPUS,
+        "bytes_ratio_clustered_point": bytes_ratio,
+        "bytes_ratio_zone_range": zone_bytes_ratio,
+        "bytes_ratio_distplan": dist_bytes_ratio,
+        "out_of_band": out_of_band,
+        # per-rep host-load record (r15 verdict item 4): load1 at rep
+        # end + driver-JVM cpu-seconds per rep, so an out-of-band wall
+        # reading can be triaged against host contention from the BENCH
+        # file itself instead of a next-round solo-anchor ritual
+        "rep_stats": rep_stats,
+    }
+    if bloom_composed_ratio is not None:
+        doc["bytes_ratio_bloom_composed"] = bloom_composed_ratio
+    print(json.dumps(doc))
 
 
 if __name__ == "__main__":

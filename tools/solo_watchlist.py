@@ -123,6 +123,38 @@ def main():
             )
         return _state["lsh"], _state["probe"]
 
+    def tpch_tables():
+        if "orders" not in _state:
+            _state["lineitem"] = tables.materialize(
+                spark, f"{SF_DIR}/lineitem.parquet", f"{work}/lineitem", 32
+            )
+            _state["orders"] = tables.load_sf_table(spark, SF_DIR, "orders")
+        return _state["orders"], _state["lineitem"]
+
+    def _tpch_large_orders():
+        # bench.py's exact body (TPC-H Q18 shape)
+        orders, lineitem = tpch_tables()
+        return (
+            orders.join(
+                spark.read.parquet(lineitem)
+                .groupBy("l_orderkey")
+                .agg(F.sum("l_quantity").alias("sum_qty"))
+                .where(F.col("sum_qty") > 150),
+                F.col("o_orderkey") == F.col("l_orderkey"),
+            )
+            .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+            .limit(100)
+            .collect()
+        )
+
+    def _clean_corpus():
+        from elephant_twin_spark.operators.pipeline import clean
+
+        df = clean.clean_corpus(docs, "text", "doc_id", near_dup=False)[1]
+        out = df.groupBy("reason").count().collect()
+        lifecycle.release(df)
+        return out
+
     _mix_w = {"en": 0.5, "de": 0.15, "es": 0.15, "fr": 0.1, "zh": 0.1}
 
     KEY_FNS = {
@@ -163,6 +195,10 @@ def main():
             "head", "source",
         ).count(),
         "q_dedup_exact": lambda i: dedup.exact_dup_groups(docs, "text", "doc_id").count(),
+        # r15 verdict item 2: the last two envelope-only bands that moved
+        # >1.1x — same frames + bodies as bench.py's keys
+        "q_tpch_large_orders": lambda i: _tpch_large_orders(),
+        "q_clean_corpus": lambda i: _clean_corpus(),
         "q_near_dup_clusters": lambda i: _consume_near_dup(),
         "q_near_dup_clusters_star": lambda i: _consume_near_dup("star"),
         "q_lsh_gate": lambda i: _lsh_gate(),
