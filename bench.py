@@ -205,7 +205,13 @@ def main():
                 # is a fast quiet-host reading by construction; above the
                 # ceiling with more runnable tasks than cores (load1 >
                 # CPUS — this local[CPUS] bench alone cannot sustain
-                # that) is host contention, not code.
+                # that) is host contention, not code. Above the ceiling
+                # with a solo anchor on file (r16 triage experience:
+                # zone build and SQL front door both fluttered 2-3x over
+                # on in-run load that never trips the load1>CPUS rule),
+                # point the reader at the anchor — a key whose solo
+                # steady sits inside the band regressed the RUN, not the
+                # code.
                 if val < band[0]:
                     info["triage"] = "below floor: fast quiet-host reading"
                 elif any(l is not None and l > CPUS for l in loads):
@@ -214,6 +220,14 @@ def main():
                         f"{CPUS} cores this bench can saturate alone — "
                         "re-read against solo_steady before calling it a "
                         "regression"
+                    )
+                elif "solo_steady" in pol:
+                    info["triage"] = (
+                        f"above ceiling; solo anchor on file "
+                        f"({pol['solo_steady']}) — rerun the key solo "
+                        "(tools/solo_watchlist.py or a 5-rep probe) before "
+                        "calling it a regression; shared-run flutter on "
+                        "this box reads 2-3x over on anchored-healthy keys"
                     )
                 out_of_band[name] = info
                 print(
