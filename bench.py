@@ -45,6 +45,18 @@ def main():
         .config("spark.sql.shuffle.partitions", str(CPUS))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.driver.memory", "16g")
+        # r16: 51 keys x 2-3 reps in ONE JVM generate far more
+        # whole-stage-codegen classes than the JDK's default 240 MB
+        # ReservedCodeCacheSize holds; once the profiled-nmethods
+        # segment fills, the JIT flushes warm methods and hot query
+        # paths fall back to interpreted bytecode until recompiled —
+        # measured on this tree as random 10-20x CPU blowups on
+        # UNTOUCHED keys (q_minhash_lsh reps burning 513 JVM-cpu-s vs
+        # 24 steady; the long-documented 33-76 s same-tree bench
+        # spread). 512 MB absorbs the whole run. Scale note: this is
+        # the standard sizing for any long-lived codegen-heavy Spark
+        # JVM (driver or executor), not a local[32] trick.
+        .config("spark.driver.extraJavaOptions", "-XX:ReservedCodeCacheSize=512m")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .getOrCreate()
@@ -272,6 +284,35 @@ def main():
         .repartitionByRange(2, "id")
         .write.mode("overwrite")
         .parquet(f"{work}/_warmup")
+    )
+    # ...and one synthetic pass over the interpreted-expression paths the
+    # text/dedup family lives on (higher-order transform/filter/aggregate
+    # lambdas, regexp tokenization, xxhash64, collect_list): these JVM
+    # code paths are shared across keys but JIT-compile only after real
+    # use, so without this the FIRST dedup-family key absorbs multi-second
+    # tier-0/C1 warm-up that has nothing to do with the operator (r16:
+    # measured 5-48 s first-rep blowups on q_minhash_lsh from exactly
+    # this). Synthetic spark.range input only — no test-table results are
+    # touched, it warms code, not data.
+    _wtoks = F.regexp_extract_all(
+        F.concat_ws(" ", F.lit("w"), F.col("id").cast("string"), F.lit("x y")),
+        F.lit(r"\S+"), 0,
+    )
+    (
+        spark.range(200_000)
+        .select(
+            F.array_min(
+                F.transform(_wtoks, lambda s: F.xxhash64(F.lit(0), s))
+            ).alias("mh"),
+            F.size(F.filter(_wtoks, lambda t: t != F.lit("zz"))).alias("nt"),
+            F.expr(
+                "aggregate(sequence(1, 8), 0L, (acc, x) -> acc + x)"
+            ).alias("agg"),
+            (F.col("id") % 1000).alias("g"),
+        )
+        .groupBy("g")
+        .agg(F.count(F.lit(1)), F.collect_list("mh"), F.sum("nt"), F.max("agg"))
+        .write.format("noop").mode("overwrite").save()
     )
 
     # ---- index build (the reference's write path)

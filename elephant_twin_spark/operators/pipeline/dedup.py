@@ -325,7 +325,20 @@ def jaccard_verify_pairs(
     corpus size) and pinned with ``localCheckpoint``, so the corpus-wide
     shingle computation runs exactly once — not once per side of the
     pair join (Spark would otherwise recompute the whole subtree for the
-    ``id_a`` and ``id_b`` joins)."""
+    ``id_a`` and ``id_b`` joins).
+
+    The semi-join runs on the RAW ``(id, text)`` projection and the
+    shingle expression is applied AFTER it (r16 optimization): Catalyst
+    has no rule to move a Project above a Join, so the previous
+    project-then-join order computed shingles for EVERY corpus row and
+    shuffled the shingle arrays into a sort-merge semi join — at sf0.1
+    that is a full second corpus shingle pass (the verify stage's
+    dominant cost), at 100 TB it is a corpus-sized exchange of shingle
+    arrays. Joining first means only candidate docs (bounded by
+    2×|pairs|) are ever shingled, and the exchange — when AQE doesn't
+    broadcast the tiny id set outright — carries raw text, not the ~k×
+    larger shingle expansion. Same rows out, plan shape pinned in
+    plans/r16/q_minhash_lsh_{before,after}.txt."""
     ids = (
         candidates.select(F.col("id_a").alias("id"))
         .unionByName(candidates.select(F.col("id_b").alias("id")))
@@ -333,11 +346,9 @@ def jaccard_verify_pairs(
     )
     sh = lifecycle.pin(
         _fan_out(df)
-        .select(
-            F.col(id_col).alias("id"),
-            word_shingles(F.col(text_col), shingle_k).alias("sh"),
-        )
+        .select(F.col(id_col).alias("id"), F.col(text_col).alias("_vtext"))
         .join(ids, "id", "leftsemi")
+        .select("id", word_shingles(F.col("_vtext"), shingle_k).alias("sh"))
     )
     j = (
         candidates.join(sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
@@ -390,75 +401,98 @@ def minhash_near_dup_pairs(
 
 # ----------------------------------------------------------------- simhash
 
-def _simhash_from_token_hashes(per_tok: DataFrame, nbits: int) -> DataFrame:
-    """``(id, simhash)`` from ``(id, h, tf)``: collect the compact
-    ``(h, tf)`` pairs per doc, expand to ±tf bit-lanes INSIDE the final
-    fold.
+def _rowlocal_simhash(
+    df: DataFrame, text_col: str, id_col: str, nbits: int, tok_hash_sql: str
+) -> DataFrame:
+    """``(id, simhash)`` computed entirely WITHIN each row — zero
+    shuffle (r16 optimization; the plan is Scan → Filter → Project).
 
-    State shape (r10 review fix): the aggregation buffer holds the
-    doc's distinct-token (hash, tf) pairs — 16 bytes each, the same
-    order as the document's own text — instead of the previous
-    per-token nbits-long lane ARRAYS (nbits×8 bytes per token: ~512 MB
-    buffered for a 10^6-distinct-token doc at 64 bits, a 32×
-    amplification of the doc's size). The lanes now exist only
-    transiently inside the fold. Measured alternatives (sf0.1 docs,
-    local[32], steady-state): this shape 0.61-0.70 s — equal to the
-    old lane-array fold; the O(nbits)-state shape (nbits conditional
-    SUM aggregates, the theoretical minimum) 2.5-3.0 s, ~4× slower from
-    per-row aggregate-expression overhead, codegen-maxFields
-    independent (SCALE_EXPERIMENTS.md r10). Integer lane sums are
-    order-free, so the output is bit-identical across all three."""
-    fold = f"""
-    aggregate(
-      collect_list(struct(h, tf)),
-      cast(array_repeat(0L, {nbits}) as array<bigint>),
-      (acc, x) -> zip_with(acc, sequence(0, {nbits - 1}),
-          (a, b) -> a + IF((shiftright(x.h, cast(b as int)) & 1) = 1, x.tf, -x.tf))
-    )"""
-    agg = per_tok.groupBy("id").agg(F.expr(fold).alias("bitsums"))
-    return agg.select(
-        "id",
-        F.expr(
-            f"aggregate(transform(sequence(0, {nbits - 1}),"
-            f" b -> IF(bitsums[b] > 0, shiftleft(1L, b), 0L)),"
-            f" 0L, (acc, x) -> acc | x)"
-        ).alias("simhash"),
+    The (token, tf) grouping of a SimHash is per-document, so the old
+    explode → ``groupBy(id, tok)`` → ``groupBy(id)`` pipeline paid two
+    corpus-sized exchanges for an aggregation whose every group lives
+    inside ONE input row. Row-local restatement: sort the token array,
+    take run starts/lengths (distinct token + tf in one linear scan),
+    hash each distinct token with ``tok_hash_sql``, then run the exact
+    same ±tf bit-lane fold as before. Integer lane sums are order-free,
+    so the signature is BIT-IDENTICAL to the shuffle form (pinned
+    corpus-wide in tests/test_r16_optimization.py); measured ~30× on a
+    single-file sf0.01 corpus (6.0 s → 0.2 s noop-sink, the two
+    exchanges dominating) and it removes the only exchanges in the
+    whole operator — 2 Exchange → 0.
+
+    Expression shape note: every intermediate (sorted array, run
+    starts, bit sums) is LET-BOUND via single-element
+    ``transform(array(x), v -> ...)`` instead of a chained ``select``.
+    Chained selects collapse (CollapseProject substitutes any
+    single-reference projection into the consumer), and once an
+    intermediate is inlined INSIDE a lambda body it is re-evaluated per
+    lambda invocation — the naive chained form re-sorted the token
+    array per bit and went quadratic (measured: hung at sf0.01). The
+    lambda binding evaluates each intermediate exactly once per row.
+
+    ``tok_hash_sql`` maps a token SQL expression to its signed-64 hash
+    (e.g. xxhash64, or the md5-prefix form the DuckDB oracle can
+    reproduce). Docs with no tokens produce no row — ``rlike('\\S')``
+    is exactly "the token array is non-empty" — matching the explode
+    form, which dropped them."""
+    tok = f"element_at(st, s)"
+    sim_sql = f"""
+    element_at(transform(array(array_sort({_TOKENIZE_SQL.format(col=text_col)})), st ->
+      element_at(transform(array(
+          filter(sequence(1, size(st)),
+                 i -> i = 1 OR element_at(st, i) != element_at(st, i - 1))
+        ), starts ->
+        element_at(transform(array(
+            aggregate(
+              zip_with(starts,
+                       concat(slice(starts, 2, size(starts) - 1), array(size(st) + 1)),
+                       (s, e) -> struct({tok_hash_sql.format(tok=tok)} as h,
+                                        cast(e - s as bigint) as tf)),
+              cast(array_repeat(0L, {nbits}) as array<bigint>),
+              (acc, x) -> zip_with(acc, sequence(0, {nbits - 1}),
+                  (a, b) -> a + IF((shiftright(x.h, cast(b as int)) & 1) = 1, x.tf, -x.tf)))
+          ), bs ->
+          aggregate(transform(sequence(0, {nbits - 1}),
+                              b -> IF(bs[b] > 0, shiftleft(1L, b), 0L)),
+                    0L, (acc, x) -> acc | x)
+        ), 1)
+      ), 1)
+    ), 1)
+    """
+    # fan-out still matters: the per-row work is ~100× the row's bytes,
+    # so a single-file source must not serialize into one task
+    return _fan_out(df.where(F.col(text_col).rlike(r"\S"))).select(
+        F.col(id_col).alias("id"), F.expr(sim_sql).alias("simhash")
     )
+
+
+# the tokenizer restated as SQL text (whitespace_tokenizer's exact
+# expression) so _rowlocal_simhash can embed it inside lambda bindings;
+# a drift between the two is pinned by the corpus-wide equivalence test
+_TOKENIZE_SQL = r"regexp_extract_all({col}, '\\S+', 0)"
 
 
 def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """64-bit SimHash per doc: per-bit weighted sums of token hashes.
 
-    ``(id, simhash)`` — explode to (id, token, tf), then ONE groupBy
-    collecting compact ``(hash, tf)`` structs (16 B per DISTINCT token —
-    O(distinct-tokens) state, input-proportional rather than bounded;
-    the 64 lanes are expanded only transiently inside the final fold;
-    see :func:`_simhash_from_token_hashes` for the measured A/B against
-    the truly-bounded conditional-sum shape, which was 4× slower)."""
-    toks = _fan_out(df).select(
-        F.col(id_col).alias("id"),
-        F.explode(whitespace_tokenizer(F.col(text_col))).alias("tok"),
-    )
-    per_tok = toks.groupBy("id", "tok").agg(F.count(F.lit(1)).alias("tf"))
-    h = per_tok.withColumn("h", F.xxhash64("tok"))
-    return _simhash_from_token_hashes(h, 64)
+    ``(id, simhash)`` — computed row-locally with ZERO shuffle (r16;
+    see :func:`_rowlocal_simhash`). History: the r10 shape was explode →
+    ``groupBy(id, tok)`` → ``groupBy(id)`` with a compact (hash, tf)
+    fold — two corpus exchanges for per-document groups that never
+    needed to leave their row. Signatures are bit-identical (order-free
+    integer lane sums; pinned in tests/test_r16_optimization.py)."""
+    return _rowlocal_simhash(df, text_col, id_col, 64, "xxhash64({tok})")
 
 
 def simhash60_md5(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """60-bit SimHash with md5-derived token hashes — bit-identical
     across engines (xxhash64 is Spark-only), so a DuckDB oracle can
-    verify the full signature. Same lane algebra as :func:`simhash64`,
-    one fewer nibble of hash width."""
-    toks = _fan_out(df).select(
-        F.col(id_col).alias("id"),
-        F.explode(whitespace_tokenizer(F.col(text_col))).alias("tok"),
+    verify the full signature. Same row-local zero-shuffle lane algebra
+    as :func:`simhash64`, one fewer nibble of hash width."""
+    return _rowlocal_simhash(
+        df, text_col, id_col, 60,
+        "cast(conv(substring(md5({tok}), 1, 15), 16, 10) as bigint)",
     )
-    per_tok = toks.groupBy("id", "tok").agg(F.count(F.lit(1)).alias("tf"))
-    h = per_tok.withColumn(
-        "h",
-        F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long"),
-    )
-    return _simhash_from_token_hashes(h, 60)
 
 
 def simhash_near_dup_pairs(
@@ -784,9 +818,22 @@ def containment_verify_pairs(
     |shingles(A) ∩ shingles(B)| / |shingles(A)|. Catches a short doc
     embedded verbatim in a longer one — Jaccard misses those (the union
     dilutes the score), which is why training-data pipelines check both.
-    Emits pairs where EITHER direction clears the threshold."""
-    sh = _fan_out(df).select(
-        F.col(id_col).alias("id"), word_shingles(F.col(text_col), shingle_k).alias("sh")
+    Emits pairs where EITHER direction clears the threshold.
+
+    Shape: like :func:`jaccard_verify_pairs`, the candidate-id semi-join
+    runs BEFORE the shingle projection (r16) so only candidate docs are
+    shingled — Catalyst cannot reorder a Project above a Join itself —
+    and the pinned result is shared by both sides of the pair join."""
+    ids = (
+        candidates.select(F.col("id_a").alias("id"))
+        .unionByName(candidates.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    sh = lifecycle.pin(
+        _fan_out(df)
+        .select(F.col(id_col).alias("id"), F.col(text_col).alias("_vtext"))
+        .join(ids, "id", "leftsemi")
+        .select("id", word_shingles(F.col("_vtext"), shingle_k).alias("sh"))
     )
     j = (
         candidates.join(sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")

@@ -51,8 +51,21 @@ def whitespace_tokenizer(text: Column) -> Column:
     can disagree: RE2's ``\\s`` omits VERTICAL TAB (\\x0B), so a corpus
     containing it tokenizes differently under ``regexp_split_to_array``.
     Parity on ASCII-whitespace corpora is exact; the known dialect
-    deltas are pinned in tests/test_r12_regex_parity.py."""
-    return F.filter(F.split(text, r"\s+"), lambda t: t != F.lit(""))
+    deltas are pinned in tests/test_r12_regex_parity.py.
+
+    Implementation (r16 optimization): ``regexp_extract_all('\\S+')``
+    — the exact complement-class restatement of "split on \\s+ runs,
+    drop empties" (bit-identical arrays, pinned corpus-wide and on
+    adversarial whitespace in tests/test_r16_optimization.py). The
+    previous ``filter(split(text, '\\s+'), ...)`` form paid a
+    ``Pattern.compile`` PER ROW (``UTF8String.split`` →
+    ``String.split``, whose fast path only covers single-char literal
+    separators) plus an interpreted higher-order filter per token;
+    RegExpExtractAll caches the compiled pattern across rows and needs
+    no post-filter. Measured 1.7x faster on the sf0.1 corpus and it
+    removes the hottest per-row regex-compile site every text operator
+    (shingles, postings, simhash, textstats, vocab) sits on."""
+    return F.regexp_extract_all(text, F.lit(r"\S+"), 0)
 
 
 def lowercase_tokenizer(text: Column) -> Column:
@@ -64,10 +77,14 @@ def word_tokenizer(text: Column) -> Column:
     """Regex analyzer: lowercase, split on any non-letter/digit run —
     the StandardAnalyzer-ish entry of the pluggable-analyzer contract
     (T1, lucene/indexing/AbstractLuceneIndexingJob.java:79-83: the
-    reference accepts any analyzer class by name)."""
-    return F.filter(
-        F.split(F.lower(text), r"[^\p{L}\p{N}]+"), lambda t: t != F.lit("")
-    )
+    reference accepts any analyzer class by name).
+
+    Implemented as ``regexp_extract_all('[\\p{L}\\p{N}]+')`` — the
+    complement-class restatement of "split on non-letter/digit runs,
+    drop empties" (same r16 rewrite as :func:`whitespace_tokenizer`:
+    identical arrays, no per-row ``Pattern.compile``, no interpreted
+    post-filter; equivalence pinned in tests/test_r16_optimization.py)."""
+    return F.regexp_extract_all(F.lower(text), F.lit(r"[\p{L}\p{N}]+"), 0)
 
 
 # Light English suffix-stripper (S-stemmer-style), applied RULE BY RULE in
@@ -193,8 +210,24 @@ def postings_for(
     drop a changed file's postings without a doc→file side table.
 
     If the source has fewer partitions than cores (e.g. one big file),
-    fan out before the explode so tokenization parallelizes — the explode
-    multiplies rows ~100×, so starting single-threaded wastes the cluster.
+    fan out before the per-row expansion so tokenization parallelizes —
+    the grouping multiplies work per row ~100×, so starting
+    single-threaded wastes the cluster.
+
+    Shape (r16 optimization): the ``(term, doc_id)`` grouping of a
+    postings row is PER-DOCUMENT — every group lives inside one input
+    row — so the old posexplode → ``groupBy(term, doc_id)`` paid a
+    corpus-tokens exchange (plus an ObjectHashAggregate building
+    ``collect_list`` buffers) for an aggregation that never needed to
+    leave its row. Row-local restatement: sort the (term, pos) pairs
+    within the row, take run starts (distinct term, tf, ascending
+    positions in one linear scan), explode the per-doc groups. The
+    postings relation is now NARROW above the scan — the only exchange
+    left in a text-index build is the range partitioner of the write
+    (2 Exchange → 1, plans/r16/build_text_index_docs_postings_*.txt);
+    rows are bit-identical (``positions`` ascending either way; pinned
+    in tests/test_r16_optimization.py). Measured 1.7× on the sf0.01
+    postings subplan, noop sink.
     """
     from elephant_twin_spark.operators import layout
 
@@ -206,15 +239,65 @@ def postings_for(
         fsio.file_path_col(F.col("_metadata.file_path")).alias("file"),
     )
     src = layout.fan_out(src)
-    toks = src.select(
+    g = src.select(
         "doc_id",
         "file",
-        F.posexplode(tokenizer(F.col("_text"))).alias("pos", "term"),
+        F.explode(_rowlocal_postings_groups(tokenizer(F.col("_text")))).alias("g"),
     )
-    return toks.groupBy("term", "doc_id").agg(
-        F.count(F.lit(1)).cast("int").alias("tf"),
-        F.sort_array(F.collect_list("pos")).alias("positions"),
-        F.first("file").alias("file"),
+    return g.select(
+        F.col("g.term").alias("term"),
+        "doc_id",
+        F.col("g.tf").alias("tf"),
+        F.col("g.positions").alias("positions"),
+        "file",
+    )
+
+
+def _rowlocal_postings_groups(toks: Column) -> Column:
+    """``array<struct<term, tf, positions>>`` of the row's distinct
+    terms — the per-document postings groups, computed without any
+    shuffle. Empty/null token arrays yield NULL (explode drops them,
+    matching the old posexplode semantics). ``sequence(1, n)`` is only
+    reached under ``size(toks) > 0`` — ``sequence(1, 0)`` would count
+    DOWN ([1, 0]) and index the array at 0.
+
+    Intermediates (sorted pair array, run starts) are LET-BOUND via
+    single-element ``transform(array(x), v -> ...)``: chained selects
+    would be collapsed by Catalyst into the lambda bodies and
+    re-evaluated per element (see ``dedup._rowlocal_simhash``)."""
+
+    def with_sp(sp: Column) -> Column:
+        n = F.size(sp)
+
+        def with_starts(starts: Column) -> Column:
+            ends = F.concat(F.slice(starts, 2, F.size(starts) - 1), F.array(n + 1))
+            return F.zip_with(
+                starts,
+                ends,
+                lambda s, e: F.struct(
+                    F.element_at(sp, s)["term"].alias("term"),
+                    (e - s).cast("int").alias("tf"),
+                    F.transform(
+                        F.sequence(s, e - 1), lambda x: F.element_at(sp, x)["pos"]
+                    ).alias("positions"),
+                ),
+            )
+
+        starts_expr = F.filter(
+            F.sequence(F.lit(1), n),
+            lambda i: (i == F.lit(1))
+            | (F.element_at(sp, i)["term"] != F.element_at(sp, i - 1)["term"]),
+        )
+        return F.element_at(F.transform(F.array(starts_expr), with_starts), 1)
+
+    pairs = F.zip_with(
+        toks,
+        F.sequence(F.lit(0), F.size(toks) - 1),
+        lambda t, i: F.struct(t.alias("term"), i.alias("pos")),
+    )
+    return F.when(
+        F.size(toks) > 0,
+        F.element_at(F.transform(F.array(F.array_sort(pairs)), with_sp), 1),
     )
 
 

@@ -1,0 +1,220 @@
+"""r16 optimization-round pins: every rewrite in this round must be
+result-identical to the shape it replaced. Each test states the old
+form INLINE and compares against the shipped implementation."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+from elephant_twin_spark.operators import text as text_mod
+from elephant_twin_spark.operators.pipeline import dedup
+
+
+ADVERSARIAL = [
+    ("",),
+    (" ",),
+    ("a",),
+    (" a b  c ",),
+    ("a\x0bb",),                      # vertical tab: Java \s includes it
+    ("\t\n\r\x0c mixed \x0b",),
+    (None,),
+    ("多 字 节 text-42 7,8;9",),
+    ("under_score 3.14 a1b2",),
+    ("trailing  ",),
+]
+
+
+def _adv(spark):
+    return spark.createDataFrame(ADVERSARIAL, "text string")
+
+
+def test_whitespace_tokenizer_matches_split_filter_form(spark):
+    """regexp_extract_all('\\S+') == filter(split(text,'\\s+'), != '')
+    (the r16 rewrite that removes the per-row Pattern.compile)."""
+    old = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != F.lit(""))
+    new = text_mod.whitespace_tokenizer(F.col("text"))
+    bad = _adv(spark).select(old.alias("a"), new.alias("b")).where(
+        ~F.col("a").eqNullSafe(F.col("b"))
+    )
+    assert bad.count() == 0
+
+
+def test_word_tokenizer_matches_split_filter_form(spark):
+    old = F.filter(
+        F.split(F.lower(F.col("text")), r"[^\p{L}\p{N}]+"), lambda t: t != F.lit("")
+    )
+    new = text_mod.word_tokenizer(F.col("text"))
+    bad = _adv(spark).select(old.alias("a"), new.alias("b")).where(
+        ~F.col("a").eqNullSafe(F.col("b"))
+    )
+    assert bad.count() == 0
+
+
+@pytest.fixture()
+def dup_docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = []
+    for i in range(40):
+        rows.append((i, f"{base} variant {i % 5}", "s%d" % (i % 3)))
+    # exact near-dups of doc 0
+    rows.append((100, base + " variant 0", "s0"))
+    rows.append((101, base + " variant 0 tail", "s1"))
+    rows.append((102, "completely different content with no overlap at all here", "s2"))
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_jaccard_verify_join_before_shingle_same_rows(dup_docs):
+    """The r16 semi-join-before-shingle reorder in jaccard_verify_pairs
+    returns exactly the rows of the old project-then-join shape."""
+    sigs = dedup.minhash_signatures(dup_docs, "text", "doc_id", 16)
+    cands = dedup.lsh_candidate_pairs(sigs, 16, 4)
+    new = dedup.jaccard_verify_pairs(cands, dup_docs, "text", "doc_id", 3, 0.7)
+
+    # old shape, stated inline
+    ids = (
+        cands.select(F.col("id_a").alias("id"))
+        .unionByName(cands.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    old_sh = (
+        dup_docs.select(
+            F.col("doc_id").alias("id"),
+            dedup.word_shingles(F.col("text"), 3).alias("sh"),
+        ).join(ids, "id", "leftsemi")
+    )
+    old = (
+        cands.join(old_sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
+        .join(old_sh.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .where(F.col("jaccard") >= 0.7)
+        .select("id_a", "id_b", "jaccard")
+    )
+    assert sorted(map(tuple, new.collect())) == sorted(map(tuple, old.collect()))
+    assert new.count() > 0  # the pin is vacuous on an empty verify set
+
+
+def _old_simhash(df, text_col, id_col, nbits, h_col):
+    """The pre-r16 explode → groupBy(id, tok) → groupBy(id) simhash,
+    stated inline as the equivalence reference."""
+    from elephant_twin_spark.operators.text import whitespace_tokenizer
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(whitespace_tokenizer(F.col(text_col))).alias("tok"),
+    )
+    per_tok = toks.groupBy("id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    h = per_tok.withColumn("h", h_col)
+    fold = f"""
+    aggregate(
+      collect_list(struct(h, tf)),
+      cast(array_repeat(0L, {nbits}) as array<bigint>),
+      (acc, x) -> zip_with(acc, sequence(0, {nbits - 1}),
+          (a, b) -> a + IF((shiftright(x.h, cast(b as int)) & 1) = 1, x.tf, -x.tf))
+    )"""
+    agg = h.groupBy("id").agg(F.expr(fold).alias("bitsums"))
+    return agg.select(
+        "id",
+        F.expr(
+            f"aggregate(transform(sequence(0, {nbits - 1}),"
+            f" b -> IF(bitsums[b] > 0, shiftleft(1L, b), 0L)),"
+            f" 0L, (acc, x) -> acc | x)"
+        ).alias("simhash"),
+    )
+
+
+@pytest.mark.parametrize("variant", ["xxhash64", "md5"])
+def test_rowlocal_simhash_bit_identical(spark, variant):
+    """The r16 zero-shuffle simhash equals the old two-exchange shape
+    bit-for-bit, on the real corpus plus adversarial rows."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    extra = spark.createDataFrame(
+        [(9001, "a a a b"), (9002, " "), (9003, None), (9004, "唯一 的 词 词"),
+         (9005, "x\x0by z\tz\nz")],
+        "doc_id long, text string",
+    )
+    docs = docs.select("doc_id", "text").unionByName(extra)
+    if variant == "xxhash64":
+        new = dedup.simhash64(docs, "text", "doc_id")
+        old = _old_simhash(docs, "text", "doc_id", 64, F.xxhash64("tok"))
+    else:
+        new = dedup.simhash60_md5(docs, "text", "doc_id")
+        old = _old_simhash(
+            docs, "text", "doc_id", 60,
+            F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long"),
+        )
+    bad = (
+        new.alias("n").join(old.alias("o"), "id", "full")
+        .where(~F.expr("n.simhash <=> o.simhash"))
+        .count()
+    )
+    assert bad == 0
+    assert new.count() == old.count() > 0
+
+
+def test_rowlocal_postings_bit_identical(spark, tmp_path):
+    """The r16 row-local postings grouping equals the old posexplode →
+    groupBy(term, doc_id) shape row-for-row (positions ascending)."""
+    from elephant_twin_spark.operators import text as text_mod
+    from elephant_twin_spark.sources import fsio
+
+    # real corpus + adversarial docs (empty, null, all-dup tokens)
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    extra = spark.createDataFrame(
+        [(9001, "a a a b"), (9002, " "), (9003, None), (9004, "z")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "docs")
+    base.unionByName(extra).write.parquet(path)
+    df = spark.read.parquet(path)
+
+    new = text_mod.postings_for(df, "text", "doc_id")
+
+    src = df.select(
+        F.col("doc_id"),
+        F.col("text").alias("_text"),
+        fsio.file_path_col(F.col("_metadata.file_path")).alias("file"),
+    )
+    toks = src.select(
+        "doc_id", "file",
+        F.posexplode(text_mod.whitespace_tokenizer(F.col("_text"))).alias("pos", "term"),
+    )
+    old = toks.groupBy("term", "doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("tf"),
+        F.sort_array(F.collect_list("pos")).alias("positions"),
+        F.first("file").alias("file"),
+    )
+    cols = ["term", "doc_id", "tf", "positions", "file"]
+    a, b = old.select(cols), new.select(cols)
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+    assert a.count() == b.count() > 0
+
+
+def test_containment_verify_join_before_shingle_same_rows(dup_docs):
+    sigs = dedup.minhash_signatures(dup_docs, "text", "doc_id", 16)
+    cands = dedup.lsh_candidate_pairs(sigs, 16, 4)
+    new = dedup.containment_verify_pairs(cands, dup_docs, "text", "doc_id", 3, 0.8)
+
+    sh = dup_docs.select(
+        F.col("doc_id").alias("id"), dedup.word_shingles(F.col("text"), 3).alias("sh")
+    )
+    old = (
+        cands.join(sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
+        .join(sh.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
+        .withColumn("_inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("cont_a_in_b", F.col("_inter") / F.size("sh_a"))
+        .withColumn("cont_b_in_a", F.col("_inter") / F.size("sh_b"))
+        .where(
+            (F.col("cont_a_in_b") >= 0.8) | (F.col("cont_b_in_a") >= 0.8)
+        )
+        .select("id_a", "id_b", "cont_a_in_b", "cont_b_in_a")
+    )
+    assert sorted(map(tuple, new.collect())) == sorted(map(tuple, old.collect()))
+    assert new.count() > 0
