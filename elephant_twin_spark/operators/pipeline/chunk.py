@@ -41,20 +41,27 @@ def chunk_documents(
     if not 0 <= overlap < chunk_tokens:
         raise ValueError(f"overlap must be in [0, chunk_tokens), got {overlap}")
     stride = chunk_tokens - overlap
-    toks = whitespace_tokenizer(F.col(text_col))
-    n = F.size(toks)
-    # last start: largest multiple of stride with start + overlap < n
-    # (clamped to 0 so short docs still yield their single chunk)
-    last = F.greatest(
-        F.lit(0),
-        (F.floor((n - overlap - 1) / stride) * stride).cast("int"),
-    )
-    starts = F.when(n <= 0, F.array().cast("array<int>")).otherwise(
-        F.sequence(F.lit(0), last, F.lit(stride))
-    )
-    chunks = F.transform(
-        starts, lambda s: F.concat_ws(" ", F.slice(toks, s + 1, chunk_tokens))
-    )
+
+    # token array let-bound (r16): toks inside the chunk lambda
+    # re-tokenized the document once per chunk (see functions/binding.py)
+    from elephant_twin_spark.functions.binding import let
+
+    def _chunks(toks):
+        n = F.size(toks)
+        # last start: largest multiple of stride with start + overlap < n
+        # (clamped to 0 so short docs still yield their single chunk)
+        last = F.greatest(
+            F.lit(0),
+            (F.floor((n - overlap - 1) / stride) * stride).cast("int"),
+        )
+        starts = F.when(n <= 0, F.array().cast("array<int>")).otherwise(
+            F.sequence(F.lit(0), last, F.lit(stride))
+        )
+        return F.transform(
+            starts, lambda s: F.concat_ws(" ", F.slice(toks, s + 1, chunk_tokens))
+        )
+
+    chunks = let(whitespace_tokenizer(F.col(text_col)), _chunks)
     out = df.select(
         F.col(id_col), F.posexplode(chunks).alias("chunk_id", "chunk_text")
     )
@@ -77,14 +84,25 @@ def truncate_tokens(
     truncated flag keeps the cut auditable."""
     if max_tokens <= 0:
         raise ValueError(f"max_tokens must be positive, got {max_tokens}")
-    # total: NULL text behaves as the empty doc ("", 0 tokens, untruncated)
-    toks = F.coalesce(
+    from elephant_twin_spark.functions.binding import let
+
+    # total: NULL text behaves as the empty doc ("", 0 tokens, untruncated).
+    # let-bound (r16): three references re-tokenized 3× per row
+    toks_expr = F.coalesce(
         whitespace_tokenizer(F.col(text_col)), F.array().cast("array<string>")
     )
-    n = F.size(toks)
-    return df.select(
-        F.col(id_col),
-        F.concat_ws(" ", F.slice(toks, 1, max_tokens)).alias("text"),
-        F.least(n, F.lit(max_tokens)).alias("n_tokens"),
-        (n > max_tokens).alias("truncated"),
+
+    def _row(toks):
+        n = F.size(toks)
+        return F.struct(
+            F.concat_ws(" ", F.slice(toks, 1, max_tokens)).alias("text"),
+            F.least(n, F.lit(max_tokens)).alias("n_tokens"),
+            (n > max_tokens).alias("truncated"),
+        )
+
+    return df.select(F.col(id_col), let(toks_expr, _row).alias("_t")).select(
+        id_col,
+        F.col("_t.text").alias("text"),
+        F.col("_t.n_tokens").alias("n_tokens"),
+        F.col("_t.truncated").alias("truncated"),
     )

@@ -31,18 +31,23 @@ def ngram_set(text: Column, n: int) -> Column:
     and the Bloom report agree that such docs have n_grams=0,
     contaminated=false instead of dropping out of one path.
     """
-    toks = whitespace_tokenizer(text)
-    cnt = F.size(toks)
-    return F.coalesce(
-        F.when(cnt < n, F.array().cast("array<string>")).otherwise(
+    from elephant_twin_spark.functions.binding import let
+
+    def body(toks: Column) -> Column:
+        # let-bound (r16): toks inside the lambda would re-tokenize per
+        # gram — O(tokens²) per row (see functions/binding.py)
+        cnt = F.size(toks)
+        return F.when(cnt < n, F.array().cast("array<string>")).otherwise(
             F.array_distinct(
                 F.transform(
                     F.sequence(F.lit(0), cnt - n),
                     lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
                 )
             )
-        ),
-        F.array().cast("array<string>"),
+        )
+
+    return F.coalesce(
+        let(whitespace_tokenizer(text), body), F.array().cast("array<string>")
     )
 
 

@@ -115,17 +115,28 @@ def source_overlap_matrix(
 # ---------------------------------------------------------------- shingles
 
 def word_shingles(text: Column, k: int = 3) -> Column:
-    """Distinct k-word shingles as array<string> (JVM higher-order fns)."""
-    toks = whitespace_tokenizer(text)
-    n = F.size(toks)
-    return F.when(n < k, F.array(F.concat_ws(" ", toks))).otherwise(
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), n - k),
-                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+    """Distinct k-word shingles as array<string> (JVM higher-order fns).
+
+    The token array is LET-BOUND (r16): referencing the tokenizer
+    expression directly inside the transform lambda re-tokenized the
+    document once PER SHINGLE — O(tokens²) per row; measured 40.2 s →
+    0.9 s on 2 000 × 800-token docs (see functions/binding.py). Output
+    arrays are bit-identical (pinned in tests/test_r16_optimization.py);
+    every minhash/LSH/verify caller inherits the fix."""
+    from elephant_twin_spark.functions.binding import let
+
+    def body(toks: Column) -> Column:
+        n = F.size(toks)
+        return F.when(n < k, F.array(F.concat_ws(" ", toks))).otherwise(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), n - k),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+                )
             )
         )
-    )
+
+    return let(whitespace_tokenizer(text), body)
 
 
 # ----------------------------------------------------------------- minhash

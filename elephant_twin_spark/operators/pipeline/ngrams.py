@@ -33,14 +33,20 @@ from elephant_twin_spark.operators.text import whitespace_tokenizer
 def ngram_array(text: Column, n: int) -> Column:
     """All (overlapping) n-token grams of ``text`` as array<string>;
     docs shorter than ``n`` tokens yield a single whole-doc gram."""
-    toks = whitespace_tokenizer(text)
-    sz = F.size(toks)
-    return F.when(sz < n, F.array(F.concat_ws(" ", toks))).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), sz - n),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    from elephant_twin_spark.functions.binding import let
+
+    def body(toks: Column) -> Column:
+        # let-bound (r16): toks inside the lambda would re-tokenize per
+        # gram — O(tokens²) per row (see functions/binding.py)
+        sz = F.size(toks)
+        return F.when(sz < n, F.array(F.concat_ws(" ", toks))).otherwise(
+            F.transform(
+                F.sequence(F.lit(0), sz - n),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+            )
         )
-    )
+
+    return let(whitespace_tokenizer(text), body)
 
 
 def top_ngrams(df: DataFrame, text_col: str, n: int = 2, k: int = 20) -> DataFrame:

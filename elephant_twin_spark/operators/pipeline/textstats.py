@@ -45,31 +45,45 @@ def bpe_ish_token_count(text: Column) -> Column:
 def quality_features(df: DataFrame, text_col: str) -> DataFrame:
     """Append deterministic quality features:
     n_tokens, n_chars, avg_token_len, punct_ratio, stopword_ratio,
-    uniq_token_ratio — the standard cheap quality filters."""
-    t = tokens(F.col(text_col))
-    n_tok = F.size(t)
-    n_chars = F.length(F.col(text_col))
-    punct = F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"[^\w\s]"), 0))
-    stop_arr = F.lit(list(STOPWORDS["en"]))
-    n_stop = F.size(F.filter(t, lambda x: F.array_contains(stop_arr, F.lower(x))))
-    return (
-        df.withColumn("n_tokens", n_tok)
-        .withColumn("n_chars_calc", n_chars)
-        .withColumn(
-            "avg_token_len",
-            F.when(n_tok > 0, (n_chars - (n_tok - 1)) / n_tok).otherwise(F.lit(0.0)),
+    uniq_token_ratio — the standard cheap quality filters.
+
+    Token array let-bound into ONE struct (r16): the six feature
+    expressions each re-evaluated the tokenizer (6× per row — linear,
+    not quadratic, but tokenization is the dominant per-row cost of the
+    quality path; see functions/binding.py)."""
+    from elephant_twin_spark.functions.binding import let
+
+    def _feats(t: Column) -> Column:
+        n_tok = F.size(t)
+        n_chars = F.length(F.col(text_col))
+        punct = F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"[^\w\s]"), 0))
+        stop_arr = F.lit(list(STOPWORDS["en"]))
+        n_stop = F.size(F.filter(t, lambda x: F.array_contains(stop_arr, F.lower(x))))
+        return F.struct(
+            n_tok.alias("n_tokens"),
+            n_chars.alias("n_chars_calc"),
+            F.when(n_tok > 0, (n_chars - (n_tok - 1)) / n_tok)
+            .otherwise(F.lit(0.0))
+            .alias("avg_token_len"),
+            F.when(n_chars > 0, punct / n_chars).otherwise(F.lit(0.0)).alias(
+                "punct_ratio"
+            ),
+            F.when(n_tok > 0, n_stop / n_tok).otherwise(F.lit(0.0)).alias(
+                "stopword_ratio"
+            ),
+            F.when(n_tok > 0, F.size(F.array_distinct(t)) / n_tok)
+            .otherwise(F.lit(0.0))
+            .alias("uniq_token_ratio"),
         )
-        .withColumn(
-            "punct_ratio", F.when(n_chars > 0, punct / n_chars).otherwise(F.lit(0.0))
-        )
-        .withColumn(
-            "stopword_ratio", F.when(n_tok > 0, n_stop / n_tok).otherwise(F.lit(0.0))
-        )
-        .withColumn(
-            "uniq_token_ratio",
-            F.when(n_tok > 0, F.size(F.array_distinct(t)) / n_tok).otherwise(F.lit(0.0)),
-        )
-    )
+
+    qf = let(tokens(F.col(text_col)), _feats)
+    out = df.withColumn("_qf", qf)
+    for c in (
+        "n_tokens", "n_chars_calc", "avg_token_len",
+        "punct_ratio", "stopword_ratio", "uniq_token_ratio",
+    ):
+        out = out.withColumn(c, F.col(f"_qf.{c}"))
+    return out.drop("_qf")
 
 
 def quality_score(df: DataFrame, text_col: str) -> DataFrame:
@@ -89,22 +103,39 @@ def quality_score(df: DataFrame, text_col: str) -> DataFrame:
 
 def lang_id(df: DataFrame, text_col: str, out_col: str = "lang_pred") -> DataFrame:
     """Stopword-hit language ID: argmax over per-language stopword hit
-    counts, ties broken by language code order, 'und' when no hits."""
-    t = F.transform(tokens(F.col(text_col)), lambda x: F.lower(x))
-    scores = []
-    for lang in sorted(STOPWORDS):
-        arr = F.lit(list(STOPWORDS[lang]))
-        scores.append(
-            F.struct(
-                F.size(F.filter(t, lambda x: F.array_contains(arr, x))).alias("hits"),
-                F.lit(lang).alias("lang"),
+    counts, ties broken by language code order, 'und' when no hits.
+
+    Lowercased token array let-bound (r16): each of the four language
+    score expressions re-evaluated tokenize+lower per row (see
+    functions/binding.py); ``best`` is let-bound too — its ``hits`` and
+    ``lang`` fields would otherwise re-sort the score array twice."""
+    from elephant_twin_spark.functions.binding import let
+
+    def _verdict(t: Column) -> Column:
+        scores = []
+        for lang in sorted(STOPWORDS):
+            arr = F.lit(list(STOPWORDS[lang]))
+            scores.append(
+                F.struct(
+                    F.size(F.filter(t, lambda x: F.array_contains(arr, x))).alias(
+                        "hits"
+                    ),
+                    F.lit(lang).alias("lang"),
+                )
             )
+        # max_by (hits, then lexicographically-smallest lang): sort desc
+        # by hits, asc by lang → take first
+        best_expr = F.sort_array(F.array(*scores), asc=False)[0]
+        return let(
+            best_expr,
+            lambda best: F.when(best["hits"] > 0, best["lang"]).otherwise(
+                F.lit("und")
+            ),
         )
-    # max_by (hits, then lexicographically-smallest lang): sort desc by hits,
-    # asc by lang → take first
-    best = F.sort_array(F.array(*scores), asc=False)[0]
+
     return df.withColumn(
-        out_col, F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+        out_col,
+        let(F.transform(tokens(F.col(text_col)), lambda x: F.lower(x)), _verdict),
     )
 
 
@@ -132,7 +163,8 @@ def winnowing_fingerprints(
     Returns (id, fp) exploded, one row per selected fingerprint.
     ``hash_fn="md5"`` (first 15 hex chars as a bigint) is cross-engine
     reproducible for external oracles; xxhash64 is the fast default."""
-    toks = tokens(F.col(text_col))
+    from elephant_twin_spark.functions.binding import let
+
     if hash_fn == "xxhash64":
         gram_hash = lambda g: F.xxhash64(g)  # noqa: E731
     elif hash_fn == "md5":
@@ -141,16 +173,28 @@ def winnowing_fingerprints(
         ).cast("long")
     else:
         raise ValueError(hash_fn)
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0))),
-        lambda i: gram_hash(F.concat_ws(" ", F.slice(toks, i + 1, k))),
-    )
-    mins = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(grams) - window, F.lit(0))),
-            lambda i: F.array_min(F.slice(grams, i + 1, window)),
+
+    # nested let-bindings (r16): toks captured in the gram lambda
+    # re-tokenized per gram, and grams captured in the window lambda
+    # re-built the whole gram array per window — O(tokens³) per row
+    # in the worst case (see functions/binding.py)
+    def _mins(toks: Column) -> Column:
+        grams_expr = F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0))),
+            lambda i: gram_hash(F.concat_ws(" ", F.slice(toks, i + 1, k))),
         )
-    )
+
+        def _win(grams: Column) -> Column:
+            return F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.greatest(F.size(grams) - window, F.lit(0))),
+                    lambda i: F.array_min(F.slice(grams, i + 1, window)),
+                )
+            )
+
+        return let(grams_expr, _win)
+
+    mins = let(tokens(F.col(text_col)), _mins)
     return df.select(F.col(id_col).alias("id"), F.explode(mins).alias("fp"))
 
 
@@ -186,14 +230,20 @@ def repetition_ratio(
     """Fraction of within-doc n-gram OCCURRENCES that are repeats of an
     earlier n-gram in the same doc (Gopher-style repetition filter):
     0 = no internal repetition, →1 = the doc loops on itself. Per-row
-    JVM expression: 1 - distinct/total n-grams."""
-    t = tokens(F.col(text_col))
-    grams = F.when(F.size(t) < n, F.array(F.concat_ws(" ", t))).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), F.size(t) - n),
-            lambda i: F.concat_ws(" ", F.slice(t, i + 1, n)),
+    JVM expression: 1 - distinct/total n-grams. Token array let-bound
+    (r16): t inside the lambda re-tokenized per gram — O(tokens²) per
+    row (see functions/binding.py)."""
+    from elephant_twin_spark.functions.binding import let
+
+    def _grams(t: Column) -> Column:
+        return F.when(F.size(t) < n, F.array(F.concat_ws(" ", t))).otherwise(
+            F.transform(
+                F.sequence(F.lit(0), F.size(t) - n),
+                lambda i: F.concat_ws(" ", F.slice(t, i + 1, n)),
+            )
         )
-    )
+
+    grams = let(tokens(F.col(text_col)), _grams)
     return (
         df.withColumn("_g", grams)
         .withColumn(
@@ -449,26 +499,42 @@ def gopher_quality_flags(
     filter auditable — a corpus report can show WHICH rule rejects how
     many documents. All per-row JVM expressions, zero shuffle.
     """
-    t = tokens(F.col(text_col))
-    n_tok = F.size(t)
-    n_chars = F.length(F.col(text_col))
-    mean_wl = F.when(n_tok > 0, (n_chars - (n_tok - 1)) / n_tok).otherwise(F.lit(0.0))
-    # duplicate-3-gram fraction, inline (repeated_ngram_coverage twin)
-    g = F.when(n_tok < 3, F.array(F.col(text_col))).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), n_tok - 3),
-            lambda i: F.concat_ws(" ", F.slice(t, i + 1, 3)),
+    from elephant_twin_spark.functions.binding import let
+
+    # nested let-bindings (r16): t inside the gram lambda re-tokenized
+    # per gram (O(tokens²)); t/g referenced several times across the
+    # stat columns re-evaluated per reference (see functions/binding.py)
+    def _feats(t: Column) -> Column:
+        n_tok = F.size(t)
+        n_chars = F.length(F.col(text_col))
+        mean_wl = F.when(n_tok > 0, (n_chars - (n_tok - 1)) / n_tok).otherwise(
+            F.lit(0.0)
         )
-    )
-    dup_frac = F.lit(1.0) - F.size(F.array_distinct(g)) / F.size(g)
-    stop_arr = F.lit(list(STOPWORDS["en"]))
-    n_stop = F.size(F.filter(t, lambda x: F.array_contains(stop_arr, F.lower(x))))
+        # duplicate-3-gram fraction, inline (repeated_ngram_coverage twin)
+        g_expr = F.when(n_tok < 3, F.array(F.col(text_col))).otherwise(
+            F.transform(
+                F.sequence(F.lit(0), n_tok - 3),
+                lambda i: F.concat_ws(" ", F.slice(t, i + 1, 3)),
+            )
+        )
+        dup_frac = lambda g: F.lit(1.0) - F.size(F.array_distinct(g)) / F.size(g)
+        stop_arr = F.lit(list(STOPWORDS["en"]))
+        n_stop = F.size(F.filter(t, lambda x: F.array_contains(stop_arr, F.lower(x))))
+        return F.struct(
+            n_tok.alias("n_words"),
+            F.round(mean_wl, 4).alias("mean_word_len"),
+            F.round(let(g_expr, dup_frac), 4).alias("dup_3gram_frac"),
+            n_stop.alias("n_stop_hits"),
+        )
+
     out = df.select(
-        F.col(id_col).alias("id"),
-        n_tok.alias("n_words"),
-        F.round(mean_wl, 4).alias("mean_word_len"),
-        F.round(dup_frac, 4).alias("dup_3gram_frac"),
-        n_stop.alias("n_stop_hits"),
+        F.col(id_col).alias("id"), let(tokens(F.col(text_col)), _feats).alias("_f")
+    ).select(
+        "id",
+        F.col("_f.n_words").alias("n_words"),
+        F.col("_f.mean_word_len").alias("mean_word_len"),
+        F.col("_f.dup_3gram_frac").alias("dup_3gram_frac"),
+        F.col("_f.n_stop_hits").alias("n_stop_hits"),
     )
     out = (
         out.withColumn(
@@ -693,8 +759,14 @@ def sentence_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     (trimmed, empties dropped) — the quality filter that catches
     wall-of-text and fragment-spam documents. Pure per-row expressions,
     no shuffle."""
-    # total: NULL text reports 0 sentences (not NULL counts)
-    sents = F.coalesce(
+    from elephant_twin_spark.functions.binding import let
+
+    # total: NULL text reports 0 sentences (not NULL counts).
+    # let-bound (r16): the sentence array was re-split per reference
+    # (n_sentences + the word fold); the per-sentence word count uses
+    # the tokenizer's cached-pattern regexp_extract_all form instead of
+    # a per-call-compiled split (see functions/binding.py)
+    sents_expr = F.coalesce(
         F.filter(
             F.transform(
                 F.split(F.col(text_col), r"[.!?]+"), lambda s: F.trim(s)
@@ -703,18 +775,28 @@ def sentence_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         ),
         F.array().cast("array<string>"),
     )
-    n_sent = F.size(sents)
-    words = F.aggregate(
-        sents,
-        F.lit(0),
-        lambda acc, s: acc + F.size(F.filter(F.split(s, r"\s+"), lambda t: t != F.lit(""))),
-    )
+
+    def _stats(sents: Column) -> Column:
+        n_sent = F.size(sents)
+        words = F.aggregate(
+            sents,
+            F.lit(0),
+            lambda acc, s: acc
+            + F.size(F.regexp_extract_all(s, F.lit(r"\S+"), 0)),
+        )
+        return F.struct(
+            n_sent.alias("n_sentences"),
+            F.when(n_sent > 0, F.round(words.cast("double") / n_sent, 6)).alias(
+                "avg_sentence_words"
+            ),
+        )
+
     return df.select(
-        F.col(id_col),
-        n_sent.alias("n_sentences"),
-        F.when(
-            n_sent > 0, F.round(words.cast("double") / n_sent, 6)
-        ).alias("avg_sentence_words"),
+        F.col(id_col), let(sents_expr, _stats).alias("_s")
+    ).select(
+        id_col,
+        F.col("_s.n_sentences").alias("n_sentences"),
+        F.col("_s.avg_sentence_words").alias("avg_sentence_words"),
     )
 
 

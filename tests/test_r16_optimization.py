@@ -100,6 +100,141 @@ def test_jaccard_verify_join_before_shingle_same_rows(dup_docs):
     assert new.count() > 0  # the pin is vacuous on an empty verify set
 
 
+def test_let_bound_expressions_bit_identical(spark):
+    """Every r16 let-binding rewrite (word_shingles, ngram_set,
+    ngram_array, repetition_ratio, quality_features, lang_id,
+    gopher_quality_flags, winnowing_fingerprints, sentence_stats) equals
+    its pre-binding form on the real corpus plus adversarial rows —
+    binding changes evaluation count, never values."""
+    from elephant_twin_spark.operators import text as text_mod
+    from elephant_twin_spark.operators.pipeline import (
+        decontaminate, ngrams, textstats,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    extra = spark.createDataFrame(
+        [(9001, "a b"), (9002, " "), (9003, None), (9004, "one. two! three?"),
+         (9005, "x " * 50)],
+        "doc_id long, text string",
+    )
+    docs = docs.unionByName(extra)
+    tok = text_mod.whitespace_tokenizer
+
+    # old inline forms (pre-r16, with toks captured in the lambda)
+    def old_shingles(text, k=3):
+        t = tok(text)
+        n = F.size(t)
+        return F.when(n < k, F.array(F.concat_ws(" ", t))).otherwise(
+            F.array_distinct(F.transform(
+                F.sequence(F.lit(0), n - k),
+                lambda i: F.concat_ws(" ", F.slice(t, i + 1, k)))))
+
+    def old_ngram_set(text, n=8):
+        t = tok(text)
+        cnt = F.size(t)
+        return F.coalesce(
+            F.when(cnt < n, F.array().cast("array<string>")).otherwise(
+                F.array_distinct(F.transform(
+                    F.sequence(F.lit(0), cnt - n),
+                    lambda i: F.concat_ws(" ", F.slice(t, i + 1, n))))),
+            F.array().cast("array<string>"))
+
+    def old_ngram_array(text, n=2):
+        t = tok(text)
+        sz = F.size(t)
+        return F.when(sz < n, F.array(F.concat_ws(" ", t))).otherwise(
+            F.transform(F.sequence(F.lit(0), sz - n),
+                        lambda i: F.concat_ws(" ", F.slice(t, i + 1, n))))
+
+    pairs = [
+        (dedup.word_shingles(F.col("text"), 3), old_shingles(F.col("text"), 3)),
+        (decontaminate.ngram_set(F.col("text"), 8), old_ngram_set(F.col("text"), 8)),
+        (ngrams.ngram_array(F.col("text"), 2), old_ngram_array(F.col("text"), 2)),
+    ]
+    for new_e, old_e in pairs:
+        bad = docs.select(new_e.alias("a"), old_e.alias("b")).where(
+            ~F.col("a").eqNullSafe(F.col("b"))
+        ).count()
+        assert bad == 0
+
+    # DataFrame-level operators: compare full outputs sorted
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    # quality_features / lang_id / repetition_ratio: old forms restated
+    t = tok(F.col("text"))
+    n_tok = F.size(t)
+    n_chars = F.length(F.col("text"))
+    punct = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[^\w\s]"), 0))
+    stop_arr = F.lit(list(textstats.STOPWORDS["en"]))
+    n_stop = F.size(F.filter(t, lambda x: F.array_contains(stop_arr, F.lower(x))))
+    old_qf = (
+        docs.withColumn("n_tokens", n_tok)
+        .withColumn("n_chars_calc", n_chars)
+        .withColumn("avg_token_len",
+                    F.when(n_tok > 0, (n_chars - (n_tok - 1)) / n_tok).otherwise(F.lit(0.0)))
+        .withColumn("punct_ratio",
+                    F.when(n_chars > 0, punct / n_chars).otherwise(F.lit(0.0)))
+        .withColumn("stopword_ratio",
+                    F.when(n_tok > 0, n_stop / n_tok).otherwise(F.lit(0.0)))
+        .withColumn("uniq_token_ratio",
+                    F.when(n_tok > 0, F.size(F.array_distinct(t)) / n_tok).otherwise(F.lit(0.0)))
+    )
+    assert rows(textstats.quality_features(docs, "text")) == rows(old_qf)
+
+    lt = F.transform(t, lambda x: F.lower(x))
+    scores = []
+    for lang in sorted(textstats.STOPWORDS):
+        arr = F.lit(list(textstats.STOPWORDS[lang]))
+        scores.append(F.struct(
+            F.size(F.filter(lt, lambda x: F.array_contains(arr, x))).alias("hits"),
+            F.lit(lang).alias("lang")))
+    best = F.sort_array(F.array(*scores), asc=False)[0]
+    old_lang = docs.withColumn(
+        "lang_pred", F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")))
+    assert rows(textstats.lang_id(docs, "text")) == rows(old_lang)
+
+    grams = F.when(F.size(t) < 3, F.array(F.concat_ws(" ", t))).otherwise(
+        F.transform(F.sequence(F.lit(0), F.size(t) - 3),
+                    lambda i: F.concat_ws(" ", F.slice(t, i + 1, 3))))
+    old_rep = (
+        docs.withColumn("_g", grams)
+        .withColumn("dup_ngram_ratio",
+                    F.when(F.size("_g") <= 0, F.lit(0.0)).otherwise(
+                        F.lit(1.0) - F.size(F.array_distinct("_g")) / F.size("_g")))
+        .drop("_g"))
+    assert rows(textstats.repetition_ratio(docs, "text")) == rows(old_rep)
+
+    # winnowing: old triple-nested form
+    k, window = 5, 4
+    toks = t
+    gh = lambda g: F.xxhash64(g)  # noqa: E731
+    og = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0))),
+        lambda i: gh(F.concat_ws(" ", F.slice(toks, i + 1, k))))
+    om = F.array_distinct(F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(og) - window, F.lit(0))),
+        lambda i: F.array_min(F.slice(og, i + 1, window))))
+    old_winnow = docs.select(F.col("doc_id").alias("id"), F.explode(om).alias("fp"))
+    assert rows(textstats.winnowing_fingerprints(docs, "text", "doc_id")) == rows(old_winnow)
+
+    # sentence_stats: old form with per-call-compiled inner split
+    sents = F.coalesce(
+        F.filter(F.transform(F.split(F.col("text"), r"[.!?]+"), lambda s: F.trim(s)),
+                 lambda s: s != F.lit("")),
+        F.array().cast("array<string>"))
+    n_sent = F.size(sents)
+    words = F.aggregate(
+        sents, F.lit(0),
+        lambda acc, s: acc + F.size(F.filter(F.split(s, r"\s+"), lambda x: x != F.lit(""))))
+    old_sent = docs.select(
+        F.col("doc_id"),
+        n_sent.alias("n_sentences"),
+        F.when(n_sent > 0, F.round(words.cast("double") / n_sent, 6)).alias(
+            "avg_sentence_words"))
+    assert rows(textstats.sentence_stats(docs, "text", "doc_id")) == rows(old_sent)
+
+
 def _old_simhash(df, text_col, id_col, nbits, h_col):
     """The pre-r16 explode → groupBy(id, tok) → groupBy(id) simhash,
     stated inline as the equivalence reference."""
