@@ -466,7 +466,19 @@ def main():
             docs, "text", "doc_id", num_perm=16, num_bands=4, threshold=0.7
         ).count()
     )
-    timed("q_simhash")(lambda: dedup.simhash64(docs, "text", "doc_id").count())
+    # noop sink, not count() (r16 measurement fix, guide-style: count()
+    # lets the optimizer prune computed columns). The old two-exchange
+    # simhash shape computed signatures as aggregation side effects even
+    # under count(); the r16 row-local shape is a pure projection that
+    # count() would prune to a tokenize-only filter — the noop write
+    # times the actual signature computation either way. r15 recorded
+    # 0.73 s under count() on the old shape (solo 0.38-0.5).
+    timed("q_simhash")(
+        lambda: dedup.simhash64(docs, "text", "doc_id")
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
 
     # clean_corpus / near_dup_clusters back their RESULTS with escaped
     # checkpoints (they survive the per-rep scope by design); release

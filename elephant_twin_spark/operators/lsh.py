@@ -205,6 +205,7 @@ class LshIndex:
         text_col: str,
         id_col: str,
         probe_sigs: Optional[DataFrame] = None,
+        pushdown_limit: int = 4096,
     ) -> DataFrame:
         """``(probe_id, corpus_id)`` — incoming docs sharing any LSH
         bucket with a corpus doc. The join key (band, band_hash) carries
@@ -213,11 +214,32 @@ class LshIndex:
         out so re-probing the corpus against itself is meaningful.
         ``probe_sigs``: precomputed signatures for ``docs`` (this
         index's parameters), shared by callers that also band the same
-        batch elsewhere (the streaming gate)."""
+        batch elsewhere (the streaming gate).
+
+        Band-hash pushdown (r16): the docstring has always CLAIMED the
+        range layout min/max-prunes the bucket table, but an equi-join
+        never reaches the scan as a pushable predicate (dynamic
+        partition pruning only fires on partition columns). The probe's
+        distinct band hashes are therefore collected — bounded by
+        |probe| × num_bands, the same probe-proportional budget as
+        every other bounded collect in this engine — and applied as an
+        ``IN`` filter, which lands in the parquet scan's PushedFilters
+        and skips whole index files via their range-partitioned min/max
+        footers. Probes with more than ``pushdown_limit`` distinct
+        hashes skip the collect and keep the plain join (the filter is
+        redundant with the join, so the result is identical either
+        way); ``pushdown_limit=0`` disables the probe outright."""
         probe = self._probe_bands(
             docs, text_col, id_col, probe_sigs=probe_sigs
         ).withColumnsRenamed({"id": "probe_id"})
         corpus = self.bands().select(F.col("id").alias("corpus_id"), "band", "band_hash")
+        if pushdown_limit > 0:
+            hashes = [
+                r["band_hash"]
+                for r in probe.select("band_hash").distinct().take(pushdown_limit + 1)
+            ]
+            if len(hashes) <= pushdown_limit:
+                corpus = corpus.where(F.col("band_hash").isin(hashes))
         return (
             probe.join(corpus, ["band", "band_hash"])
             .where(F.col("probe_id") != F.col("corpus_id"))
@@ -261,8 +283,13 @@ class LshIndex:
             F.col(id_col).alias("probe_id"),
             dedup.word_shingles(F.col(text_col), self.shingle_k).alias("sh_a"),
         )
+        # broadcast the candidate corpus-id set explicitly (r16): it is
+        # probe-bounded by construction, but Catalyst's size estimate
+        # for the aggregated id set is unknown, so the semi join was
+        # planned sort-merge — a full exchange + sort of the corpus
+        # (id, text) projection that the broadcast semi join avoids
         corpus_sh = corpus.join(
-            cands.select("corpus_id").distinct(), "corpus_id", "leftsemi"
+            F.broadcast(cands.select("corpus_id").distinct()), "corpus_id", "leftsemi"
         ).select(
             "corpus_id",
             dedup.word_shingles(F.col("_ctext"), self.shingle_k).alias("sh_b"),

@@ -235,6 +235,35 @@ def test_let_bound_expressions_bit_identical(spark):
     assert rows(textstats.sentence_stats(docs, "text", "doc_id")) == rows(old_sent)
 
 
+def test_lsh_gate_pushdown_same_result(spark, tmp_path):
+    """The r16 band-hash IN pushdown (and the broadcast semi-join hint)
+    changes plan shape only: gate verdicts with pushdown on, off, and
+    at a forcing limit are identical."""
+    from elephant_twin_spark import Engine
+
+    rows = [(i, f"common prefix text number {i % 7} tail {i}") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "corpus")
+    df.write.parquet(path)
+    eng = Engine(spark, str(tmp_path / "idx"))
+    eng.build_lsh_index(path, "text", "doc_id", num_perm=16, num_bands=4)
+    idx = eng.lsh_index(path, "text")
+    probe = df.limit(10).select(
+        (F.col("doc_id") + 1000).alias("doc_id"), F.col("text")
+    )
+
+    def verdicts(pushdown_limit):
+        cands = idx.candidate_pairs(
+            probe, "text", "doc_id", pushdown_limit=pushdown_limit
+        )
+        return sorted(map(tuple, cands.collect()))
+
+    on, off = verdicts(4096), verdicts(0)
+    assert on == off and len(on) > 0
+    gated = idx.gate(probe, "text", "doc_id", threshold=0.5)
+    assert gated.where("is_near_dup").count() > 0
+
+
 def _old_simhash(df, text_col, id_col, nbits, h_col):
     """The pre-r16 explode → groupBy(id, tok) → groupBy(id) simhash,
     stated inline as the equivalence reference."""
