@@ -152,13 +152,17 @@ def test_minhash_signature_build_is_shuffle_free(spark):
     assert "HashAggregate" not in plan, plan
 
 
-def test_text_postings_build_is_single_shuffle(spark):
+def test_text_postings_build_is_shuffle_free(spark):
+    """r16: the (term, doc_id) grouping is per-document and computed
+    row-locally, so the postings relation is NARROW — zero hash
+    exchanges (was exactly one, the old groupBy; the only exchange in a
+    full text build is now the range partitioner of the write)."""
     from elephant_twin_spark.operators import text as T
 
     docs = tables.load_raw(spark, f"{SF_DIR}/documents.parquet")
     p = T.postings_for(docs, "text", "doc_id")
     plan = plan_of(p)
-    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("Exchange hashpartitioning") == 0, plan
 
 
 def test_tpch_semi_join_broadcasts_order_side_filter(spark):
