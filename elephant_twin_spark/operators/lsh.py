@@ -37,7 +37,7 @@ from typing import List, Optional
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from elephant_twin_spark.operators import build as build_mod
+from elephant_twin_spark.operators import build as build_mod, lifecycle
 from elephant_twin_spark.operators.pipeline import dedup
 from elephant_twin_spark.sources import catalog, fsio
 
@@ -228,12 +228,21 @@ class LshIndex:
         footers. Probes with more than ``pushdown_limit`` distinct
         hashes skip the collect and keep the plain join (the filter is
         redundant with the join, so the result is identical either
-        way); ``pushdown_limit=0`` disables the probe outright."""
+        way); ``pushdown_limit=0`` disables the probe outright.
+
+        The probe band table is pinned (``localCheckpoint``) before the
+        collect: the pushdown's ``take`` is an action over the probe's
+        minhash+banding subtree, and without the pin the bucket join
+        below re-evaluates that whole subtree a second time. Pinning is
+        probe-proportional (|probe| × num_bands rows) and only happens
+        on the pushdown path, where an action runs anyway —
+        ``pushdown_limit=0`` keeps the method fully lazy as before."""
         probe = self._probe_bands(
             docs, text_col, id_col, probe_sigs=probe_sigs
         ).withColumnsRenamed({"id": "probe_id"})
         corpus = self.bands().select(F.col("id").alias("corpus_id"), "band", "band_hash")
         if pushdown_limit > 0:
+            probe = lifecycle.pin(probe)
             hashes = [
                 r["band_hash"]
                 for r in probe.select("band_hash").distinct().take(pushdown_limit + 1)
@@ -267,8 +276,22 @@ class LshIndex:
         :meth:`append_docs`-ed after the build — the index stores only
         buckets, never text, so grown docs verify against wherever their
         text was accepted to (one id space across all corpus sources).
-        ``probe_sigs``: see :meth:`candidate_pairs`."""
-        cands = self.candidate_pairs(docs, text_col, id_col, probe_sigs=probe_sigs)
+        ``probe_sigs``: see :meth:`candidate_pairs`.
+
+        The candidate table is pinned (``localCheckpoint``) before use:
+        it feeds BOTH the broadcast corpus-id set and the verify join,
+        and without the pin Spark evaluates the whole candidate subtree
+        — probe banding plus the bucket-table scan and join — once per
+        consumer. The pin is probe-bounded (|probe| × bucket
+        collisions); at 100 TB it is the difference between scanning
+        the pruned bucket table once or twice per gate call. Same
+        rows out; consume-within-scope lifecycle as
+        :func:`.dedup.jaccard_verify_pairs` (A/B on the bench key:
+        steady gate JVM CPU 11.4-12.2 → 8.6-8.9 s/rep, same plan
+        otherwise)."""
+        cands = lifecycle.pin(
+            self.candidate_pairs(docs, text_col, id_col, probe_sigs=probe_sigs)
+        )
         corpus = self.spark.read.parquet(self.table_path).select(
             F.col(self.id_column).alias("corpus_id"),
             F.col(self.text_column).alias("_ctext"),

@@ -241,13 +241,24 @@ def test_lsh_gate_bucket_join_stays_hash_equi_join(spark, workdir):
     probe = spark.createDataFrame(
         [Row(doc_id=100, text="the quick brown fox jumps over the lazy cat today")]
     )
+    # r16: the gate pins (localCheckpoint) the candidate table before its
+    # two consumers, so the bucket join is no longer in the RETURNED
+    # gate plan — assert its shape on candidate_pairs' lazy plan instead.
+    cplan = plan_of(idx.candidate_pairs(probe, "text", "doc_id"))
+    assert "BroadcastNestedLoopJoin" not in cplan and "CartesianProduct" not in cplan, cplan
+    # bucket join: an equi hash join whose keys include band/band_hash
+    assert "band_hash" in cplan, cplan
+    joins = [l for l in cplan.splitlines() if "HashJoin" in l or "ShuffledHashJoin" in l]
+    assert joins, cplan
     plan = plan_of(idx.gate(probe, "text", "doc_id", threshold=0.5))
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan, plan
-    # bucket join: an equi hash join whose keys include band/band_hash
-    assert "band_hash" in plan, plan
-    joins = [l for l in plan.splitlines() if "HashJoin" in l or "ShuffledHashJoin" in l]
-    assert joins, plan
+    # corpus verify read stays LeftSemi-bounded against the broadcast
+    # candidate-id set
     assert "LeftSemi" in plan, plan
+    # and the pinned candidate table enters the gate plan as a
+    # checkpoint scan, not as a second evaluation of the bucket join
+    assert "band_hash" not in plan, plan
+    assert "ExistingRDD" in plan or "LogicalRDD" in plan, plan
 
 
 def test_merged_len_expr_equals_python_kernel(spark):
