@@ -382,3 +382,74 @@ def test_containment_verify_join_before_shingle_same_rows(dup_docs):
     )
     assert sorted(map(tuple, new.collect())) == sorted(map(tuple, old.collect()))
     assert new.count() > 0
+
+
+def test_refresh_clusters_pins_gate_same_rows(spark, tmp_path):
+    """r16: refresh_clusters pins the gate output before the
+    matched/novel split, so the gate (bucket join + corpus verify read)
+    evaluates once instead of once per consumer. Rows must equal the
+    old unpinned restatement, and the returned plan must consume the
+    gate through a checkpoint, not re-derive the bucket join."""
+    from elephant_twin_spark import Engine
+
+    rows = [(i, f"common prefix text number {i % 7} tail {i}") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "corpus")
+    df.write.parquet(path)
+    eng = Engine(spark, str(tmp_path / "idx"))
+    eng.build_lsh_index(path, "text", "doc_id", num_perm=8, num_bands=4, shingle_k=1)
+    idx = eng.lsh_index(path, "text")
+    existing = df.select(
+        F.col("doc_id").alias("id"), F.col("doc_id").alias("cluster_id")
+    )
+    batch = (
+        df.limit(20)
+        .select((F.col("doc_id") + 1000).alias("doc_id"), "text")
+        .unionByName(
+            spark.createDataFrame(
+                [(2000, "planted novel duplicate pair"),
+                 (2001, "planted novel duplicate pair")],
+                "doc_id long, text string",
+            )
+        )
+    )
+    kw = dict(num_perm=8, num_bands=4, shingle_k=1)
+    out = dedup.refresh_clusters(
+        batch, "text", "doc_id", existing, idx, threshold=0.5, **kw
+    )
+    got = sorted(map(tuple, out.collect()))
+
+    # the pre-r16 unpinned body, stated inline as the equivalence reference
+    gated = idx.gate(batch, "text", "doc_id", threshold=0.5)
+    matched = gated.where(F.col("is_near_dup")).select(
+        F.col("doc_id").alias("id"), "dup_of"
+    )
+    prior = existing.select(
+        F.col("id").alias("dup_of"), F.col("cluster_id").alias("_prior_cluster")
+    )
+    inherited = matched.join(prior, "dup_of", "left").select(
+        "id",
+        F.coalesce("_prior_cluster", F.col("dup_of")).alias("cluster_id"),
+        F.lit(False).alias("is_new_cluster"),
+    )
+    novel_ids = gated.where(~F.col("is_near_dup")).select(
+        F.col("doc_id").alias("id")
+    )
+    novel_docs = batch.join(
+        novel_ids.withColumnRenamed("id", "doc_id"), "doc_id", "left_semi"
+    )
+    fresh = dedup.near_dup_clusters(
+        novel_docs, "text", "doc_id", threshold=0.5, edge_mode="star", **kw
+    ).select("id", "cluster_id", F.lit(True).alias("is_new_cluster"))
+    want = sorted(map(tuple, inherited.unionByName(fresh).collect()))
+
+    assert got == want
+    assert len(got) == batch.count()
+    # planted novel pair collapsed into one new cluster
+    novel_clusters = {c for (i, c, new) in got if new and i in (2000, 2001)}
+    assert len(novel_clusters) == 1
+    # single-evaluation shape: the returned plan reads the pinned gate
+    # (checkpoint scan), never the bucket join
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "band_hash" not in plan, plan
+    assert "ExistingRDD" in plan, plan
