@@ -324,14 +324,28 @@ def doclens_for(
 ) -> DataFrame:
     """``(doc_id, dl, norm, file)`` — token count (BM25 length norm) and
     lnc cosine norm per doc, computed from the doc's own tokens only (no
-    corpus statistics → refreshable file-by-file)."""
-    toks = df.select(
+    corpus statistics → refreshable file-by-file).
+
+    Shape (r16 optimization, same class as :func:`postings_for`): the
+    ``(doc_id, term)`` tf grouping is per-document, so the old
+    explode_outer → ``groupBy(doc_id, term)`` paid a delta-tokens
+    exchange for row-local work. The tf table is now built row-locally
+    (:func:`_rowlocal_postings_groups`) and only the doc-sized
+    ``groupBy(doc_id)`` of :func:`doclens_agg` shuffles — 2 Exchange →
+    1, and the formula still lives only in ``doclens_agg``. Token-less
+    and NULL-text docs keep explode_outer semantics (``g`` NULL →
+    tf 0 → dl 0 / norm NULL) via the coalesce below."""
+    src = df.select(
         F.col(doc_id_column).alias("doc_id"),
         fsio.file_path_col(F.col("_metadata.file_path")).alias("file"),
-        F.explode_outer(tokenizer(F.col(text_column))).alias("term"),
+        F.explode_outer(
+            _rowlocal_postings_groups(tokenizer(F.col(text_column)))
+        ).alias("g"),
     )
-    tf = toks.groupBy("doc_id", "term").agg(
-        F.count("term").cast("int").alias("tf"), F.first("file").alias("file")
+    tf = src.select(
+        "doc_id",
+        F.coalesce(F.col("g.tf"), F.lit(0)).cast("int").alias("tf"),
+        "file",
     )
     return doclens_agg(tf)
 

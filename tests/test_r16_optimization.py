@@ -453,3 +453,47 @@ def test_refresh_clusters_pins_gate_same_rows(spark, tmp_path):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "band_hash" not in plan, plan
     assert "ExistingRDD" in plan, plan
+
+
+def test_rowlocal_doclens_same_rows(spark, tmp_path):
+    """The r16 row-local doclens tf table equals the old explode_outer →
+    groupBy(doc_id, term) shape: dl/file exact, norm within float
+    tolerance (summation order legitimately shifts), NULL norm iff the
+    old path's norm is NULL (token-less / NULL-text docs)."""
+    from elephant_twin_spark.sources import fsio
+
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    extra = spark.createDataFrame(
+        [(9001, "a a a b"), (9002, " "), (9003, None), (9004, "z")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "docs")
+    base.unionByName(extra).write.parquet(path)
+    df = spark.read.parquet(path)
+
+    new = text_mod.doclens_for(df, "text", "doc_id")
+
+    toks = df.select(
+        F.col("doc_id"),
+        fsio.file_path_col(F.col("_metadata.file_path")).alias("file"),
+        F.explode_outer(text_mod.whitespace_tokenizer(F.col("text"))).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count("term").cast("int").alias("tf"), F.first("file").alias("file")
+    )
+    old = text_mod.doclens_agg(tf)
+
+    a = {r["doc_id"]: r for r in old.collect()}
+    b = {r["doc_id"]: r for r in new.collect()}
+    assert set(a) == set(b) and len(a) > 0
+    for doc_id, ra in a.items():
+        rb = b[doc_id]
+        assert ra["dl"] == rb["dl"], doc_id
+        assert ra["file"] == rb["file"], doc_id
+        if ra["norm"] is None:
+            assert rb["norm"] is None, doc_id
+        else:
+            assert rb["norm"] == pytest.approx(ra["norm"], rel=1e-9), doc_id
+    # token-less / NULL-text docs keep the explode_outer contract
+    assert b[9002]["dl"] == 0 and b[9002]["norm"] is None
+    assert b[9003]["dl"] == 0 and b[9003]["norm"] is None
