@@ -42,6 +42,67 @@ from elephant_twin_spark.operators.pipeline import dedup
 from elephant_twin_spark.sources import catalog, fsio
 
 
+def _bloom_prefilter(
+    probe: DataFrame,
+    corpus: DataFrame,
+    key_col: str,
+    bloom_bits: int = 1 << 20,
+    bloom_hashes: int = 3,
+) -> DataFrame:
+    """Row-prune ``corpus`` to (a superset of) the rows whose
+    ``key_col`` appears in ``probe``'s, via a Bloom bitmap built from
+    the probe side (guide §3) — the above-``pushdown_limit`` fallback
+    of :meth:`LshIndex.candidate_pairs`, where an exact ``IN`` list
+    would be unbounded. False positives only: callers must re-join on
+    the key, which makes the final rows exact.
+
+    The bitmap is ONE aggregate over the probe (three xxhash64 lanes →
+    bit positions → ``bit_or`` words → dense ``array<bigint>``) carried
+    as a one-row broadcast, and membership is tested with O(1)
+    ``element_at`` probes per corpus row — no per-row driver state, no
+    Python. ``bloom_bits`` = 2^20 holds ~10^5 distinct probe keys at
+    ~2% false-positive rate with 3 lanes; beyond that the filter
+    degrades gracefully toward pass-through (never toward wrong rows).
+    """
+    n_words = bloom_bits // 64
+    qcol = f"`{key_col.replace('`', '``')}`"
+
+    def pos_sql(i: int) -> str:
+        # xxhash64 with a per-lane literal second argument = k
+        # independent hash lanes (the extra arg changes the hash); ONE
+        # snippet shared by the build and test sides so the two can
+        # never disagree on a position
+        return f"pmod(xxhash64({qcol}, {i}), {bloom_bits}L)"
+
+    words = (
+        probe.select(
+            F.explode(
+                F.array(*[F.expr(pos_sql(i)) for i in range(bloom_hashes)])
+            ).alias("pos")
+        )
+        .select(
+            (F.col("pos") / 64).cast("int").alias("word"),
+            F.expr("shiftleft(1L, cast(pos % 64 as int))").alias("mask"),
+        )
+        .groupBy("word")
+        .agg(F.expr("bit_or(mask)").alias("val"))
+    )
+    bits_df = words.agg(
+        F.map_from_entries(F.collect_list(F.struct("word", "val"))).alias("_m")
+    ).select(
+        F.expr(
+            f"transform(sequence(0, {n_words - 1}),"
+            " w -> coalesce(element_at(_m, w), 0L))"
+        ).alias("_bf_bits")
+    )
+    cond = " AND ".join(
+        f"(element_at(_bf_bits, cast({pos_sql(i)} / 64 as int) + 1)"
+        f" & shiftleft(1L, cast({pos_sql(i)} % 64 as int))) != 0"
+        for i in range(bloom_hashes)
+    )
+    return corpus.crossJoin(F.broadcast(bits_df)).where(F.expr(cond)).drop("_bf_bits")
+
+
 def banded_docs(
     df: DataFrame,
     text_column: str,
@@ -226,9 +287,24 @@ class LshIndex:
         ``IN`` filter, which lands in the parquet scan's PushedFilters
         and skips whole index files via their range-partitioned min/max
         footers. Probes with more than ``pushdown_limit`` distinct
-        hashes skip the collect and keep the plain join (the filter is
-        redundant with the join, so the result is identical either
-        way); ``pushdown_limit=0`` disables the probe outright.
+        hashes fall back to a Bloom pre-filter (r17, below);
+        ``pushdown_limit=0`` disables the probe outright.
+
+        Bloom fallback above the limit (r17; guide §3 "pre-filter the
+        big side"): a probe with >``pushdown_limit`` distinct hashes
+        previously kept the plain unpruned join SILENTLY — the exact
+        failure the pushdown exists to prevent. File-level pruning is
+        genuinely dead there (xxhash64 band hashes are uniform, so
+        >4096 of them land in every range-partitioned file), but ROW
+        pruning is not: the probe's hashes are folded into a fixed-size
+        Bloom bitmap (one extra aggregate over the already-pinned probe
+        band table; ``bloom_bits``, default 2^20 ≈ 128 KiB) and tested
+        against every bucket row BEFORE the join, so when the probe
+        side outgrows broadcast range the corpus side sheds ~all
+        non-colliding rows before the sort-merge exchange instead of
+        shuffling the whole bucket table. False positives only — the
+        equi-join removes them, so rows out are identical on every
+        path (pinned in tests/test_r17_optimization.py).
 
         The probe band table is pinned (``localCheckpoint``) before the
         collect: the pushdown's ``take`` is an action over the probe's
@@ -236,7 +312,13 @@ class LshIndex:
         below re-evaluates that whole subtree a second time. Pinning is
         probe-proportional (|probe| × num_bands rows) and only happens
         on the pushdown path, where an action runs anyway —
-        ``pushdown_limit=0`` keeps the method fully lazy as before."""
+        ``pushdown_limit=0`` keeps the method fully lazy as before.
+
+        Lifecycle contract (r16 advisor): on the pushdown path the
+        returned DataFrame is checkpoint-backed — consume it within the
+        enclosing :func:`.lifecycle.checkpoint_scope`; holding it past
+        the scope's exit raises rather than recomputing
+        (``pushdown_limit=0`` restores the fully-lazy contract)."""
         probe = self._probe_bands(
             docs, text_col, id_col, probe_sigs=probe_sigs
         ).withColumnsRenamed({"id": "probe_id"})
@@ -249,6 +331,8 @@ class LshIndex:
             ]
             if len(hashes) <= pushdown_limit:
                 corpus = corpus.where(F.col("band_hash").isin(hashes))
+            else:
+                corpus = _bloom_prefilter(probe, corpus, "band_hash")
         return (
             probe.join(corpus, ["band", "band_hash"])
             .where(F.col("probe_id") != F.col("corpus_id"))
@@ -264,6 +348,7 @@ class LshIndex:
         threshold: float = 0.8,
         extra_corpus: Optional[DataFrame] = None,
         probe_sigs: Optional[DataFrame] = None,
+        id_pushdown_limit: int = 4096,
     ) -> DataFrame:
         """The ingest gate: incoming docs annotated with
         ``is_near_dup`` and ``dup_of`` (lowest matching corpus id, null
@@ -279,8 +364,8 @@ class LshIndex:
         ``probe_sigs``: see :meth:`candidate_pairs`.
 
         The candidate table is pinned (``localCheckpoint``) before use:
-        it feeds BOTH the broadcast corpus-id set and the verify join,
-        and without the pin Spark evaluates the whole candidate subtree
+        it feeds BOTH the corpus-id collect and the verify join, and
+        without the pin Spark evaluates the whole candidate subtree
         — probe banding plus the bucket-table scan and join — once per
         consumer. The pin is probe-bounded (|probe| × bucket
         collisions); at 100 TB it is the difference between scanning
@@ -288,7 +373,21 @@ class LshIndex:
         rows out; consume-within-scope lifecycle as
         :func:`.dedup.jaccard_verify_pairs` (A/B on the bench key:
         steady gate JVM CPU 11.4-12.2 → 8.6-8.9 s/rep, same plan
-        otherwise)."""
+        otherwise).
+
+        ``id_pushdown_limit``: cap on the candidate corpus-id collect.
+        Within the cap the verification read is pruned by an ``IN``
+        predicate in the corpus scan's PushedFilters; above it (a hot
+        bucket on a duplicate-heavy corpus can make the candidate set
+        corpus-scale) the gate falls back to a plain semi join sized by
+        the planner. ``0`` disables the collect outright. Results are
+        identical on every path.
+
+        Lifecycle contract (r16 advisor): because of the pins, the
+        returned DataFrame is checkpoint-backed — consume it within the
+        enclosing :func:`.lifecycle.checkpoint_scope` (as every caller
+        in this engine does), or call under your own scope; holding the
+        result past the scope's exit raises rather than recomputing."""
         cands = lifecycle.pin(
             self.candidate_pairs(docs, text_col, id_col, probe_sigs=probe_sigs)
         )
@@ -306,14 +405,28 @@ class LshIndex:
             F.col(id_col).alias("probe_id"),
             dedup.word_shingles(F.col(text_col), self.shingle_k).alias("sh_a"),
         )
-        # broadcast the candidate corpus-id set explicitly (r16): it is
-        # probe-bounded by construction, but Catalyst's size estimate
-        # for the aggregated id set is unknown, so the semi join was
-        # planned sort-merge — a full exchange + sort of the corpus
-        # (id, text) projection that the broadcast semi join avoids
-        corpus_sh = corpus.join(
-            F.broadcast(cands.select("corpus_id").distinct()), "corpus_id", "leftsemi"
-        ).select(
+        # Bounded candidate-id pushdown (r17; supersedes the r16
+        # unconditional F.broadcast, whose hint bypassed
+        # autoBroadcastJoinThreshold on a set that a hot bucket can make
+        # corpus-scale — r16 advisor). The id set is collected only up
+        # to ``id_pushdown_limit``; within the bound the IN predicate
+        # reaches the corpus parquet scan as PushedFilters, so the
+        # verification read prunes row groups / files by footer min-max
+        # instead of post-filtering a full (id, text) scan — the same
+        # §6 shape as candidate_pairs' band-hash pushdown. Above the
+        # bound the plain semi join is kept and the planner picks the
+        # strategy from its own size estimates (sort-merge fallback
+        # instead of a forced corpus-scale broadcast).
+        cand_ids = cands.select("corpus_id").distinct()
+        if id_pushdown_limit > 0:
+            ids = [r[0] for r in cand_ids.take(id_pushdown_limit + 1)]
+        else:
+            ids = None
+        if ids is not None and len(ids) <= id_pushdown_limit:
+            corpus = corpus.where(F.col("corpus_id").isin(ids))
+        else:
+            corpus = corpus.join(cand_ids, "corpus_id", "leftsemi")
+        corpus_sh = corpus.select(
             "corpus_id",
             dedup.word_shingles(F.col("_ctext"), self.shingle_k).alias("sh_b"),
         )
