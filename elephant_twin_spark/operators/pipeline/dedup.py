@@ -445,10 +445,21 @@ def _rowlocal_simhash(
     (e.g. xxhash64, or the md5-prefix form the DuckDB oracle can
     reproduce). Docs with no tokens produce no row — ``rlike('\\S')``
     is exactly "the token array is non-empty" — matching the explode
-    form, which dropped them."""
+    form, which dropped them.
+
+    Precondition (r16 advisor): ``id_col`` must be unique per input
+    row, the standing contract of every id-keyed operator here. The
+    old groupBy shape silently MERGED duplicate-id rows' tokens into
+    one signature; the row-local shape emits one signature per input
+    row. Feed pre-deduplicated ids (as every caller in this engine
+    does) — the outputs are bit-identical then."""
     tok = f"element_at(st, s)"
+    # backtick-quote the interpolated identifier (r16 advisor): every
+    # other operator takes such names via F.col; a raw interpolation
+    # breaks on spaces/dots/hyphens and can mis-resolve
+    quoted_col = f"`{text_col.replace('`', '``')}`"
     sim_sql = f"""
-    element_at(transform(array(array_sort({_TOKENIZE_SQL.format(col=text_col)})), st ->
+    element_at(transform(array(array_sort({_TOKENIZE_SQL.format(col=quoted_col)})), st ->
       element_at(transform(array(
           filter(sequence(1, size(st)),
                  i -> i = 1 OR element_at(st, i) != element_at(st, i - 1))
@@ -595,6 +606,7 @@ def connected_components(
     dst_col: str = "id_b",
     max_iter: int = 50,
     detector: str = "auto",
+    hop_after: int = 3,
 ) -> DataFrame:
     """``(node, component)`` over the undirected graph of ``pairs`` —
     component = min node id reachable. Only nodes appearing in some pair
@@ -606,10 +618,25 @@ def connected_components(
     clusters (cliques plus a few chains) is small; each round is ONE
     shuffle (join + groupBy on node). ``localCheckpoint`` after each
     round cuts the lineage so the plan doesn't grow exponentially —
-    the standard hazard of iterative DataFrame algorithms. For graphs
-    with continent-sized diameter use the large-star/small-star variant
-    (Kiveris et al., "Connected Components in MapReduce"); near-dup
-    graphs never need it.
+    the standard hazard of iterative DataFrame algorithms.
+
+    Pointer-doubling escalation (r17): from round ``hop_after`` on,
+    each round additionally hops through the previous round's labels
+    (``comp ← min(comp, labels[comp])``), doubling the propagation
+    distance per round — O(log d) rounds on a diameter-d graph instead
+    of O(d). The hop joins the round's OWN output against the already
+    checkpointed previous labels, so it never re-evaluates the groupBy;
+    any label a hop returns is by construction reachable from ``comp``,
+    labels stay monotonically non-increasing, and the fixpoint — and
+    therefore every row out — is unchanged (interleaved A/B,
+    OPTIMIZATION_r17.md: identical rows on the bench near-dup graph;
+    on a 3000-edge chain 13.8-18.9 s → 5.0-10.3 s AND the plain form
+    silently returned unconverged labels there, ``max_iter`` capping
+    out at 50 of the 3000 needed rounds — with the hop, 50 rounds
+    cover diameter ~2^47). The first ``hop_after`` rounds stay plain:
+    near-dup graphs (cliques plus short chains) converge within them,
+    and the bench-graph A/B shows the hop join is pure overhead there
+    (warm 1.11 s plain vs 1.30 s always-on doubling).
 
     Memory lifecycle: the returned labels are backed by the final
     iteration's checkpoint (escaped from ambient scopes so the result
@@ -677,7 +704,7 @@ def connected_components(
     # otherwise leak both checkpoints (r8 review finding)
     try:
         prev_sum = label_sum(labels) if numeric else None
-        for _ in range(max_iter):
+        for it in range(max_iter):
             nbr_min = (
                 edges.join(labels, edges.d == labels.node)
                 .select(F.col("s").alias("node"), "comp")
@@ -695,13 +722,23 @@ def connected_components(
             # still has a handle to release partial blocks through —
             # an eager pin that dies mid-action leaves unreferencable
             # partial state
-            new = lifecycle.pin(
+            half = (
                 labels.unionByName(nbr_min)
                 .groupBy("node")
-                .agg(F.min("comp").alias("comp")),
-                eager=False,
-                escape=True,
+                .agg(F.min("comp").alias("comp"))
             )
+            if it >= hop_after:
+                # pointer doubling (see docstring): hop through the
+                # PREVIOUS round's checkpointed labels — left join, so
+                # labels that are already component roots pass through
+                hop = labels.select(
+                    F.col("node").alias("_hn"), F.col("comp").alias("_hc")
+                )
+                half = half.join(hop, half.comp == hop._hn, "left").select(
+                    "node",
+                    F.least(F.col("comp"), F.coalesce("_hc", "comp")).alias("comp"),
+                )
+            new = lifecycle.pin(half, eager=False, escape=True)
             try:
                 if numeric:
                     new_sum = label_sum(new)
