@@ -29,6 +29,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructField, StructType
 from pyspark.sql.window import Window
 
+from elephant_twin_spark.operators import lifecycle
+
 
 def asof_join(
     left: DataFrame,
@@ -333,12 +335,16 @@ def scd2_merge(
     ``scd2_intervals(..., carry_last_ts=True)``) the precondition is
     CHECKED per affected key: ``validate=True`` (default) raises
     ``ValueError`` naming sample offenders if any batch event is <= the
-    key's recorded max raw-event timestamp. Probe cost: one batch
-    aggregate plus one column-pruned (keys, last_ts) pass over the
-    TOUCHED keys' history rows — the same slice the replay reads, read
-    once more as its own driver-blocking action (measured ~1.5x merge
-    wall at sf0.1; SCALE_EXPERIMENTS r8). ``validate=False`` skips the
-    probe on feeds whose watermark is enforced upstream. A history
+    key's recorded max raw-event timestamp. Probe cost (r17): the
+    touched slice is pinned (``localCheckpoint``) before the probe, so
+    the probe's driver-blocking aggregate and the replay share ONE
+    materialization instead of each re-running the history scan + semi
+    join (the probe previously re-read the slice as its own pass —
+    measured ~1.5x merge wall at sf0.1; SCALE_EXPERIMENTS r8). The
+    validated merge's result is therefore checkpoint-backed: consume it
+    within the enclosing ``lifecycle.checkpoint_scope``.
+    ``validate=False`` skips the probe and keeps the merge fully lazy
+    on feeds whose watermark is enforced upstream. A history
     without ``last_ts`` cannot express the precondition and is
     accepted unchecked — prefer carrying the column. ``last_ts`` is
     maintained through the merge, so merged output remains mergeable.
@@ -366,6 +372,17 @@ def scd2_merge(
     untouched = history.join(affected, keys, "left_anti")
     touched = history.join(affected, keys, "leftsemi")
     if validate and has_lts:
+        # Pin the touched slice before the probe (r17): the probe's
+        # collect and the replay below otherwise each run the history
+        # scan + semi join — with the pin the slice (batch-proportional
+        # by the merge's own contract) materializes once and both read
+        # it, one fewer full history pass per validated merge. The
+        # probe already makes this path driver-blocking at call time;
+        # the pin additionally makes the RESULT checkpoint-backed —
+        # consume it within the enclosing lifecycle.checkpoint_scope
+        # (as every caller here does). validate=False keeps the merge
+        # fully lazy as before.
+        touched = lifecycle.pin(touched, eager=False)
         # one batch-proportional probe: per affected key, the earliest
         # batch event must be strictly newer than every raw event the
         # history absorbed (== its max last_ts)
