@@ -227,7 +227,16 @@ def postings_for(
     (2 Exchange → 1, plans/r16/build_text_index_docs_postings_*.txt);
     rows are bit-identical (``positions`` ascending either way; pinned
     in tests/test_r16_optimization.py). Measured 1.7× on the sf0.01
-    postings subplan, noop sink.
+    postings subplan, noop sink; re-anchored r17 (interleaved
+    single-JVM A/B, OPTIMIZATION_r17.md): old groupBy 5.2-7.5 JVM-CPU-s
+    vs row-local 2.8-3.7 at sf0.1, 19-21 vs 7.5-12.5 on a long-doc
+    fixture — the r16 driver wall regression on this key was run noise.
+
+    Precondition (r16 advisor): ``doc_id_column`` must be unique per
+    input row — the old groupBy silently merged duplicate-id rows'
+    tokens into one posting; the row-local shape emits per-row
+    postings. Identical outputs under the unique-id contract every
+    caller here already holds.
     """
     from elephant_twin_spark.operators import layout
 
@@ -334,7 +343,11 @@ def doclens_for(
     ``groupBy(doc_id)`` of :func:`doclens_agg` shuffles — 2 Exchange →
     1, and the formula still lives only in ``doclens_agg``. Token-less
     and NULL-text docs keep explode_outer semantics (``g`` NULL →
-    tf 0 → dl 0 / norm NULL) via the coalesce below."""
+    tf 0 → dl 0 / norm NULL) via the coalesce below.
+
+    Precondition (r16 advisor): ``doc_id_column`` unique per input row
+    — duplicate-id rows would no longer have their tfs merged before
+    the log-weighted norm fold (see :func:`postings_for`)."""
     src = df.select(
         F.col(doc_id_column).alias("doc_id"),
         fsio.file_path_col(F.col("_metadata.file_path")).alias("file"),

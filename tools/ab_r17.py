@@ -311,6 +311,103 @@ def main():
             timed("new_gate", new_gate, n=1)
         return
 
+    # ---------------- LSH gate: collected-probe restatement ----------------
+    if exp == "gate2":
+        from elephant_twin_spark import Engine
+        from elephant_twin_spark.operators.pipeline import dedup
+
+        docs_multi = tables.materialize(
+            spark, f"{SF_DIR}/documents.parquet", f"{work}/documents", CPUS
+        )
+        docs = spark.read.parquet(docs_multi)
+        eng = Engine(spark, f"{work}/index_root")
+        eng.build_lsh_index(docs_multi, "text", "doc_id", num_perm=16, num_bands=4)
+        idx = eng.lsh_index(docs_multi, "text")
+        probe_docs = docs.limit(500).select(
+            (F.col("doc_id") + 10_000_000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" probe")).alias("text"),
+        )
+
+        def old_gate():
+            return (
+                idx.gate(probe_docs, "text", "doc_id", threshold=0.6)
+                .where("is_near_dup")
+                .count()
+            )
+
+        def collected_gate(lazy_cands=False):
+            # ONE action collects the probe band table (bounded:
+            # |probe| x num_bands); hash IN-list derived locally and the
+            # probe side becomes a local-relation broadcast join
+            probe_df = idx._probe_bands(probe_docs, "text", "doc_id")
+            rows = probe_df.take(4097)
+            assert len(rows) <= 4096
+            local_probe = spark.createDataFrame(rows, probe_df.schema).withColumnsRenamed(
+                {"id": "probe_id"}
+            )
+            hashes = sorted({r["band_hash"] for r in rows})
+            corpus_b = idx.bands().select(
+                F.col("id").alias("corpus_id"), "band", "band_hash"
+            ).where(F.col("band_hash").isin(hashes))
+            cands = (
+                local_probe.join(corpus_b, ["band", "band_hash"])
+                .where(F.col("probe_id") != F.col("corpus_id"))
+                .select("probe_id", "corpus_id")
+                .distinct()
+            )
+            cands = lifecycle.pin(cands, eager=not lazy_cands)
+            corpus = spark.read.parquet(docs_multi).select(
+                F.col("doc_id").alias("corpus_id"), F.col("text").alias("_ctext")
+            )
+            probe_sh = probe_docs.select(
+                F.col("doc_id").alias("probe_id"),
+                dedup.word_shingles(F.col("text"), idx.shingle_k).alias("sh_a"),
+            )
+            corpus_sh = corpus.join(
+                F.broadcast(cands.select("corpus_id").distinct()), "corpus_id", "leftsemi"
+            ).select(
+                "corpus_id",
+                dedup.word_shingles(F.col("_ctext"), idx.shingle_k).alias("sh_b"),
+            )
+            verified = (
+                cands.join(probe_sh, "probe_id")
+                .join(corpus_sh, "corpus_id")
+                .withColumn(
+                    "jaccard",
+                    F.size(F.array_intersect("sh_a", "sh_b"))
+                    / F.size(F.array_union("sh_a", "sh_b")),
+                )
+                .where(F.col("jaccard") >= 0.6)
+                .groupBy("probe_id")
+                .agg(F.min("corpus_id").alias("dup_of"))
+            )
+            out = probe_docs.join(
+                verified.withColumnsRenamed({"probe_id": "doc_id"}), "doc_id", "left"
+            ).withColumn("is_near_dup", F.col("dup_of").isNotNull())
+            return out.where("is_near_dup").count()
+
+        sc = spark.sparkContext
+        a = old_gate()
+        b = collected_gate()
+        c = collected_gate(lazy_cands=True)
+        assert a == b == c, (a, b, c)
+        tracker = sc.statusTracker()
+        for tag, fn in (
+            ("old_gate_jobs", old_gate),
+            ("collected_jobs", collected_gate),
+            ("collected_lazy_jobs", lambda: collected_gate(lazy_cands=True)),
+        ):
+            sc.setJobGroup(tag, tag)
+            with lifecycle.checkpoint_scope():
+                fn()
+            sc.setJobGroup("idle", "idle")
+            print(f"{tag}: {len(tracker.getJobIdsForGroup(tag))} jobs", flush=True)
+        for r in range(reps):
+            timed("old_gate", old_gate, n=1)
+            timed("collected", collected_gate, n=1)
+            timed("collected_lazy", lambda: collected_gate(lazy_cands=True), n=1)
+        return
+
     # ---------------- connected components ----------------
     def cc_plain(pairs):
         from elephant_twin_spark.operators.pipeline import dedup
