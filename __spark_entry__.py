@@ -3064,51 +3064,59 @@ def _q_scd2_merge_incremental(spark, sf_dir):
 # streaming_windowed_rollup's permanent `no_oracle` row is evicted
 # (its evidence is the batch-twin test, COVERAGE.md).
 #
-# r16 window: no pins — no query's semantics, oracle, or read hot
-# path changed this round (the r16 work is the fsio release-lock
-# bounded wait + ADVICE hardening, bench load/rusage triage fields,
-# solo-anchoring two envelope-only bands, and the contended-heartbeat
-# probe — none touch any query path), so all 50 slots continue the
-# oldest-evidence rotation per COVERAGE.md §evidence-rotation: the
-# full 43-query r12-vintage cohort in CORRECTNESS_r12 order (the r15
-# verdict's standing order; the cohort's other 7 members were
-# refreshed in r15), then the first seven r13-vintage queries in
-# CORRECTNESS_r13 order (ann_persisted_top10 .. scd2_merge_incremental)
-# to fill the window to 50. After this window the oldest evidence
-# anywhere is r13 and the remainder of the r13 cohort is next due.
+# r17 window: 11 hygiene-rule pins + 39 oldest-evidence fills.
+# Pins = every oracle-backed query whose implementation hot path
+# changed in r16 or r17 and whose last driver verification predates
+# the change (the r16 optimizer rewrote simhash/_rowlocal shapes,
+# shingle-verify join order, tokenizers, and HOF let-binding but left
+# `_ROTATION_PINS` empty — r16 verdict item 5; the r17 optimizer
+# changed lsh.gate's candidate-id pushdown, candidate_pairs' bloom
+# fallback, connected_components' pointer-doubling escalation, and
+# scd2_merge's validated-probe pin). r16-covered-by-luck names
+# (lsh_gate, cluster_refresh, scd2_merge_incremental were in the r16
+# window) are re-pinned because their hot paths changed AGAIN in r17.
+# Fill = the remaining r13-vintage cohort in CORRECTNESS_r13 order
+# (the oldest driver evidence in the registry), 39 of its 42 unpinned
+# members; error_rate_anomaly, rrf_fusion, rfm_segments stay outside
+# and are next due.
 # _ROTATION_ROUND pins WHICH rounds' evidence the rotation was computed
 # from (everything before it): the hygiene test must ignore evidence
 # from this round onward, else the round's own driver run — which
 # freshens exactly the window entries — would flag the unchanged
 # registry as stale-ordered (r10 review finding). Bump both together
 # when rotating.
-_ROTATION_ROUND = 16
+_ROTATION_ROUND = 17
 # Queries PINNED into the window this round because their semantics,
 # oracle, or implementation hot path changed (hygiene rule) — exempt
 # from the oldest-evidence ordering check, which otherwise flags any
 # recently-verified query occupying a slot while older ones wait.
-_ROTATION_PINS: list = []
-_ROTATION_R16 = [
-    # r12-vintage cohort, CORRECTNESS_r12 order (all 43 queries still
-    # at r12 vintage — the oldest driver evidence in the registry)
-    "window_top_orders", "running_revenue", "cube_orders",
-    "group_percentiles", "market_share", "top_bigrams",
-    "exact_substring_dups", "repeated_ngram_coverage", "cdc_chunks",
-    "gopher_quality_flags", "perplexity_buckets", "ann_range_search",
-    "kmeans_assign", "lsh_bucket_stats", "dup_rate_by_source",
-    "keep_best_per_group", "corr_stats", "token_len_histogram",
-    "bucket_skew_stats", "tfidf_top_terms", "pack_efficiency",
-    "consecutive_dedup", "minhash_jaccard_error", "semantic_dedup",
-    "table_profile", "pivot_user_events", "json_props_stats",
-    "sessionize", "error_window_counts", "quality_top_fraction",
-    "domain_cap", "media_features", "winnowing_md5", "idx_count_only",
-    "zone_min_max", "text_retrieve", "lsh_gate", "kmv_distinct_users",
-    "cluster_refresh", "session_duration_stats", "oov_stats",
-    "cms_error_stats", "time_decay_score",
-    # r13-vintage head, CORRECTNESS_r13 order (fills the window to 50)
-    "ann_persisted_top10", "text_bm25_top", "text_more_like_this",
-    "winsorized_stats", "index_advisor", "gap_to_prev",
+_ROTATION_PINS: list = [
+    # r16 hot-path changes never driver-re-verified (r16 verdict item 5)
+    "simhash_md5_docs", "simhash_near_dup", "minhash_near_dup_pairs",
+    "containment_pairs", "repetition_ratio", "chunk_docs",
+    "ngram_jaccard_pairs",
+    # r17 hot-path changes (gate id pushdown + bloom fallback, CC
+    # pointer doubling, scd2_merge validated-probe pin)
+    "lsh_gate", "cluster_refresh", "near_dup_components",
     "scd2_merge_incremental",
+]
+_ROTATION_R17 = _ROTATION_PINS + [
+    # r13-vintage cohort, CORRECTNESS_r13 order (the oldest driver
+    # evidence in the registry; minhash_near_dup_pairs is pinned above)
+    "ann_ivf_pq_top10", "idx_predicate_string", "idx_predicate_serde",
+    "day_interval_render", "source_overlap", "lsh_plan",
+    "heaps_vocab_growth", "ks_value_drift", "zipf_slope",
+    "mi_event_hour", "wow_revenue_change", "psi_value_drift",
+    "ann_recall_stats", "scd2_user_state", "event_transitions",
+    "item_cf_cosine", "sq8_error_stats", "bucketed_join_agg",
+    "epoch_shuffle", "zorder_box_scan", "covisit_triangles",
+    "novelty_score", "forward_fill_values", "scd2_point_in_time",
+    "bigram_logprob", "js_divergence_by_source", "tokenizer_fertility",
+    "code_score", "bloom_decontaminate_screen", "kfold_assign",
+    "paragraph_dedup", "cms_heavy_hitters", "sentence_stats",
+    "quantile_normalize", "truncate_tokens", "label_centroids",
+    "curriculum_interleave", "sliding_distinct_users",
+    "rolling_avg_value",
 ]
 
 
@@ -3341,7 +3349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_report": _q_decontaminate_report,
         "pii_scrub": _q_pii_scrub,
     }
-    out = {name: cat.pop(name) for name in _ROTATION_R16}  # KeyError = typo, loud
+    out = {name: cat.pop(name) for name in _ROTATION_R17}  # KeyError = typo, loud
     out.update(cat)
     return out
 

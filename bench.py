@@ -825,6 +825,17 @@ def main():
         # reading can be triaged against host contention from the BENCH
         # file itself instead of a next-round solo-anchor ritual
         "rep_stats": rep_stats,
+        # per-key min JVM-CPU-seconds across reps (r16 verdict item 6,
+        # additive): wall on this box is load-dominated (documented
+        # same-tree spread 33-76 s), so round-over-round comparisons
+        # should flag a key "regressed" only when BOTH wall and CPU
+        # move — CPU is immune to scheduling stalls, and the per-rep
+        # min discards JIT-churn first-rep outliers
+        "queries_cpu_min": {
+            k: min(c for c in v["jvm_cpu_s"] if c is not None)
+            for k, v in rep_stats.items()
+            if any(c is not None for c in v["jvm_cpu_s"])
+        },
     }
     if bloom_composed_ratio is not None:
         doc["bytes_ratio_bloom_composed"] = bloom_composed_ratio
