@@ -375,13 +375,15 @@ class LshIndex:
         steady gate JVM CPU 11.4-12.2 → 8.6-8.9 s/rep, same plan
         otherwise).
 
-        ``id_pushdown_limit``: cap on the candidate corpus-id collect.
-        Within the cap the verification read is pruned by an ``IN``
-        predicate in the corpus scan's PushedFilters; above it (a hot
-        bucket on a duplicate-heavy corpus can make the candidate set
-        corpus-scale) the gate falls back to a plain semi join sized by
-        the planner. ``0`` disables the collect outright. Results are
-        identical on every path.
+        ``id_pushdown_limit``: cap on the candidate-row collect (rows
+        bound distinct ids from above, and a row take() over the pinned
+        candidates is a narrow job — no shuffle). Within the cap the
+        verification read is pruned by an ``IN`` predicate in the
+        corpus scan's PushedFilters; above it (a hot bucket on a
+        duplicate-heavy corpus can make the candidate set corpus-scale)
+        the gate falls back to a plain semi join sized by the planner.
+        ``0`` disables the collect outright. Results are identical on
+        every path.
 
         Lifecycle contract (r16 advisor): because of the pins, the
         returned DataFrame is checkpoint-backed — consume it within the
@@ -417,15 +419,25 @@ class LshIndex:
         # bound the plain semi join is kept and the planner picks the
         # strategy from its own size estimates (sort-merge fallback
         # instead of a forced corpus-scale broadcast).
-        cand_ids = cands.select("corpus_id").distinct()
+        # The bound is checked on candidate ROWS, not distinct ids: a
+        # take() over the pinned (already-materialized) candidate
+        # checkpoint is a NARROW job — no shuffle, first partitions
+        # only — whereas a distinct().take() costs a full 2-stage
+        # shuffle job per gate call (measured +1s wall on the bench
+        # key). Row count bounds distinct count from above, so the
+        # check is safe, just conservative; ids are deduped and sorted
+        # driver-side (deterministic IN list).
         if id_pushdown_limit > 0:
-            ids = [r[0] for r in cand_ids.take(id_pushdown_limit + 1)]
+            rows = cands.select("corpus_id").take(id_pushdown_limit + 1)
         else:
-            ids = None
-        if ids is not None and len(ids) <= id_pushdown_limit:
+            rows = None
+        if rows is not None and len(rows) <= id_pushdown_limit:
+            ids = sorted({r[0] for r in rows})
             corpus = corpus.where(F.col("corpus_id").isin(ids))
         else:
-            corpus = corpus.join(cand_ids, "corpus_id", "leftsemi")
+            corpus = corpus.join(
+                cands.select("corpus_id").distinct(), "corpus_id", "leftsemi"
+            )
         corpus_sh = corpus.select(
             "corpus_id",
             dedup.word_shingles(F.col("_ctext"), self.shingle_k).alias("sh_b"),
