@@ -4,7 +4,7 @@ parallelism, not job-launch overhead.
 
 The box's largest shipped SF is 0.1, where the r16 driver's 8-core
 bench BEAT the 32-core one on total — every sub-second key is
-scheduling-bound there. This script builds a ~8x replica of the two
+scheduling-bound there. This script builds a ~32x replica of the two
 big tables (documents, events; ids shifted per replica so key
 cardinalities scale too) and times the DATA-BOUND operator subplans at
 32 and 8 cores in fresh JVMs, noop sink, min over warm reps.
@@ -22,8 +22,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 SRC = "/root/testdata/sf0.1"
-FIX = "/tmp/ets_sfx8"
-REPLICAS = 8
+FIX = "/tmp/ets_sfx32"
+REPLICAS = 32
 
 
 def session(cpus, name):
@@ -144,7 +144,7 @@ def run(cpus):
     ]
     for name, fn in suite:
         walls, cpus_l = [], []
-        for _ in range(3):
+        for _ in range(5):
             c0 = cpu_s()
             t0 = time.perf_counter()
             with lifecycle.checkpoint_scope():
